@@ -1,0 +1,99 @@
+"""Data-cleaning operators — native replacements for the reference's UDFs.
+
+Reference parity (SURVEY.md §2.3): every one of the reference's five Python
+UDF repairs (``spark_client.py:269-328``) blocks predicate pushdown and
+whole-stage codegen around it; each is re-expressed here as a Catalyst
+expression with the same observable semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, FloatType, StringType
+
+__all__ = [
+    "nan_to_null",
+    "clean_old_dates",
+    "add_metadata",
+    "ascii_sanitize",
+    "parse_timestamp",
+]
+
+# Tokens the reference treats as NULL after trim+lower
+# (spark_client.py:463-481; tf_client.py:99-114 adds 'nat').
+_NULL_TOKENS = ("nan", "null", "", "nat", "none")
+
+
+def nan_to_null(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """String sentinels ``'nan'/'null'/''/'NaT'/'None'`` (trimmed,
+    case-insensitive — the reference trims *before* matching,
+    ``spark_client.py:477``) → NULL; float NaN → NULL via ``nanvl``
+    (↔ ``tf_client.py:107``)."""
+    targets = set(cols) if cols is not None else None
+    out = df
+    for field in df.schema.fields:
+        if targets is not None and field.name not in targets:
+            continue
+        c = F.col(field.name)
+        if isinstance(field.dataType, StringType):
+            out = out.withColumn(
+                field.name,
+                F.when(F.lower(F.trim(c)).isin(*_NULL_TOKENS), F.lit(None)).otherwise(c),
+            )
+        elif isinstance(field.dataType, (DoubleType, FloatType)):
+            out = out.withColumn(
+                field.name, F.when(F.isnan(c), F.lit(None)).otherwise(c)
+            )
+    return out
+
+
+def clean_old_dates(
+    df: DataFrame, cols: Sequence[str], floor: str = "1900-01-01"
+) -> DataFrame:
+    """Clamp timestamps below ``floor`` to ``floor``
+    ↔ ``clean_old_dates`` (``spark_client.py:445-461``, the Spark-3
+    proleptic-calendar workaround documented at ``:447-452``)."""
+    out = df
+    lit_floor = F.lit(floor).cast("timestamp")
+    for c in cols:
+        ts = F.col(c).cast("timestamp")
+        out = out.withColumn(c, F.when(ts < lit_floor, lit_floor).otherwise(ts))
+    return out
+
+
+def add_metadata(df: DataFrame, partition_date: str | None = None) -> DataFrame:
+    """META_file_name / META_partition_date / META_processing_date_utc
+    ↔ ``add_metadata`` (``spark_client.py:399-416``, ``parser.py:8-12``)."""
+    part = (
+        F.lit(partition_date).cast("date") if partition_date else F.current_date()
+    )
+    return (
+        df.withColumn("META_file_name", F.input_file_name())
+        .withColumn("META_partition_date", part)
+        .withColumn("META_processing_date_utc", F.current_timestamp())
+    )
+
+
+def ascii_sanitize(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Drop non-ASCII characters ↔ ``udf_convert_version``
+    (``spark_client.py:309-319``: ``x.encode('ascii','ignore')``)."""
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.regexp_replace(F.col(c), r"[^\x00-\x7F]", ""))
+    return out
+
+
+def parse_timestamp(
+    df: DataFrame, cols: Sequence[str], fmt: str = "yyyy-MM-dd HH:mm:ss"
+) -> DataFrame:
+    """String → timestamp, stripping fractional seconds first
+    ↔ ``udf_string_to_timestamp`` (``spark_client.py:294-307``: strips
+    subseconds then ``strptime('%Y-%m-%d %H:%M:%S')``; invalid → NULL)."""
+    out = df
+    for c in cols:
+        stripped = F.regexp_replace(F.col(c), r"\.\d+$", "")
+        out = out.withColumn(c, F.to_timestamp(stripped, fmt))
+    return out

@@ -1,0 +1,167 @@
+"""Join operators beyond the built-in matrix.
+
+Reference parity (SURVEY.md §2.4): the reference's join semantics live in
+generated SQL (upsert anti-joins, ``rs_client.py:242-283``), driver-side dict
+merges (``common.py:326-354``) and a difflib fuzzy match
+(``sharepoint_client.py:121-127``). Here they are first-class distributed
+joins. The standard matrix (inner/left/right/full/semi/anti/cross, broadcast
+hints) is plain ``df.join`` — exercised in tests and __spark_entry__ queries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["merge_join", "asof_join", "range_join", "fuzzy_top1_join"]
+
+
+def merge_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | Sequence[str],
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Enrich ``left`` with ``right``'s columns ↔ ``merge_dicts``
+    (``common.py:326-354``) which inner-joined two lists of dicts on the
+    driver. ``broadcast_right=True`` for small dimension sides — at 100 TB
+    a driver-side dict merge is impossible but a broadcast hash join is free.
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=list([key] if isinstance(key, str) else key), how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of join: for each left row, the single right row with the greatest
+    ``right_ts <= left_ts`` (backward) / smallest ``right_ts >= left_ts``
+    (forward) within the same key group.
+
+    No reference implementation exists (SURVEY §2.4 lists it as a required
+    extension for the ``events`` fixture); this is the Spark-native design:
+    union both sides tagged, single window pass per key ordered by time,
+    ``last(right_payload, ignorenulls=True)`` carries the most recent right
+    row forward onto left rows.
+
+    Scale notes: ONE shuffle on the key columns (same as any sort-merge
+    join), no range-explosion, no per-key collect; skewed keys are handled
+    by AQE. This beats the naive join+filter+window-rank plan, which
+    shuffles the (much larger) cross-matched intermediate.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lpay = [c for c in left.columns if c not in keys and c != left_ts]
+    rpay = [c for c in right.columns if c not in keys and c != right_ts]
+
+    rpay_out = [c + suffix if c in set(left.columns) else c for c in rpay]
+
+    l_tagged = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in lpay],
+        *[F.lit(None).alias("__r_" + c) for c in rpay],
+    )
+    r_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
+        *[F.col(c).alias("__r_" + c) for c in rpay],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    if direction == "backward":
+        # right rows sort before left rows at equal ts so right_ts == left_ts matches
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    elif direction == "forward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts").desc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        raise ValueError(f"unknown direction {direction!r}")
+
+    carried = unioned.select(
+        *keys,
+        "__ts",
+        "__is_left",
+        *[F.col(c) for c in lpay],
+        *[
+            F.last(F.col("__r_" + c), ignorenulls=True).over(w).alias(out)
+            for c, out in zip(rpay, rpay_out)
+        ],
+        F.last(
+            F.when(F.col("__is_left") == 0, F.col("__ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias(right_ts + suffix if right_ts in set(left.columns) else right_ts),
+    )
+    return carried.where(F.col("__is_left") == 1).drop("__is_left").withColumnRenamed(
+        "__ts", left_ts
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+) -> DataFrame:
+    """Interval containment join: left rows matched to right intervals
+    ``[right_start, right_end)`` per key. Expressed declaratively so
+    Catalyst can choose a broadcast-nested-loop (small right) or AQE plan;
+    at scale pre-bucket both sides on the key to avoid the cross blow-up."""
+    keys = [on] if isinstance(on, str) else list(on)
+    cond = [left[k] == right[k] for k in keys] + [
+        left[left_ts] >= right[right_start],
+        left[left_ts] < right[right_end],
+    ]
+    cond_expr = cond[0]
+    for c in cond[1:]:
+        cond_expr = cond_expr & c
+    return left.join(right.drop(*keys), cond_expr, "left")
+
+
+def fuzzy_top1_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int | None = None,
+) -> DataFrame:
+    """Best-string-match join (k=1 by edit distance)
+    ↔ ``match_filename`` (``sharepoint_client.py:121-127``:
+    ``difflib.get_close_matches(name, files, 1)`` on the driver).
+
+    Distributed form: broadcast the (small) right side, cross-join,
+    ``levenshtein`` natively, keep rank-1 per left row. For large×large use
+    the LSH similarity operators in ``pyveb_spark.operators.similarity``.
+    """
+    scored = left.join(F.broadcast(right)).withColumn(
+        "__dist", F.levenshtein(F.col(left_col), F.col(right_col))
+    )
+    if max_distance is not None:
+        scored = scored.where(F.col("__dist") <= max_distance)
+    w = Window.partitionBy(left_col).orderBy(F.col("__dist").asc(), F.col(right_col).asc())
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .drop("__rk")
+    )

@@ -1,0 +1,844 @@
+"""Headline query suite — one entry per operator family in SURVEY.md §2.
+
+Each query is a ``(spark, sf_dir) -> DataFrame`` callable in ``QUERIES`` with
+a DuckDB-runnable ANSI-SQL oracle in ``ORACLE_SQL`` (same column names, same
+values). Non-SQL-expressible ops (MinHash LSH, streaming state) have no
+oracle entry and get the driver's rows-only check.
+
+Float determinism contract (so value-hashes match the oracle bit-for-bit):
+
+- Money/quantity doubles are 2-decimal values → cast to DECIMAL before
+  summing (exact, order-independent), then the FINAL result is cast back to
+  DOUBLE (decimal→double is correctly rounded in both engines).
+- Averages are computed as ``CAST(exact_decimal_sum AS DOUBLE) / count`` so
+  both engines perform the identical single IEEE division.
+- Genuinely float-accumulated results (cosine similarity) are rounded to 4
+  decimals; ranking gaps in the synthetic data are far wider than the
+  engines' accumulation-order differences.
+- Timestamps that could differ in wall-clock rendering are either grouped to
+  day granularity or emitted as epoch microseconds (exact integers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyveb_spark.operators.cleaning import clean_old_dates
+from pyveb_spark.operators.joins import asof_join
+from pyveb_spark.sources.readers import read_table
+
+
+def _dec(col: str, prec: int = 12, scale: int = 2):
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+# ---------------------------------------------------------------------------
+# §2.5 aggregation: TPC-H Q1-style pricing summary (scan→filter→hash agg)
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full-scan filter + hash aggregation with exact decimal math.
+
+    Scale notes: filter and 8-column projection push to the Parquet scan;
+    partial aggregation is map-side (4 groups → tiny shuffle); AQE coalesces
+    the post-shuffle stage. At 100 TB this is scan-bound, the ideal shape.
+    """
+    l = read_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount", 3, 2))
+    charge = disc_price * (one + _dec("l_tax", 3, 2))
+    n = F.count(F.lit(1))
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / n).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
+            (F.sum(_dec("l_discount", 3, 2)).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 joins: 3-way join + agg + top-k (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+
+def q02_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem, revenue agg, deterministic top-10.
+
+    Scale notes: the two big tables shuffle on their join keys once; the
+    filtered customer side is small enough for AQE to broadcast at low SF
+    and shuffle-hash at 100 TB. Revenue is exact decimal; top-k is a
+    TakeOrdered (no global sort materialization).
+    """
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    c = read_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    l = read_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    one = F.lit(1).cast("decimal(3,2)")
+    revenue = _dec("l_extendedprice") * (one - _dec("l_discount", 3, 2))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+_Q02_SQL = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 joins: 6-way star join with broadcast dims (TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+
+def q03_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full FK chain region→nation→{customer,supplier}→orders→lineitem.
+
+    Scale notes: region/nation/supplier are explicitly ``broadcast()`` —
+    they stay small at every SF (the classic star-schema dims), so the only
+    shuffles are lineitem⋈orders and ⋈customer on their keys.
+    """
+    region = F.broadcast(
+        read_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    )
+    nation = F.broadcast(read_table(spark, sf_dir, "nation"))
+    supplier = F.broadcast(read_table(spark, sf_dir, "supplier"))
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    revenue = _dec("l_extendedprice") * (one - _dec("l_discount", 3, 2))
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+_Q03_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 anti-join (upsert's DELETE-matching shape, rs_client.py:250-266)
+# ---------------------------------------------------------------------------
+
+def q04_customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti on the composite-key shape the reference's upsert DELETE
+    used (``rs_client.py:250-266``). Scale: anti-join shuffles once on the
+    key; the build side (filtered orders keys, deduped) is broadcast-able.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    urgent = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+_Q04_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 semi-join (INSERT ... WHERE NOT EXISTS complement, rs_client.py:189-198)
+# ---------------------------------------------------------------------------
+
+def q05_segments_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    urgent = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("sum_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_Q05_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.6 window: top-N per group (keep-first dedup generalization,
+# common.py:294-303 ≙ row_number()==1)
+# ---------------------------------------------------------------------------
+
+def q06_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+_Q06_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+    FROM orders) t
+WHERE rk <= 3
+ORDER BY o_custkey, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.6 window: running aggregation + lag over event streams
+# ---------------------------------------------------------------------------
+
+def q07_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + lag per user over time. Exact decimal prefix sums keep
+    the running total order-independent of float accumulation quirks; final
+    cast to double. One shuffle on user_id serves both window functions."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        F.sum(_dec("value"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            run.alias("running_value"),
+            F.lag("event_type", 1).over(w).alias("prev_event_type"),
+        )
+        .orderBy("user_id", "ts_us")
+    )
+
+
+_Q07_SQL = """
+SELECT event_id, user_id,
+       epoch_us(ts) AS ts_us,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+       LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_type
+FROM events
+ORDER BY user_id, ts_us
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 grouping sets: rollup over the region→nation hierarchy
+# ---------------------------------------------------------------------------
+
+def q08_acctbal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    n = F.broadcast(read_table(spark, sf_dir, "nation"))
+    r = F.broadcast(read_table(spark, sf_dir, "region"))
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("sum_acctbal"),
+        )
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+_Q08_SQL = """
+SELECT r_name, n_name,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.7 sort / top-k
+# ---------------------------------------------------------------------------
+
+def q09_top10_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-k: orderBy+limit compiles to TakeOrderedAndProject
+    — per-partition heaps, no global sort shuffle."""
+    p = read_table(spark, sf_dir, "part")
+    return (
+        p.select("p_partkey", "p_name", "p_brand", "p_retailprice")
+        .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(10)
+    )
+
+
+_Q09_SQL = """
+SELECT p_partkey, p_name, p_brand, p_retailprice
+FROM part
+ORDER BY p_retailprice DESC, p_partkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.8 set ops
+# ---------------------------------------------------------------------------
+
+def q10_status_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT/INTERSECT between order-status slices (FIXTURES.md): customers
+    with open ('O') orders but no finished ('F') orders, plus the intersect
+    count folded in as a second row discriminator column."""
+    o = read_table(spark, sf_dir, "orders")
+    open_c = o.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    fin_c = o.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    except_df = open_c.exceptAll(fin_c).select(
+        F.lit("open_not_finished").alias("set_op"), "o_custkey"
+    )
+    intersect_df = open_c.intersectAll(fin_c).select(
+        F.lit("open_and_finished").alias("set_op"), "o_custkey"
+    )
+    return except_df.unionByName(intersect_df).orderBy("set_op", "o_custkey")
+
+
+_Q10_SQL = """
+WITH open_c AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+     fin_c  AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+SELECT 'open_not_finished' AS set_op, o_custkey FROM (SELECT o_custkey FROM open_c EXCEPT SELECT o_custkey FROM fin_c)
+UNION ALL
+SELECT 'open_and_finished' AS set_op, o_custkey FROM (SELECT o_custkey FROM open_c INTERSECT SELECT o_custkey FROM fin_c)
+ORDER BY set_op, o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 distinct aggregation
+# ---------------------------------------------------------------------------
+
+def q11_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+            F.unix_micros(F.min("ts")).alias("first_ts_us"),
+            F.unix_micros(F.max("ts")).alias("last_ts_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q11_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       epoch_us(MIN(ts)) AS first_ts_us,
+       epoch_us(MAX(ts)) AS last_ts_us
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.9 nested: JSON props parse + aggregate (from_json, no RDD round-trip)
+# ---------------------------------------------------------------------------
+
+def q12_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``from_json`` on the events ``props`` payload ↔ the reference's
+    to_json/from_json round-trip (``spark_client.py:390-393``) — here with a
+    declared schema so the parse stays inside codegen. Oracle extracts the
+    same field via regexp (DuckDB-side equivalence, not implementation)."""
+    e = read_table(spark, sf_dir, "events")
+    parsed = e.withColumn("props_k", F.from_json("props", "k INT").getField("k"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("props_k").alias("n_with_k"),
+            F.sum("props_k").alias("sum_k"),
+            F.min("props_k").alias("min_k"),
+            F.max("props_k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q12_SQL = """
+SELECT event_type,
+       COUNT(k) AS n_with_k,
+       SUM(k) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM (SELECT event_type, CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INT) AS k FROM events) t
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 argmax / max_by (udf_filter_max_from_array parity, spark_client.py:321-328)
+# ---------------------------------------------------------------------------
+
+def q13_best_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``max_by`` replaces the reference's JSON-round-trip argmax UDF
+    (``spark_client.py:321-328,385-395``) with a single partial-aggregable
+    expression — map-side combine works, so the shuffle carries one row per
+    (customer) not the full order list."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("best_orderkey"),
+            F.max("o_totalprice").alias("best_totalprice"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+_Q13_SQL = """
+SELECT o_custkey,
+       arg_max(o_orderkey, o_totalprice) AS best_orderkey,
+       MAX(o_totalprice) AS best_totalprice
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 as-of join (events time-series; DuckDB ASOF JOIN as oracle)
+# ---------------------------------------------------------------------------
+
+def q14_purchase_after_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event, the most recent prior (or same-instant) view
+    by the same user — the canonical as-of join. Implementation:
+    ``pyveb_spark.operators.joins.asof_join`` (single shuffle union+window;
+    see its docstring for why this beats join+rank at scale)."""
+    e = read_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"), "user_id", F.col("ts").alias("view_ts")
+    )
+    joined = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="view_ts",
+        direction="backward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "view_event_id",
+        F.unix_micros("view_ts").alias("view_ts_us"),
+    ).orderBy("event_id")
+
+
+_Q14_SQL = """
+SELECT p.event_id,
+       p.user_id,
+       epoch_us(p.ts) AS ts_us,
+       v.event_id AS view_event_id,
+       epoch_us(v.ts) AS view_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+ORDER BY p.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.11 tumbling window (batch twin of the streaming window; F.window)
+# ---------------------------------------------------------------------------
+
+def q15_daily_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day ``F.window`` — identical semantics to the Structured
+    Streaming window used in ``pyveb_spark.streaming`` (epoch-aligned
+    buckets, matching DuckDB's time_bucket)."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start_us", "event_type")
+    )
+
+
+_Q15_SQL = """
+SELECT epoch_us(time_bucket(INTERVAL '1 day', ts)) AS window_start_us,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start_us, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup: keep-first by key (common.py:294-303 ≙ row_number()==1)
+# ---------------------------------------------------------------------------
+
+def q16_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the first record per (lang, source) by doc_id ↔ the reference's
+    by-key keep-first dedup over list-of-dicts (``common.py:294-303``).
+    Implemented as min_by-style window rank; at scale this is one shuffle on
+    the dedup key with partial aggregation."""
+    d = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+_Q16_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM (
+    SELECT doc_id, lang, source, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rk
+    FROM documents) t
+WHERE rk = 1
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: exact n-gram Jaccard near-dup pairs (deterministic; oracle-able)
+# ---------------------------------------------------------------------------
+
+def q17_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard near-duplicate pairs at threshold 0.8.
+
+    Exact algorithm with shared-shingle blocking: a pair with Jaccard ≥ t>0
+    must share ≥1 shingle, so joining on the shingle loses nothing — the
+    result is identical to the O(n²) brute force the oracle runs. Scale
+    path: the shingle join's fan-out is bounded by shingle document
+    frequency; production use drops ultra-frequent shingles or switches to
+    the MinHash-LSH variant (``operators.dedup.minhash_dedup_pairs``,
+    rows-only checked) when the corpus no longer fits this plan.
+    """
+    from pyveb_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        d, id_col="doc_id", text_col="text", n=2, threshold=0.8
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+_Q17_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS g
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) s),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS intersection
+          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_id_a, doc_id_b,
+       intersection * 1.0 / (sa.n + sb.n - intersection) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_id_a
+JOIN sizes sb ON sb.doc_id = doc_id_b
+WHERE intersection * 1.0 / (sa.n + sb.n - intersection) >= 0.8
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: text statistics (tokenize / quality features, all native fns)
+# ---------------------------------------------------------------------------
+
+def q18_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyveb_spark.operators.text import text_stats
+
+    d = read_table(spark, sf_dir, "documents")
+    return text_stats(d, text_col="text").select(
+        "doc_id", "lang", "n_tokens", "n_unique_tokens", "n_chars_text",
+        "avg_token_len", "unique_ratio",
+    ).orderBy("doc_id")
+
+
+_Q18_SQL = """
+SELECT doc_id, lang,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+       length(text) AS n_chars_text,
+       CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS avg_token_len,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS unique_ratio
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: brute-force cosine top-k (ANN baseline)
+# ---------------------------------------------------------------------------
+
+def q19_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyveb_spark.operators.similarity import cosine_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    query_vec = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return cosine_topk(e, query_vec, k=10, id_col="vec_id", vec_col="embedding",
+                       exclude_ids=[0]).select(
+        "vec_id", "label", F.round("cosine_sim", 4).alias("cosine_sim")
+    )
+
+
+_Q19_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+    SELECT vec_id, label,
+           list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))) AS sim
+    FROM embeddings, q
+    WHERE vec_id <> 0)
+SELECT vec_id, label, ROUND(sim, 4) AS cosine_sim
+FROM scored
+ORDER BY sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 cleaning: clamp-old-dates (spark_client.py:445-461) as a query
+# ---------------------------------------------------------------------------
+
+def q20_orders_clamped_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    clamped = clean_old_dates(o, ["o_orderdate"], floor="1996-01-01")
+    return (
+        clamped.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_totalprice"),
+        )
+        .orderBy("order_year")
+    )
+
+
+_Q20_SQL = """
+SELECT EXTRACT(year FROM CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                              THEN TIMESTAMP '1996-01-01' ELSE o_orderdate END)::INT AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_totalprice
+FROM orders
+GROUP BY 1
+ORDER BY order_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.2 merge: upsert semantics (delete-then-insert, rs_client.py:242-283)
+# as a pure-query equivalence check
+# ---------------------------------------------------------------------------
+
+def q21_upsert_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert = stage ∪ (target ⟕anti stage) on key o_orderkey — the exact
+    merge the reference runs as DELETE USING + INSERT inside Redshift
+    (``rs_client.py:242-283``). Uses the engine's merge implementation and
+    verifies its result aggregate against the oracle's relational algebra.
+    Stage batch: 1997+ orders with totalprice discounted 10% (exact decimal).
+    """
+    from pyveb_spark.sinks.merge import upsert_frames
+
+    o = read_table(spark, sf_dir, "orders")
+    target = o.where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    stage = o.where(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    ).withColumn(
+        "o_totalprice",
+        (_dec("o_totalprice") * F.lit(0.9).cast("decimal(3,2)")).cast("double"),
+    )
+    merged = upsert_frames(target, stage, keys=["o_orderkey"])
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice", 14, 4)).cast("double").alias("sum_totalprice"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_Q21_SQL = """
+WITH target AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+stage AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(0.9 AS DECIMAL(3,2)) AS DOUBLE) AS o_totalprice,
+                 o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+merged AS (
+    SELECT * FROM stage
+    UNION ALL
+    SELECT t.* FROM target t WHERE NOT EXISTS (SELECT 1 FROM stage s WHERE s.o_orderkey = t.o_orderkey))
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS sum_totalprice
+FROM merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_shipping_priority": q02_shipping_priority,
+    "q03_revenue_by_nation": q03_revenue_by_nation,
+    "q04_anti_join": q04_customers_without_urgent_orders,
+    "q05_semi_join": q05_segments_with_urgent_orders,
+    "q06_window_topn": q06_top3_orders_per_customer,
+    "q07_window_running": q07_running_user_value,
+    "q08_rollup": q08_acctbal_rollup,
+    "q09_sort_topk": q09_top10_parts,
+    "q10_set_ops": q10_status_set_ops,
+    "q11_distinct_agg": q11_event_type_stats,
+    "q12_json_props": q12_props_json,
+    "q13_argmax_maxby": q13_best_order_per_customer,
+    "q14_asof_join": q14_purchase_after_view,
+    "q15_tumbling_window": q15_daily_event_windows,
+    "q16_dedup_keep_first": q16_dedup_keep_first,
+    "q17_near_dup_pairs": q17_near_dup_pairs,
+    "q18_text_stats": q18_text_stats,
+    "q19_knn_cosine": q19_knn_cosine,
+    "q20_clean_old_dates": q20_orders_clamped_years,
+    "q21_upsert_merge": q21_upsert_equivalence,
+}
+
+ORACLE_SQL = {
+    "q01_pricing_summary": _Q01_SQL,
+    "q02_shipping_priority": _Q02_SQL,
+    "q03_revenue_by_nation": _Q03_SQL,
+    "q04_anti_join": _Q04_SQL,
+    "q05_semi_join": _Q05_SQL,
+    "q06_window_topn": _Q06_SQL,
+    "q07_window_running": _Q07_SQL,
+    "q08_rollup": _Q08_SQL,
+    "q09_sort_topk": _Q09_SQL,
+    "q10_set_ops": _Q10_SQL,
+    "q11_distinct_agg": _Q11_SQL,
+    "q12_json_props": _Q12_SQL,
+    "q13_argmax_maxby": _Q13_SQL,
+    "q14_asof_join": _Q14_SQL,
+    "q15_tumbling_window": _Q15_SQL,
+    "q16_dedup_keep_first": _Q16_SQL,
+    "q17_near_dup_pairs": _Q17_SQL,
+    "q18_text_stats": _Q18_SQL,
+    "q19_knn_cosine": _Q19_SQL,
+    "q20_clean_old_dates": _Q20_SQL,
+    "q21_upsert_merge": _Q21_SQL,
+}

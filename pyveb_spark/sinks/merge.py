@@ -1,0 +1,156 @@
+"""Merge strategies: append / overwrite / upsert on Parquet tables.
+
+Reference parity: the reference's Redshift loader (``rs_client.py``)
+implements three ``insert_type`` strategies via staged SQL in one
+transaction — append (``:150-170,314-337``), full refresh/overwrite
+(``:127-148,285-312``) and upsert = DELETE USING stage ON composite keys +
+INSERT (``:103-125,242-283``; key semantics documented ``:115-117``). Here
+the same algebra runs in Spark:
+
+    upsert(target, stage, keys) = stage ∪ (target ⟕anti stage on keys)
+
+and lands with an atomic directory swap (write new table → swap), replacing
+the reference's UUID-suffixed staging tables (``rs_client.py:119-124``).
+
+Atomicity note (SURVEY §7 Phase 4 risk): plain Parquet directories have no
+transaction log, so the swap (write ``<path>.__tmp__`` → delete old →
+rename) has a small non-atomic window on object stores. Delta/Iceberg are
+the drop-in production upgrade — the merge *algebra* here is exactly what
+their MERGE INTO compiles to, so callers don't change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["upsert_frames", "merge_frames", "ParquetMergeSink"]
+
+
+def upsert_frames(
+    target: DataFrame, stage: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """stage ∪ (target rows whose composite key is absent from stage).
+
+    Matches the reference's delete-then-insert semantics
+    (``rs_client.py:242-283``): every target row matching a stage key is
+    replaced, all stage rows enter. Column sets are aligned by name.
+
+    Scale notes: one shuffle on the keys for the anti-join; AQE broadcasts
+    the stage side automatically when the incremental batch is small
+    (the common case — a day's delta against years of history). The union
+    adds no shuffle.
+    """
+    keys = list(keys)
+    survivors = target.join(stage.select(*keys).distinct(), keys, "left_anti")
+    return stage.unionByName(survivors, allowMissingColumns=False)
+
+
+def merge_frames(
+    target: DataFrame | None,
+    stage: DataFrame,
+    mode: str,
+    keys: Sequence[str] | None = None,
+) -> DataFrame:
+    """Dispatcher ↔ ``rs_client.insert`` (``rs_client.py:339-388``):
+    mode ∈ {'append', 'overwrite', 'upsert'}."""
+    if mode == "overwrite" or target is None:
+        return stage
+    if mode == "append":
+        return target.unionByName(stage, allowMissingColumns=False)
+    if mode == "upsert":
+        if not keys:
+            raise ValueError("upsert requires keys")  # rs_client.py:360-363
+        return upsert_frames(target, stage, keys)
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+class ParquetMergeSink:
+    """A Parquet-directory table supporting append/overwrite/upsert writes.
+
+    ↔ the reference's (stage table + COPY + transactional SQL) loader
+    collapsed into one Spark-native object. Uses the Hadoop FileSystem API
+    for the swap so the same code works on file://, hdfs:// and s3a://.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- helpers ------------------------------------------------------------
+    def _fs(self):
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        return hpath.getFileSystem(conf), jvm
+
+    def exists(self) -> bool:
+        fs, jvm = self._fs()
+        return fs.exists(jvm.org.apache.hadoop.fs.Path(self.path))
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def _swap_in(self, df: DataFrame) -> None:
+        """Write df to a temp dir then swap it into place (small non-atomic
+        window; see module docstring)."""
+        tmp = self.path.rstrip("/") + ".__tmp__"
+        df.write.mode("overwrite").parquet(tmp)
+        fs, jvm = self._fs()
+        Path = jvm.org.apache.hadoop.fs.Path
+        if fs.exists(Path(self.path)):
+            fs.delete(Path(self.path), True)
+        fs.rename(Path(tmp), Path(self.path))
+
+    # -- strategies ---------------------------------------------------------
+    def append(self, df: DataFrame) -> None:
+        """↔ ``rs_client.append`` (``rs_client.py:150-170``). Native append:
+        new files land beside existing ones — no rewrite, no swap."""
+        df.write.mode("append").parquet(self.path)
+
+    def overwrite(self, df: DataFrame) -> None:
+        """↔ ``rs_client.full_refresh`` (``rs_client.py:127-148``)."""
+        self._swap_in(df)
+
+    def upsert(self, df: DataFrame, keys: Sequence[str]) -> None:
+        """↔ ``rs_client.upsert`` (``rs_client.py:103-125``). Reads current
+        state, merges, swaps. Idempotent: re-applying the same stage batch
+        is a no-op (property-tested).
+
+        Scale note: this rewrites the table — correct but O(table). For
+        partitioned targets prefer ``upsert_partitioned`` which rewrites
+        only the partitions the stage batch touches.
+        """
+        if not self.exists():
+            self._swap_in(df)
+            return
+        # Cache the merge result before the swap destroys its own input
+        # files (the lazy plan would otherwise re-read the deleted dir).
+        merged = upsert_frames(self.read(), df, keys).localCheckpoint(eager=True)
+        self._swap_in(merged)
+
+    def upsert_partitioned(
+        self,
+        df: DataFrame,
+        keys: Sequence[str],
+        partition_cols: Sequence[str],
+    ) -> None:
+        """Partition-scoped upsert: merge only the partitions present in the
+        stage batch and rewrite them via dynamic partition overwrite
+        (``partitionOverwriteMode=dynamic``, set in session.py) — the
+        100 TB-safe upsert. ↔ the reference's partition-prefix
+        delete-then-rewrite idempotency (``s3_client.py:110-133``) but
+        transactional per-partition and computed distributively.
+        """
+        partition_cols = list(partition_cols)
+        if not self.exists():
+            df.write.mode("overwrite").partitionBy(*partition_cols).parquet(self.path)
+            return
+        touched = df.select(*partition_cols).distinct()
+        current = self.read().join(
+            F.broadcast(touched), partition_cols, "inner"
+        )
+        merged = upsert_frames(current, df, keys).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(self.path)

@@ -1,0 +1,90 @@
+"""Plain file writers — direct, partitioned, idempotent.
+
+↔ ``write_to_parquet`` (``spark_client.py:207-230``): the reference wrote to
+``./data`` with ``maxRecordsPerFile=100000`` then looped boto3 uploads,
+skipping ``.crc``/``_SUCCESS`` — a single-node bottleneck. These writers go
+straight to the destination; on object stores the committer config in
+``session.py`` keeps that safe. Partitioned layout ↔ the reference's
+``year=/month=/day=`` prefix scheme (``common.py:47-61``,
+``config.py:77-106``) via ``partitionBy`` + dynamic partition overwrite
+(replacing the delete-prefix-then-rewrite idempotency at
+``s3_client.py:110-133``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["write_parquet", "write_csv", "write_json", "with_date_partitions"]
+
+# reference default: spark_client.py:207,213
+DEFAULT_MAX_RECORDS_PER_FILE = 100_000
+
+
+def with_date_partitions(
+    df: DataFrame, ts_col: str, granularity: str = "day"
+) -> DataFrame:
+    """Derive year/month/day[/hour] partition columns from a timestamp
+    ↔ partition-key computation (``common.py:47-61``, granularity variant
+    ``config.py:77-106``). Zero-padded strings match the reference layout."""
+    levels = ["year", "month", "day", "hour", "minute", "second"]
+    if granularity not in levels:
+        raise ValueError(f"granularity must be one of {levels}")
+    fmts = {
+        "year": "yyyy", "month": "MM", "day": "dd",
+        "hour": "HH", "minute": "mm", "second": "ss",
+    }
+    out = df
+    for level in levels[: levels.index(granularity) + 1]:
+        out = out.withColumn(level, F.date_format(F.col(ts_col), fmts[level]))
+    return out
+
+
+def _writer(df: DataFrame, mode: str, partition_by: Sequence[str] | None,
+            max_records_per_file: int):
+    w = df.write.mode(mode).option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    return w
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+) -> None:
+    _writer(df, mode, partition_by, max_records_per_file).parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    delimiter: str = ";",
+    header: bool = True,
+    partition_by: Sequence[str] | None = None,
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+) -> None:
+    """↔ ``s3_client.py:233-253`` (StringIO buffer upload; ';' default kept)."""
+    (
+        _writer(df, mode, partition_by, max_records_per_file)
+        .option("sep", delimiter)
+        .option("header", str(header).lower())
+        .csv(path)
+    )
+
+
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+) -> None:
+    """↔ list-of-dicts → S3 JSON (``common.py:305-324``, ``s3_client.py:159-186``)."""
+    _writer(df, mode, partition_by, max_records_per_file).json(path)

@@ -1,0 +1,72 @@
+"""Golden tests: every oracle-backed query must match DuckDB *exactly*.
+
+This mirrors the driver's CORRECTNESS gate (row count + schema + value hash,
+column-name-sorted, order-insensitive) but stricter: values are compared
+for exact equality (floats bit-for-bit), so any pass here implies a pass
+under any reasonable hashing scheme.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from pyveb_spark.queries import ORACLE_SQL, QUERIES
+from pyveb_spark.sources.readers import TESTDATA_TABLES
+
+
+@pytest.fixture(scope="module")
+def oracle(sf_dir):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(value):
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        return value
+    return value
+
+
+def _rows_to_comparable(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_normalize(r[i]) for i in order) for r in rows]
+    return sorted(columns), sorted(out, key=lambda t: tuple(map(repr, t)))
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+def test_query_matches_oracle(name, spark, sf_dir, oracle):
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    cur = oracle.execute(ORACLE_SQL[name])
+    duck_cols = [d[0] for d in cur.description]
+    duck_rows = cur.fetchall()
+
+    s_cols, s_rows = _rows_to_comparable(spark_cols, spark_rows)
+    d_cols, d_rows = _rows_to_comparable(duck_cols, duck_rows)
+
+    assert s_cols == d_cols, f"column mismatch: spark={s_cols} duck={d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"row count mismatch: spark={len(s_rows)} duck={len(d_rows)}"
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+    ]
+    assert not mismatches, (
+        f"{len(mismatches)} mismatched rows; first 3: {mismatches[:3]}"
+    )
+
+
+def test_all_queries_have_callables():
+    for name in ORACLE_SQL:
+        assert name in QUERIES
