@@ -48,12 +48,11 @@ def explode_column(df: DataFrame, col: str, keep_null_rows: bool = True) -> Data
     if isinstance(dtype, ArrayType):
         arr = F.col(col)
     else:
-        # "['a','b']" → strip brackets/quotes → split on commas → trim each
-        cleaned = F.regexp_replace(F.col(col), r"[\[\]'\"]", "")
-        arr = F.transform(
-            F.split(cleaned, ","), lambda x: F.trim(x)
-        )
-        arr = F.when(F.length(F.trim(F.col(col))) > 0, arr)
+        # "['a','b']" → strip brackets/quotes → split on commas → trim each;
+        # "[]" / "" / NULL → NULL array (row kept by explode_outer)
+        cleaned = F.trim(F.regexp_replace(F.col(col), r"[\[\]'\"]", ""))
+        arr = F.transform(F.split(cleaned, ","), lambda x: F.trim(x))
+        arr = F.when(F.length(cleaned) > 0, arr)
     fn = F.explode_outer if keep_null_rows else F.explode
     return df.withColumn(col, fn(arr))
 

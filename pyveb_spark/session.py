@@ -81,6 +81,11 @@ def get_spark(
         # delete-prefix-then-rewrite (s3_client.py:110-133) with native
         # dynamic partition overwrite.
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Declared-schema engine (SURVEY §1.2): partition directory values
+        # stay strings instead of being type-inferred, so a partitioned
+        # table reads back with the schema it was written with (the
+        # reference's year=/month=/day= keys are strings, common.py:47-61).
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         # Broadcast threshold: small dims (region/nation/supplier at any SF)
         # must broadcast; 64MB is safe with 128GiB executors.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

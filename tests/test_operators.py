@@ -1,0 +1,211 @@
+"""Unit tests pinning reference operator semantics (FIXTURES.md micro-fixtures).
+
+Each fixture cites the reference behavior it pins (SURVEY.md §2.3/§2.9).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from pyveb_spark.operators.cleaning import (
+    ascii_sanitize,
+    clean_old_dates,
+    nan_to_null,
+    parse_timestamp,
+)
+from pyveb_spark.operators.nested import (
+    argmax_in_array,
+    explode_column,
+    filter_array,
+    flatten_struct,
+)
+from pyveb_spark.operators.schema import (
+    apply_schema,
+    enforce_schema,
+    reindex_cols,
+    rename_columns,
+    sanitize_column_names,
+)
+from pyveb_spark.operators.sets import unite_by_name
+
+
+# 1. dirty_strings → nan_to_null (spark_client.py:463-481)
+def test_nan_to_null(spark):
+    df = spark.createDataFrame(
+        [(1, "nan"), (2, "NULL"), (3, ""), (4, "  "), (5, " x "), (6, "NaT"), (7, None)],
+        "id int, s string",
+    )
+    out = {r.id: r.s for r in nan_to_null(df).collect()}
+    assert out == {1: None, 2: None, 3: None, 4: None, 5: " x ", 6: None, 7: None}
+
+
+def test_nan_to_null_float_nan(spark):
+    df = spark.createDataFrame([(1, float("nan")), (2, 1.5)], "id int, v double")
+    out = {r.id: r.v for r in nan_to_null(df).collect()}
+    assert out[1] is None and out[2] == 1.5
+
+
+# 2. old_dates → clean_old_dates boundary (spark_client.py:445-461)
+def test_clean_old_dates_boundary(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "1800-05-05 00:00:00"),
+            (2, "1899-12-31 23:59:59"),
+            (3, "1900-01-01 00:00:00"),
+            (4, "2020-06-01 12:00:00"),
+            (5, None),
+        ],
+        "id int, t string",
+    )
+    out = {r.id: r.t for r in clean_old_dates(df, ["t"]).collect()}
+    floor = datetime.datetime(1900, 1, 1)
+    assert out[1] == floor and out[2] == floor
+    assert out[3] == floor
+    assert out[4] == datetime.datetime(2020, 6, 1, 12)
+    assert out[5] is None
+
+
+# 3. drifted_schemas → unite_by_name + enforce/apply_schema
+def test_union_drift_and_enforce(spark):
+    a = spark.createDataFrame([(1, 2.0)], "k int, v double")
+    b = spark.createDataFrame([(2, "x")], "k int, s string")
+    u = unite_by_name([a, b])
+    assert set(u.columns) == {"k", "v", "s"}
+    assert u.count() == 2
+    target = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("v", IntegerType()),
+            StructField("s", StringType()),
+            StructField("missing", DoubleType()),
+        ]
+    )
+    applied = apply_schema(u, target)
+    assert [f.name for f in applied.schema.fields] == ["k", "v", "s", "missing"]
+    assert applied.schema["k"].dataType == LongType()
+    assert applied.schema["v"].dataType == IntegerType()
+    rows = applied.orderBy("k").collect()
+    assert rows[0].v == 2 and rows[0].missing is None
+
+
+def test_apply_schema_invalid_to_null(spark):
+    # try_cast semantics: invalid timestamp/int → NULL (reference UDF parity,
+    # spark_client.py:281-307)
+    df = spark.createDataFrame(
+        [("notadate", "12"), ("2020-01-02 03:04:05", "x")], "t string, i string"
+    )
+    target = StructType(
+        [StructField("t", TimestampType()), StructField("i", IntegerType())]
+    )
+    rows = apply_schema(df, target).collect()
+    assert rows[0].t is None and rows[0].i == 12
+    assert rows[1].t == datetime.datetime(2020, 1, 2, 3, 4, 5) and rows[1].i is None
+
+
+def test_enforce_schema_order_and_cast(spark):
+    df = spark.createDataFrame([(1.9, "7")], "a double, b string")
+    target = StructType([StructField("b", IntegerType()), StructField("a", IntegerType())])
+    out = enforce_schema(df, target)
+    assert out.columns == ["b", "a"]
+    r = out.first()
+    assert r.b == 7 and r.a == 1  # strict cast truncates like the reference int()
+
+
+# 4. stringified_lists → explode_column both branches (spark_client.py:505-540)
+def test_explode_string_list(spark):
+    df = spark.createDataFrame(
+        [(1, "['a1', 'b2', 'c3']"), (2, "[]"), (3, None)], "k int, v string"
+    )
+    out = explode_column(df, "v")
+    rows = [(r.k, r.v) for r in out.orderBy("k").collect()]
+    assert rows == [(1, "a1"), (1, "b2"), (1, "c3"), (2, None), (3, None)]
+
+
+def test_explode_array_branch(spark):
+    df = spark.createDataFrame([(1, ["x", "y"]), (2, []), (3, None)],
+                               "k int, v array<string>")
+    rows = [(r.k, r.v) for r in explode_column(df, "v").orderBy("k").collect()]
+    assert rows == [(1, "x"), (1, "y"), (2, None), (3, None)]
+
+
+# 5. nested_structs → flatten / filter_array / argmax (spark_client.py:321-395,483-503)
+def test_nested_struct_ops(spark):
+    data = [
+        Row(
+            k=1,
+            payload=Row(
+                a=10,
+                items=[
+                    Row(ts="t1", score=3, tags=["x"]),
+                    Row(ts="t2", score=9, tags=[]),
+                    Row(ts="t3", score=5, tags=["y", "z"]),
+                ],
+            ),
+        )
+    ]
+    df = spark.createDataFrame(data)
+    flat = flatten_struct(df, "payload")
+    assert set(flat.columns) == {"k", "a", "items"}
+
+    filtered = filter_array(flat, "items", lambda x: F.size(x["tags"]) > 0)
+    assert len(filtered.first().items) == 2  # t2 dropped (empty tags)
+
+    best = argmax_in_array(flat, "items", "score").first().items
+    assert best.ts == "t2" and best.score == 9
+
+    empty = spark.createDataFrame(
+        [(1, [])], "k int, items array<struct<ts:string,score:int>>"
+    )
+    assert argmax_in_array(empty, "items", "score").first().items is None
+
+
+# 7. meta_columns
+def test_add_metadata(spark, sf_dir):
+    from pyveb_spark.operators.cleaning import add_metadata
+    from pyveb_spark.sources.readers import read_table
+
+    df = add_metadata(read_table(spark, sf_dir, "region"), partition_date="2024-03-01")
+    r = df.first()
+    assert r.META_file_name.endswith(".parquet")
+    assert r.META_partition_date == datetime.date(2024, 3, 1)
+    assert isinstance(r.META_processing_date_utc, datetime.datetime)
+
+
+# misc §2.3 operators
+def test_rename_reindex_sanitize(spark):
+    df = spark.createDataFrame([(1, 2, 3)], ["a", "b", "c (raw)"])
+    df2 = sanitize_column_names(df)
+    assert df2.columns == ["a", "b", "c_raw"]
+    df3 = rename_columns(df2, {"a": "x"})
+    assert reindex_cols(df3, ["c_raw", "x"]).columns == ["c_raw", "x"]
+
+
+def test_ascii_sanitize_and_parse_timestamp(spark):
+    df = spark.createDataFrame([("v1.2 — béta", "2020-01-02 03:04:05.678901")],
+                               "version string, t string")
+    out = ascii_sanitize(df, ["version"])
+    assert out.first().version == "v1.2  bta"
+    ts = parse_timestamp(df, ["t"]).first().t
+    # reference strips subseconds before strptime (spark_client.py:294-307)
+    assert ts == datetime.datetime(2020, 1, 2, 3, 4, 5)
+
+
+def test_unite_by_name_column_order_independence(spark):
+    # property: union result independent of column order (SURVEY §5.3)
+    a = spark.createDataFrame([(1, "x")], "k int, s string")
+    b = spark.createDataFrame([("y", 2)], "s string, k int")
+    rows = sorted((r.k, r.s) for r in unite_by_name([a, b]).collect())
+    assert rows == [(1, "x"), (2, "y")]
