@@ -1,0 +1,17 @@
+from pyveb_spark.streaming.stream import (
+    foreach_batch_upsert,
+    read_file_stream,
+    run_available_now,
+    session_window_agg,
+    stateful_dedup,
+    windowed_agg,
+)
+
+__all__ = [
+    "foreach_batch_upsert",
+    "read_file_stream",
+    "run_available_now",
+    "session_window_agg",
+    "stateful_dedup",
+    "windowed_agg",
+]

@@ -1,0 +1,172 @@
+"""Structured Streaming surface (SURVEY.md §2.11, build plan Phase 6).
+
+The reference "streams" only in the batch-cursor sense — serial DB cursors
+staged to S3 files with Airflow scheduling the loop and idempotency done by
+delete-prefix-and-rewrite (``lynx_client.py:128-131``, ``s3_client.py:110-133``).
+Real Structured Streaming subsumes that pattern: file sources pick up new
+drops incrementally, watermarks bound state for late data, and
+``foreachBatch`` feeds every micro-batch through the SAME merge sinks the
+batch path uses (``pyveb_spark.sinks.merge``) — one transform library, two
+execution modes.
+
+Design for scale: every helper here returns/accepts plain DataFrames so the
+identical code runs in batch backfills (``Trigger.AvailableNow`` over a
+partitioned history) and low-latency incremental mode; state size is bounded
+by watermarks, and dedup state by ``dropDuplicatesWithinWatermark``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+__all__ = [
+    "read_file_stream",
+    "windowed_agg",
+    "session_window_agg",
+    "stateful_dedup",
+    "foreach_batch_upsert",
+    "run_available_now",
+]
+
+
+def read_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """File-drop source — the streaming twin of the reference's "new S3
+    object per batch" staging convention. ``maxFilesPerTrigger`` bounds
+    micro-batch size (the reference's ``batch_size`` analogue)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def windowed_agg(
+    df: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    aggs: dict[str, object],
+    slide_duration: str | None = None,
+    group_by: Sequence[str] = (),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling/sliding window aggregation, batch- and stream-compatible.
+
+    ``aggs``: output-name → Column aggregate. With ``watermark`` set (e.g.
+    '10 minutes') late rows beyond the watermark are dropped and window
+    state is evictable — mandatory for unbounded streams (state would
+    otherwise grow without bound at 100 TB/day rates).
+    """
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    win = (
+        F.window(ts_col, window_duration, slide_duration)
+        if slide_duration
+        else F.window(ts_col, window_duration)
+    )
+    out = df.groupBy(win.alias("window"), *group_by).agg(
+        *[c.alias(name) for name, c in aggs.items()]
+    )
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *group_by,
+        *aggs.keys(),
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    aggs: dict[str, object],
+    group_by: Sequence[str] = (),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows (gap-based sessionization) — ``F.session_window``.
+    Watermark required in streaming mode for state eviction."""
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    out = df.groupBy(
+        F.session_window(ts_col, gap).alias("session"), *group_by
+    ).agg(*[c.alias(name) for name, c in aggs.items()])
+    return out.select(
+        F.col("session.start").alias("session_start"),
+        F.col("session.end").alias("session_end"),
+        *group_by,
+        *aggs.keys(),
+    )
+
+
+def stateful_dedup(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Cross-micro-batch dedup by key.
+
+    With a watermark, uses ``dropDuplicatesWithinWatermark`` so the seen-key
+    state is evicted once the key can no longer recur (bounded state — the
+    only scalable form). Without one, plain ``dropDuplicates`` (batch mode,
+    or streams with naturally bounded keys).
+    """
+    if watermark is not None and ts_col is not None:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return df.dropDuplicates(list(keys))
+
+
+def foreach_batch_upsert(
+    sink, keys: Sequence[str]
+) -> Callable[[DataFrame, int], None]:
+    """Adapter: a ``ParquetMergeSink`` (or anything with ``.upsert``) as a
+    ``foreachBatch`` target — each micro-batch merges with the same
+    delete-then-insert algebra as the batch loader (``rs_client.py:242-283``
+    parity), making stream restarts idempotent (a replayed batch upserts to
+    the same state)."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        sink.upsert(batch_df, keys=keys)
+
+    return _apply
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    checkpoint: str,
+    foreach_batch: Callable[[DataFrame, int], None] | None = None,
+    output_mode: str = "append",
+    fmt: str | None = None,
+    path: str | None = None,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """Start a ``Trigger.AvailableNow`` run: process everything currently
+    available, then stop — the Structured-Streaming form of the reference's
+    Airflow-scheduled incremental backfill (``common.py:63-124`` CLI
+    contract). Caller awaits ``query.awaitTermination()``."""
+    writer = stream_df.writeStream.option("checkpointLocation", checkpoint).outputMode(
+        output_mode
+    ).trigger(availableNow=True)
+    if query_name:
+        writer = writer.queryName(query_name)
+    if foreach_batch is not None:
+        writer = writer.foreachBatch(foreach_batch)
+    elif fmt is not None:
+        writer = writer.format(fmt)
+        if path is not None:
+            writer = writer.option("path", path)
+    return writer.start()

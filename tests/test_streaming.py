@@ -1,0 +1,145 @@
+"""Streaming tests (SURVEY §5.4): the events table replayed as a file
+stream; window counts must equal the batch computation; foreachBatch upsert
+must equal the batch merge; stateful dedup across micro-batches."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyveb_spark.sinks.merge import ParquetMergeSink
+from pyveb_spark.sources.readers import read_table
+from pyveb_spark.streaming import (
+    foreach_batch_upsert,
+    read_file_stream,
+    run_available_now,
+    stateful_dedup,
+    windowed_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    """sf0.001 events re-staged as multiple parquet drops (a file stream)."""
+    tmp = tempfile.mkdtemp()
+    src = read_table(spark, "/root/testdata/sf0.001", "events")
+    # 4 drops ≈ 4 micro-batches with maxFilesPerTrigger=1
+    src.repartition(4).write.mode("overwrite").parquet(os.path.join(tmp, "drops"))
+    schema = src.schema
+    return os.path.join(tmp, "drops"), schema
+
+
+def test_stream_window_counts_equal_batch(spark, events_dir):
+    path, schema = events_dir
+    stream = read_file_stream(spark, path, schema, max_files_per_trigger=1)
+    # no watermark: the drops are in random time order, so a watermark would
+    # (correctly) drop late rows — that behavior is pinned separately in
+    # test_watermark_drops_late_events
+    windowed = windowed_agg(
+        stream,
+        ts_col="ts",
+        window_duration="1 day",
+        aggs={"n_events": F.count(F.lit(1))},
+        group_by=["event_type"],
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = run_available_now(
+            windowed, os.path.join(ckpt, "ck"), output_mode="complete",
+            fmt="memory", query_name="win_counts",
+        )
+        q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = read_table(spark, "/root/testdata/sf0.001", "events")
+    expected = {
+        (r.w.start, r.event_type): r.n
+        for r in batch.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_watermark_drops_late_events(spark):
+    """Deterministic late-data drop via two sequential AvailableNow passes
+    over one checkpoint (watermark state persists across restarts):
+
+    pass 1: Jan-1 00:10 event + Jan-3 12:00 event → watermark advances to
+            Jan-3 11:00, closing the day-1 window with count 1.
+    pass 2: late Jan-1 00:30 event — behind the persisted watermark → must
+            be dropped (day-1 window already emitted, never re-emitted).
+    """
+    tmp = tempfile.mkdtemp()
+    drops = os.path.join(tmp, "drops")
+    ck = os.path.join(tmp, "ck")
+    schema = "event_id long, ts timestamp, event_type string"
+
+    def _write(rows, sub):
+        spark.createDataFrame(rows, "event_id long, ts_s string, event_type string").select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type"
+        ).coalesce(1).write.parquet(os.path.join(drops, sub))
+
+    out = os.path.join(tmp, "out")
+
+    def _run():
+        stream = read_file_stream(spark, drops + "/*", schema)
+        windowed = windowed_agg(
+            stream, ts_col="ts", window_duration="1 day",
+            aggs={"n_events": F.count(F.lit(1))}, watermark="1 hour",
+        )
+        q = run_available_now(
+            windowed, ck, output_mode="append", fmt="parquet", path=out
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out).collect()
+
+    _write([(1, "2024-01-01 00:10:00", "click"), (2, "2024-01-03 12:00:00", "click")], "d0")
+    rows1 = _run()
+    day1 = [r for r in rows1 if r.window_start.day == 1]
+    assert len(day1) == 1 and day1[0].n_events == 1  # day-1 window closed
+
+    _write([(3, "2024-01-01 00:30:00", "click")], "d1")
+    rows2 = _run()
+    # the late Jan-1 event is behind the watermark: the day-1 window was
+    # emitted once (count 1) and never re-emitted or corrected
+    day1_after = [r for r in rows2 if r.window_start.day == 1]
+    assert len(day1_after) == 1 and day1_after[0].n_events == 1
+
+
+def test_foreach_batch_upsert_equals_batch_merge(spark, events_dir):
+    path, schema = events_dir
+    stream = read_file_stream(spark, path, schema, max_files_per_trigger=1)
+    with tempfile.TemporaryDirectory() as tmp:
+        sink = ParquetMergeSink(spark, os.path.join(tmp, "tbl"))
+        q = run_available_now(
+            stream,
+            os.path.join(tmp, "ck"),
+            foreach_batch=foreach_batch_upsert(sink, keys=["event_id"]),
+            output_mode="append",
+        )
+        q.awaitTermination(120)
+        batch = read_table(spark, "/root/testdata/sf0.001", "events")
+        assert sink.read().count() == batch.count()
+        # spot-check content equality via checksum of event_ids
+        s = sink.read().agg(F.sum("event_id")).first()[0]
+        b = batch.agg(F.sum("event_id")).first()[0]
+        assert s == b
+
+
+def test_stateful_dedup_across_batches(spark, events_dir):
+    path, schema = events_dir
+    stream = read_file_stream(spark, path, schema, max_files_per_trigger=1)
+    deduped = stateful_dedup(stream, keys=["user_id"])  # heavy dup key
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = run_available_now(
+            deduped, os.path.join(ckpt, "ck"), output_mode="append",
+            fmt="memory", query_name="dedup_out",
+        )
+        q.awaitTermination(120)
+    n = spark.sql("SELECT count(DISTINCT user_id) c, count(*) n FROM dedup_out").first()
+    assert n.c == n.n  # exactly one row per user survived across batches
