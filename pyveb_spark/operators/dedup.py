@@ -202,8 +202,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col("__h"),
     ).withColumn(
         "__sign",
-        F.when(F.shiftright(F.col("__h"), F.col("__bit")).bitwiseAND(F.lit(1)) == 1,
-               F.lit(1)).otherwise(F.lit(-1)),
+        F.when(F.expr("(__h >> __bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
     )
     return (
         bits.groupBy(id_col, "__bit")
@@ -211,7 +210,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .groupBy(id_col)
         .agg(
             F.sum(
-                F.when(F.col("__s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("__bit").cast("int")))
+                F.when(F.col("__s") > 0, F.expr("shiftleft(1L, CAST(__bit AS INT))"))
                 .otherwise(F.lit(0).cast("long"))
             ).alias("simhash")
         )

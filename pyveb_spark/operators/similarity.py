@@ -137,6 +137,7 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 42,
+    exclude_ids: Sequence[int] | None = None,
 ) -> DataFrame:
     """Approximate top-k: hash the corpus and the query with the same
     hyperplanes, scan only the query's bucket, rescore exactly.
@@ -155,6 +156,7 @@ def cosine_topk_lsh(
             qbits |= 1 << i
     bucketed = lsh_bucket(df, dim, n_planes, vec_col=vec_col, seed=seed)
     candidates = bucketed.where(F.col("lsh_bucket") == qbits)
-    return cosine_topk(candidates, query, k=k, id_col=id_col, vec_col=vec_col).drop(
-        "lsh_bucket"
-    )
+    return cosine_topk(
+        candidates, query, k=k, id_col=id_col, vec_col=vec_col,
+        exclude_ids=exclude_ids,
+    ).drop("lsh_bucket")

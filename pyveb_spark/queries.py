@@ -792,6 +792,260 @@ ORDER BY o_orderstatus
 
 
 # ---------------------------------------------------------------------------
+# §2.5 cube over (l_returnflag, l_linestatus) (FIXTURES.md)
+# ---------------------------------------------------------------------------
+
+def q22_lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .orderBy(
+            F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus")
+        )
+    )
+
+
+_Q22_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 grouping sets via the SQL surface (spark.sql works over temp views)
+# ---------------------------------------------------------------------------
+
+def q23_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_totalprice
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+_Q23_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_totalprice
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.10 scalar string/date function surface
+# ---------------------------------------------------------------------------
+
+def q24_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.length("p_name").alias("name_len"),
+            F.substring("p_brand", 1, 5).alias("brand_prefix"),
+            F.regexp_extract("p_brand", r"(\d+)", 1).alias("brand_num"),
+            F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+            F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+            F.trim(F.lower("p_type")).alias("type_norm"),
+        )
+        .orderBy("p_partkey")
+        .limit(500)
+    )
+
+
+_Q24_SQL = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       length(p_name) AS name_len,
+       substr(p_brand, 1, 5) AS brand_prefix,
+       regexp_extract(p_brand, '(\\d+)', 1) AS brand_num,
+       concat_ws('/', p_brand, p_type) AS brand_type,
+       regexp_replace(p_type, ' ', '_', 'g') AS type_snake,
+       trim(lower(p_type)) AS type_norm
+FROM part
+ORDER BY p_partkey
+LIMIT 500
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.6/§2.11 sessionization (batch form: gap > 30 min starts a new session)
+# ---------------------------------------------------------------------------
+
+def q25_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — cumulative-sum-of-gap-flags windowing (the
+    streaming twin is ``streaming.session_window_agg``). One shuffle on
+    user_id drives both window passes."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessioned = flagged.withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+_Q25_SQL = """
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
+                  OR epoch(ts) - LAG(epoch(ts)) OVER w > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM flagged
+)
+SELECT user_id, session_no,
+       COUNT(*) AS n_events,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) AS session_end_us
+FROM sessioned
+GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.9 explode at query level: token frequencies over a document slice
+# ---------------------------------------------------------------------------
+
+def q26_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+_Q26_SQL = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE doc_id < 100) t
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: quality scoring (C4/Gopher-style linear blend; oracle-mirrored)
+# ---------------------------------------------------------------------------
+
+def q27_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyveb_spark.operators.text import quality_score
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        quality_score(d, "text")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_stopwords",
+            F.round("quality_score", 4).alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q27_SQL = """
+WITH stats AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stopwords,
+           len(list_distinct(string_split(text, ' '))) AS n_unique
+    FROM documents)
+SELECT doc_id, n_tokens, n_stopwords,
+       ROUND(
+         least(n_tokens / 50.0, 1.0) * 0.4
+         + (CAST(n_unique AS DOUBLE) / n_tokens) * 0.4
+         + least((CAST(n_stopwords AS DOUBLE) / n_tokens) * 5.0, 1.0) * 0.2,
+       4) AS quality_score
+FROM stats
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only checked (non-SQL-expressible: seeded-hash / LSH internals)
+# ---------------------------------------------------------------------------
+
+def q28_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate near-dup pairs (MinHash banding + exact verify). No SQL
+    oracle: the xxhash64 seeding isn't reproducible in DuckDB; recall vs the
+    exact q17 pairs is asserted in tests/test_sources_llmops.py instead."""
+    from pyveb_spark.operators.dedup import minhash_lsh_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=32, bands=8, threshold=0.8
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+def q29_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (rows-only: hash function not shared with
+    DuckDB; Hamming-closeness of near-dups asserted in unit tests)."""
+    from pyveb_spark.operators.dedup import simhash
+
+    d = read_table(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text").orderBy("doc_id")
+
+
+def q30_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN top-k (random-hyperplane LSH). Rows-only: the bucket
+    membership depends on the seeded plane matrix; exact-baseline
+    superset/ordering properties are asserted in unit tests."""
+    from pyveb_spark.operators.similarity import cosine_topk_lsh
+
+    e = read_table(spark, sf_dir, "embeddings")
+    query_vec = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return cosine_topk_lsh(
+        e, query_vec, k=10, n_planes=6, exclude_ids=[0]
+    ).select("vec_id", "label", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -817,6 +1071,15 @@ QUERIES = {
     "q19_knn_cosine": q19_knn_cosine,
     "q20_clean_old_dates": q20_orders_clamped_years,
     "q21_upsert_merge": q21_upsert_equivalence,
+    "q22_cube": q22_lineitem_cube,
+    "q23_grouping_sets": q23_grouping_sets,
+    "q24_string_funcs": q24_string_functions,
+    "q25_sessionize": q25_user_sessions,
+    "q26_token_freq": q26_token_frequencies,
+    "q27_quality_score": q27_quality_scores,
+    "q28_minhash_pairs": q28_minhash_lsh_pairs,
+    "q29_simhash": q29_simhash_fingerprints,
+    "q30_lsh_ann": q30_lsh_ann_topk,
 }
 
 ORACLE_SQL = {
@@ -841,4 +1104,12 @@ ORACLE_SQL = {
     "q19_knn_cosine": _Q19_SQL,
     "q20_clean_old_dates": _Q20_SQL,
     "q21_upsert_merge": _Q21_SQL,
+    "q22_cube": _Q22_SQL,
+    "q23_grouping_sets": _Q23_SQL,
+    "q24_string_funcs": _Q24_SQL,
+    "q25_sessionize": _Q25_SQL,
+    "q26_token_freq": _Q26_SQL,
+    "q27_quality_score": _Q27_SQL,
+    # q28/q29/q30 are deliberately oracle-less (rows-only driver check):
+    # seeded-hash / LSH internals aren't reproducible in DuckDB SQL.
 }

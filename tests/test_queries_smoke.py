@@ -1,0 +1,31 @@
+"""Driver-t1-style smoke: every registered query runs at sf0.001 and yields
+a stable schema with ≥0 rows (covers the oracle-less rows-only entries)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyveb_spark.queries import ORACLE_SQL, QUERIES
+
+ROWS_ONLY = sorted(set(QUERIES) - set(ORACLE_SQL))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name, spark):
+    df = QUERIES[name](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_contract(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    df = m.entry(spark)
+    assert len(df.collect()) > 0
+    assert set(m.oracle_sql()) <= set(m.queries())

@@ -1,0 +1,217 @@
+"""Tests: REST fan-out (fake transport), multimodal plumbing (fake kernels),
+dedup/similarity/text operators, DDL bridges (FIXTURES.md fixture 8)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType, LongType, StringType, TimestampType
+
+from pyveb_spark.operators.dedup import (
+    exact_dedup,
+    keep_first,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from pyveb_spark.operators.multimodal import (
+    decode_images,
+    extract_features,
+    media_table,
+)
+from pyveb_spark.operators.similarity import cosine_topk, cosine_topk_lsh, knn_join
+from pyveb_spark.operators.text import doc_fingerprint, language_id, quality_score
+from pyveb_spark.plans.ddl import (
+    schema_from_pandas,
+    schema_from_sqlserver_ddl,
+    warehouse_create_table,
+)
+from pyveb_spark.sources.readers import read_table
+from pyveb_spark.sources.rest import RetryPolicy, rest_fanout, with_api_params
+
+
+# --- REST fan-out -----------------------------------------------------------
+
+def test_rest_fanout_fake_transport(spark):
+    params = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "k long, v string"
+    )
+    prepared = with_api_params(params, id_col="k")
+
+    def fake_fetch(url, query):
+        if query.get("v") == "y":
+            return 500, "boom"
+        return 200, json.dumps({"echo": query.get("v"), "n": 1})
+
+    out = rest_fanout(
+        prepared, "http://fake", fetcher=fake_fetch,
+        retry=RetryPolicy(attempts=2, base_delay=0.0, max_delay=0.0),
+    ).cache()
+    rows = {r.api_id: r for r in out.collect()}
+    assert rows[1].status == 200 and json.loads(rows[1].body)["echo"] == "x"
+    assert rows[2].status == 500 and rows[2].error == "boom" and rows[2].attempts == 2
+    assert rows[3].status == 200
+    # param echo survives for linking (api_client.py:256-305 parity)
+    assert json.loads(rows[2].api_params)["v"] == "y"
+
+
+def test_rest_fanout_fk_params_not_sent(spark):
+    params = spark.createDataFrame([(1, "a", "ref9")], "k long, v string, fk_ref string")
+    prepared = with_api_params(params, id_col="k")
+    seen = {}
+
+    def fake_fetch(url, query):
+        return 200, json.dumps(query)
+
+    row = rest_fanout(prepared, "http://fake", fetcher=fake_fetch).first()
+    sent = json.loads(row.body)
+    assert "fk_ref" not in sent and sent["v"] == "a"
+    assert json.loads(row.api_params)["fk_ref"] == "ref9"  # kept in echo
+
+
+def test_retry_policy_backoff_accounting():
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        return (503, "unavailable") if len(calls) < 3 else (200, "ok")
+
+    status, body, attempts = RetryPolicy(
+        attempts=4, base_delay=0.0, max_delay=0.0
+    ).call(flaky)
+    assert (status, body, attempts) == (200, "ok", 3)
+
+
+# --- multimodal -------------------------------------------------------------
+
+def test_media_pipeline_fake_kernels(spark):
+    df = spark.createDataFrame(
+        [("m1", bytearray(b"payload-one"), "png"), ("m2", bytearray(b"payload-two"), "jpg")],
+        "id string, blob binary, fmt string",
+    )
+    media = media_table(df, "id", "blob", fmt_col="fmt")
+    assert [f.name for f in media.schema.fields] == ["media_id", "payload", "meta"]
+    m = {r.media_id: r.meta for r in media.collect()}
+    assert m["m1"]["n_bytes"] == 11 and m["m1"]["format"] == "png"
+
+    decoded = decode_images(media, fake=True)
+    d = {r.media_id: r.meta for r in decoded.collect()}
+    assert d["m1"]["width"] is not None and 16 <= d["m1"]["width"] < 80
+    # deterministic fake: same payload → same dims on re-run
+    d2 = {r.media_id: r.meta for r in decode_images(media, fake=True).collect()}
+    assert d == d2
+
+    featured = extract_features(decoded, dim=8, fake=True)
+    r = featured.first()
+    assert len(r.embedding) == 8
+    norm = sum(x * x for x in r.embedding) ** 0.5
+    assert abs(norm - 1.0) < 1e-5
+
+    with pytest.raises(NotImplementedError):
+        decode_images(media).collect()
+
+
+# --- dedup / similarity / text ---------------------------------------------
+
+def test_exact_dedup_and_keep_first(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (3, "b")], "k int, g string"
+    )
+    assert exact_dedup(df).count() == 3
+    firsts = {r.g: r.k for r in keep_first(df, keys=["g"], order_by=["k"]).collect()}
+    assert firsts == {"a": 1, "b": 3}
+
+
+def test_minhash_recall_on_near_dups(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    lsh = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=32, bands=8, threshold=0.8
+        ).collect()
+    }
+    assert lsh <= exact  # precision 1.0 (exact verify stage)
+    # banded LSH at (32,8) must catch nearly everything at j>=0.8
+    assert len(lsh) >= 0.9 * len(exact)
+
+
+def test_simhash_near_dups_close_in_hamming(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.9).limit(3)
+    sh = simhash(docs, "doc_id", "text")
+    joined = (
+        pairs.join(sh.withColumnsRenamed({"doc_id": "doc_id_a", "simhash": "sh_a"}), "doc_id_a")
+        .join(sh.withColumnsRenamed({"doc_id": "doc_id_b", "simhash": "sh_b"}), "doc_id_b")
+        .select(F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"))
+    )
+    for r in joined.collect():
+        assert r.hamming <= 16  # near-dups land close in simhash space
+
+
+def test_knn_join_and_lsh_topk(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings").limit(100)
+    knn = knn_join(emb, emb, k=3)
+    counts = knn.groupBy("vec_id").count().collect()
+    assert all(r["count"] == 3 for r in counts)
+    top = knn.where(F.col("vec_id") == 1).orderBy("rank").collect()
+    assert top[0].cosine_sim >= top[1].cosine_sim >= top[2].cosine_sim
+
+    q = [float(x) for x in emb.where(F.col("vec_id") == 1).first().embedding]
+    exact_top = cosine_topk(emb, q, k=5, exclude_ids=[1]).collect()
+    lsh_top = cosine_topk_lsh(emb, q, k=5, n_planes=4, exclude_ids=[1]).collect()
+    # LSH returns a subset of the bucket; scores must never exceed exact best
+    if lsh_top:
+        assert lsh_top[0].cosine_sim <= exact_top[0].cosine_sim + 1e-9
+
+
+def test_text_quality_and_lang_and_fingerprint(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    q = quality_score(docs, "text")
+    for r in q.select("quality_score").collect():
+        assert 0.0 <= r.quality_score <= 1.0
+    lang = language_id(docs, "text")
+    assert set(lang.select("lang_pred").distinct().toPandas()["lang_pred"]) <= {
+        "en", "es", "de", "fr", "zh", "und"
+    }
+    fp = doc_fingerprint(docs, "text")
+    assert fp.select("fingerprint").distinct().count() == 50  # no collisions here
+
+
+# --- DDL bridges (fixture 8) ------------------------------------------------
+
+def test_sqlserver_schema_bridge():
+    schema = schema_from_sqlserver_ddl(
+        [
+            ("Id", "bigint"),
+            ("Amount (EUR)", "decimal(12,2)"),
+            ("Created", "datetime2"),
+            ("RowVer", "timestamp"),
+            ("Guid", "uniqueidentifier"),
+        ]
+    )
+    by_name = {f.name: f.dataType for f in schema.fields}
+    assert by_name["Id"] == LongType()
+    assert by_name["Amount_EUR"] == DecimalType(12, 2)  # name sanitized, p/s kept
+    assert by_name["Created"] == TimestampType()
+    assert by_name["RowVer"] == StringType()  # deliberate (parser.py:27)
+    assert by_name["Guid"] == StringType()
+
+
+def test_pandas_schema_bridge_and_ddl():
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"a": [1], "b": [1.5], "c": ["x"], "d": [pd.Timestamp("2024-01-01")]}
+    )
+    schema = schema_from_pandas(pdf)
+    ddl = warehouse_create_table(schema, "sch.tbl", sort_keys=["a"])
+    assert '"a" BIGINT' in ddl and '"b" DOUBLE PRECISION' in ddl
+    assert '"c" VARCHAR(MAX)' in ddl and '"d" TIMESTAMP' in ddl
+    assert "meta_loading_date_utc" in ddl  # parser.py:6,14 parity
+    assert "DISTSTYLE AUTO" in ddl and 'COMPOUND SORTKEY("a")' in ddl
