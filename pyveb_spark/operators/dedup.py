@@ -69,6 +69,58 @@ def shingles(text_col, n: int = 2):
     return F.array_distinct(grams)
 
 
+def _doc_shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, __grams distinct xxhash64'd array, __n size) per document.
+
+    Shingles are hashed to int64 immediately: every downstream join key,
+    shuffle row, and ``array_intersect`` then moves 8-byte longs instead of
+    ~15-byte UTF-8 bigrams. Distinctness is taken on the strings first, so
+    ``|set|`` is exact; a 64-bit collision merging two shingles corpus-wide
+    has probability ~|vocab|²/2⁶⁵ — negligible even at 100 TB vocab sizes.
+    """
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            shingles(F.col(text_col), n), lambda g: F.xxhash64(g)
+        ).alias("__grams"),
+    ).withColumn("__n", F.size("__grams"))
+
+
+def _verify_jaccard(
+    cand: DataFrame, docs: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verify of candidate ``(<id>_a, <id>_b)`` pairs against
+    the per-doc shingle-set table. ``array_intersect`` is evaluated row-wise
+    inside codegen — no extra shuffle beyond the two id joins (which Spark
+    broadcasts whenever the doc table is small enough; at cluster scale AQE
+    picks the strategy). The division matches the oracle's
+    ``intersection * 1.0 / (na + nb - intersection)`` bit-for-bit."""
+    a, b = f"{id_col}_a", f"{id_col}_b"
+    da = docs.select(
+        F.col(id_col).alias(a),
+        F.col("__grams").alias("__ga"),
+        F.col("__n").alias("__na"),
+    )
+    db = docs.select(
+        F.col(id_col).alias(b),
+        F.col("__grams").alias("__gb"),
+        F.col("__n").alias("__nb"),
+    )
+    inter = F.size(F.array_intersect("__ga", "__gb"))
+    return (
+        cand.join(da, a)
+        .join(db, b)
+        .withColumn("intersection", inter)
+        .withColumn(
+            "jaccard",
+            F.col("intersection").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("intersection")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(a, b, "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -78,45 +130,73 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact near-duplicate pairs by word n-gram Jaccard similarity.
 
-    Algorithm: distinct shingles per doc → explode → self-join on the
-    shingle (blocking: any pair with Jaccard ≥ t > 0 shares ≥ 1 shingle, so
-    this is *lossless* vs the O(n²) cross join) → per-pair intersection
-    count → Jaccard = |∩| / (|A| + |B| − |∩|).
+    All-pairs set-similarity join with the standard lossless prunings
+    (prefix filtering + length filtering, per Bayardo et al. WWW'07 /
+    Xiao et al. WWW'08 — public literature):
+
+    1. Per doc: distinct shingle set, ordered by ascending global document
+       frequency (rarest first — the canonical order).
+    2. *Prefix filter*: if J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, so the first
+       ``|A| − ⌈t·|A|⌉ + 1`` canonical-order shingles of A must hit B's
+       equally-defined prefix. Only prefixes are exploded into the join —
+       frequent shingles sort last and rarely enter a prefix, collapsing
+       the join fan-out that a naive shared-shingle join suffers
+       (Σ df(g)² → Σ prefix_df(g)²).
+    3. *Length filter* inside the join: ``min(|A|,|B|) ≥ t·max(|A|,|B|)``
+       prunes before the shuffle-heavy aggregation.
+    4. Candidates are exactly verified with ``array_intersect`` — precision
+       and recall are both 1.0 vs the O(n²) brute force.
 
     Output: ``(<id>_a, <id>_b, jaccard)`` with ``id_a < id_b``.
 
-    Scale notes: cost is Σ df(g)² over shingle document frequencies df(g) —
-    fine while no shingle is corpus-frequent. At web scale, drop
-    stop-shingles above a document-frequency cap first, or use
-    ``minhash_lsh_pairs`` (approximate) and verify candidates with this
-    exact Jaccard. No driver collect anywhere.
+    Scale notes: every step is a key-partitioned join/agg — no driver
+    materialization, no cross join. At 100 TB the same plan holds; the
+    approximate ``minhash_lsh_pairs`` remains the cheaper option when
+    exactness isn't required. Threshold arithmetic is rounded to 9 decimals
+    so float noise can only *lengthen* a prefix (keeps pruning lossless).
     """
     a, b = f"{id_col}_a", f"{id_col}_b"
-    grams = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("__g")
+    docs = _doc_shingle_sets(df, id_col, text_col, n)
+    postings = docs.select(id_col, "__n", F.explode("__grams").alias("__g"))
+    gfreq = postings.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    # canonical order: ascending (df, gram); prefix = rarest shingles
+    ranked = postings.join(gfreq, "__g")
+    sorted_docs = ranked.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__df", "__g"))),
+            lambda s: s["__g"],
+        ).alias("__sorted"),
+        F.first("__n").alias("__n"),
     )
-    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    ga = grams.select(F.col(id_col).alias(a), F.col("__g"))
-    gb = grams.select(F.col(id_col).alias(b), F.col("__g"))
-    pairs = (
-        ga.join(gb, "__g")
-        .where(F.col(a) < F.col(b))
-        .groupBy(a, b)
-        .agg(F.count(F.lit(1)).alias("intersection"))
-    )
-    sa = sizes.select(F.col(id_col).alias(a), F.col("__n").alias("__na"))
-    sb = sizes.select(F.col(id_col).alias(b), F.col("__n").alias("__nb"))
-    return (
-        pairs.join(sa, a)
-        .join(sb, b)
-        .withColumn(
-            "jaccard",
-            F.col("intersection").cast("double")
-            / (F.col("__na") + F.col("__nb") - F.col("intersection")),
+    prefix_len = (
+        F.col("__n")
+        - F.ceil(F.round(F.lit(threshold) * F.col("__n"), 9))
+        + F.lit(1)
+    ).cast("int")
+    # persist: the self-join consumes this tiny table twice, and Spark does
+    # not reuse the exchange across the differently-aliased sides — without
+    # this the whole postings→freq→sort pipeline runs twice. Size is
+    # ~(1−t)·Σ|doc| rows of (id, int, long) — trivially cacheable at any SF.
+    pref = sorted_docs.select(
+        id_col,
+        "__n",
+        F.explode(F.slice("__sorted", F.lit(1), prefix_len)).alias("__g"),
+    ).persist()
+    pa = pref.select(F.col(id_col).alias(a), F.col("__n").alias("__na"), "__g")
+    pb = pref.select(F.col(id_col).alias(b), F.col("__n").alias("__nb"), "__g")
+    cand = (
+        pa.join(pb, "__g")
+        .where(
+            (F.col(a) < F.col(b))
+            & (
+                F.least("__na", "__nb")
+                >= F.round(F.lit(threshold) * F.greatest("__na", "__nb"), 9)
+            )
         )
-        .where(F.col("jaccard") >= threshold)
-        .select(a, b, "jaccard")
+        .select(a, b)
+        .dropDuplicates([a, b])
     )
+    return _verify_jaccard(cand, docs, id_col, threshold)
 
 
 def _seeded_hash(col, seed: int):
@@ -133,9 +213,11 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: for each of ``num_hashes`` seeded
     hash functions, the min hash over the doc's shingle set. One explode +
-    one groupBy — signature computation is a single shuffle on the id."""
-    grams = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("__g")
+    one groupBy — signature computation is a single shuffle on the id.
+    Operates on the int64-hashed shingle universe (see
+    ``_doc_shingle_sets``) so the seeded re-hashes run over longs."""
+    grams = _doc_shingle_sets(df, id_col, text_col, n).select(
+        F.col(id_col), F.explode("__grams").alias("__g")
     )
     aggs = [
         F.min(_seeded_hash(F.col("__g"), s)).alias(f"mh_{s}")
@@ -164,23 +246,32 @@ def minhash_lsh_pairs(
     bands × (hash-join on band signature), never O(n²).
     """
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * r + i}") for i in range(r)]).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), *band_cols)
-    # candidates: union of per-band self-joins, deduped
-    cand = None
     a, b_ = f"{id_col}_a", f"{id_col}_b"
-    for bi in range(bands):
-        left = banded.select(F.col(id_col).alias(a), F.col(f"band_{bi}").alias("__b"))
-        right = banded.select(F.col(id_col).alias(b_), F.col(f"band_{bi}").alias("__b"))
-        p = left.join(right, "__b").where(F.col(a) < F.col(b_)).select(a, b_)
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.distinct()
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
-    return cand.join(exact, [a, b_]).select(a, b_, "jaccard")
+    sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
+    # one (band_idx, band_hash) row per band → a single self-join keyed on
+    # both, instead of `bands` separate joins + union (fewer stages, one
+    # shuffle). band_idx disambiguates hashes across bands.
+    band_arr = F.array(
+        *[
+            F.xxhash64(*[F.col(f"mh_{b * r + i}") for i in range(r)])
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.posexplode(band_arr).alias("__band", "__h")
+    )
+    left = banded.select(F.col(id_col).alias(a), "__band", "__h")
+    right = banded.select(F.col(id_col).alias(b_), "__band", "__h")
+    cand = (
+        left.join(right, ["__band", "__h"])
+        .where(F.col(a) < F.col(b_))
+        .select(a, b_)
+        .dropDuplicates([a, b_])
+    )
+    # exact verification of *candidates only* (never the full corpus):
+    # precision 1.0; recall is governed by the banding collision curve.
+    docs = _doc_shingle_sets(df, id_col, text_col, n)
+    return _verify_jaccard(cand, docs, id_col, threshold)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
