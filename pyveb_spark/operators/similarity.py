@@ -23,7 +23,16 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_sim_expr", "cosine_topk", "knn_join", "lsh_bucket", "cosine_topk_lsh"]
+__all__ = [
+    "cosine_sim_expr",
+    "cosine_topk",
+    "cosine_pairs",
+    "knn_join",
+    "lsh_bucket",
+    "cosine_topk_lsh",
+    "ivf_index",
+    "ivf_search",
+]
 
 
 def _as_double(vec_col) -> Column:
@@ -93,6 +102,179 @@ def knn_join(
         .where(F.col("__rk") <= k)
         .select(id_col, "nn_id", "cosine_sim", F.col("__rk").alias("rank"))
     )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: all ``(id_a < id_b)``
+    pairs with ``round(cosine, 4) >= threshold``.
+
+    Execution: the corpus matrix (ids + float64 vectors + norms) is
+    broadcast to executors — the same driver-roundtrip a broadcast hash
+    join's build side takes — and each Arrow batch of the probe side does a
+    blocked ``numpy`` matmul against it (vectorized Pandas path: the
+    per-pair higher-order-function dot product allocates an intermediate
+    array per pair and is ~50× slower). Per-pair arithmetic is
+    ``dot(a,b) / (norm_a * norm_b)`` in float64; rounding to 4 decimals
+    makes the threshold filter identical across engines despite
+    accumulation-order float noise.
+
+    Scale notes: exact all-pairs is O(n²) by definition — this operator is
+    the *baseline*. It holds while one side's matrix fits executor memory
+    (~10⁶ vectors × 64 dims ≈ 0.5 GB); beyond that, block both sides
+    (cogrouped ``applyInPandas`` over a grid of id ranges) or switch to
+    ``lsh_bucket`` blocking (join on bucket, rescore exactly) and accept
+    the LSH recall curve.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    a, b = f"{id_col}_a", f"{id_col}_b"
+    spark = df.sparkSession
+    build_rows = df.select(id_col, vec_col, *extra_cols).collect()
+    ids = np.array([r[id_col] for r in build_rows])
+    mat = np.array([r[vec_col] for r in build_rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    extras = {c: [r[c] for r in build_rows] for c in extra_cols}
+    bc = spark.sparkContext.broadcast((ids, mat, norms, extras))
+
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [
+            StructField(a, in_fields[id_col].dataType),
+            StructField(b, in_fields[id_col].dataType),
+            *[
+                StructField(f"{c}_{side}", in_fields[c].dataType)
+                for c in extra_cols
+                for side in ("a", "b")
+            ],
+            StructField("cosine_sim", DoubleType()),
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def _block(batches):
+        b_ids, b_mat, b_norms, b_extras = bc.value
+        for pdf in batches:
+            lm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if lm.size == 0:
+                continue
+            l_ids = pdf[id_col].to_numpy()
+            l_norms = np.sqrt((lm * lm).sum(axis=1))
+            sims = np.round(
+                (lm @ b_mat.T) / np.outer(l_norms, b_norms), 4
+            )
+            li, ri = np.nonzero((sims >= threshold) & (l_ids[:, None] < b_ids[None, :]))
+            out = {
+                a: l_ids[li],
+                b: b_ids[ri],
+                "cosine_sim": sims[li, ri],
+            }
+            for c in extra_cols:
+                out[f"{c}_a"] = pdf[c].to_numpy()[li]
+                out[f"{c}_b"] = [b_extras[c][i] for i in ri]
+            yield pd.DataFrame(out)[out_cols]
+
+    return df.select(id_col, vec_col, *extra_cols).mapInPandas(
+        _block, schema=out_schema
+    )
+
+
+def ivf_index(
+    df: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """IVF-Flat coarse quantizer: assign every vector to its nearest of
+    ``n_lists`` centroids; returns (indexed df with ``ivf_list`` column,
+    centroid table).
+
+    Centroids are picked deterministically (the ``n_lists`` corpus vectors
+    with the smallest ``xxhash64(id)`` — a seeded pseudo-random sample, no
+    RNG state), then used as literal expressions: assignment is one scan,
+    no shuffle. Production path: replace the sampler with
+    ``pyspark.ml.clustering.KMeans`` centroids — the assign/search code is
+    unchanged. At 100 TB, write the table partitioned/bucketed by
+    ``ivf_list`` so a probe prunes partitions at the scan.
+
+    The centroid table is O(n_lists × dim) — driver-resident by design
+    (like every IVF implementation's coarse quantizer).
+    """
+    seeds = (
+        df.select(id_col, vec_col)
+        .withColumn("__h", F.xxhash64(F.col(id_col)))
+        .orderBy("__h")
+        .limit(n_lists)
+        .collect()
+    )
+    centroids = [
+        (i, [float(x) for x in row[vec_col]]) for i, row in enumerate(seeds)
+    ]
+    v = _as_double(F.col(vec_col))
+    best = F.lit(None)
+    # argmin over centroid distances as a fold of (dist, list_id) structs
+    cands = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(i).alias("list_id"),
+            )
+            for i, c in centroids
+        ]
+    )
+    best = F.reduce(
+        cands,
+        F.struct(
+            F.lit(float("inf")).alias("dist"), F.lit(-1).alias("list_id")
+        ),
+        lambda acc, x: F.when(x["dist"] < acc["dist"], x).otherwise(acc),
+    )
+    return df.withColumn("ivf_list", best["list_id"]), centroids
+
+
+def ivf_search(
+    indexed: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: Sequence[int] | None = None,
+) -> DataFrame:
+    """Probe the ``nprobe`` centroid lists nearest the query, brute-force
+    exact cosine inside them. nprobe = n_lists degrades gracefully to the
+    exact scan; with a list-partitioned table the filter is partition
+    pruning, reading ~nprobe/n_lists of the corpus."""
+    qd = [float(x) for x in query]
+    by_dist = sorted(
+        centroids,
+        key=lambda c: sum((a - b) ** 2 for a, b in zip(qd, c[1])),
+    )
+    probe = [i for i, _ in by_dist[:nprobe]]
+    return cosine_topk(
+        indexed.where(F.col("ivf_list").isin(probe)),
+        query,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        exclude_ids=exclude_ids,
+    ).drop("ivf_list")
 
 
 def _random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

@@ -1046,6 +1046,322 @@ def q30_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LLM ops: heuristic language-ID confusion matrix (text.py language_id)
+# ---------------------------------------------------------------------------
+
+def q31_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language-ID vs the corpus's true ``lang`` label."""
+    from pyveb_spark.operators.text import language_id
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        language_id(d)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+# lang order in the CASE chain mirrors _LANG_MARKERS iteration order (the
+# reduce keeps the earlier language on ties).
+_Q31_SQL = """
+WITH toks AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+hits AS (SELECT lang,
+    len(list_filter(t, x -> x IN ('the','a','of','and')))      AS h_en,
+    len(list_filter(t, x -> x IN ('el','la','de','los')))      AS h_es,
+    len(list_filter(t, x -> x IN ('der','die','das','und')))   AS h_de,
+    len(list_filter(t, x -> x IN ('le','la','les','et')))      AS h_fr,
+    len(list_filter(t, x -> x IN ('de5','shi4','le5','he2')))  AS h_zh
+  FROM toks),
+pred AS (SELECT lang,
+    CASE WHEN greatest(h_en,h_es,h_de,h_fr,h_zh) <= 0 THEN 'und'
+         WHEN h_en = greatest(h_en,h_es,h_de,h_fr,h_zh) THEN 'en'
+         WHEN h_es = greatest(h_es,h_de,h_fr,h_zh) THEN 'es'
+         WHEN h_de = greatest(h_de,h_fr,h_zh) THEN 'de'
+         WHEN h_fr = greatest(h_fr,h_zh) THEN 'fr'
+         ELSE 'zh' END AS lang_pred
+  FROM hits)
+SELECT lang, lang_pred, COUNT(*) AS n_docs
+FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: content-fingerprint exact-duplicate groups (text.py
+# doc_fingerprint ↔ reference dataclass hashes dbt_client.py:45-58,649-658)
+# ---------------------------------------------------------------------------
+
+def q32_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs whose normalized-content fingerprint collides (exact dups).
+    Oracle groups by the normalized text itself — equal modulo xxhash64
+    collisions (~n²/2⁶⁵)."""
+    from pyveb_spark.operators.text import doc_fingerprint
+
+    d = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint")
+    return (
+        doc_fingerprint(d)
+        .withColumn("n_dups", F.count(F.lit(1)).over(w))
+        .where(F.col("n_dups") > 1)
+        .select("doc_id", "n_dups")
+        .orderBy("doc_id")
+    )
+
+
+_Q32_SQL = r"""
+WITH g AS (SELECT doc_id,
+                  trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+           FROM documents),
+c AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY nt) AS n_dups FROM g)
+SELECT doc_id, n_dups FROM c WHERE n_dups > 1 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 relational surface: pivot (wide conditional aggregation)
+# ---------------------------------------------------------------------------
+
+def q33_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order totals pivoted by status — ``groupBy().pivot()`` compiles to
+    one hash aggregate with conditional sums (single shuffle, no joins)."""
+    o = read_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(_dec("o_totalprice")).cast("double"))
+    )
+    return (
+        p.withColumnsRenamed(
+            {"F": "total_f", "O": "total_o", "P": "total_p"}
+        ).orderBy("o_orderpriority")
+    )
+
+
+_Q33_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                     THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS total_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                     THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS total_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                     THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS total_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 relational surface: exact percentiles (R-7 interpolation both engines;
+# l_quantity is integer-valued so every interpolated value is binary-exact)
+# ---------------------------------------------------------------------------
+
+def q34_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25D)").alias("p25"),
+            F.expr("percentile(l_quantity, 0.5D)").alias("p50"),
+            F.expr("percentile(l_quantity, 0.75D)").alias("p75"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q34_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.5)  AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 joins: time-range join on the events stream (views in the hour
+# before each purchase — the interval-predicate join family)
+# ---------------------------------------------------------------------------
+
+def q35_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-key (user) + time-range join: shuffles on user_id, the range
+    predicate is evaluated inside the sort-merge join — no cross product.
+    At skewed-user scale: AQE skew-join split or pre-bucketing by user."""
+    e = read_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("ts").alias("v_ts")
+    )
+    cond = (
+        (p["user_id"] == v["user_id"])
+        & (v["v_ts"] >= p["p_ts"] - F.expr("INTERVAL 1 HOUR"))
+        & (v["v_ts"] < p["p_ts"])
+    )
+    return (
+        p.join(v, cond, "left")
+        .groupBy("event_id")
+        .agg(F.count("v_ts").alias("n_prior_views"))
+        .orderBy("event_id")
+    )
+
+
+_Q35_SQL = """
+SELECT p.event_id, COUNT(v.ts) AS n_prior_views
+FROM events p
+LEFT JOIN events v
+  ON v.user_id = p.user_id AND v.event_type = 'view'
+ AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id ORDER BY p.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: embedding-cosine near-duplicate pairs (exact baseline)
+# ---------------------------------------------------------------------------
+
+def q36_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs with round(cosine,4) ≥ 0.5 — the exact
+    brute-force near-dup baseline; the LSH-blocked variant is q30's
+    bucketing applied pairwise (rows-only)."""
+    from pyveb_spark.operators.similarity import cosine_pairs
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(
+        e, threshold=0.5, id_col="vec_id", vec_col="embedding",
+        extra_cols=["label"],
+    ).orderBy("vec_id_a", "vec_id_b")
+
+
+_Q36_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       a.label AS label_a, b.label AS label_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.5
+ORDER BY vec_id_a, vec_id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: IVF-Flat ANN probe (rows-only: centroid sample is seeded-hash
+# dependent; exactness properties asserted in unit tests)
+# ---------------------------------------------------------------------------
+
+def q37_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyveb_spark.operators.similarity import ivf_index, ivf_search
+
+    e = read_table(spark, sf_dir, "embeddings")
+    query_vec = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    indexed, centroids = ivf_index(e, n_lists=16)
+    return ivf_search(
+        indexed, centroids, query_vec, k=10, nprobe=4, exclude_ids=[0]
+    ).select("vec_id", "label", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: multimodal decode plumbing (mapInPandas over binary payloads,
+# deterministic fake kernel — oracle replays the sha256-derived dimensions)
+# ---------------------------------------------------------------------------
+
+def q38_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → binary payload → media convention → Arrow-batched
+    decode (fake kernel) → per-source stats. Exercises the full multimodal
+    pipeline INCLUDING the mapInPandas batch path under the oracle gate."""
+    from pyveb_spark.operators.multimodal import decode_images, media_table
+
+    d = read_table(spark, sf_dir, "documents")
+    media = media_table(
+        d.withColumn("payload", F.encode("text", "UTF-8")),
+        id_col="doc_id",
+        payload_col="payload",
+    )
+    decoded = decode_images(media, fake=True).select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+    src = d.select("doc_id", "source")
+    return (
+        decoded.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.avg("width").alias("avg_width"),
+            F.avg("height").alias("avg_height"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .orderBy("source")
+    )
+
+
+# h[0] / h[1] of the sha256 digest, re-derived from the hex string with a
+# hex-char strpos trick (DuckDB lacks blob-byte indexing).
+_Q38_SQL = """
+WITH hx AS (SELECT doc_id, source, sha256(text) AS h,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents),
+dims AS (SELECT source, n_bytes,
+    16 + ((16*(strpos('0123456789abcdef', substr(h,1,1))-1)
+              + strpos('0123456789abcdef', substr(h,2,1))-1) % 64) AS width,
+    16 + ((16*(strpos('0123456789abcdef', substr(h,3,1))-1)
+              + strpos('0123456789abcdef', substr(h,4,1))-1) % 64) AS height
+  FROM hx)
+SELECT source, COUNT(*) AS n_media,
+       AVG(width) AS avg_width, AVG(height) AS avg_height,
+       SUM(n_bytes)::BIGINT AS total_bytes
+FROM dims GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.8 relational surface: unpivot / melt (wide → long)
+# ---------------------------------------------------------------------------
+
+def q39_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_table(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    long = l.unpivot(
+        ids=["l_orderkey"],
+        values=measures,
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.sum(_dec("value", 18, 2)).cast("double").alias("total"),
+            F.count(F.lit(1)).alias("n_values"),
+        )
+        .orderBy("measure")
+    )
+
+
+_Q39_SQL = """
+WITH long AS (
+    SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+    UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+    UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+SELECT measure,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       COUNT(*) AS n_values
+FROM long GROUP BY measure ORDER BY measure
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1080,6 +1396,15 @@ QUERIES = {
     "q28_minhash_pairs": q28_minhash_lsh_pairs,
     "q29_simhash": q29_simhash_fingerprints,
     "q30_lsh_ann": q30_lsh_ann_topk,
+    "q31_language_id": q31_language_id,
+    "q32_fingerprint_dups": q32_fingerprint_dups,
+    "q33_pivot": q33_pivot,
+    "q34_percentiles": q34_percentiles,
+    "q35_range_join": q35_range_join,
+    "q36_embedding_pairs": q36_embedding_pairs,
+    "q37_ivf_ann": q37_ivf_ann,
+    "q38_multimodal_decode": q38_multimodal_decode,
+    "q39_unpivot": q39_unpivot,
 }
 
 ORACLE_SQL = {
@@ -1110,6 +1435,14 @@ ORACLE_SQL = {
     "q25_sessionize": _Q25_SQL,
     "q26_token_freq": _Q26_SQL,
     "q27_quality_score": _Q27_SQL,
-    # q28/q29/q30 are deliberately oracle-less (rows-only driver check):
-    # seeded-hash / LSH internals aren't reproducible in DuckDB SQL.
+    # q28/q29/q30/q37 are deliberately oracle-less (rows-only driver check):
+    # seeded-hash / LSH / IVF-sample internals aren't reproducible in DuckDB.
+    "q31_language_id": _Q31_SQL,
+    "q32_fingerprint_dups": _Q32_SQL,
+    "q33_pivot": _Q33_SQL,
+    "q34_percentiles": _Q34_SQL,
+    "q35_range_join": _Q35_SQL,
+    "q36_embedding_pairs": _Q36_SQL,
+    "q38_multimodal_decode": _Q38_SQL,
+    "q39_unpivot": _Q39_SQL,
 }

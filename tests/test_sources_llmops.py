@@ -215,3 +215,53 @@ def test_pandas_schema_bridge_and_ddl():
     assert '"c" VARCHAR(MAX)' in ddl and '"d" TIMESTAMP' in ddl
     assert "meta_loading_date_utc" in ddl  # parser.py:6,14 parity
     assert "DISTSTYLE AUTO" in ddl and 'COMPOUND SORTKEY("a")' in ddl
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """nprobe == n_lists degrades IVF to the exact scan: same top-k."""
+    from pyveb_spark.operators.similarity import ivf_index, ivf_search
+
+    from pyveb_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.where(F.col("vec_id") == 1).first()["embedding"]]
+    exact = [
+        r["vec_id"]
+        for r in cosine_topk(e, qv, k=5, exclude_ids=[1]).collect()
+    ]
+    indexed, cents = ivf_index(e, n_lists=8)
+    full = [
+        r["vec_id"]
+        for r in ivf_search(
+            indexed, cents, qv, k=5, nprobe=8, exclude_ids=[1]
+        ).collect()
+    ]
+    assert full == exact
+    # partial probe returns a subset of the probed lists, still k rows
+    part = ivf_search(indexed, cents, qv, k=5, nprobe=2, exclude_ids=[1])
+    assert part.count() <= 5
+
+
+def test_cosine_pairs_matches_expr_scoring(spark, sf_dir):
+    """The numpy block-matmul path agrees with the Catalyst HOF expression
+    scoring (round-4) on every emitted pair."""
+    from pyveb_spark.operators.similarity import cosine_pairs, cosine_sim_expr
+
+    from pyveb_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_dir, "embeddings").limit(200)
+    pairs = cosine_pairs(e, threshold=0.3, extra_cols=["label"])
+    rows = pairs.collect()
+    assert len(rows) > 0
+    sample = rows[:5]
+    for r in sample:
+        qv = [
+            float(x)
+            for x in e.where(F.col("vec_id") == r["vec_id_a"]).first()["embedding"]
+        ]
+        got = (
+            e.where(F.col("vec_id") == r["vec_id_b"])
+            .select(F.round(cosine_sim_expr(F.col("embedding"), qv), 4).alias("s"))
+            .first()["s"]
+        )
+        assert abs(got - r["cosine_sim"]) <= 1e-4
