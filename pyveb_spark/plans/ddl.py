@@ -40,6 +40,8 @@ __all__ = [
     "schema_from_sqlserver_ddl",
     "schema_from_pandas",
     "warehouse_create_table",
+    "warehouse_copy_csv",
+    "write_migration",
     "sanitize_name",
 ]
 
@@ -181,3 +183,52 @@ def warehouse_create_table(
         quoted = ", ".join(f'"{sanitize_name(k)}"' for k in sort_keys)
         ddl += f"\nCOMPOUND SORTKEY({quoted})"
     return ddl + ";"
+
+
+def write_migration(
+    ddl: str,
+    migrations_dir: str,
+    description: str,
+    version: int | None = None,
+) -> str:
+    """Write a Flyway-style versioned migration file
+    ``V{n}__{description}.sql`` ↔ ``write_flyway_ddl_to_file``
+    (``parser.py:215-227``: scans the directory, sorts existing versions,
+    next = max + 1). Returns the written path."""
+    import os
+    import re
+
+    os.makedirs(migrations_dir, exist_ok=True)
+    if version is None:
+        existing = [
+            int(m.group(1))
+            for f in os.listdir(migrations_dir)
+            if (m := re.match(r"V(\d+)__", f))
+        ]
+        version = (max(existing) + 1) if existing else 1
+    safe = re.sub(r"[^A-Za-z0-9]+", "_", description).strip("_")
+    path = os.path.join(migrations_dir, f"V{version}__{safe}.sql")
+    with open(path, "w") as fh:
+        fh.write(ddl if ddl.endswith("\n") else ddl + "\n")
+    return path
+
+
+def warehouse_copy_csv(
+    table: str,
+    columns: list[str],
+    source_uri: str,
+    iam_role: str,
+    delimiter: str = ";",
+    time_format: str = "YYYY-MM-DD HH:MI:SS",
+) -> str:
+    """Warehouse ``COPY ... CSV`` load statement ↔ ``load_copy_csv``
+    (``rs_client.py:390-428`` — which carries a ``CVS`` typo and an UNTESTED
+    marker; semantics reproduced, typo not)."""
+    collist = ", ".join(f'"{sanitize_name(c)}"' for c in columns)
+    return (
+        f"COPY {table} ({collist})\n"
+        f"FROM '{source_uri}'\n"
+        f"IAM_ROLE '{iam_role}'\n"
+        f"CSV DELIMITER '{delimiter}' IGNOREHEADER 1 EMPTYASNULL\n"
+        f"TIMEFORMAT '{time_format}';"
+    )

@@ -15,6 +15,13 @@ Reference parity map (SURVEY.md §2.1):
 - ``read_records`` ↔ ``common.py:386-390`` list-of-dicts ingestion.
 """
 
+from pyveb_spark.sources.connectors import (
+    excel_sink,
+    ftp_upload,
+    match_filename,
+    read_excel_df,
+    sharepoint_download,
+)
 from pyveb_spark.sources.readers import (
     load_tables,
     read_csv,
@@ -33,4 +40,9 @@ __all__ = [
     "read_parquet",
     "read_records",
     "read_table",
+    "match_filename",
+    "ftp_upload",
+    "read_excel_df",
+    "excel_sink",
+    "sharepoint_download",
 ]

@@ -1,0 +1,165 @@
+"""Driver-side file connectors: FTP, Excel, SharePoint, web-driver, fuzzy
+filename matching.
+
+Reference parity (SURVEY.md §2.1/§2.2): these sources/sinks are *driver-side
+by nature* — they talk to systems with no splittable read API (an FTP server,
+a SharePoint document library, one xlsx workbook). The reference implements
+them in ``ftp_client.py``, ``sharepoint_client.py``, ``excel_client.py``,
+``request_client.py`` and ``selenium_client.py``. The engine keeps the same
+boundary the survey prescribes: a thin connector lands bytes where executors
+can read them (or lifts one small file into a DataFrame); everything after
+that is the normal distributed plan. Nothing here ever holds big data on the
+driver — big data arrives via ``sources.readers`` / JDBC / REST fan-out.
+
+Network/credential-bound pieces accept an injectable transport so tests run
+against fakes (the same pattern ``sources.rest`` uses); libraries this
+container doesn't ship (openpyxl, office365, selenium) are import-gated with
+actionable errors.
+"""
+
+from __future__ import annotations
+
+import difflib
+import io
+import os
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "match_filename",
+    "ftp_upload",
+    "read_excel_df",
+    "excel_sink",
+    "sharepoint_download",
+    "webdriver_download",
+]
+
+
+def match_filename(wanted: str, available: Sequence[str], cutoff: float = 0.6) -> str | None:
+    """Closest filename by difflib ratio ↔ ``sharepoint_client.py:121-127``
+    (``get_close_matches(..., 1)``). Driver-side: the candidate list is a
+    directory listing, never data-scale. For a data-scale similarity join
+    use ``operators.joins``/``operators.similarity`` instead."""
+    hit = difflib.get_close_matches(wanted, list(available), n=1, cutoff=cutoff)
+    return hit[0] if hit else None
+
+
+def ftp_upload(
+    local_path: str,
+    remote_name: str,
+    host: str,
+    user: str,
+    password: str,
+    env_prefix: str | None = None,
+    make_conn: Callable[[], object] | None = None,
+) -> str:
+    """Upload one file to FTP with an env-prefixed name ↔
+    ``ftp_client.py:47-77``. ``make_conn`` injects a fake for tests; the
+    default uses stdlib ``ftplib`` over TLS-less FTP exactly like the
+    reference (swap in FTP_TLS for hardened deployments)."""
+    name = f"{env_prefix}_{remote_name}" if env_prefix else remote_name
+    if make_conn is None:
+        import ftplib
+
+        def make_conn():
+            conn = ftplib.FTP(host)
+            conn.login(user, password)
+            return conn
+
+    conn = make_conn()
+    try:
+        with open(local_path, "rb") as fh:
+            conn.storbinary(f"STOR {name}", fh)
+    finally:
+        close = getattr(conn, "quit", None) or getattr(conn, "close", None)
+        if close:
+            close()
+    return name
+
+
+def read_excel_df(
+    spark: SparkSession,
+    path_or_bytes: str | bytes,
+    sheet_name: int | str = 0,
+    header: int = 0,
+) -> DataFrame:
+    """One xlsx workbook → Spark DataFrame ↔ ``request_client.py:33-58`` /
+    ``tf_client.py:44-45``. Excel files are small by format; lifting through
+    pandas on the driver is the correct boundary (Arrow-backed
+    ``createDataFrame``). Import-gated: needs openpyxl."""
+    import pandas as pd
+
+    try:
+        buf = io.BytesIO(path_or_bytes) if isinstance(path_or_bytes, bytes) else path_or_bytes
+        pdf = pd.read_excel(buf, sheet_name=sheet_name, header=header)
+    except ImportError as exc:  # openpyxl missing in this container
+        raise NotImplementedError(
+            "read_excel_df needs openpyxl (not shipped in this environment); "
+            "install it or stage the sheet as CSV and use sources.read_csv"
+        ) from exc
+    return spark.createDataFrame(pdf)
+
+
+def excel_sink(
+    df: DataFrame,
+    path: str,
+    sheet_name: str = "data",
+    max_rows: int = 100_000,
+) -> str:
+    """DataFrame → styled xlsx ↔ ``excel_client.py:7-69``. Guarded driver
+    collect (`max_rows`) because xlsx IS a driver-side format; anything
+    bigger belongs in Parquet/CSV sinks. Import-gated: needs an Excel
+    writer engine (openpyxl/xlsxwriter)."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"excel_sink refuses {n} rows (> {max_rows}); use write_parquet/write_csv"
+        )
+    pdf = df.toPandas()
+    try:
+        pdf.to_excel(path, sheet_name=sheet_name, index=False, freeze_panes=(1, 0))
+    except ImportError as exc:
+        raise NotImplementedError(
+            "excel_sink needs openpyxl/xlsxwriter (not shipped in this environment)"
+        ) from exc
+    return path
+
+
+def sharepoint_download(
+    site_url: str,
+    folder: str,
+    filename: str,
+    dest_dir: str,
+    client: object | None = None,
+) -> str:
+    """Fuzzy-match ``filename`` in a SharePoint folder and download it ↔
+    ``sharepoint_client.py:91-160``. ``client`` is an injected object with
+    ``list_files(folder) -> list[str]`` and ``download(folder, name) ->
+    bytes`` (tests pass a fake; production wraps office365-rest-python-client,
+    which this container doesn't ship)."""
+    if client is None:
+        raise NotImplementedError(
+            "no SharePoint client library in this environment; pass client=... "
+            "implementing list_files/download"
+        )
+    names = client.list_files(folder)
+    best = match_filename(filename, names)
+    if best is None:
+        raise FileNotFoundError(f"no close match for {filename!r} in {folder!r}")
+    data = client.download(folder, best)
+    os.makedirs(dest_dir, exist_ok=True)
+    dest = os.path.join(dest_dir, best)
+    with open(dest, "wb") as fh:
+        fh.write(data)
+    return dest
+
+
+def webdriver_download(url: str, dest_dir: str, driver: object | None = None) -> str:
+    """Headless-browser file download ↔ ``selenium_client.py:93-194``.
+    STUB: selenium/Chrome aren't in this container. ``driver`` must
+    implement ``get(url)`` and expose the downloaded path."""
+    raise NotImplementedError(
+        "webdriver_download requires selenium + a browser; out of scope in "
+        "this environment (reference parity: selenium_client.py:93-194)"
+    )
