@@ -15,7 +15,13 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["merge_join", "asof_join", "range_join", "fuzzy_top1_join"]
+__all__ = [
+    "merge_join",
+    "asof_join",
+    "range_join",
+    "fuzzy_top1_join",
+    "salted_join",
+]
 
 
 def merge_join(
@@ -129,14 +135,50 @@ def range_join(
     Catalyst can choose a broadcast-nested-loop (small right) or AQE plan;
     at scale pre-bucket both sides on the key to avoid the cross blow-up."""
     keys = [on] if isinstance(on, str) else list(on)
-    cond = [left[k] == right[k] for k in keys] + [
-        left[left_ts] >= right[right_start],
-        left[left_ts] < right[right_end],
+    r = right.withColumnsRenamed({k: f"__rk_{k}" for k in keys})
+    cond = [left[k] == r[f"__rk_{k}"] for k in keys] + [
+        left[left_ts] >= r[right_start],
+        left[left_ts] < r[right_end],
     ]
     cond_expr = cond[0]
     for c in cond[1:]:
         cond_expr = cond_expr & c
-    return left.join(right.drop(*keys), cond_expr, "left")
+    return left.join(r, cond_expr, "left").drop(*[f"__rk_{k}" for k in keys])
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (large, skewed) left side into
+    ``salt_buckets`` sub-keys and replicate the right side once per bucket,
+    so one hot key spreads over ``salt_buckets`` shuffle partitions instead
+    of melting a single reducer.
+
+    AQE's skew-join split (on by default in ``session.get_spark``) handles
+    most skew at runtime; explicit salting remains the tool when a single
+    key exceeds what one task can hold even after AQE splitting, or for
+    deterministic partition sizing in SLA-bound jobs. Result is exactly the
+    plain ``left.join(right, on, how)`` — salt columns never escape.
+
+    ``how`` supports inner/left (the shapes where the left side is the big
+    one); right/full would need the salting mirrored.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how in {'inner','left'}")
+    keys = [on] if isinstance(on, str) else list(on)
+    salted_l = left.withColumn(
+        "__salt", (F.rand(seed) * salt_buckets).cast("int")
+    )
+    salted_r = right.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+    return salted_l.join(salted_r, [*keys, "__salt"], how).drop("__salt")
 
 
 def fuzzy_top1_join(

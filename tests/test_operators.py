@@ -209,3 +209,59 @@ def test_unite_by_name_column_order_independence(spark):
     b = spark.createDataFrame([("y", 2)], "s string, k int")
     rows = sorted((r.k, r.s) for r in unite_by_name([a, b]).collect())
     assert rows == [(1, "x"), (2, "y")]
+
+
+def test_range_join_basic(spark):
+    from pyveb_spark.operators.joins import range_join
+
+    l = spark.createDataFrame([(1, 5), (1, 15), (2, 7), (3, 1)], "k int, ts int")
+    r = spark.createDataFrame(
+        [(1, 0, 10, "a"), (2, 5, 9, "b"), (2, 0, 5, "c")], "k int, s int, e int, tag string"
+    )
+    out = range_join(l, r, "k", "ts", "s", "e")
+    got = sorted((row["k"], row["ts"], row["tag"]) for row in out.collect())
+    # (1,5)->a in [0,10); (1,15)->no match (left join keeps row); (2,7)->b; (3,1)->none
+    assert got == [(1, 5, "a"), (1, 15, None), (2, 7, "b"), (3, 1, None)]
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyveb_spark.operators.joins import salted_join
+
+    # skewed left: key 1 dominates
+    l = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 0), (3, 1)], "k int, v int"
+    )
+    r = spark.createDataFrame([(1, "hot"), (2, "cold")], "k int, tag string")
+    for how in ("inner", "left"):
+        plain = l.join(r, "k", how)
+        salted = salted_join(l, r, "k", how=how, salt_buckets=8)
+        assert sorted(map(tuple, salted.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    with pytest.raises(ValueError):
+        salted_join(l, r, "k", how="full")
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key join without an Exchange —
+    the co-located-join contract of write_bucketed_table."""
+    from pyveb_spark.sinks.writers import write_bucketed_table
+
+    a = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    b = spark.range(0, 1000).withColumn("w", F.col("id") + 1)
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
+    write_bucketed_table(a, "bkt_a", ["id"], num_buckets=4, sort_cols=["id"])
+    write_bucketed_table(b, "bkt_b", ["id"], num_buckets=4, sort_cols=["id"])
+    ta, tb = spark.table("bkt_a"), spark.table("bkt_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = ta.join(tb, "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
