@@ -265,3 +265,15 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_distributed_map_error_capture(spark):
+    """common.py:137-208 parity: per-item results/errors, no job failure."""
+    from pyveb_spark.operators.parallel import distributed_map
+
+    df = spark.createDataFrame([(1,), (2,), (0,), (4,)], "x int")
+    out = distributed_map(df, lambda rec: str(10 // rec["x"]))
+    rows = {r["x"]: (r["result"], r["error"]) for r in out.collect()}
+    assert rows[1] == ("10", None) and rows[2] == ("5", None)
+    assert rows[0][0] is None and "ZeroDivisionError" in rows[0][1]
+    assert out.count() == 4  # rows never disappear
