@@ -1,0 +1,77 @@
+"""Physical-plan quality gates: the properties that make queries survive a
+100× scale-up must not regress — filter pushdown reaching the Parquet scan,
+column pruning, dimension joins broadcasting, top-k compiling to
+TakeOrderedAndProject instead of a global sort."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyveb_spark.queries import QUERIES
+
+
+def _formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def _executed_plan(df) -> str:
+    df.count()  # let AQE finalize
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_pushdown_and_pruning(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["q01_pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the 16-column lineitem scan reads only what q01 needs
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+    # partial (map-side) aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q03_broadcasts_all_dimensions(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["q03_revenue_by_nation"](spark, sf_dir))
+    # star join: every dimension side must broadcast, never shuffle-merge
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "EqualTo(r_name,ASIA)" in plan  # literal filter pushed to scan
+
+
+def test_q09_topk_uses_heap_not_global_sort(spark, sf_dir):
+    plan = _executed_plan(QUERIES["q09_sort_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_scan_never_reads_binary_for_metadata_query(spark, sf_dir):
+    """Multimodal contract: metadata-only queries must prune the payload
+    column at the scan (COVERAGE.md / multimodal.py scale notes)."""
+    from pyspark.sql import functions as F
+
+    from pyveb_spark.operators.multimodal import media_table
+    from pyveb_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "UTF-8")
+    )
+    media = media_table(d, "doc_id", "payload")
+    meta_only = media.select("media_id", "meta.n_bytes")
+    plan = _formatted_plan(meta_only)
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # the parquet scan reads doc_id and text (payload derives from text) but
+    # no other document columns
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_whole_stage_codegen_enabled(spark, sf_dir):
+    """Deliberate divergence from the reference (spark_client.py:69,82):
+    codegen must be ON (SURVEY §4)."""
+    assert spark.conf.get("spark.sql.codegen.wholeStage") != "false"
+    df = QUERIES["q01_pricing_summary"](spark, sf_dir)
+    codegen = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    )
+    assert "WholeStageCodegen" in codegen

@@ -1,0 +1,127 @@
+"""Property-style invariants (SURVEY.md §5.3): upsert idempotence,
+partition-key round-trip, schema-apply fixpoint — hypothesis-generated
+inputs, small example counts where Spark is in the loop."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyveb_spark.plans.config import GRANULARITIES, partition_key, partition_values
+
+# ---------------------------------------------------------------------------
+# pure-driver properties: cheap, run many examples
+# ---------------------------------------------------------------------------
+
+
+@given(
+    ts=st.datetimes(
+        min_value=datetime(1900, 1, 1),
+        max_value=datetime(2100, 1, 1),
+    ),
+    gran=st.sampled_from(GRANULARITIES),
+)
+def test_partition_key_roundtrip(ts, gran):
+    ts = ts.replace(tzinfo=timezone.utc)
+    vals = partition_values(ts, gran)
+    # zero-padded, reconstructible, ordered coarse→fine
+    assert list(vals) == list(GRANULARITIES[: len(vals)])
+    rebuilt = datetime(
+        int(vals.get("year", 1)),
+        int(vals.get("month", 1)),
+        int(vals.get("day", 1)),
+        int(vals.get("hour", 0)),
+        int(vals.get("minute", 0)),
+        int(vals.get("second", 0)),
+        tzinfo=timezone.utc,
+    )
+    # truncation, never rounding: rebuilt <= ts, and exact at full granularity
+    assert rebuilt <= ts
+    if gran == "second":
+        assert rebuilt == ts.replace(microsecond=0)
+    key = partition_key(ts, gran)
+    assert key.count("/") == len(vals) - 1 and key.startswith("year=")
+
+
+# ---------------------------------------------------------------------------
+# Spark-in-the-loop properties: few, structurally varied examples
+# ---------------------------------------------------------------------------
+
+_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=0, max_value=3),
+        st.text(alphabet="abc", min_size=0, max_size=3),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(target_rows=_rows, stage_rows=_rows)
+def test_upsert_idempotent_and_key_complete(spark, target_rows, stage_rows):
+    """upsert(upsert(T, S), S) == upsert(T, S); every stage key survives
+    exactly with stage's values; non-colliding target rows untouched."""
+    from pyveb_spark.sinks.merge import upsert_frames
+
+    schema = "k1 int, k2 int, v string"
+    t = spark.createDataFrame(target_rows, schema)
+    s = spark.createDataFrame(stage_rows, schema).dropDuplicates(["k1", "k2"])
+    once = upsert_frames(t, s, ["k1", "k2"])
+    twice = upsert_frames(once, s, ["k1", "k2"])
+    got_once = sorted(map(tuple, once.collect()))
+    assert got_once == sorted(map(tuple, twice.collect()))
+    from collections import Counter
+
+    stage_keys = {(r[0], r[1]) for r in s.collect()}
+    # exactly: stage rows, plus target rows whose key is absent from stage
+    # (duplicates preserved — delete-then-insert never dedups the target)
+    expected = Counter(map(tuple, s.collect())) + Counter(
+        tuple(r) for r in t.collect() if (r[0], r[1]) not in stage_keys
+    )
+    assert Counter(got_once) == expected
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(alphabet="0123456789x", max_size=4)),
+            st.one_of(st.none(), st.text(alphabet="0123456789.", max_size=6)),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_apply_schema_fixpoint(spark, vals):
+    """apply_schema is a projection onto the schema: applying twice equals
+    once (invalid values already went NULL on the first pass)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from pyveb_spark.operators.schema import apply_schema
+
+    target = StructType(
+        [StructField("a", IntegerType()), StructField("b", DoubleType())]
+    )
+    df = spark.createDataFrame(vals, "a string, b string")
+    once = apply_schema(df, target)
+    twice = apply_schema(once, target)
+    assert once.schema == twice.schema == target
+    key = lambda rows: sorted(map(repr, map(tuple, rows)))
+    assert key(once.collect()) == key(twice.collect())
