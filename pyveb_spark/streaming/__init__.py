@@ -4,6 +4,7 @@ from pyveb_spark.streaming.stream import (
     run_available_now,
     session_window_agg,
     stateful_dedup,
+    stateful_running_totals,
     windowed_agg,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "run_available_now",
     "session_window_agg",
     "stateful_dedup",
+    "stateful_running_totals",
     "windowed_agg",
 ]

@@ -29,6 +29,7 @@ __all__ = [
     "windowed_agg",
     "session_window_agg",
     "stateful_dedup",
+    "stateful_running_totals",
     "foreach_batch_upsert",
     "run_available_now",
 ]
@@ -128,6 +129,67 @@ def stateful_dedup(
             list(keys)
         )
     return df.dropDuplicates(list(keys))
+
+
+def stateful_running_totals(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Custom stateful operator: per-key running (count, sum) maintained in
+    the state store across micro-batches via ``applyInPandasWithState``.
+
+    The template for arbitrary stateful logic the built-in operators can't
+    express (escalating alert levels, CDC reconciliation, per-entity
+    models): state is an explicit typed tuple, updates are Arrow-batched
+    pandas, and each batch emits the refreshed totals for exactly the keys
+    it touched (``update`` semantics). State is partitioned by key — scale
+    = number of live keys × state row size, independent of stream length.
+
+    For production unbounded key spaces, add a timeout policy
+    (``GroupStateTimeout.ProcessingTimeTimeout`` + ``state.setTimeoutDuration``)
+    so idle keys evict — omitted here to keep replay/backfill deterministic.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    keys = list(keys)
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [in_fields[k] for k in keys]
+        + [
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    def _update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].fillna(0.0).sum())
+        state.update((n, total))
+        out = {k: [key[i]] for i, k in enumerate(keys)}
+        out["n_events"] = [n]
+        out["total_value"] = [total]
+        yield pd.DataFrame(out)
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def foreach_batch_upsert(

@@ -143,3 +143,36 @@ def test_stateful_dedup_across_batches(spark, events_dir):
         q.awaitTermination(120)
     n = spark.sql("SELECT count(DISTINCT user_id) c, count(*) n FROM dedup_out").first()
     assert n.c == n.n  # exactly one row per user survived across batches
+
+
+def test_stateful_running_totals_accumulate_across_batches(spark, events_dir):
+    """applyInPandasWithState custom operator: final per-key state after a
+    multi-batch replay equals the batch aggregate."""
+    from pyveb_spark.streaming.stream import stateful_running_totals
+
+    path, schema = events_dir
+    stream = read_file_stream(spark, path, schema, max_files_per_trigger=1)
+    totals = stateful_running_totals(stream, keys=["user_id"], value_col="value")
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = run_available_now(
+            totals, os.path.join(ckpt, "ck"), output_mode="update",
+            fmt="memory", query_name="run_totals",
+        )
+        q.awaitTermination(180)
+    # update mode re-emits a key on every batch that touches it; the row
+    # with the highest n_events per key is the final state
+    emitted = spark.sql("SELECT * FROM run_totals").collect()
+    assert len(emitted) > 0
+    final = {}
+    for r in emitted:
+        if r.user_id not in final or r.n_events > final[r.user_id].n_events:
+            final[r.user_id] = r
+    batch = (
+        read_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+    )
+    for r in batch.collect():
+        got = final[r.user_id]
+        assert got.n_events == r.n
+        assert abs(got.total_value - r.t) < 1e-6
