@@ -1362,6 +1362,59 @@ FROM long GROUP BY measure ORDER BY measure
 
 
 # ---------------------------------------------------------------------------
+# §2.11 streaming: file-drop replay through Structured Streaming
+# (rows-only: streaming execution, not SQL-expressible; the stream==batch
+# equivalence itself is pinned in tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+
+def q40_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events replayed as a file stream → daily windowed counts per type via
+    an AvailableNow pass (the backfill execution mode); returns the
+    materialized result. Exercises readStream → window agg → memory sink
+    under the driver's rows-only gate."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyveb_spark.streaming.stream import (
+        read_file_stream,
+        run_available_now,
+        windowed_agg,
+    )
+
+    src = read_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="q40_")
+    drops = os.path.join(tmp, "drops")
+    src.repartition(2).write.mode("overwrite").parquet(drops)
+    stream = read_file_stream(spark, drops, src.schema, max_files_per_trigger=1)
+    windowed = windowed_agg(
+        stream,
+        ts_col="ts",
+        window_duration="1 day",
+        aggs={"n_events": F.count(F.lit(1))},
+        group_by=["event_type"],
+    )
+    name = f"q40_{uuid.uuid4().hex[:8]}"
+    q = run_available_now(
+        windowed,
+        os.path.join(tmp, "ck"),
+        output_mode="complete",
+        fmt="memory",
+        query_name=name,
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1405,6 +1458,7 @@ QUERIES = {
     "q37_ivf_ann": q37_ivf_ann,
     "q38_multimodal_decode": q38_multimodal_decode,
     "q39_unpivot": q39_unpivot,
+    "q40_stream_replay": q40_stream_replay,
 }
 
 ORACLE_SQL = {
