@@ -63,10 +63,14 @@ def shingles(text_col, n: int = 2):
     if n == 1:
         return F.array_distinct(toks)
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    return F.array_distinct(grams)
+    # guard: a doc with < n tokens has NO n-grams. Without this, the
+    # descending sequence(1, 0) → slice(toks, 0, n) crashes the job.
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(grams)
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _doc_shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -177,11 +181,17 @@ def ngram_jaccard_pairs(
     # not reuse the exchange across the differently-aliased sides — without
     # this the whole postings→freq→sort pipeline runs twice. Size is
     # ~(1−t)·Σ|doc| rows of (id, int, long) — trivially cacheable at any SF.
+    # The previous call's cache entry is released (the returned plan is
+    # lazy, so the caller can't unpersist) — at most one prefix table stays
+    # cached per process.
     pref = sorted_docs.select(
         id_col,
         "__n",
         F.explode(F.slice("__sorted", F.lit(1), prefix_len)).alias("__g"),
     ).persist()
+    while _PERSISTED_PREFIXES:
+        _PERSISTED_PREFIXES.pop().unpersist(blocking=False)
+    _PERSISTED_PREFIXES.append(pref)
     pa = pref.select(F.col(id_col).alias(a), F.col("__n").alias("__na"), "__g")
     pb = pref.select(F.col(id_col).alias(b), F.col("__n").alias("__nb"), "__g")
     cand = (
@@ -197,6 +207,10 @@ def ngram_jaccard_pairs(
         .dropDuplicates([a, b])
     )
     return _verify_jaccard(cand, docs, id_col, threshold)
+
+
+# see ngram_jaccard_pairs: cache bookkeeping for the prefix-postings table
+_PERSISTED_PREFIXES: list[DataFrame] = []
 
 
 def _seeded_hash(col, seed: int):

@@ -135,15 +135,25 @@ def range_join(
     Catalyst can choose a broadcast-nested-loop (small right) or AQE plan;
     at scale pre-bucket both sides on the key to avoid the cross blow-up."""
     keys = [on] if isinstance(on, str) else list(on)
-    r = right.withColumnsRenamed({k: f"__rk_{k}" for k in keys})
-    cond = [left[k] == r[f"__rk_{k}"] for k in keys] + [
-        left[left_ts] >= r[right_start],
-        left[left_ts] < r[right_end],
+    # rename EVERY right column: gives the join condition unambiguous
+    # attributes (self-joins included) and collision-free output names
+    r = right.withColumnsRenamed({c: f"__r_{c}" for c in right.columns})
+    cond = [left[k] == r[f"__r_{k}"] for k in keys] + [
+        left[left_ts] >= r[f"__r_{right_start}"],
+        left[left_ts] < r[f"__r_{right_end}"],
     ]
     cond_expr = cond[0]
     for c in cond[1:]:
         cond_expr = cond_expr & c
-    return left.join(r, cond_expr, "left").drop(*[f"__rk_{k}" for k in keys])
+    out = left.join(r, cond_expr, "left").drop(*[f"__r_{k}" for k in keys])
+    left_names = set(left.columns)
+    return out.withColumnsRenamed(
+        {
+            f"__r_{c}": (c if c not in left_names else f"{c}_right")
+            for c in right.columns
+            if c not in keys
+        }
+    )
 
 
 def salted_join(

@@ -53,7 +53,8 @@ def distributed_map(
             results, errors = [], []
             for rec in pdf.to_dict("records"):
                 try:
-                    results.append(fn(rec))
+                    v = fn(rec)
+                    results.append(None if v is None else str(v))
                     errors.append(None)
                 except Exception as exc:  # per-item capture, job survives
                     results.append(None)

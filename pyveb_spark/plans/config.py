@@ -146,9 +146,10 @@ class PipelineConfig:
         node = self._narrow(self.raw.get(section, {}))
         if not isinstance(node, dict):
             raise TypeError(f"config section {section!r} did not resolve to a dict")
-        required = required or self.raw.get("general", {}).get(
-            f"required_{section}_keys", []
-        )
+        if required is None:  # explicit [] disables validation
+            required = self.raw.get("general", {}).get(
+                f"required_{section}_keys", []
+            )
         missing = [k for k in required if k not in node]
         if missing:
             raise KeyError(f"config {section} missing required keys: {missing}")

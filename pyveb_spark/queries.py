@@ -1402,7 +1402,16 @@ def q40_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt="memory",
         query_name=name,
     )
-    q.awaitTermination(300)
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q40 stream replay did not finish within 300s")
+    finally:
+        # the memory sink holds the result; the staged drops + checkpoint
+        # are no longer needed (and would otherwise accrete per run)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
     return (
         spark.table(name)
         .select(

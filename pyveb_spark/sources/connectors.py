@@ -111,12 +111,13 @@ def excel_sink(
     collect (`max_rows`) because xlsx IS a driver-side format; anything
     bigger belongs in Parquet/CSV sinks. Import-gated: needs an Excel
     writer engine (openpyxl/xlsxwriter)."""
-    n = df.count()
-    if n > max_rows:
+    # one job: fetch max_rows+1 and refuse on overflow (a separate count()
+    # would execute the whole upstream plan twice)
+    pdf = df.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
         raise ValueError(
-            f"excel_sink refuses {n} rows (> {max_rows}); use write_parquet/write_csv"
+            f"excel_sink refuses > {max_rows} rows; use write_parquet/write_csv"
         )
-    pdf = df.toPandas()
     try:
         pdf.to_excel(path, sheet_name=sheet_name, index=False, freeze_panes=(1, 0))
     except ImportError as exc:

@@ -277,3 +277,31 @@ def test_distributed_map_error_capture(spark):
     assert rows[1] == ("10", None) and rows[2] == ("5", None)
     assert rows[0][0] is None and "ZeroDivisionError" in rows[0][1]
     assert out.count() == 4  # rows never disappear
+
+
+def test_distributed_map_stringifies_returns(spark):
+    from pyveb_spark.operators.parallel import distributed_map
+
+    df = spark.createDataFrame([(3,), (4,)], "x int")
+    out = distributed_map(df, lambda rec: rec["x"] * 10)  # returns int
+    rows = {r["x"]: r["result"] for r in out.collect()}
+    assert rows == {3: "30", 4: "40"}
+
+
+def test_range_join_self_join_and_name_collision(spark):
+    from pyveb_spark.operators.joins import range_join
+
+    ev = spark.createDataFrame(
+        [(1, 5, 0, 10, "a"), (1, 20, 15, 25, "b")], "k int, ts int, s int, e int, tag string"
+    )
+    # self-join shape: intervals from the same frame
+    out = range_join(ev, ev.select("k", "s", "e"), "k", "ts", "s", "e")
+    got = sorted((r["k"], r["ts"], r["s"], r["e"]) for r in out.collect())
+    assert got == [(1, 5, 0, 10), (1, 20, 15, 25)]
+    # left column colliding with a right payload column → suffixed
+    l = spark.createDataFrame([(1, 5, "ltag")], "k int, ts int, tag string")
+    r = spark.createDataFrame([(1, 0, 10, "rtag")], "k int, s int, e int, tag string")
+    out2 = range_join(l, r, "k", "ts", "s", "e")
+    assert "tag" in out2.columns and "tag_right" in out2.columns
+    row = out2.collect()[0]
+    assert row["tag"] == "ltag" and row["tag_right"] == "rtag"

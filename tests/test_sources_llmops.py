@@ -265,3 +265,18 @@ def test_cosine_pairs_matches_expr_scoring(spark, sf_dir):
             .first()["s"]
         )
         assert abs(got - r["cosine_sim"]) <= 1e-4
+
+
+def test_shingles_short_docs_dont_crash(spark):
+    """Docs with < n tokens must produce empty shingle sets, not a
+    slice(…, 0, n) crash (code-review regression)."""
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, "two words"), (4, "three word doc"),
+         (5, "three word doc")],
+        "doc_id int, text string",
+    )
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5)
+    got = {(r["doc_id_a"], r["doc_id_b"]) for r in pairs.collect()}
+    assert got == {(4, 5)}  # only the real dup pair; shorts contribute nothing
+    sigs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    assert {(r["doc_id_a"], r["doc_id_b"]) for r in sigs.collect()} <= {(4, 5)}
