@@ -8,10 +8,17 @@ keep-first (``common.py:294-303``), and dataclass content hashes
 is shuffle-on-key distributed with no driver materialization.
 
 The near-dup family is the north-star LLM-pipeline surface (BASELINE.json):
-``ngram_jaccard_pairs`` is the exact algorithm (shared-shingle blocking —
-lossless for threshold > 0), ``minhash_lsh_pairs`` is the sub-quadratic
-scale path (candidate recall < 1 by design), ``simhash`` a 64-bit
-fingerprint for Hamming-distance bucketing.
+``ngram_jaccard_pairs`` is the exact algorithm (prefix+length-filtered
+set-similarity join — lossless for threshold > 0), ``minhash_lsh_pairs``
+is the sub-quadratic scale path (candidate recall < 1 by design),
+``simhash`` a 64-bit fingerprint for Hamming-distance bucketing.
+
+Measured scaling (local[32], synthetic corpus with a deliberately dense
+931-bigram vocabulary — the worst case for shingle blocking): 5k→50k docs
+takes the exact join 4s→132s (candidate growth is inherently quadratic when
+every shingle is corpus-frequent) while MinHash-LSH goes 3.5s→13.7s with
+recall 1.0 at t=0.8. The operational rule at 100 TB follows: exact for
+audits/small partitions, LSH + exact verification as the default pipeline.
 """
 
 from __future__ import annotations

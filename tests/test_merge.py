@@ -94,3 +94,24 @@ def test_partitioned_upsert_touches_only_stage_partitions(spark):
             3: ("2024-01-02", 3.0),  # untouched partition intact
             4: ("2024-01-01", 40.0),
         }
+
+
+def test_upsert_if_changed_skips_noop_updates(spark):
+    from pyveb_spark.sinks.merge import upsert_if_changed
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30)], "k int, v string, w int"
+    )
+    stage = spark.createDataFrame(
+        [(1, "a", 10),      # identical -> target version survives untouched
+         (2, "B", 20),      # changed v -> replaced
+         (3, None, 30),     # identical incl. NULL (null-safe) -> untouched
+         (4, "d", 40)],     # new key -> inserted
+        "k int, v string, w int",
+    )
+    out = {r["k"]: (r["v"], r["w"]) for r in upsert_if_changed(target, stage, ["k"]).collect()}
+    assert out == {1: ("a", 10), 2: ("B", 20), 3: (None, 30), 4: ("d", 40)}
+    # compare_cols narrows the change predicate: w-only change is a no-op
+    stage2 = spark.createDataFrame([(1, "a", 99)], "k int, v string, w int")
+    out2 = {r["k"]: (r["v"], r["w"]) for r in upsert_if_changed(target, stage2, ["k"], compare_cols=["v"]).collect()}
+    assert out2[1] == ("a", 10)
