@@ -65,19 +65,23 @@ def shingles(text_col, n: int = 2):
 
     Tokenizes on single spaces (the corpus convention); swap the delimiter
     for ``\\s+`` splitting on messier corpora.
-    """
+
+    Construction is ``zip_with`` over n shifted slices of the token array —
+    O(|doc|·n) with whole-array slices taken once. The tempting
+    ``transform(sequence(...), i -> slice(toks, i, n))`` form is 4-6×
+    slower (a per-element array copy makes it O(|doc|²)). Docs with fewer
+    than n tokens yield an empty array (empty slices compose safely — no
+    guard needed)."""
     toks = F.split(text_col, " ")
     if n == 1:
         return F.array_distinct(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    # guard: a doc with < n tokens has NO n-grams. Without this, the
-    # descending sequence(1, 0) → slice(toks, 0, n) crashes the job.
-    return F.when(
-        F.size(toks) >= n, F.array_distinct(grams)
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    acc = F.slice(toks, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(toks, 1 + j, m), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    return F.array_distinct(acc)
 
 
 def _doc_shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -88,6 +92,7 @@ def _doc_shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> Data
     ~15-byte UTF-8 bigrams. Distinctness is taken on the strings first, so
     ``|set|`` is exact; a 64-bit collision merging two shingles corpus-wide
     has probability ~|vocab|²/2⁶⁵ — negligible even at 100 TB vocab sizes.
+
     """
     return df.select(
         F.col(id_col),
@@ -194,13 +199,35 @@ def ngram_jaccard_pairs(
     pref = sorted_docs.select(
         id_col,
         "__n",
-        F.explode(F.slice("__sorted", F.lit(1), prefix_len)).alias("__g"),
+        F.posexplode(F.slice("__sorted", F.lit(1), prefix_len)).alias(
+            "__p", "__g"
+        ),
     ).persist()
     while _PERSISTED_PREFIXES:
         _PERSISTED_PREFIXES.pop().unpersist(blocking=False)
     _PERSISTED_PREFIXES.append(pref)
-    pa = pref.select(F.col(id_col).alias(a), F.col("__n").alias("__na"), "__g")
-    pb = pref.select(F.col(id_col).alias(b), F.col("__n").alias("__nb"), "__g")
+    pa = pref.select(
+        F.col(id_col).alias(a), F.col("__n").alias("__na"), F.col("__p").alias("__pa"), "__g"
+    )
+    pb = pref.select(
+        F.col(id_col).alias(b), F.col("__n").alias("__nb"), F.col("__p").alias("__pb"), "__g"
+    )
+    # positional filter (PPJoin, Xiao et al. WWW'08): for the first common
+    # prefix element at 0-based positions (pa, pb), the overlap can't exceed
+    # min(|A|-pa, |B|-pb); a pair with J ≥ t needs overlap ≥
+    # ⌈t/(1+t)·(|A|+|B|)⌉, so matches that can't reach it are pruned before
+    # the dedup shuffle. Lossless: a qualifying pair always survives via its
+    # first common element.
+    alpha = F.ceil(
+        F.round(
+            F.lit(threshold / (1.0 + threshold))
+            * (F.col("__na") + F.col("__nb")),
+            9,
+        )
+    )
+    overlap_ub = F.least(
+        F.col("__na") - F.col("__pa"), F.col("__nb") - F.col("__pb")
+    )
     cand = (
         pa.join(pb, "__g")
         .where(
@@ -209,6 +236,7 @@ def ngram_jaccard_pairs(
                 F.least("__na", "__nb")
                 >= F.round(F.lit(threshold) * F.greatest("__na", "__nb"), 9)
             )
+            & (overlap_ub >= alpha)
         )
         .select(a, b)
         .dropDuplicates([a, b])
