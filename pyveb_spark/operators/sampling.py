@@ -1,0 +1,149 @@
+"""Deterministic hash-based sampling, splitting, and source mixing.
+
+Training-data pipelines need *reproducible* sampling: the same document must
+land in the same split on every run, on every cluster size, with no RNG
+state. Spark's ``df.sample``/``sampleBy`` are seeded per-partition — results
+change when partitioning changes, which at 100 TB it always does. Everything
+here instead derives a uniform value from a *content key*: the first 48 bits
+of ``md5(seed | key)`` compared against a hex threshold string.
+
+Why string-compare hex instead of int arithmetic: both Spark and ANSI
+engines (DuckDB, Trino, ...) render md5 as lowercase hex, so the predicate
+``substr(md5(k),1,12) < '<threshold>'`` is portable verbatim into oracle
+SQL — no engine-specific hex→int casts. Lexicographic order on fixed-width
+lowercase-hex strings equals numeric order, and md5's avalanche makes the
+prefix uniform. Resolution is 16⁻¹² ≈ 3.6e-15 — far below any meaningful
+sampling rate.
+
+Scale notes: every operator is a stateless per-row filter — no shuffle, no
+driver state, trivially parallel, and pushed into the scan stage by
+Catalyst. The reference has no sampling surface (its driver-side
+list-of-dicts could afford ``random.sample``); this module is part of the
+north-star LLM-pipeline extension (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "uniform_hex",
+    "threshold_hex",
+    "sample_predicate",
+    "hash_sample",
+    "hash_split",
+    "source_mix",
+]
+
+_HEX_DIGITS = 12  # 48-bit prefix of the md5
+
+
+def uniform_hex(key_cols: Sequence[str], seed: str = "") -> Column:
+    """12-hex-char uniform value in [0, 16¹²) derived from the row's key.
+
+    The key is ``concat_ws('|', seed, *cols)`` — identical string rendering
+    in Spark and DuckDB for ints/strings, so oracles can reproduce it.
+    """
+    key = F.concat_ws(
+        "|", F.lit(str(seed)), *[F.col(c).cast("string") for c in key_cols]
+    )
+    return F.substring(F.md5(key.cast("binary")), 1, _HEX_DIGITS)
+
+
+def threshold_hex(fraction: float) -> str:
+    """The sampling predicate's right-hand side: ``fraction`` scaled to a
+    zero-padded 12-digit hex string (clamped to [0, 1]). Fractions that
+    round up to 1 return ``"g"``, which sorts after every lowercase-hex
+    string — "keep everything" without a 13-digit wraparound."""
+    f = min(max(float(fraction), 0.0), 1.0)
+    v = int(round(f * 16**_HEX_DIGITS))
+    if v >= 16**_HEX_DIGITS:
+        return "g"
+    return format(v, "012x")
+
+
+def sample_predicate(
+    fraction: float, key_cols: Sequence[str], seed: str = ""
+) -> Column:
+    """Boolean Column: row is in the ``fraction``-sample keyed by
+    ``key_cols``. Nested samples: for f1 ≤ f2 (same key+seed), the
+    f1-sample is a subset of the f2-sample — shrinking a corpus never
+    *introduces* documents downstream."""
+    if fraction >= 1.0:
+        return F.lit(True)
+    if fraction <= 0.0:
+        return F.lit(False)
+    return uniform_hex(key_cols, seed) < F.lit(threshold_hex(fraction))
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    key_cols: Sequence[str],
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic content-keyed sample — ``df.sample`` without the
+    partition-dependence. Same rows selected on every run/cluster."""
+    return df.where(sample_predicate(fraction, key_cols, seed))
+
+
+def hash_split(
+    df: DataFrame,
+    splits: Mapping[str, float],
+    key_cols: Sequence[str],
+    seed: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split (train/valid/test, ...)
+    by cumulative hash-threshold buckets. ``splits`` maps name → fraction;
+    fractions must sum to 1 (±1e-9). Disjoint and exhaustive by
+    construction — the property ``randomSplit`` only gives you per-run.
+    """
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    hexv = uniform_hex(key_cols, seed)
+    expr = None
+    cum = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = hexv < F.lit(threshold_hex(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)
+
+
+def source_mix(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    group_col: str,
+    key_cols: Sequence[str],
+    seed: str = "",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Weighted mix over a group column (source, language, domain): keep a
+    per-group deterministic fraction of rows — the standard way to re-weight
+    a training corpus (e.g. up-weight books, down-weight common-crawl).
+
+    Groups absent from ``rates`` get ``default_rate`` (0.0 = drop). One
+    stateless filter, no shuffle; group skew is irrelevant because nothing
+    aggregates. Rates > 1 mean "keep all" (sampling cannot up-sample;
+    pair with an explode-based repeat if true epoch weighting is needed).
+    """
+    hexv = uniform_hex(key_cols, seed)
+    thr = None
+    for name, rate in rates.items():
+        cond = F.col(group_col) == F.lit(name)
+        t = F.lit(threshold_hex(rate))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = (
+        F.lit(threshold_hex(default_rate))
+        if thr is None
+        else thr.otherwise(F.lit(threshold_hex(default_rate)))
+    )
+    return df.where(hexv < thr)

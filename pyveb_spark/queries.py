@@ -1424,6 +1424,153 @@ def q40_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LLM ops: near-dup clusters (connected components) + representative pick
+# ---------------------------------------------------------------------------
+
+def q41_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters → keep-one: the full dedup decision pipeline.
+
+    Near-dup pairs (q17's exact algorithm) are clustered with alternating
+    large-star/small-star connected components (``duplicate_clusters``),
+    singleton docs rejoin as their own cluster, and one representative per
+    cluster is chosen (longest text, ties to smallest doc_id) — exactly
+    what a 100 TB corpus dedup emits: every doc labeled keep/drop.
+    The oracle reproduces the clustering with a recursive CTE (min-label
+    reachability), which only DuckDB-side smallness permits — the Spark
+    plan is the one that scales.
+    """
+    from pyveb_spark.operators.dedup import duplicate_clusters, ngram_jaccard_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, id_col="doc_id", text_col="text", n=2, threshold=0.8)
+    clustered = duplicate_clusters(
+        pairs, "doc_id_a", "doc_id_b", out_node="doc_id", out_cluster="cluster_id"
+    )
+    singles = d.select("doc_id").join(clustered, "doc_id", "left_anti").select(
+        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
+    )
+    labeled = clustered.union(singles).join(
+        d.select("doc_id", "n_chars"), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id")
+    rk = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    )
+    return (
+        labeled.select(
+            "doc_id",
+            "cluster_id",
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+            (rk == 1).cast("int").alias("is_representative"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q41_SQL = """
+WITH RECURSIVE
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS g
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) s),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+cand AS (SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS isect
+         FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+pairs AS (SELECT u, v FROM cand
+          JOIN sizes sa ON sa.doc_id = u JOIN sizes sb ON sb.doc_id = v
+          WHERE isect * 1.0 / (sa.n + sb.n - isect) >= 0.8),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(u, x) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+    UNION
+    SELECT e.u, r.x FROM edges e JOIN reach r ON r.u = e.v),
+comp AS (SELECT u AS doc_id, MIN(x) AS cluster_id FROM reach GROUP BY u),
+labeled AS (
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+                               ORDER BY n_chars DESC, doc_id ASC) = 1 AS INT)
+         AS is_representative
+FROM labeled
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: deterministic content-keyed sampling (reproducible subsets)
+# ---------------------------------------------------------------------------
+
+def q42_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25% deterministic sample of documents keyed on doc_id.
+
+    The predicate is a stateless scan-stage filter (no shuffle, no RNG
+    state) and is portable verbatim to the oracle — see
+    ``operators/sampling.py`` for the md5-hex design rationale.
+    """
+    from pyveb_spark.operators.sampling import hash_sample
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        hash_sample(d, fraction=0.25, key_cols=["doc_id"], seed="split1")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+_Q42_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE substr(md5(concat_ws('|', 'split1', doc_id)), 1, 12) < '400000000000'
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: weighted source mixing (corpus re-weighting)
+# ---------------------------------------------------------------------------
+
+def q43_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-weighted corpus mix: keep 100% of en, 50% of de/zh, 25% of
+    fr/es — the deterministic re-weighting step of a training-data pipeline.
+    Per-group thresholds ride the same md5 uniform value as q42, so group
+    membership composes with sampling (a doc keeps the same hash across
+    both)."""
+    from pyveb_spark.operators.sampling import source_mix
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        source_mix(
+            d,
+            rates={"en": 1.0, "de": 0.5, "zh": 0.5, "fr": 0.25, "es": 0.25},
+            group_col="lang",
+            key_cols=["doc_id"],
+            seed="mix1",
+        )
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang", "source")
+    )
+
+
+_Q43_SQL = """
+SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+FROM documents
+WHERE substr(md5(concat_ws('|', 'mix1', doc_id)), 1, 12) <
+      CASE lang
+           WHEN 'en' THEN 'g'
+           WHEN 'de' THEN '800000000000'
+           WHEN 'zh' THEN '800000000000'
+           WHEN 'fr' THEN '400000000000'
+           WHEN 'es' THEN '400000000000'
+           ELSE '000000000000' END
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1468,6 +1615,9 @@ QUERIES = {
     "q38_multimodal_decode": q38_multimodal_decode,
     "q39_unpivot": q39_unpivot,
     "q40_stream_replay": q40_stream_replay,
+    "q41_dup_clusters": q41_dup_clusters,
+    "q42_hash_sample": q42_hash_sample,
+    "q43_source_mix": q43_source_mix,
 }
 
 ORACLE_SQL = {
@@ -1508,4 +1658,7 @@ ORACLE_SQL = {
     "q36_embedding_pairs": _Q36_SQL,
     "q38_multimodal_decode": _Q38_SQL,
     "q39_unpivot": _Q39_SQL,
+    "q41_dup_clusters": _Q41_SQL,
+    "q42_hash_sample": _Q42_SQL,
+    "q43_source_mix": _Q43_SQL,
 }

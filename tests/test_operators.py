@@ -305,3 +305,86 @@ def test_range_join_self_join_and_name_collision(spark):
     assert "tag" in out2.columns and "tag_right" in out2.columns
     row = out2.collect()[0]
     assert row["tag"] == "ltag" and row["tag_right"] == "rtag"
+
+
+def test_duplicate_clusters_chain_and_components(spark):
+    from pyveb_spark.operators.dedup import duplicate_clusters
+
+    # one 6-node chain (worst case for naive propagation), one triangle,
+    # one isolated pair, with duplicate + reversed edges thrown in
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (10, 11), (11, 12), (12, 10),
+         (21, 20), (20, 21)],
+        "a long, b long",
+    )
+    got = {
+        (r.node_id, r.cluster_id)
+        for r in duplicate_clusters(pairs, "a", "b").collect()
+    }
+    want = (
+        {(i, 1) for i in range(1, 7)}
+        | {(i, 10) for i in (10, 11, 12)}
+        | {(20, 20), (21, 20)}
+    )
+    assert got == want
+
+
+def test_duplicate_clusters_string_ids(spark):
+    from pyveb_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [("docB", "docA"), ("docB", "docC")], "a string, b string"
+    )
+    got = {
+        (r.node_id, r.cluster_id)
+        for r in duplicate_clusters(pairs, "a", "b").collect()
+    }
+    assert got == {("docA", "docA"), ("docB", "docA"), ("docC", "docA")}
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    from pyveb_spark.operators.sampling import hash_sample
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    s20 = {r.k for r in hash_sample(df, 0.2, ["k"], seed="s").collect()}
+    s20_again = {r.k for r in hash_sample(df, 0.2, ["k"], seed="s").collect()}
+    s50 = {r.k for r in hash_sample(df, 0.5, ["k"], seed="s").collect()}
+    assert s20 == s20_again          # run-to-run determinism
+    assert s20 <= s50                # nested-sample property
+    assert 0.15 < len(s20) / 2000 < 0.25
+    assert 0.45 < len(s50) / 2000 < 0.55
+    # edge fractions
+    assert hash_sample(df, 1.0, ["k"]).count() == 2000
+    assert hash_sample(df, 0.0, ["k"]).count() == 0
+
+
+def test_hash_split_disjoint_exhaustive(spark):
+    from pyveb_spark.operators.sampling import hash_split
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    out = hash_split(
+        df, {"train": 0.8, "valid": 0.1, "test": 0.1}, ["k"], seed="sp"
+    )
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 1000      # exhaustive, disjoint
+    assert set(counts) == {"train", "valid", "test"}
+    assert counts["train"] > 700
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hash_split(df, {"a": 0.5, "b": 0.6}, ["k"])
+
+
+def test_source_mix_rates(spark):
+    from pyveb_spark.operators.sampling import source_mix
+
+    rows = [(i, "keep_all" if i % 3 == 0 else ("half" if i % 3 == 1 else "unlisted"))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "k long, grp string")
+    out = source_mix(df, {"keep_all": 1.0, "half": 0.5}, "grp", ["k"], seed="m")
+    counts = {r.grp: r.n for r in
+              out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts.get("keep_all") == 1000    # rate 1.0 keeps everything
+    assert "unlisted" not in counts          # default_rate=0 drops
+    assert 400 < counts.get("half", 0) < 600
