@@ -176,33 +176,34 @@ def ngram_jaccard_pairs(
     docs = _doc_shingle_sets(df, id_col, text_col, n)
     postings = docs.select(id_col, "__n", F.explode("__grams").alias("__g"))
     gfreq = postings.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
-    # canonical order: ascending (df, gram); prefix = rarest shingles
-    ranked = postings.join(gfreq, "__g")
-    sorted_docs = ranked.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("__df", "__g"))),
-            lambda s: s["__g"],
-        ).alias("__sorted"),
-        F.first("__n").alias("__n"),
-    )
+    # canonical order: ascending (df, gram); prefix = rarest shingles.
+    # Built row-wise: join df counts (AQE broadcasts — the distinct-gram
+    # table is tiny relative to postings), then rank shingles within each
+    # doc by one window and keep ranks below the prefix length. Wall-clock
+    # ties the collect_list → array_sort → slice → posexplode formulation
+    # at sf0.1 (both shuffle the postings once on the doc id), but stays
+    # row-oriented inside whole-stage codegen with no per-doc array
+    # materialization — the form that degrades gracefully when individual
+    # docs are huge (a 10⁶-shingle doc is 10⁶ window rows, not one 8 MB
+    # array element).
     prefix_len = (
         F.col("__n")
         - F.ceil(F.round(F.lit(threshold) * F.col("__n"), 9))
         + F.lit(1)
     ).cast("int")
+    w = Window.partitionBy(id_col).orderBy("__df", "__g")
     # persist: the self-join consumes this tiny table twice, and Spark does
     # not reuse the exchange across the differently-aliased sides — without
-    # this the whole postings→freq→sort pipeline runs twice. Size is
+    # this the whole postings→freq→rank pipeline runs twice. Size is
     # ~(1−t)·Σ|doc| rows of (id, int, long) — trivially cacheable at any SF.
     # The previous call's cache entry is released (the returned plan is
     # lazy, so the caller can't unpersist) — at most one prefix table stays
     # cached per process.
-    pref = sorted_docs.select(
-        id_col,
-        "__n",
-        F.posexplode(F.slice("__sorted", F.lit(1), prefix_len)).alias(
-            "__p", "__g"
-        ),
+    pref = (
+        postings.join(gfreq, "__g")
+        .withColumn("__p", F.row_number().over(w) - 1)
+        .where(F.col("__p") < prefix_len)
+        .select(id_col, "__n", "__p", "__g")
     ).persist()
     while _PERSISTED_PREFIXES:
         _PERSISTED_PREFIXES.pop().unpersist(blocking=False)
@@ -429,10 +430,14 @@ def duplicate_clusters(
     docs never enter a pair list, so callers union them back as their own
     cluster (see q41 for the pattern).
     """
+    # Materialize the incoming pair plan ONCE before iterating: the
+    # symmetrize-union below references it twice per round, and the caller's
+    # pair plan is typically the expensive similarity join itself.
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     prev_sum: tuple | None = None
     for _ in range(max_iterations):
