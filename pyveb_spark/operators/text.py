@@ -15,10 +15,12 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "tokenize",
+    "regex_tokens",
     "text_stats",
     "quality_score",
     "language_id",
     "doc_fingerprint",
+    "winnow_fingerprints",
 ]
 
 # tiny built-in stopword marker sets per language for the heuristic lang-id;
@@ -36,8 +38,22 @@ _EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
 def tokenize(text_col) -> Column:
     """Whitespace tokenizer (single-space corpus convention). For messier
-    text use a BPE-ish regexp split: ``F.split(col, r"\\s+|(?=[^\\w\\s])")``."""
+    text use ``regex_tokens`` (BPE-style pre-tokenization)."""
     return F.split(text_col, " ")
+
+
+_BPE_PRETOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def regex_tokens(text_col, pattern: str = _BPE_PRETOKEN_PATTERN) -> Column:
+    """BPE-style pre-tokenizer: letter runs, digit runs, and punctuation
+    runs as separate tokens (the shape GPT-2-family pre-tokenization
+    produces before merges). ``regexp_extract_all`` keeps this a single
+    codegen expression — the token-counting path for corpora where
+    whitespace splitting undercounts (``"foo,bar"`` is 3 tokens here, 1
+    there). ASCII character classes deliberately: they behave identically
+    across Java regex (Spark) and RE2 (oracle engines)."""
+    return F.regexp_extract_all(text_col, F.lit(pattern), 0)
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -124,3 +140,50 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     (``dbt_client.py:45-58``). Exact-dup detection = groupBy fingerprint."""
     normalized = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return df.withColumn("fingerprint", F.xxhash64(F.trim(normalized)))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    out_col: str = "fingerprints",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    MOSS algorithm; public literature): rolling word k-gram hashes, then
+    the minimum hash of every sliding window of ``w`` consecutive grams.
+    Guarantees any shared run of ≥ k+w-1 tokens between two docs yields a
+    shared fingerprint, while storing only ~2/(w+1) of the gram hashes —
+    the local-similarity detector that whole-document hashing
+    (``doc_fingerprint``) and set-similarity (``ngram_jaccard_pairs``)
+    both miss (copied *passages*, not copied *documents*).
+
+    One pure-expression pass per row (no explode, no shuffle); matching is
+    then a fingerprint equi-join on the exploded output — see q44. Hashes
+    are 48-bit md5-hex prefixes so oracle SQL reproduces them verbatim
+    (see ``operators/sampling.py`` for the md5-portability rationale).
+    Docs shorter than k tokens get an empty fingerprint set; docs with
+    fewer than w grams contribute their single overall min (the standard
+    boundary convention).
+    """
+    toks = tokenize(F.col(text_col))
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    acc = F.slice(toks, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice(toks, 1 + j, m), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    hashes = F.transform(
+        acc, lambda g: F.substring(F.md5(g.cast("binary")), 1, 12)
+    )
+    n_windows = F.greatest(
+        F.size(hashes) - (w - 1), F.least(F.size(hashes), F.lit(1))
+    )
+    mins = F.transform(
+        F.when(n_windows > 0, F.sequence(F.lit(1), n_windows)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda j: F.array_min(F.slice(hashes, j, w)),
+    )
+    return df.withColumn(out_col, F.array_sort(F.array_distinct(mins)))

@@ -1571,6 +1571,55 @@ ORDER BY lang, source
 
 
 # ---------------------------------------------------------------------------
+# LLM ops: winnowing fingerprints → shared-passage doc pairs
+# ---------------------------------------------------------------------------
+
+def q44_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-similarity detection: docs sharing ≥ 2 winnowed rolling-hash
+    fingerprints (word 3-grams, window 4) — catches copied *passages* that
+    whole-doc hashing (q32) misses and set-similarity (q17) underweights.
+    Explode + equi-join on the fingerprint: the 100 TB plan is a shuffle
+    keyed on 48-bit hashes, fan-out bounded by fingerprint document
+    frequency (winnowing keeps ~2/(w+1) of grams, so postings stay sparse).
+    """
+    from pyveb_spark.operators.text import winnow_fingerprints
+
+    d = read_table(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(d, id_col="doc_id", text_col="text", k=3, w=4)
+    ex = fp.select("doc_id", F.explode("fingerprints").alias("__f"))
+    a = ex.select(F.col("doc_id").alias("doc_id_a"), "__f")
+    b = ex.select(F.col("doc_id").alias("doc_id_b"), "__f")
+    return (
+        a.join(b, "__f")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
+_Q44_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                 i -> substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 12)) AS h
+      FROM toks),
+fp AS (SELECT doc_id,
+              list_distinct(list_transform(
+                  generate_series(1, greatest(len(h) - 3, least(len(h), 1))),
+                  j -> list_min(h[j:j+3]))) AS f
+       FROM g),
+ex AS (SELECT doc_id, unnest(f) AS fh FROM fp)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_shared
+FROM ex a JOIN ex b ON a.fh = b.fh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1618,6 +1667,7 @@ QUERIES = {
     "q41_dup_clusters": q41_dup_clusters,
     "q42_hash_sample": q42_hash_sample,
     "q43_source_mix": q43_source_mix,
+    "q44_winnow_pairs": q44_winnow_pairs,
 }
 
 ORACLE_SQL = {
@@ -1661,4 +1711,5 @@ ORACLE_SQL = {
     "q41_dup_clusters": _Q41_SQL,
     "q42_hash_sample": _Q42_SQL,
     "q43_source_mix": _Q43_SQL,
+    "q44_winnow_pairs": _Q44_SQL,
 }

@@ -388,3 +388,39 @@ def test_source_mix_rates(spark):
     assert counts.get("keep_all") == 1000    # rate 1.0 keeps everything
     assert "unlisted" not in counts          # default_rate=0 drops
     assert 400 < counts.get("half", 0) < 600
+
+
+def test_regex_tokens_bpe_style(spark):
+    from pyveb_spark.operators.text import regex_tokens
+
+    df = spark.createDataFrame([("foo,bar baz42  x!?",)], "s string")
+    [row] = df.select(regex_tokens(F.col("s")).alias("t")).collect()
+    assert row.t == ["foo", ",", "bar", "baz", "42", "x", "!?"]
+
+
+def test_winnow_fingerprints_guarantee_and_edges(spark):
+    from pyveb_spark.operators.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = k+w-1 run
+    df = spark.createDataFrame(
+        [
+            (1, "one two " + shared + " three"),
+            (2, shared + " nine ten eleven"),
+            (3, "totally unrelated words here friend"),
+            (4, "tiny doc"),        # < k tokens → no grams
+            (5, "just three tokens"),  # 1 gram < w → single overall min
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.fingerprints for r in
+           winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect()}
+    # winnowing guarantee: a shared run of >= k+w-1 tokens yields >= 1
+    # shared fingerprint
+    assert set(out[1]) & set(out[2])
+    assert not set(out[1]) & set(out[3])
+    assert out[4] == []
+    assert len(out[5]) == 1
+    # fingerprints are sorted distinct 12-hex strings
+    for fps in out.values():
+        assert fps == sorted(set(fps))
+        assert all(len(f) == 12 for f in fps)
