@@ -21,7 +21,12 @@ __all__ = [
     "language_id",
     "doc_fingerprint",
     "winnow_fingerprints",
+    "winnow_pairs",
 ]
+
+# see dedup.py::_PERSISTED_PREFIXES for the pattern: the returned plan is
+# lazy so the caller can't unpersist; keep at most one postings table cached
+_PERSISTED_POSTINGS: list[DataFrame] = []
 
 # tiny built-in stopword marker sets per language for the heuristic lang-id;
 # the corpus convention (FIXTURES.md documents table) is space-separated text
@@ -174,9 +179,15 @@ def winnow_fingerprints(
         acc = F.zip_with(
             acc, F.slice(toks, 1 + j, m), lambda x, y: F.concat_ws(" ", x, y)
         )
-    hashes = F.transform(
+    gram_hashes = F.transform(
         acc, lambda g: F.substring(F.md5(g.cast("binary")), 1, 12)
     )
+    # two projections, not one nested expression: referencing the hash
+    # array through a materialized column binds it once per row; inlining
+    # it into the sliding-min lambda re-evaluates the whole gram+md5
+    # subtree per window (no CSE across lambda scopes) — O(n²) md5s,
+    # measured 4× slower even on 54-token docs.
+    hashes = F.col("__winnow_hashes")
     n_windows = F.greatest(
         F.size(hashes) - (w - 1), F.least(F.size(hashes), F.lit(1))
     )
@@ -186,4 +197,65 @@ def winnow_fingerprints(
         ),
         lambda j: F.array_min(F.slice(hashes, j, w)),
     )
-    return df.withColumn(out_col, F.array_sort(F.array_distinct(mins)))
+    return (
+        df.withColumn("__winnow_hashes", gram_hashes)
+        .withColumn(out_col, F.array_sort(F.array_distinct(mins)))
+        .drop("__winnow_hashes")
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Shared-passage document pairs: explode ``winnow_fingerprints`` into a
+    postings table and self-join on the fingerprint, counting how many
+    fingerprints each pair shares. Returns ``(<id>_a, <id>_b, n_shared)``
+    with ``a < b``.
+
+    Scale shape: one shuffle keyed on the 48-bit fingerprint; per-key
+    fan-out is quadratic in a fingerprint's document frequency, but
+    winnowing keeps only ~2/(w+1) of gram hashes and natural-language
+    k-grams are near-unique, so postings stay sparse (hot keys would be
+    boilerplate passages — cap df with a frequency filter if observed).
+    The fingerprint table is persisted *before* the explode, for two
+    compounding reasons. (1) The self-join consumes the postings twice and
+    Spark does not reuse the exchange across differently-aliased sides —
+    without a cache the whole tokenize→gram→hash→winnow pipeline runs
+    twice. (2) Exploding the raw expression is pathological: Catalyst
+    collapses the projection that materializes the gram-hash array into
+    the Generate input, re-inlining the md5 subtree into the sliding-min
+    lambda — O(n·w) md5 tree evaluations per doc (measured 17× slower at
+    sf0.1). Caching the array column freezes the safe two-projection plan;
+    the explode then reads arrays from the InMemoryRelation. Cached rows
+    are (id, ~2·n/(w+1) 12-char strings) ≈ the size of the text itself,
+    and MEMORY_AND_DISK spills rather than OOMs on a real cluster.
+    """
+    # The gram+md5+winnow expression is compute-bound and (as a
+    # higher-order-function tree) runs interpreted, so spread rows across
+    # all cores before evaluating it: a columnar text scan often yields
+    # far fewer splits than cores (one file here; 128 MB text splits with
+    # minutes of per-partition CPU at 100 TB). A round-robin shuffle of
+    # the narrow (id, text) projection is cheap relative to the compute.
+    narrow = df.select(id_col, text_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    fp = winnow_fingerprints(narrow, id_col, text_col, k, w).persist()
+    while _PERSISTED_POSTINGS:
+        _PERSISTED_POSTINGS.pop().unpersist(blocking=False)
+    _PERSISTED_POSTINGS.append(fp)
+    ex = fp.select(id_col, F.explode("fingerprints").alias("__f"))
+    a_id, b_id = f"{id_col}_a", f"{id_col}_b"
+    a = ex.select(F.col(id_col).alias(a_id), "__f")
+    b = ex.select(F.col(id_col).alias(b_id), "__f")
+    return (
+        a.join(b, "__f")
+        .where(F.col(a_id) < F.col(b_id))
+        .groupBy(a_id, b_id)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -1582,21 +1582,12 @@ def q44_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed on 48-bit hashes, fan-out bounded by fingerprint document
     frequency (winnowing keeps ~2/(w+1) of grams, so postings stay sparse).
     """
-    from pyveb_spark.operators.text import winnow_fingerprints
+    from pyveb_spark.operators.text import winnow_pairs
 
     d = read_table(spark, sf_dir, "documents")
-    fp = winnow_fingerprints(d, id_col="doc_id", text_col="text", k=3, w=4)
-    ex = fp.select("doc_id", F.explode("fingerprints").alias("__f"))
-    a = ex.select(F.col("doc_id").alias("doc_id_a"), "__f")
-    b = ex.select(F.col("doc_id").alias("doc_id_b"), "__f")
-    return (
-        a.join(b, "__f")
-        .where(F.col("doc_id_a") < F.col("doc_id_b"))
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .where(F.col("n_shared") >= 2)
-        .orderBy("doc_id_a", "doc_id_b")
-    )
+    return winnow_pairs(
+        d, id_col="doc_id", text_col="text", k=3, w=4, min_shared=2
+    ).orderBy("doc_id_a", "doc_id_b")
 
 
 _Q44_SQL = """
