@@ -199,14 +199,18 @@ def ngram_jaccard_pairs(
     # The previous call's cache entry is released (the returned plan is
     # lazy, so the caller can't unpersist) — at most one prefix table stays
     # cached per process.
+    # unpersist BEFORE persist: cache entries are keyed by plan equality,
+    # so on a repeated identical call persist() no-ops against the old
+    # entry and a popped unpersist afterwards would drop the shared entry,
+    # leaving the new call uncached (see text.py::winnow_pairs).
+    while _PERSISTED_PREFIXES:
+        _PERSISTED_PREFIXES.pop().unpersist(blocking=False)
     pref = (
         postings.join(gfreq, "__g")
         .withColumn("__p", F.row_number().over(w) - 1)
         .where(F.col("__p") < prefix_len)
         .select(id_col, "__n", "__p", "__g")
     ).persist()
-    while _PERSISTED_PREFIXES:
-        _PERSISTED_PREFIXES.pop().unpersist(blocking=False)
     _PERSISTED_PREFIXES.append(pref)
     pa = pref.select(
         F.col(id_col).alias(a), F.col("__n").alias("__na"), F.col("__p").alias("__pa"), "__g"

@@ -244,9 +244,15 @@ def winnow_pairs(
     narrow = df.select(id_col, text_col).repartition(
         df.sparkSession.sparkContext.defaultParallelism
     )
-    fp = winnow_fingerprints(narrow, id_col, text_col, k, w).persist()
+    # unpersist BEFORE persist: Spark's CacheManager keys entries by plan
+    # equality, so a repeated call builds the *same* plan and its persist()
+    # is a no-op against the existing entry ("already cached data");
+    # unpersisting the old handle afterwards would then drop that shared
+    # entry and leave the new call uncached — every later run pays the
+    # collapsed-plan cost this cache exists to prevent (measured 3×).
     while _PERSISTED_POSTINGS:
         _PERSISTED_POSTINGS.pop().unpersist(blocking=False)
+    fp = winnow_fingerprints(narrow, id_col, text_col, k, w).persist()
     _PERSISTED_POSTINGS.append(fp)
     ex = fp.select(id_col, F.explode("fingerprints").alias("__f"))
     a_id, b_id = f"{id_col}_a", f"{id_col}_b"
