@@ -20,7 +20,20 @@ __all__ = [
     "add_metadata",
     "ascii_sanitize",
     "parse_timestamp",
+    "redact_pii",
 ]
+
+# PII patterns shared by redact_pii and its oracle SQL. Deliberately
+# restricted to syntax with identical semantics in Java regex (Spark) and
+# RE2 (DuckDB/Trino oracles): ASCII classes, bounded quantifiers, \b word
+# boundaries; no lookaround, no backreferences. Order matters: emails are
+# redacted before phones so the digits inside a local-part don't get
+# double-matched by the phone pattern.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\b\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b",
+}
 
 # Tokens the reference treats as NULL after trim+lower
 # (spark_client.py:463-481; tf_client.py:99-114 adds 'nat').
@@ -96,4 +109,45 @@ def parse_timestamp(
     for c in cols:
         stripped = F.regexp_replace(F.col(c), r"\.\d+$", "")
         out = out.withColumn(c, F.to_timestamp(stripped, fmt))
+    return out
+
+
+def redact_pii(
+    df: DataFrame,
+    cols: Sequence[str],
+    kinds: Sequence[str] = ("email", "ipv4", "phone"),
+    token: str = "[PII]",
+    count: bool = True,
+) -> DataFrame:
+    """Redact PII-shaped substrings (emails, IPv4 addresses, phone
+    numbers) from string columns — the scrubbing step every public
+    training-corpus pipeline runs before dedup/filtering (C4, Dolma).
+    Chained ``regexp_replace`` keeps the whole scrub inside whole-stage
+    codegen: a 100 TB scan redacts at scan throughput with zero shuffle
+    and full column pruning. With ``count=True`` each column also gains a
+    ``<col>_pii_count`` with the number of redacted spans (the audit
+    metric). Counts are taken *sequentially* on the progressively-redacted
+    value — the count equals the number of spans actually replaced, so a
+    substring matching two patterns (a phone-shaped email local-part) is
+    counted once by the pattern that consumed it, never twice.
+
+    Patterns (``PII_PATTERNS``) are deliberately conservative and
+    dialect-portable; real deployments layer stricter locale patterns on
+    top. Unknown ``kinds`` raise rather than silently not-redact.
+    """
+    unknown = set(kinds) - set(PII_PATTERNS)
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    out = df
+    for c in cols:
+        red = F.col(c)
+        n = F.lit(0)
+        for k in kinds:
+            n = n + F.size(
+                F.regexp_extract_all(red, F.lit(PII_PATTERNS[k]), 0)
+            )
+            red = F.regexp_replace(red, PII_PATTERNS[k], token)
+        if count:
+            out = out.withColumn(f"{c}_pii_count", n)
+        out = out.withColumn(c, red)
     return out

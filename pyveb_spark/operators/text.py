@@ -22,6 +22,7 @@ __all__ = [
     "doc_fingerprint",
     "winnow_fingerprints",
     "winnow_pairs",
+    "repetition_stats",
 ]
 
 # see dedup.py::_PERSISTED_PREFIXES for the pattern: the returned plan is
@@ -147,6 +148,19 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.xxhash64(F.trim(normalized)))
 
 
+def _word_ngrams(toks: Column, n: int, m: Column) -> Column:
+    """Array of space-joined word ``n``-grams from a token array, built
+    row-wise with ``zip_with`` over shifted slices (``m`` = gram count,
+    precomputed as ``greatest(size - n + 1, 0)``). One pure expression, no
+    explode: the per-row cost is O(tokens · n) string concats."""
+    acc = F.slice(toks, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(toks, 1 + j, m), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    return acc
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -174,13 +188,9 @@ def winnow_fingerprints(
     """
     toks = tokenize(F.col(text_col))
     m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
-    acc = F.slice(toks, 1, m)
-    for j in range(1, k):
-        acc = F.zip_with(
-            acc, F.slice(toks, 1 + j, m), lambda x, y: F.concat_ws(" ", x, y)
-        )
     gram_hashes = F.transform(
-        acc, lambda g: F.substring(F.md5(g.cast("binary")), 1, 12)
+        _word_ngrams(toks, k, m),
+        lambda g: F.substring(F.md5(g.cast("binary")), 1, 12),
     )
     # two projections, not one nested expression: referencing the hash
     # array through a materialized column binds it once per row; inlining
@@ -264,4 +274,63 @@ def winnow_pairs(
         .groupBy(a_id, b_id)
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Intra-document repetition metrics (the Gopher/MassiveText repetition
+    filters, Rae et al. 2021 §A1.1 — public literature): per document, the
+    word ``n``-gram count, distinct-gram count, duplicate-gram fraction
+    ``1 − distinct/total``, and the share of the single most frequent gram.
+    High values flag boilerplate/spam pages that inter-document dedup
+    (q17/q28/q44) cannot catch because the repetition is *inside* one doc.
+
+    Shuffle-based rather than per-row HOF aggregation deliberately: a mode
+    (most-frequent element) computed inside an array lambda is O(tokens²)
+    per row, which dies on book-length documents; explode → two-level
+    groupBy is O(tokens) per row and scales with the cluster. Both
+    aggregations hash-partition on (or by prefix of) ``id_col``, so at
+    100 TB this is one shuffle of the gram stream plus a map-side-combined
+    per-doc rollup. Docs with fewer than ``n`` tokens produce no grams and
+    are absent from the output (explode drops them — mirrors SQL UNNEST).
+
+    ``top_ngram`` tie-breaks deterministically to the lexicographically
+    greatest gram among the most frequent (max over a (count, gram)
+    struct), so results are stable across partitionings and engines.
+    """
+    toks = tokenize(F.col(text_col))
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = df.select(
+        id_col, F.explode(_word_ngrams(toks, n, m)).alias("__g")
+    )
+    per_gram = grams.groupBy(id_col, "__g").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    top = F.max(
+        F.struct(F.col("__c").alias("c"), F.col("__g").alias("g"))
+    ).alias("__top")
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_ngrams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            top,
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_distinct",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_ngrams"), 4
+            ).alias("dup_ngram_frac"),
+            F.round(F.col("__top.c") / F.col("n_ngrams"), 4).alias(
+                "top_ngram_frac"
+            ),
+            F.col("__top.g").alias("top_ngram"),
+        )
     )

@@ -1611,6 +1611,115 @@ ORDER BY doc_id_a, doc_id_b
 
 
 # ---------------------------------------------------------------------------
+# LLM ops: intra-document repetition (Gopher filters) + PII redaction
+# ---------------------------------------------------------------------------
+
+def q45_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram repetition metrics (Gopher/MassiveText filter
+    family): total/distinct gram counts, duplicate-gram fraction, top-gram
+    share, and the (deterministically tie-broken) top gram itself. One
+    explode + two hash aggregations keyed on doc_id — map-side combine
+    does the heavy lifting at scale."""
+    from pyveb_spark.operators.text import repetition_stats
+
+    d = read_table(spark, sf_dir, "documents")
+    return repetition_stats(d, id_col="doc_id", text_col="text", n=2).orderBy(
+        "doc_id"
+    )
+
+
+_Q45_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                 i -> t[i] || ' ' || t[i+1])) AS gram
+      FROM toks),
+pg AS (SELECT doc_id, gram, COUNT(*) AS c,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY COUNT(*) DESC, gram DESC) AS rn
+       FROM g GROUP BY doc_id, gram)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_ngrams,
+       COUNT(*) AS n_distinct,
+       ROUND(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 4) AS dup_ngram_frac,
+       ROUND(MAX(CASE WHEN rn = 1 THEN c END) / CAST(SUM(c) AS DOUBLE), 4)
+           AS top_ngram_frac,
+       MAX(CASE WHEN rn = 1 THEN gram END) AS top_ngram
+FROM pg
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def q46_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing under the oracle gate: build a deterministic note
+    string with an email / phone / IPv4 per customer (the corpus itself is
+    PII-free synthetic text), redact with the shared dialect-portable
+    patterns, and count redacted spans. The scrub is a chain of
+    regexp_replace inside whole-stage codegen — at 100 TB it runs at scan
+    throughput with no shuffle."""
+    from pyveb_spark.operators.cleaning import redact_pii
+
+    c = read_table(spark, sf_dir, "customer")
+    email = F.concat(
+        F.lower(F.regexp_replace(F.col("c_name"), "#", ".")),
+        F.lit("@example.com"),
+    )
+    phone = F.concat(
+        F.lit("555-"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit("10."), (F.col("c_custkey") % 256).cast("string"), F.lit(".0.1")
+    )
+    note = F.concat_ws(
+        " ",
+        F.lit("contact"), email,
+        F.lit("phone"), phone,
+        F.lit("ip"), ip,
+        F.lit("segment"), F.col("c_mktsegment"),
+    )
+    base = c.select("c_custkey", note.alias("note"))
+    return (
+        redact_pii(base, ["note"])
+        .select("c_custkey", "note", "note_pii_count")
+        .orderBy("c_custkey")
+    )
+
+
+def _q46_sql() -> str:
+    from pyveb_spark.operators.cleaning import PII_PATTERNS
+
+    e, i, p = (PII_PATTERNS[k] for k in ("email", "ipv4", "phone"))
+    return f"""
+WITH base AS (
+  SELECT c_custkey,
+         'contact ' || lower(replace(c_name, '#', '.')) || '@example.com'
+         || ' phone 555-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+         || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+         || ' ip 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.0.1'
+         || ' segment ' || c_mktsegment AS note
+  FROM customer),
+-- sequential count-then-redact per pattern, mirroring redact_pii: the
+-- count is the number of spans actually replaced at each step
+r1 AS (SELECT c_custkey, len(regexp_extract_all(note, '{e}')) AS n1,
+              regexp_replace(note, '{e}', '[PII]', 'g') AS s1 FROM base),
+r2 AS (SELECT c_custkey, n1, len(regexp_extract_all(s1, '{i}')) AS n2,
+              regexp_replace(s1, '{i}', '[PII]', 'g') AS s2 FROM r1),
+r3 AS (SELECT c_custkey, n1, n2, len(regexp_extract_all(s2, '{p}')) AS n3,
+              regexp_replace(s2, '{p}', '[PII]', 'g') AS s3 FROM r2)
+SELECT c_custkey, s3 AS note, CAST(n1 + n2 + n3 AS INT) AS note_pii_count
+FROM r3
+ORDER BY c_custkey
+"""
+
+
+_Q46_SQL = _q46_sql()
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1659,6 +1768,8 @@ QUERIES = {
     "q42_hash_sample": q42_hash_sample,
     "q43_source_mix": q43_source_mix,
     "q44_winnow_pairs": q44_winnow_pairs,
+    "q45_repetition": q45_repetition,
+    "q46_redact_pii": q46_redact_pii,
 }
 
 ORACLE_SQL = {
@@ -1703,4 +1814,6 @@ ORACLE_SQL = {
     "q42_hash_sample": _Q42_SQL,
     "q43_source_mix": _Q43_SQL,
     "q44_winnow_pairs": _Q44_SQL,
+    "q45_repetition": _Q45_SQL,
+    "q46_redact_pii": _Q46_SQL,
 }

@@ -424,3 +424,47 @@ def test_winnow_fingerprints_guarantee_and_edges(spark):
     for fps in out.values():
         assert fps == sorted(set(fps))
         assert all(len(f) == 12 for f in fps)
+
+
+def test_repetition_stats_metrics_and_tiebreak(spark):
+    from pyveb_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df, n=2).collect()}
+    r1 = rows[1]  # bigrams: "a b","b a","a b","b a"
+    assert (r1.n_ngrams, r1.n_distinct) == (4, 2)
+    assert r1.dup_ngram_frac == 0.5 and r1.top_ngram_frac == 0.5
+    assert r1.top_ngram == "b a"  # tie on count=2 → lexicographically max
+    r2 = rows[2]
+    assert (r2.n_ngrams, r2.n_distinct, r2.dup_ngram_frac) == (2, 2, 0.0)
+    assert 3 not in rows  # < n tokens → no grams → absent (UNNEST parity)
+
+
+def test_redact_pii_patterns_and_counts(spark):
+    from pyveb_spark.operators.cleaning import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "call 555-123-4567 or ping 192.168.001.1"),
+            (3, "clean text, nothing to scrub"),
+            (4, "digits-in-local 123-456-7890@x.co stay one email"),
+        ],
+        "id long, s string",
+    )
+    out = {r.id: r for r in redact_pii(df, ["s"]).collect()}
+    assert out[1].s == "mail [PII] now" and out[1].s_pii_count == 1
+    assert out[2].s == "call [PII] or ping [PII]" and out[2].s_pii_count == 2
+    assert out[3].s_pii_count == 0 and out[3].s == "clean text, nothing to scrub"
+    # email pattern consumes the whole address before the phone pattern
+    # can see the digits in the local part
+    assert out[4].s == "digits-in-local [PII] stay one email"
+    assert out[4].s_pii_count == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        redact_pii(df, ["s"], kinds=("email", "ssn"))
