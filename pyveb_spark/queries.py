@@ -1720,6 +1720,119 @@ _Q46_SQL = _q46_sql()
 
 
 # ---------------------------------------------------------------------------
+# Relational depth: correlated subqueries (TPC-H Q17 / Q21 shapes)
+# ---------------------------------------------------------------------------
+
+def q47_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity orders of one brand,
+    where "small" is a correlated per-part threshold (20% of that part's
+    average quantity). Written in the decorrelated form Catalyst would
+    rewrite the subquery into anyway: pre-aggregate the per-part average,
+    join back on l_partkey. Both the aggregation and the join shuffle on
+    the same key, so the exchange is reused; the brand filter is a
+    broadcast semi-join that prunes before the expensive join. Quantity
+    sums are exact (integer-valued doubles < 2^53), so the 0.2·avg
+    threshold is bit-identical across engines.
+    """
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    thresh = l.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2) * (F.sum("l_quantity") / F.count(F.lit(1)))
+        ).alias("__t")
+    )
+    brand = p.where(F.col("p_brand") == "Brand#1").select("p_partkey")
+    return (
+        l.join(
+            F.broadcast(brand), l.l_partkey == brand.p_partkey, "left_semi"
+        )
+        .join(thresh, "l_partkey")
+        .where(F.col("l_quantity") < F.col("__t"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+_Q47_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+           AS avg_yearly
+FROM lineitem l
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.2 * (SUM(l2.l_quantity) / COUNT(*))
+                    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def q48_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to the fixture's columns): for finalized
+    orders with lines from multiple suppliers, count per supplier how
+    often they were the strictly-last to ship. EXISTS → left-semi join,
+    NOT EXISTS → left-anti join with a non-equi conjunct; all three
+    lineitem roles shuffle on l_orderkey so AQE plans one co-partitioned
+    exchange chain, and the supplier-name join broadcasts.
+    """
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    s = read_table(spark, sf_dir, "supplier")
+    l1 = l.select("l_orderkey", "l_suppkey", "l_shipdate")
+    f_orders = o.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l2 = l.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("__sk")
+    )
+    l3 = l.select(
+        F.col("l_orderkey").alias("__ok3"),
+        F.col("l_suppkey").alias("__sk3"),
+        F.col("l_shipdate").alias("__sd3"),
+    )
+    base = (
+        l1.join(f_orders, l1.l_orderkey == f_orders.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("__ok"))
+            & (F.col("l_suppkey") != F.col("__sk")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("__ok3"))
+            & (F.col("l_suppkey") != F.col("__sk3"))
+            & (F.col("__sd3") > F.col("l_shipdate")),
+            "left_anti",
+        )
+    )
+    return (
+        base.join(F.broadcast(s), base.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+_Q48_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1770,6 +1883,8 @@ QUERIES = {
     "q44_winnow_pairs": q44_winnow_pairs,
     "q45_repetition": q45_repetition,
     "q46_redact_pii": q46_redact_pii,
+    "q47_small_qty_revenue": q47_small_qty_revenue,
+    "q48_last_shipper": q48_last_shipper,
 }
 
 ORACLE_SQL = {
@@ -1816,4 +1931,6 @@ ORACLE_SQL = {
     "q44_winnow_pairs": _Q44_SQL,
     "q45_repetition": _Q45_SQL,
     "q46_redact_pii": _Q46_SQL,
+    "q47_small_qty_revenue": _Q47_SQL,
+    "q48_last_shipper": _Q48_SQL,
 }

@@ -75,3 +75,25 @@ def test_whole_stage_codegen_enabled(spark, sf_dir):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
     )
     assert "WholeStageCodegen" in codegen
+
+
+def test_q47_decorrelated_threshold_plan(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["q47_small_qty_revenue"](spark, sf_dir))
+    # brand filter is pushed to the part scan, not evaluated post-join
+    assert "EqualTo(p_brand,Brand#1)" in plan
+    # the brand prune is a semi-join (no part columns survive it)
+    assert "LeftSemi" in plan
+    # lineitem scan reads only the 3 needed of 11 columns
+    read_schema = next(
+        l for l in plan.splitlines()
+        if "ReadSchema" in l and "l_partkey" in l
+    )
+    assert "l_orderkey" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_q48_semi_anti_topk_plan(spark, sf_dir):
+    plan = _executed_plan(QUERIES["q48_last_shipper"](spark, sf_dir))
+    # EXISTS / NOT EXISTS compile to semi / anti joins, never inner+distinct
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    # final top-20 is a heap, not a global sort
+    assert "TakeOrderedAndProject" in plan
