@@ -1720,6 +1720,75 @@ _Q46_SQL = _q46_sql()
 
 
 # ---------------------------------------------------------------------------
+# §2.11 streaming: stream-stream interval (attribution) join
+# (rows-only: streaming execution; stream==batch equivalence pinned in
+# tests/test_streaming.py::test_stream_interval_join_equals_batch)
+# ---------------------------------------------------------------------------
+
+def q49_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events replayed as TWO file streams (clicks, purchases) joined
+    stream-to-stream on user within a 2-day interval — the attribution
+    shape. Watermarks on both sides + both-bounded time condition keep the
+    join state evictable (the property that survives unbounded streams).
+    Returns per-user attributed-pair counts."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyveb_spark.streaming.stream import (
+        read_file_stream,
+        run_available_now,
+        stream_interval_join,
+    )
+
+    src = read_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="q49_")
+    drops = os.path.join(tmp, "drops")
+    src.repartition(2).write.mode("overwrite").parquet(drops)
+    stream = read_file_stream(spark, drops, src.schema)
+    clicks = stream.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("ts_click"),
+        F.col("event_id").alias("click_id"),
+    )
+    buys = stream.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ts_buy"),
+        F.col("event_id").alias("buy_id"),
+    )
+    joined = stream_interval_join(
+        clicks,
+        buys,
+        keys=["user_id"],
+        left_ts="ts_click",
+        right_ts="ts_buy",
+        max_delay="2 days",
+        watermark="1 day",
+    ).select("user_id", "click_id", "buy_id")
+    name = f"q49_{uuid.uuid4().hex[:8]}"
+    q = run_available_now(
+        joined,
+        os.path.join(tmp, "ck"),
+        output_mode="append",
+        fmt="memory",
+        query_name=name,
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q49 stream attribution did not finish in 300s")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_attributed"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Relational depth: correlated subqueries (TPC-H Q17 / Q21 shapes)
 # ---------------------------------------------------------------------------
 
@@ -1885,6 +1954,7 @@ QUERIES = {
     "q46_redact_pii": q46_redact_pii,
     "q47_small_qty_revenue": q47_small_qty_revenue,
     "q48_last_shipper": q48_last_shipper,
+    "q49_stream_attribution": q49_stream_attribution,
 }
 
 ORACLE_SQL = {

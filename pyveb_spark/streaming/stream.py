@@ -30,6 +30,7 @@ __all__ = [
     "session_window_agg",
     "stateful_dedup",
     "stateful_running_totals",
+    "stream_interval_join",
     "foreach_batch_upsert",
     "run_available_now",
 ]
@@ -232,3 +233,45 @@ def run_available_now(
         if path is not None:
             writer = writer.option("path", path)
     return writer.start()
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "1 hour",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval (attribution) join: pair each left event with
+    right events on the same ``keys`` whose timestamp falls in
+    ``[left_ts, left_ts + max_delay]`` — the click→purchase attribution
+    shape. Works identically on batch DataFrames (watermarks are a no-op
+    there), keeping the one-transform-library contract.
+
+    Both sides get a watermark and the join condition bounds both event
+    times, which is exactly what Structured Streaming needs to evict join
+    state: each side's buffered rows are dropped once the other side's
+    watermark passes ``max_delay + watermark``. Without the time bounds
+    the state store grows without bound — the difference between a join
+    that survives a 100 TB/day stream and one that OOMs. ``left_ts`` and
+    ``right_ts`` must be distinct names (rename before calling); the
+    right side's key columns are dropped from the output.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = None
+    for k in keys:
+        c = lw[k] == rw[k]
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    out = lw.join(rw, cond, how)
+    for k in keys:
+        out = out.drop(rw[k])
+    return out

@@ -176,3 +176,49 @@ def test_stateful_running_totals_accumulate_across_batches(spark, events_dir):
         got = final[r.user_id]
         assert got.n_events == r.n
         assert abs(got.total_value - r.t) < 1e-6
+
+
+def test_stream_interval_join_equals_batch(spark, events_dir):
+    from pyveb_spark.streaming import stream_interval_join
+
+    path, schema = events_dir
+    # clicks → purchases by the same user within 2 days (attribution)
+    def split(df):
+        clicks = df.where(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("ts_click"),
+            F.col("event_id").alias("click_id"),
+        )
+        buys = df.where(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("ts_buy"),
+            F.col("event_id").alias("buy_id"),
+        )
+        return clicks, buys
+
+    s_clicks, s_buys = split(read_file_stream(spark, path, schema))
+    joined = stream_interval_join(
+        s_clicks, s_buys, keys=["user_id"],
+        left_ts="ts_click", right_ts="ts_buy",
+        max_delay="2 days", watermark="1 day",
+    ).select("user_id", "click_id", "buy_id")
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = run_available_now(
+            joined, os.path.join(ckpt, "ck"), output_mode="append",
+            fmt="memory", query_name="attr_join",
+        )
+        q.awaitTermination(120)
+    got = {
+        (r.user_id, r.click_id, r.buy_id)
+        for r in spark.sql("SELECT * FROM attr_join").collect()
+    }
+    b_clicks, b_buys = split(read_table(spark, "/root/testdata/sf0.001", "events"))
+    expected = {
+        tuple(r)
+        for r in b_clicks.join(b_buys, "user_id")
+        .where(
+            (F.col("ts_buy") >= F.col("ts_click"))
+            & (F.col("ts_buy") <= F.col("ts_click") + F.expr("INTERVAL 2 days"))
+        )
+        .select("user_id", "click_id", "buy_id")
+        .collect()
+    }
+    assert got == expected and len(got) > 0
