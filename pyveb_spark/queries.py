@@ -1789,6 +1789,35 @@ def q49_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sketch aggregation: HLL distinct-user rollup
+# (rows-only: DataSketches estimates aren't reproducible by other engines'
+# HLL implementations; the error-bound contract is pinned in unit tests)
+# ---------------------------------------------------------------------------
+
+def q50_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via mergeable HLL sketches: one pass
+    builds per-(type, day) partial sketches, a second unions them to the
+    type grain — the pre-aggregated-sketch-table pattern that replaces
+    exact count-distinct shuffles at 100 TB. Exact counts alongside for
+    the visible error."""
+    from pyveb_spark.operators.sketches import hll_partial, hll_rollup
+
+    e = read_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    part = hll_partial(e, ["event_type", "day"], "user_id")
+    approx = hll_rollup(part, ["event_type"], out_col="approx_users")
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        approx.join(exact, "event_type")
+        .select("event_type", "approx_users", "exact_users")
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Relational depth: correlated subqueries (TPC-H Q17 / Q21 shapes)
 # ---------------------------------------------------------------------------
 
@@ -1955,6 +1984,7 @@ QUERIES = {
     "q47_small_qty_revenue": q47_small_qty_revenue,
     "q48_last_shipper": q48_last_shipper,
     "q49_stream_attribution": q49_stream_attribution,
+    "q50_hll_rollup": q50_hll_rollup,
 }
 
 ORACLE_SQL = {

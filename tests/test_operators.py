@@ -468,3 +468,58 @@ def test_redact_pii_patterns_and_counts(spark):
 
     with _pytest.raises(ValueError):
         redact_pii(df, ["s"], kinds=("email", "ssn"))
+
+
+def test_hll_sketch_error_and_rollup_associativity(spark):
+    from pyveb_spark.operators.sketches import (
+        hll_distinct,
+        hll_partial,
+        hll_rollup,
+    )
+
+    df = spark.range(20000).select(
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") % 40).alias("sub"),
+        (F.col("id") % 3000).alias("u"),
+    )
+    # error bound: DataSketches HLL at lgK=12 has ~1.6% RSE; assert 5%
+    direct = {
+        r.g: r.approx
+        for r in df.groupBy("g").agg(hll_distinct("u").alias("approx")).collect()
+    }
+    exact = {
+        r.g: r.exact
+        for r in df.groupBy("g")
+        .agg(F.count_distinct("u").alias("exact"))
+        .collect()
+    }
+    for g in exact:
+        assert abs(direct[g] - exact[g]) / exact[g] < 0.05
+    # mergeability: every rollup path (one-step, and two-step through an
+    # intermediate union grain) honors the error bound vs exact — sketch
+    # estimates are path-dependent only within that bound
+    from pyveb_spark.operators.sketches import hll_merge
+
+    fine = hll_partial(df, ["g", "sub"], "u")
+    one_step = {
+        r.g: r.approx_distinct for r in hll_rollup(fine, ["g"]).collect()
+    }
+    mid = hll_merge(
+        fine.withColumn("mid", F.col("sub") % 5), ["g", "mid"]
+    )
+    two_step = {
+        r.g: r.approx_distinct for r in hll_rollup(mid, ["g"]).collect()
+    }
+    for g in exact:
+        assert abs(one_step[g] - exact[g]) / exact[g] < 0.05
+        assert abs(two_step[g] - exact[g]) / exact[g] < 0.05
+
+
+def test_approx_quantiles_brackets_exact_median(spark):
+    from pyveb_spark.operators.sketches import approx_quantiles
+
+    df = spark.range(10001).select(
+        F.lit("a").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    [row] = approx_quantiles(df, ["g"], "v", probabilities=(0.5,)).collect()
+    assert abs(row.approx_quantiles[0] - 5000.0) <= 10
