@@ -37,7 +37,67 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "duplicate_clusters",
+    "chunk_stats",
 ]
+
+
+def chunk_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 12,
+    delimiter: str = " ",
+) -> DataFrame:
+    """Sub-document exact dedup at fixed token-chunk granularity (the
+    C4/CCNet line-dedup shape, adapted to a corpus without line breaks:
+    the dedup unit is a run of ``chunk_tokens`` consecutive tokens instead
+    of a physical line — pass ``delimiter='\\n'`` and ``chunk_tokens=1``
+    for literal line dedup).
+
+    Returns per-document ``(id_col, n_chunks, n_dup_chunks, dup_frac)``
+    where a chunk is a *duplicate* if the identical chunk text occurs
+    earlier in the corpus stream — "earlier" being the total order
+    (id, chunk position), so the first occurrence corpus-wide is the one
+    kept, deterministically on any partitioning.
+
+    Scale notes: one shuffle on the chunk-text hash (the keep-first
+    window), one shuffle back to the document grain. Chunks are md5-hashed
+    before the shuffle so exchange rows are fixed-width; the window per
+    hash group is tiny (duplicate multiplicity), so no skew beyond
+    pathological boilerplate — which is exactly what the operator is for
+    finding. No driver state.
+    """
+    toks = F.split(F.col(text_col), delimiter)
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunked = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - F.lit(1)),
+                    lambda i: F.array_join(
+                        F.slice(
+                            toks, i * chunk_tokens + 1, chunk_tokens
+                        ),
+                        delimiter,
+                    ),
+                )
+            ).alias("__pos", "__chunk"),
+        )
+        .withColumn("__h", F.md5(F.col("__chunk").cast("binary")))
+    )
+    w = Window.partitionBy("__h").orderBy(F.col(id_col), F.col("__pos"))
+    first = F.row_number().over(w) == 1
+    per_doc = chunked.withColumn("__is_dup", (~first).cast("int")).groupBy(
+        id_col
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("__is_dup").alias("n_dup_chunks"),
+        F.round(
+            F.sum("__is_dup") / F.count(F.lit(1)), 4
+        ).alias("dup_frac"),
+    )
 
 
 def exact_dedup(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:

@@ -1,0 +1,111 @@
+"""Sequence packing for training-data pipelines (north-star extension).
+
+Pretraining consumes fixed-length token windows, not documents; the step
+between "deduped corpus" and "training batches" is *packing*: lay the
+corpus out as one long token stream and cut it every ``budget`` tokens
+(documents span window boundaries — the GPT-style packing every large
+pretraining pipeline uses), or assign whole documents to contiguous bins
+(inference/eval batching). The reference has no analogue (its unit of work
+is a whole staged file); this is part of the BASELINE.json LLM-pipeline
+surface.
+
+Both layouts here are *deterministic and partitioning-independent*: the
+stream order is a total order on an explicit key column, and every
+assignment is a closed-form function of the running token count — a single
+window ``SUM`` — so the same corpus packs identically on 1 or 1000
+executors. No driver state, no sequential loop.
+
+Scale notes: the only shuffle is the global sort implied by the ordering
+window (range-partitioned by Spark's window exchange). At 100 TB you'd
+pre-sort the corpus once (or order by a bucketed content hash) and reuse
+that layout for every epoch; the window itself is a prefix sum — one pass,
+map-side-light. ``pack_spans`` emits one row per (document × window)
+overlap via ``sequence``+``explode``; a document adds
+``ceil(n_tokens/budget)+1`` rows at most, so output is O(corpus/budget)
+— no blow-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["with_token_offsets", "pack_spans", "pack_contiguous"]
+
+
+def with_token_offsets(
+    df: DataFrame, n_tokens_col: str, order_col: str
+) -> DataFrame:
+    """Add ``start_tok`` (exclusive prefix sum) and ``end_tok`` (inclusive,
+    = start + n - 1) giving each document its half-open slice
+    [start_tok, end_tok] of the concatenated corpus token stream, ordered
+    by ``order_col`` (must be a total order — use a unique id or a content
+    hash for a reproducible shuffle-once layout)."""
+    w = (
+        Window.orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tokens_col).over(w)
+    return (
+        df.withColumn("__cum", cum)
+        .withColumn("start_tok", (F.col("__cum") - F.col(n_tokens_col)))
+        .withColumn("end_tok", F.col("__cum") - F.lit(1))
+        .drop("__cum")
+    )
+
+
+def pack_spans(
+    df: DataFrame,
+    n_tokens_col: str,
+    order_col: str,
+    budget: int,
+) -> DataFrame:
+    """GPT-style packing: cut the concatenated token stream every
+    ``budget`` tokens; documents span cuts. Returns one row per
+    (document, pack) overlap with the token sub-range the document
+    contributes:
+
+      ``order_col, pack_id, span_start, span_end, span_tokens``
+
+    where span_* are positions in the corpus stream. Every pack except the
+    last holds exactly ``budget`` tokens — the invariant tests pin.
+    Documents with 0 tokens are dropped (they contribute no span)."""
+    b = F.lit(int(budget))
+    offs = with_token_offsets(df, n_tokens_col, order_col).where(
+        F.col(n_tokens_col) > 0
+    )
+    first_pack = (F.col("start_tok") / b).cast("bigint")
+    last_pack = (F.col("end_tok") / b).cast("bigint")
+    packs = offs.withColumn(
+        "pack_id", F.explode(F.sequence(first_pack, last_pack))
+    )
+    pack_lo = F.col("pack_id") * b
+    pack_hi = pack_lo + b - F.lit(1)
+    return packs.select(
+        order_col,
+        "pack_id",
+        F.greatest(F.col("start_tok"), pack_lo).alias("span_start"),
+        F.least(F.col("end_tok"), pack_hi).alias("span_end"),
+        (
+            F.least(F.col("end_tok"), pack_hi)
+            - F.greatest(F.col("start_tok"), pack_lo)
+            + F.lit(1)
+        ).alias("span_tokens"),
+    )
+
+
+def pack_contiguous(
+    df: DataFrame,
+    n_tokens_col: str,
+    order_col: str,
+    budget: int,
+) -> DataFrame:
+    """Whole-document contiguous binning: documents (in ``order_col``
+    order) go into bin ``floor(start_tok / budget)`` — each document lands
+    in exactly one bin, bins hold ≈``budget`` tokens (a bin may overflow by
+    up to one document; none underflows except the last). The eval-batch /
+    shard-layout shape; use ``pack_spans`` for training windows."""
+    offs = with_token_offsets(df, n_tokens_col, order_col)
+    return offs.withColumn(
+        "bin_id", (F.col("start_tok") / F.lit(int(budget))).cast("bigint")
+    )

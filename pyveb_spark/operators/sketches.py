@@ -31,6 +31,9 @@ __all__ = [
     "hll_merge",
     "hll_rollup",
     "approx_quantiles",
+    "cms_bucket",
+    "cms_build",
+    "cms_estimate",
 ]
 
 # lgConfigK=12 → 4 KB sketches with ~1.6% relative standard error — the
@@ -103,3 +106,99 @@ def approx_quantiles(
             col, F.array(*[F.lit(p) for p in probabilities]), F.lit(accuracy)
         ).alias("approx_quantiles")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (portable): heavy-hitter frequency estimation
+# ---------------------------------------------------------------------------
+#
+# A CMS is depth-many rows of width-many counters; item frequency is
+# estimated as min over rows of counter[hash_row(item)]. The sketch table
+# here is literally a DataFrame of (depth, bucket, n) — built by one
+# groupBy, mergeable by summing counters (counts are additive), and
+# re-rollable to coarser grains like the HLL path. Unlike
+# ``df.stat.countMinSketch`` (driver-side, whole-column, opaque bytes),
+# this stays distributed and — because the row hashes are md5-prefix
+# based, the same portable-hex trick as operators/sampling.py — the whole
+# construction is reproducible verbatim in ANSI SQL, so CMS queries can be
+# oracle-checked, not just bound-tested.
+#
+# Error contract (standard CMS): estimate ≥ true count always, and
+# P[estimate > true + εN] ≤ δ with ε = e/width, δ = exp(-depth).
+
+_CMS_HEX = 12  # 48-bit md5 prefix → bucket; uniform, portable
+
+
+def cms_bucket(col, depth_idx, width: int) -> Column:
+    """Bucket index in [0, width) for sketch row ``depth_idx``: the 48-bit
+    md5 prefix of 'cms|<row>|<value>' mod width. String-rendered exactly
+    like the sampling module so oracles reproduce it verbatim."""
+    key = F.concat_ws(
+        "|",
+        F.lit("cms"),
+        depth_idx.cast("string"),
+        col.cast("string"),
+    )
+    return (
+        F.conv(F.substring(F.md5(key.cast("binary")), 1, _CMS_HEX), 16, 10)
+        .cast("bigint")
+        % F.lit(int(width))
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """One pass → sketch table ``(depth_idx, bucket, n)``. Each input row
+    contributes to ``depth`` counters via an inline (depth_idx) explode;
+    the single groupBy does map-side partial aggregation, so the shuffle
+    carries at most depth×width rows per task regardless of input size.
+    Merging sketch tables = unionAll + re-groupBy-sum (counts are
+    additive); build at the finest grain once, roll up later."""
+    w = F.lit(1).cast("bigint") if weight_col is None else F.col(
+        weight_col
+    ).cast("bigint")
+    rows = df.select(
+        F.col(col).alias("__v"),
+        w.alias("__w"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(depth) - 1))
+        ).alias("depth_idx"),
+    )
+    return (
+        rows.withColumn(
+            "bucket", cms_bucket(F.col("__v"), F.col("depth_idx"), width)
+        )
+        .groupBy("depth_idx", "bucket")
+        .agg(F.sum("__w").alias("n"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    out_col: str = "cms_count",
+) -> DataFrame:
+    """Point-query a sketch table for every row of ``items``: estimate =
+    min over depth rows of the matching counter. The probe fans each item
+    to its depth buckets and joins the (small, ≤ depth×width-row) sketch —
+    broadcastable, so probing N items is shuffle-free on the item side.
+    Absent buckets count 0 (possible when the sketch was built from data
+    not containing the item)."""
+    probes = items.select(
+        F.col(col),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(depth) - 1))
+        ).alias("depth_idx"),
+    ).withColumn("bucket", cms_bucket(F.col(col), F.col("depth_idx"), width))
+    joined = probes.join(
+        F.broadcast(sketch), ["depth_idx", "bucket"], "left"
+    ).withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    return joined.groupBy(col).agg(F.min("n").alias(out_col))

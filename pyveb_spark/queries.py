@@ -1931,6 +1931,325 @@ LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# Relational depth: scalar-aggregate subqueries (TPC-H Q11 / Q15 / Q22 shapes)
+# ---------------------------------------------------------------------------
+
+def q51_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part revenue from one nation's suppliers,
+    keeping parts whose value exceeds a fraction of the nation's total —
+    a HAVING against an uncorrelated scalar aggregate. The scalar is the
+    re-aggregation of the grouped result itself (no second scan of
+    lineitem) and reaches the filter as a 1-row broadcast cross join.
+    Value sums are exact decimal; the threshold compare casts both sides
+    to double for one identical IEEE multiply per engine."""
+    l = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(3,2)")
+    value = _dec("l_extendedprice") * (one - _dec("l_discount", 3, 2))
+    supp = s.join(
+        F.broadcast(n.where(F.col("n_name") == "NATION_3")),
+        s.s_nationkey == n.n_nationkey,
+        "left_semi",
+    ).select("s_suppkey")
+    grouped = (
+        l.join(F.broadcast(supp), l.l_suppkey == supp.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(value).alias("__v"))
+    )
+    total = grouped.agg(
+        (F.sum("__v").cast("double") * F.lit(0.001)).alias("__t")
+    )
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .where(F.col("__v").cast("double") > F.col("__t"))
+        .select("l_partkey", F.col("__v").cast("double").alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+_Q51_SQL = """
+WITH grouped AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS v
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                      JOIN nation ON s_nationkey = n_nationkey
+                      WHERE n_name = 'NATION_3')
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(v AS DOUBLE) AS value
+FROM grouped
+WHERE CAST(v AS DOUBLE) > (SELECT CAST(SUM(v) AS DOUBLE) * 0.001 FROM grouped)
+ORDER BY value DESC, l_partkey
+"""
+
+
+def q52_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue,
+    ties kept — equality against a scalar MAX of a grouped aggregate. The
+    revenue stays DECIMAL end-to-end so the tie compare is exact (the
+    whole point of the Q15 shape); only the output casts to double. The
+    grouped result is computed once and reused for both the max and the
+    filter (Spark reuses the shuffle; no second lineitem scan), and the
+    name lookup broadcasts."""
+    l = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    one = F.lit(1).cast("decimal(3,2)")
+    revenue = _dec("l_extendedprice") * (one - _dec("l_discount", 3, 2))
+    rev = (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(revenue).alias("__rev"))
+    )
+    top = rev.agg(F.max("__rev").alias("__max"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .where(F.col("__rev") == F.col("__max"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("__rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_Q52_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = (SELECT MAX(r) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q53_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance and
+    no orders, summarized per market segment — a scalar AVG subquery plus
+    a NOT EXISTS anti-join. The scalar broadcasts; the anti-join shuffles
+    customer against the orders key projection (at 100 TB AQE converts it
+    to broadcast if the distinct-custkey side compresses enough). The
+    average is exact-decimal-sum / count — one IEEE division per engine."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    avg_pos = c.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))
+        ).alias("__avg")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(avg_pos))
+        .where(F.col("c_acctbal") > F.col("__avg"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_Q53_SQL = """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                          / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: GPT-style sequence packing (token stream → fixed windows)
+# ---------------------------------------------------------------------------
+
+def q54_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the document corpus into 512-token training windows
+    (documents span window boundaries — the standard pretraining layout)
+    and summarize each pack: contributing docs, token count, doc-id range.
+    Every pack except the last must hold exactly 512 tokens — the
+    invariant the oracle re-derives independently via window prefix sums."""
+    from pyveb_spark.operators.packing import pack_spans
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    spans = pack_spans(d, "n_tokens", "doc_id", budget=512)
+    return (
+        spans.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("span_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("pack_id")
+    )
+
+
+_Q54_SQL = """
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+),
+offs AS (
+  SELECT doc_id, n,
+         SUM(n) OVER (ORDER BY doc_id) - n AS start_tok,
+         SUM(n) OVER (ORDER BY doc_id) - 1 AS end_tok
+  FROM d
+),
+spans AS (
+  SELECT doc_id,
+         unnest(generate_series(CAST(start_tok // 512 AS BIGINT),
+                                CAST(end_tok // 512 AS BIGINT))) AS pack_id,
+         start_tok, end_tok
+  FROM offs WHERE n > 0
+)
+SELECT pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LEAST(end_tok, pack_id * 512 + 511)
+                - GREATEST(start_tok, pack_id * 512) + 1) AS BIGINT)
+           AS pack_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM spans
+GROUP BY pack_id
+ORDER BY pack_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: sub-document exact dedup (C4/CCNet line-dedup shape)
+# ---------------------------------------------------------------------------
+
+def q55_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-chunk profile: split every document into
+    12-token chunks, mark each chunk a duplicate if the identical text
+    occurred earlier in the corpus stream (global keep-first order), and
+    report per-doc counts + duplicate fraction — the signal CCNet-style
+    pipelines threshold to drop boilerplate-heavy documents."""
+    from pyveb_spark.operators.dedup import chunk_stats
+
+    d = read_table(spark, sf_dir, "documents")
+    return chunk_stats(d, "doc_id", "text", chunk_tokens=12).orderBy(
+        "doc_id"
+    )
+
+
+_Q55_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[(i * 12 + 1):(i * 12 + 12)], ' ') AS chunk
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(
+                   0, CAST(ceil(len(toks) / 12.0) AS BIGINT) - 1)) AS i
+        FROM d)
+),
+r AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rk
+  FROM c
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_chunks,
+       ROUND(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) / COUNT(*), 4)
+           AS dup_frac
+FROM r
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sketches: count-min heavy hitters (portable-hash CMS, oracle-checked)
+# ---------------------------------------------------------------------------
+
+def q56_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequencies two ways: exact top-20 (one groupBy) vs a
+    count-min sketch estimate (depth 4 × width 1024, md5-bucketed so the
+    whole sketch is reproducible in ANSI SQL). CMS estimates are
+    guaranteed ≥ exact; on this vocabulary the widths are collision-free
+    enough that the oracle checks exact equality of the full table."""
+    from pyveb_spark.operators.sketches import cms_build, cms_estimate
+
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+    )
+    sketch = cms_build(toks, "token", depth=4, width=1024)
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "token")
+        .limit(20)
+    )
+    est = cms_estimate(
+        sketch, exact.select("token"), "token", depth=4, width=1024,
+        out_col="cms_n",
+    )
+    return (
+        exact.join(est, "token")
+        .select("token", "exact_n", "cms_n")
+        .orderBy(F.desc("exact_n"), "token")
+    )
+
+
+_Q56_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+seeds AS (SELECT unnest(generate_series(0, 3)) AS depth_idx),
+sketch AS (
+  SELECT depth_idx,
+         (('0x' || substr(md5('cms|' || depth_idx || '|' || token), 1, 12))::BIGINT)
+             % 1024 AS bucket,
+         COUNT(*) AS n
+  FROM toks, seeds
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT token, COUNT(*) AS exact_n
+  FROM toks GROUP BY token
+  ORDER BY exact_n DESC, token
+  LIMIT 20
+),
+probes AS (
+  SELECT token, exact_n, depth_idx,
+         (('0x' || substr(md5('cms|' || depth_idx || '|' || token), 1, 12))::BIGINT)
+             % 1024 AS bucket
+  FROM exact, seeds
+)
+SELECT p.token, CAST(MAX(p.exact_n) AS BIGINT) AS exact_n,
+       CAST(MIN(s.n) AS BIGINT) AS cms_n
+FROM probes p JOIN sketch s USING (depth_idx, bucket)
+GROUP BY p.token
+ORDER BY exact_n DESC, token
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1985,6 +2304,12 @@ QUERIES = {
     "q48_last_shipper": q48_last_shipper,
     "q49_stream_attribution": q49_stream_attribution,
     "q50_hll_rollup": q50_hll_rollup,
+    "q51_part_value_concentration": q51_part_value_concentration,
+    "q52_top_supplier": q52_top_supplier,
+    "q53_idle_rich_customers": q53_idle_rich_customers,
+    "q54_sequence_packing": q54_sequence_packing,
+    "q55_chunk_dedup": q55_chunk_dedup,
+    "q56_cms_heavy_hitters": q56_cms_heavy_hitters,
 }
 
 ORACLE_SQL = {
@@ -2033,4 +2358,10 @@ ORACLE_SQL = {
     "q46_redact_pii": _Q46_SQL,
     "q47_small_qty_revenue": _Q47_SQL,
     "q48_last_shipper": _Q48_SQL,
+    "q51_part_value_concentration": _Q51_SQL,
+    "q52_top_supplier": _Q52_SQL,
+    "q53_idle_rich_customers": _Q53_SQL,
+    "q54_sequence_packing": _Q54_SQL,
+    "q55_chunk_dedup": _Q55_SQL,
+    "q56_cms_heavy_hitters": _Q56_SQL,
 }

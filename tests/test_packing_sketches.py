@@ -1,0 +1,168 @@
+"""Unit tests: sequence packing, chunk-level dedup, count-min sketch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyveb_spark.operators.dedup import chunk_stats
+from pyveb_spark.operators.packing import (
+    pack_contiguous,
+    pack_spans,
+    with_token_offsets,
+)
+from pyveb_spark.operators.sketches import cms_build, cms_estimate
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, 1 + (i * 7) % 40) for i in range(50)] + [(100, 0)]
+    return spark.createDataFrame(rows, "doc_id bigint, n_tokens int")
+
+
+def test_offsets_are_exclusive_prefix_sums(spark, docs):
+    out = with_token_offsets(docs, "n_tokens", "doc_id").orderBy("doc_id")
+    rows = out.collect()
+    run = 0
+    for r in rows:
+        assert r.start_tok == run
+        run += r.n_tokens
+        assert r.end_tok == run - 1
+
+
+def test_pack_spans_invariants(spark, docs):
+    budget = 64
+    spans = pack_spans(docs, "n_tokens", "doc_id", budget)
+    per_pack = (
+        spans.groupBy("pack_id")
+        .agg(F.sum("span_tokens").alias("tok"))
+        .orderBy("pack_id")
+        .collect()
+    )
+    # every pack but the last holds exactly `budget` tokens
+    assert all(r.tok == budget for r in per_pack[:-1])
+    assert 0 < per_pack[-1].tok <= budget
+    # pack ids are contiguous from 0
+    assert [r.pack_id for r in per_pack] == list(range(len(per_pack)))
+    # each document's spans reassemble exactly its token range
+    per_doc = (
+        spans.groupBy("doc_id")
+        .agg(
+            F.sum("span_tokens").alias("tok"),
+            F.min("span_start").alias("lo"),
+            F.max("span_end").alias("hi"),
+        )
+        .collect()
+    )
+    n_by_id = {r.doc_id: r.n_tokens for r in docs.collect()}
+    for r in per_doc:
+        assert r.tok == n_by_id[r.doc_id]
+        assert r.hi - r.lo + 1 == r.tok
+    # zero-token documents contribute no span
+    assert spans.where(F.col("doc_id") == 100).count() == 0
+
+
+def test_pack_contiguous_each_doc_one_bin(spark, docs):
+    budget = 64
+    out = pack_contiguous(docs, "n_tokens", "doc_id", budget)
+    assert out.count() == docs.count()  # no fan-out
+    bins = (
+        out.where(F.col("n_tokens") > 0)
+        .groupBy("bin_id")
+        .agg(F.sum("n_tokens").alias("tok"), F.max("n_tokens").alias("big"))
+        .collect()
+    )
+    for r in bins:
+        # a bin overflows by at most one document's tail
+        assert r.tok < budget + r.big
+
+
+def test_chunk_stats_marks_repeats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),  # chunks: "a b", "c d"
+            (2, "a b a b"),  # "a b" dup of doc1, second "a b" dup too
+            (3, "x y"),  # unique
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in chunk_stats(df, "doc_id", "text", chunk_tokens=2).collect()
+    }
+    assert rows[1].n_chunks == 2 and rows[1].n_dup_chunks == 0
+    assert rows[2].n_chunks == 2 and rows[2].n_dup_chunks == 2
+    assert rows[2].dup_frac == 1.0
+    assert rows[3].n_dup_chunks == 0
+
+
+def test_chunk_stats_intra_doc_repeat_and_short_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "z")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in chunk_stats(df, "doc_id", "text", chunk_tokens=2).collect()
+    }
+    # chunks of doc1: "a b", "a b", "a" → one intra-doc dup
+    assert rows[1].n_chunks == 3 and rows[1].n_dup_chunks == 1
+    # one-token doc → a single (short) chunk
+    assert rows[2].n_chunks == 1 and rows[2].n_dup_chunks == 0
+
+
+@pytest.fixture(scope="module")
+def tokens(spark):
+    rows = [("tok_%d" % (i % 97),) for i in range(3000)]
+    return spark.createDataFrame(rows, "token string")
+
+
+def test_cms_never_underestimates(spark, tokens):
+    sketch = cms_build(tokens, "token", depth=4, width=256)
+    exact = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    est = cms_estimate(
+        sketch, exact.select("token"), "token", depth=4, width=256
+    )
+    joined = exact.join(est, "token").collect()
+    assert len(joined) == 97
+    assert all(r.cms_count >= r.n for r in joined)
+    # ε = e/width error bound over total mass N, per standard CMS analysis;
+    # with width 256 and N=3000 the slack is ~32 — generous but pinned
+    n_total = 3000
+    assert all(r.cms_count <= r.n + (2.72 * n_total) / 256 for r in joined)
+
+
+def test_cms_merge_equals_single_build(spark, tokens):
+    half1 = tokens.limit(1500)
+    # deterministic complement via row id is overkill; rebuild from ranges
+    rows = [("tok_%d" % (i % 97),) for i in range(1500, 3000)]
+    half2 = spark.createDataFrame(rows, "token string")
+    s1 = cms_build(half1, "token", depth=2, width=128)
+    s2 = cms_build(half2, "token", depth=2, width=128)
+    merged = (
+        s1.unionByName(s2)
+        .groupBy("depth_idx", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    full = cms_build(tokens, "token", depth=2, width=128)
+    diff = (
+        merged.withColumnRenamed("n", "nm")
+        .join(full, ["depth_idx", "bucket"], "full")
+        .where(
+            F.coalesce(F.col("nm"), F.lit(0))
+            != F.coalesce(F.col("n"), F.lit(0))
+        )
+    )
+    assert diff.count() == 0
+
+
+def test_cms_weighted_counts(spark):
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("a", 2)], "token string, w int"
+    )
+    sketch = cms_build(df, "token", depth=4, width=64, weight_col="w")
+    est = cms_estimate(
+        sketch, df.select("token").distinct(), "token", depth=4, width=64
+    )
+    rows = {r.token: r.cms_count for r in est.collect()}
+    assert rows["a"] >= 7 and rows["b"] >= 3
