@@ -1,0 +1,106 @@
+"""Data-layout operators: multi-dimensional (Z-order) clustering for scans.
+
+Parquet/ORC scans prune row groups and files with min/max statistics; the
+stats only help if the file layout makes them tight. Sorting on one column
+gives perfect pruning on that column and none on any other; interleaving
+the bits of several columns (a Morton / Z-order key) gives good-but-not-
+perfect pruning on *all* of them — the layout trick behind Delta's
+``OPTIMIZE ZORDER BY`` and ClickHouse/Iceberg equivalents, built here from
+native Spark expressions (no lakehouse dependency).
+
+The reference's only layout control is date partition keys
+(``common.py:47-61``) — correct for time pruning, useless for the
+second-dimension scans (user, key range) a 100 TB table also serves.
+
+Scale notes: computing the key is a stateless per-row expression; the only
+shuffle is the ``repartitionByRange`` that physically clusters by key —
+the same single global-sort-shaped exchange any layout rewrite pays. The
+min/max normalization bounds come from one tiny aggregate (or caller-
+provided constants for incremental rewrites, so appending a new partition
+never rescans history).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["morton_interleave", "zorder_key", "zorder_layout"]
+
+
+def morton_interleave(cols: Sequence[Column], bits: int = 16) -> Column:
+    """Bit-interleave ``len(cols)`` non-negative integer Columns (each
+    already scaled into [0, 2**bits)) into one Morton key: output bit
+    ``b*k + i`` is input ``i``'s bit ``b``. Total bits must fit a signed
+    64-bit long. Pure Catalyst bit arithmetic — codegen-friendly, no UDF."""
+    k = len(cols)
+    if k * bits > 63:
+        raise ValueError(f"{k} cols × {bits} bits exceeds a 64-bit key")
+    parts = [
+        F.shiftleft(
+            F.shiftright(c.cast("bigint"), b).bitwiseAND(F.lit(1)),
+            b * k + i,
+        )
+        for i, c in enumerate(cols)
+        for b in range(bits)
+    ]
+    return reduce(lambda a, x: a.bitwiseOR(x), parts)
+
+
+def zorder_key(
+    df: DataFrame, cols: Sequence[str], bits: int = 16,
+    bounds: dict[str, tuple[float, float]] | None = None,
+) -> Column:
+    """Z-order key Column for ``cols`` (numeric or timestamp): each column
+    is affinely scaled to [0, 2**bits) using its min/max (one small
+    aggregate, or caller-pinned ``bounds`` so incremental rewrites use the
+    same grid as the base layout), then bit-interleaved."""
+    if bounds is None:
+        row = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+            *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+        ).first()
+        bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in cols}
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        mn, mx = bounds[c]
+        span = (mx - mn) or 1.0
+        scaled.append(
+            F.least(
+                F.lit(top),
+                F.greatest(
+                    F.lit(0),
+                    (
+                        (F.col(c).cast("double") - F.lit(float(mn)))
+                        / F.lit(float(span))
+                        * F.lit(float(top))
+                    ).cast("bigint"),
+                ),
+            )
+        )
+    return morton_interleave(scaled, bits)
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: Sequence[str],
+    n_files: int,
+    bits: int = 16,
+    bounds: dict[str, tuple[float, float]] | None = None,
+) -> DataFrame:
+    """Physically cluster ``df`` for multi-dimensional scan pruning: range-
+    partition into ``n_files`` partitions of the Z-order key and sort
+    within each, so every output file covers a compact hyper-rectangle and
+    min/max stats prune on *every* clustered column. Write the result with
+    any §2.2 writer."""
+    key = zorder_key(df, cols, bits, bounds)
+    return (
+        df.withColumn("__z", key)
+        .repartitionByRange(int(n_files), "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )

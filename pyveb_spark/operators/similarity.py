@@ -32,6 +32,9 @@ __all__ = [
     "cosine_topk_lsh",
     "ivf_index",
     "ivf_search",
+    "nearest_centroid",
+    "kmeans_fit",
+    "kmeans_assign",
 ]
 
 
@@ -207,19 +210,37 @@ def ivf_index(
     The centroid table is O(n_lists × dim) — driver-resident by design
     (like every IVF implementation's coarse quantizer).
     """
+    centroids = _seed_centroids(df, n_lists, id_col, vec_col)
+    best = nearest_centroid(F.col(vec_col), centroids)
+    return df.withColumn("ivf_list", best["list_id"]), centroids
+
+
+def _seed_centroids(
+    df: DataFrame, k: int, id_col: str, vec_col: str
+) -> list[tuple[int, list[float]]]:
+    """Deterministic pseudo-random seed centroids: the ``k`` corpus vectors
+    with the smallest ``xxhash64(id)`` — no RNG state, identical on any
+    partitioning."""
     seeds = (
         df.select(id_col, vec_col)
         .withColumn("__h", F.xxhash64(F.col(id_col)))
         .orderBy("__h")
-        .limit(n_lists)
+        .limit(k)
         .collect()
     )
-    centroids = [
+    return [
         (i, [float(x) for x in row[vec_col]]) for i, row in enumerate(seeds)
     ]
-    v = _as_double(F.col(vec_col))
-    best = F.lit(None)
-    # argmin over centroid distances as a fold of (dist, list_id) structs
+
+
+def nearest_centroid(
+    vec_col, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """Struct Column ``(dist, list_id)`` of the nearest centroid by squared
+    L2 — an argmin fold over literal centroid arrays, evaluated entirely in
+    the scan stage (no shuffle, no UDF). Ties break to the first (lowest
+    index) centroid, matching ``numpy.argmin``."""
+    v = _as_double(vec_col)
     cands = F.array(
         *[
             F.struct(
@@ -237,14 +258,13 @@ def ivf_index(
             for i, c in centroids
         ]
     )
-    best = F.reduce(
+    return F.reduce(
         cands,
         F.struct(
             F.lit(float("inf")).alias("dist"), F.lit(-1).alias("list_id")
         ),
         lambda acc, x: F.when(x["dist"] < acc["dist"], x).otherwise(acc),
     )
-    return df.withColumn("ivf_list", best["list_id"]), centroids
 
 
 def ivf_search(
@@ -275,6 +295,79 @@ def ivf_search(
         vec_col=vec_col,
         exclude_ids=exclude_ids,
     ).drop("ivf_list")
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means over an embedding column, Spark-native.
+
+    Each iteration is two distributed steps: (1) assignment — the
+    ``nearest_centroid`` argmin fold, a stateless scan expression; (2)
+    update — ``posexplode`` the vectors and average per (cluster,
+    dimension), one shuffle of k×dim running sums thanks to map-side
+    partial aggregation. Only the k×dim centroid matrix ever reaches the
+    driver (it is the model, same as every k-means implementation);
+    data never does. Initialization is the deterministic hash sample
+    (``_seed_centroids``), so runs are reproducible on any cluster size.
+    Empty clusters keep their previous centroid. Stops early when the
+    max centroid movement (squared L2) drops below ``tol``.
+    """
+    data = df.select(id_col, vec_col).persist()
+    try:
+        centroids = _seed_centroids(data, k, id_col, vec_col)
+        for _ in range(max_iter):
+            assigned = data.withColumn(
+                "__c", nearest_centroid(F.col(vec_col), centroids)["list_id"]
+            )
+            rows = (
+                assigned.select(
+                    "__c", F.posexplode(_as_double(F.col(vec_col)))
+                )
+                .groupBy("__c", "pos")
+                .agg(F.avg("col").alias("v"))
+                .collect()
+            )
+            by_cluster: dict[int, dict[int, float]] = {}
+            for r in rows:
+                by_cluster.setdefault(r["__c"], {})[r["pos"]] = r["v"]
+            new_centroids = []
+            shift = 0.0
+            for i, old in centroids:
+                if i in by_cluster:
+                    dims = by_cluster[i]
+                    vec = [dims[p] for p in range(len(old))]
+                else:
+                    vec = old
+                shift = max(
+                    shift, sum((a - b) ** 2 for a, b in zip(vec, old))
+                )
+                new_centroids.append((i, vec))
+            centroids = new_centroids
+            if shift < tol:
+                break
+        return centroids
+    finally:
+        data.unpersist()
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Label every row with its nearest centroid — one narrow scan-stage
+    expression, no shuffle; usable on data the model never saw (it is the
+    predict step)."""
+    return df.withColumn(
+        out_col, nearest_centroid(F.col(vec_col), centroids)["list_id"]
+    )
 
 
 def _random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

@@ -2250,6 +2250,44 @@ ORDER BY exact_n DESC, token
 
 
 # ---------------------------------------------------------------------------
+# ML ops: k-means clustering over embeddings
+# (rows-only: iterative float averaging isn't SQL-expressible; the
+# numpy-equivalence contract is pinned in tests/test_packing_sketches.py)
+# ---------------------------------------------------------------------------
+
+def q57_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=10, the fixture's true label count) over the
+    64-dim embeddings: fit distributed (assignment is a scan-stage argmin
+    expression, update one k×dim shuffle), then report per-cluster size
+    and label purity — majority true label over cluster size, the
+    standard unsupervised-quality readout."""
+    from pyveb_spark.operators.similarity import kmeans_assign, kmeans_fit
+
+    e = read_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(e, k=10, max_iter=10)
+    labeled = kmeans_assign(e, centroids)
+    top_label = (
+        labeled.groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("cluster")
+        .agg(
+            F.max_by(
+                "label",
+                F.struct(F.col("n"), (-F.col("label")).alias("nl")),
+            ).alias("majority_label"),
+            F.max("n").alias("majority_n"),
+            F.sum("n").alias("n_vecs"),
+        )
+    )
+    return top_label.select(
+        "cluster",
+        "n_vecs",
+        "majority_label",
+        F.round(F.col("majority_n") / F.col("n_vecs"), 4).alias("purity"),
+    ).orderBy("cluster")
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2310,6 +2348,7 @@ QUERIES = {
     "q54_sequence_packing": q54_sequence_packing,
     "q55_chunk_dedup": q55_chunk_dedup,
     "q56_cms_heavy_hitters": q56_cms_heavy_hitters,
+    "q57_kmeans_clusters": q57_kmeans_clusters,
 }
 
 ORACLE_SQL = {
