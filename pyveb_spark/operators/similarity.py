@@ -35,6 +35,7 @@ __all__ = [
     "nearest_centroid",
     "kmeans_fit",
     "kmeans_assign",
+    "random_projection",
 ]
 
 
@@ -375,6 +376,43 @@ def _random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[fl
     return [
         [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
     ]
+
+
+def random_projection(
+    df: DataFrame,
+    dim_in: int,
+    dim_out: int,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    seed: int = 42,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project ``vec_col``
+    (length ``dim_in``) onto ``dim_out`` seeded Gaussian directions scaled
+    by 1/√dim_out, preserving pairwise distances/cosines to within the JL
+    distortion. The projection matrix is literal expressions (same seeded
+    generator as the LSH planes — deterministic on any cluster), so the
+    whole map is a stateless scan-stage expression: no shuffle, no UDF, no
+    driver data movement. Use before the O(dim) similarity kernels when
+    embeddings are wide (e.g. 4096-dim → 64-dim candidate filtering)."""
+    planes = _random_hyperplanes(dim_in, dim_out, seed)
+    scale = 1.0 / math.sqrt(dim_out)
+    v = _as_double(F.col(vec_col))
+    comps = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(x) for x in p]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(scale)
+        )
+        for p in planes
+    ]
+    return df.withColumn(out_col, F.array(*comps))
 
 
 def lsh_bucket(

@@ -2250,6 +2250,140 @@ ORDER BY exact_n DESC, token
 
 
 # ---------------------------------------------------------------------------
+# Relational depth: outer-join distribution / disjunctive pushdown / HAVING-IN
+# (TPC-H Q13 / Q19 / Q18 shapes)
+# ---------------------------------------------------------------------------
+
+def q58_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count,
+    including zero-order customers — a LEFT OUTER join whose NULLs are
+    the point, then two stacked aggregations (per-customer count, then
+    histogram). The filtered-orders side shuffles once on o_custkey; the
+    second agg's input is one row per customer, so its shuffle is tiny.
+    COUNT(col) (not COUNT(*)) makes unmatched customers count 0."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q58_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q59_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of conjunctive brand/size/
+    quantity clauses. The shared conjuncts (join key equality) stay in
+    the join condition; the disjunction is a single post-join filter that
+    Catalyst partially pushes: the quantity/size bounds common to all
+    branches reach both scans (CNF extraction), the rest evaluates once
+    per joined row. Part is a broadcast dimension."""
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(3,2)")
+    revenue = _dec("l_extendedprice") * (one - _dec("l_discount", 3, 2))
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    branch1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    branch3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    return joined.where(branch1 | branch2 | branch3).agg(
+        F.sum(revenue).cast("double").alias("revenue")
+    )
+
+
+_Q59_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+        AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q60_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (HAVING over a grouped sum), joined back to customer/order detail.
+    The big-quantity key set comes from one lineitem aggregation and
+    semi-joins lineitem again on the SAME key — Spark reuses the
+    l_orderkey exchange for both; order/customer lookups broadcast after
+    the filter collapses cardinality. Top-k is a heap, not a sort."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__q"))
+        .where(F.col("__q") > F.lit(150))
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            F.col("__q").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(50)
+    )
+
+
+_Q60_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice,
+       CAST(q AS DOUBLE) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
 # ML ops: k-means clustering over embeddings
 # (rows-only: iterative float averaging isn't SQL-expressible; the
 # numpy-equivalence contract is pinned in tests/test_packing_sketches.py)
@@ -2349,6 +2483,9 @@ QUERIES = {
     "q55_chunk_dedup": q55_chunk_dedup,
     "q56_cms_heavy_hitters": q56_cms_heavy_hitters,
     "q57_kmeans_clusters": q57_kmeans_clusters,
+    "q58_order_count_distribution": q58_order_count_distribution,
+    "q59_disjunctive_revenue": q59_disjunctive_revenue,
+    "q60_large_orders": q60_large_orders,
 }
 
 ORACLE_SQL = {
@@ -2403,4 +2540,7 @@ ORACLE_SQL = {
     "q54_sequence_packing": _Q54_SQL,
     "q55_chunk_dedup": _Q55_SQL,
     "q56_cms_heavy_hitters": _Q56_SQL,
+    "q58_order_count_distribution": _Q58_SQL,
+    "q59_disjunctive_revenue": _Q59_SQL,
+    "q60_large_orders": _Q60_SQL,
 }

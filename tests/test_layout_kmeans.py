@@ -154,6 +154,42 @@ def test_kmeans_inertia_decreases(spark, sf_dir):
     assert math.isfinite(inertia(c5))
 
 
+def test_random_projection_preserves_cosine(spark, sf_dir):
+    from pyveb_spark.operators.similarity import (
+        cosine_sim_expr,
+        random_projection,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings").limit(50)
+    q = [float(x) for x in e.where(F.col("vec_id") == 0).first().embedding]
+    proj = random_projection(e, dim_in=64, dim_out=32)
+    # project the query through the SAME seeded planes via a 1-row df
+    qp_row = random_projection(
+        e.where(F.col("vec_id") == 0), dim_in=64, dim_out=32
+    ).first()
+    qp = [float(x) for x in qp_row.proj]
+    rows = proj.select(
+        "vec_id",
+        cosine_sim_expr(F.col("embedding"), q).alias("orig"),
+        cosine_sim_expr(F.col("proj"), qp).alias("reduced"),
+    ).collect()
+    # JL: per-pair distortion is ~N(0, 1/√dim_out) — assert the band
+    # statistically (mean abs error) plus a generous per-pair ceiling
+    errs = [abs(r.orig - r.reduced) for r in rows]
+    assert sum(errs) / len(errs) < 0.2, sum(errs) / len(errs)
+    assert max(errs) < 0.6, max(errs)
+    # and the projection is deterministic across invocations
+    again = random_projection(e, dim_in=64, dim_out=32).select(
+        "vec_id", "proj"
+    )
+    diff = (
+        proj.select("vec_id", F.col("proj").alias("p1"))
+        .join(again.withColumnRenamed("proj", "p2"), "vec_id")
+        .where(F.to_json(F.col("p1")) != F.to_json(F.col("p2")))
+    )
+    assert diff.count() == 0
+
+
 def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
     """Scale feature: with a selective build side, Spark 3.5+/4.x injects a
     bloom_filter probe into the large-table scan of a shuffle join —

@@ -91,6 +91,22 @@ def test_q47_decorrelated_threshold_plan(spark, sf_dir):
     assert "l_orderkey" not in read_schema and "l_shipdate" not in read_schema
 
 
+def test_q59_disjunction_pushes_to_scan(spark, sf_dir):
+    """CNF extraction: the OR-of-ANDs reaches the lineitem Parquet scan as
+    a pushed Or() filter (brand/size bounds likewise on part), instead of
+    evaluating only post-join."""
+    plan = _formatted_plan(QUERIES["q59_disjunctive_revenue"](spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("Or(" in l and "l_quantity" in l for l in pushed), pushed
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_q60_having_join_topk_plan(spark, sf_dir):
+    plan = _executed_plan(QUERIES["q60_large_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_q48_semi_anti_topk_plan(spark, sf_dir):
     plan = _executed_plan(QUERIES["q48_last_shipper"](spark, sf_dir))
     # EXISTS / NOT EXISTS compile to semi / anti joins, never inner+distinct
