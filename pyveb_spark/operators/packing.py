@@ -33,6 +33,13 @@ from pyspark.sql import functions as F
 __all__ = ["with_token_offsets", "pack_spans", "pack_contiguous"]
 
 
+# Single-slot cache for the range-partitioned input (same lifecycle pattern
+# as dedup/text: unpersist the previous entry BEFORE persisting a new one —
+# cache entries are keyed by plan equality, so a popped unpersist *after*
+# would drop a shared entry on repeated identical calls).
+_PERSISTED_PARTED: list[DataFrame] = []
+
+
 def with_token_offsets(
     df: DataFrame, n_tokens_col: str, order_col: str
 ) -> DataFrame:
@@ -40,17 +47,57 @@ def with_token_offsets(
     = start + n - 1) giving each document its half-open slice
     [start_tok, end_tok] of the concatenated corpus token stream, ordered
     by ``order_col`` (must be a total order — use a unique id or a content
-    hash for a reproducible shuffle-once layout)."""
+    hash for a reproducible shuffle-once layout).
+
+    Distributed prefix sum, NOT a global single-partition window: the data
+    is range-partitioned on ``order_col``, each partition computes its
+    local running sum, and the per-partition totals (one row per
+    partition) are folded on the driver into exclusive partition offsets
+    that join back as a broadcast. Wall-clock is one range exchange + one
+    tiny aggregate — the same result as ``Window.orderBy(order_col)`` but
+    without the every-row-through-one-task bottleneck that kills the
+    global window at 100 TB.
+
+    The range-partitioned frame is persisted (single-slot, like the dedup
+    prefix tables): partition ids must be identical between the totals
+    pass and the output plan, which recomputation through a fresh range
+    sampling would not guarantee.
+    """
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    while _PERSISTED_PARTED:
+        _PERSISTED_PARTED.pop().unpersist(blocking=False)
+    parted = (
+        df.repartitionByRange(n_parts, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    _PERSISTED_PARTED.append(parted)
+    totals = sorted(
+        parted.groupBy("__pid").agg(
+            F.sum(n_tokens_col).alias("__t")
+        ).collect(),
+        key=lambda r: r["__pid"],
+    )
+    offsets, run = [], 0
+    for r in totals:
+        offsets.append((r["__pid"], run))
+        run += int(r["__t"] or 0)
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0)], "__pid int, __off bigint"
+    )
     w = (
-        Window.orderBy(order_col)
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(n_tokens_col).over(w)
+    local_cum = F.sum(n_tokens_col).over(w)
     return (
-        df.withColumn("__cum", cum)
+        parted.join(F.broadcast(off_df), "__pid")
+        .withColumn("__cum", local_cum + F.col("__off"))
         .withColumn("start_tok", (F.col("__cum") - F.col(n_tokens_col)))
         .withColumn("end_tok", F.col("__cum") - F.lit(1))
-        .drop("__cum")
+        .drop("__cum", "__off", "__pid")
     )
 
 
