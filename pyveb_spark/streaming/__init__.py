@@ -5,6 +5,7 @@ from pyveb_spark.streaming.stream import (
     session_window_agg,
     stateful_dedup,
     stateful_running_totals,
+    stream_enrich,
     stream_interval_join,
     windowed_agg,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "session_window_agg",
     "stateful_dedup",
     "stateful_running_totals",
+    "stream_enrich",
     "stream_interval_join",
     "windowed_agg",
 ]

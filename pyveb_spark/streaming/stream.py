@@ -31,6 +31,7 @@ __all__ = [
     "stateful_dedup",
     "stateful_running_totals",
     "stream_interval_join",
+    "stream_enrich",
     "foreach_batch_upsert",
     "run_available_now",
 ]
@@ -191,6 +192,27 @@ def stateful_running_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_enrich(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    keys: Sequence[str],
+    how: str = "left",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join — the streaming twin of the
+    reference's driver-side lookup merge (``common.py:326-354``) and
+    ``api_id``/``fk_*`` param-echo enrichment. The static side is
+    re-evaluated every micro-batch, so a dimension backed by a live table
+    picks up updates between batches without restarting the query; with
+    ``broadcast`` (the default — dimensions are small by definition) each
+    micro-batch joins map-side with no stream-side shuffle and no
+    streaming state at all, which is why this is the right shape for
+    enrichment even though ``stream_interval_join`` exists for the
+    fact-to-fact case."""
+    d = F.broadcast(dim_df) if broadcast else dim_df
+    return stream_df.join(d, list(keys), how)
 
 
 def foreach_batch_upsert(

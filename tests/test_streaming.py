@@ -178,6 +178,46 @@ def test_stateful_running_totals_accumulate_across_batches(spark, events_dir):
         assert abs(got.total_value - r.t) < 1e-6
 
 
+def test_stream_enrich_equals_batch_join(spark, events_dir):
+    """Stream-static enrichment: per-micro-batch broadcast join against a
+    static dimension must equal the batch join, including left-outer NULLs
+    for unmatched keys."""
+    from pyveb_spark.streaming import stream_enrich
+
+    path, schema = events_dir
+    dim = spark.createDataFrame(
+        [(u, "tier_%d" % (u % 3)) for u in range(0, 50, 2)],
+        "user_id bigint, tier string",
+    )
+    enriched = stream_enrich(
+        read_file_stream(spark, path, schema, max_files_per_trigger=1),
+        dim,
+        keys=["user_id"],
+    ).select("event_id", "user_id", "tier")
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = run_available_now(
+            enriched, os.path.join(ckpt, "ck"), output_mode="append",
+            fmt="memory", query_name="enriched_stream",
+        )
+        q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.sql("SELECT * FROM enriched_stream").collect()
+    }
+    batch = read_table(spark, "/root/testdata/sf0.001", "events")
+    expected = {
+        tuple(r)
+        for r in batch.join(dim, ["user_id"], "left")
+        .select("event_id", "user_id", "tier")
+        .collect()
+    }
+    assert got == expected and len(got) > 0
+    # both matched and unmatched (NULL-tier) rows must exist for the
+    # equivalence to be meaningful
+    assert any(t[2] is None for t in got)
+    assert any(t[2] is not None for t in got)
+
+
 def test_stream_interval_join_equals_batch(spark, events_dir):
     from pyveb_spark.streaming import stream_interval_join
 
