@@ -23,6 +23,7 @@ __all__ = [
     "winnow_fingerprints",
     "winnow_pairs",
     "repetition_stats",
+    "hashed_linear_score",
 ]
 
 # see dedup.py::_PERSISTED_PREFIXES for the pattern: the returned plan is
@@ -146,6 +147,52 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     (``dbt_client.py:45-58``). Exact-dup detection = groupBy fingerprint."""
     normalized = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return df.withColumn("fingerprint", F.xxhash64(F.trim(normalized)))
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    out_col: str = "clf_score",
+) -> DataFrame:
+    """fastText-shaped linear classifier scoring at corpus scale: every
+    token hashes into one of ``n_buckets`` feature buckets (the hashing
+    trick — no vocabulary table to ship), the document score is the mean
+    bucket weight, squashed by a sigmoid. This is the scoring half of the
+    quality-classifier stage every LLM data pipeline runs (the training
+    half produces the weight vector offline).
+
+    Weights here are a deterministic function of the bucket index
+    (``(b*2654435761 mod 2^31) / 2^31 - 0.5``, a Knuth-hash ramp) rather
+    than a learned array: the *shape* under test is score = mean over
+    tokens of w[h(token)], which is what a real exported model plugs into
+    — swap ``weight_of_bucket`` for an ``element_at(lit(weights), b+1)``
+    lookup against a broadcast literal array. Everything (md5 bucketing,
+    integer ramp, sigmoid) renders identically in ANSI SQL, so the whole
+    scorer is oracle-checkable.
+
+    Scale: stateless per-row expression over the token array — no
+    shuffle, no UDF, no explode (the fold runs inside ``aggregate``).
+    """
+    toks = F.split(F.col(text_col), " ")
+    bucket = lambda t: (  # noqa: E731 — tiny local expr builder
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("|", F.lit("clf"), t).cast("binary")
+                ), 1, 12,
+            ), 16, 10,
+        ).cast("bigint") % F.lit(int(n_buckets))
+    )
+    weight = lambda b: (  # noqa: E731
+        (b * F.lit(2654435761)) % F.lit(2147483648)
+    ).cast("double") / F.lit(2147483648.0) - F.lit(0.5)
+    total = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + weight(bucket(t))
+    )
+    mean = total / F.greatest(F.size(toks), F.lit(1))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-mean * F.lit(8.0)))
+    return df.withColumn(out_col, F.round(score, 4))
 
 
 def _word_ngrams(toks: Column, n: int, m: Column) -> Column:

@@ -2384,6 +2384,49 @@ LIMIT 50
 
 
 # ---------------------------------------------------------------------------
+# LLM ops: hashed linear classifier scoring (fastText-shaped, oracle-checked)
+# ---------------------------------------------------------------------------
+
+def q61_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier scoring pass: hashing-trick features, mean
+    bucket weight, sigmoid — the exported-model scoring shape, as one
+    stateless scan expression. Weights are an exact-in-double ramp
+    (multiples of 2⁻³¹, so the fold is associative and the oracle's
+    unordered SUM matches bit-for-bit; see hashed_linear_score)."""
+    from pyveb_spark.operators.text import hashed_linear_score
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        hashed_linear_score(d, "text")
+        .select("doc_id", "clf_score")
+        .orderBy("doc_id")
+    )
+
+
+_Q61_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+b AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('clf|' || token), 1, 12))::BIGINT) % 1024 AS bk
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+         SUM(CAST((bk * 2654435761) % 2147483648 AS DOUBLE) / 2147483648.0
+             - 0.5) AS tot,
+         COUNT(*) AS n
+  FROM b GROUP BY doc_id
+)
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + exp(-(tot / n) * 8.0)), 4) AS clf_score
+FROM s
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # ML ops: k-means clustering over embeddings
 # (rows-only: iterative float averaging isn't SQL-expressible; the
 # numpy-equivalence contract is pinned in tests/test_packing_sketches.py)
@@ -2486,6 +2529,7 @@ QUERIES = {
     "q58_order_count_distribution": q58_order_count_distribution,
     "q59_disjunctive_revenue": q59_disjunctive_revenue,
     "q60_large_orders": q60_large_orders,
+    "q61_classifier_scores": q61_classifier_scores,
 }
 
 ORACLE_SQL = {
@@ -2543,4 +2587,5 @@ ORACLE_SQL = {
     "q58_order_count_distribution": _Q58_SQL,
     "q59_disjunctive_revenue": _Q59_SQL,
     "q60_large_orders": _Q60_SQL,
+    "q61_classifier_scores": _Q61_SQL,
 }

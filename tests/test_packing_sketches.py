@@ -156,6 +156,32 @@ def test_cms_merge_equals_single_build(spark, tokens):
     assert diff.count() == 0
 
 
+def test_hashed_linear_score_bounds_and_determinism(spark):
+    from pyveb_spark.operators.text import hashed_linear_score
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, "alpha alpha alpha")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r.doc_id: r.clf_score
+        for r in hashed_linear_score(df, "text").collect()
+    }
+    assert all(0.0 <= v <= 1.0 for v in rows.values())
+    # single-token doc: score is a pure function of that token's bucket
+    again = {
+        r.doc_id: r.clf_score
+        for r in hashed_linear_score(df, "text").collect()
+    }
+    assert rows == again
+    # repeating one token doesn't change the mean-weight score
+    one = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha alpha")], "doc_id bigint, text string"
+    )
+    s = {r.doc_id: r.clf_score for r in hashed_linear_score(one, "text").collect()}
+    assert s[1] == s[2]
+
+
 def test_cms_weighted_counts(spark):
     df = spark.createDataFrame(
         [("a", 5), ("b", 3), ("a", 2)], "token string, w int"
