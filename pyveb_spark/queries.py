@@ -1395,18 +1395,26 @@ def q40_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_by=["event_type"],
     )
     name = f"q40_{uuid.uuid4().hex[:8]}"
-    q = run_available_now(
-        windowed,
-        os.path.join(tmp, "ck"),
-        output_mode="complete",
-        fmt="memory",
-        query_name=name,
-    )
+    # streaming state width: one state store per shuffle partition is
+    # created at the checkpoint's FIRST start and initialized every
+    # micro-batch; at replay scale 4 stores cover the (type×day) key
+    # space, so don't pay 32 store inits per batch. Fresh checkpoint per
+    # call makes the narrowed setting safe; restored in finally.
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
+        q = run_available_now(
+            windowed,
+            os.path.join(tmp, "ck"),
+            output_mode="complete",
+            fmt="memory",
+            query_name=name,
+        )
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("q40 stream replay did not finish within 300s")
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
         # the memory sink holds the result; the staged drops + checkpoint
         # are no longer needed (and would otherwise accrete per run)
         import shutil
@@ -1767,18 +1775,24 @@ def q49_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="1 day",
     ).select("user_id", "click_id", "buy_id")
     name = f"q49_{uuid.uuid4().hex[:8]}"
-    q = run_available_now(
-        joined,
-        os.path.join(tmp, "ck"),
-        output_mode="append",
-        fmt="memory",
-        query_name=name,
-    )
+    # narrow the streaming state width (one store per shuffle partition,
+    # ×2 join sides) for the replay; fresh checkpoint per call, restored
+    # in finally — same rationale as q40
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
+        q = run_available_now(
+            joined,
+            os.path.join(tmp, "ck"),
+            output_mode="append",
+            fmt="memory",
+            query_name=name,
+        )
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("q49 stream attribution did not finish in 300s")
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
         shutil.rmtree(tmp, ignore_errors=True)
     return (
         spark.table(name)
