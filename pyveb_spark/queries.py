@@ -2398,6 +2398,71 @@ LIMIT 50
 
 
 # ---------------------------------------------------------------------------
+# LLM ops: embedding-space dedup pipeline (pairs → clusters → keep-one)
+# ---------------------------------------------------------------------------
+
+def q62_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q41 dedup decision pipeline driven by *embedding* similarity
+    instead of n-gram overlap: exact cosine pairs (Arrow block-matmul,
+    q36's kernel) above 0.45 become edges, alternating large-star/
+    small-star connected components cluster them, singletons rejoin, and
+    the smallest vec_id in each cluster is kept — semantic dedup as a
+    100 TB pipeline emits it. Oracle: same pairs in SQL + recursive-CTE
+    min-label reachability."""
+    from pyveb_spark.operators.dedup import duplicate_clusters
+    from pyveb_spark.operators.similarity import cosine_pairs
+
+    e = read_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(
+        e, threshold=0.45, id_col="vec_id", vec_col="embedding"
+    )
+    clustered = duplicate_clusters(
+        pairs, "vec_id_a", "vec_id_b",
+        out_node="vec_id", out_cluster="cluster_id",
+    )
+    singles = e.select("vec_id").join(
+        clustered, "vec_id", "left_anti"
+    ).select(F.col("vec_id"), F.col("vec_id").alias("cluster_id"))
+    labeled = clustered.union(singles)
+    w = Window.partitionBy("cluster_id")
+    return (
+        labeled.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "is_kept",
+            (F.col("vec_id") == F.min("vec_id").over(w)).cast("int"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_Q62_SQL = """
+WITH RECURSIVE
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS w
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45),
+edges AS (SELECT u, w FROM pairs UNION SELECT w, u FROM pairs),
+reach(u, x) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+    UNION
+    SELECT e2.u, r.x FROM edges e2 JOIN reach r ON r.u = e2.w),
+comp AS (SELECT u AS vec_id, MIN(x) AS cluster_id FROM reach GROUP BY u),
+labeled AS (
+    SELECT emb.vec_id, COALESCE(c.cluster_id, emb.vec_id) AS cluster_id
+    FROM embeddings emb LEFT JOIN comp c ON c.vec_id = emb.vec_id)
+SELECT vec_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       CAST(vec_id = MIN(vec_id) OVER (PARTITION BY cluster_id) AS INT)
+           AS is_kept
+FROM labeled
+ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # LLM ops: hashed linear classifier scoring (fastText-shaped, oracle-checked)
 # ---------------------------------------------------------------------------
 
@@ -2547,6 +2612,7 @@ QUERIES = {
     "q59_disjunctive_revenue": q59_disjunctive_revenue,
     "q60_large_orders": q60_large_orders,
     "q61_classifier_scores": q61_classifier_scores,
+    "q62_embedding_dedup": q62_embedding_dedup,
 }
 
 ORACLE_SQL = {
@@ -2605,4 +2671,5 @@ ORACLE_SQL = {
     "q59_disjunctive_revenue": _Q59_SQL,
     "q60_large_orders": _Q60_SQL,
     "q61_classifier_scores": _Q61_SQL,
+    "q62_embedding_dedup": _Q62_SQL,
 }
