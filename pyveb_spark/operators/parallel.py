@@ -23,7 +23,35 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import StringType, StructField, StructType
 
-__all__ = ["distributed_map"]
+__all__ = ["distributed_map", "cogroup_apply"]
+
+
+def cogroup_apply(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    fn: Callable[[pd.DataFrame, pd.DataFrame], pd.DataFrame],
+    schema: StructType | str,
+) -> DataFrame:
+    """Grouped two-table pandas transform: for every key group, ``fn``
+    receives the left and right rows of that group as pandas DataFrames
+    (either may be empty — full-outer grouping) and returns the output
+    rows. This is the ``applyInPandas`` cogroup — the escape hatch for
+    per-key logic that genuinely needs both sides materialized together
+    (custom reconciliation, per-entity model scoring against history,
+    irregular as-of logic the native ``asof_join`` can't express).
+
+    Completes the §2.12 Arrow-UDF matrix: mapInPandas (stream-through),
+    applyInPandas (one-table groups), cogroup (two-table groups). Both
+    inputs shuffle once on ``keys``; each group must fit one executor's
+    memory — the same contract (and the same reason to prefer native
+    joins when they suffice) as every grouped-pandas op.
+    """
+    return (
+        left.groupBy(*keys)
+        .cogroup(right.groupBy(*keys))
+        .applyInPandas(fn, schema=schema)
+    )
 
 
 def distributed_map(

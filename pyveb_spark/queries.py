@@ -2463,6 +2463,44 @@ ORDER BY vec_id
 
 
 # ---------------------------------------------------------------------------
+# §2.9 semi-structured: VARIANT-typed JSON (Spark 4 open JSON type)
+# ---------------------------------------------------------------------------
+
+def q63_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q12 props extraction on Spark 4's VARIANT type: ``parse_json``
+    once into the binary variant encoding, ``variant_get`` typed paths out
+    — no per-query schema declaration, no re-parse per field, and the
+    shredded encoding scans faster than JSON strings at 100 TB. Aggregates
+    the extracted value per event type; oracle does the same with ANSI
+    json_extract."""
+    e = read_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q63_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k, MAX(k) AS max_k
+FROM (SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # LLM ops: hashed linear classifier scoring (fastText-shaped, oracle-checked)
 # ---------------------------------------------------------------------------
 
@@ -2613,6 +2651,7 @@ QUERIES = {
     "q60_large_orders": q60_large_orders,
     "q61_classifier_scores": q61_classifier_scores,
     "q62_embedding_dedup": q62_embedding_dedup,
+    "q63_variant_props": q63_variant_props,
 }
 
 ORACLE_SQL = {
@@ -2672,4 +2711,5 @@ ORACLE_SQL = {
     "q60_large_orders": _Q60_SQL,
     "q61_classifier_scores": _Q61_SQL,
     "q62_embedding_dedup": _Q62_SQL,
+    "q63_variant_props": _Q63_SQL,
 }
