@@ -178,6 +178,61 @@ def test_stateful_running_totals_accumulate_across_batches(spark, events_dir):
         assert abs(got.total_value - r.t) < 1e-6
 
 
+def test_stream_maintained_sketch_equals_batch_estimate(spark, events_dir):
+    """Composition: foreachBatch maintains a per-event-type HLL sketch
+    table across micro-batches (merge = union of sketches); the final
+    rollup must equal the single-pass batch estimate — the incremental
+    metrics-pipeline pattern that replaces nightly full recomputes."""
+    from pyveb_spark.operators.sketches import hll_partial, hll_rollup
+    from pyveb_spark.streaming import run_available_now
+
+    path, schema = events_dir
+    stream = read_file_stream(spark, path, schema, max_files_per_trigger=1)
+    state: dict[str, object] = {"table": None}
+
+    def merge_batch(batch_df, batch_id):
+        part = hll_partial(batch_df, ["event_type"], "user_id")
+        prev = state["table"]
+        if prev is None:
+            merged = part
+        else:
+            merged = (
+                prev.unionByName(part)
+                .groupBy("event_type")
+                .agg(F.hll_union_agg("sketch").alias("sketch"))
+            )
+        # localCheckpoint: materialize the tiny sketch table so state
+        # doesn't chain lineage across micro-batches
+        state["table"] = merged.localCheckpoint()
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    got = {
+        r.event_type: r.approx_users
+        for r in hll_rollup(
+            state["table"], ["event_type"], out_col="approx_users"
+        ).collect()
+    }
+    batch = read_table(spark, "/root/testdata/sf0.001", "events")
+    exact = {
+        r.event_type: r.n
+        for r in batch.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        # lgK=12 → ~1.6% RSE; allow 5 sigma
+        assert abs(est - exact[k]) <= max(3, 0.08 * exact[k]), (k, est, exact[k])
+
+
 def test_stream_enrich_equals_batch_join(spark, events_dir):
     """Stream-static enrichment: per-micro-batch broadcast join against a
     static dimension must equal the batch join, including left-outer NULLs
