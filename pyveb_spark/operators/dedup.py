@@ -327,18 +327,24 @@ def minhash_signatures(
     num_hashes: int = 32,
 ) -> DataFrame:
     """MinHash signature per document: for each of ``num_hashes`` seeded
-    hash functions, the min hash over the doc's shingle set. One explode +
-    one groupBy — signature computation is a single shuffle on the id.
-    Operates on the int64-hashed shingle universe (see
-    ``_doc_shingle_sets``) so the seeded re-hashes run over longs."""
-    grams = _doc_shingle_sets(df, id_col, text_col, n).select(
-        F.col(id_col), F.explode("__grams").alias("__g")
+    hash functions, the min hash over the doc's shingle set — computed as
+    ``array_min(transform(grams, seeded_hash))`` per seed, a stateless
+    scan-stage expression. No explode, no groupBy: the earlier
+    explode+min-agg formulation shuffled |docs|×|shingles| rows to produce
+    what is a per-row reduction; this one shuffles nothing. Operates on
+    the int64-hashed shingle universe (see ``_doc_shingle_sets``) so the
+    seeded re-hashes run over longs. Docs with no shingles (< n tokens)
+    are dropped, matching the explode form's semantics."""
+    sets = _doc_shingle_sets(df, id_col, text_col, n).where(
+        F.size("__grams") > 0
     )
-    aggs = [
-        F.min(_seeded_hash(F.col("__g"), s)).alias(f"mh_{s}")
+    cols = [
+        F.array_min(
+            F.transform("__grams", lambda g, s=s: _seeded_hash(g, s))
+        ).alias(f"mh_{s}")
         for s in range(num_hashes)
     ]
-    return grams.groupBy(id_col).agg(*aggs)
+    return sets.select(F.col(id_col), *cols)
 
 
 def minhash_lsh_pairs(
