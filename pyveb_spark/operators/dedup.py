@@ -36,6 +36,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",
+    "simhash_pairs",
     "duplicate_clusters",
     "chunk_stats",
 ]
@@ -395,37 +396,107 @@ def minhash_lsh_pairs(
     return _verify_jaccard(cand, docs, id_col, threshold)
 
 
+# bit-b mask as a 64-bit two's-complement literal (bit 63 = the sign bit,
+# which `1 << 63` would overflow as a positive long literal)
+_BIT_MASKS = [((1 << b) if b < 63 else -(1 << 63)) for b in range(64)]
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash fingerprint per document (token-level).
 
     Each token hashes to 64 bits; per bit position the doc sums ±1 over
-    tokens; the sign vector packs into a BIGINT fingerprint. Near-dups are
-    then found by Hamming-distance bucketing on fingerprint chunks — all
-    expressible as joins on ``simhash_band`` columns. Pure Catalyst
-    expressions (explode + groupBy), no UDF.
+    tokens; the sign vector packs into a BIGINT fingerprint. Computed as
+    ONE array fold per document — ``aggregate`` carries a 64-counter
+    accumulator over the token-hash array (``zip_with`` against the bit-
+    mask array adds ±1 per position), then a second tiny fold packs the
+    sign vector. Stateless scan-stage expression: the earlier formulation
+    exploded to |tokens|×64 rows through two groupBy shuffles; this one
+    shuffles nothing. No UDF.
     """
-    toks = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__t")
+    masks = F.array(*[F.lit(m) for m in _BIT_MASKS])
+    toks_h = F.transform(
+        F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)
     )
-    hashed = toks.withColumn("__h", F.xxhash64("__t"))
-    bits = hashed.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("__bit"),
-        F.col("__h"),
-    ).withColumn(
-        "__sign",
-        F.when(F.expr("(__h >> __bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+    counts = F.aggregate(
+        toks_h,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, p: a
+            + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    fp = F.aggregate(
+        F.zip_with(
+            counts,
+            masks,
+            lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a.bitwiseOR(x),
+    )
+    return df.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance with pigeonhole
+    banding: split the 64-bit fingerprint into ``bands`` equal chunks —
+    any pair within ``max_hamming ≤ bands - 1`` bit flips must agree on
+    at least one full chunk, so candidates come from ``bands`` hash-join
+    buckets instead of O(n²), and are verified exactly with
+    ``bit_count(xor)``. Precision 1.0; recall 1.0 whenever
+    ``max_hamming < bands`` (the pigeonhole guarantee — unlike MinHash
+    banding, this blocking is lossless). One band-bucket self-join is the
+    only shuffle."""
+    if max_hamming >= bands:
+        raise ValueError(
+            "pigeonhole blocking needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    width = 64 // bands
+    a, b_ = f"{id_col}_a", f"{id_col}_b"
+    fp = simhash(df, id_col, text_col)
+    # band values via arithmetic shift + mask — the mask truncates the
+    # sign extension, so the top band is well-defined despite bit 63
+    band_arr = F.array(
+        *[
+            F.expr(
+                f"(CAST(simhash AS BIGINT) >> {i * width})"
+                f" & {(1 << width) - 1}"
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(band_arr).alias("__band", "__v"),
+    )
+    left = banded.select(
+        F.col(id_col).alias(a), F.col("simhash").alias("__fa"),
+        "__band", "__v",
+    )
+    right = banded.select(
+        F.col(id_col).alias(b_), F.col("simhash").alias("__fb"),
+        "__band", "__v",
     )
     return (
-        bits.groupBy(id_col, "__bit")
-        .agg(F.sum("__sign").alias("__s"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(F.col("__s") > 0, F.expr("shiftleft(1L, CAST(__bit AS INT))"))
-                .otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
+        left.join(right, ["__band", "__v"])
+        .where(F.col(a) < F.col(b_))
+        .dropDuplicates([a, b_])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))),
         )
+        .where(F.col("hamming") <= F.lit(int(max_hamming)))
+        .select(a, b_, "hamming")
     )
 
 

@@ -2463,6 +2463,26 @@ ORDER BY vec_id
 
 
 # ---------------------------------------------------------------------------
+# LLM ops: SimHash near-dup pairs via pigeonhole banding
+# (rows-only: xxhash64-seeded fingerprints aren't reproducible in DuckDB;
+# the pigeonhole-losslessness contract is pinned in unit tests)
+# ---------------------------------------------------------------------------
+
+def q64_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs within Hamming distance 3 of each other's SimHash —
+    the constant-cost near-dup screen (one 64-bit fingerprint per doc, 4
+    band-bucket joins) that complements q17's exact Jaccard and q28's
+    MinHash: blocking here is *lossless* by pigeonhole, so this is the
+    cheap first pass a 100 TB dedup runs before any expensive verify."""
+    from pyveb_spark.operators.dedup import simhash_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    return simhash_pairs(
+        d, "doc_id", "text", max_hamming=3, bands=4
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+# ---------------------------------------------------------------------------
 # §2.9 semi-structured: VARIANT-typed JSON (Spark 4 open JSON type)
 # ---------------------------------------------------------------------------
 
@@ -2652,6 +2672,7 @@ QUERIES = {
     "q61_classifier_scores": q61_classifier_scores,
     "q62_embedding_dedup": q62_embedding_dedup,
     "q63_variant_props": q63_variant_props,
+    "q64_simhash_pairs": q64_simhash_pairs,
 }
 
 ORACLE_SQL = {

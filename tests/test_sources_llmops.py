@@ -154,6 +154,49 @@ def test_simhash_near_dups_close_in_hamming(spark, sf_dir):
         assert r.hamming <= 16  # near-dups land close in simhash space
 
 
+def test_simhash_order_invariant_and_identical_pairs(spark):
+    from pyveb_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "d c b a"), (3, "p q r s t u v w x y z")],
+        "doc_id bigint, text string",
+    )
+    fps = {r.doc_id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+    # SimHash sums per-bit signs over the token multiset → order-invariant
+    assert fps[1] == fps[2] and fps[1] != fps[3]
+    got = {
+        (r.doc_id_a, r.doc_id_b, r.hamming)
+        for r in simhash_pairs(df, "doc_id", "text").collect()
+    }
+    assert (1, 2, 0) in got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(df, "doc_id", "text", max_hamming=4, bands=4)
+
+
+def test_simhash_pairs_pigeonhole_lossless(spark, sf_dir):
+    """Banding must find EVERY pair within max_hamming (pigeonhole) —
+    verified against a brute-force driver-side scan of the fingerprints."""
+    from pyveb_spark.operators.dedup import simhash_pairs
+
+    docs = read_table(spark, sf_dir, "documents").limit(150)
+    fps = [(r.doc_id, r.simhash) for r in simhash(docs, "doc_id", "text").collect()]
+    brute = set()
+    for i, (ida, fa) in enumerate(fps):
+        for idb, fb in fps[i + 1 :]:
+            h = bin((fa ^ fb) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                brute.add((min(ida, idb), max(ida, idb), h))
+    got = {
+        (r.doc_id_a, r.doc_id_b, r.hamming)
+        for r in simhash_pairs(
+            docs, "doc_id", "text", max_hamming=3, bands=4
+        ).collect()
+    }
+    assert got == brute
+
+
 def test_knn_join_and_lsh_topk(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings").limit(100)
     knn = knn_join(emb, emb, k=3)
