@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "upsert_frames",
     "upsert_if_changed",
+    "scd2_apply",
     "merge_frames",
     "ParquetMergeSink",
 ]
@@ -88,6 +89,80 @@ def upsert_if_changed(
         differs = differs | ~F.col(c).eqNullSafe(F.col(f"__t_{c}"))
     changed_or_new = joined.where(is_new | differs).select(*stage.columns)
     return upsert_frames(target, changed_or_new, keys)
+
+
+def scd2_apply(
+    history: DataFrame | None,
+    stage: DataFrame,
+    keys: Sequence[str],
+    effective_col: str,
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge: fold a snapshot ``stage``
+    (attrs + ``effective_col`` timestamp) into a versioned ``history``
+    table, returning the new history. The upgrade path from the
+    reference's destructive upsert (``rs_client.py:242-283``) when the
+    warehouse needs to answer *as-of* questions: instead of overwriting a
+    changed row, the current version is closed out and a new one opened.
+
+    History schema = stage columns + ``valid_from`` (= effective ts at
+    open), ``valid_to`` (NULL while current), ``is_current``. Rules per
+    stage key: attrs differ null-safely from the current version → close
+    it (``valid_to`` = new effective ts) and open a new version; attrs
+    unchanged → no-op (idempotent re-loads); key absent from history →
+    open first version. Keys absent from stage and already-closed rows
+    pass through untouched.
+
+    Scale notes: one shuffle on ``keys`` (the change-detection join);
+    closed/untouched/new branches are unions of that one join's outputs —
+    no O(history) rewrite beyond what the caller's sink does (pair with
+    ``ParquetMergeSink.upsert_partitioned`` keyed on ``valid_from`` dates
+    to rewrite only touched partitions).
+    """
+    keys = list(keys)
+    attr_cols = [c for c in stage.columns if c not in (*keys, effective_col)]
+    compare = list(compare_cols) if compare_cols else attr_cols
+
+    def _open(df: DataFrame) -> DataFrame:
+        return df.select(
+            *keys,
+            *attr_cols,
+            F.col(effective_col).alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+
+    if history is None:
+        return _open(stage)
+
+    current = history.where(F.col("is_current"))
+    closed_hist = history.where(~F.col("is_current"))
+
+    t = current.select(
+        *keys,
+        F.lit(True).alias("__t_exists"),
+        *[F.col(c).alias(f"__t_{c}") for c in compare],
+    )
+    joined = stage.join(t, keys, "left")
+    differs = F.col("__t_exists").isNull()  # new key opens a version too
+    for c in compare:
+        differs = differs | ~F.col(c).eqNullSafe(F.col(f"__t_{c}"))
+    changing = joined.where(differs).select(*stage.columns)
+
+    change_keys = changing.select(
+        *keys, F.col(effective_col).alias("__close_ts")
+    )
+    closing = current.join(change_keys, keys, "inner").select(
+        *[c for c in current.columns if c not in ("valid_to", "is_current")],
+        F.col("__close_ts").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    surviving = current.join(change_keys.select(*keys), keys, "left_anti")
+    return (
+        closed_hist.unionByName(surviving)
+        .unionByName(closing)
+        .unionByName(_open(changing))
+    )
 
 
 def merge_frames(
