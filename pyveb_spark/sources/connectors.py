@@ -32,6 +32,7 @@ __all__ = [
     "read_excel_df",
     "excel_sink",
     "sharepoint_download",
+    "sharepoint_upload",
     "webdriver_download",
 ]
 
@@ -154,6 +155,32 @@ def sharepoint_download(
     with open(dest, "wb") as fh:
         fh.write(data)
     return dest
+
+
+def sharepoint_upload(
+    local_path: str,
+    folder: str,
+    client: object | None = None,
+    name_suffix: str | None = None,
+) -> str:
+    """Upload a file to a SharePoint folder ↔ ``sharepoint_client.py:
+    162-204`` (which suffixes uploads with a date / unix timestamp so
+    repeated loads never clobber). ``name_suffix`` keeps that convention
+    but is caller-supplied (no hidden clock — deterministic pipelines pass
+    their partition date). ``client`` is an injected object with
+    ``upload(folder, name, data: bytes)``; returns the remote name."""
+    if client is None:
+        raise NotImplementedError(
+            "no SharePoint client library in this environment; pass "
+            "client=... implementing upload(folder, name, data)"
+        )
+    base = os.path.basename(local_path)
+    if name_suffix:
+        stem, dot, ext = base.rpartition(".")
+        base = f"{stem}_{name_suffix}{dot}{ext}" if dot else f"{base}_{name_suffix}"
+    with open(local_path, "rb") as fh:
+        client.upload(folder, base, fh.read())
+    return base
 
 
 def webdriver_download(url: str, dest_dir: str, driver: object | None = None) -> str:

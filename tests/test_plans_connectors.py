@@ -132,6 +132,26 @@ def test_sharepoint_download_fake_client(tmp_path):
         sharepoint_download("https://sp", "Shared", "x", str(tmp_path))
 
 
+def test_sharepoint_upload_fake_client(tmp_path):
+    from pyveb_spark.sources.connectors import sharepoint_upload
+
+    uploaded = {}
+
+    class FakeClient:
+        def upload(self, folder, name, data):
+            uploaded[(folder, name)] = data
+
+    src = tmp_path / "report.csv"
+    src.write_bytes(b"a;b\n1;2\n")
+    name = sharepoint_upload(
+        str(src), "Shared", client=FakeClient(), name_suffix="2024-01-01"
+    )
+    assert name == "report_2024-01-01.csv"
+    assert uploaded[("Shared", name)] == b"a;b\n1;2\n"
+    with pytest.raises(NotImplementedError):
+        sharepoint_upload(str(src), "Shared")
+
+
 def test_webdriver_stub():
     with pytest.raises(NotImplementedError):
         webdriver_download("https://x", "/tmp")
