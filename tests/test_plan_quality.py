@@ -107,6 +107,22 @@ def test_q60_having_join_topk_plan(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_q54_prefix_sum_is_distributed(spark, sf_dir):
+    """The packing prefix sum must be the range-partitioned two-phase
+    form: a RangePartitioning exchange feeds a window partitioned by the
+    partition id — NEVER a global Window.orderBy with an empty partition
+    spec (the every-row-through-one-task shape)."""
+    plan = _executed_plan(QUERIES["q54_sequence_packing"](spark, sf_dir))
+    assert "rangepartitioning" in plan.lower()
+    import re
+
+    for m in re.finditer(r"Window \[(.*?)\]", plan):
+        spec = m.group(0)
+        # every window op must carry a partition key (windowspecdefinition
+        # with only an ordering would mark the global form)
+        assert "__pid" in spec or "partitionBy" not in spec, spec
+
+
 def test_q48_semi_anti_topk_plan(spark, sf_dir):
     plan = _executed_plan(QUERIES["q48_last_shipper"](spark, sf_dir))
     # EXISTS / NOT EXISTS compile to semi / anti joins, never inner+distinct

@@ -125,3 +125,83 @@ def test_apply_schema_fixpoint(spark, vals):
     assert once.schema == twice.schema == target
     key = lambda rows: sorted(map(repr, map(tuple, rows)))
     assert key(once.collect()) == key(twice.collect())
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lengths=st.lists(
+        st.integers(min_value=0, max_value=40), min_size=1, max_size=30
+    ),
+    budget=st.integers(min_value=1, max_value=64),
+)
+def test_pack_spans_properties(spark, lengths, budget):
+    """For ANY doc-length multiset and budget: packs (except the last)
+    hold exactly `budget` tokens, spans per doc reassemble the doc, and
+    total span tokens equal total corpus tokens."""
+    from pyspark.sql import functions as F
+
+    from pyveb_spark.operators.packing import pack_spans
+
+    rows = [(i, n) for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(rows, "doc_id int, n int")
+    spans = pack_spans(df, "n", "doc_id", budget)
+    per_pack = sorted(
+        (r.pack_id, r.tok)
+        for r in spans.groupBy("pack_id")
+        .agg(F.sum("span_tokens").alias("tok"))
+        .collect()
+    )
+    total = sum(lengths)
+    if total == 0:
+        assert per_pack == []
+        return
+    assert [p for p, _ in per_pack] == list(range(len(per_pack)))
+    assert all(t == budget for _, t in per_pack[:-1])
+    assert 0 < per_pack[-1][1] <= budget
+    assert sum(t for _, t in per_pack) == total
+    per_doc = {
+        r.doc_id: r.tok
+        for r in spans.groupBy("doc_id")
+        .agg(F.sum("span_tokens").alias("tok"))
+        .collect()
+    }
+    assert per_doc == {i: n for i, n in rows if n > 0}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=24),
+        min_size=1,
+        max_size=10,
+    ),
+    chunk=st.integers(min_value=1, max_value=5),
+)
+def test_chunk_stats_conservation(spark, texts, chunk):
+    """n_dup_chunks ≤ n_chunks per doc; global duplicate count equals
+    (total chunks − distinct chunk texts); dup_frac ∈ [0, 1]."""
+    from pyveb_spark.operators.dedup import chunk_stats
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = chunk_stats(df, "doc_id", "text", chunk_tokens=chunk).collect()
+    assert {r.doc_id for r in got} == {i for i, _ in rows}
+    chunks = []
+    for _, t in rows:
+        toks = t.split(" ")
+        chunks += [
+            " ".join(toks[i : i + chunk]) for i in range(0, len(toks), chunk)
+        ]
+    assert sum(r.n_chunks for r in got) == len(chunks)
+    assert sum(r.n_dup_chunks for r in got) == len(chunks) - len(set(chunks))
+    for r in got:
+        assert 0 <= r.n_dup_chunks <= r.n_chunks
+        assert 0.0 <= r.dup_frac <= 1.0
