@@ -39,6 +39,7 @@ __all__ = [
     "simhash_pairs",
     "duplicate_clusters",
     "chunk_stats",
+    "contamination_check",
 ]
 
 
@@ -98,6 +99,49 @@ def chunk_stats(
         F.round(
             F.sum("__is_dup") / F.count(F.lit(1)), 4
         ).alias("dup_frac"),
+    )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    corpus_id: str,
+    corpus_text: str,
+    bench_id: str,
+    bench_text: str,
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: find corpus documents sharing ≥
+    ``min_overlap`` distinct word ``n``-grams with any benchmark item —
+    the standard check (GPT-3 appendix C / PaLM / Llama style, n = 8..13)
+    run before training so eval sets aren't memorized.
+
+    Returns ``(corpus_id, bench_id, n_shared)`` per contaminated
+    (document, benchmark item) pair.
+
+    Scale notes: the benchmark side is small by definition (eval suites),
+    so its exploded n-gram postings broadcast; the corpus side streams
+    through one scan → explode with NO shuffle of corpus text and no
+    corpus self-join — cost is O(corpus tokens) + a broadcast hash probe.
+    Shingles are distinct-per-doc first, so ``n_shared`` counts distinct
+    shared n-grams (overlap multiplicity in the corpus doc doesn't
+    inflate the signal).
+    """
+    # shingles() already returns the distinct n-gram set per document
+    c_grams = corpus.select(
+        F.col(corpus_id),
+        F.explode(shingles(F.col(corpus_text), n)).alias("__g"),
+    )
+    b_grams = benchmark.select(
+        F.col(bench_id),
+        F.explode(shingles(F.col(bench_text), n)).alias("__g"),
+    )
+    return (
+        c_grams.join(F.broadcast(b_grams), "__g")
+        .groupBy(corpus_id, bench_id)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= F.lit(int(min_overlap)))
     )
 
 

@@ -2463,6 +2463,46 @@ ORDER BY vec_id
 
 
 # ---------------------------------------------------------------------------
+# LLM ops: benchmark decontamination (train/eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def q65_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination sweep: treating the first 50 documents as the held-
+    out benchmark, flag every training document sharing a distinct 5-gram
+    with any benchmark item (the GPT-3/PaLM-style overlap check run
+    before training). Benchmark postings broadcast; the corpus streams
+    through one scan — no corpus shuffle, no self-join."""
+    from pyveb_spark.operators.dedup import contamination_check
+
+    d = read_table(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("bench_id"), F.col("text").alias("btext")
+    )
+    corpus = d.where(F.col("doc_id") >= 50)
+    return contamination_check(
+        corpus, bench, "doc_id", "text", "bench_id", "btext",
+        n=5, min_overlap=1,
+    ).orderBy("doc_id", "bench_id")
+
+
+_Q65_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (SELECT DISTINCT doc_id,
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                      || ' ' || t[i+4] AS g
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(1, len(t)-4)) AS i) s),
+bench AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id < 50),
+corp AS (SELECT doc_id, g FROM grams WHERE doc_id >= 50)
+SELECT corp.doc_id, bench_id, COUNT(*) AS n_shared
+FROM corp JOIN bench USING (g)
+GROUP BY corp.doc_id, bench_id
+HAVING COUNT(*) >= 1
+ORDER BY doc_id, bench_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # LLM ops: SimHash near-dup pairs via pigeonhole banding
 # (rows-only: xxhash64-seeded fingerprints aren't reproducible in DuckDB;
 # the pigeonhole-losslessness contract is pinned in unit tests)
@@ -2673,6 +2713,7 @@ QUERIES = {
     "q62_embedding_dedup": q62_embedding_dedup,
     "q63_variant_props": q63_variant_props,
     "q64_simhash_pairs": q64_simhash_pairs,
+    "q65_contamination": q65_contamination,
 }
 
 ORACLE_SQL = {
@@ -2733,4 +2774,5 @@ ORACLE_SQL = {
     "q61_classifier_scores": _Q61_SQL,
     "q62_embedding_dedup": _Q62_SQL,
     "q63_variant_props": _Q63_SQL,
+    "q65_contamination": _Q65_SQL,
 }
