@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -36,6 +36,7 @@ __all__ = [
     "hash_sample",
     "hash_split",
     "source_mix",
+    "ranked_quota_sample",
 ]
 
 _HEX_DIGITS = 12  # 48-bit prefix of the md5
@@ -147,3 +148,41 @@ def source_mix(
         else thr.otherwise(F.lit(threshold_hex(default_rate)))
     )
     return df.where(hexv < thr)
+
+
+def ranked_quota_sample(
+    df: DataFrame,
+    group_col: str,
+    key_cols: Sequence[str],
+    quotas: DataFrame,
+    quota_col: str = "quota",
+    seed: str = "",
+) -> DataFrame:
+    """Exact-k stratified sampling: keep each group's ``quota`` rows with
+    the smallest content-hash rank — deterministic (same keep-set on any
+    cluster/partitioning), nested (raising a group's quota only *adds*
+    rows, the hash order is fixed), and composable with the other hash
+    operators through the shared ``uniform_hex`` value.
+
+    ``quotas`` is a (group, quota) table — computed however the mix policy
+    dictates (temperature re-weighting, per-language caps, eval-set
+    sizes).
+
+    Scale notes: exact-k needs each group's hash order, i.e. one shuffle
+    on ``group_col`` and a per-group ranking window — fine for bounded
+    strata (languages, sources, eval shards), skew-bound if one group is
+    the whole corpus. For rate-shaped mixes over huge groups use
+    ``source_mix`` (stateless filter, no shuffle); the two agree in
+    expectation with quota = rate × group size.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        uniform_hex(key_cols, seed), *[F.col(c) for c in key_cols]
+    )
+    return (
+        df.join(
+            quotas.select(group_col, quota_col), group_col
+        )
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= F.col(quota_col))
+        .drop("__rk", quota_col)
+    )

@@ -2463,6 +2463,82 @@ ORDER BY vec_id
 
 
 # ---------------------------------------------------------------------------
+# LLM ops: temperature source rebalancing (exact-k quota sampling)
+# ---------------------------------------------------------------------------
+
+def q66_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """τ=0.5 temperature rebalancing of the corpus source mix: each
+    source's keep-quota is √(nᵢ·n_max) capped at nᵢ — rare sources keep
+    everything, dominant ones are downsampled toward the geometric
+    middle (the multilingual-corpus rebalancing recipe). Selection is
+    exact-k by content-hash rank (``ranked_quota_sample``), so the
+    keep-set is reproducible on any cluster; √ is correctly-rounded IEEE
+    in every engine, which is what lets the oracle re-derive identical
+    integer quotas. Output: per-source totals plus the kept-id checksum
+    pinning the exact selection."""
+    from pyveb_spark.operators.sampling import ranked_quota_sample
+
+    d = read_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
+    max_n = counts.agg(F.max("__n").alias("__mx"))
+    quotas = counts.crossJoin(F.broadcast(max_n)).select(
+        "source",
+        "__n",
+        F.least(
+            F.col("__n"),
+            F.floor(
+                F.sqrt((F.col("__n") * F.col("__mx")).cast("double"))
+            ),
+        ).alias("quota"),
+    )
+    kept = ranked_quota_sample(
+        d, "source", ["doc_id"], quotas.select("source", "quota"),
+        seed="temp",
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("kept_id_sum"),
+        )
+        .join(quotas, "source")
+        .select(
+            "source",
+            F.col("__n").alias("n_docs"),
+            "quota",
+            "n_kept",
+            "kept_id_sum",
+        )
+        .orderBy("source")
+    )
+
+
+_Q66_SQL = """
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+q AS (SELECT source, n,
+             LEAST(n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE)
+                                      * (SELECT MAX(n) FROM c))) AS BIGINT))
+                 AS quota
+      FROM c),
+r AS (SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+                 PARTITION BY source
+                 ORDER BY substr(md5(concat_ws('|', 'temp', doc_id)), 1, 12),
+                          doc_id) AS rk
+      FROM documents)
+SELECT r.source,
+       MAX(q.n) AS n_docs,
+       MAX(q.quota) AS quota,
+       COUNT(*) AS n_kept,
+       CAST(SUM(r.doc_id) AS BIGINT) AS kept_id_sum
+FROM r JOIN q ON r.source = q.source
+WHERE r.rk <= q.quota
+GROUP BY r.source
+ORDER BY r.source
+"""
+
+
+# ---------------------------------------------------------------------------
 # LLM ops: benchmark decontamination (train/eval n-gram overlap)
 # ---------------------------------------------------------------------------
 
@@ -2714,6 +2790,7 @@ QUERIES = {
     "q63_variant_props": q63_variant_props,
     "q64_simhash_pairs": q64_simhash_pairs,
     "q65_contamination": q65_contamination,
+    "q66_temperature_mix": q66_temperature_mix,
 }
 
 ORACLE_SQL = {
@@ -2775,4 +2852,5 @@ ORACLE_SQL = {
     "q62_embedding_dedup": _Q62_SQL,
     "q63_variant_props": _Q63_SQL,
     "q65_contamination": _Q65_SQL,
+    "q66_temperature_mix": _Q66_SQL,
 }

@@ -156,6 +156,38 @@ def test_cms_merge_equals_single_build(spark, tokens):
     assert diff.count() == 0
 
 
+def test_ranked_quota_sample_exact_and_nested(spark):
+    from pyveb_spark.operators.sampling import ranked_quota_sample
+
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 3)) for i in range(90)], "doc_id bigint, src string"
+    )
+    q1 = spark.createDataFrame(
+        [("s0", 5), ("s1", 10), ("s2", 30)], "src string, quota long"
+    )
+    kept1 = ranked_quota_sample(df, "src", ["doc_id"], q1)
+    sizes = {
+        r.src: r.n
+        for r in kept1.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes == {"s0": 5, "s1": 10, "s2": 30}  # exact-k per group
+    # nestedness: raising quotas only ADDS rows
+    q2 = spark.createDataFrame(
+        [("s0", 8), ("s1", 10), ("s2", 30)], "src string, quota long"
+    )
+    ids1 = {r.doc_id for r in kept1.collect()}
+    ids2 = {r.doc_id for r in ranked_quota_sample(df, "src", ["doc_id"], q2).collect()}
+    assert ids1 < ids2 and len(ids2 - ids1) == 3
+    # determinism across invocations and partitioning
+    ids1b = {
+        r.doc_id
+        for r in ranked_quota_sample(
+            df.repartition(7), "src", ["doc_id"], q1
+        ).collect()
+    }
+    assert ids1 == ids1b
+
+
 def test_hashed_linear_score_bounds_and_determinism(spark):
     from pyveb_spark.operators.text import hashed_linear_score
 
