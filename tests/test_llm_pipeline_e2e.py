@@ -1,0 +1,127 @@
+"""End-to-end LLM training-data pipeline through the declarative spec:
+
+    read → quality filter → boilerplate (chunk-dup) drop → decontaminate
+    → temperature mix → pack → merge-sink write
+
+One lazy Spark plan start-to-finish (the engine's whole point vs the
+reference's staged processes), exercising the operator families together
+rather than in isolation."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyveb_spark.operators.dedup import chunk_stats, contamination_check
+from pyveb_spark.operators.packing import pack_spans
+from pyveb_spark.operators.sampling import ranked_quota_sample
+from pyveb_spark.operators.text import quality_score
+from pyveb_spark.plans.pipeline import Pipeline, PipelineStep
+from pyveb_spark.sinks.merge import ParquetMergeSink
+from pyveb_spark.sources.readers import read_table
+
+
+def test_llm_pipeline_end_to_end(spark, sf_dir):
+    bench = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 20)
+        .select(F.col("doc_id").alias("bench_id"), F.col("text").alias("btext"))
+    )
+
+    def src(s):
+        return read_table(s, sf_dir, "documents").where(F.col("doc_id") >= 20)
+
+    def drop_low_quality(df):
+        return (
+            quality_score(df, "text")
+            .where(F.col("quality_score") > 0.2)
+            .select(*df.columns)
+        )
+
+    def drop_boilerplate(df):
+        stats = chunk_stats(df, "doc_id", "text", chunk_tokens=12)
+        bad = stats.where(F.col("dup_frac") > 0.5).select("doc_id")
+        return df.join(bad, "doc_id", "left_anti")
+
+    def decontaminate(df):
+        dirty = contamination_check(
+            df, bench, "doc_id", "text", "bench_id", "btext", n=5
+        ).select("doc_id").distinct()
+        return df.join(dirty, "doc_id", "left_anti")
+
+    def rebalance(df):
+        counts = df.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+        mx = counts.agg(F.max("n").alias("mx"))
+        quotas = counts.crossJoin(F.broadcast(mx)).select(
+            "source",
+            F.least(
+                F.col("n"),
+                F.floor(F.sqrt((F.col("n") * F.col("mx")).cast("double"))),
+            ).alias("quota"),
+        )
+        return ranked_quota_sample(df, "source", ["doc_id"], quotas)
+
+    tmp = tempfile.mkdtemp(prefix="llm_e2e_")
+    sink = ParquetMergeSink(spark, os.path.join(tmp, "clean_docs"))
+    pipe = Pipeline(
+        name="llm-clean",
+        source=src,
+        steps=[
+            PipelineStep("quality", drop_low_quality),
+            PipelineStep("boilerplate", drop_boilerplate),
+            PipelineStep("decontaminate", decontaminate),
+            PipelineStep("rebalance", rebalance),
+        ],
+        sink=lambda df: sink.overwrite(df),
+    )
+    out = pipe.run(spark)
+
+    n_in = src(spark).count()
+    n_out = sink.read().count()
+    assert 0 < n_out <= n_in
+    assert n_out == out.count()
+
+    # decontamination actually held: no surviving doc shares a 5-gram
+    survivors = sink.read()
+    assert (
+        contamination_check(
+            survivors, bench, "doc_id", "text", "bench_id", "btext", n=5
+        ).count()
+        == 0
+    )
+
+    # rebalance held: each source's output is within its sqrt-quota
+    per_src = {
+        r.source: r.n
+        for r in survivors.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(per_src) >= 2  # rare sources survive temperature mixing
+
+    # the cleaned corpus packs into exact 512-token windows
+    packed = pack_spans(
+        survivors.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+        ),
+        "n_tokens",
+        "doc_id",
+        budget=512,
+    )
+    per_pack = (
+        packed.groupBy("pack_id")
+        .agg(F.sum("span_tokens").alias("t"))
+        .orderBy("pack_id")
+        .collect()
+    )
+    assert all(r.t == 512 for r in per_pack[:-1]) and len(per_pack) > 1
+
+    # idempotent re-run: same pipeline, same output set (materialize the
+    # first run's ids BEFORE the re-run swaps the files out)
+    first_ids = {r.doc_id for r in survivors.select("doc_id").collect()}
+    pipe.run(spark)
+    again = {r.doc_id for r in sink.read().select("doc_id").collect()}
+    assert again == first_ids
