@@ -107,6 +107,73 @@ def test_q60_having_join_topk_plan(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Scale feature: a 90%-one-key join must come out of AQE with the hot
+    partition split (SortMergeJoin(skew=true)) instead of one straggler
+    task — thresholds lowered to synthetic scale, the mechanism is what
+    production relies on."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 100_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("v"),
+        )
+        right = spark.range(0, 20_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = left.hint("merge").join(right, "k")
+        # collect() (not count()) finalizes THIS frame's adaptive plan
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan.splitlines()[:12]
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
+def test_cbo_statistics_reach_the_optimizer(spark, tmp_path):
+    """ANALYZE TABLE column statistics must flow into plan cardinality
+    estimates when CBO is on — the input join-reordering and
+    broadcast-choice decisions run on at warehouse scale."""
+    from pyspark.sql import functions as F
+
+    import uuid
+
+    table = f"cbo_probe_{uuid.uuid4().hex[:8]}"
+    saved = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.range(0, 10_000).withColumn("v", F.col("id") % 7).write.mode(
+            "overwrite"
+        ).option("path", str(tmp_path / table)).saveAsTable(table)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR ALL COLUMNS")
+        df = spark.table(table).where(F.col("v") == 3)
+        stats = df._jdf.queryExecution().optimizedPlan().stats().toString()
+        assert "rowCount" in stats
+        # the estimate uses the column NDV (≈ 10000/7), not the table size
+        import re
+
+        m = re.search(r"rowCount=([0-9.E+]+)", stats)
+        assert m and 500 < float(m.group(1)) < 5000, stats
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", saved)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_q54_prefix_sum_is_distributed(spark, sf_dir):
     """The packing prefix sum must be the range-partitioned two-phase
     form: a RangePartitioning exchange feeds a window partitioned by the
