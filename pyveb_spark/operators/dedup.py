@@ -40,6 +40,8 @@ __all__ = [
     "duplicate_clusters",
     "chunk_stats",
     "contamination_check",
+    "minhash_lsh_index",
+    "minhash_lsh_lookup",
 ]
 
 
@@ -443,6 +445,107 @@ def minhash_lsh_pairs(
 # bit-b mask as a 64-bit two's-complement literal (bit 63 = the sign bit,
 # which `1 << 63` would overflow as a positive long literal)
 _BIT_MASKS = [((1 << b) if b < 63 else -(1 << 63)) for b in range(64)]
+
+
+def _banded_postings(
+    df: DataFrame, id_col: str, text_col: str, n: int,
+    num_hashes: int, bands: int,
+) -> DataFrame:
+    """(id, __grams, __n, __band, __h) posting rows: the doc's shingle set
+    plus one row per LSH band hash — the joinable form of a MinHash
+    signature."""
+    r = num_hashes // bands
+    sets = _doc_shingle_sets(df, id_col, text_col, n).where(
+        F.size("__grams") > 0
+    )
+    mh = [
+        F.array_min(
+            F.transform("__grams", lambda g, s=s: _seeded_hash(g, s))
+        )
+        for s in range(num_hashes)
+    ]
+    band_arr = F.array(
+        *[
+            F.xxhash64(*[mh[b * r + i] for i in range(r)])
+            for b in range(bands)
+        ]
+    )
+    return sets.select(
+        F.col(id_col),
+        "__grams",
+        "__n",
+        F.posexplode(band_arr).alias("__band", "__h"),
+    )
+
+
+def minhash_lsh_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Build the persistent dedup index for a corpus: banded MinHash
+    postings carrying each doc's shingle set, so future batches can be
+    checked *incrementally* — the production shape at 100 TB, where
+    re-running all-pairs dedup per ingest is a non-starter. Write it
+    bucketed by ``(__band, __h)`` (``writers.write_bucketed_table``) and
+    the lookup join needs no index-side shuffle at all; append new
+    batches' postings after admission."""
+    return _banded_postings(df, id_col, text_col, n, num_hashes, bands)
+
+
+def minhash_lsh_lookup(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental near-dup check: candidate (new, corpus) pairs from a
+    band-hash join of the new batch's postings against a
+    ``minhash_lsh_index`` table, verified with exact Jaccard — identical
+    hash pipeline (and therefore identical recall curve) to
+    ``minhash_lsh_pairs``, but the cost scales with the BATCH, not the
+    corpus. Returns ``(<id>_new, <id>_corpus, jaccard)``. The verify
+    reuses the shingle sets already carried on both posting sides, so
+    the only shuffle is the candidate join itself."""
+    a_id, b_id = f"{id_col}_new", f"{id_col}_corpus"
+    probe = _banded_postings(new_df, id_col, text_col, n, num_hashes, bands)
+    a = probe.select(
+        F.col(id_col).alias(a_id),
+        F.col("__grams").alias("__ga"),
+        F.col("__n").alias("__na"),
+        "__band",
+        "__h",
+    )
+    b = index.select(
+        F.col(id_col).alias(b_id),
+        F.col("__grams").alias("__gb"),
+        F.col("__n").alias("__nb"),
+        "__band",
+        "__h",
+    )
+    cand = (
+        a.join(b, ["__band", "__h"])
+        .where(F.col(a_id) != F.col(b_id))
+        .dropDuplicates([a_id, b_id])
+    )
+    inter = F.size(F.array_intersect("__ga", "__gb"))
+    return (
+        cand.withColumn("__i", inter)
+        .withColumn(
+            "jaccard",
+            F.col("__i").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("__i")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(a_id, b_id, "jaccard")
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

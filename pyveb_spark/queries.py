@@ -2463,6 +2463,49 @@ ORDER BY vec_id
 
 
 # ---------------------------------------------------------------------------
+# LLM ops: multimodal frames → features (rows-only: stand-in kernels)
+# ---------------------------------------------------------------------------
+
+def q67_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-shaped multimodal path: media rows fan out to frames
+    (explode-after-decode), every frame re-enters the Arrow feature
+    kernel, and the result rolls back up to one row per media item —
+    the (sample → featurize → aggregate) shape a video corpus pipeline
+    runs, with the byte-slicing stand-ins marked in multimodal.py.
+    Deterministic integer/string outputs keep the rows-only check stable
+    across partitionings."""
+    from pyveb_spark.operators.multimodal import (
+        extract_features,
+        media_table,
+        sample_frames,
+    )
+
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = media_table(
+        d.withColumn("payload", F.encode("text", "UTF-8")),
+        id_col="doc_id",
+        payload_col="payload",
+    )
+    frames = sample_frames(media, every_n_bytes=64, max_frames=4)
+    per_frame = frames.select(
+        "media_id",
+        F.col("frame.frame_no").alias("frame_no"),
+        F.encode(F.col("frame.frame_sig"), "UTF-8").alias("payload"),
+    )
+    feat = extract_features(per_frame, dim=8, fake=True)
+    return (
+        feat.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.min("frame_no").alias("first_frame"),
+            F.max("frame_no").alias("last_frame"),
+            F.size(F.first("embedding")).alias("embedding_dim"),
+        )
+        .orderBy("media_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # LLM ops: temperature source rebalancing (exact-k quota sampling)
 # ---------------------------------------------------------------------------
 
@@ -2791,6 +2834,7 @@ QUERIES = {
     "q64_simhash_pairs": q64_simhash_pairs,
     "q65_contamination": q65_contamination,
     "q66_temperature_mix": q66_temperature_mix,
+    "q67_frame_features": q67_frame_features,
 }
 
 ORACLE_SQL = {

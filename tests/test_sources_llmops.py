@@ -154,6 +154,35 @@ def test_simhash_near_dups_close_in_hamming(spark, sf_dir):
         assert r.hamming <= 16  # near-dups land close in simhash space
 
 
+def test_incremental_lsh_lookup_matches_batch(spark, sf_dir):
+    """Checking a new batch against a prebuilt index must find exactly the
+    batch↔corpus pairs the all-pairs algorithm finds (same hash pipeline,
+    same verify) — the incremental-ingest dedup contract."""
+    from pyveb_spark.operators.dedup import (
+        minhash_lsh_index,
+        minhash_lsh_lookup,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") >= 100)
+    batch = docs.where(F.col("doc_id") < 100)
+    index = minhash_lsh_index(corpus, "doc_id", "text")
+    got = {
+        (r.doc_id_new, r.doc_id_corpus)
+        for r in minhash_lsh_lookup(
+            batch, index, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    full = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    expected = set()
+    for r in full.collect():
+        if r.doc_id_a < 100 and r.doc_id_b >= 100:
+            expected.add((r.doc_id_a, r.doc_id_b))
+        elif r.doc_id_b < 100 and r.doc_id_a >= 100:
+            expected.add((r.doc_id_b, r.doc_id_a))
+    assert got == expected and len(got) > 0
+
+
 def test_simhash_order_invariant_and_identical_pairs(spark):
     from pyveb_spark.operators.dedup import simhash_pairs
 
