@@ -2463,6 +2463,155 @@ ORDER BY vec_id
 
 
 # ---------------------------------------------------------------------------
+# Relational depth: conditional-aggregate ratio / NOT-IN distinct / bilateral
+# volume (TPC-H Q14 / Q16 / Q7 shapes)
+# ---------------------------------------------------------------------------
+
+def q68_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue as a percentage of total revenue in
+    one month — two conditional aggregates over a single scan (the
+    CASE-inside-SUM pattern; no second pass, no join for the ratio).
+    Decimal-exact numerator/denominator, one IEEE division."""
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", 3, 2))
+    promo = F.when(
+        F.col("p_type") == "PROMO", rev
+    ).otherwise(F.lit(0).cast("decimal(14,4)"))
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+_Q68_SQL = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+             ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+              AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q69_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per part attribute, with a
+    NOT-IN exclusion list (suppliers from one nation) compiled to an
+    anti-join. The count-distinct aggregates after the join; the
+    exclusion list broadcasts."""
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    excluded = s.join(
+        F.broadcast(n.where(F.col("n_name") == "NATION_7")),
+        s.s_nationkey == n.n_nationkey,
+        "left_semi",
+    ).select("s_suppkey")
+    return (
+        l.join(F.broadcast(excluded), l.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(F.broadcast(p.where(F.col("p_size").isin(1, 5, 9))), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+_Q69_SQL = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 5, 9)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        JOIN nation ON s_nationkey = n_nationkey
+                        WHERE n_name = 'NATION_7')
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+def q70_bilateral_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations per year — a
+    supplier-nation × customer-nation cross condition with the
+    symmetric OR, grouped by year. Both nation filters broadcast before
+    the big fact joins; the year extraction stays a scan-stage
+    expression."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", 3, 2))
+    n1 = n.where(F.col("n_name").isin("NATION_1", "NATION_2"))
+    sn = s.join(F.broadcast(n1), s.s_nationkey == n1.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    cn = c.join(
+        F.broadcast(n1.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))),
+        c.c_nationkey == F.col("cnk"),
+    ).select("c_custkey", "cust_nation")
+    return (
+        l.join(F.broadcast(sn), l.l_suppkey == sn.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(cn, o.o_custkey == cn.c_custkey)
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q70_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(vol) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS vol
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
 # LLM ops: multimodal frames → features (rows-only: stand-in kernels)
 # ---------------------------------------------------------------------------
 
@@ -2835,6 +2984,9 @@ QUERIES = {
     "q65_contamination": q65_contamination,
     "q66_temperature_mix": q66_temperature_mix,
     "q67_frame_features": q67_frame_features,
+    "q68_promo_revenue_share": q68_promo_revenue_share,
+    "q69_supplier_part_counts": q69_supplier_part_counts,
+    "q70_bilateral_volume": q70_bilateral_volume,
 }
 
 ORACLE_SQL = {
@@ -2897,4 +3049,7 @@ ORACLE_SQL = {
     "q63_variant_props": _Q63_SQL,
     "q65_contamination": _Q65_SQL,
     "q66_temperature_mix": _Q66_SQL,
+    "q68_promo_revenue_share": _Q68_SQL,
+    "q69_supplier_part_counts": _Q69_SQL,
+    "q70_bilateral_volume": _Q70_SQL,
 }
