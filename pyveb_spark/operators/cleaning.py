@@ -32,7 +32,10 @@ __all__ = [
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
-    "phone": r"\b\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b",
+    # leading '+' must be an alternative to \b, not follow it: a word
+    # boundary can't precede a non-word '+' at a match start, so '\b\+?'
+    # could never actually consume the international prefix
+    "phone": r"(?:\+|\b)[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b",
 }
 
 # Tokens the reference treats as NULL after trim+lower

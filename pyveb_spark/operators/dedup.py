@@ -71,7 +71,10 @@ def chunk_stats(
     pathological boilerplate — which is exactly what the operator is for
     finding. No driver state.
     """
-    toks = F.split(F.col(text_col), delimiter)
+    # NULL text behaves like '' (one empty chunk): split(NULL) is NULL and
+    # would otherwise silently drop the doc (ANSI) or explode phantom
+    # chunks via sequence(0,-1) (legacy mode)
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), delimiter)
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
     chunked = (
         df.select(
@@ -413,7 +416,7 @@ def minhash_lsh_pairs(
     ``ngram_jaccard_pairs``. At 100 TB this is the only viable plan: cost is
     bands × (hash-join on band signature), never O(n²).
     """
-    r = num_hashes // bands
+    r = _check_banding(num_hashes, bands)
     a, b_ = f"{id_col}_a", f"{id_col}_b"
     sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
     # one (band_idx, band_hash) row per band → a single self-join keyed on
@@ -447,6 +450,19 @@ def minhash_lsh_pairs(
 _BIT_MASKS = [((1 << b) if b < 63 else -(1 << 63)) for b in range(64)]
 
 
+def _check_banding(num_hashes: int, bands: int) -> int:
+    """bands must divide num_hashes exactly: r=0 crashes with an opaque
+    zero-arg hash error, and a remainder silently drops trailing
+    signatures — making the real collision curve worse than the
+    documented 1-(1-s^r)^b for the requested parameters."""
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes (got num_hashes={num_hashes}, "
+            f"bands={bands})"
+        )
+    return num_hashes // bands
+
+
 def _banded_postings(
     df: DataFrame, id_col: str, text_col: str, n: int,
     num_hashes: int, bands: int,
@@ -454,7 +470,7 @@ def _banded_postings(
     """(id, __grams, __n, __band, __h) posting rows: the doc's shingle set
     plus one row per LSH band hash — the joinable form of a MinHash
     signature."""
-    r = num_hashes // bands
+    r = _check_banding(num_hashes, bands)
     sets = _doc_shingle_sets(df, id_col, text_col, n).where(
         F.size("__grams") > 0
     )

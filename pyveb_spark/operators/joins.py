@@ -64,25 +64,38 @@ def asof_join(
     by AQE. This beats the naive join+filter+window-rank plan, which
     shuffles the (much larger) cross-matched intermediate.
     """
+    from pyspark.sql.types import StructField, StructType
+
     keys = [on] if isinstance(on, str) else list(on)
     lpay = [c for c in left.columns if c not in keys and c != left_ts]
     rpay = [c for c in right.columns if c not in keys and c != right_ts]
 
     rpay_out = [c + suffix if c in set(left.columns) else c for c in rpay]
 
+    # The right payload travels as ONE struct so the window carries whole
+    # right ROWS: per-column last(ignorenulls) would stitch fields from
+    # different right rows whenever a payload column holds NULLs (the
+    # nearest row's NULL y must win over an older row's non-NULL y).
+    rstruct_type = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in rpay]
+        + [StructField("__rts", right.schema[right_ts].dataType, True)]
+    )
     l_tagged = left.select(
         *keys,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in lpay],
-        *[F.lit(None).alias("__r_" + c) for c in rpay],
+        F.lit(None).cast(rstruct_type).alias("__r"),
     )
     r_tagged = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
-        *[F.col(c).alias("__r_" + c) for c in rpay],
+        F.struct(
+            *[F.col(c).alias(c) for c in rpay],
+            F.col(right_ts).alias("__rts"),
+        ).alias("__r"),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
@@ -107,18 +120,21 @@ def asof_join(
         "__ts",
         "__is_left",
         *[F.col(c) for c in lpay],
-        *[
-            F.last(F.col("__r_" + c), ignorenulls=True).over(w).alias(out)
-            for c, out in zip(rpay, rpay_out)
-        ],
-        F.last(
-            F.when(F.col("__is_left") == 0, F.col("__ts")), ignorenulls=True
-        )
-        .over(w)
-        .alias(right_ts + suffix if right_ts in set(left.columns) else right_ts),
+        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__rc"),
     )
-    return carried.where(F.col("__is_left") == 1).drop("__is_left").withColumnRenamed(
-        "__ts", left_ts
+    rts_out = right_ts + suffix if right_ts in set(left.columns) else right_ts
+    return (
+        carried.where(F.col("__is_left") == 1)
+        .select(
+            *keys,
+            F.col("__ts").alias(left_ts),
+            *[F.col(c) for c in lpay],
+            *[
+                F.col("__rc").getField(c).alias(out)
+                for c, out in zip(rpay, rpay_out)
+            ],
+            F.col("__rc").getField("__rts").alias(rts_out),
+        )
     )
 
 
@@ -206,14 +222,20 @@ def fuzzy_top1_join(
     ``levenshtein`` natively, keep rank-1 per left row. For large×large use
     the LSH similarity operators in ``pyveb_spark.operators.similarity``.
     """
-    scored = left.join(F.broadcast(right)).withColumn(
+    # rank per left ROW, not per left match-value: two left rows sharing a
+    # name must both survive with their own best match. The id is stable
+    # within a job given deterministic input partitioning (file scans are).
+    keyed = left.withColumn("__rid", F.monotonically_increasing_id())
+    scored = keyed.join(F.broadcast(right)).withColumn(
         "__dist", F.levenshtein(F.col(left_col), F.col(right_col))
     )
     if max_distance is not None:
         scored = scored.where(F.col("__dist") <= max_distance)
-    w = Window.partitionBy(left_col).orderBy(F.col("__dist").asc(), F.col(right_col).asc())
+    w = Window.partitionBy("__rid").orderBy(
+        F.col("__dist").asc(), F.col(right_col).asc()
+    )
     return (
         scored.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") == 1)
-        .drop("__rk")
+        .drop("__rk", "__rid")
     )

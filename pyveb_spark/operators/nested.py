@@ -78,8 +78,14 @@ def argmax_in_array(df: DataFrame, col: str, sort_field: str) -> DataFrame:
         F.reduce(
             arr,
             F.lit(None).cast(df.schema[col].dataType.elementType),
+            # NULL-keyed elements never beat a comparable one: without the
+            # middle clause a NULL-keyed accumulator absorbs (NULL > x is
+            # NULL, so larger later elements could never replace it)
             lambda acc, x: F.when(
-                acc.isNull() | (x[sort_field] > acc[sort_field]), x
+                acc.isNull()
+                | (acc[sort_field].isNull() & x[sort_field].isNotNull())
+                | (x[sort_field] > acc[sort_field]),
+                x,
             ).otherwise(acc),
         ),
     )

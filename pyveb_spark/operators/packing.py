@@ -33,13 +33,6 @@ from pyspark.sql import functions as F
 __all__ = ["with_token_offsets", "pack_spans", "pack_contiguous"]
 
 
-# Single-slot cache for the range-partitioned input (same lifecycle pattern
-# as dedup/text: unpersist the previous entry BEFORE persisting a new one —
-# cache entries are keyed by plan equality, so a popped unpersist *after*
-# would drop a shared entry on repeated identical calls).
-_PERSISTED_PARTED: list[DataFrame] = []
-
-
 def with_token_offsets(
     df: DataFrame, n_tokens_col: str, order_col: str
 ) -> DataFrame:
@@ -58,21 +51,22 @@ def with_token_offsets(
     without the every-row-through-one-task bottleneck that kills the
     global window at 100 TB.
 
-    The range-partitioned frame is persisted (single-slot, like the dedup
-    prefix tables): partition ids must be identical between the totals
-    pass and the output plan, which recomputation through a fresh range
-    sampling would not guarantee.
+    The range-partitioned frame is materialized with an eager
+    ``localCheckpoint`` (not a cache entry): partition ids must be
+    identical between the totals pass and the output plan, and a cached
+    entry can be evicted (or unpersisted by a later call) and recomputed
+    through a fresh range sampling — a silent-corruption hazard, not a
+    perf detail. Checkpoint blocks are owned by the returned plan's
+    lineage and garbage-collect with it. On a multi-node cluster swap for
+    a reliable ``checkpoint`` dir if executor loss matters.
     """
     spark = df.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    while _PERSISTED_PARTED:
-        _PERSISTED_PARTED.pop().unpersist(blocking=False)
     parted = (
         df.repartitionByRange(n_parts, F.col(order_col))
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    _PERSISTED_PARTED.append(parted)
     totals = sorted(
         parted.groupBy("__pid").agg(
             F.sum(n_tokens_col).alias("__t")

@@ -83,11 +83,17 @@ def knn_join(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_same_id: bool = True,
 ) -> DataFrame:
     """Exact k-NN join: for every left vector, its k nearest right vectors
     by cosine. Brute force (broadcast right, rank per left id) — correct
     baseline; use ``cosine_topk_lsh`` when |right| stops being
-    broadcast-able."""
+    broadcast-able.
+
+    ``exclude_same_id`` drops matches where the two ids are equal — the
+    self-match guard for the common self-join case. Pass ``False`` when
+    left and right are DIFFERENT tables whose id spaces coincide, or
+    coincidentally-equal ids silently lose a legitimate neighbor."""
     r = F.broadcast(
         right.select(
             F.col(id_col).alias("nn_id"), F.col(vec_col).alias("__rv")
@@ -96,10 +102,10 @@ def knn_join(
     l = left.select(F.col(id_col), F.col(vec_col).alias("__lv"))
     lv, rv = _as_double(F.col("__lv")), _as_double(F.col("__rv"))
     sim = _dot(lv, rv) / (F.sqrt(_dot(lv, lv)) * F.sqrt(_dot(rv, rv)))
-    scored = (
-        l.join(r, F.col(id_col) != F.col("nn_id"))
-        .withColumn("cosine_sim", sim)
+    cond = (
+        F.col(id_col) != F.col("nn_id") if exclude_same_id else F.lit(True)
     )
+    scored = l.join(r, cond).withColumn("cosine_sim", sim)
     w = Window.partitionBy(id_col).orderBy(F.desc("cosine_sim"), F.asc("nn_id"))
     return (
         scored.withColumn("__rk", F.row_number().over(w))

@@ -126,7 +126,11 @@ def approx_quantiles(
 # Error contract (standard CMS): estimate ≥ true count always, and
 # P[estimate > true + εN] ≤ δ with ε = e/width, δ = exp(-depth).
 
-_CMS_HEX = 12  # 48-bit md5 prefix → bucket; uniform, portable
+# 48-bit md5 prefix → bucket; uniform, portable. NOTE: the portable-hex
+# scheme (width, separator, lowercase md5) must stay in lockstep with
+# operators/sampling.py::uniform_hex and text.py::hashed_linear_score —
+# every oracle SQL string reproduces it verbatim.
+_CMS_HEX = 12
 
 
 def cms_bucket(col, depth_idx, width: int) -> Column:

@@ -266,8 +266,15 @@ class ParquetMergeSink:
             df.write.mode("overwrite").partitionBy(*partition_cols).parquet(self.path)
             return
         touched = df.select(*partition_cols).distinct()
-        current = self.read().join(
-            F.broadcast(touched), partition_cols, "inner"
-        )
+        # partition directory values read back as STRINGS (the session
+        # disables partitionColumnTypeInference for schema stability, see
+        # session.py) — cast them back to the stage's declared types or
+        # the join below misses and the unionByName type-errors under ANSI
+        current = self.read()
+        for pc in partition_cols:
+            current = current.withColumn(
+                pc, F.col(pc).cast(df.schema[pc].dataType)
+            )
+        current = current.join(F.broadcast(touched), partition_cols, "inner")
         merged = upsert_frames(current, df, keys).localCheckpoint(eager=True)
         merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(self.path)
