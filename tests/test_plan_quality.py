@@ -190,6 +190,20 @@ def test_q54_prefix_sum_is_distributed(spark, sf_dir):
         assert "__pid" in spec or "partitionBy" not in spec, spec
 
 
+def test_q72_star_broadcasts(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["q72_local_supplier_volume"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "EqualTo(r_name,ASIA)" in plan  # region literal pushed to scan
+
+
+def test_q73_returned_topk_plan(spark, sf_dir):
+    plan = _executed_plan(QUERIES["q73_returned_item_customers"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    f = _formatted_plan(QUERIES["q73_returned_item_customers"](spark, sf_dir))
+    assert "EqualTo(l_returnflag,R)" in f  # fact filter pushed to scan
+
+
 def test_q48_semi_anti_topk_plan(spark, sf_dir):
     plan = _executed_plan(QUERIES["q48_last_shipper"](spark, sf_dir))
     # EXISTS / NOT EXISTS compile to semi / anti joins, never inner+distinct
