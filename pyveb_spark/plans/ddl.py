@@ -103,7 +103,12 @@ _SPARK_TO_WAREHOUSE: dict[str, str] = {
 def sqlserver_to_spark_type(name: str) -> DataType:
     """'decimal(12,2)' / 'nvarchar(50)' / 'bigint' → Spark type, with
     decimal precision/scale carried through (parser.py:106)."""
-    m = re.match(r"^\s*(\w+)\s*(?:\(\s*(\d+)\s*(?:,\s*(\d+))?\s*\))?", name.lower())
+    m = re.match(
+        r"^\s*\[?\s*(\w+)\s*\]?\s*(?:\(\s*(\d+)\s*(?:,\s*(\d+))?\s*\))?",
+        name.lower(),
+    )
+    if m is None:
+        raise ValueError(f"unmapped SQL Server type: {name!r}")
     base, p, s = m.group(1), m.group(2), m.group(3)
     if base in ("decimal", "numeric"):
         return DecimalType(int(p or 38), int(s or 0))

@@ -33,6 +33,15 @@ def _dec(col: str, prec: int = 12, scale: int = 2):
     return F.col(col).cast(f"decimal({prec},{scale})")
 
 
+def _query_vec(e: DataFrame, vec_id: int = 0) -> list[float]:
+    """Driver-side query vector for the ANN queries (one tiny lookup —
+    the query point is model input, not data)."""
+    row = e.where(F.col("vec_id") == vec_id).select("embedding").first()
+    if row is None:
+        raise ValueError(f"no embedding row with vec_id={vec_id}")
+    return [float(x) for x in row[0]]
+
+
 # ---------------------------------------------------------------------------
 # §2.5 aggregation: TPC-H Q1-style pricing summary (scan→filter→hash agg)
 # ---------------------------------------------------------------------------
@@ -686,10 +695,7 @@ def q19_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyveb_spark.operators.similarity import cosine_topk
 
     e = read_table(spark, sf_dir, "embeddings")
-    query_vec = [
-        float(x)
-        for x in e.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    ]
+    query_vec = _query_vec(e)
     return cosine_topk(e, query_vec, k=10, id_col="vec_id", vec_col="embedding",
                        exclude_ids=[0]).select(
         "vec_id", "label", F.round("cosine_sim", 4).alias("cosine_sim")
@@ -1036,10 +1042,7 @@ def q30_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyveb_spark.operators.similarity import cosine_topk_lsh
 
     e = read_table(spark, sf_dir, "embeddings")
-    query_vec = [
-        float(x)
-        for x in e.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    ]
+    query_vec = _query_vec(e)
     return cosine_topk_lsh(
         e, query_vec, k=10, n_planes=6, exclude_ids=[0]
     ).select("vec_id", "label", F.round("cosine_sim", 4).alias("cosine_sim"))
@@ -1259,10 +1262,7 @@ def q37_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyveb_spark.operators.similarity import ivf_index, ivf_search
 
     e = read_table(spark, sf_dir, "embeddings")
-    query_vec = [
-        float(x)
-        for x in e.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    ]
+    query_vec = _query_vec(e)
     indexed, centroids = ivf_index(e, n_lists=16)
     return ivf_search(
         indexed, centroids, query_vec, k=10, nprobe=4, exclude_ids=[0]
@@ -2794,9 +2794,11 @@ def q67_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q66_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """τ=0.5 temperature rebalancing of the corpus source mix: each
-    source's keep-quota is √(nᵢ·n_max) capped at nᵢ — rare sources keep
-    everything, dominant ones are downsampled toward the geometric
-    middle (the multilingual-corpus rebalancing recipe). Selection is
+    source's keep-quota is √(nᵢ·n_min) — the smallest source keeps
+    everything and every larger source is downsampled to the geometric
+    mean of its size and the smallest's, so keep-RATES follow nᵢ^(τ-1)
+    = nᵢ^(-1/2), the multilingual-corpus rebalancing recipe. (The
+    geometric mean against n_max would be ≥ nᵢ — a no-op.) Selection is
     exact-k by content-hash rank (``ranked_quota_sample``), so the
     keep-set is reproducible on any cluster; √ is correctly-rounded IEEE
     in every engine, which is what lets the oracle re-derive identical
@@ -2806,15 +2808,12 @@ def q66_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
-    max_n = counts.agg(F.max("__n").alias("__mx"))
-    quotas = counts.crossJoin(F.broadcast(max_n)).select(
+    min_n = counts.agg(F.min("__n").alias("__mn"))
+    quotas = counts.crossJoin(F.broadcast(min_n)).select(
         "source",
         "__n",
-        F.least(
-            F.col("__n"),
-            F.floor(
-                F.sqrt((F.col("__n") * F.col("__mx")).cast("double"))
-            ),
+        F.floor(
+            F.sqrt((F.col("__n") * F.col("__mn")).cast("double"))
         ).alias("quota"),
     )
     kept = ranked_quota_sample(
@@ -2842,9 +2841,8 @@ def q66_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q66_SQL = """
 WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
 q AS (SELECT source, n,
-             LEAST(n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE)
-                                      * (SELECT MAX(n) FROM c))) AS BIGINT))
-                 AS quota
+             CAST(FLOOR(SQRT(CAST(n AS DOUBLE)
+                             * (SELECT MIN(n) FROM c))) AS BIGINT) AS quota
       FROM c),
 r AS (SELECT doc_id, source,
              ROW_NUMBER() OVER (

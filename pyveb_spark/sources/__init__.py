@@ -21,6 +21,8 @@ from pyveb_spark.sources.connectors import (
     match_filename,
     read_excel_df,
     sharepoint_download,
+    sharepoint_upload,
+    webdriver_download,
 )
 from pyveb_spark.sources.readers import (
     load_tables,
@@ -45,4 +47,6 @@ __all__ = [
     "read_excel_df",
     "excel_sink",
     "sharepoint_download",
+    "sharepoint_upload",
+    "webdriver_download",
 ]

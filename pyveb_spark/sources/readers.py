@@ -135,6 +135,13 @@ def read_jdbc(
         .option("fetchsize", str(fetchsize))
     )
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # fail here with a clear message — str(None) would otherwise
+            # reach the JDBC source and die in a NumberFormatException
+            raise ValueError(
+                "read_jdbc: partition_column requires lower_bound and "
+                "upper_bound"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))

@@ -73,13 +73,21 @@ class RetryPolicy:
 def http_get_fetcher(timeout: float = 30.0) -> Callable[[str, dict], tuple[int, str]]:
     """Default GET transport (urllib — stdlib, no extra deps). Returns a
     ``(url, params) -> (status, body)`` callable for ``rest_fanout``."""
+    from urllib.error import HTTPError
     from urllib.parse import urlencode
     from urllib.request import urlopen
 
     def _fetch(url: str, params: dict) -> tuple[int, str]:
         full = f"{url}?{urlencode(params)}" if params else url
-        with urlopen(full, timeout=timeout) as resp:  # noqa: S310
-            return resp.status, resp.read().decode("utf-8", "replace")
+        try:
+            with urlopen(full, timeout=timeout) as resp:  # noqa: S310
+                return resp.status, resp.read().decode("utf-8", "replace")
+        except HTTPError as e:
+            # urlopen raises on every non-2xx; surface the REAL status and
+            # body so RetryPolicy's retry_statuses logic can act on it —
+            # otherwise a non-retryable 404 is retried through the whole
+            # backoff budget and recorded as status=-1
+            return e.code, e.read().decode("utf-8", "replace")
 
     return _fetch
 
@@ -144,14 +152,15 @@ def rest_fanout(
                     if v is not None and not str(k).startswith("fk_")
                 }
                 status, body, attempts = retry.call(lambda: fetcher(url, query))
+                ok = status // 100 == 2  # any 2xx (201/204/206 included)
                 rows.append(
                     {
                         "api_id": row["api_id"],
                         "api_params": row[params_col],
                         "status": status,
-                        "body": body if status == 200 else None,
+                        "body": body if ok else None,
                         "attempts": attempts,
-                        "error": None if status == 200 else body,
+                        "error": None if ok else body,
                     }
                 )
             yield pd.DataFrame(rows)

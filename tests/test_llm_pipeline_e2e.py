@@ -54,13 +54,14 @@ def test_llm_pipeline_end_to_end(spark, sf_dir):
 
     def rebalance(df):
         counts = df.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-        mx = counts.agg(F.max("n").alias("mx"))
-        quotas = counts.crossJoin(F.broadcast(mx)).select(
+        mn = counts.agg(F.min("n").alias("mn"))
+        # τ=0.5: every source shrinks to the geometric mean of its size
+        # and the smallest source's (rates ∝ n^-1/2)
+        quotas = counts.crossJoin(F.broadcast(mn)).select(
             "source",
-            F.least(
-                F.col("n"),
-                F.floor(F.sqrt((F.col("n") * F.col("mx")).cast("double"))),
-            ).alias("quota"),
+            F.floor(F.sqrt((F.col("n") * F.col("mn")).cast("double"))).alias(
+                "quota"
+            ),
         )
         return ranked_quota_sample(df, "source", ["doc_id"], quotas)
 
@@ -101,6 +102,15 @@ def test_llm_pipeline_end_to_end(spark, sf_dir):
         .collect()
     }
     assert len(per_src) >= 2  # rare sources survive temperature mixing
+    # and the dominant source was actually downsampled (τ=0.5 is not a
+    # no-op): its surviving count is strictly below its pre-rebalance size
+    pre = decontaminate(drop_boilerplate(drop_low_quality(src(spark))))
+    pre_src = {
+        r.source: r.n
+        for r in pre.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    big = max(pre_src, key=pre_src.get)
+    assert per_src[big] < pre_src[big]
 
     # the cleaned corpus packs into exact 512-token windows
     packed = pack_spans(
