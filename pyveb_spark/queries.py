@@ -2611,6 +2611,123 @@ ORDER BY supp_nation, cust_nation, l_year
 """
 
 
+def q74_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's order revenue per
+    year — a conditional-sum / total-sum ratio over the full star join.
+    The numerator condition rides the supplier-nation column through the
+    aggregation (no second scan); both sums stay exact decimal and the
+    share is one IEEE division per year."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", 3, 2))
+    cust_in_region = c.join(
+        F.broadcast(
+            n.join(
+                F.broadcast(r.where(F.col("r_name") == "EUROPE")),
+                n.n_regionkey == r.r_regionkey,
+            ).select("n_nationkey")
+        ),
+        c.c_nationkey == F.col("n_nationkey"),
+        "left_semi",
+    ).select("c_custkey")
+    supp_nation = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("snk"), F.col("n_name"))),
+        s.s_nationkey == F.col("snk"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    target = F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(
+        F.lit(0).cast("decimal(14,4)")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(cust_in_region, o.o_custkey == cust_in_region.c_custkey, "left_semi")
+        .join(F.broadcast(supp_nation), l.l_suppkey == supp_nation.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(target).cast("double") / F.sum(rev).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q74_SQL = """
+SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+       CAST(SUM(CASE WHEN n1.n_name = 'NATION_5'
+                THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+              AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region ON n2.n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q75_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (cost adapted: the fixture has no ps_supplycost, so
+    the part's retail price stands in): profit per supplier nation per
+    year for one part-name family. Amounts stay decimal through the
+    aggregation; the part filter is a broadcast semi-prune before the
+    fact joins."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    p = read_table(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(3,2)")
+    amount = _dec("l_extendedprice") * (one - _dec("l_discount", 3, 2)) - _dec(
+        "p_retailprice"
+    ) * _dec("l_quantity")
+    green = p.where(F.col("p_name").like("%_5%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    return (
+        l.join(F.broadcast(green), l.l_partkey == green.p_partkey)
+        .join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), l.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_Q75_SQL = """
+SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                - CAST(p_retailprice AS DECIMAL(12,2))
+                  * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+           AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%_5%'
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+
+
 def q71_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape (adapted: the fixture has no l_shipmode, so the
     return flag plays the grouping role): per flag, how many high- vs
@@ -3122,6 +3239,8 @@ QUERIES = {
     "q71_shipmode_priority": q71_shipmode_priority,
     "q72_local_supplier_volume": q72_local_supplier_volume,
     "q73_returned_item_customers": q73_returned_item_customers,
+    "q74_market_share": q74_market_share,
+    "q75_product_profit": q75_product_profit,
 }
 
 ORACLE_SQL = {
@@ -3190,4 +3309,6 @@ ORACLE_SQL = {
     "q71_shipmode_priority": _Q71_SQL,
     "q72_local_supplier_volume": _Q72_SQL,
     "q73_returned_item_customers": _Q73_SQL,
+    "q74_market_share": _Q74_SQL,
+    "q75_product_profit": _Q75_SQL,
 }
