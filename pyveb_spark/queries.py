@@ -2611,6 +2611,98 @@ ORDER BY supp_nation, cust_nation, l_year
 """
 
 
+def q76_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the what-if revenue delta from discounted,
+    small-quantity lines in one year — the purest scan-bound query (every
+    predicate pushes to the Parquet scan, one global decimal sum, no
+    join, no group). The floor every engine should hit scan throughput
+    on."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount", 3, 2))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+_Q76_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q77_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: unit price from lineitem stands in for
+    ps_supplycost): for each small part, the supplier(s) offering the
+    minimum unit price — a correlated MIN subquery decorrelated into a
+    per-part aggregate joined back on (part, price), ties kept exactly
+    (decimal compare). Both the per-pair aggregation and the min-join
+    shuffle on l_partkey so the exchange is reused."""
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    s = read_table(spark, sf_dir, "supplier")
+    # plain double division: both inputs are bit-identical 2-decimal
+    # doubles in every engine, so one IEEE divide gives bit-identical
+    # units — decimal division would round through engine-specific
+    # intermediate scales instead
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    small = p.where(F.col("p_size") <= 3).select("p_partkey", "p_name")
+    offers = (
+        l.join(F.broadcast(small), l.l_partkey == small.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(unit).alias("__unit"))
+    )
+    best = offers.groupBy("l_partkey").agg(F.min("__unit").alias("__best"))
+    return (
+        offers.join(
+            best,
+            (offers.l_partkey == best.l_partkey)
+            & (offers.__unit == best.__best),
+        )
+        .drop(best.l_partkey)
+        .join(F.broadcast(small), F.col("l_partkey") == small.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "p_name",
+            "l_partkey",
+            "s_name",
+            F.col("__unit").alias("min_unit_price"),
+        )
+        .orderBy("l_partkey", "s_name")
+    )
+
+
+_Q77_SQL = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 3)
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT p_name, l_partkey, s_name, unit AS min_unit_price
+FROM offers
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE unit = (SELECT MIN(o2.unit) FROM offers o2
+              WHERE o2.l_partkey = offers.l_partkey)
+ORDER BY l_partkey, s_name
+"""
+
+
 def q74_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of a region's order revenue per
     year — a conditional-sum / total-sum ratio over the full star join.
@@ -3241,6 +3333,8 @@ QUERIES = {
     "q73_returned_item_customers": q73_returned_item_customers,
     "q74_market_share": q74_market_share,
     "q75_product_profit": q75_product_profit,
+    "q76_forecast_revenue": q76_forecast_revenue,
+    "q77_cheapest_supplier": q77_cheapest_supplier,
 }
 
 ORACLE_SQL = {
@@ -3311,4 +3405,6 @@ ORACLE_SQL = {
     "q73_returned_item_customers": _Q73_SQL,
     "q74_market_share": _Q74_SQL,
     "q75_product_profit": _Q75_SQL,
+    "q76_forecast_revenue": _Q76_SQL,
+    "q77_cheapest_supplier": _Q77_SQL,
 }
