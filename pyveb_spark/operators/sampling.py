@@ -37,6 +37,7 @@ __all__ = [
     "hash_split",
     "source_mix",
     "ranked_quota_sample",
+    "epoch_repeat",
 ]
 
 _HEX_DIGITS = 12  # 48-bit prefix of the md5
@@ -148,6 +149,53 @@ def source_mix(
         else thr.otherwise(F.lit(threshold_hex(default_rate)))
     )
     return df.where(hexv < thr)
+
+
+def epoch_repeat(
+    df: DataFrame,
+    weight_col,
+    key_cols: Sequence[str],
+    seed: str = "",
+    out_col: str = "epoch",
+) -> DataFrame:
+    """True up-sampling for epoch weighting: repeat each row
+    ``floor(w)`` times plus one more with probability ``frac(w)`` —
+    decided by the row's content hash, so the realized corpus is
+    deterministic and partitioning-independent (the other half of the
+    mixing story: ``source_mix``/``ranked_quota_sample`` can only keep
+    ≤ 1 copy; training recipes up-weight high-quality sources with
+    weights like 2.7 epochs). ``weight_col`` is a Column or column name;
+    ``out_col`` numbers the copies 0..k-1 so downstream shuffles (e.g.
+    packing order keyed on (key, epoch)) spread repeats apart.
+
+    Scale notes: one ``explode(sequence(...))`` — a stateless scan-stage
+    fan-out, no shuffle, output size = Σ⌈wᵢ⌉ rows exactly as intended.
+    The fractional coin reuses ``uniform_hex``, so it composes with the
+    sampling/split operators (a doc's extra copy is as stable as its
+    split assignment).
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = w.cast("double")
+    base = F.floor(w).cast("int")
+    frac = w - F.floor(w)
+    # extra copy iff hash-uniform < frac. The threshold is per-ROW (frac
+    # comes from a column), so compare numerically instead of via the
+    # threshold_hex string form (which needs a Python float): the 48-bit
+    # uniform parsed to double is exact (< 2^53)
+    hex_as_int = F.conv(
+        uniform_hex(key_cols, seed), 16, 10
+    ).cast("double")
+    extra = hex_as_int < frac * F.lit(float(16**_HEX_DIGITS))
+    n_copies = base + F.when(extra, 1).otherwise(0)
+    return (
+        df.withColumn("__n", n_copies)
+        .where(F.col("__n") > 0)
+        .withColumn(
+            out_col,
+            F.explode(F.sequence(F.lit(0), F.col("__n") - F.lit(1))),
+        )
+        .drop("__n")
+    )
 
 
 def ranked_quota_sample(

@@ -2703,6 +2703,61 @@ ORDER BY l_partkey, s_name
 """
 
 
+def q78_epoch_weighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional epoch up-weighting of the corpus by language (de×2.5,
+    fr×2.0, es×1.25, en×1.0, zh×0.5): each doc repeats ⌊w⌋ times plus a
+    content-hash coin for the fraction — the true up-sampling half of
+    corpus mixing (down-sampling is q43/q66). Per-language realized rows
+    vs distinct docs make the weighting auditable; determinism of the
+    per-doc coin is what the oracle reproduces."""
+    from pyveb_spark.operators.sampling import epoch_repeat
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    wt = (
+        F.when(F.col("lang") == "en", 1.0)
+        .when(F.col("lang") == "de", 2.5)
+        .when(F.col("lang") == "zh", 0.5)
+        .when(F.col("lang") == "fr", 2.0)
+        .otherwise(1.25)
+    )
+    rep = epoch_repeat(
+        d.withColumn("wt", wt), "wt", ["doc_id"], seed="epoch1"
+    )
+    return (
+        rep.groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q78_SQL = """
+WITH w AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 2.5 WHEN 'zh' THEN 0.5
+                   WHEN 'fr' THEN 2.0 ELSE 1.25 END AS wt,
+         CAST(('0x' || substr(md5(concat_ws('|', 'epoch1', doc_id)), 1, 12))
+                  ::BIGINT AS DOUBLE) AS h
+  FROM documents
+),
+n AS (
+  SELECT doc_id, lang,
+         CAST(FLOOR(wt) AS INT)
+         + CASE WHEN h < (wt - FLOOR(wt)) * 281474976710656.0
+                THEN 1 ELSE 0 END AS k
+  FROM w
+),
+r AS (
+  SELECT doc_id, lang, unnest(generate_series(0, k - 1)) AS epoch
+  FROM n WHERE k > 0
+)
+SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_rows
+FROM r GROUP BY lang ORDER BY lang
+"""
+
+
 def q74_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of a region's order revenue per
     year — a conditional-sum / total-sum ratio over the full star join.
@@ -3335,6 +3390,7 @@ QUERIES = {
     "q75_product_profit": q75_product_profit,
     "q76_forecast_revenue": q76_forecast_revenue,
     "q77_cheapest_supplier": q77_cheapest_supplier,
+    "q78_epoch_weighting": q78_epoch_weighting,
 }
 
 ORACLE_SQL = {
@@ -3407,4 +3463,5 @@ ORACLE_SQL = {
     "q75_product_profit": _Q75_SQL,
     "q76_forecast_revenue": _Q76_SQL,
     "q77_cheapest_supplier": _Q77_SQL,
+    "q78_epoch_weighting": _Q78_SQL,
 }

@@ -156,6 +156,39 @@ def test_cms_merge_equals_single_build(spark, tokens):
     assert diff.count() == 0
 
 
+def test_epoch_repeat_counts_and_determinism(spark):
+    from pyveb_spark.operators.sampling import epoch_repeat
+
+    df = spark.createDataFrame(
+        [(i, 2.0 if i < 10 else (0.5 if i < 30 else 1.0)) for i in range(50)],
+        "doc_id bigint, wt double",
+    )
+    rep = epoch_repeat(df, "wt", ["doc_id"])
+    per_doc = {
+        r.doc_id: r.n
+        for r in rep.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # integer weights are exact: every 2.0-doc twice, every 1.0-doc once
+    assert all(per_doc[i] == 2 for i in range(10))
+    assert all(per_doc.get(i) == 1 for i in range(30, 50))
+    # fractional weights: 0/1 copies, roughly half kept, epoch ids 0..k-1
+    half = [per_doc.get(i, 0) for i in range(10, 30)]
+    assert set(half) <= {0, 1} and 3 <= sum(half) <= 17
+    epochs = {
+        (r.doc_id, r.epoch) for r in rep.select("doc_id", "epoch").collect()
+    }
+    assert (0, 0) in epochs and (0, 1) in epochs
+    # deterministic across partitionings
+    again = {
+        r.doc_id: r.n
+        for r in epoch_repeat(df.repartition(7), "wt", ["doc_id"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert again == {k: v for k, v in per_doc.items() if v > 0}
+
+
 def test_ranked_quota_sample_exact_and_nested(spark):
     from pyveb_spark.operators.sampling import ranked_quota_sample
 
