@@ -36,6 +36,8 @@ __all__ = [
     "kmeans_fit",
     "kmeans_assign",
     "random_projection",
+    "l2_normalize",
+    "mean_pool",
 ]
 
 
@@ -374,6 +376,48 @@ def kmeans_assign(
     predict step)."""
     return df.withColumn(
         out_col, nearest_centroid(F.col(vec_col), centroids)["list_id"]
+    )
+
+
+def l2_normalize(vec_col, eps: float = 1e-12) -> Column:
+    """Unit-norm an embedding Column (zip-free HOF — scan-stage, no UDF).
+    Pre-normalizing turns every downstream cosine into a dot product
+    (one multiply-add per dim instead of three aggregates), the standard
+    prep before ANN indexing. Zero vectors map to zero vectors (eps
+    guard), not NaN."""
+    v = _as_double(vec_col)
+    norm = F.sqrt(_dot(v, v))
+    return F.transform(
+        v, lambda x: x / F.greatest(norm, F.lit(float(eps)))
+    )
+
+
+def mean_pool(
+    df: DataFrame,
+    keys: Sequence[str],
+    vec_col: str = "embedding",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Element-wise mean of vectors per group (chunk→document pooling,
+    cluster prototypes): posexplode → per-(key, dim) avg → re-assemble
+    ordered by position. One shuffle with map-side partial aggregation —
+    the same scale shape as the k-means update step, generalized."""
+    exploded = df.select(
+        *keys, F.posexplode(_as_double(F.col(vec_col)))
+    )
+    return (
+        exploded.groupBy(*keys, "pos")
+        .agg(F.avg("col").alias("__v"))
+        .groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "__v"))
+            ).alias("__pairs")
+        )
+        .select(
+            *keys,
+            F.transform(F.col("__pairs"), lambda p: p["__v"]).alias(out_col),
+        )
     )
 
 

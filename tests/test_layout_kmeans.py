@@ -190,6 +190,25 @@ def test_random_projection_preserves_cosine(spark, sf_dir):
     assert diff.count() == 0
 
 
+def test_l2_normalize_and_mean_pool(spark):
+    from pyveb_spark.operators.similarity import l2_normalize, mean_pool
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (1, [1.0, 0.0]), (2, [0.0, 0.0])],
+        "k int, embedding array<double>",
+    )
+    normed = df.select("k", l2_normalize(F.col("embedding")).alias("n"))
+    rows = normed.collect()
+    for r in rows:
+        norm = sum(x * x for x in r.n) ** 0.5
+        assert norm == pytest.approx(1.0) or norm == 0.0  # zero-vec safe
+    pooled = {
+        r.k: r.embedding for r in mean_pool(df, ["k"]).collect()
+    }
+    assert pooled[1] == [pytest.approx(2.0), pytest.approx(2.0)]
+    assert pooled[2] == [0.0, 0.0]
+
+
 def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
     """Scale feature: with a selective build side, Spark 3.5+/4.x injects a
     bloom_filter probe into the large-table scan of a shuffle join —
