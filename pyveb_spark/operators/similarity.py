@@ -122,39 +122,38 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     extra_cols: Sequence[str] = (),
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs: all ``(id_a < id_b)``
     pairs with ``round(cosine, 4) >= threshold``.
 
-    Execution: the corpus matrix (ids + float64 vectors + norms) is
-    broadcast to executors — the same driver-roundtrip a broadcast hash
-    join's build side takes — and each Arrow batch of the probe side does a
-    blocked ``numpy`` matmul against it (vectorized Pandas path: the
-    per-pair higher-order-function dot product allocates an intermediate
-    array per pair and is ~50× slower). Per-pair arithmetic is
-    ``dot(a,b) / (norm_a * norm_b)`` in float64; rounding to 4 decimals
-    makes the threshold filter identical across engines despite
-    accumulation-order float noise.
+    Execution — fully distributed blocked matmul, **no driver collect**:
+    every vector is hashed to one of ``n_blocks`` blocks, the pair space is
+    the upper-triangular grid of block pairs (i ≤ j), and each row is
+    replicated to the ``n_blocks`` grid cells its block participates in
+    (one shuffle, ×``n_blocks`` amplification). Each cell is a single
+    ``applyInPandas`` group that runs a float64 ``numpy`` matmul between its
+    two blocks (upper triangle on the diagonal cell) — the vectorized Arrow
+    path; a per-pair higher-order-function dot product allocates an
+    intermediate array per pair and is ~50× slower. A pair (block i, block
+    j) co-occurs in exactly cell (min(i,j), max(i,j)), so output pairs are
+    emitted exactly once. Rounding to 4 decimals before the threshold makes
+    the filter identical across engines despite accumulation-order noise.
 
     Scale notes: exact all-pairs is O(n²) by definition — this operator is
-    the *baseline*. It holds while one side's matrix fits executor memory
-    (~10⁶ vectors × 64 dims ≈ 0.5 GB); beyond that, block both sides
-    (cogrouped ``applyInPandas`` over a grid of id ranges) or switch to
-    ``lsh_bucket`` blocking (join on bucket, rescore exactly) and accept
-    the LSH recall curve.
+    the *baseline* (``lsh_bucket`` + exact rescore is the sub-quadratic
+    path). Memory per task is two blocks ≈ ``2·n/n_blocks`` vectors, so
+    size ``n_blocks`` to the corpus: 10⁷ × 256-dim float64 at
+    ``n_blocks=64`` is ≈ 640 MB/cell; shuffle volume is
+    ``n_blocks × corpus``. Compute (the true O(n²) term) is unchanged —
+    blocking only bounds memory.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     a, b = f"{id_col}_a", f"{id_col}_b"
-    spark = df.sparkSession
-    build_rows = df.select(id_col, vec_col, *extra_cols).collect()
-    ids = np.array([r[id_col] for r in build_rows])
-    mat = np.array([r[vec_col] for r in build_rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    extras = {c: [r[c] for r in build_rows] for c in extra_cols}
-    bc = spark.sparkContext.broadcast((ids, mat, norms, extras))
+    B = int(n_blocks)
 
     in_fields = {f.name: f for f in df.schema.fields}
     out_schema = StructType(
@@ -171,31 +170,57 @@ def cosine_pairs(
     )
     out_cols = [f.name for f in out_schema.fields]
 
-    def _block(batches):
-        b_ids, b_mat, b_norms, b_extras = bc.value
-        for pdf in batches:
-            lm = np.array(list(pdf[vec_col]), dtype=np.float64)
-            if lm.size == 0:
-                continue
-            l_ids = pdf[id_col].to_numpy()
-            l_norms = np.sqrt((lm * lm).sum(axis=1))
-            sims = np.round(
-                (lm @ b_mat.T) / np.outer(l_norms, b_norms), 4
-            )
-            li, ri = np.nonzero((sims >= threshold) & (l_ids[:, None] < b_ids[None, :]))
-            out = {
-                a: l_ids[li],
-                b: b_ids[ri],
-                "cosine_sim": sims[li, ri],
-            }
-            for c in extra_cols:
-                out[f"{c}_a"] = pdf[c].to_numpy()[li]
-                out[f"{c}_b"] = [b_extras[c][i] for i in ri]
-            yield pd.DataFrame(out)[out_cols]
-
-    return df.select(id_col, vec_col, *extra_cols).mapInPandas(
-        _block, schema=out_schema
+    base = df.select(id_col, vec_col, *extra_cols).withColumn(
+        "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int")
     )
+    # Row in block b participates in cells {(min(b,x), max(b,x)) : x<B};
+    # cell id = i*B + j with i <= j.
+    cells = F.array(
+        *[
+            F.when(
+                F.col("__blk") <= F.lit(x), F.col("__blk") * B + F.lit(x)
+            ).otherwise(F.lit(x * B) + F.col("__blk"))
+            for x in range(B)
+        ]
+    )
+    exploded = base.withColumn("__cell", F.explode(cells))
+
+    def _cell(key, pdf):
+        cell = int(key[0])
+        i, j = divmod(cell, B)
+        ids = pdf[id_col].to_numpy()
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        if mat.size == 0:
+            return pd.DataFrame({c: [] for c in out_cols})
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        if i == j:
+            sims = np.round((mat @ mat.T) / np.outer(norms, norms), 4)
+            ai, bi = np.nonzero(
+                (sims >= threshold) & (ids[:, None] < ids[None, :])
+            )
+            sv = sims[ai, bi]
+        else:
+            blk = pdf["__blk"].to_numpy()
+            li = np.nonzero(blk == i)[0]
+            ri = np.nonzero(blk == j)[0]
+            if li.size == 0 or ri.size == 0:
+                return pd.DataFrame({c: [] for c in out_cols})
+            sims = np.round(
+                (mat[li] @ mat[ri].T) / np.outer(norms[li], norms[ri]), 4
+            )
+            ai_, bi_ = np.nonzero(sims >= threshold)
+            sv = sims[ai_, bi_]
+            ai, bi = li[ai_], ri[bi_]
+            swap = ids[ai] > ids[bi]
+            ai, bi = np.where(swap, bi, ai), np.where(swap, ai, bi)
+        out = {a: ids[ai], b: ids[bi], "cosine_sim": sv}
+        for c in extra_cols:
+            vals = pdf[c].to_numpy()
+            out[f"{c}_a"] = vals[ai]
+            out[f"{c}_b"] = vals[bi]
+        return pd.DataFrame(out)[out_cols]
+
+    return exploded.groupBy("__cell").applyInPandas(_cell, schema=out_schema)
 
 
 def ivf_index(

@@ -471,7 +471,7 @@ def q12_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q12_SQL = """
 SELECT event_type,
        COUNT(k) AS n_with_k,
-       SUM(k) AS sum_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
        MIN(k) AS min_k,
        MAX(k) AS max_k
 FROM (SELECT event_type, CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INT) AS k FROM events) t
@@ -933,8 +933,8 @@ WITH flagged AS (
 ),
 sessioned AS (
     SELECT user_id, ts,
-           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
     FROM flagged
 )
 SELECT user_id, session_no,
@@ -1563,7 +1563,7 @@ def q43_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q43_SQL = """
-SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 WHERE substr(md5(concat_ws('|', 'mix1', doc_id)), 1, 12) <
       CASE lang

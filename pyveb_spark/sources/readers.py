@@ -180,7 +180,19 @@ def nanos_to_timestamp(df: DataFrame, col: str) -> DataFrame:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic testdata table (TESTDATA.md)."""
+    """Load one synthetic testdata table (TESTDATA.md).
+
+    Session-independent: the events fixture is Parquet ``TIMESTAMP(NANOS)``,
+    which a plain SparkSession rejects (``PARQUET_TYPE_ILLEGAL``) unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set. The conf is
+    runtime-settable, so set it here rather than relying on the caller's
+    session builder (``session.py`` sets it too, but the driver uses a plain
+    session).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Engine semantics are UTC end-to-end (session.py); pin it so results
+    # are identical under any caller session regardless of host timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANOS_TS_COLS.get(name, ()):
         if c in df.columns and df.schema[c].dataType.typeName() in ("long", "bigint"):
