@@ -183,20 +183,31 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic testdata table (TESTDATA.md).
 
     Session-independent: the events fixture is Parquet ``TIMESTAMP(NANOS)``,
-    which a plain SparkSession rejects (``PARQUET_TYPE_ILLEGAL``) unless
-    ``spark.sql.legacy.parquet.nanosAsLong`` is set. The conf is
-    runtime-settable, so set it here rather than relying on the caller's
-    session builder (``session.py`` sets it too, but the driver uses a plain
-    session).
+    whose read type varies by session conf — long nanos (legacy
+    ``nanosAsLong``), ``TIMESTAMP_NTZ`` (``inferTimestampNTZ`` default), or
+    ``TIMESTAMP`` (infer disabled). The engine contract is TimestampType
+    (LTZ) under a UTC session, so we set the confs defensively (they are
+    runtime-settable; the driver uses a plain session, not ``get_spark``)
+    AND normalize whatever type actually comes back.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Spark 4.1 ignores nanosAsLong and infers NTZ for NANOS columns;
+    # disabling the NTZ inference yields TimestampType directly.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # Engine semantics are UTC end-to-end (session.py); pin it so results
     # are identical under any caller session regardless of host timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANOS_TS_COLS.get(name, ()):
-        if c in df.columns and df.schema[c].dataType.typeName() in ("long", "bigint"):
+        if c not in df.columns:
+            continue
+        t = df.schema[c].dataType.typeName()
+        if t in ("long", "bigint"):
             df = nanos_to_timestamp(df, c)
+        elif t == "timestamp_ntz":
+            # wall-clock is UTC by fixture contract; session tz is pinned
+            # UTC above, so a plain cast reinterprets without shifting.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
