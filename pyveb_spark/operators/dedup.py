@@ -23,9 +23,10 @@ audits/small partitions, LSH + exact verification as the default pipeline.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -196,19 +197,21 @@ def shingles(text_col, n: int = 2):
 
 
 def _doc_shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, __grams distinct xxhash64'd array, __n size) per document.
+    """(id, __grams distinct 48-bit-hashed array, __n size) per document.
 
     Shingles are hashed to int64 immediately: every downstream join key,
     shuffle row, and ``array_intersect`` then moves 8-byte longs instead of
     ~15-byte UTF-8 bigrams. Distinctness is taken on the strings first, so
-    ``|set|`` is exact; a 64-bit collision merging two shingles corpus-wide
-    has probability ~|vocab|²/2⁶⁵ — negligible even at 100 TB vocab sizes.
-
+    ``|set|`` is exact; a 48-bit collision merging two shingles corpus-wide
+    has probability ~|vocab|²/2⁴⁹ — negligible at fixture vocab sizes and
+    still < 1e-5 at a 10⁹-shingle vocabulary. The hash is the portable md5
+    prefix (not xxhash64) so the DuckDB oracle replays the pipeline
+    bit-for-bit; jaccard values are hash-invariant either way.
     """
     return df.select(
         F.col(id_col),
         F.transform(
-            shingles(F.col(text_col), n), lambda g: F.xxhash64(g)
+            shingles(F.col(text_col), n), lambda g: portable_hash48(g)
         ).alias("__grams"),
     ).withColumn("__n", F.size("__grams"))
 
@@ -364,9 +367,53 @@ def ngram_jaccard_pairs(
 _PERSISTED_PREFIXES: list[DataFrame] = []
 
 
-def _seeded_hash(col, seed: int):
-    # xxhash64 with a per-seed salt — deterministic across runs/executors.
-    return F.xxhash64(F.lit(seed), col)
+# Portable hashing: every hash in the MinHash/SimHash pipelines must be
+# reproducible verbatim in ANSI SQL so the DuckDB oracle can replay the
+# whole construction (same scheme as operators/sketches.py::cms_bucket and
+# operators/sampling.py::uniform_hex — lowercase md5, 12/15-hex prefixes).
+# The seeded MinHash functions are a multiply-add universal family over
+# the 48-bit md5-hashed shingle universe: h_s(x) = (a_s·x + b_s) mod M61.
+# Bounds: a_s < 2^14, x < 2^48 → a_s·x < 2^62; b_s < 2^61 → the sum stays
+# below 2^63, so plain BIGINT arithmetic is exact in both engines.
+
+_MERSENNE61 = (1 << 61) - 1
+
+
+def portable_hash48(col) -> Column:
+    """48-bit md5-prefix hash of a string/castable column, as BIGINT.
+    DuckDB equivalent: ``('0x' || substr(md5(x), 1, 12))::BIGINT``."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("binary")), 1, 12), 16, 10)
+        .cast("bigint")
+    )
+
+
+def minhash_coeffs(seed: int) -> tuple[int, int]:
+    """(a, b) for the seed-th MinHash function — md5-derived so they are
+    plain deterministic integers any engine can inline as literals
+    (the oracle SQL is generated from this same function)."""
+    a = (
+        int(hashlib.md5(f"mh-a|{seed}".encode()).hexdigest()[:8], 16)
+        % (1 << 13)
+    ) * 2 + 1  # odd, < 2^14
+    b = int(hashlib.md5(f"mh-b|{seed}".encode()).hexdigest()[:15], 16) % (
+        1 << 60
+    )
+    return a, b
+
+
+def _minhash_expr(grams_col, seed: int) -> Column:
+    """min over the gram array of the seed-th hash function. NOTE: the
+    ``transform`` lambda must be UNARY — a second parameter (even with a
+    default) is bound by PySpark to the array-index column, silently
+    replacing the seed."""
+    a, b = minhash_coeffs(seed)
+    return F.array_min(
+        F.transform(
+            grams_col,
+            lambda g: (F.lit(a) * g + F.lit(b)) % F.lit(_MERSENNE61),
+        )
+    )
 
 
 def minhash_signatures(
@@ -389,9 +436,7 @@ def minhash_signatures(
         F.size("__grams") > 0
     )
     cols = [
-        F.array_min(
-            F.transform("__grams", lambda g, s=s: _seeded_hash(g, s))
-        ).alias(f"mh_{s}")
+        _minhash_expr(F.col("__grams"), s).alias(f"mh_{s}")
         for s in range(num_hashes)
     ]
     return sets.select(F.col(id_col), *cols)
@@ -421,10 +466,15 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
     # one (band_idx, band_hash) row per band → a single self-join keyed on
     # both, instead of `bands` separate joins + union (fewer stages, one
-    # shuffle). band_idx disambiguates hashes across bands.
+    # shuffle). band_idx disambiguates hashes across bands. Band key =
+    # portable 48-bit hash of the '|'-joined minhash tuple (oracle-replayable).
     band_arr = F.array(
         *[
-            F.xxhash64(*[F.col(f"mh_{b * r + i}") for i in range(r)])
+            portable_hash48(
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{b * r + i}") for i in range(r)]
+                )
+            )
             for b in range(bands)
         ]
     )
@@ -445,9 +495,12 @@ def minhash_lsh_pairs(
     return _verify_jaccard(cand, docs, id_col, threshold)
 
 
-# bit-b mask as a 64-bit two's-complement literal (bit 63 = the sign bit,
-# which `1 << 63` would overflow as a positive long literal)
-_BIT_MASKS = [((1 << b) if b < 63 else -(1 << 63)) for b in range(64)]
+# SimHash width: 60 bits = the 15-hex md5 prefix that fits a positive
+# BIGINT in every engine (16 hex chars would overflow signed int64) — the
+# portability trade that lets the DuckDB oracle recompute fingerprints
+# verbatim. All masks are positive, so no two's-complement special case.
+SIMHASH_BITS = 60
+_BIT_MASKS = [1 << b for b in range(SIMHASH_BITS)]
 
 
 def _check_banding(num_hashes: int, bands: int) -> int:
@@ -475,14 +528,13 @@ def _banded_postings(
         F.size("__grams") > 0
     )
     mh = [
-        F.array_min(
-            F.transform("__grams", lambda g, s=s: _seeded_hash(g, s))
-        )
-        for s in range(num_hashes)
+        _minhash_expr(F.col("__grams"), s) for s in range(num_hashes)
     ]
     band_arr = F.array(
         *[
-            F.xxhash64(*[mh[b * r + i] for i in range(r)])
+            portable_hash48(
+                F.concat_ws("|", *[mh[b * r + i] for i in range(r)])
+            )
             for b in range(bands)
         ]
     )
@@ -565,24 +617,27 @@ def minhash_lsh_lookup(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash fingerprint per document (token-level).
+    """60-bit SimHash fingerprint per document (token-level).
 
-    Each token hashes to 64 bits; per bit position the doc sums ±1 over
-    tokens; the sign vector packs into a BIGINT fingerprint. Computed as
-    ONE array fold per document — ``aggregate`` carries a 64-counter
-    accumulator over the token-hash array (``zip_with`` against the bit-
-    mask array adds ±1 per position), then a second tiny fold packs the
-    sign vector. Stateless scan-stage expression: the earlier formulation
-    exploded to |tokens|×64 rows through two groupBy shuffles; this one
-    shuffles nothing. No UDF.
+    Each token hashes to 60 bits (the portable 15-hex md5 prefix — see
+    ``SIMHASH_BITS``); per bit position the doc sums ±1 over tokens; the
+    sign vector packs into a BIGINT fingerprint. Computed as ONE array
+    fold per document — ``aggregate`` carries a 60-counter accumulator
+    over the token-hash array (``zip_with`` against the bit-mask array
+    adds ±1 per position), then a second tiny fold packs the sign vector.
+    Stateless scan-stage expression: the earlier formulation exploded to
+    |tokens|×60 rows through two groupBy shuffles; this one shuffles
+    nothing. No UDF, and the whole construction replays in ANSI SQL.
     """
     masks = F.array(*[F.lit(m) for m in _BIT_MASKS])
     toks_h = F.transform(
-        F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)
+        F.split(F.col(text_col), " "),
+        lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10)
+        .cast("bigint"),
     )
     counts = F.aggregate(
         toks_h,
-        F.array_repeat(F.lit(0), 64),
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
         lambda acc, h: F.zip_with(
             acc,
             masks,
@@ -610,7 +665,7 @@ def simhash_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance with pigeonhole
-    banding: split the 64-bit fingerprint into ``bands`` equal chunks —
+    banding: split the 60-bit fingerprint into ``bands`` equal chunks —
     any pair within ``max_hamming ≤ bands - 1`` bit flips must agree on
     at least one full chunk, so candidates come from ``bands`` hash-join
     buckets instead of O(n²), and are verified exactly with
@@ -623,11 +678,14 @@ def simhash_pairs(
             "pigeonhole blocking needs max_hamming < bands "
             f"(got {max_hamming} >= {bands})"
         )
-    width = 64 // bands
+    if SIMHASH_BITS % bands != 0:
+        raise ValueError(
+            f"bands must divide {SIMHASH_BITS} (got bands={bands})"
+        )
+    width = SIMHASH_BITS // bands
     a, b_ = f"{id_col}_a", f"{id_col}_b"
     fp = simhash(df, id_col, text_col)
-    # band values via arithmetic shift + mask — the mask truncates the
-    # sign extension, so the top band is well-defined despite bit 63
+    # fingerprints are positive (< 2^60), so plain shift + mask per band
     band_arr = F.array(
         *[
             F.expr(

@@ -16,6 +16,7 @@ an IVF-style coarse quantizer over a sampled centroid table.
 
 from __future__ import annotations
 
+import hashlib
 import math
 import random
 from collections.abc import Sequence
@@ -253,12 +254,28 @@ def _seed_centroids(
     df: DataFrame, k: int, id_col: str, vec_col: str
 ) -> list[tuple[int, list[float]]]:
     """Deterministic pseudo-random seed centroids: the ``k`` corpus vectors
-    with the smallest ``xxhash64(id)`` — no RNG state, identical on any
-    partitioning."""
+    with the smallest portable md5-48 hash of ``'ivf|<id>'`` — no RNG
+    state, identical on any partitioning, and replayable verbatim in ANSI
+    SQL (``('0x' || substr(md5('ivf|' || id), 1, 12))::BIGINT``) so
+    IVF/k-means queries can be oracle-checked. Ties (impossible in
+    practice at 48 bits) break on the id."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit("ivf"), F.col(id_col).cast("string")
+                ).cast("binary")
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
     seeds = (
         df.select(id_col, vec_col)
-        .withColumn("__h", F.xxhash64(F.col(id_col)))
-        .orderBy("__h")
+        .withColumn("__h", h)
+        .orderBy("__h", id_col)
         .limit(k)
         .collect()
     )
@@ -453,6 +470,34 @@ def _random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[fl
     ]
 
 
+def _rademacher_planes(
+    dim: int, n_planes: int, seed: int = 42
+) -> list[list[float]]:
+    """±1 (Rademacher) sign-LSH planes derived from md5 — a valid
+    hyperplane-LSH family (collision prob still 1-θ/π in expectation) whose
+    entries any SQL engine can recompute:
+    ``md5('plane|<seed>|<j>|<d>')`` low-bit parity → +1/-1. Used by the
+    LSH bucketing so ANN queries are oracle-checkable end-to-end; the JL
+    ``random_projection`` keeps true Gaussian planes (distance-preservation
+    constants assume Gaussian entries)."""
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"plane|{seed}|{j}|{d}".encode()).hexdigest()[
+                    :12
+                ],
+                16,
+            )
+            % 2
+            == 1
+            else -1.0
+            for d in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
 def random_projection(
     df: DataFrame,
     dim_in: int,
@@ -500,12 +545,13 @@ def lsh_bucket(
 ) -> DataFrame:
     """Random-hyperplane (sign) LSH: each vector → an n_planes-bit bucket id.
 
-    Deterministic (seeded plane matrix broadcast as literals). Vectors with
+    Deterministic (md5-derived ±1 plane matrix broadcast as literals —
+    portable to the SQL oracle, see ``_rademacher_planes``). Vectors with
     high cosine similarity collide with probability
     (1 - θ/π)^n_planes. Multi-probe/multi-table variants stack extra
     ``lsh_bucket`` columns with different seeds.
     """
-    planes = _random_hyperplanes(dim, n_planes, seed)
+    planes = _rademacher_planes(dim, n_planes, seed)
     v = _as_double(F.col(vec_col))
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):

@@ -1011,13 +1011,18 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
-# rows-only checked (non-SQL-expressible: seeded-hash / LSH internals)
+# MinHash / SimHash — fully oracle-checked: every hash in the pipeline is
+# the portable md5-prefix scheme (operators/dedup.py::portable_hash48), so
+# the DuckDB SQL below replays signatures, banding, candidates, and verify
+# bit-for-bit.
 # ---------------------------------------------------------------------------
 
 def q28_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate near-dup pairs (MinHash banding + exact verify). No SQL
-    oracle: the xxhash64 seeding isn't reproducible in DuckDB; recall vs the
-    exact q17 pairs is asserted in tests/test_sources_llmops.py instead."""
+    """Approximate near-dup pairs (MinHash banding + exact verify). The
+    oracle replays the identical construction: 48-bit md5 shingle hashes,
+    32 multiply-add minhash functions, 8 md5-keyed bands, exact-Jaccard
+    verify — recall vs the exact q17 pairs is additionally asserted in
+    tests/test_sources_llmops.py."""
     from pyveb_spark.operators.dedup import minhash_lsh_pairs
 
     d = read_table(spark, sf_dir, "documents")
@@ -1026,13 +1031,108 @@ def q28_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id_a", "doc_id_b")
 
 
+def _minhash_sql_exprs(num_hashes: int = 32) -> str:
+    """The 32 DuckDB minhash expressions, generated from the SAME
+    ``minhash_coeffs`` the Spark operator uses — single source of truth
+    for the (a, b) constants."""
+    from pyveb_spark.operators.dedup import _MERSENNE61, minhash_coeffs
+
+    exprs = []
+    for s in range(num_hashes):
+        a, b = minhash_coeffs(s)
+        exprs.append(
+            f"list_min(list_transform(gh, x -> ({a}*x + {b}) % {_MERSENNE61}))"
+        )
+    return ",\n    ".join(exprs)
+
+
+def _band_sql_exprs(num_hashes: int = 32, bands: int = 8) -> str:
+    r = num_hashes // bands
+    out = []
+    for b in range(bands):
+        parts = " || '|' || ".join(
+            f"mh[{b * r + i + 1}]::VARCHAR" for i in range(r)
+        )
+        out.append(f"('0x' || substr(md5({parts}), 1, 12))::BIGINT")
+    return ",\n    ".join(out)
+
+
+_Q28_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (SELECT doc_id,
+                 list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS gs
+          FROM toks),
+hashed AS (SELECT doc_id,
+                  list_transform(gs, g -> ('0x' || substr(md5(g), 1, 12))::BIGINT) AS gh,
+                  len(gs) AS n
+           FROM grams),
+sigs AS (SELECT doc_id, gh, n, [
+    {_minhash_sql_exprs(32)}
+  ] AS mh
+  FROM hashed WHERE n > 0),
+bandvals AS (SELECT doc_id, [
+    {_band_sql_exprs(32, 8)}
+  ] AS bh
+  FROM sigs),
+banded AS (SELECT doc_id, generate_subscripts(bh, 1) AS band, unnest(bh) AS h
+           FROM bandvals),
+cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id)
+SELECT ida AS doc_id_a, idb AS doc_id_b,
+       len(list_intersect(ga.gh, gb.gh)) * 1.0
+         / (ga.n + gb.n - len(list_intersect(ga.gh, gb.gh))) AS jaccard
+FROM cand
+JOIN hashed ga ON ga.doc_id = ida
+JOIN hashed gb ON gb.doc_id = idb
+WHERE len(list_intersect(ga.gh, gb.gh)) * 1.0
+        / (ga.n + gb.n - len(list_intersect(ga.gh, gb.gh))) >= 0.8
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
 def q29_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (rows-only: hash function not shared with
-    DuckDB; Hamming-closeness of near-dups asserted in unit tests)."""
+    """60-bit SimHash per document — oracle-checked: the fingerprint is
+    rebuilt in DuckDB from the same 15-hex md5 token hashes; Hamming-
+    closeness of near-dups additionally asserted in unit tests."""
     from pyveb_spark.operators.dedup import simhash
 
     d = read_table(spark, sf_dir, "documents")
     return simhash(d, "doc_id", "text").orderBy("doc_id")
+
+
+_SIMHASH_FP_SQL = """
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+bits AS (SELECT doc_id, b,
+                SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bl
+         GROUP BY doc_id, b),
+fp AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                   AS BIGINT) AS simhash
+       FROM bits GROUP BY doc_id)
+"""
+
+_Q29_SQL = f"""
+WITH {_SIMHASH_FP_SQL}
+SELECT doc_id, simhash FROM fp ORDER BY doc_id
+"""
+
+_Q64_SQL = f"""
+WITH {_SIMHASH_FP_SQL},
+banded AS (SELECT doc_id, simhash, band,
+                  (simhash >> (band * 15)) & 32767 AS v
+           FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+cand AS (SELECT DISTINCT a.doc_id AS ida, a.simhash AS fa,
+                         b.doc_id AS idb, b.simhash AS fb
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
+SELECT ida AS doc_id_a, idb AS doc_id_b, bit_count(xor(fa, fb)) AS hamming
+FROM cand
+WHERE bit_count(xor(fa, fb)) <= 3
+ORDER BY doc_id_a, doc_id_b
+"""
 
 
 def q30_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3174,7 +3274,7 @@ ORDER BY doc_id, bench_id
 
 def q64_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document pairs within Hamming distance 3 of each other's SimHash —
-    the constant-cost near-dup screen (one 64-bit fingerprint per doc, 4
+    the constant-cost near-dup screen (one 60-bit fingerprint per doc, 4
     band-bucket joins) that complements q17's exact Jaccard and q28's
     MinHash: blocking here is *lossless* by pigeonhole, so this is the
     cheap first pass a 100 TB dedup runs before any expensive verify."""
@@ -3421,8 +3521,8 @@ ORACLE_SQL = {
     "q25_sessionize": _Q25_SQL,
     "q26_token_freq": _Q26_SQL,
     "q27_quality_score": _Q27_SQL,
-    # q28/q29/q30/q37 are deliberately oracle-less (rows-only driver check):
-    # seeded-hash / LSH / IVF-sample internals aren't reproducible in DuckDB.
+    "q28_minhash_pairs": _Q28_SQL,
+    "q29_simhash": _Q29_SQL,
     "q31_language_id": _Q31_SQL,
     "q32_fingerprint_dups": _Q32_SQL,
     "q33_pivot": _Q33_SQL,
@@ -3451,6 +3551,7 @@ ORACLE_SQL = {
     "q61_classifier_scores": _Q61_SQL,
     "q62_embedding_dedup": _Q62_SQL,
     "q63_variant_props": _Q63_SQL,
+    "q64_simhash_pairs": _Q64_SQL,
     "q65_contamination": _Q65_SQL,
     "q66_temperature_mix": _Q66_SQL,
     "q68_promo_revenue_share": _Q68_SQL,
