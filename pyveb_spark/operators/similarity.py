@@ -582,7 +582,7 @@ def cosine_topk_lsh(
     → bigger buckets → higher recall, more IO).
     """
     dim = len(query)
-    planes = _random_hyperplanes(dim, n_planes, seed)
+    planes = _rademacher_planes(dim, n_planes, seed)
     qbits = 0
     for i, plane in enumerate(planes):
         dot = sum(float(a) * b for a, b in zip(query, plane))

@@ -1136,9 +1136,11 @@ ORDER BY doc_id_a, doc_id_b
 
 
 def q30_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed ANN top-k (random-hyperplane LSH). Rows-only: the bucket
-    membership depends on the seeded plane matrix; exact-baseline
-    superset/ordering properties are asserted in unit tests."""
+    """Bucketed ANN top-k (random-hyperplane LSH) — oracle-checked: the
+    ±1 plane matrix is md5-derived (``_rademacher_planes``), so DuckDB
+    rebuilds the buckets, probes the query's bucket, and rescores exactly
+    like the Spark plan. Exact-baseline superset/ordering properties are
+    additionally asserted in unit tests."""
     from pyveb_spark.operators.similarity import cosine_topk_lsh
 
     e = read_table(spark, sf_dir, "embeddings")
@@ -1146,6 +1148,38 @@ def q30_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(
         e, query_vec, k=10, n_planes=6, exclude_ids=[0]
     ).select("vec_id", "label", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+# the ±1 plane entry for (plane j, dim d): md5('plane|42|j|d') parity —
+# identical to similarity.py::_rademacher_planes(seed=42)
+_Q30_SQL = """
+WITH vecd AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                     unnest(embedding::DOUBLE[]) AS v
+              FROM embeddings),
+bits AS (SELECT vec_id, j,
+                CASE WHEN SUM(v * (CASE WHEN (('0x' || substr(md5('plane|42|' || j || '|' || d), 1, 12))::BIGINT % 2) = 1
+                                        THEN 1.0 ELSE -1.0 END)) >= 0
+                     THEN 1 ELSE 0 END AS bit
+         FROM vecd CROSS JOIN (SELECT unnest(range(0, 6)) AS j) jj
+         GROUP BY vec_id, j),
+bkt AS (SELECT vec_id, CAST(SUM(bit * (1::BIGINT << j)) AS BIGINT) AS bucket
+        FROM bits GROUP BY vec_id),
+q AS (SELECT b.bucket AS qb, e.embedding::DOUBLE[] AS qv
+      FROM bkt b JOIN embeddings e ON e.vec_id = b.vec_id
+      WHERE b.vec_id = 0),
+scored AS (SELECT e.vec_id, e.label,
+                  list_dot_product(e.embedding::DOUBLE[], q.qv)
+                    / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+           FROM embeddings e
+           JOIN bkt ON e.vec_id = bkt.vec_id
+           CROSS JOIN q
+           WHERE bkt.bucket = q.qb AND e.vec_id <> 0)
+SELECT vec_id, label, ROUND(sim, 4) AS cosine_sim
+FROM scored
+ORDER BY sim DESC, vec_id ASC
+LIMIT 10
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1354,8 +1388,9 @@ ORDER BY vec_id_a, vec_id_b
 
 
 # ---------------------------------------------------------------------------
-# LLM ops: IVF-Flat ANN probe (rows-only: centroid sample is seeded-hash
-# dependent; exactness properties asserted in unit tests)
+# LLM ops: IVF-Flat ANN probe — oracle-checked: the centroid sample is the
+# portable md5-48 hash order (similarity.py::_seed_centroids), so DuckDB
+# re-derives centroids, assignment, probe set, and rescoring exactly.
 # ---------------------------------------------------------------------------
 
 def q37_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1367,6 +1402,40 @@ def q37_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(
         indexed, centroids, query_vec, k=10, nprobe=4, exclude_ids=[0]
     ).select("vec_id", "label", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+_Q37_SQL = """
+WITH ch AS (SELECT vec_id, embedding,
+                   ('0x' || substr(md5('ivf|' || vec_id), 1, 12))::BIGINT AS h
+            FROM embeddings),
+cent AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS list_id,
+                embedding::DOUBLE[] AS cv
+         FROM ch
+         QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 16),
+assign AS (SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.embedding::DOUBLE[], c.cv),
+                                       c.list_id) AS rk
+    FROM embeddings e CROSS JOIN cent c) t
+  WHERE rk = 1),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (SELECT c.list_id FROM cent c, q
+          ORDER BY list_distance(c.cv, q.qv), c.list_id
+          LIMIT 4),
+scored AS (SELECT e.vec_id, e.label,
+                  list_dot_product(e.embedding::DOUBLE[], q.qv)
+                    / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+           FROM embeddings e
+           JOIN assign a ON a.vec_id = e.vec_id
+           CROSS JOIN q
+           WHERE a.list_id IN (SELECT list_id FROM probe) AND e.vec_id <> 0)
+SELECT vec_id, label, ROUND(sim, 4) AS cosine_sim
+FROM scored
+ORDER BY sim DESC, vec_id ASC
+LIMIT 10
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1462,9 +1531,12 @@ FROM long GROUP BY measure ORDER BY measure
 
 
 # ---------------------------------------------------------------------------
-# §2.11 streaming: file-drop replay through Structured Streaming
-# (rows-only: streaming execution, not SQL-expressible; the stream==batch
-# equivalence itself is pinned in tests/test_streaming.py)
+# §2.11 streaming: file-drop replay through Structured Streaming.
+# Oracle-checked: a completed AvailableNow replay of a tumbling-window agg
+# in complete mode materializes exactly the batch daily rollup (no
+# watermark → nothing dropped), so the DuckDB oracle is the batch SQL —
+# the stream==batch equivalence the unit tests pin, now under the driver
+# gate too.
 # ---------------------------------------------------------------------------
 
 def q40_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1529,6 +1601,18 @@ def q40_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+# F.window(ts, '1 day') buckets are epoch-aligned UTC days — identical to
+# date_trunc('day') under the UTC session read_table pins.
+_Q40_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY day, event_type
+ORDER BY day, event_type
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1838,7 +1922,10 @@ def q49_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-to-stream on user within a 2-day interval — the attribution
     shape. Watermarks on both sides + both-bounded time condition keep the
     join state evictable (the property that survives unbounded streams).
-    Returns per-user attributed-pair counts."""
+    Returns per-user attributed-pair counts. Oracle-checked: inner
+    stream-stream joins emit every matched pair regardless of watermark,
+    and the AvailableNow replay processes the whole fixture, so the final
+    count table equals the batch interval join the DuckDB oracle runs."""
     import os
     import shutil
     import tempfile
@@ -1902,18 +1989,34 @@ def q49_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q49_SQL = """
+WITH c AS (SELECT user_id, ts AS ts_click FROM events WHERE event_type = 'click'),
+b AS (SELECT user_id, ts AS ts_buy FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, COUNT(*) AS n_attributed
+FROM c JOIN b ON c.user_id = b.user_id
+              AND b.ts_buy >= c.ts_click
+              AND b.ts_buy <= c.ts_click + INTERVAL 2 DAY
+GROUP BY c.user_id
+ORDER BY c.user_id
+"""
+
+
 # ---------------------------------------------------------------------------
-# Sketch aggregation: HLL distinct-user rollup
-# (rows-only: DataSketches estimates aren't reproducible by other engines'
-# HLL implementations; the error-bound contract is pinned in unit tests)
+# Sketch aggregation: HLL distinct-user rollup.
+# DataSketches estimates aren't reproducible by other engines' HLL
+# implementations, so the query emits the deterministically checkable form:
+# exact counts + a boolean asserting the sketch estimate landed within its
+# error bound (±5% ≈ 3·RSE at lgK=12). The oracle expects TRUE everywhere —
+# a broken sketch path flips the flag and fails the value-hash.
 # ---------------------------------------------------------------------------
 
 def q50_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event type via mergeable HLL sketches: one pass
     builds per-(type, day) partial sketches, a second unions them to the
     type grain — the pre-aggregated-sketch-table pattern that replaces
-    exact count-distinct shuffles at 100 TB. Exact counts alongside for
-    the visible error."""
+    exact count-distinct shuffles at 100 TB. Exact counts alongside; the
+    sketch estimate is reported as a within-bounds boolean (engine-portable
+    where the raw estimate is not)."""
     from pyveb_spark.operators.sketches import hll_partial, hll_rollup
 
     e = read_table(spark, sf_dir, "events").withColumn(
@@ -1926,9 +2029,26 @@ def q50_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         approx.join(exact, "event_type")
-        .select("event_type", "approx_users", "exact_users")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("hll_within_bounds"),
+        )
         .orderBy("event_type")
     )
+
+
+_Q50_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_within_bounds
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2858,6 +2978,71 @@ FROM r GROUP BY lang ORDER BY lang
 """
 
 
+def q79_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (the last of the 22 expressible on this fixture —
+    Q4's commit/receipt dates don't exist here): suppliers whose recent
+    shipments of small parts exceed half their all-time volume of those
+    parts — a semi-join chain (part filter → lineitem) into a correlated
+    half-of-total threshold, then a star join out to supplier/nation.
+
+    Scale shape: the part filter broadcasts as a semi-join that prunes
+    lineitem BEFORE its single shuffle on l_suppkey; the conditional sum
+    rides the same aggregation as the total (one pass, no second scan —
+    the decorrelated form of Q20's nested subquery); supplier and nation
+    are broadcast. Quantities are integer-valued doubles, so the 0.5·total
+    threshold is exact in every engine."""
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    small = p.where(F.col("p_size") <= 10).select("p_partkey")
+    per_supp = (
+        l.join(F.broadcast(small), l.l_partkey == small.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("total_qty"),
+            F.sum(
+                F.when(F.year("l_shipdate") >= 1995, F.col("l_quantity"))
+                .otherwise(F.lit(0.0))
+            ).cast("bigint").alias("recent_qty"),
+        )
+        .where(F.col("recent_qty") * 2 > F.col("total_qty"))
+    )
+    return (
+        per_supp.join(F.broadcast(s), per_supp.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "recent_qty",
+            "total_qty",
+        )
+        .orderBy("s_name")
+    )
+
+
+_Q79_SQL = """
+WITH small AS (SELECT p_partkey FROM part WHERE p_size <= 10),
+per_supp AS (
+  SELECT l_suppkey,
+         CAST(SUM(l_quantity) AS BIGINT) AS total_qty,
+         CAST(SUM(CASE WHEN EXTRACT(year FROM l_shipdate) >= 1995
+                       THEN l_quantity ELSE 0 END) AS BIGINT) AS recent_qty
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM small)
+  GROUP BY l_suppkey
+  HAVING CAST(SUM(CASE WHEN EXTRACT(year FROM l_shipdate) >= 1995
+                       THEN l_quantity ELSE 0 END) AS BIGINT) * 2
+         > CAST(SUM(l_quantity) AS BIGINT)
+)
+SELECT s.s_name, n.n_name AS nation, ps.recent_qty, ps.total_qty
+FROM per_supp ps
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+ORDER BY s.s_name
+"""
+
+
 def q74_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of a region's order revenue per
     year — a conditional-sum / total-sum ratio over the full star join.
@@ -3119,8 +3304,10 @@ def q67_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel, and the result rolls back up to one row per media item —
     the (sample → featurize → aggregate) shape a video corpus pipeline
     runs, with the byte-slicing stand-ins marked in multimodal.py.
-    Deterministic integer/string outputs keep the rows-only check stable
-    across partitionings."""
+    Oracle-checked: the deterministic frame grid is pure byte-length
+    arithmetic (least(max_frames-1, ⌊bytes/64⌋) frames per media row),
+    which the DuckDB oracle re-derives — so the whole mapInPandas
+    explode→featurize→rollup plumbing sits under the value-hash gate."""
     from pyveb_spark.operators.multimodal import (
         extract_features,
         media_table,
@@ -3150,6 +3337,20 @@ def q67_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# media_id is the STRING cast of doc_id (multimodal media convention);
+# frame count = least(3, bytes//64) + 1 per sample_frames' sequence bound.
+_Q67_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       least(3, octet_length(encode(text)) // 64) + 1 AS n_frames,
+       0 AS first_frame,
+       least(3, octet_length(encode(text)) // 64) AS last_frame,
+       8 AS embedding_dim
+FROM documents
+WHERE doc_id < 200
+ORDER BY media_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -3378,7 +3579,11 @@ def q57_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-dim embeddings: fit distributed (assignment is a scan-stage argmin
     expression, update one k×dim shuffle), then report per-cluster size
     and label purity — majority true label over cluster size, the
-    standard unsupervised-quality readout."""
+    standard unsupervised-quality readout. Oracle-checked: the md5-ordered
+    seed centroids and the Lloyd recurrence are both engine-portable, so
+    the DuckDB oracle unrolls the same 6 iterations as CTEs (generated by
+    ``_kmeans_sql``); early stopping is a no-op once assignments are
+    stable, which the fixture reaches before the cap."""
     from pyveb_spark.operators.similarity import kmeans_assign, kmeans_fit
 
     e = read_table(spark, sf_dir, "embeddings")
@@ -3406,6 +3611,73 @@ def q57_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "majority_label",
         F.round(F.col("majority_n") / F.col("n_vecs"), 4).alias("purity"),
     ).orderBy("cluster")
+
+
+def _kmeans_sql(k: int = 10, iters: int = 6) -> str:
+    """Unrolled Lloyd's k-means as DuckDB CTEs — one (assign, update)
+    pair per iteration, mirroring ``similarity.kmeans_fit`` exactly:
+    md5-ordered seed centroids, squared-L2 argmin with ties to the lowest
+    centroid id, per-(cluster, dim) mean update, empty clusters keep the
+    previous centroid. Generated programmatically so iteration count and
+    k stay in lockstep with the Spark query."""
+    parts = [
+        f"""
+vecd AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                unnest(embedding::DOUBLE[]) AS v
+         FROM embeddings),
+seedh AS (SELECT vec_id,
+                 ('0x' || substr(md5('ivf|' || vec_id), 1, 12))::BIGINT AS h
+          FROM embeddings),
+seedv AS (SELECT vec_id,
+                 ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS list_id
+          FROM seedh
+          QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= {k}),
+cent0 AS (SELECT s.list_id, v.d, v.v AS c
+          FROM seedv s JOIN vecd v ON v.vec_id = s.vec_id)"""
+    ]
+    for i in range(iters):
+        parts.append(f"""
+dist{i} AS (SELECT v.vec_id, c.list_id, SUM((v.v - c.c) * (v.v - c.c)) AS dist
+            FROM vecd v JOIN cent{i} c ON c.d = v.d
+            GROUP BY v.vec_id, c.list_id),
+a{i} AS (SELECT vec_id, list_id
+         FROM dist{i}
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, list_id) = 1),
+u{i} AS (SELECT a.list_id, v.d, AVG(v.v) AS c
+         FROM a{i} a JOIN vecd v ON v.vec_id = a.vec_id
+         GROUP BY a.list_id, v.d),
+cent{i + 1} AS (SELECT c0.list_id, c0.d, COALESCE(u.c, c0.c) AS c
+                FROM cent{i} c0
+                LEFT JOIN u{i} u ON u.list_id = c0.list_id AND u.d = c0.d)""")
+    parts.append(f"""
+distF AS (SELECT v.vec_id, c.list_id, SUM((v.v - c.c) * (v.v - c.c)) AS dist
+          FROM vecd v JOIN cent{iters} c ON c.d = v.d
+          GROUP BY v.vec_id, c.list_id),
+aF AS (SELECT vec_id, list_id AS cluster
+       FROM distF
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, list_id) = 1),
+bylabel AS (SELECT a.cluster, e.label, COUNT(*) AS n
+            FROM aF a JOIN embeddings e ON e.vec_id = a.vec_id
+            GROUP BY a.cluster, e.label)""")
+    body = ",".join(parts)
+    return f"""
+WITH {body}
+SELECT cluster,
+       CAST(SUM(n) AS BIGINT) AS n_vecs,
+       MAX(CASE WHEN rk = 1 THEN label END) AS majority_label,
+       ROUND(MAX(CASE WHEN rk = 1 THEN n END) * 1.0 / SUM(n), 4) AS purity
+FROM (SELECT cluster, label, n,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+                                ORDER BY n DESC, label ASC) AS rk
+      FROM bylabel)
+GROUP BY cluster
+ORDER BY cluster
+"""
+
+
+_Q57_SQL = _kmeans_sql(10, 6)
 
 
 # ---------------------------------------------------------------------------
@@ -3491,6 +3763,7 @@ QUERIES = {
     "q76_forecast_revenue": q76_forecast_revenue,
     "q77_cheapest_supplier": q77_cheapest_supplier,
     "q78_epoch_weighting": q78_epoch_weighting,
+    "q79_excess_stock": q79_excess_stock_suppliers,
 }
 
 ORACLE_SQL = {
@@ -3523,14 +3796,17 @@ ORACLE_SQL = {
     "q27_quality_score": _Q27_SQL,
     "q28_minhash_pairs": _Q28_SQL,
     "q29_simhash": _Q29_SQL,
+    "q30_lsh_ann": _Q30_SQL,
     "q31_language_id": _Q31_SQL,
     "q32_fingerprint_dups": _Q32_SQL,
     "q33_pivot": _Q33_SQL,
     "q34_percentiles": _Q34_SQL,
     "q35_range_join": _Q35_SQL,
     "q36_embedding_pairs": _Q36_SQL,
+    "q37_ivf_ann": _Q37_SQL,
     "q38_multimodal_decode": _Q38_SQL,
     "q39_unpivot": _Q39_SQL,
+    "q40_stream_replay": _Q40_SQL,
     "q41_dup_clusters": _Q41_SQL,
     "q42_hash_sample": _Q42_SQL,
     "q43_source_mix": _Q43_SQL,
@@ -3539,12 +3815,15 @@ ORACLE_SQL = {
     "q46_redact_pii": _Q46_SQL,
     "q47_small_qty_revenue": _Q47_SQL,
     "q48_last_shipper": _Q48_SQL,
+    "q49_stream_attribution": _Q49_SQL,
+    "q50_hll_rollup": _Q50_SQL,
     "q51_part_value_concentration": _Q51_SQL,
     "q52_top_supplier": _Q52_SQL,
     "q53_idle_rich_customers": _Q53_SQL,
     "q54_sequence_packing": _Q54_SQL,
     "q55_chunk_dedup": _Q55_SQL,
     "q56_cms_heavy_hitters": _Q56_SQL,
+    "q57_kmeans_clusters": _Q57_SQL,
     "q58_order_count_distribution": _Q58_SQL,
     "q59_disjunctive_revenue": _Q59_SQL,
     "q60_large_orders": _Q60_SQL,
@@ -3554,6 +3833,7 @@ ORACLE_SQL = {
     "q64_simhash_pairs": _Q64_SQL,
     "q65_contamination": _Q65_SQL,
     "q66_temperature_mix": _Q66_SQL,
+    "q67_frame_features": _Q67_SQL,
     "q68_promo_revenue_share": _Q68_SQL,
     "q69_supplier_part_counts": _Q69_SQL,
     "q70_bilateral_volume": _Q70_SQL,
@@ -3565,4 +3845,5 @@ ORACLE_SQL = {
     "q76_forecast_revenue": _Q76_SQL,
     "q77_cheapest_supplier": _Q77_SQL,
     "q78_epoch_weighting": _Q78_SQL,
+    "q79_excess_stock": _Q79_SQL,
 }

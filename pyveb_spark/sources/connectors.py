@@ -183,11 +183,88 @@ def sharepoint_upload(
     return base
 
 
-def webdriver_download(url: str, dest_dir: str, driver: object | None = None) -> str:
-    """Headless-browser file download ↔ ``selenium_client.py:93-194``.
-    STUB: selenium/Chrome aren't in this container. ``driver`` must
-    implement ``get(url)`` and expose the downloaded path."""
-    raise NotImplementedError(
-        "webdriver_download requires selenium + a browser; out of scope in "
-        "this environment (reference parity: selenium_client.py:93-194)"
-    )
+_PARTIAL_SUFFIXES = (".crdownload", ".part", ".tmp")
+
+
+def webdriver_download(
+    url: str,
+    dest_dir: str,
+    driver: object,
+    locator: tuple[str, str] | None = None,
+    retries: int = 3,
+    wait_timeout: float = 10.0,
+    poll: float = 0.1,
+    sleep: Callable[[float], None] | None = None,
+    fetch: Callable[[str, str], None] | None = None,
+) -> str:
+    """Browser-driven file download ↔ ``selenium_client.py:93-194``.
+
+    ``driver`` is injectable (anything implementing ``get(url)`` and
+    ``find_element(by, name)`` whose elements expose ``get_attribute`` /
+    ``click``) — real Selenium in production, a fake in tests (selenium is
+    not in this container; the logic, not the browser, is the parity
+    surface). Two modes, mirroring the reference's methods:
+
+    - ``fetch`` given (↔ ``get_file``): resolve the element's ``href`` and
+      hand it to ``fetch(file_url, dest_path)`` (urlretrieve in the
+      reference); returns the fetched path.
+    - otherwise (↔ ``get_file_via_form_button_xpath`` /
+      ``get_href_via_xpath``): click the element (or just ``get(url)``
+      when ``locator`` is None) and wait for the download to land in
+      ``dest_dir`` — unlike the reference's fixed ``time.sleep(wait_time)``
+      (its own REFACTOR comment asks for this), poll until a new file
+      exists and no partial (``.crdownload``/``.part``/``.tmp``) remains,
+      raising ``TimeoutError`` otherwise.
+
+    Retry pattern: ``retries`` attempts with the reference's quadratic
+    backoff (``sleep(i*i)``), but failures raise instead of ``sys.exit``
+    (``selenium_client.py:132``) — library code must not kill the caller.
+    """
+    import time as _time
+
+    sleep = sleep or _time.sleep
+    os.makedirs(dest_dir, exist_ok=True)
+    last_err: Exception | None = None
+    for attempt in range(retries):
+        sleep(attempt * attempt)
+        try:
+            before = set(os.listdir(dest_dir))
+            driver.get(url)
+            element = None
+            if locator is not None:
+                element = driver.find_element(*locator)
+            if fetch is not None:
+                if element is None:
+                    raise ValueError("href mode requires a locator")
+                file_url = element.get_attribute("href")
+                name = os.path.basename(file_url.rstrip("/")) or "download"
+                dest = os.path.join(dest_dir, name)
+                fetch(file_url, dest)
+                return dest
+            if element is not None:
+                element.click()
+            waited = 0.0
+            while True:
+                entries = set(os.listdir(dest_dir))
+                new = {
+                    e
+                    for e in entries - before
+                    if not e.endswith(_PARTIAL_SUFFIXES)
+                }
+                partials = {
+                    e for e in entries if e.endswith(_PARTIAL_SUFFIXES)
+                }
+                if new and not partials:
+                    return os.path.join(dest_dir, sorted(new)[0])
+                if waited >= wait_timeout:
+                    raise TimeoutError(
+                        f"download did not complete within {wait_timeout}s "
+                        f"(partials: {sorted(partials)})"
+                    )
+                sleep(poll)
+                waited += poll
+        except Exception as exc:  # noqa: BLE001 — retried, then re-raised
+            last_err = exc
+    raise RuntimeError(
+        f"webdriver_download failed after {retries} attempts"
+    ) from last_err

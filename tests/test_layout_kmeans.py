@@ -115,15 +115,17 @@ def test_kmeans_matches_numpy_reference(spark, sf_dir):
     rows.sort(key=lambda r: r.vec_id)
     vecs = np.array([[float(x) for x in r.embedding] for r in rows])
     ids = [r.vec_id for r in rows]
-    # replicate the deterministic init: smallest xxhash64(vec_id)
-    hashed = (
-        e.select("vec_id")
-        .withColumn("__h", F.xxhash64("vec_id"))
-        .orderBy("__h")
-        .limit(5)
-        .collect()
-    )
-    seed_ids = [r.vec_id for r in hashed]
+    # replicate the deterministic init: smallest md5-48 of 'ivf|<id>'
+    # (similarity.py::_seed_centroids portable ordering)
+    import hashlib
+
+    seed_ids = sorted(
+        ids,
+        key=lambda i: (
+            int(hashlib.md5(f"ivf|{i}".encode()).hexdigest()[:12], 16),
+            i,
+        ),
+    )[:5]
     init = np.array([vecs[ids.index(i)] for i in seed_ids])
     _, ref_assign = _kmeans_ref(vecs, init, iters=4)
     mismatch = sum(
