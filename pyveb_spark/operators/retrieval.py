@@ -1,0 +1,106 @@
+"""Inverted-index retrieval (BM25) over the documents table.
+
+A training-data pipeline needs lexical retrieval constantly — benchmark
+decontamination beyond exact n-gram matches (``dedup.py::decontaminate``),
+"find corpus docs about X" curation queries, retrieval-augmented quality
+filtering. The reference has no analogue (its search was delegated to
+warehouse SQL); this is a north-star extension in the BASELINE.json sense,
+built Spark-first:
+
+- ``build_inverted_index``: one explode + two aggregations produce the
+  classic (token → postings) table plus per-doc/corpus statistics. At
+  100 TB the postings table is the thing you persist, bucketed by token
+  (``writers.write_bucketed_table``), so every search is a bucket-pruned
+  join, not a corpus scan.
+- ``bm25_search``: score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)),
+  the Robertson/Spärck-Jones BM25 with the standard k1=1.2, b=0.75.
+  Query tokens are a literal filter pushed into the postings scan;
+  scoring is one narrow aggregation over the ≤ |query|·df matching
+  postings; top-k compiles to TakeOrderedAndProject (per-partition heaps).
+
+Everything is native Catalyst expressions — no UDFs — and the arithmetic
+(ln, division) is IEEE-reproducible, so BM25 queries sit under the DuckDB
+value-hash oracle like the rest of the suite.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["build_inverted_index", "bm25_search"]
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def build_inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, docstats): postings = one row per (token, doc) with term
+    frequency and document frequency; docstats = per-doc token length plus
+    corpus constants (N, avgdl) carried on every row so search needs no
+    extra driver round-trip. Two shuffles total — (doc, token) partial
+    counts combine map-side, then token-level df is a second aggregation
+    the planner reuses the same key partitioning for."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    )
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    doc_freq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    postings = tf.join(doc_freq, "token")
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    docstats = dl.crossJoin(F.broadcast(stats))
+    return postings, docstats
+
+
+def bm25_search(
+    postings: DataFrame,
+    docstats: DataFrame,
+    query_tokens: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k documents for a bag-of-tokens query. Duplicate query tokens
+    are deduplicated (standard bag-of-words BM25). Scores are rounded to 6
+    decimals with a doc-id tie-break, making the ranking reproducible
+    across engines and partitionings (raw float sums are association-order
+    sensitive; the rounding absorbs that)."""
+    qtoks = sorted(set(query_tokens))
+    hits = postings.where(F.col("token").isin(qtoks)).join(
+        docstats, id_col
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    return (
+        hits.withColumn("__c", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("__c"), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )

@@ -3043,6 +3043,45 @@ ORDER BY s.s_name
 """
 
 
+def q80_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 lexical retrieval over the documents corpus for a fixed
+    bag-of-tokens query — the inverted-index search a training-data
+    pipeline runs for decontamination and curation. One postings build
+    (two aggregations), a literal token filter pushed into the postings
+    scan, and a heap top-k; scores rounded to 6 decimals for cross-engine
+    rank stability (see ``operators/retrieval.py``)."""
+    from pyveb_spark.operators.retrieval import bm25_search, build_inverted_index
+
+    d = read_table(spark, sf_dir, "documents")
+    postings, docstats = build_inverted_index(d, "doc_id", "text")
+    return bm25_search(
+        postings, docstats, ["hash", "merge", "scan", "window"], k=10
+    )
+
+
+_Q80_SQL = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+hits AS (SELECT t.doc_id, t.tf, d.df, l.dl, s.n_docs, s.avgdl
+         FROM tf t
+         JOIN dfq d USING (token)
+         JOIN dl l USING (doc_id)
+         CROSS JOIN stats s
+         WHERE t.token IN ('hash', 'merge', 'scan', 'window'))
+SELECT doc_id,
+       ROUND(SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25,
+       COUNT(*) AS n_matched
+FROM hits
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+"""
+
+
 def q74_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of a region's order revenue per
     year — a conditional-sum / total-sum ratio over the full star join.
@@ -3764,6 +3803,7 @@ QUERIES = {
     "q77_cheapest_supplier": q77_cheapest_supplier,
     "q78_epoch_weighting": q78_epoch_weighting,
     "q79_excess_stock": q79_excess_stock_suppliers,
+    "q80_bm25_search": q80_bm25_search,
 }
 
 ORACLE_SQL = {
@@ -3846,4 +3886,5 @@ ORACLE_SQL = {
     "q77_cheapest_supplier": _Q77_SQL,
     "q78_epoch_weighting": _Q78_SQL,
     "q79_excess_stock": _Q79_SQL,
+    "q80_bm25_search": _Q80_SQL,
 }

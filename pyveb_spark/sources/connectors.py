@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
     "match_filename",
+    "list_files",
     "ftp_upload",
     "read_excel_df",
     "excel_sink",
@@ -181,6 +182,45 @@ def sharepoint_upload(
     with open(local_path, "rb") as fh:
         client.upload(folder, base, fh.read())
     return base
+
+
+def list_files(
+    path: str,
+    suffix: str | None = None,
+    min_size_bytes: int | None = None,
+    max_files: int | None = None,
+    lister: Callable[[str], Sequence[tuple[str, int]]] | None = None,
+) -> list[str]:
+    """Driver-side file listing ↔ ``s3_client.py:29-87`` (``list_files``
+    with type/max filters + continuation tokens, ``list_files_bigger_than``
+    with a size threshold).
+
+    Executors read object storage directly (glob paths on ``read_*``), so
+    in this engine listing is only a *driver utility* — the thing reference
+    users call before deciding what to ingest. Default ``lister`` walks a
+    local/NFS directory recursively; for object stores inject one that
+    yields ``(key, size)`` pairs (e.g. a boto3 ``list_objects_v2``
+    paginator — pagination/continuation lives inside the injected callable,
+    matching the reference's token loop). Results are sorted for
+    deterministic truncation, unlike the reference's store order."""
+
+    def _local(p: str) -> list[tuple[str, int]]:
+        out: list[tuple[str, int]] = []
+        for root, _dirs, names in os.walk(p):
+            for n in names:
+                full = os.path.join(root, n)
+                out.append((full, os.path.getsize(full)))
+        return out
+
+    entries = (lister or _local)(path)
+    keys = [
+        k
+        for k, size in entries
+        if (suffix is None or k.endswith(suffix))
+        and (min_size_bytes is None or size >= min_size_bytes)
+    ]
+    keys.sort()
+    return keys[:max_files] if max_files is not None else keys
 
 
 _PARTIAL_SUFFIXES = (".crdownload", ".part", ".tmp")

@@ -199,3 +199,25 @@ def test_webdriver_retries_then_raises(tmp_path):
         )
     # quadratic backoff schedule 0,1,4 before each of the 3 attempts
     assert slept == [0, 1, 4]
+
+
+def test_list_files_filters_and_truncates(tmp_path):
+    from pyveb_spark.sources.connectors import list_files
+
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.parquet").write_bytes(b"x" * 100)
+    (tmp_path / "b.parquet").write_bytes(b"x" * 10)
+    (tmp_path / "sub" / "c.parquet").write_bytes(b"x" * 200)
+    (tmp_path / "d.csv").write_bytes(b"x" * 300)
+
+    allp = list_files(str(tmp_path), suffix=".parquet")
+    assert [os.path.basename(p) for p in allp] == ["a.parquet", "b.parquet", "c.parquet"]
+    big = list_files(str(tmp_path), suffix=".parquet", min_size_bytes=100)
+    assert [os.path.basename(p) for p in big] == ["a.parquet", "c.parquet"]
+    assert len(list_files(str(tmp_path), max_files=2)) == 2
+
+    # injected lister = the object-store path (continuation handled inside)
+    fake = lambda prefix: [(f"{prefix}/k{i}.json", i * 50) for i in range(4)]
+    assert list_files("s3://b/p", suffix=".json", min_size_bytes=100, lister=fake) == [
+        "s3://b/p/k2.json", "s3://b/p/k3.json",
+    ]

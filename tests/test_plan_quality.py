@@ -210,3 +210,14 @@ def test_q48_semi_anti_topk_plan(spark, sf_dir):
     assert "LeftSemi" in plan and "LeftAnti" in plan
     # final top-20 is a heap, not a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q79_semi_prune_before_shuffle(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["q79_excess_stock"](spark, sf_dir))
+    # part filter reaches lineitem as a broadcast semi-join BEFORE the
+    # l_suppkey aggregation shuffle; supplier/nation broadcast too
+    assert "LeftSemi" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    # the p_size predicate is pushed into the part scan
+    assert "LessThanOrEqual(p_size,10)" in plan
