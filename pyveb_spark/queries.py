@@ -3082,6 +3082,125 @@ LIMIT 10
 """
 
 
+def q81_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup admission — the PRODUCTION dedup shape at
+    100 TB: check a new batch (doc_id < 100) against a prebuilt banded
+    MinHash index of the corpus (doc_id ≥ 100) instead of re-running
+    all-pairs; cost scales with the batch. Same portable hash pipeline as
+    q28, so the oracle replays index build, band-join candidates, and the
+    exact-Jaccard verify. The batch↔corpus restriction of q28's pairs is
+    also pinned equal in tests/test_sources_llmops.py."""
+    from pyveb_spark.operators.dedup import minhash_lsh_index, minhash_lsh_lookup
+
+    d = read_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") >= 100)
+    batch = d.where(F.col("doc_id") < 100)
+    index = minhash_lsh_index(corpus, "doc_id", "text")
+    return minhash_lsh_lookup(
+        batch, index, "doc_id", "text", threshold=0.8
+    ).orderBy("doc_id_new", "doc_id_corpus")
+
+
+_Q81_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (SELECT doc_id,
+                 list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS gs
+          FROM toks),
+hashed AS (SELECT doc_id,
+                  list_transform(gs, g -> ('0x' || substr(md5(g), 1, 12))::BIGINT) AS gh,
+                  len(gs) AS n
+           FROM grams),
+sigs AS (SELECT doc_id, gh, n, [
+    {_minhash_sql_exprs(32)}
+  ] AS mh
+  FROM hashed WHERE n > 0),
+bandvals AS (SELECT doc_id, gh, n, [
+    {_band_sql_exprs(32, 8)}
+  ] AS bh
+  FROM sigs),
+banded AS (SELECT doc_id, gh, n,
+                  generate_subscripts(bh, 1) AS band, unnest(bh) AS h
+           FROM bandvals),
+cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         FROM banded a JOIN banded b ON a.band = b.band AND a.h = b.h
+         WHERE a.doc_id < 100 AND b.doc_id >= 100)
+SELECT ida AS doc_id_new, idb AS doc_id_corpus,
+       len(list_intersect(ga.gh, gb.gh)) * 1.0
+         / (ga.n + gb.n - len(list_intersect(ga.gh, gb.gh))) AS jaccard
+FROM cand
+JOIN hashed ga ON ga.doc_id = ida
+JOIN hashed gb ON gb.doc_id = idb
+WHERE len(list_intersect(ga.gh, gb.gh)) * 1.0
+        / (ga.n + gb.n - len(list_intersect(ga.gh, gb.gh))) >= 0.8
+ORDER BY doc_id_new, doc_id_corpus
+"""
+
+
+def q82_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events replayed as a file stream through
+    ``dropDuplicatesWithinWatermark`` on (user, type, day) — bounded-state
+    cross-batch dedup, the streaming form of daily-active rollups. The
+    deduped append stream lands in a memory sink and a batch aggregation
+    counts surviving rows; a full AvailableNow replay dedups exactly, so
+    the oracle is the batch COUNT(DISTINCT (user, day)) per type."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyveb_spark.streaming.stream import (
+        read_file_stream,
+        run_available_now,
+        stateful_dedup,
+    )
+
+    src = read_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="q82_")
+    drops = os.path.join(tmp, "drops")
+    src.repartition(2).write.mode("overwrite").parquet(drops)
+    stream = read_file_stream(spark, drops, src.schema)
+    dd = stateful_dedup(
+        stream.select(
+            "user_id", "event_type", F.to_date("ts").alias("day"), "ts"
+        ),
+        ["user_id", "event_type", "day"],
+        ts_col="ts",
+        watermark="1 day",
+    ).drop("ts")
+    name = f"q82_{uuid.uuid4().hex[:8]}"
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = run_available_now(
+            dd,
+            os.path.join(tmp, "ck"),
+            output_mode="append",
+            fmt="memory",
+            query_name=name,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q82 stateful dedup replay did not finish")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_user_days"))
+        .orderBy("event_type")
+    )
+
+
+_Q82_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT (user_id, CAST(ts AS DATE))) AS n_user_days
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def q74_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of a region's order revenue per
     year — a conditional-sum / total-sum ratio over the full star join.
@@ -3804,6 +3923,8 @@ QUERIES = {
     "q78_epoch_weighting": q78_epoch_weighting,
     "q79_excess_stock": q79_excess_stock_suppliers,
     "q80_bm25_search": q80_bm25_search,
+    "q81_incremental_dedup": q81_incremental_dedup,
+    "q82_stream_dedup": q82_stream_stateful_dedup,
 }
 
 ORACLE_SQL = {
@@ -3887,4 +4008,6 @@ ORACLE_SQL = {
     "q78_epoch_weighting": _Q78_SQL,
     "q79_excess_stock": _Q79_SQL,
     "q80_bm25_search": _Q80_SQL,
+    "q81_incremental_dedup": _Q81_SQL,
+    "q82_stream_dedup": _Q82_SQL,
 }

@@ -221,3 +221,44 @@ def test_q79_semi_prune_before_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     # the p_size predicate is pushed into the part scan
     assert "LessThanOrEqual(p_size,10)" in plan
+
+
+# Queries whose plan legitimately contains a Python stage: Arrow-batched
+# mapInPandas / applyInPandas kernels (never row-at-a-time BatchEvalPython)
+_ARROW_PY_OK = {
+    "q36_embedding_pairs",   # blocked-matmul applyInPandas cells
+    "q38_multimodal_decode", # mapInPandas decode kernel
+    "q62_embedding_dedup",   # composes through cosine_pairs
+    "q67_frame_features",    # mapInPandas feature kernel
+}
+
+# streaming replays execute a stream inside the query fn; their final
+# (batch) plan over the memory sink is trivially Python-free, and running
+# three stream replays in this sweep would triple its cost — covered by
+# their oracle rows instead
+_STREAM_REPLAYS = {"q40_stream_replay", "q49_stream_attribution", "q82_stream_dedup"}
+
+
+def test_no_row_python_udf_anywhere(spark):
+    """Global gate: NO query's plan may contain a row-at-a-time Python UDF
+    (BatchEvalPython) — the engine rule since SURVEY §4. Arrow-batched
+    stages (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are
+    allowed only for the known kernel queries."""
+    sf = "/root/testdata/sf0.001"
+    offenders, arrow_unexpected = [], []
+    for name, fn in QUERIES.items():
+        if name in _STREAM_REPLAYS:
+            continue
+        plan = _formatted_plan(fn(spark, sf))
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+        if (
+            any(t in plan for t in ("ArrowEvalPython", "MapInPandas",
+                                    "FlatMapGroupsInPandas", "MapInArrow"))
+            and name not in _ARROW_PY_OK
+        ):
+            arrow_unexpected.append(name)
+    assert not offenders, f"row-UDF (BatchEvalPython) in: {offenders}"
+    assert not arrow_unexpected, (
+        f"unexpected Python stage in: {arrow_unexpected}"
+    )
