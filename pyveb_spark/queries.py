@@ -3201,6 +3201,137 @@ ORDER BY event_type
 """
 
 
+def q83_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events replayed as a file stream, enriched per micro-batch with the
+    customer dimension via a broadcast stream-static join (no stream-side
+    shuffle, no streaming state — the right shape for dimension lookup at
+    any stream rate), then rolled up per market segment and event type.
+    The enrichment is stateless, so the full replay equals the batch join
+    the oracle runs."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyveb_spark.streaming.stream import (
+        read_file_stream,
+        run_available_now,
+        stream_enrich,
+    )
+
+    src = read_table(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    tmp = tempfile.mkdtemp(prefix="q83_")
+    drops = os.path.join(tmp, "drops")
+    src.repartition(2).write.mode("overwrite").parquet(drops)
+    stream = read_file_stream(spark, drops, src.schema)
+    enriched = stream_enrich(
+        stream.select("event_id", "user_id", "event_type"),
+        cust,
+        keys=["user_id"],
+        how="inner",
+    )
+    name = f"q83_{uuid.uuid4().hex[:8]}"
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = run_available_now(
+            enriched,
+            os.path.join(tmp, "ck"),
+            output_mode="append",
+            fmt="memory",
+            query_name=name,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q83 stream enrich replay did not finish")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("c_mktsegment", "event_type")
+    )
+
+
+_Q83_SQL = """
+SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n_events
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c.c_mktsegment, e.event_type
+ORDER BY c.c_mktsegment, e.event_type
+"""
+
+
+def q84_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-materialization pattern end-to-end: a purchase
+    stream's running per-user counts (update-mode aggregation) land in a
+    ``ParquetMergeSink`` through ``foreachBatch`` upsert — each micro-batch
+    merges with the same delete-then-insert algebra as the batch loader,
+    so the final table equals the batch aggregate REGARDLESS of how the
+    replay was micro-batched (later updates overwrite earlier ones by
+    key). That multi-batch-safe equivalence is exactly what the oracle
+    checks."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyveb_spark.sinks.merge import ParquetMergeSink
+    from pyveb_spark.streaming.stream import (
+        foreach_batch_upsert,
+        read_file_stream,
+        run_available_now,
+    )
+
+    src = read_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="q84_")
+    drops = os.path.join(tmp, "drops")
+    src.repartition(2).write.mode("overwrite").parquet(drops)
+    stream = read_file_stream(spark, drops, src.schema)
+    agg = (
+        stream.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    sink = ParquetMergeSink(spark, os.path.join(tmp, "table"))
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = run_available_now(
+            agg,
+            os.path.join(tmp, "ck"),
+            foreach_batch=foreach_batch_upsert(sink, ["user_id"]),
+            output_mode="update",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q84 stream upsert replay did not finish")
+        out = (
+            sink.read()
+            .select("user_id", "n_purchases")
+            .orderBy("user_id")
+        )
+        # materialize before the temp table directory is removed
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_Q84_SQL = """
+SELECT user_id, COUNT(*) AS n_purchases
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def q74_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of a region's order revenue per
     year — a conditional-sum / total-sum ratio over the full star join.
@@ -3925,6 +4056,8 @@ QUERIES = {
     "q80_bm25_search": q80_bm25_search,
     "q81_incremental_dedup": q81_incremental_dedup,
     "q82_stream_dedup": q82_stream_stateful_dedup,
+    "q83_stream_enrich": q83_stream_enrich,
+    "q84_stream_upsert": q84_stream_upsert,
 }
 
 ORACLE_SQL = {
@@ -4010,4 +4143,6 @@ ORACLE_SQL = {
     "q80_bm25_search": _Q80_SQL,
     "q81_incremental_dedup": _Q81_SQL,
     "q82_stream_dedup": _Q82_SQL,
+    "q83_stream_enrich": _Q83_SQL,
+    "q84_stream_upsert": _Q84_SQL,
 }

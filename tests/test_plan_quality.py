@@ -236,7 +236,13 @@ _ARROW_PY_OK = {
 # (batch) plan over the memory sink is trivially Python-free, and running
 # three stream replays in this sweep would triple its cost — covered by
 # their oracle rows instead
-_STREAM_REPLAYS = {"q40_stream_replay", "q49_stream_attribution", "q82_stream_dedup"}
+_STREAM_REPLAYS = {
+    "q40_stream_replay",
+    "q49_stream_attribution",
+    "q82_stream_dedup",
+    "q83_stream_enrich",
+    "q84_stream_upsert",
+}
 
 
 def test_no_row_python_udf_anywhere(spark):

@@ -152,8 +152,10 @@ def test_sharepoint_upload_fake_client(tmp_path):
         sharepoint_upload(str(src), "Shared")
 
 
-def test_webdriver_stub():
-    with pytest.raises(NotImplementedError):
+def test_webdriver_requires_driver():
+    # implemented with an injectable driver (see tests/test_harvest.py for
+    # the behavioral suite); calling without one is a signature error
+    with pytest.raises(TypeError):
         webdriver_download("https://x", "/tmp")
 
 

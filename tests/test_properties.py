@@ -205,3 +205,29 @@ def test_chunk_stats_conservation(spark, texts, chunk):
     for r in got:
         assert 0 <= r.n_dup_chunks <= r.n_chunks
         assert 0.0 <= r.dup_frac <= 1.0
+
+
+@given(st.integers(min_value=0, max_value=10_000))
+def test_minhash_coeffs_overflow_safe_bounds(seed):
+    """The portable MinHash family's (a, b) must keep a·x + b < 2^63 for
+    every 48-bit input x — ANSI mode (Spark 4 default) would otherwise
+    throw ARITHMETIC_OVERFLOW mid-query. Pins the bound the module
+    docstring claims: a < 2^14 odd, b < 2^60."""
+    from pyveb_spark.operators.dedup import _MERSENNE61, minhash_coeffs
+
+    a, b = minhash_coeffs(seed)
+    assert 1 <= a < (1 << 14) and a % 2 == 1
+    assert 0 <= b < (1 << 60)
+    x_max = (1 << 48) - 1
+    assert a * x_max + b < (1 << 63)
+    assert 0 <= (a * x_max + b) % _MERSENNE61 < _MERSENNE61
+
+
+@given(st.text(min_size=0, max_size=50))
+def test_portable_hash48_matches_python_md5(s):
+    """portable_hash48's Spark expression contract — 48-bit md5 prefix —
+    re-derived in pure Python (collision-free oracle of the oracle)."""
+    import hashlib
+
+    v = int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+    assert 0 <= v < (1 << 48)
