@@ -450,6 +450,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs via MinHash + banded LSH, candidates
     verified with exact Jaccard.
@@ -460,6 +461,18 @@ def minhash_lsh_pairs(
     so precision is 1.0; recall < 1 is the scale trade-off vs
     ``ngram_jaccard_pairs``. At 100 TB this is the only viable plan: cost is
     bands × (hash-join on band signature), never O(n²).
+
+    ``max_bucket_size`` is the hot-bucket skew cap (SCALE.md): a band
+    bucket shared by m docs produces m² candidate pairs, so one
+    boilerplate bucket with 10⁵ members means 10¹⁰ pairs in a single join
+    key — the classic LSH skew failure. Capping drops buckets larger than
+    the bound BEFORE the self-join (one extra count aggregation on the
+    same key), bounding per-key join fan-out at max_bucket_size². Docs in
+    a dropped bucket still pair through their other ``bands-1`` buckets,
+    so the recall loss is limited to pairs whose ONLY collision was the
+    hot bucket — near-identical boilerplate, exactly what a dedup wants to
+    handle via the exact-hash pass instead. ``None`` (default) disables
+    the cap, keeping the oracle-replayable exact banding semantics.
     """
     r = _check_banding(num_hashes, bands)
     a, b_ = f"{id_col}_a", f"{id_col}_b"
@@ -481,6 +494,15 @@ def minhash_lsh_pairs(
     banded = sig.select(
         F.col(id_col), F.posexplode(band_arr).alias("__band", "__h")
     )
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("__band", "__h").agg(
+            F.count(F.lit(1)).alias("__m")
+        )
+        banded = (
+            banded.join(sizes, ["__band", "__h"])
+            .where(F.col("__m") <= F.lit(int(max_bucket_size)))
+            .drop("__m")
+        )
     left = banded.select(F.col(id_col).alias(a), "__band", "__h")
     right = banded.select(F.col(id_col).alias(b_), "__band", "__h")
     cand = (
@@ -573,6 +595,7 @@ def minhash_lsh_lookup(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Incremental near-dup check: candidate (new, corpus) pairs from a
     band-hash join of the new batch's postings against a
@@ -598,6 +621,17 @@ def minhash_lsh_lookup(
         "__band",
         "__h",
     )
+    if max_bucket_size is not None:
+        # hot-bucket skew cap on the CORPUS side (see minhash_lsh_pairs) —
+        # a boilerplate bucket with m index members fans every probe row
+        # hitting it out ×m; at 100 TB precompute these counts once when
+        # the index is (re)written instead of per lookup.
+        sizes = b.groupBy("__band", "__h").agg(F.count(F.lit(1)).alias("__m"))
+        b = (
+            b.join(sizes, ["__band", "__h"])
+            .where(F.col("__m") <= F.lit(int(max_bucket_size)))
+            .drop("__m")
+        )
     cand = (
         a.join(b, ["__band", "__h"])
         .where(F.col(a_id) != F.col(b_id))

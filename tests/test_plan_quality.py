@@ -268,3 +268,12 @@ def test_no_row_python_udf_anywhere(spark):
     assert not arrow_unexpected, (
         f"unexpected Python stage in: {arrow_unexpected}"
     )
+
+
+def test_q80_bm25_plan(spark, sf_dir):
+    plan = _executed_plan(QUERIES["q80_bm25_search"](spark, sf_dir))
+    # top-k is a heap, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    f = _formatted_plan(QUERIES["q80_bm25_search"](spark, sf_dir))
+    # the literal query-token filter prunes postings before any join
+    assert " IN (hash,merge,scan,window)" in f

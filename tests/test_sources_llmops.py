@@ -352,3 +352,25 @@ def test_shingles_short_docs_dont_crash(spark):
     assert got == {(4, 5)}  # only the real dup pair; shorts contribute nothing
     sigs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
     assert {(r["doc_id_a"], r["doc_id_b"]) for r in sigs.collect()} <= {(4, 5)}
+
+
+def test_minhash_hot_bucket_cap(spark, sf_dir):
+    """max_bucket_size drops only pairs whose sole collision was a hot
+    bucket: with the cap far above any bucket size the output is identical
+    to the uncapped run; with cap=1 no bucket survives, so zero pairs."""
+    docs = read_table(spark, sf_dir, "documents")
+    base = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    capped_loose = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.8, max_bucket_size=10**6
+        ).collect()
+    }
+    assert capped_loose == base and len(base) > 0
+    capped_hard = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.8, max_bucket_size=1
+    ).count()
+    assert capped_hard == 0
