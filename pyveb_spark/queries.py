@@ -3332,6 +3332,56 @@ ORDER BY user_id
 """
 
 
+def q85_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``F.session_window`` sessionization (batch mode — the operator is
+    batch/stream-unified; q25 is the lag-based formulation of the same
+    semantics modulo boundary: session_window merges events strictly
+    CLOSER than the gap, so the oracle's new-session condition is
+    ``diff >= gap``). session_end = last event + gap by definition; both
+    bounds emitted as exact integer microseconds."""
+    from pyveb_spark.streaming.stream import session_window_agg
+
+    e = read_table(spark, sf_dir, "events")
+    out = session_window_agg(
+        e,
+        ts_col="ts",
+        gap="30 minutes",
+        aggs={"n_events": F.count(F.lit(1))},
+        group_by=["user_id"],
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+    ).orderBy("user_id", "start_us")
+
+
+_Q85_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessioned AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM flagged
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS start_us,
+       epoch_us(MAX(ts)) + 1800000000 AS end_us,
+       COUNT(*) AS n_events
+FROM sessioned
+GROUP BY user_id, session_no
+ORDER BY user_id, start_us
+"""
+
+
 def q74_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of a region's order revenue per
     year — a conditional-sum / total-sum ratio over the full star join.
@@ -4058,6 +4108,7 @@ QUERIES = {
     "q82_stream_dedup": q82_stream_stateful_dedup,
     "q83_stream_enrich": q83_stream_enrich,
     "q84_stream_upsert": q84_stream_upsert,
+    "q85_session_windows": q85_session_windows,
 }
 
 ORACLE_SQL = {
@@ -4145,4 +4196,5 @@ ORACLE_SQL = {
     "q82_stream_dedup": _Q82_SQL,
     "q83_stream_enrich": _Q83_SQL,
     "q84_stream_upsert": _Q84_SQL,
+    "q85_session_windows": _Q85_SQL,
 }

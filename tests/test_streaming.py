@@ -317,3 +317,43 @@ def test_stream_interval_join_equals_batch(spark, events_dir):
         .collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_stream_session_windows_equal_batch(spark, events_dir):
+    """F.session_window through a multi-batch replay (complete mode — no
+    watermark, so late arrivals merge rather than drop) must converge to
+    the batch sessionization. Session merging across micro-batches is the
+    stateful behavior under test."""
+    from pyveb_spark.streaming import session_window_agg
+
+    path, schema = events_dir
+    stream = read_file_stream(spark, path, schema, max_files_per_trigger=1)
+    sess = session_window_agg(
+        stream,
+        ts_col="ts",
+        gap="30 minutes",
+        aggs={"n_events": F.count(F.lit(1))},
+        group_by=["user_id"],
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = run_available_now(
+            sess, os.path.join(ckpt, "ck"), output_mode="complete",
+            fmt="memory", query_name="sess_counts",
+        )
+        q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in spark.sql("SELECT * FROM sess_counts").collect()
+    }
+    batch = session_window_agg(
+        read_table(spark, "/root/testdata/sf0.001", "events"),
+        ts_col="ts",
+        gap="30 minutes",
+        aggs={"n_events": F.count(F.lit(1))},
+        group_by=["user_id"],
+    )
+    expected = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in batch.collect()
+    }
+    assert got == expected and len(got) > 0
