@@ -3382,6 +3382,73 @@ ORDER BY user_id, start_us
 """
 
 
+def q86_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole Extract → Transform → Load flow as ONE
+    oracle-checked job: a declarative ``Pipeline`` reads orders, runs the
+    §2.3 transform library (clamp old dates, nan_to_null on the status
+    string), upserts the per-(year, priority) aggregate into a
+    ``ParquetMergeSink`` TWICE (idempotence is part of what the oracle
+    certifies — a second identical merge must not change the table), and
+    returns the table read back from disk. The reference needed three
+    processes and S3 staging between them (SURVEY §3.1); here extract,
+    transform and merge fuse into one lazy plan per run."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyveb_spark.operators.cleaning import clean_old_dates, nan_to_null
+    from pyveb_spark.plans.pipeline import Pipeline, PipelineStep
+    from pyveb_spark.sinks.merge import ParquetMergeSink
+
+    tmp = tempfile.mkdtemp(prefix="q86_")
+    sink = ParquetMergeSink(spark, os.path.join(tmp, "table"))
+
+    def agg(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(
+                F.year("o_orderdate").alias("order_year"),
+                F.col("o_orderpriority").alias("priority"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+            )
+        )
+
+    pipe = Pipeline(
+        name="orders_rollup",
+        source=lambda s: read_table(s, sf_dir, "orders"),
+        steps=[
+            PipelineStep("clamp", clean_old_dates,
+                         {"cols": ["o_orderdate"], "floor": "1996-01-01"}),
+            PipelineStep("nulls", nan_to_null, {"cols": ["o_orderstatus"]}),
+            PipelineStep("rollup", agg),
+        ],
+        sink=lambda df: sink.upsert(df, keys=["order_year", "priority"]),
+    )
+    try:
+        pipe.run(spark)
+        pipe.run(spark)  # idempotent re-run: same keys upsert to same state
+        out = sink.read().orderBy("order_year", "priority")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_Q86_SQL = """
+SELECT EXTRACT(year FROM CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                              THEN TIMESTAMP '1996-01-01'
+                              ELSE o_orderdate END) AS order_year,
+       o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY order_year, priority
+ORDER BY order_year, priority
+"""
+
+
 def q74_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of a region's order revenue per
     year — a conditional-sum / total-sum ratio over the full star join.
@@ -4109,6 +4176,7 @@ QUERIES = {
     "q83_stream_enrich": q83_stream_enrich,
     "q84_stream_upsert": q84_stream_upsert,
     "q85_session_windows": q85_session_windows,
+    "q86_pipeline_e2e": q86_pipeline_e2e,
 }
 
 ORACLE_SQL = {
@@ -4197,4 +4265,5 @@ ORACLE_SQL = {
     "q83_stream_enrich": _Q83_SQL,
     "q84_stream_upsert": _Q84_SQL,
     "q85_session_windows": _Q85_SQL,
+    "q86_pipeline_e2e": _Q86_SQL,
 }
