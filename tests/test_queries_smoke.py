@@ -29,3 +29,14 @@ def test_entry_contract(spark):
     df = m.entry(spark)
     assert len(df.collect()) > 0
     assert set(m.oracle_sql()) <= set(m.queries())
+
+
+def test_every_query_has_an_oracle():
+    """Round-2 invariant: ZERO rows-only queries — every registered query
+    must carry a DuckDB oracle (the portable-hash design exists precisely
+    so this holds; see COVERAGE.md status). A new query without an oracle
+    is a regression, not a choice."""
+    missing = sorted(set(QUERIES) - set(ORACLE_SQL))
+    assert missing == [], f"queries without oracles: {missing}"
+    dangling = sorted(set(ORACLE_SQL) - set(QUERIES))
+    assert dangling == [], f"oracles without queries: {dangling}"
