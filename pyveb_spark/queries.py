@@ -2273,13 +2273,18 @@ ORDER BY s_suppkey
 
 def q53_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: customers with above-average positive balance and
-    no orders, summarized per market segment — a scalar AVG subquery plus
-    a NOT EXISTS anti-join. The scalar broadcasts; the anti-join shuffles
-    customer against the orders key projection (at 100 TB AQE converts it
-    to broadcast if the distinct-custkey side compresses enough). The
-    average is exact-decimal-sum / count — one IEEE division per engine."""
+    no *recent* orders (none since 1999 — the fixture gives every customer
+    at least one lifetime order, so the idle test is date-bounded exactly
+    like Q22's 7-year window), summarized per market segment — a scalar
+    AVG subquery plus a NOT EXISTS anti-join. The scalar broadcasts; the
+    anti-join shuffles customer against the pre-filtered orders key
+    projection (at 100 TB AQE converts it to broadcast if the
+    distinct-custkey side compresses enough). The average is
+    exact-decimal-sum / count — one IEEE division per engine."""
     c = read_table(spark, sf_dir, "customer")
-    o = read_table(spark, sf_dir, "orders")
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
     avg_pos = c.where(F.col("c_acctbal") > 0).agg(
         (
             F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))
@@ -2305,7 +2310,9 @@ FROM customer
 WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
                           / COUNT(*)
                    FROM customer WHERE c_acctbal > 0)
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
@@ -3531,7 +3538,7 @@ def q75_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     amount = _dec("l_extendedprice") * (one - _dec("l_discount", 3, 2)) - _dec(
         "p_retailprice"
     ) * _dec("l_quantity")
-    green = p.where(F.col("p_name").like("%_5%")).select(
+    green = p.where(F.col("p_name").like("%bolt%")).select(
         "p_partkey", "p_retailprice"
     )
     return (
@@ -3560,7 +3567,7 @@ JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
-WHERE p_name LIKE '%_5%'
+WHERE p_name LIKE '%bolt%'
 GROUP BY n_name, o_year
 ORDER BY n_name, o_year DESC
 """
