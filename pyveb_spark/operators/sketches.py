@@ -99,7 +99,7 @@ def approx_quantiles(
 ) -> DataFrame:
     """Per-group approximate quantiles (``percentile_approx`` — a mergeable
     KLL-style summary under the hood, same partial-aggregation scale shape
-    as the HLL path). Exact percentiles (q34) sort each group; this doesn't,
+    as the HLL path). Exact percentiles (q75) sort each group; this doesn't,
     which is the difference at billion-row groups."""
     return df.groupBy(*keys).agg(
         F.percentile_approx(

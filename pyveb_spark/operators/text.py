@@ -141,12 +141,26 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.drop(*[f"__hits_{lang}" for lang in _LANG_MARKERS])
 
 
-def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", prefix_tokens: int | None = None
+) -> DataFrame:
     """Deterministic 64-bit content fingerprint (normalized text →
     xxhash64) ↔ the reference's dataclass content hashes
-    (``dbt_client.py:45-58``). Exact-dup detection = groupBy fingerprint."""
-    normalized = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    return df.withColumn("fingerprint", F.xxhash64(F.trim(normalized)))
+    (``dbt_client.py:45-58``). Exact-dup detection = groupBy fingerprint.
+
+    ``prefix_tokens=N`` fingerprints only the first N whitespace tokens —
+    the standard *prefix-blocking* variant (CCNet/RefinedWeb-style URL and
+    boilerplate dedup): catches template/head duplicates that whole-doc
+    hashing misses whenever tails diverge, at the same stateless
+    scan-stage cost."""
+    normalized = F.trim(
+        F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    )
+    if prefix_tokens is not None:
+        normalized = F.array_join(
+            F.slice(F.split(normalized, " "), 1, prefix_tokens), " "
+        )
+    return df.withColumn("fingerprint", F.xxhash64(normalized))
 
 
 def hashed_linear_score(
@@ -226,7 +240,7 @@ def winnow_fingerprints(
     both miss (copied *passages*, not copied *documents*).
 
     One pure-expression pass per row (no explode, no shuffle); matching is
-    then a fingerprint equi-join on the exploded output — see q44. Hashes
+    then a fingerprint equi-join on the exploded output — see q80_winnow_pairs. Hashes
     are 48-bit md5-hex prefixes so oracle SQL reproduces them verbatim
     (see ``operators/sampling.py`` for the md5-portability rationale).
     Docs shorter than k tokens get an empty fingerprint set; docs with
@@ -335,7 +349,7 @@ def repetition_stats(
     word ``n``-gram count, distinct-gram count, duplicate-gram fraction
     ``1 − distinct/total``, and the share of the single most frequent gram.
     High values flag boilerplate/spam pages that inter-document dedup
-    (q17/q28/q44) cannot catch because the repetition is *inside* one doc.
+    (q17/q28/q80) cannot catch because the repetition is *inside* one doc.
 
     Shuffle-based rather than per-row HOF aggregation deliberately: a mode
     (most-frequent element) computed inside an array lambda is O(tokens²)

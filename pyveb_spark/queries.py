@@ -951,7 +951,7 @@ ORDER BY user_id, session_no
 # §2.9 explode at query level: token frequencies over a document slice
 # ---------------------------------------------------------------------------
 
-def q26_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q84_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     return (
         d.select(F.explode(F.split("text", " ")).alias("token"))
@@ -962,7 +962,7 @@ def q26_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q26_SQL = """
+_Q84_SQL = """
 SELECT token, COUNT(*) AS n
 FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE doc_id < 100) t
 GROUP BY token
@@ -1186,7 +1186,7 @@ LIMIT 10
 # LLM ops: heuristic language-ID confusion matrix (text.py language_id)
 # ---------------------------------------------------------------------------
 
-def q31_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q85_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-stopword language-ID vs the corpus's true ``lang`` label."""
     from pyveb_spark.operators.text import language_id
 
@@ -1201,7 +1201,7 @@ def q31_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # lang order in the CASE chain mirrors _LANG_MARKERS iteration order (the
 # reduce keeps the earlier language on ties).
-_Q31_SQL = """
+_Q85_SQL = """
 WITH toks AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
 hits AS (SELECT lang,
     len(list_filter(t, x -> x IN ('the','a','of','and')))      AS h_en,
@@ -1228,16 +1228,19 @@ FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
 # doc_fingerprint ↔ reference dataclass hashes dbt_client.py:45-58,649-658)
 # ---------------------------------------------------------------------------
 
-def q32_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Docs whose normalized-content fingerprint collides (exact dups).
-    Oracle groups by the normalized text itself — equal modulo xxhash64
-    collisions (~n²/2⁶⁵)."""
+def q86_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs whose 12-token *prefix* fingerprint collides — prefix blocking
+    catches template/head duplicates (the fixture has no whole-doc exact
+    dups below sf0.1, so whole-doc hashing would be a vacuous 0-row
+    query; prefix-12 yields ~45 collided docs at every SF). Oracle groups
+    by the normalized prefix itself — equal modulo xxhash64 collisions
+    (~n²/2⁶⁵)."""
     from pyveb_spark.operators.text import doc_fingerprint
 
     d = read_table(spark, sf_dir, "documents")
     w = Window.partitionBy("fingerprint")
     return (
-        doc_fingerprint(d)
+        doc_fingerprint(d, prefix_tokens=12)
         .withColumn("n_dups", F.count(F.lit(1)).over(w))
         .where(F.col("n_dups") > 1)
         .select("doc_id", "n_dups")
@@ -1245,9 +1248,12 @@ def q32_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q32_SQL = r"""
+_Q86_SQL = r"""
 WITH g AS (SELECT doc_id,
-                  trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+                  array_to_string(
+                    (string_split(
+                       trim(lower(regexp_replace(text, '\s+', ' ', 'g'))),
+                       ' '))[1:12], ' ') AS nt
            FROM documents),
 c AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY nt) AS n_dups FROM g)
 SELECT doc_id, n_dups FROM c WHERE n_dups > 1 ORDER BY doc_id
@@ -1291,7 +1297,7 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 # l_quantity is integer-valued so every interpolated value is binary-exact)
 # ---------------------------------------------------------------------------
 
-def q34_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q75_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = read_table(spark, sf_dir, "lineitem")
     return (
         l.groupBy("l_returnflag")
@@ -1305,7 +1311,7 @@ def q34_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q34_SQL = """
+_Q75_SQL = """
 SELECT l_returnflag,
        quantile_cont(l_quantity, 0.25) AS p25,
        quantile_cont(l_quantity, 0.5)  AS p50,
@@ -1766,10 +1772,10 @@ ORDER BY lang, source
 # LLM ops: winnowing fingerprints → shared-passage doc pairs
 # ---------------------------------------------------------------------------
 
-def q44_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q80_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-similarity detection: docs sharing ≥ 2 winnowed rolling-hash
     fingerprints (word 3-grams, window 4) — catches copied *passages* that
-    whole-doc hashing (q32) misses and set-similarity (q17) underweights.
+    whole-doc hashing (q86) misses and set-similarity (q17) underweights.
     Explode + equi-join on the fingerprint: the 100 TB plan is a shuffle
     keyed on 48-bit hashes, fan-out bounded by fingerprint document
     frequency (winnowing keeps ~2/(w+1) of grams, so postings stay sparse).
@@ -1782,7 +1788,7 @@ def q44_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id_a", "doc_id_b")
 
 
-_Q44_SQL = """
+_Q80_SQL = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 g AS (SELECT doc_id,
              list_transform(generate_series(1, greatest(len(t) - 2, 0)),
@@ -1806,7 +1812,7 @@ ORDER BY doc_id_a, doc_id_b
 # LLM ops: intra-document repetition (Gopher filters) + PII redaction
 # ---------------------------------------------------------------------------
 
-def q45_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q81_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bigram repetition metrics (Gopher/MassiveText filter
     family): total/distinct gram counts, duplicate-gram fraction, top-gram
     share, and the (deterministically tie-broken) top gram itself. One
@@ -1820,7 +1826,7 @@ def q45_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q45_SQL = """
+_Q81_SQL = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 g AS (SELECT doc_id,
              unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
@@ -1843,7 +1849,7 @@ ORDER BY doc_id
 """
 
 
-def q46_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q82_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing under the oracle gate: build a deterministic note
     string with an email / phone / IPv4 per customer (the corpus itself is
     PII-free synthetic text), redact with the shared dialect-portable
@@ -1908,7 +1914,7 @@ ORDER BY c_custkey
 """
 
 
-_Q46_SQL = _q46_sql()
+_Q82_SQL = _q46_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -2055,7 +2061,7 @@ ORDER BY event_type
 # Relational depth: correlated subqueries (TPC-H Q17 / Q21 shapes)
 # ---------------------------------------------------------------------------
 
-def q47_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q83_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from small-quantity orders of one brand,
     where "small" is a correlated per-part threshold (20% of that part's
     average quantity). Written in the decorrelated form Catalyst would
@@ -2088,7 +2094,7 @@ def q47_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q47_SQL = """
+_Q83_SQL = """
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
            AS avg_yearly
 FROM lineitem l
@@ -3050,7 +3056,7 @@ ORDER BY s.s_name
 """
 
 
-def q80_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q44_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 lexical retrieval over the documents corpus for a fixed
     bag-of-tokens query — the inverted-index search a training-data
     pipeline runs for decontamination and curation. One postings build
@@ -3066,7 +3072,7 @@ def q80_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q80_SQL = """
+_Q44_SQL = """
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
 tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
 dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
@@ -3089,7 +3095,7 @@ LIMIT 10
 """
 
 
-def q81_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q45_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup admission — the PRODUCTION dedup shape at
     100 TB: check a new batch (doc_id < 100) against a prebuilt banded
     MinHash index of the corpus (doc_id ≥ 100) instead of re-running
@@ -3108,7 +3114,7 @@ def q81_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id_new", "doc_id_corpus")
 
 
-_Q81_SQL = f"""
+_Q45_SQL = f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 grams AS (SELECT doc_id,
                  list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS gs
@@ -3187,7 +3193,7 @@ def q82_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if not q.awaitTermination(300):
             q.stop()
-            raise TimeoutError("q82 stateful dedup replay did not finish")
+            raise TimeoutError("q46 stateful dedup replay did not finish")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
         shutil.rmtree(tmp, ignore_errors=True)
@@ -3199,7 +3205,7 @@ def q82_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q82_SQL = """
+_Q46_SQL = """
 SELECT event_type,
        COUNT(DISTINCT (user_id, CAST(ts AS DATE))) AS n_user_days
 FROM events
@@ -3208,7 +3214,7 @@ ORDER BY event_type
 """
 
 
-def q83_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q47_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events replayed as a file stream, enriched per micro-batch with the
     customer dimension via a broadcast stream-static join (no stream-side
     shuffle, no streaming state — the right shape for dimension lookup at
@@ -3253,7 +3259,7 @@ def q83_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if not q.awaitTermination(300):
             q.stop()
-            raise TimeoutError("q83 stream enrich replay did not finish")
+            raise TimeoutError("q47 stream enrich replay did not finish")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
         shutil.rmtree(tmp, ignore_errors=True)
@@ -3265,7 +3271,7 @@ def q83_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q83_SQL = """
+_Q47_SQL = """
 SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n_events
 FROM events e
 JOIN customer c ON c.c_custkey = e.user_id
@@ -3274,7 +3280,7 @@ ORDER BY c.c_mktsegment, e.event_type
 """
 
 
-def q84_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q26_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The continuous-materialization pattern end-to-end: a purchase
     stream's running per-user counts (update-mode aggregation) land in a
     ``ParquetMergeSink`` through ``foreachBatch`` upsert — each micro-batch
@@ -3316,7 +3322,7 @@ def q84_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if not q.awaitTermination(300):
             q.stop()
-            raise TimeoutError("q84 stream upsert replay did not finish")
+            raise TimeoutError("q26 stream upsert replay did not finish")
         out = (
             sink.read()
             .select("user_id", "n_purchases")
@@ -3330,7 +3336,7 @@ def q84_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-_Q84_SQL = """
+_Q26_SQL = """
 SELECT user_id, COUNT(*) AS n_purchases
 FROM events
 WHERE event_type = 'purchase'
@@ -3339,7 +3345,7 @@ ORDER BY user_id
 """
 
 
-def q85_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q31_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``F.session_window`` sessionization (batch mode — the operator is
     batch/stream-unified; q25 is the lag-based formulation of the same
     semantics modulo boundary: session_window merges events strictly
@@ -3364,7 +3370,7 @@ def q85_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "start_us")
 
 
-_Q85_SQL = """
+_Q31_SQL = """
 WITH flagged AS (
     SELECT user_id, ts,
            CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
@@ -3389,7 +3395,7 @@ ORDER BY user_id, start_us
 """
 
 
-def q86_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q32_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's whole Extract → Transform → Load flow as ONE
     oracle-checked job: a declarative ``Pipeline`` reads orders, runs the
     §2.3 transform library (clamp old dates, nan_to_null on the status
@@ -3443,7 +3449,7 @@ def q86_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-_Q86_SQL = """
+_Q32_SQL = """
 SELECT EXTRACT(year FROM CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
                               THEN TIMESTAMP '1996-01-01'
                               ELSE o_orderdate END) AS order_year,
@@ -3523,7 +3529,7 @@ ORDER BY o_year
 """
 
 
-def q75_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q34_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (cost adapted: the fixture has no ps_supplycost, so
     the part's retail price stands in): profit per supplier nation per
     year for one part-name family. Amounts stay decimal through the
@@ -3555,7 +3561,7 @@ def q75_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q75_SQL = """
+_Q34_SQL = """
 SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
@@ -4123,15 +4129,15 @@ QUERIES = {
     "q23_grouping_sets": q23_grouping_sets,
     "q24_string_funcs": q24_string_functions,
     "q25_sessionize": q25_user_sessions,
-    "q26_token_freq": q26_token_frequencies,
+    "q26_stream_upsert": q26_stream_upsert,
     "q27_quality_score": q27_quality_scores,
     "q28_minhash_pairs": q28_minhash_lsh_pairs,
     "q29_simhash": q29_simhash_fingerprints,
     "q30_lsh_ann": q30_lsh_ann_topk,
-    "q31_language_id": q31_language_id,
-    "q32_fingerprint_dups": q32_fingerprint_dups,
+    "q31_session_windows": q31_session_windows,
+    "q32_pipeline_e2e": q32_pipeline_e2e,
     "q33_pivot": q33_pivot,
-    "q34_percentiles": q34_percentiles,
+    "q34_product_profit": q34_product_profit,
     "q35_range_join": q35_range_join,
     "q36_embedding_pairs": q36_embedding_pairs,
     "q37_ivf_ann": q37_ivf_ann,
@@ -4141,10 +4147,10 @@ QUERIES = {
     "q41_dup_clusters": q41_dup_clusters,
     "q42_hash_sample": q42_hash_sample,
     "q43_source_mix": q43_source_mix,
-    "q44_winnow_pairs": q44_winnow_pairs,
-    "q45_repetition": q45_repetition,
-    "q46_redact_pii": q46_redact_pii,
-    "q47_small_qty_revenue": q47_small_qty_revenue,
+    "q44_bm25_search": q44_bm25_search,
+    "q45_incremental_dedup": q45_incremental_dedup,
+    "q46_stream_dedup": q82_stream_stateful_dedup,
+    "q47_stream_enrich": q47_stream_enrich,
     "q48_last_shipper": q48_last_shipper,
     "q49_stream_attribution": q49_stream_attribution,
     "q50_hll_rollup": q50_hll_rollup,
@@ -4172,18 +4178,18 @@ QUERIES = {
     "q72_local_supplier_volume": q72_local_supplier_volume,
     "q73_returned_item_customers": q73_returned_item_customers,
     "q74_market_share": q74_market_share,
-    "q75_product_profit": q75_product_profit,
+    "q75_percentiles": q75_percentiles,
     "q76_forecast_revenue": q76_forecast_revenue,
     "q77_cheapest_supplier": q77_cheapest_supplier,
     "q78_epoch_weighting": q78_epoch_weighting,
     "q79_excess_stock": q79_excess_stock_suppliers,
-    "q80_bm25_search": q80_bm25_search,
-    "q81_incremental_dedup": q81_incremental_dedup,
-    "q82_stream_dedup": q82_stream_stateful_dedup,
-    "q83_stream_enrich": q83_stream_enrich,
-    "q84_stream_upsert": q84_stream_upsert,
-    "q85_session_windows": q85_session_windows,
-    "q86_pipeline_e2e": q86_pipeline_e2e,
+    "q80_winnow_pairs": q80_winnow_pairs,
+    "q81_repetition": q81_repetition,
+    "q82_redact_pii": q82_redact_pii,
+    "q83_small_qty_revenue": q83_small_qty_revenue,
+    "q84_token_freq": q84_token_frequencies,
+    "q85_language_id": q85_language_id,
+    "q86_fingerprint_dups": q86_fingerprint_dups,
 }
 
 ORACLE_SQL = {
@@ -4212,15 +4218,15 @@ ORACLE_SQL = {
     "q23_grouping_sets": _Q23_SQL,
     "q24_string_funcs": _Q24_SQL,
     "q25_sessionize": _Q25_SQL,
-    "q26_token_freq": _Q26_SQL,
+    "q26_stream_upsert": _Q26_SQL,
     "q27_quality_score": _Q27_SQL,
     "q28_minhash_pairs": _Q28_SQL,
     "q29_simhash": _Q29_SQL,
     "q30_lsh_ann": _Q30_SQL,
-    "q31_language_id": _Q31_SQL,
-    "q32_fingerprint_dups": _Q32_SQL,
+    "q31_session_windows": _Q31_SQL,
+    "q32_pipeline_e2e": _Q32_SQL,
     "q33_pivot": _Q33_SQL,
-    "q34_percentiles": _Q34_SQL,
+    "q34_product_profit": _Q34_SQL,
     "q35_range_join": _Q35_SQL,
     "q36_embedding_pairs": _Q36_SQL,
     "q37_ivf_ann": _Q37_SQL,
@@ -4230,10 +4236,10 @@ ORACLE_SQL = {
     "q41_dup_clusters": _Q41_SQL,
     "q42_hash_sample": _Q42_SQL,
     "q43_source_mix": _Q43_SQL,
-    "q44_winnow_pairs": _Q44_SQL,
-    "q45_repetition": _Q45_SQL,
-    "q46_redact_pii": _Q46_SQL,
-    "q47_small_qty_revenue": _Q47_SQL,
+    "q44_bm25_search": _Q44_SQL,
+    "q45_incremental_dedup": _Q45_SQL,
+    "q46_stream_dedup": _Q46_SQL,
+    "q47_stream_enrich": _Q47_SQL,
     "q48_last_shipper": _Q48_SQL,
     "q49_stream_attribution": _Q49_SQL,
     "q50_hll_rollup": _Q50_SQL,
@@ -4261,16 +4267,16 @@ ORACLE_SQL = {
     "q72_local_supplier_volume": _Q72_SQL,
     "q73_returned_item_customers": _Q73_SQL,
     "q74_market_share": _Q74_SQL,
-    "q75_product_profit": _Q75_SQL,
+    "q75_percentiles": _Q75_SQL,
     "q76_forecast_revenue": _Q76_SQL,
     "q77_cheapest_supplier": _Q77_SQL,
     "q78_epoch_weighting": _Q78_SQL,
     "q79_excess_stock": _Q79_SQL,
-    "q80_bm25_search": _Q80_SQL,
-    "q81_incremental_dedup": _Q81_SQL,
-    "q82_stream_dedup": _Q82_SQL,
-    "q83_stream_enrich": _Q83_SQL,
-    "q84_stream_upsert": _Q84_SQL,
-    "q85_session_windows": _Q85_SQL,
-    "q86_pipeline_e2e": _Q86_SQL,
+    "q80_winnow_pairs": _Q80_SQL,
+    "q81_repetition": _Q81_SQL,
+    "q82_redact_pii": _Q82_SQL,
+    "q83_small_qty_revenue": _Q83_SQL,
+    "q84_token_freq": _Q84_SQL,
+    "q85_language_id": _Q85_SQL,
+    "q86_fingerprint_dups": _Q86_SQL,
 }

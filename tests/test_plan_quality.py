@@ -77,8 +77,8 @@ def test_whole_stage_codegen_enabled(spark, sf_dir):
     assert "WholeStageCodegen" in codegen
 
 
-def test_q47_decorrelated_threshold_plan(spark, sf_dir):
-    plan = _formatted_plan(QUERIES["q47_small_qty_revenue"](spark, sf_dir))
+def test_q83_decorrelated_threshold_plan(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["q83_small_qty_revenue"](spark, sf_dir))
     # brand filter is pushed to the part scan, not evaluated post-join
     assert "EqualTo(p_brand,Brand#1)" in plan
     # the brand prune is a semi-join (no part columns survive it)
@@ -239,9 +239,9 @@ _ARROW_PY_OK = {
 _STREAM_REPLAYS = {
     "q40_stream_replay",
     "q49_stream_attribution",
-    "q82_stream_dedup",
-    "q83_stream_enrich",
-    "q84_stream_upsert",
+    "q46_stream_dedup",
+    "q47_stream_enrich",
+    "q26_stream_upsert",
 }
 
 
@@ -270,10 +270,10 @@ def test_no_row_python_udf_anywhere(spark):
     )
 
 
-def test_q80_bm25_plan(spark, sf_dir):
-    plan = _executed_plan(QUERIES["q80_bm25_search"](spark, sf_dir))
+def test_q44_bm25_plan(spark, sf_dir):
+    plan = _executed_plan(QUERIES["q44_bm25_search"](spark, sf_dir))
     # top-k is a heap, not a global sort
     assert "TakeOrderedAndProject" in plan
-    f = _formatted_plan(QUERIES["q80_bm25_search"](spark, sf_dir))
+    f = _formatted_plan(QUERIES["q44_bm25_search"](spark, sf_dir))
     # the literal query-token filter prunes postings before any join
     assert " IN (hash,merge,scan,window)" in f
