@@ -128,6 +128,15 @@ def read_jdbc(
     the reference's 50k example batch (``solid_rs_client.py:113``) as the
     per-roundtrip row count.
     """
+    if partition_column is not None and (
+        lower_bound is None or upper_bound is None
+    ):
+        # fail before touching the session — str(None) would otherwise
+        # reach the JDBC source and die in a NumberFormatException
+        raise ValueError(
+            "read_jdbc: partition_column requires lower_bound and "
+            "upper_bound"
+        )
     reader = (
         spark.read.format("jdbc")
         .option("url", url)
@@ -135,13 +144,6 @@ def read_jdbc(
         .option("fetchsize", str(fetchsize))
     )
     if partition_column is not None:
-        if lower_bound is None or upper_bound is None:
-            # fail here with a clear message — str(None) would otherwise
-            # reach the JDBC source and die in a NumberFormatException
-            raise ValueError(
-                "read_jdbc: partition_column requires lower_bound and "
-                "upper_bound"
-            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))
