@@ -378,6 +378,14 @@ _PERSISTED_PREFIXES: list[DataFrame] = []
 
 _MERSENNE61 = (1 << 61) - 1
 
+# Default hot-bucket skew cap for the banded LSH join (SCALE.md "LSH skew"):
+# a band bucket with m members yields m² candidate pairs on one join key,
+# so the per-key fan-out ceiling is DEFAULT_MAX_BUCKET_SIZE² ≈ 250k pairs —
+# a few MB per task. Callers pass None to disable (exact banding) or size
+# it as sqrt(target_pairs_per_key); the DuckDB oracles mirror the same
+# constant, so capped semantics stay value-hash-checked.
+DEFAULT_MAX_BUCKET_SIZE = 500
+
 
 def portable_hash48(col) -> Column:
     """48-bit md5-prefix hash of a string/castable column, as BIGINT.
@@ -450,7 +458,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Approximate near-dup pairs via MinHash + banded LSH, candidates
     verified with exact Jaccard.
@@ -471,8 +479,10 @@ def minhash_lsh_pairs(
     a dropped bucket still pair through their other ``bands-1`` buckets,
     so the recall loss is limited to pairs whose ONLY collision was the
     hot bucket — near-identical boilerplate, exactly what a dedup wants to
-    handle via the exact-hash pass instead. ``None`` (default) disables
-    the cap, keeping the oracle-replayable exact banding semantics.
+    handle via the exact-hash pass instead. ``None`` disables the
+    cap (exact banding); the default is ``DEFAULT_MAX_BUCKET_SIZE`` and is
+    mirrored in the DuckDB oracles, so capped semantics stay
+    value-hash-checked.
     """
     r = _check_banding(num_hashes, bands)
     a, b_ = f"{id_col}_a", f"{id_col}_b"
@@ -595,7 +605,7 @@ def minhash_lsh_lookup(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Incremental near-dup check: candidate (new, corpus) pairs from a
     band-hash join of the new batch's postings against a

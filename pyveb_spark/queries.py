@@ -1057,6 +1057,11 @@ def _band_sql_exprs(num_hashes: int = 32, bands: int = 8) -> str:
     return ",\n    ".join(out)
 
 
+# the oracle mirrors the operator's default hot-bucket cap — one constant
+from pyveb_spark.operators.dedup import (  # noqa: E402
+    DEFAULT_MAX_BUCKET_SIZE as _LSH_CAP,
+)
+
 _Q28_SQL = f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 grams AS (SELECT doc_id,
@@ -1076,8 +1081,12 @@ bandvals AS (SELECT doc_id, [
   FROM sigs),
 banded AS (SELECT doc_id, generate_subscripts(bh, 1) AS band, unnest(bh) AS h
            FROM bandvals),
+bsz AS (SELECT band, h, COUNT(*) AS m FROM banded GROUP BY band, h),
+bandedc AS (SELECT banded.doc_id, banded.band, banded.h
+            FROM banded JOIN bsz USING (band, h)
+            WHERE m <= {_LSH_CAP}),
 cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-         FROM banded a JOIN banded b
+         FROM bandedc a JOIN bandedc b
            ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id)
 SELECT ida AS doc_id_a, idb AS doc_id_b,
        len(list_intersect(ga.gh, gb.gh)) * 1.0
@@ -3134,9 +3143,14 @@ bandvals AS (SELECT doc_id, gh, n, [
 banded AS (SELECT doc_id, gh, n,
                   generate_subscripts(bh, 1) AS band, unnest(bh) AS h
            FROM bandvals),
+bsz AS (SELECT band, h, COUNT(*) AS m FROM banded
+        WHERE doc_id >= 100 GROUP BY band, h),
+corpusb AS (SELECT banded.doc_id, banded.band, banded.h
+            FROM banded JOIN bsz USING (band, h)
+            WHERE banded.doc_id >= 100 AND m <= {_LSH_CAP}),
 cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-         FROM banded a JOIN banded b ON a.band = b.band AND a.h = b.h
-         WHERE a.doc_id < 100 AND b.doc_id >= 100)
+         FROM banded a JOIN corpusb b ON a.band = b.band AND a.h = b.h
+         WHERE a.doc_id < 100)
 SELECT ida AS doc_id_new, idb AS doc_id_corpus,
        len(list_intersect(ga.gh, gb.gh)) * 1.0
          / (ga.n + gb.n - len(list_intersect(ga.gh, gb.gh))) AS jaccard
@@ -3149,7 +3163,7 @@ ORDER BY doc_id_new, doc_id_corpus
 """
 
 
-def q82_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q46_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events replayed as a file stream through
     ``dropDuplicatesWithinWatermark`` on (user, type, day) — bounded-state
     cross-batch dedup, the streaming form of daily-active rollups. The
@@ -4149,7 +4163,7 @@ QUERIES = {
     "q43_source_mix": q43_source_mix,
     "q44_bm25_search": q44_bm25_search,
     "q45_incremental_dedup": q45_incremental_dedup,
-    "q46_stream_dedup": q82_stream_stateful_dedup,
+    "q46_stream_dedup": q46_stream_stateful_dedup,
     "q47_stream_enrich": q47_stream_enrich,
     "q48_last_shipper": q48_last_shipper,
     "q49_stream_attribution": q49_stream_attribution,

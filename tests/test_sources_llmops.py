@@ -374,3 +374,59 @@ def test_minhash_hot_bucket_cap(spark, sf_dir):
         docs, "doc_id", "text", threshold=0.8, max_bucket_size=1
     ).count()
     assert capped_hard == 0
+
+
+def test_minhash_cap_drops_hot_band_keeps_normal_pairs(spark):
+    """The production skew scenario: a boilerplate bucket (12 identical
+    docs — every band collides) is dropped by the cap while an ordinary
+    near-dup pair, whose buckets stay small, survives unchanged."""
+    boiler = [(i, "cookie banner accept all terms and conditions apply now")
+              for i in range(12)]
+    near = [
+        (100, "the quick brown fox jumps over the lazy dog today"),
+        (101, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    docs = spark.createDataFrame(boiler + near, "doc_id int, text string")
+    capped = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5, max_bucket_size=10
+        ).collect()
+    }
+    # every boilerplate band bucket has 12 members > cap → dropped; the
+    # (100, 101) buckets have ≤ 2 members → kept
+    assert (100, 101) in capped
+    assert all(a >= 100 for a, _ in capped), capped
+    uncapped = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_bucket_size=None
+    ).count()
+    assert uncapped > len(capped)  # the 66 boilerplate pairs were real
+
+
+def test_minhash_lookup_cap_drops_hot_corpus_bucket(spark):
+    """Lookup-side cap: a probe doc matching a hot corpus bucket gets no
+    candidates from it, but still matches through small buckets."""
+    from pyveb_spark.operators.dedup import (
+        minhash_lsh_index,
+        minhash_lsh_lookup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100 + i, "cookie banner accept all terms and conditions apply now")
+         for i in range(12)]
+        + [(200, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id int, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1, "cookie banner accept all terms and conditions apply now"),
+         (2, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id int, text string",
+    )
+    index = minhash_lsh_index(corpus, "doc_id", "text")
+    got = {
+        (r.doc_id_new, r.doc_id_corpus)
+        for r in minhash_lsh_lookup(
+            batch, index, "doc_id", "text", threshold=0.5, max_bucket_size=10
+        ).collect()
+    }
+    assert got == {(2, 200)}  # boilerplate matches capped away, real one kept
