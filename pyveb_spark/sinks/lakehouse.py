@@ -1,0 +1,160 @@
+"""Lakehouse ``MERGE INTO`` upgrade path for the merge sinks.
+
+``ParquetMergeSink`` (merge.py) implements upsert as anti-join + union +
+atomic directory swap — correct single-writer semantics on plain Parquet.
+On a table format with a transaction log (Delta, Iceberg) the same merge
+algebra should instead compile to ONE ``MERGE INTO`` statement: the log
+gives real atomicity, file-level pruning on the join keys, and no
+full-table rewrite. This module is that documented upgrade, as code:
+
+- :class:`MergeSpec` — the merge described declaratively,
+- :func:`merge_into_sql` — spec → ANSI ``MERGE INTO`` (the statement the
+  reference's staged DELETE USING + INSERT transaction expresses;
+  ``rs_client.py:242-283``),
+- :class:`LakehouseMergeSink` — executes it against a catalog table when
+  the provider supports MERGE.
+
+The container ships neither Delta nor Iceberg, so the execution path is
+exercised with an injected executor in tests and provider detection is
+probed against Spark's catalog; the generated SQL itself is the tested
+contract (it is identical for both formats).
+
+Semantics vs the reference (``rs_client.py:242-283``): DELETE target rows
+whose composite key appears in stage, then INSERT every stage row ==
+``WHEN MATCHED THEN UPDATE SET *`` + ``WHEN NOT MATCHED THEN INSERT *``,
+with one sharpening: MERGE requires the stage to be key-unique (multiple
+stage matches per target row raise), where DELETE+INSERT would silently
+load duplicate keys — the failure mode the reference's loader never
+guarded. ``upsert_frames`` and this statement agree on key-unique stages,
+which the pipeline's dedup-before-load step guarantees.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["MergeSpec", "merge_into_sql", "supports_merge_into", "LakehouseMergeSink"]
+
+#: catalog providers whose Spark integration implements MERGE INTO
+MERGE_CAPABLE_PROVIDERS = {"delta", "iceberg", "hudi"}
+
+
+def _ident(name: str) -> str:
+    """Backtick-quote one identifier part; reject embedded backticks
+    rather than escaping them (no real schema needs one)."""
+    if "`" in name:
+        raise ValueError(f"invalid identifier: {name!r}")
+    return f"`{name}`"
+
+
+def _table_ident(name: str) -> str:
+    """Quote a possibly catalog-qualified table name part by part."""
+    return ".".join(_ident(p) for p in name.split("."))
+
+
+@dataclass(frozen=True)
+class MergeSpec:
+    """Declarative description of one upsert merge.
+
+    ``mode='upsert'`` replaces every matched row (reference delete+insert
+    semantics); ``mode='upsert_if_changed'`` adds a null-safe
+    any-column-differs guard so no-op updates don't churn the transaction
+    log (the working form of the reference's TO-DO ``upsert_on_condition``,
+    ``rs_client.py:174-233``; mirrors ``merge.upsert_if_changed``).
+    """
+
+    target: str
+    source: str
+    keys: Sequence[str]
+    mode: str = "upsert"
+    compare_cols: Sequence[str] = field(default_factory=tuple)
+
+    def __post_init__(self):
+        if not self.keys:
+            raise ValueError("MergeSpec requires at least one key")
+        if self.mode not in ("upsert", "upsert_if_changed"):
+            raise ValueError(f"unknown mode {self.mode!r}")
+        if self.mode == "upsert_if_changed" and not self.compare_cols:
+            raise ValueError("upsert_if_changed requires compare_cols")
+
+
+def merge_into_sql(spec: MergeSpec) -> str:
+    """Compile a :class:`MergeSpec` to one ANSI ``MERGE INTO`` statement
+    (Delta- and Iceberg-compatible: ``UPDATE SET *`` / ``INSERT *``)."""
+    on = " AND ".join(
+        f"t.{_ident(k)} = s.{_ident(k)}" for k in spec.keys
+    )
+    matched_guard = ""
+    if spec.mode == "upsert_if_changed":
+        same = " AND ".join(
+            f"t.{_ident(c)} <=> s.{_ident(c)}" for c in spec.compare_cols
+        )
+        matched_guard = f" AND NOT ({same})"
+    return (
+        f"MERGE INTO {_table_ident(spec.target)} t\n"
+        f"USING {_table_ident(spec.source)} s\n"
+        f"ON {on}\n"
+        f"WHEN MATCHED{matched_guard} THEN UPDATE SET *\n"
+        f"WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def supports_merge_into(spark: SparkSession, table: str) -> bool:
+    """True when ``table`` exists in the catalog under a MERGE-capable
+    provider. Unknown tables / providers → False (caller falls back to the
+    Parquet swap path)."""
+    try:
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {_table_ident(table)}").collect()
+    except Exception:
+        return False
+    for r in rows:
+        if (r.col_name or "").strip().lower() == "provider":
+            return (r.data_type or "").strip().lower() in MERGE_CAPABLE_PROVIDERS
+    return False
+
+
+class LakehouseMergeSink:
+    """Upsert into a catalog table through ``MERGE INTO`` when the format
+    supports it.
+
+    ``run`` is injectable for tests (and for routing through a different
+    SQL frontend); it defaults to ``spark.sql``. ``upsert`` stages the
+    batch as a temp view so the statement is pure SQL — the lakehouse
+    engine owns atomicity, conflict detection and file pruning.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: str,
+        run: Callable[[str], object] | None = None,
+    ):
+        self.spark = spark
+        self.table = table
+        self._run = run or spark.sql
+
+    def supports_merge(self) -> bool:
+        return supports_merge_into(self.spark, self.table)
+
+    def upsert(
+        self,
+        df: DataFrame,
+        keys: Sequence[str],
+        compare_cols: Sequence[str] | None = None,
+    ):
+        view = f"__merge_stage_{abs(hash((self.table, tuple(keys)))) % 10**8}"
+        df.createOrReplaceTempView(view)
+        try:
+            spec = MergeSpec(
+                target=self.table,
+                source=view,
+                keys=keys,
+                mode="upsert_if_changed" if compare_cols else "upsert",
+                compare_cols=tuple(compare_cols or ()),
+            )
+            return self._run(merge_into_sql(spec))
+        finally:
+            self.spark.catalog.dropTempView(view)

@@ -16,7 +16,10 @@ Atomicity note (SURVEY §7 Phase 4 risk): plain Parquet directories have no
 transaction log, so the swap (write ``<path>.__tmp__`` → delete old →
 rename) has a small non-atomic window on object stores. Delta/Iceberg are
 the drop-in production upgrade — the merge *algebra* here is exactly what
-their MERGE INTO compiles to, so callers don't change.
+their MERGE INTO compiles to, so callers don't change. That upgrade exists
+as code in ``sinks/lakehouse.py``: ``merge_into_sql(MergeSpec)`` generates
+the statement and ``LakehouseMergeSink`` executes it when
+``supports_merge_into`` detects a MERGE-capable provider.
 """
 
 from __future__ import annotations

@@ -1,0 +1,107 @@
+"""MERGE INTO generator — the lakehouse upgrade path for the merge sinks.
+
+The semantic contract under test: the generated statement must express the
+reference's staged DELETE USING + INSERT transaction (rs_client.py:242-283)
+— every target row matching a stage composite key is replaced, every other
+stage row inserts — plus the conditional no-op-skipping variant.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyveb_spark.sinks.lakehouse import (
+    LakehouseMergeSink,
+    MergeSpec,
+    merge_into_sql,
+    supports_merge_into,
+)
+
+
+def test_upsert_sql_mirrors_delete_using_insert_semantics():
+    sql = merge_into_sql(
+        MergeSpec(target="lake.sales", source="stage_batch", keys=["order_id", "line_no"])
+    )
+    assert sql == (
+        "MERGE INTO `lake`.`sales` t\n"
+        "USING `stage_batch` s\n"
+        "ON t.`order_id` = s.`order_id` AND t.`line_no` = s.`line_no`\n"
+        "WHEN MATCHED THEN UPDATE SET *\n"
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def test_conditional_upsert_adds_null_safe_change_guard():
+    sql = merge_into_sql(
+        MergeSpec(
+            target="t1",
+            source="s1",
+            keys=["k"],
+            mode="upsert_if_changed",
+            compare_cols=["amount", "status"],
+        )
+    )
+    assert (
+        "WHEN MATCHED AND NOT (t.`amount` <=> s.`amount` "
+        "AND t.`status` <=> s.`status`) THEN UPDATE SET *" in sql
+    )
+    assert "WHEN NOT MATCHED THEN INSERT *" in sql
+
+
+def test_spec_validation():
+    with pytest.raises(ValueError, match="at least one key"):
+        MergeSpec(target="t", source="s", keys=[])
+    with pytest.raises(ValueError, match="unknown mode"):
+        MergeSpec(target="t", source="s", keys=["k"], mode="replace")
+    with pytest.raises(ValueError, match="compare_cols"):
+        MergeSpec(target="t", source="s", keys=["k"], mode="upsert_if_changed")
+    with pytest.raises(ValueError, match="invalid identifier"):
+        merge_into_sql(MergeSpec(target="t`x", source="s", keys=["k"]))
+
+
+def test_sink_executes_generated_merge_via_injected_runner(spark):
+    df = spark.createDataFrame([(1, "a")], "k INT, v STRING")
+    ran = []
+    sink = LakehouseMergeSink(spark, "cat.db.tbl", run=ran.append)
+    sink.upsert(df, keys=["k"])
+    assert len(ran) == 1
+    assert ran[0].startswith("MERGE INTO `cat`.`db`.`tbl` t")
+    assert "WHEN MATCHED THEN UPDATE SET *" in ran[0]
+    # the temp stage view is cleaned up after the statement
+    leftover = [v.name for v in spark.catalog.listTables() if v.isTemporary]
+    assert not any(n.startswith("__merge_stage_") for n in leftover)
+
+
+def test_sink_conditional_variant_and_view_cleanup_on_error(spark):
+    df = spark.createDataFrame([(1, "a")], "k INT, v STRING")
+    ran = []
+    sink = LakehouseMergeSink(spark, "tbl", run=ran.append)
+    sink.upsert(df, keys=["k"], compare_cols=["v"])
+    assert "WHEN MATCHED AND NOT (t.`v` <=> s.`v`)" in ran[0]
+
+    def boom(sql):
+        raise RuntimeError("engine down")
+
+    failing = LakehouseMergeSink(spark, "tbl", run=boom)
+    with pytest.raises(RuntimeError):
+        failing.upsert(df, keys=["k"])
+    leftover = [v.name for v in spark.catalog.listTables() if v.isTemporary]
+    assert not any(n.startswith("__merge_stage_") for n in leftover)
+
+
+def test_plain_parquet_table_reports_no_merge_support(spark, tmp_path):
+    """Provider probe: a parquet catalog table is NOT merge-capable → the
+    caller keeps the ParquetMergeSink swap path. (Delta/Iceberg are not in
+    the container; their providers are asserted via the capability set.)"""
+    spark.sql("DROP TABLE IF EXISTS mergeprobe")
+    spark.createDataFrame([(1,)], "k INT").write.saveAsTable(
+        "mergeprobe", format="parquet", mode="overwrite"
+    )
+    try:
+        assert supports_merge_into(spark, "mergeprobe") is False
+        assert supports_merge_into(spark, "no_such_table_xyz") is False
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mergeprobe")
+    from pyveb_spark.sinks.lakehouse import MERGE_CAPABLE_PROVIDERS
+
+    assert {"delta", "iceberg"} <= MERGE_CAPABLE_PROVIDERS
