@@ -3169,7 +3169,15 @@ def q46_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-batch dedup, the streaming form of daily-active rollups. The
     deduped append stream lands in a memory sink and a batch aggregation
     counts surviving rows; a full AvailableNow replay dedups exactly, so
-    the oracle is the batch COUNT(DISTINCT (user, day)) per type."""
+    the oracle is the batch COUNT(DISTINCT (user, day)) per type.
+
+    Oracle-equality depends on the whole drop being consumed in ONE
+    micro-batch (asserted below): with ``maxFilesPerTrigger`` set or more
+    drop files, the 1-day watermark over this multi-day fixture would
+    evict keys between batches and legitimately re-emit their later
+    duplicates — correct streaming semantics, but no longer equal to the
+    batch DISTINCT. Keep the drop a single-trigger load (or widen the
+    watermark past the fixture's day span) when changing file layout."""
     import os
     import shutil
     import tempfile
@@ -3208,6 +3216,21 @@ def q46_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("q46 stateful dedup replay did not finish")
+        # pin the single-micro-batch dependence the docstring explains:
+        # every input row must arrive in batch 0 (later batches are only
+        # the empty state-cleanup trigger AvailableNow appends)
+        late_rows = sum(
+            p["numInputRows"]
+            for p in q.recentProgress
+            if p["batchId"] > 0
+        )
+        if late_rows:
+            raise AssertionError(
+                f"q46 drop spanned multiple micro-batches ({late_rows} "
+                "rows after batch 0) — watermark eviction can now re-emit "
+                "duplicates and the batch oracle no longer applies; see "
+                "docstring"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
         shutil.rmtree(tmp, ignore_errors=True)

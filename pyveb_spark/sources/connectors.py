@@ -277,9 +277,20 @@ def webdriver_download(
                 if element is None:
                     raise ValueError("href mode requires a locator")
                 file_url = element.get_attribute("href")
+                if not file_url:
+                    raise ValueError(
+                        f"element {locator!r} has no href to fetch"
+                    )
                 name = os.path.basename(file_url.rstrip("/")) or "download"
                 dest = os.path.join(dest_dir, name)
-                fetch(file_url, dest)
+                try:
+                    fetch(file_url, dest)
+                except Exception:
+                    # a failed fetch may leave a partial dest file that a
+                    # later attempt (or caller polling) would pick up
+                    if os.path.exists(dest):
+                        os.unlink(dest)
+                    raise
                 return dest
             if element is not None:
                 element.click()
@@ -303,6 +314,10 @@ def webdriver_download(
                     )
                 sleep(poll)
                 waited += poll
+        except (ValueError, TypeError):
+            # programming errors (bad arguments, protocol misuse) are not
+            # transient — retrying burns the backoff and buries the cause
+            raise
         except Exception as exc:  # noqa: BLE001 — retried, then re-raised
             last_err = exc
     raise RuntimeError(

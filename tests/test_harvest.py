@@ -201,6 +201,71 @@ def test_webdriver_retries_then_raises(tmp_path):
     assert slept == [0, 1, 4]
 
 
+def test_webdriver_programming_errors_fail_fast(tmp_path):
+    """ValueError/TypeError are not transient: no retries, no backoff
+    burn, the real cause surfaces instead of a generic RuntimeError."""
+    from pyveb_spark.sources.connectors import webdriver_download
+
+    slept = []
+    # fetch mode without a locator is protocol misuse
+    with pytest.raises(ValueError, match="locator"):
+        webdriver_download(
+            "http://x", str(tmp_path), _FakeDriver(),
+            fetch=lambda u, d: None, sleep=slept.append,
+        )
+    assert slept == [0]  # first attempt only — never retried
+
+    # an element with no href is a page/locator bug, not a flaky network
+    slept2 = []
+    driver = _FakeDriver(element=_FakeElement(href=None))
+    with pytest.raises(ValueError, match="no href"):
+        webdriver_download(
+            "http://x", str(tmp_path), driver,
+            locator=("link text", "Download"),
+            fetch=lambda u, d: None, sleep=slept2.append,
+        )
+    assert slept2 == [0] and len(driver.got) == 1
+
+
+def test_webdriver_failed_fetch_unlinks_partial_dest(tmp_path):
+    """A fetch that dies mid-write must not leave a partial dest file for
+    a later attempt or caller polling to pick up."""
+    from pyveb_spark.sources.connectors import webdriver_download
+
+    driver = _FakeDriver(element=_FakeElement(href="http://files/report.xlsx"))
+    attempts = {"n": 0}
+
+    def flaky_fetch(url, dest):
+        attempts["n"] += 1
+        with open(dest, "wb") as fh:
+            fh.write(b"partial")
+        if attempts["n"] < 3:
+            raise ConnectionError("mid-transfer drop")
+
+    out = webdriver_download(
+        "http://x", str(tmp_path), driver,
+        locator=("link text", "Download"),
+        fetch=flaky_fetch, sleep=lambda _: None,
+    )
+    # retried to success; the successful write is the only file left
+    assert attempts["n"] == 3 and os.path.getsize(out) == 7
+    assert sorted(os.listdir(tmp_path)) == ["report.xlsx"]
+
+    def always_fails(url, dest):
+        with open(dest, "wb") as fh:
+            fh.write(b"junk")
+        raise ConnectionError("down")
+
+    dest2 = tmp_path / "second"
+    with pytest.raises(RuntimeError):
+        webdriver_download(
+            "http://x", str(dest2), driver,
+            locator=("link text", "Download"),
+            fetch=always_fails, sleep=lambda _: None,
+        )
+    assert os.listdir(dest2) == []  # nothing partial left behind
+
+
 def test_list_files_filters_and_truncates(tmp_path):
     from pyveb_spark.sources.connectors import list_files
 
