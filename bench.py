@@ -52,17 +52,22 @@ def main() -> None:
             per_query[name] = -1.0
 
     total = round(sum(t for t in per_query.values() if t >= 0), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "suite_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(payload))
+    # full per-query artifact, diffable round-over-round without parsing
+    # the driver's truncated tail (BENCH_FULL_OUT=path overrides; empty
+    # string disables)
+    out = os.environ.get("BENCH_FULL_OUT", "bench_full.json")
+    if out:
+        with open(out, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
     spark.stop()
 
 

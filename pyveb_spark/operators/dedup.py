@@ -592,8 +592,17 @@ def minhash_lsh_index(
     re-running all-pairs dedup per ingest is a non-starter. Write it
     bucketed by ``(__band, __h)`` (``writers.write_bucketed_table``) and
     the lookup join needs no index-side shuffle at all; append new
-    batches' postings after admission."""
-    return _banded_postings(df, id_col, text_col, n, num_hashes, bands)
+    batches' postings after admission.
+
+    The index precomputes each posting's bucket size (``__m``) so the
+    lookup's hot-bucket cap is a plain filter instead of a per-lookup
+    count aggregation over the whole index — pay the count once at
+    (re)write time, amortized over every admission batch. After appending
+    a batch, refresh ``__m`` (or accept a slightly stale cap until the
+    next compaction — it only guards skew, not correctness)."""
+    posts = _banded_postings(df, id_col, text_col, n, num_hashes, bands)
+    w = Window.partitionBy("__band", "__h")
+    return posts.withColumn("__m", F.count(F.lit(1)).over(w))
 
 
 def minhash_lsh_lookup(
@@ -624,24 +633,31 @@ def minhash_lsh_lookup(
         "__band",
         "__h",
     )
-    b = index.select(
+    b_cols = [
         F.col(id_col).alias(b_id),
         F.col("__grams").alias("__gb"),
         F.col("__n").alias("__nb"),
         "__band",
         "__h",
-    )
+    ]
+    has_sizes = "__m" in index.columns
+    if has_sizes:
+        b_cols.append("__m")
+    b = index.select(*b_cols)
     if max_bucket_size is not None:
         # hot-bucket skew cap on the CORPUS side (see minhash_lsh_pairs) —
         # a boilerplate bucket with m index members fans every probe row
-        # hitting it out ×m; at 100 TB precompute these counts once when
-        # the index is (re)written instead of per lookup.
-        sizes = b.groupBy("__band", "__h").agg(F.count(F.lit(1)).alias("__m"))
-        b = (
-            b.join(sizes, ["__band", "__h"])
-            .where(F.col("__m") <= F.lit(int(max_bucket_size)))
-            .drop("__m")
-        )
+        # hitting it out ×m. A minhash_lsh_index carries precomputed
+        # bucket sizes (__m), so the cap is a scan-stage filter; fall back
+        # to a per-lookup count for indexes built elsewhere without it.
+        if not has_sizes:
+            sizes = b.groupBy("__band", "__h").agg(
+                F.count(F.lit(1)).alias("__m")
+            )
+            b = b.join(sizes, ["__band", "__h"])
+        b = b.where(F.col("__m") <= F.lit(int(max_bucket_size)))
+    if has_sizes or max_bucket_size is not None:
+        b = b.drop("__m")
     cand = (
         a.join(b, ["__band", "__h"])
         .where(F.col(a_id) != F.col(b_id))

@@ -39,6 +39,9 @@ __all__ = [
     "random_projection",
     "l2_normalize",
     "mean_pool",
+    "pq_train",
+    "pq_encode",
+    "pq_adc_topk",
 ]
 
 
@@ -288,9 +291,15 @@ def nearest_centroid(
     vec_col, centroids: list[tuple[int, list[float]]]
 ) -> Column:
     """Struct Column ``(dist, list_id)`` of the nearest centroid by squared
-    L2 — an argmin fold over literal centroid arrays, evaluated entirely in
-    the scan stage (no shuffle, no UDF). Ties break to the first (lowest
-    index) centroid, matching ``numpy.argmin``."""
+    L2 — an argmin over literal centroid arrays, evaluated entirely in the
+    scan stage (no shuffle, no UDF). Ties break to the first (lowest
+    index) centroid, matching ``numpy.argmin``.
+
+    Form note (measured, not guessed): the HOF fold below beats a "flat"
+    per-dimension ``element_at`` + add-chain + ``least`` rewrite by 3-5×
+    at k×dim ≥ 640 — the flat expression tree explodes codegen while the
+    array fold stays one tight interpreted loop over contiguous array
+    data. Keep the fold."""
     v = _as_double(vec_col)
     cands = F.array(
         *[
@@ -594,3 +603,150 @@ def cosine_topk_lsh(
         candidates, query, k=k, id_col=id_col, vec_col=vec_col,
         exclude_ids=exclude_ids,
     ).drop("lsh_bucket")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-vector ANN
+# ---------------------------------------------------------------------------
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+) -> list[list[tuple[int, list[float]]]]:
+    """Train per-subspace PQ codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    vector into ``m`` contiguous subspaces and run the deterministic
+    seeded Lloyd recurrence (``kmeans_fit`` — md5-ordered seeds, so the
+    whole model is oracle-replayable) with ``k`` codes per subspace.
+
+    Returns ``codebooks[j] = [(code, sub_centroid), ...]``. Only the
+    m×k×(dim/m) codebook matrix reaches the driver — it IS the model.
+
+    The 100 TB point: an encoded vector is ``m`` small ints (m bytes at
+    k ≤ 256) instead of ``dim`` floats — a 64-dim float32 corpus
+    compresses 64×. ADC scans then read only the codes column.
+
+    Training runs on a bounded deterministic SAMPLE, driver-side — the
+    production PQ recipe (FAISS trains codebooks on ~10⁵ vectors however
+    large the corpus; a quantizer needs a representative sample, not the
+    data). The sample is the first ``sample_size`` vectors by the
+    portable md5 order (``'ivf|<id>'`` — the same ordering that picks the
+    k seeds, so seeds ⊂ sample and the whole model stays
+    oracle-replayable); driver memory is sample_size×dim doubles (2 MB at
+    the defaults), and the Lloyd recurrence matches the unrolled SQL
+    oracle: squared-L2 argmin with ties to the lowest code, per-(cluster,
+    dim) mean, empty clusters keep their previous centroid. Only ENCODE
+    touches the full corpus, and it is a stateless scan.
+    """
+    import numpy as np
+
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit("ivf"), F.col(id_col).cast("string")
+                ).cast("binary")
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    rows = (
+        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+        .withColumn("__h", h)
+        .orderBy("__h", id_col)
+        .limit(int(sample_size))
+        .collect()
+    )
+    X = np.asarray([r["__v"] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    if len(X) < k:
+        raise ValueError(f"sample of {len(X)} vectors cannot seed k={k}")
+    codebooks = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[:k].copy()  # md5-order heads = the oracle's seed rows
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+            lab = d2.argmin(axis=1)  # first-minimum = lowest-code ties
+            for c in range(k):
+                mask = lab == c
+                if mask.any():
+                    C[c] = S[mask].mean(axis=0)
+        codebooks.append([(c, [float(x) for x in C[c]]) for c in range(k)])
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Encode vectors to their per-subspace nearest-code ids — a stateless
+    scan-stage argmin fold per subspace (no shuffle, no UDF), the
+    distributed form of the PQ compressor."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0][1])
+    v = _as_double(F.col(vec_col))
+    codes = [
+        nearest_centroid(F.slice(v, j * dsub + 1, dsub), codebooks[j])[
+            "list_id"
+        ]
+        for j in range(m)
+    ]
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    exclude_ids: Sequence[int] | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: precompute the m×k lookup
+    table lut[j][c] = ‖query_sub_j − codebook_j[c]‖² on the driver (m·k·dsub
+    flops — the model, not the data), then score every encoded vector with
+    ``m`` literal-array lookups and take the k smallest.
+
+    The plan is the PQ promise: a narrow scan of the codes column + a
+    TakeOrdered heap — no shuffle, no join, no full-vector reads. Returns
+    ``(id, adc_dist)`` ascending (approximate squared L2).
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0][1])
+    if len(query) != m * dsub:
+        raise ValueError("query dim does not match codebooks")
+    luts = []
+    for j in range(m):
+        qs = [float(x) for x in query[j * dsub : (j + 1) * dsub]]
+        luts.append(
+            [
+                sum((a - b) * (a - b) for a, b in zip(qs, c))
+                for _, c in codebooks[j]
+            ]
+        )
+    # left-to-right sum of m lookups — the same explicit addition order the
+    # SQL oracle uses, so the only cross-engine delta is centroid rounding
+    dist = None
+    for j in range(m):
+        lut = F.array(*[F.lit(x) for x in luts[j]])
+        term = F.element_at(lut, F.element_at(F.col(codes_col), j + 1) + 1)
+        dist = term if dist is None else dist + term
+    out = encoded.withColumn("adc_dist", dist)
+    if exclude_ids:
+        out = out.where(~F.col(id_col).isin(list(exclude_ids)))
+    return out.select(id_col, "adc_dist").orderBy("adc_dist", id_col).limit(k)

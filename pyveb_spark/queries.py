@@ -4137,6 +4137,148 @@ _Q57_SQL = _kmeans_sql(10, 6)
 
 
 # ---------------------------------------------------------------------------
+# LLM ops: product-quantization ANN (compressed-vector search)
+# ---------------------------------------------------------------------------
+
+def q87_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ (product-quantization) ANN with exact re-rank: train m=4 × k=16
+    sub-codebooks with the seeded Lloyd recurrence, encode every vector to
+    4 code bytes (64× compression of a float32 corpus — the memory path
+    that makes billion-vector ANN feasible), shortlist 50 candidates by
+    asymmetric distance (an m×k driver lookup table + m literal lookups
+    per row in a shuffle-free narrow scan of ONLY the codes column), then
+    re-rank the shortlist by exact squared L2 on the full vectors — the
+    standard two-stage PQ serving shape: the coarse pass touches no float
+    vectors, the exact pass touches 50. Oracle-checked end-to-end: the
+    md5-seeded per-subspace k-means, the encode argmin, the ADC sum (same
+    explicit left-to-right addition order), and the re-rank are all
+    replayed in DuckDB by ``_pq_sql``."""
+    from pyveb_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    query_vec = _query_vec(e)
+    codebooks = pq_train(e, m=4, k=16, iters=2)
+    encoded = pq_encode(e, codebooks)
+    short = pq_adc_topk(encoded, codebooks, query_vec, k=50, exclude_ids=[0])
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    exact = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            qarr,
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        short.join(F.broadcast(e.select("vec_id", "label", "embedding")),
+                   "vec_id")
+        .withColumn("l2_dist", exact)
+        .select("vec_id", "label", F.round("l2_dist", 4).alias("l2_dist"))
+        .orderBy("l2_dist", "vec_id")
+        .limit(10)
+    )
+
+
+def _pq_sql(m: int = 4, k: int = 16, iters: int = 2, dsub: int = 16,
+            shortlist: int = 50, topk: int = 10,
+            sample_size: int = 4096) -> str:
+    """Unrolled PQ pipeline as DuckDB CTEs — per-subspace seeded Lloyd
+    over the md5-ordered training sample (same recurrence as
+    ``_kmeans_sql``), final-codebook encode of the FULL corpus, the ADC
+    lookup sum in the same explicit addition order as the Spark
+    expression, the ADC shortlist cut, and the exact-L2 re-rank.
+    Generated so m/k/iters/shortlist/sample stay in lockstep with q87."""
+    parts = [
+        f"""
+vecd AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                unnest(embedding::DOUBLE[]) AS v
+         FROM embeddings),
+seedh AS (SELECT vec_id,
+                 ('0x' || substr(md5('ivf|' || vec_id), 1, 12))::BIGINT AS h
+          FROM embeddings),
+seedv AS (SELECT vec_id,
+                 ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS list_id
+          FROM seedh
+          QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= {k}),
+samp AS (SELECT vec_id FROM seedh
+         QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= {sample_size})"""
+    ]
+    for j in range(m):
+        lo, hi = j * dsub, (j + 1) * dsub
+        parts.append(f"""
+v{j} AS (SELECT vec_id, d - {lo} AS d, v FROM vecd
+         WHERE d >= {lo} AND d < {hi}),
+t{j} AS (SELECT v.* FROM v{j} v JOIN samp s ON s.vec_id = v.vec_id),
+c{j}_0 AS (SELECT s.list_id, v.d, v.v AS c
+           FROM seedv s JOIN v{j} v ON v.vec_id = s.vec_id)""")
+        for i in range(iters):
+            parts.append(f"""
+d{j}_{i} AS (SELECT v.vec_id, c.list_id,
+                    SUM((v.v - c.c) * (v.v - c.c)) AS dist
+             FROM t{j} v JOIN c{j}_{i} c ON c.d = v.d
+             GROUP BY v.vec_id, c.list_id),
+a{j}_{i} AS (SELECT vec_id, list_id FROM d{j}_{i}
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, list_id) = 1),
+u{j}_{i} AS (SELECT a.list_id, v.d, AVG(v.v) AS c
+             FROM a{j}_{i} a JOIN v{j} v ON v.vec_id = a.vec_id
+             GROUP BY a.list_id, v.d),
+c{j}_{i + 1} AS (SELECT c0.list_id, c0.d, COALESCE(u.c, c0.c) AS c
+                 FROM c{j}_{i} c0
+                 LEFT JOIN u{j}_{i} u
+                   ON u.list_id = c0.list_id AND u.d = c0.d)""")
+        parts.append(f"""
+ed{j} AS (SELECT v.vec_id, c.list_id,
+                 SUM((v.v - c.c) * (v.v - c.c)) AS dist
+          FROM v{j} v JOIN c{j}_{iters} c ON c.d = v.d
+          GROUP BY v.vec_id, c.list_id),
+code{j} AS (SELECT vec_id, list_id AS code FROM ed{j}
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, list_id) = 1),
+lut{j} AS (SELECT c.list_id, SUM((q.v - c.c) * (q.v - c.c)) AS dist
+           FROM c{j}_{iters} c
+           JOIN (SELECT d, v FROM v{j} WHERE vec_id = 0) q ON q.d = c.d
+           GROUP BY c.list_id)""")
+    adc_sum = " + ".join(f"l{j}.dist" for j in range(m))
+    adc_joins = "\n        ".join(
+        (
+            f"FROM code0 c0 JOIN lut0 l0 ON l0.list_id = c0.code"
+            if j == 0
+            else f"JOIN code{j} c{j} ON c{j}.vec_id = c0.vec_id "
+            f"JOIN lut{j} l{j} ON l{j}.list_id = c{j}.code"
+        )
+        for j in range(m)
+    )
+    parts.append(f"""
+adc AS (SELECT c0.vec_id, {adc_sum} AS adc_dist
+        {adc_joins}),
+short AS (SELECT vec_id FROM adc WHERE vec_id <> 0
+          ORDER BY adc_dist, vec_id LIMIT {shortlist}),
+rerank AS (SELECT s.vec_id,
+                  SUM((v.v - q.v) * (v.v - q.v)) AS l2_dist
+           FROM short s
+           JOIN vecd v ON v.vec_id = s.vec_id
+           JOIN (SELECT d, v FROM vecd WHERE vec_id = 0) q ON q.d = v.d
+           GROUP BY s.vec_id)""")
+    body = ",".join(parts)
+    return f"""
+WITH {body}
+SELECT r.vec_id, e.label, ROUND(r.l2_dist, 4) AS l2_dist
+FROM rerank r JOIN embeddings e ON e.vec_id = r.vec_id
+ORDER BY r.l2_dist, r.vec_id
+LIMIT {topk}
+"""
+
+
+_Q87_SQL = _pq_sql(4, 16, 2, 16, 50, 10)
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -4227,6 +4369,7 @@ QUERIES = {
     "q84_token_freq": q84_token_frequencies,
     "q85_language_id": q85_language_id,
     "q86_fingerprint_dups": q86_fingerprint_dups,
+    "q87_pq_ann": q87_pq_ann,
 }
 
 ORACLE_SQL = {
@@ -4316,4 +4459,5 @@ ORACLE_SQL = {
     "q84_token_freq": _Q84_SQL,
     "q85_language_id": _Q85_SQL,
     "q86_fingerprint_dups": _Q86_SQL,
+    "q87_pq_ann": _Q87_SQL,
 }

@@ -132,3 +132,50 @@ def test_lsh_sign_bits_and_topk_margins(emb):
     if len(sims) > 10:
         cut_gap = sims[9] - sims[10]
         assert cut_gap > REL_MARGIN, f"LSH top-k cut margin {cut_gap:.3e}"
+
+
+def test_pq_training_encode_and_adc_margins(emb):
+    """q87: per-subspace Lloyd over the md5-ordered training sample
+    (m=4, k=16, 2 iters, sample 4096), full-corpus encode argmin, and the
+    ADC shortlist / re-rank cuts must all be clear of cross-engine float
+    ties. Training-assignment margins only matter for SAMPLED vectors —
+    the centroid update never sees the rest."""
+    vec_ids, X = emb
+    order = _seed_order(vec_ids)
+    train = order[: min(4096, len(X))]
+    m, k, iters, dsub = 4, 16, 2, X.shape[1] // 4
+    qi = vec_ids.tolist().index(0)
+    codes = np.empty((len(X), m), dtype=int)
+    luts = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        T = S[train]
+        C = T[:k].copy()
+        for it in range(iters):
+            mgn = _assign_margins(T, C)
+            assert mgn.min() > REL_MARGIN, (
+                f"PQ subspace {j} iter {it}: margin {mgn.min():.3e}"
+            )
+            lab = ((T[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+            for c in range(k):
+                msk = lab == c
+                if msk.any():
+                    C[c] = T[msk].mean(axis=0)
+        mgn = _assign_margins(S, C)  # encode against the final codebook
+        assert mgn.min() > REL_MARGIN, (
+            f"PQ subspace {j} encode: margin {mgn.min():.3e}"
+        )
+        codes[:, j] = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+        luts.append(((C - S[qi]) ** 2).sum(axis=1))
+    adc = np.array(
+        [sum(luts[j][codes[i, j]] for j in range(m)) for i in range(len(X))]
+    )
+    mask = np.arange(len(X)) != qi
+    adc_sorted = np.sort(adc[mask])
+    cut = (adc_sorted[50] - adc_sorted[49]) / max(adc_sorted[50], 1e-30)
+    assert cut > REL_MARGIN, f"PQ ADC shortlist cut margin {cut:.3e}"
+    # exact re-rank cut inside the shortlist-50
+    short = np.where(mask)[0][np.argsort(adc[mask])][:50]
+    ex = np.sort(((X[short] - X[qi]) ** 2).sum(1))
+    rcut = (ex[10] - ex[9]) / max(ex[10], 1e-30)
+    assert rcut > REL_MARGIN, f"PQ re-rank cut margin {rcut:.3e}"

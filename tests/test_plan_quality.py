@@ -277,3 +277,22 @@ def test_q44_bm25_plan(spark, sf_dir):
     f = _formatted_plan(QUERIES["q44_bm25_search"](spark, sf_dir))
     # the literal query-token filter prunes postings before any join
     assert " IN (hash,merge,scan,window)" in f
+
+
+def test_q87_pq_adc_plan_is_shuffle_free_scan(spark, sf_dir):
+    """The PQ promise at 100 TB: ADC scoring reads only the codes column
+    and needs NO exchange — literal LUT lookups + a TakeOrdered heap."""
+    from pyveb_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+    from pyveb_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    cbs = pq_train(e, m=4, k=16, iters=1)
+    enc = pq_encode(e, cbs).select("vec_id", "pq_codes")
+    q = [0.0] * 64
+    plan = _executed_plan(pq_adc_topk(enc, cbs, q, k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
