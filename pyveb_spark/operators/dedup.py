@@ -474,8 +474,9 @@ def minhash_lsh_pairs(
     bucket shared by m docs produces m² candidate pairs, so one
     boilerplate bucket with 10⁵ members means 10¹⁰ pairs in a single join
     key — the classic LSH skew failure. Capping drops buckets larger than
-    the bound BEFORE the self-join (one extra count aggregation on the
-    same key), bounding per-key join fan-out at max_bucket_size². Docs in
+    the bound BEFORE the self-join (a window count whose (band, hash)
+    shuffle the self-join then reuses — measured FASTER than the uncapped
+    form at sf0.1), bounding per-key join fan-out at max_bucket_size². Docs in
     a dropped bucket still pair through their other ``bands-1`` buckets,
     so the recall loss is limited to pairs whose ONLY collision was the
     hot bucket — near-identical boilerplate, exactly what a dedup wants to
@@ -505,11 +506,11 @@ def minhash_lsh_pairs(
         F.col(id_col), F.posexplode(band_arr).alias("__band", "__h")
     )
     if max_bucket_size is not None:
-        sizes = banded.groupBy("__band", "__h").agg(
-            F.count(F.lit(1)).alias("__m")
-        )
+        # window count, not groupBy+join-back: one shuffle on (band, hash)
+        # whose partitioning the self-join below then reuses
+        wb = Window.partitionBy("__band", "__h")
         banded = (
-            banded.join(sizes, ["__band", "__h"])
+            banded.withColumn("__m", F.count(F.lit(1)).over(wb))
             .where(F.col("__m") <= F.lit(int(max_bucket_size)))
             .drop("__m")
         )
@@ -651,10 +652,8 @@ def minhash_lsh_lookup(
         # bucket sizes (__m), so the cap is a scan-stage filter; fall back
         # to a per-lookup count for indexes built elsewhere without it.
         if not has_sizes:
-            sizes = b.groupBy("__band", "__h").agg(
-                F.count(F.lit(1)).alias("__m")
-            )
-            b = b.join(sizes, ["__band", "__h"])
+            wb = Window.partitionBy("__band", "__h")
+            b = b.withColumn("__m", F.count(F.lit(1)).over(wb))
         b = b.where(F.col("__m") <= F.lit(int(max_bucket_size)))
     if has_sizes or max_bucket_size is not None:
         b = b.drop("__m")
