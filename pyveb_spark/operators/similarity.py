@@ -581,24 +581,42 @@ def cosine_topk_lsh(
     n_planes: int = 8,
     seed: int = 42,
     exclude_ids: Sequence[int] | None = None,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: hash the corpus and the query with the same
-    hyperplanes, scan only the query's bucket, rescore exactly.
+    hyperplanes, scan only the query's bucket(s), rescore exactly.
 
     At 100 TB the bucket column is a partition/cluster key, so the bucket
     probe becomes partition pruning at the scan — the query reads
-    ~1/2^n_planes of the data. Recall is tunable via n_planes (fewer planes
-    → bigger buckets → higher recall, more IO).
+    ~n_probes/2^n_planes of the data. Recall is tunable on two axes:
+    fewer planes → bigger buckets; more probes → **multi-probe LSH**
+    (Lv et al., VLDB'07): also scan the buckets whose codes differ from
+    the query's in the bits whose hyperplane margin |<q, plane>| is
+    smallest — the flips most likely to separate true neighbors. n_probes
+    counts buckets (1 = exact-bucket only, ≤ n_planes+1 supported here:
+    the query bucket plus its lowest-margin single-bit flips), trading a
+    linear increase in scanned data for exponentially better recall —
+    cheaper than halving n_planes, which doubles EVERY query's bucket.
     """
     dim = len(query)
+    if not 1 <= n_probes <= n_planes + 1:
+        raise ValueError(
+            f"n_probes must be in [1, n_planes+1], got {n_probes}"
+        )
     planes = _rademacher_planes(dim, n_planes, seed)
     qbits = 0
+    margins: list[tuple[float, int]] = []
     for i, plane in enumerate(planes):
         dot = sum(float(a) * b for a, b in zip(query, plane))
         if dot >= 0:
             qbits |= 1 << i
+        margins.append((abs(dot), i))
+    margins.sort()  # least-confident bits first
+    probes = [qbits] + [
+        qbits ^ (1 << i) for _, i in margins[: n_probes - 1]
+    ]
     bucketed = lsh_bucket(df, dim, n_planes, vec_col=vec_col, seed=seed)
-    candidates = bucketed.where(F.col("lsh_bucket") == qbits)
+    candidates = bucketed.where(F.col("lsh_bucket").isin(probes))
     return cosine_topk(
         candidates, query, k=k, id_col=id_col, vec_col=vec_col,
         exclude_ids=exclude_ids,

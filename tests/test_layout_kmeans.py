@@ -325,3 +325,48 @@ def test_pq_train_validates_divisibility(spark, sf_dir):
     e = read_table(spark, sf_dir, "embeddings")
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(e, m=7)
+
+
+# --------------------------------------------------------------------------
+# Small-files compaction
+# --------------------------------------------------------------------------
+
+
+def test_compact_files_reduces_file_count_preserving_data(spark, tmp_path):
+    from pyveb_spark.operators.layout import compact_files
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+    before = [p for p in os.listdir(path) if p.endswith(".parquet")]
+    assert len(before) == 64
+
+    n = compact_files(spark, path, target_mb=256)
+    after = [p for p in os.listdir(path) if p.endswith(".parquet")]
+    assert n == 1 and len(after) == 1  # 10k rows ≪ 256 MB → one file
+    got = spark.read.parquet(path)
+    assert got.count() == 10_000
+    assert got.agg(F.sum("v")).first()[0] == 2 * sum(range(10_000))
+    assert not os.path.exists(path + ".__compact__")
+
+
+def test_compact_files_partitioned_mode(spark, tmp_path):
+    from pyveb_spark.operators.layout import compact_files
+
+    path = str(tmp_path / "bydate")
+    df = spark.range(1000).withColumn("day", (F.col("id") % 3).cast("int"))
+    df.repartition(16).write.partitionBy("day").parquet(path)
+    per_part_before = len(os.listdir(os.path.join(path, "day=0")))
+    assert per_part_before > 1
+
+    compact_files(spark, path, partition_cols=["day"])
+    for d in range(3):
+        files = [
+            p
+            for p in os.listdir(os.path.join(path, f"day={d}"))
+            if p.endswith(".parquet")
+        ]
+        assert len(files) == 1, f"day={d} not compacted"
+    got = spark.read.parquet(path)
+    assert got.count() == 1000
+    assert got.select("day").distinct().count() == 3

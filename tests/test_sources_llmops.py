@@ -242,6 +242,33 @@ def test_knn_join_and_lsh_topk(spark, sf_dir):
         assert lsh_top[0].cosine_sim <= exact_top[0].cosine_sim + 1e-9
 
 
+def test_multi_probe_lsh_recall_is_monotone(spark, sf_dir):
+    """Multi-probe LSH: each extra probe widens the candidate set, so the
+    result converges monotonically toward exact top-k; at n_probes =
+    n_planes+1 every single-bit neighborhood of the query bucket is
+    scanned and recall must beat the single-probe baseline on this
+    fixture's dispersed vectors."""
+    import pytest as _pytest
+
+    emb = read_table(spark, sf_dir, "embeddings").limit(200)
+    q = [float(x) for x in emb.where(F.col("vec_id") == 1).first().embedding]
+    exact_ids = [
+        r.vec_id for r in cosine_topk(emb, q, k=5, exclude_ids=[1]).collect()
+    ]
+    sizes, hits = [], []
+    for p in (1, 3, 5):
+        got = cosine_topk_lsh(
+            emb, q, k=5, n_planes=4, exclude_ids=[1], n_probes=p
+        ).collect()
+        sizes.append(len(got))
+        hits.append(len({r.vec_id for r in got} & set(exact_ids)))
+    assert sizes == sorted(sizes)  # candidate pool only grows
+    assert hits == sorted(hits)  # recall never drops with more probes
+    assert hits[-1] >= max(hits[0], 1)
+    with _pytest.raises(ValueError, match="n_probes"):
+        cosine_topk_lsh(emb, q, n_planes=4, n_probes=6)
+
+
 def test_text_quality_and_lang_and_fingerprint(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").limit(50)
     q = quality_score(docs, "text")
