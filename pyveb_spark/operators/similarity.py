@@ -42,6 +42,7 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_adc_topk",
+    "ivfpq_search",
 ]
 
 
@@ -768,3 +769,46 @@ def pq_adc_topk(
     if exclude_ids:
         out = out.where(~F.col(id_col).isin(list(exclude_ids)))
     return out.select(id_col, "adc_dist").orderBy("adc_dist", id_col).limit(k)
+
+
+def ivfpq_search(
+    indexed_encoded: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    exclude_ids: Sequence[int] | None = None,
+) -> DataFrame:
+    """IVF-PQ: the 100 TB ANN serving shape, composed from the verified
+    parts — IVF's coarse probe prunes to ``nprobe`` lists (partition
+    pruning when the table is partitioned by ``ivf_list``), PQ's
+    asymmetric distance shortlists within them reading ONLY the m code
+    bytes per vector, and the caller exact-re-ranks the shortlist ids
+    (see q88 for the pattern). This is the no-residual variant
+    (ScaNN-style): codes quantize the raw vectors, not x − centroid, so
+    the same encoded table serves any nprobe without re-encoding.
+
+    ``indexed_encoded`` must carry ``ivf_list`` (``ivf_index``) and
+    ``codes_col`` (``pq_encode``). Returns ``(id, adc_dist)`` ascending,
+    ``shortlist`` rows.
+    """
+    qd = [float(x) for x in query]
+    by_dist = sorted(
+        centroids,
+        key=lambda c: sum((a - b) ** 2 for a, b in zip(qd, c[1])),
+    )
+    probe = [i for i, _ in by_dist[:nprobe]]
+    pruned = indexed_encoded.where(F.col("ivf_list").isin(probe))
+    return pq_adc_topk(
+        pruned,
+        codebooks,
+        query,
+        k=shortlist,
+        id_col=id_col,
+        codes_col=codes_col,
+        exclude_ids=exclude_ids,
+    )

@@ -4184,15 +4184,66 @@ def q87_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q88_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the composed 100 TB serving shape: the IVF coarse
+    quantizer (16 full-dim seed centroids, q37's) prunes the scan to the
+    4 lists nearest the query (partition pruning on a list-partitioned
+    table), PQ asymmetric distance shortlists 50 candidates reading only
+    the 4 code bytes per vector (q87's), and the exact-L2 re-rank
+    finishes on 50 full vectors. Every stage reuses an independently
+    oracle-verified component; the composed oracle is ``_pq_sql(...,
+    nprobe=4)``. No-residual variant: codes quantize raw vectors, so one
+    encoded table serves any nprobe without re-encoding."""
+    from pyveb_spark.operators.similarity import (
+        ivf_index,
+        ivfpq_search,
+        pq_encode,
+        pq_train,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    query_vec = _query_vec(e)
+    indexed, cents = ivf_index(e, n_lists=16)
+    codebooks = pq_train(e, m=4, k=16, iters=2)
+    encoded = pq_encode(indexed, codebooks)
+    short = ivfpq_search(
+        encoded, cents, codebooks, query_vec,
+        nprobe=4, shortlist=50, exclude_ids=[0],
+    )
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    exact = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            qarr,
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        short.join(F.broadcast(e.select("vec_id", "label", "embedding")),
+                   "vec_id")
+        .withColumn("l2_dist", exact)
+        .select("vec_id", "label", F.round("l2_dist", 4).alias("l2_dist"))
+        .orderBy("l2_dist", "vec_id")
+        .limit(10)
+    )
+
+
 def _pq_sql(m: int = 4, k: int = 16, iters: int = 2, dsub: int = 16,
             shortlist: int = 50, topk: int = 10,
-            sample_size: int = 4096) -> str:
+            sample_size: int = 4096, nprobe: int | None = None) -> str:
     """Unrolled PQ pipeline as DuckDB CTEs — per-subspace seeded Lloyd
     over the md5-ordered training sample (same recurrence as
     ``_kmeans_sql``), final-codebook encode of the FULL corpus, the ADC
     lookup sum in the same explicit addition order as the Spark
     expression, the ADC shortlist cut, and the exact-L2 re-rank.
-    Generated so m/k/iters/shortlist/sample stay in lockstep with q87."""
+    Generated so m/k/iters/shortlist/sample stay in lockstep with q87.
+
+    ``nprobe`` adds the IVF-PQ composition (q88): full-dim coarse
+    centroids from the SAME k seed rows, every vector assigned to its
+    nearest list, and the ADC shortlist restricted to the ``nprobe``
+    lists nearest the query — the oracle form of ``ivfpq_search``."""
     parts = [
         f"""
 vecd AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
@@ -4254,11 +4305,30 @@ lut{j} AS (SELECT c.list_id, SUM((q.v - c.c) * (q.v - c.c)) AS dist
         )
         for j in range(m)
     )
+    if nprobe is not None:
+        parts.append(f"""
+idist AS (SELECT v.vec_id, c.list_id,
+                 SUM((v.v - c.c) * (v.v - c.c)) AS dist
+          FROM vecd v
+          JOIN (SELECT s.list_id, w.d, w.v AS c
+                FROM seedv s JOIN vecd w ON w.vec_id = s.vec_id) c
+            ON c.d = v.d
+          GROUP BY v.vec_id, c.list_id),
+iassign AS (SELECT vec_id, list_id FROM idist
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, list_id) = 1),
+iprobe AS (SELECT list_id FROM idist WHERE vec_id = 0
+           ORDER BY dist, list_id LIMIT {nprobe})""")
+        short_src = ("adc a JOIN iassign ia ON ia.vec_id = a.vec_id\n"
+                     "          WHERE a.vec_id <> 0\n"
+                     "            AND ia.list_id IN (SELECT list_id FROM iprobe)")
+    else:
+        short_src = "adc a WHERE a.vec_id <> 0"
     parts.append(f"""
 adc AS (SELECT c0.vec_id, {adc_sum} AS adc_dist
         {adc_joins}),
-short AS (SELECT vec_id FROM adc WHERE vec_id <> 0
-          ORDER BY adc_dist, vec_id LIMIT {shortlist}),
+short AS (SELECT a.vec_id FROM {short_src}
+          ORDER BY a.adc_dist, a.vec_id LIMIT {shortlist}),
 rerank AS (SELECT s.vec_id,
                   SUM((v.v - q.v) * (v.v - q.v)) AS l2_dist
            FROM short s
@@ -4276,6 +4346,7 @@ LIMIT {topk}
 
 
 _Q87_SQL = _pq_sql(4, 16, 2, 16, 50, 10)
+_Q88_SQL = _pq_sql(4, 16, 2, 16, 50, 10, nprobe=4)
 
 
 # ---------------------------------------------------------------------------
@@ -4370,6 +4441,7 @@ QUERIES = {
     "q85_language_id": q85_language_id,
     "q86_fingerprint_dups": q86_fingerprint_dups,
     "q87_pq_ann": q87_pq_ann,
+    "q88_ivfpq_ann": q88_ivfpq_ann,
 }
 
 ORACLE_SQL = {
@@ -4460,4 +4532,5 @@ ORACLE_SQL = {
     "q85_language_id": _Q85_SQL,
     "q86_fingerprint_dups": _Q86_SQL,
     "q87_pq_ann": _Q87_SQL,
+    "q88_ivfpq_ann": _Q88_SQL,
 }

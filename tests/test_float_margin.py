@@ -179,3 +179,48 @@ def test_pq_training_encode_and_adc_margins(emb):
     ex = np.sort(((X[short] - X[qi]) ** 2).sum(1))
     rcut = (ex[10] - ex[9]) / max(ex[10], 1e-30)
     assert rcut > REL_MARGIN, f"PQ re-rank cut margin {rcut:.3e}"
+
+
+def test_ivfpq_shortlist_and_rerank_margins(emb):
+    """q88: the ADC shortlist cut *within the 4 probed IVF lists* and the
+    exact re-rank cut inside that shortlist (coarse assignment and probe
+    margins are already covered by the IVF test — same 16 seed
+    centroids)."""
+    vec_ids, X = emb
+    order = _seed_order(vec_ids)
+    qi = vec_ids.tolist().index(0)
+    C = X[order[:16]]
+    lab = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+    probed = set(np.argsort(((C - X[qi]) ** 2).sum(axis=1))[:4])
+
+    train = order[: min(4096, len(X))]
+    m, k, iters, dsub = 4, 16, 2, X.shape[1] // 4
+    codes = np.empty((len(X), m), dtype=int)
+    luts = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        T = S[train]
+        B = T[:k].copy()
+        for _ in range(iters):
+            lb = ((T[:, None, :] - B[None, :, :]) ** 2).sum(-1).argmin(1)
+            for c in range(k):
+                msk = lb == c
+                if msk.any():
+                    B[c] = T[msk].mean(axis=0)
+        codes[:, j] = ((S[:, None, :] - B[None, :, :]) ** 2).sum(-1).argmin(1)
+        luts.append(((B - S[qi]) ** 2).sum(axis=1))
+    cand = [
+        i for i in range(len(X)) if lab[i] in probed and vec_ids[i] != 0
+    ]
+    adc = np.sort(
+        np.array([sum(luts[j][codes[i, j]] for j in range(m)) for i in cand])
+    )
+    if len(adc) > 50:
+        cut = (adc[50] - adc[49]) / max(adc[50], 1e-30)
+        assert cut > REL_MARGIN, f"IVF-PQ shortlist cut margin {cut:.3e}"
+    short = sorted(cand, key=lambda i: (
+        sum(luts[j][codes[i, j]] for j in range(m)), vec_ids[i]))[:50]
+    ex = np.sort(((X[short] - X[qi]) ** 2).sum(1))
+    if len(ex) > 10:
+        rcut = (ex[10] - ex[9]) / max(ex[10], 1e-30)
+        assert rcut > REL_MARGIN, f"IVF-PQ re-rank cut margin {rcut:.3e}"

@@ -370,3 +370,52 @@ def test_compact_files_partitioned_mode(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 1000
     assert got.select("day").distinct().count() == 3
+
+
+def test_ivfpq_matches_pq_restricted_to_probed_lists(spark, sf_dir):
+    """ivfpq_search must equal pq_adc_topk run over only the vectors the
+    coarse probe admits — the composition contract."""
+    from pyveb_spark.operators.similarity import (
+        ivf_index,
+        ivfpq_search,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.where(F.col("vec_id") == 0).first().embedding]
+    indexed, cents = ivf_index(e, n_lists=16)
+    cbs = pq_train(e, m=4, k=16, iters=1)
+    enc = pq_encode(indexed, cbs)
+
+    got = [
+        (r.vec_id, r.adc_dist)
+        for r in ivfpq_search(
+            enc, cents, cbs, q, nprobe=4, shortlist=20, exclude_ids=[0]
+        ).collect()
+    ]
+    by_dist = sorted(
+        cents, key=lambda c: sum((a - b) ** 2 for a, b in zip(q, c[1]))
+    )
+    probe = [i for i, _ in by_dist[:4]]
+    want = [
+        (r.vec_id, r.adc_dist)
+        for r in pq_adc_topk(
+            enc.where(F.col("ivf_list").isin(probe)),
+            cbs, q, k=20, exclude_ids=[0],
+        ).collect()
+    ]
+    assert got == want and 0 < len(got) <= 20
+    # nprobe = n_lists degrades to plain PQ over the full corpus
+    all_probe = [
+        r.vec_id
+        for r in ivfpq_search(
+            enc, cents, cbs, q, nprobe=16, shortlist=20, exclude_ids=[0]
+        ).collect()
+    ]
+    full = [
+        r.vec_id
+        for r in pq_adc_topk(enc, cbs, q, k=20, exclude_ids=[0]).collect()
+    ]
+    assert all_probe == full
