@@ -231,3 +231,69 @@ def test_portable_hash48_matches_python_md5(s):
 
     v = int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
     assert 0 <= v < (1 << 48)
+
+
+# ---------------------------------------------------------------------------
+# lakehouse MERGE INTO generator (pure driver — many examples)
+# ---------------------------------------------------------------------------
+
+_ident_st = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Ll", "Lu", "Nd"), whitelist_characters="_"
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(
+    parts=st.lists(_ident_st, min_size=1, max_size=3),
+    keys=st.lists(_ident_st, min_size=1, max_size=4, unique=True),
+    compare=st.lists(_ident_st, min_size=0, max_size=3, unique=True),
+)
+def test_merge_into_sql_structure_invariants(parts, keys, compare):
+    from pyveb_spark.sinks.lakehouse import MergeSpec, merge_into_sql
+
+    spec = MergeSpec(
+        target=".".join(parts),
+        source="stage",
+        keys=keys,
+        mode="upsert_if_changed" if compare else "upsert",
+        compare_cols=tuple(compare),
+    )
+    sql = merge_into_sql(spec)
+    # every identifier is backtick-quoted exactly as given
+    for p in parts:
+        assert f"`{p}`" in sql
+    for k_ in keys:
+        assert f"t.`{k_}` = s.`{k_}`" in sql
+    # exactly one MATCHED-update and one NOT-MATCHED-insert clause
+    assert sql.count("WHEN MATCHED") == 1
+    assert sql.count("WHEN NOT MATCHED THEN INSERT *") == 1
+    # the change guard appears iff compare columns were given
+    assert ("<=>" in sql) == bool(compare)
+    for c in compare:
+        assert f"t.`{c}` <=> s.`{c}`" in sql
+    # statement shape: MERGE INTO ... USING ... ON ...
+    assert sql.startswith("MERGE INTO ")
+    assert "\nUSING `stage` s\nON " in sql
+
+
+@given(
+    n_planes=st.integers(min_value=1, max_value=12),
+    n_probes=st.integers(min_value=1, max_value=13),
+    bits=st.integers(min_value=0, max_value=4095),
+)
+def test_multi_probe_bucket_set_properties(n_planes, n_probes, bits):
+    """The probe set is {query bucket} ∪ single-bit flips: distinct,
+    first entry the exact bucket, each other entry at Hamming distance 1."""
+    if n_probes > n_planes + 1:
+        return  # rejected by the operator; covered by the unit test
+    qbits = bits & ((1 << n_planes) - 1)
+    # mirror the operator's construction with synthetic equal margins:
+    # flip order is by margin; any order yields the same invariants
+    probes = [qbits] + [qbits ^ (1 << i) for i in range(n_probes - 1)]
+    assert len(set(probes)) == len(probes) == n_probes
+    assert probes[0] == qbits
+    for p in probes[1:]:
+        assert bin(p ^ qbits).count("1") == 1
