@@ -237,3 +237,52 @@ def warehouse_copy_csv(
         f"CSV DELIMITER '{delimiter}' IGNOREHEADER 1 EMPTYASNULL\n"
         f"TIMEFORMAT '{time_format}';"
     )
+
+
+def schema_evolution_sql(
+    old: StructType,
+    new: StructType,
+    table: str,
+    allow_drops: bool = False,
+) -> list[str]:
+    """Diff two Spark schemas into warehouse ``ALTER TABLE`` statements —
+    the migration half of schema drift (the read side already absorbs
+    drift via ``mergeSchema``/``enforce_schema``; this emits the DDL that
+    brings the WAREHOUSE target up to date, Flyway-ready via
+    ``write_migration``).
+
+    Emitted, in apply-safe order: ``ADD COLUMN`` for new fields (always
+    nullable — historical rows have no value), type-change statements for
+    fields whose Spark type maps to a different warehouse type, and —
+    only with ``allow_drops=True`` — ``DROP COLUMN`` for removed fields
+    (destructive, so opt-in; default leaves removed columns in place,
+    matching the additive-only evolution every long-lived warehouse table
+    actually practices). Name matching is case-insensitive on the
+    sanitized name, mirroring ``sanitize_name`` everywhere else in this
+    module. Returns [] when the schemas already agree.
+    """
+    def keyed(schema: StructType) -> dict[str, StructField]:
+        return {sanitize_name(f.name).lower(): f for f in schema.fields}
+
+    old_map, new_map = keyed(old), keyed(new)
+    stmts: list[str] = []
+    for key, f in new_map.items():
+        wtype = spark_to_warehouse_type(f.dataType)
+        if key not in old_map:
+            stmts.append(
+                f'ALTER TABLE {table} ADD COLUMN "{sanitize_name(f.name)}" '
+                f"{wtype};"
+            )
+        elif spark_to_warehouse_type(old_map[key].dataType) != wtype:
+            stmts.append(
+                f'ALTER TABLE {table} ALTER COLUMN '
+                f'"{sanitize_name(f.name)}" TYPE {wtype};'
+            )
+    if allow_drops:
+        for key, f in old_map.items():
+            if key not in new_map:
+                stmts.append(
+                    f'ALTER TABLE {table} DROP COLUMN '
+                    f'"{sanitize_name(f.name)}";'
+                )
+    return stmts

@@ -204,3 +204,45 @@ def test_pipeline_from_config_runs(spark, tmp_path):
     assert res.count() == 5
     back = spark.read.parquet(out)
     assert "META_processing_date_utc" in back.columns
+
+
+def test_schema_evolution_sql_add_alter_drop():
+    from pyspark.sql.types import (
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from pyveb_spark.plans.ddl import schema_evolution_sql
+
+    old = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("Name", StringType()),
+            StructField("amount", FloatType()),
+            StructField("legacy_flag", IntegerType()),
+        ]
+    )
+    new = StructType(
+        [
+            StructField("id", LongType()),       # int already widens to
+            StructField("name", StringType()),   # BIGINT -> no-op; name
+            StructField("amount", DoubleType()),  # match case-insensitive
+            StructField("score", DoubleType()),  # added
+        ]
+    )
+    stmts = schema_evolution_sql(old, new, "wh.t")
+    assert set(stmts) == {
+        'ALTER TABLE wh.t ALTER COLUMN "amount" TYPE DOUBLE PRECISION;',
+        'ALTER TABLE wh.t ADD COLUMN "score" DOUBLE PRECISION;',
+    }
+    # drops are opt-in and come last
+    with_drops = schema_evolution_sql(old, new, "wh.t", allow_drops=True)
+    assert with_drops[-1] == 'ALTER TABLE wh.t DROP COLUMN "legacy_flag";'
+    assert len(with_drops) == 3
+    # fixpoint: identical schemas emit nothing
+    assert schema_evolution_sql(new, new, "wh.t") == []
