@@ -865,7 +865,10 @@ def duplicate_clusters(
         sym = edges.select("u", "v").union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        edges = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        # lazy checkpoint: the checksum action below materializes it, so
+        # each round costs ONE job instead of two (eager-materialize +
+        # checksum); later rounds read the materialized checkpoint
+        edges = _small_star(_large_star(sym)).localCheckpoint(eager=False)
         # bit_xor: order-independent, overflow-free under ANSI mode (the
         # edge set is distinct, so xor cancellation can't hide a change
         # that count doesn't catch... pairs {x,y} vs {x',y'} with equal
