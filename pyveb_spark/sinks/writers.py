@@ -22,6 +22,8 @@ __all__ = [
     "write_parquet",
     "write_csv",
     "write_json",
+    "write_orc",
+    "write_text",
     "write_bucketed_table",
     "with_date_partitions",
 ]
@@ -107,6 +109,33 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+) -> None:
+    """ORC sink — columnar alternative for Hive-era warehouse targets; same
+    partitioned/idempotent layout contract as ``write_parquet``."""
+    _writer(df, mode, partition_by, max_records_per_file).orc(path)
+
+
+def write_text(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
+    """Single-string-column text sink (one line per row). Pair with
+    ``F.to_json(F.struct(...))`` upstream for JSONL exports where the JSON
+    writer's schema inference is unwanted."""
+    w = df.write.mode(mode)
+    if compression is not None:
+        w = w.option("compression", compression)
+    w.text(path)
 
 
 def write_json(

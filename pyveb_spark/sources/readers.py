@@ -37,6 +37,10 @@ __all__ = [
     "read_parquet",
     "read_csv",
     "read_json",
+    "read_orc",
+    "read_avro",
+    "read_text",
+    "read_binary_files",
     "read_jdbc",
     "read_records",
     "read_table",
@@ -105,6 +109,102 @@ def read_json(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(list(paths))
+
+
+def read_orc(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    schema: StructType | None = None,
+    merge_schema: bool = True,
+) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning profile as Parquet.
+
+    The reference's staging layer is Parquet-only (``config.py:77-106``); a
+    warehouse migrating off Hive will have ORC fact tables, so the engine
+    reads them natively (predicate pushdown + column pruning reach the ORC
+    reader exactly like Parquet — verified in ``tests/test_sources.py``).
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    df = spark.read.option("mergeSchema", str(merge_schema).lower()).orc(*paths)
+    if schema is not None:
+        from pyveb_spark.operators.schema import apply_schema
+
+        df = apply_schema(df, schema)
+    return df
+
+
+def read_avro(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Avro scan — row-oriented interchange format common at Kafka edges.
+
+    ``spark-avro`` is an external module (shipped with Spark distributions
+    but not always on the classpath); this raises a clear error when absent
+    instead of an opaque ``ClassNotFoundException`` mid-job.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    try:
+        df = spark.read.format("avro").load(list(paths))
+    except Exception as exc:  # pragma: no cover - classpath-dependent
+        if "avro" in str(exc).lower() or "DATA_SOURCE_NOT_FOUND" in str(exc):
+            raise RuntimeError(
+                "Avro support requires the spark-avro package on the "
+                "classpath (spark.jars.packages="
+                "org.apache.spark:spark-avro_2.13:<spark-version>)."
+            ) from exc
+        raise
+    if schema is not None:
+        from pyveb_spark.operators.schema import apply_schema
+
+        df = apply_schema(df, schema)
+    return df
+
+
+def read_text(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    whole_text: bool = False,
+    line_sep: str | None = None,
+) -> DataFrame:
+    """Raw text scan: one row per line, or per file with ``whole_text=True``.
+
+    The whole-file mode is the document-corpus ingest path (one training
+    document per file → ``documents``-shaped table); per-line mode covers
+    log shipping. Splittable per-line; whole-file rows are bounded by the
+    source file sizes, so compact giant files upstream (SCALE.md §sources).
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    reader = spark.read
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    # NB: must be the reader kwarg — the string option spelling is ignored.
+    return reader.text(list(paths), wholetext=whole_text)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    path_glob: str | None = None,
+) -> DataFrame:
+    """Binary-file scan → (path, modificationTime, length, content) rows.
+
+    The multimodal ingest edge: images/audio/video land as opaque ``binary``
+    ``content`` with typed metadata, feeding the ``operators/multimodal``
+    mapInPandas kernels. ``pathGlobFilter`` prunes at *listing* time — at
+    100 TB of mixed media, filtering by extension here avoids even opening
+    non-matching objects.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    reader = spark.read.format("binaryFile")
+    if path_glob is not None:
+        reader = reader.option("pathGlobFilter", path_glob)
+    return reader.load(list(paths))
 
 
 def read_jdbc(
