@@ -43,6 +43,8 @@ __all__ = [
     "contamination_check",
     "minhash_lsh_index",
     "minhash_lsh_lookup",
+    "exact_substring_pairs",
+    "substring_duplication",
 ]
 
 
@@ -894,3 +896,132 @@ def duplicate_clusters(
         labels, nodes["u"] == labels[out_node], "left_anti"
     ).select(F.col("u").alias(out_node), F.col("u").alias(out_cluster))
     return labels.union(roots)
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring window dedup (ExactSubstr family)
+# ---------------------------------------------------------------------------
+
+# Default cap on a window's document frequency in exact_substring_pairs: a
+# window shared by m docs emits m² pair rows on one join key, and windows
+# above this frequency are boilerplate (licence headers, navigation chrome),
+# not duplication signal — the same rationale as DEFAULT_MAX_BUCKET_SIZE.
+DEFAULT_MAX_WINDOW_DF = 1_000
+
+
+def _window_hash_array(text_col, window: int) -> Column:
+    """Array of 48-bit hashes of every ``window``-token sliding window.
+
+    One stateless scan-stage expression per document (transform over a
+    position sequence → slice → join → md5 prefix): no explode, no
+    shuffle, to *build* the windows — mirroring ``minhash_signatures``'s
+    fold shape. Hash is engine-portable (``portable_hash48``) so DuckDB
+    oracles replay it bit-for-bit. Docs shorter than ``window`` tokens get
+    an empty array (the explicit guard matters: ``sequence(1, 0)`` counts
+    DOWN in Spark, which would fabricate windows).
+    """
+    toks = F.split(text_col, " ")
+    n_wins = F.size(toks) - F.lit(window - 1)
+    idx = F.when(n_wins >= 1, F.sequence(F.lit(1), n_wins)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: portable_hash48(
+            F.array_join(F.slice(toks, i, window), " ")
+        ),
+    )
+
+
+def exact_substring_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    max_window_df: int | None = DEFAULT_MAX_WINDOW_DF,
+) -> DataFrame:
+    """Document pairs sharing ≥ 1 exact ``window``-token substring, with the
+    count of shared distinct windows — the pair view of the ExactSubstr
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), re-expressed as hashing + a postings self-join instead
+    of a monolithic suffix array (which is single-machine by construction).
+
+    Columns: ``(<id>_a, <id>_b, n_shared_windows)``.
+
+    100 TB design: windows are built scan-stage (no shuffle), the postings
+    self-join shuffles on the window hash — fan-out per key is bounded by
+    window document frequency, capped at ``max_window_df`` (window-count
+    rewrite: one shuffle, no join-back) exactly like the LSH hot-bucket
+    cap. Result is EXACT up to the cap (and 48-bit collisions): a pair
+    sharing a w-token run must share a window, so blocking loses nothing.
+    """
+    wins = (
+        df.select(
+            F.col(id_col),
+            F.explode(_window_hash_array(F.col(text_col), window)).alias("__h"),
+        )
+        .distinct()
+    )
+    if max_window_df is not None:
+        w = Window.partitionBy("__h")
+        wins = (
+            wins.withColumn("__df", F.count(F.lit(1)).over(w))
+            .where(F.col("__df") <= max_window_df)
+            .drop("__df")
+        )
+    a = wins.alias("a")
+    b = wins.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__h") == F.col("b.__h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
+            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )
+
+
+def substring_duplication(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-substring fraction: of the doc's sliding
+    ``window``-token windows (by position, duplicates within the doc
+    counted), the fraction whose window text occurs in ≥ 2 distinct
+    documents. This is the per-doc removal metric of the ExactSubstr
+    procedure (drop/trim docs whose duplicated fraction exceeds a
+    threshold) without materialising pairs at all.
+
+    Columns: ``(<id>, n_windows, dup_frac)``. Docs shorter than ``window``
+    tokens have no windows and are absent from the output.
+
+    100 TB design: two shuffles on the same key (__h): a groupBy computing
+    global window document-frequency, and a join back to the positional
+    windows. No self-join — cost is linear in corpus windows, which is why
+    this is the production admission metric while ``exact_substring_pairs``
+    is the forensic/pair view.
+    """
+    wins = df.select(
+        F.col(id_col),
+        F.explode(_window_hash_array(F.col(text_col), window)).alias("__h"),
+    )
+    freq = wins.groupBy("__h").agg(
+        F.count_distinct(F.col(id_col)).alias("__df")
+    )
+    joined = wins.join(freq, "__h")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            (
+                F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dup_frac"),
+        )
+    )

@@ -4350,6 +4350,74 @@ _Q88_SQL = _pq_sql(4, 16, 2, 16, 50, 10, nprobe=4)
 
 
 # ---------------------------------------------------------------------------
+# LLM ops: exact-substring window dedup (ExactSubstr family, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+def q89_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc pairs sharing ≥ 1 exact 8-token substring, with shared-window
+    counts — the pair/forensic view of exact-substring dedup, as hashed
+    sliding windows + a postings self-join (a distributed re-expression of
+    the suffix-array ExactSubstr procedure, which is single-machine by
+    construction). Window hashes are the portable md5-prefix construction,
+    so the oracle replays them bit-for-bit; the window-document-frequency
+    cap (1000, no-op on this fixture where max df = 4) bounds join fan-out
+    at scale and is mirrored in the SQL.
+    """
+    from pyveb_spark.operators.dedup import exact_substring_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    return exact_substring_pairs(
+        d, id_col="doc_id", text_col="text", window=8, max_window_df=1000
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+_Q89_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+wins AS (SELECT DISTINCT doc_id,
+                ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 12))::BIGINT AS h
+         FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) s),
+freq AS (SELECT h, COUNT(*) AS df FROM wins GROUP BY h),
+keep AS (SELECT w.doc_id, w.h FROM wins w JOIN freq f USING (h) WHERE f.df <= 1000)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_shared_windows
+FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
+def q90_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-substring fraction (the ExactSubstr admission
+    metric): of each doc's positional 8-token windows, the fraction whose
+    text occurs in ≥ 2 distinct docs. Linear in corpus windows — no
+    self-join — so this is the shape that scans 100 TB; q89 is the pair
+    view. Single final int/int double division keeps the float
+    deterministic across engines.
+    """
+    from pyveb_spark.operators.dedup import substring_duplication
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        substring_duplication(d, id_col="doc_id", text_col="text", window=8)
+        .select("doc_id", "n_windows", "dup_frac")
+        .orderBy("doc_id")
+    )
+
+
+_Q90_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+wins AS (SELECT doc_id,
+                ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 12))::BIGINT AS h
+         FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) s),
+freq AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM wins GROUP BY h)
+SELECT w.doc_id, COUNT(*) AS n_windows,
+       CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+FROM wins w JOIN freq f USING (h)
+GROUP BY w.doc_id
+ORDER BY w.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -4442,6 +4510,8 @@ QUERIES = {
     "q86_fingerprint_dups": q86_fingerprint_dups,
     "q87_pq_ann": q87_pq_ann,
     "q88_ivfpq_ann": q88_ivfpq_ann,
+    "q89_exact_substring_pairs": q89_exact_substring_pairs,
+    "q90_substring_coverage": q90_substring_coverage,
 }
 
 ORACLE_SQL = {
@@ -4533,4 +4603,6 @@ ORACLE_SQL = {
     "q86_fingerprint_dups": _Q86_SQL,
     "q87_pq_ann": _Q87_SQL,
     "q88_ivfpq_ann": _Q88_SQL,
+    "q89_exact_substring_pairs": _Q89_SQL,
+    "q90_substring_coverage": _Q90_SQL,
 }

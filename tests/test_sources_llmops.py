@@ -457,3 +457,43 @@ def test_minhash_lookup_cap_drops_hot_corpus_bucket(spark):
         ).collect()
     }
     assert got == {(2, 200)}  # boilerplate matches capped away, real one kept
+
+
+def test_exact_substring_pairs_and_cap(spark):
+    from pyveb_spark.operators.dedup import (
+        exact_substring_pairs,
+        substring_duplication,
+    )
+
+    run = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = spark.createDataFrame(
+        [
+            (1, run + " tail one here"),
+            (2, "lead in tokens " + run),
+            (3, run + " other suffix words"),
+            (4, "completely different token stream with no overlap at all"),
+            (5, "short doc only"),  # < window tokens -> no windows
+        ],
+        ["doc_id", "text"],
+    )
+
+    pairs = exact_substring_pairs(docs, "doc_id", "text", window=8).collect()
+    got = {(r.doc_id_a, r.doc_id_b) for r in pairs}
+    # all three docs containing the run pair up; 4 and 5 pair with nobody
+    assert got == {(1, 2), (1, 3), (2, 3)}
+    assert all(r.n_shared_windows >= 1 for r in pairs)
+
+    # cap: the shared window has df=3; cap at 2 drops it entirely
+    capped = exact_substring_pairs(
+        docs, "doc_id", "text", window=8, max_window_df=2
+    ).collect()
+    assert capped == []
+
+    cov = {
+        r.doc_id: r
+        for r in substring_duplication(docs, "doc_id", "text", window=8).collect()
+    }
+    assert 5 not in cov  # no windows for a 3-token doc
+    assert cov[4].dup_frac == 0.0
+    # doc 1: 11 tokens -> 4 windows, exactly one (the leading run) duplicated
+    assert cov[1].n_windows == 4 and abs(cov[1].dup_frac - 0.25) < 1e-12
