@@ -43,6 +43,7 @@ __all__ = [
     "pq_encode",
     "pq_adc_topk",
     "ivfpq_search",
+    "semdedup",
 ]
 
 
@@ -811,4 +812,64 @@ def ivfpq_search(
         id_col=id_col,
         codes_col=codes_col,
         exclude_ids=exclude_ids,
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = 10,
+    tau: float = 0.45,
+    max_iter: int = 6,
+    tol: float = 1e-4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedup (the SemDeDup procedure, Abbas et al. 2023):
+    k-means-cluster the embeddings, then mark within-cluster duplicates —
+    rows whose rounded cosine to a LOWER-id row in the same cluster is
+    ≥ ``tau``. Columns: ``(<id>, cluster, is_dup)`` with ``is_dup`` an
+    INT 0/1 flag (keep = 0).
+
+    This is the scale-path complement to the exact ``cosine_pairs`` grid:
+    clustering first makes the quadratic step per-cluster (the paper's
+    point — k grows with the corpus so cluster sizes stay bounded), and
+    the per-cluster self-joins are embarrassingly parallel: one shuffle
+    on ``cluster``. The rounded-to-4 cosine compare is the engine-portable
+    float contract shared with q36.
+    """
+    labeled = kmeans_assign(
+        df.select(id_col, vec_col),
+        kmeans_fit(df, k=k, max_iter=max_iter, tol=tol,
+                   id_col=id_col, vec_col=vec_col),
+        vec_col=vec_col,
+    )
+    a = labeled.select(
+        F.col("cluster"),
+        F.col(id_col).alias("__ida"),
+        _as_double(F.col(vec_col)).alias("__va"),
+    )
+    b = labeled.select(
+        F.col("cluster"),
+        F.col(id_col).alias("__idb"),
+        _as_double(F.col(vec_col)).alias("__vb"),
+    )
+    cos = _dot(F.col("__va"), F.col("__vb")) / (
+        F.sqrt(_dot(F.col("__va"), F.col("__va")))
+        * F.sqrt(_dot(F.col("__vb"), F.col("__vb")))
+    )
+    dups = (
+        a.join(b, ["cluster"])
+        .where(F.col("__ida") < F.col("__idb"))
+        .where(F.round(cos, 4) >= tau)
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        labeled.join(dups, [id_col], "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(F.col("__dup"), F.lit(0)).alias("is_dup"),
+        )
     )

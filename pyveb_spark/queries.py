@@ -4069,13 +4069,14 @@ def q57_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster")
 
 
-def _kmeans_sql(k: int = 10, iters: int = 6) -> str:
-    """Unrolled Lloyd's k-means as DuckDB CTEs — one (assign, update)
-    pair per iteration, mirroring ``similarity.kmeans_fit`` exactly:
-    md5-ordered seed centroids, squared-L2 argmin with ties to the lowest
-    centroid id, per-(cluster, dim) mean update, empty clusters keep the
-    previous centroid. Generated programmatically so iteration count and
-    k stay in lockstep with the Spark query."""
+def _kmeans_assign_ctes(k: int, iters: int) -> str:
+    """Shared CTE body: unrolled Lloyd's k-means through the final
+    assignment ``aF (vec_id, cluster)`` — one (assign, update) pair per
+    iteration, mirroring ``similarity.kmeans_fit`` exactly: md5-ordered
+    seed centroids, squared-L2 argmin with ties to the lowest centroid
+    id, per-(cluster, dim) mean update, empty clusters keep the previous
+    centroid. Used by both the q57 purity oracle and the q91 SemDeDup
+    oracle so iteration count and k stay in lockstep with Spark."""
     parts = [
         f"""
 vecd AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
@@ -4113,13 +4114,18 @@ distF AS (SELECT v.vec_id, c.list_id, SUM((v.v - c.c) * (v.v - c.c)) AS dist
 aF AS (SELECT vec_id, list_id AS cluster
        FROM distF
        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY dist, list_id) = 1),
+                                  ORDER BY dist, list_id) = 1)""")
+    return ",".join(parts)
+
+
+def _kmeans_sql(k: int = 10, iters: int = 6) -> str:
+    """q57 oracle: k-means assignment CTEs + per-cluster label purity."""
+    body = _kmeans_assign_ctes(k, iters)
+    return f"""
+WITH {body},
 bylabel AS (SELECT a.cluster, e.label, COUNT(*) AS n
             FROM aF a JOIN embeddings e ON e.vec_id = a.vec_id
-            GROUP BY a.cluster, e.label)""")
-    body = ",".join(parts)
-    return f"""
-WITH {body}
+            GROUP BY a.cluster, e.label)
 SELECT cluster,
        CAST(SUM(n) AS BIGINT) AS n_vecs,
        MAX(CASE WHEN rk = 1 THEN label END) AS majority_label,
@@ -4418,6 +4424,49 @@ ORDER BY w.doc_id
 
 
 # ---------------------------------------------------------------------------
+# LLM ops: SemDeDup — semantic dedup via k-means + within-cluster cosine
+# ---------------------------------------------------------------------------
+
+def q91_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-dedup): k-means the embeddings (same k=10 /
+    6-iteration Lloyd recurrence as q57, so the oracle reuses the same
+    unrolled CTEs), then flag within-cluster rows whose rounded cosine to
+    a lower-id row is ≥ 0.45. The quadratic step runs per-cluster (one
+    shuffle on ``cluster``), which is the whole point of the procedure at
+    scale; the rounded-to-4 cosine compare is the q36 float contract.
+    """
+    from pyveb_spark.operators.similarity import semdedup
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return semdedup(
+        e, k=10, tau=0.45, max_iter=6, tol=1e-4,
+        id_col="vec_id", vec_col="embedding",
+    ).orderBy("vec_id")
+
+
+def _semdedup_sql(k: int = 10, iters: int = 6, tau: float = 0.45) -> str:
+    body = _kmeans_assign_ctes(k, iters)
+    return f"""
+WITH {body},
+ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dups AS (SELECT DISTINCT b.vec_id
+         FROM aF a JOIN aF b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         JOIN ev va ON va.vec_id = a.vec_id
+         JOIN ev vb ON vb.vec_id = b.vec_id
+         WHERE ROUND(list_dot_product(va.v, vb.v)
+                     / (sqrt(list_dot_product(va.v, va.v))
+                        * sqrt(list_dot_product(vb.v, vb.v))), 4) >= {tau})
+SELECT f.vec_id, f.cluster,
+       CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+FROM aF f LEFT JOIN dups d ON d.vec_id = f.vec_id
+ORDER BY f.vec_id
+"""
+
+
+_Q91_SQL = _semdedup_sql(10, 6, 0.45)
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -4512,6 +4561,7 @@ QUERIES = {
     "q88_ivfpq_ann": q88_ivfpq_ann,
     "q89_exact_substring_pairs": q89_exact_substring_pairs,
     "q90_substring_coverage": q90_substring_coverage,
+    "q91_semdedup": q91_semdedup,
 }
 
 ORACLE_SQL = {
@@ -4605,4 +4655,5 @@ ORACLE_SQL = {
     "q88_ivfpq_ann": _Q88_SQL,
     "q89_exact_substring_pairs": _Q89_SQL,
     "q90_substring_coverage": _Q90_SQL,
+    "q91_semdedup": _Q91_SQL,
 }

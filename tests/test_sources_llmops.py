@@ -497,3 +497,16 @@ def test_exact_substring_pairs_and_cap(spark):
     assert cov[4].dup_frac == 0.0
     # doc 1: 11 tokens -> 4 windows, exactly one (the leading run) duplicated
     assert cov[1].n_windows == 4 and abs(cov[1].dup_frac - 0.25) < 1e-12
+
+
+def test_semdedup_flags_higher_id_of_near_identical(spark):
+    from pyveb_spark.operators.similarity import semdedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),   # near-identical to 1 -> dup
+        (3, [0.0, 1.0, 0.0, 0.0]),       # orthogonal -> kept
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r.is_dup for r in semdedup(df, k=1, tau=0.9).collect()}
+    assert out == {1: 0, 2: 1, 3: 0}
