@@ -1,0 +1,75 @@
+"""Single-pass table profiling — per-column stats for data-quality gates.
+
+The reference has no profiling analogue (its closest habit is ad-hoc
+``printSchema``/``show`` in notebooks, ``local.ipynb``); every production
+ETL needs the numbers before a load: row count, null counts, cardinality,
+value ranges. One Spark job produces them for every column at once.
+
+100 TB design: the whole profile is ONE aggregation over ONE scan — all
+per-column measures are parallel agg expressions with map-side partials,
+so cost is a single pass regardless of column count. Exact distinct counts
+use Spark's multi-distinct Expand (rows × #distinct-aggs intermediate); at
+warehouse scale flip ``exact=False`` for HLL ``approx_count_distinct``
+(±2.3% default rsd, no Expand) — the same mergeable-sketch pattern as
+``operators.sketches``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["profile_table"]
+
+
+def profile_table(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Profile ``columns`` (default: all) in one aggregation pass.
+
+    Returns one row per column: ``(col_name, data_type, n_rows,
+    n_nonnull, n_nulls, n_distinct, min_value, max_value)`` with min/max
+    rendered as strings so the schema is uniform across column types.
+    ``n_distinct`` counts distinct non-null values — exact by default,
+    HLL-approximate with ``exact=False``.
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    dtypes = dict(df.dtypes)
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
+
+    distinct_of = (
+        (lambda c: F.count_distinct(F.col(c)))
+        if exact
+        else (lambda c: F.approx_count_distinct(F.col(c)))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn__{c}"),
+            distinct_of(c).alias(f"__nd__{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min__{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max__{c}"),
+        ]
+    row = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.lit(dtypes[c]).alias("data_type"),
+                F.col("__n_rows").alias("n_rows"),
+                F.col(f"__nn__{c}").alias("n_nonnull"),
+                (F.col("__n_rows") - F.col(f"__nn__{c}")).alias("n_nulls"),
+                F.col(f"__nd__{c}").alias("n_distinct"),
+                F.col(f"__min__{c}").alias("min_value"),
+                F.col(f"__max__{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.explode(per_col).alias("p")).select("p.*")

@@ -4467,6 +4467,61 @@ _Q91_SQL = _semdedup_sql(10, 6, 0.45)
 
 
 # ---------------------------------------------------------------------------
+# ETL ops: single-pass table profiler (data-quality gate before load)
+# ---------------------------------------------------------------------------
+
+def q92_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of ``orders`` — row/null/distinct counts and
+    min/max — produced by ONE aggregation over ONE scan (all measures are
+    parallel agg expressions with map-side partials; see
+    ``operators.profile``). Exact distincts here for the oracle; the
+    ``exact=False`` HLL path is the 100 TB default. Column set excludes
+    the double column because engines disagree on double→string rendering
+    (the operator itself profiles every type; unit-tested)."""
+    from pyveb_spark.operators.profile import profile_table
+
+    o = read_table(spark, sf_dir, "orders")
+    return profile_table(
+        o,
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderdate", "o_orderpriority"],
+    ).orderBy("col_name")
+
+
+_Q92_SQL = """
+SELECT 'o_orderkey' AS col_name, 'bigint' AS data_type,
+       COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_nonnull,
+       COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_custkey', 'bigint', COUNT(*), COUNT(o_custkey),
+       COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', 'string', COUNT(*), COUNT(o_orderstatus),
+       COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', 'timestamp', COUNT(*), COUNT(o_orderdate),
+       COUNT(*) - COUNT(o_orderdate), COUNT(DISTINCT o_orderdate),
+       strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+       strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', 'string', COUNT(*), COUNT(o_orderpriority),
+       COUNT(*) - COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+ORDER BY col_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -4562,6 +4617,7 @@ QUERIES = {
     "q89_exact_substring_pairs": q89_exact_substring_pairs,
     "q90_substring_coverage": q90_substring_coverage,
     "q91_semdedup": q91_semdedup,
+    "q92_profile_orders": q92_profile_orders,
 }
 
 ORACLE_SQL = {
@@ -4656,4 +4712,5 @@ ORACLE_SQL = {
     "q89_exact_substring_pairs": _Q89_SQL,
     "q90_substring_coverage": _Q90_SQL,
     "q91_semdedup": _Q91_SQL,
+    "q92_profile_orders": _Q92_SQL,
 }

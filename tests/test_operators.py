@@ -523,3 +523,34 @@ def test_approx_quantiles_brackets_exact_median(spark):
     )
     [row] = approx_quantiles(df, ["g"], "v", probabilities=(0.5,)).collect()
     assert abs(row.approx_quantiles[0] - 5000.0) <= 10
+
+
+def test_profile_table_one_pass_all_types(spark):
+    from pyveb_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, 2.5, "a", None), (2, None, "b", None), (2, 7.5, None, None)],
+        "k bigint, x double, s string, z string",
+    )
+    prof = {r.col_name: r for r in profile_table(df).collect()}
+    assert set(prof) == {"k", "x", "s", "z"}
+    k = prof["k"]
+    assert (k.n_rows, k.n_nonnull, k.n_nulls, k.n_distinct) == (3, 3, 0, 2)
+    assert (k.min_value, k.max_value) == ("1", "2")
+    x = prof["x"]
+    assert (x.n_nonnull, x.n_distinct) == (2, 2)
+    assert x.data_type == "double" and x.min_value == "2.5"
+    z = prof["z"]
+    assert (z.n_nonnull, z.n_distinct, z.min_value) == (0, 0, None)
+
+    # approximate path: no Expand (multi-distinct) operator in the plan
+    approx = profile_table(df, exact=False)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    a = {r.col_name: r for r in approx.collect()}
+    assert a["k"].n_distinct == 2  # HLL exact at this tiny cardinality
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        profile_table(df, columns=["nope"])
