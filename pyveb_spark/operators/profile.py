@@ -21,7 +21,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table"]
+__all__ = ["profile_table", "column_histogram"]
 
 
 def profile_table(
@@ -73,3 +73,55 @@ def profile_table(
         ]
     )
     return row.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def column_histogram(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: ``(bin, lo_edge, hi_edge,
+    n)``, bins clamped to ``[0, n_bins-1]`` so the max value lands in the
+    last bin. Bounds default to the observed min/max (one extra scalar
+    aggregation pass); pass them explicitly to histogram a 100 TB column
+    in a single scan — binning itself is a stateless scan expression plus
+    one k-row shuffle (map-side partial counts), the same shape as any
+    groupBy on a low-cardinality derived key. Empty bins are absent from
+    the output (join a ``sequence`` spine if you need zeros).
+
+    All edge arithmetic is double and identical in expression order to the
+    DuckDB oracle's, so bin assignment is bit-reproducible across engines
+    (IEEE ops are deterministic given identical inputs and order).
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    if lo is None or hi is None:
+        row = df.agg(
+            F.min(F.col(col).cast("double")).alias("lo"),
+            F.max(F.col(col).cast("double")).alias("hi"),
+        ).first()
+        lo = row["lo"] if lo is None else lo
+        hi = row["hi"] if hi is None else hi
+    if lo is None or hi is None or not hi > lo:
+        raise ValueError(f"degenerate histogram bounds [{lo}, {hi}]")
+    width = (hi - lo) / n_bins
+    x = F.col(col).cast("double")
+    bin_expr = F.least(
+        F.greatest(
+            F.floor((x - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    )
+    return (
+        df.where(x.isNotNull() & (x >= lo) & (x <= hi))
+        .groupBy(bin_expr.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("lo_edge"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("hi_edge"),
+            "n",
+        )
+    )

@@ -4470,6 +4470,36 @@ _Q91_SQL = _semdedup_sql(10, 6, 0.45)
 # ETL ops: single-pass table profiler (data-quality gate before load)
 # ---------------------------------------------------------------------------
 
+def q93_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equi-width histogram of ``events.value`` over its observed
+    range. Bin assignment and edge arithmetic are the identical double
+    expressions in both engines ((x-lo)/width, floor, clamp), so the bins
+    are bit-reproducible; the bounds pass is a scalar aggregate (Spark
+    collects two doubles; the oracle computes the same two exactly)."""
+    from pyveb_spark.operators.profile import column_histogram
+
+    e = read_table(spark, sf_dir, "events")
+    return column_histogram(e, "value", n_bins=20).orderBy("bin")
+
+
+_Q93_SQL = """
+WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi,
+                  (MAX(value) - MIN(value)) / 20 AS w
+           FROM events),
+binned AS (SELECT LEAST(GREATEST(CAST(FLOOR((e.value - b.lo) / b.w) AS INT), 0), 19) AS bin,
+                  b.lo, b.w
+           FROM events e, b
+           WHERE e.value IS NOT NULL AND e.value >= b.lo AND e.value <= b.hi)
+SELECT bin,
+       MIN(lo) + bin * MIN(w) AS lo_edge,
+       MIN(lo) + (bin + 1) * MIN(w) AS hi_edge,
+       COUNT(*) AS n
+FROM binned
+GROUP BY bin
+ORDER BY bin
+"""
+
+
 def q92_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column profile of ``orders`` — row/null/distinct counts and
     min/max — produced by ONE aggregation over ONE scan (all measures are
@@ -4618,6 +4648,7 @@ QUERIES = {
     "q90_substring_coverage": q90_substring_coverage,
     "q91_semdedup": q91_semdedup,
     "q92_profile_orders": q92_profile_orders,
+    "q93_value_histogram": q93_value_histogram,
 }
 
 ORACLE_SQL = {
@@ -4713,4 +4744,5 @@ ORACLE_SQL = {
     "q90_substring_coverage": _Q90_SQL,
     "q91_semdedup": _Q91_SQL,
     "q92_profile_orders": _Q92_SQL,
+    "q93_value_histogram": _Q93_SQL,
 }

@@ -554,3 +554,28 @@ def test_profile_table_one_pass_all_types(spark):
 
     with _pytest.raises(ValueError):
         profile_table(df, columns=["nope"])
+
+
+def test_column_histogram_edges_and_clamp(spark):
+    from pyveb_spark.operators.profile import column_histogram
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [0, 1, 2, 3, 4, 5, 5, 5]] + [(None,)],
+        "x double",
+    )
+    # explicit bounds: width 1, max value clamps into the last bin
+    h = {r.bin: r for r in column_histogram(df, "x", n_bins=5, lo=0.0, hi=5.0).collect()}
+    assert {b: h[b].n for b in sorted(h)} == {0: 1, 1: 1, 2: 1, 3: 1, 4: 4}
+    assert h[0].lo_edge == 0.0 and h[4].hi_edge == 5.0
+
+    # derived bounds path + out-of-range filtering with explicit bounds
+    h2 = column_histogram(df, "x", n_bins=2, lo=1.0, hi=3.0).collect()
+    assert sum(r.n for r in h2) == 3  # 1,2,3 inside; 0,4,5s excluded
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        column_histogram(df, "x", n_bins=0)
+    empty = spark.createDataFrame([], "x double")
+    with _pytest.raises(ValueError):
+        column_histogram(empty, "x")
