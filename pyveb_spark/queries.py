@@ -4470,6 +4470,159 @@ _Q91_SQL = _semdedup_sql(10, 6, 0.45)
 # ETL ops: single-pass table profiler (data-quality gate before load)
 # ---------------------------------------------------------------------------
 
+def q94_llm_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data admission pipeline as ONE lazy plan, under
+    the oracle: quality filter (rounded q27 score > 0.55) → boilerplate
+    drop (chunk-dup ratio > 1/2, exact integer compare) → benchmark
+    decontamination (shared distinct 5-gram vs docs < 50) → τ=0.5
+    temperature mix (geometric-mean quotas, hash-ranked exact-k) →
+    512-token sequence packing. Output is the q54 per-pack summary of the
+    admitted corpus. Each stage recomputes over the previous stage's
+    survivors (staged semantics, mirrored CTE-for-CTE in the SQL); all
+    stage predicates are engine-portable (rounded floats, integer ratios,
+    md5 ranks), which is what lets a five-stage pipeline hash-match
+    bit-for-bit. The composed plan is still scan → filters → two bounded
+    joins → one window → one prefix-sum window: no stage materializes."""
+    from pyveb_spark.operators.dedup import chunk_stats, contamination_check
+    from pyveb_spark.operators.packing import pack_spans
+    from pyveb_spark.operators.sampling import ranked_quota_sample
+    from pyveb_spark.operators.text import quality_score
+
+    d = read_table(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("bench_id"), F.col("text").alias("btext")
+    )
+    corpus = d.where(F.col("doc_id") >= 50)
+
+    surv1 = (
+        quality_score(corpus, "text")
+        .where(F.round(F.col("quality_score"), 4) > 0.55)
+        .select("doc_id", "text", "source")
+    )
+    boiler = (
+        chunk_stats(surv1, "doc_id", "text", chunk_tokens=12)
+        .where(F.col("n_dup_chunks") * 2 > F.col("n_chunks"))
+        .select("doc_id")
+    )
+    surv2 = surv1.join(boiler, "doc_id", "left_anti")
+    dirty = (
+        contamination_check(
+            surv2, bench, "doc_id", "text", "bench_id", "btext",
+            n=5, min_overlap=1,
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    surv3 = surv2.join(dirty, "doc_id", "left_anti")
+
+    counts = surv3.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
+    min_n = counts.agg(F.min("__n").alias("__mn"))
+    quotas = counts.crossJoin(F.broadcast(min_n)).select(
+        "source",
+        F.floor(
+            F.sqrt((F.col("__n") * F.col("__mn")).cast("double"))
+        ).alias("quota"),
+    )
+    kept = ranked_quota_sample(surv3, "source", ["doc_id"], quotas, seed="e2e")
+
+    sized = kept.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    spans = pack_spans(sized, "n_tokens", "doc_id", budget=512)
+    return (
+        spans.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("span_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("pack_id")
+    )
+
+
+_Q94_SQL = """
+WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 50),
+stats AS (
+    SELECT doc_id, text, source,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stopwords,
+           len(list_distinct(string_split(text, ' '))) AS n_unique
+    FROM corpus),
+surv1 AS (
+    SELECT doc_id, text, source FROM stats
+    WHERE ROUND(least(n_tokens / 50.0, 1.0) * 0.4
+                + (CAST(n_unique AS DOUBLE) / n_tokens) * 0.4
+                + least((CAST(n_stopwords AS DOUBLE) / n_tokens) * 5.0, 1.0)
+                  * 0.2, 4) > 0.55),
+ck AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(toks[(i * 12 + 1):(i * 12 + 12)], ' ') AS chunk
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM surv1) d,
+         LATERAL (SELECT unnest(generate_series(
+             0, CAST(ceil(len(toks) / 12.0) AS BIGINT) - 1)) AS i) s),
+cr AS (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rk
+    FROM ck),
+boiler AS (
+    SELECT doc_id FROM cr
+    GROUP BY doc_id
+    HAVING SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) * 2 > COUNT(*)),
+surv2 AS (
+    SELECT * FROM surv1 WHERE doc_id NOT IN (SELECT doc_id FROM boiler)),
+bgrams AS (
+    SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+               || ' ' || t[i+4] AS g
+    FROM (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id < 50) b,
+         LATERAL (SELECT unnest(generate_series(1, len(t)-4)) AS i) s),
+dirty AS (
+    SELECT DISTINCT doc_id
+    FROM (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                 || t[i+3] || ' ' || t[i+4] AS g
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM surv2) c,
+               LATERAL (SELECT unnest(generate_series(1, len(t)-4)) AS i) s)
+    WHERE g IN (SELECT g FROM bgrams)),
+surv3 AS (
+    SELECT * FROM surv2 WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+c AS (SELECT source, COUNT(*) AS n FROM surv3 GROUP BY source),
+q AS (SELECT source,
+             CAST(FLOOR(SQRT(CAST(n * (SELECT MIN(n) FROM c) AS DOUBLE)))
+                  AS BIGINT) AS quota
+      FROM c),
+r AS (SELECT s.doc_id, s.text, s.source,
+             ROW_NUMBER() OVER (
+                 PARTITION BY s.source
+                 ORDER BY substr(md5(concat_ws('|', 'e2e', s.doc_id)), 1, 12),
+                          s.doc_id) AS rk
+      FROM surv3 s),
+kept AS (SELECT r.doc_id, r.text FROM r JOIN q ON r.source = q.source
+         WHERE r.rk <= q.quota),
+sized AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM kept),
+offs AS (SELECT doc_id, n,
+                SUM(n) OVER (ORDER BY doc_id) - n AS start_tok,
+                SUM(n) OVER (ORDER BY doc_id) - 1 AS end_tok
+         FROM sized),
+spans AS (SELECT doc_id,
+                 unnest(generate_series(CAST(start_tok // 512 AS BIGINT),
+                                        CAST(end_tok // 512 AS BIGINT)))
+                     AS pack_id,
+                 start_tok, end_tok
+          FROM offs WHERE n > 0)
+SELECT pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LEAST(end_tok, pack_id * 512 + 511)
+                - GREATEST(start_tok, pack_id * 512) + 1) AS BIGINT)
+           AS pack_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM spans
+GROUP BY pack_id
+ORDER BY pack_id
+"""
+
+
 def q93_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """20-bin equi-width histogram of ``events.value`` over its observed
     range. Bin assignment and edge arithmetic are the identical double
@@ -4649,6 +4802,7 @@ QUERIES = {
     "q91_semdedup": q91_semdedup,
     "q92_profile_orders": q92_profile_orders,
     "q93_value_histogram": q93_value_histogram,
+    "q94_llm_data_pipeline": q94_llm_data_pipeline,
 }
 
 ORACLE_SQL = {
@@ -4745,4 +4899,5 @@ ORACLE_SQL = {
     "q91_semdedup": _Q91_SQL,
     "q92_profile_orders": _Q92_SQL,
     "q93_value_histogram": _Q93_SQL,
+    "q94_llm_data_pipeline": _Q94_SQL,
 }
