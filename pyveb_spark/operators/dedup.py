@@ -948,38 +948,45 @@ def exact_substring_pairs(
 
     Columns: ``(<id>_a, <id>_b, n_shared_windows)``.
 
-    100 TB design: windows are built scan-stage (no shuffle), the postings
-    self-join shuffles on the window hash — fan-out per key is bounded by
-    window document frequency, capped at ``max_window_df`` (window-count
-    rewrite: one shuffle, no join-back) exactly like the LSH hot-bucket
-    cap. Result is EXACT up to the cap (and 48-bit collisions): a pair
-    sharing a w-token run must share a window, so blocking loses nothing.
+    100 TB design: windows are built scan-stage (no shuffle); the whole
+    pair derivation is TWO shuffles and no self-join — groupBy the window
+    hash into a per-window id set (map-side partial sets, dedup subsumed),
+    generate the id pairs of each shared window as a scan-stage array
+    expression, and groupBy the pair to count. (A postings self-join
+    formulation was measured at 3 shuffles + a double-computed build
+    side.) Fan-out per window is bounded by ``max_window_df`` exactly like
+    the LSH hot-bucket cap (and per-key state by the same bound — with the
+    cap disabled a boilerplate window holds its full posting set AND emits
+    df² pairs, so audits at ``None`` should pre-filter boilerplate).
+    Result is EXACT up to the cap (and 48-bit collisions): a pair sharing
+    a w-token run must share a window, so blocking loses nothing.
     """
-    wins = (
+    grouped = (
         df.select(
             F.col(id_col),
             F.explode(_window_hash_array(F.col(text_col), window)).alias("__h"),
         )
-        .distinct()
+        .groupBy("__h")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("__ids"))
+        .where(F.size("__ids") >= 2)
     )
     if max_window_df is not None:
-        w = Window.partitionBy("__h")
-        wins = (
-            wins.withColumn("__df", F.count(F.lit(1)).over(w))
-            .where(F.col("__df") <= max_window_df)
-            .drop("__df")
+        grouped = grouped.where(F.size("__ids") <= max_window_df)
+    ids = F.col("__ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-    a = wins.alias("a")
-    b = wins.alias("b")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.__h") == F.col("b.__h"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        grouped.select(F.explode(pair_structs).alias("__p"))
         .groupBy(
-            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
-            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+            F.col("__p.a").alias(f"{id_col}_a"),
+            F.col("__p.b").alias(f"{id_col}_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_shared_windows"))
     )

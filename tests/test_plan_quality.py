@@ -296,3 +296,20 @@ def test_q87_pq_adc_plan_is_shuffle_free_scan(spark, sf_dir):
     plan = _executed_plan(pq_adc_topk(enc, cbs, q, k=10))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_q89_exact_substring_plan_two_shuffles_no_join(spark, sf_dir):
+    """The exact-substring pair derivation must stay join-free: one
+    exchange to group windows into id sets, one to count pairs — pair
+    generation itself is a scan-stage array expression. (The postings
+    self-join formulation cost 3 shuffles + a double-computed side.)"""
+    from pyveb_spark.operators.dedup import exact_substring_pairs
+    from pyveb_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    plan = _executed_plan(
+        exact_substring_pairs(d, "doc_id", "text", window=8)
+    )
+    assert plan.count("Exchange hashpartitioning") == 2
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join not in plan
