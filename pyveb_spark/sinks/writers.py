@@ -24,6 +24,7 @@ __all__ = [
     "write_json",
     "write_orc",
     "write_text",
+    "write_jdbc",
     "write_bucketed_table",
     "with_date_partitions",
 ]
@@ -147,3 +148,42 @@ def write_json(
 ) -> None:
     """↔ list-of-dicts → S3 JSON (``common.py:305-324``, ``s3_client.py:159-186``)."""
     _writer(df, mode, partition_by, max_records_per_file).json(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict | None = None,
+    batch_size: int = 10_000,
+    num_partitions: int | None = None,
+    truncate: bool = False,
+) -> None:
+    """Generic JDBC sink — executor-parallel batched INSERTs.
+
+    The symmetric half of ``sources.readers.read_jdbc``: each partition
+    opens one connection and inserts ``batch_size`` rows per round trip;
+    ``num_partitions`` caps the connection count (a 1000-task write is a
+    1000-connection stampede — size it to what the database tolerates).
+    ``truncate=True`` keeps the table's DDL on overwrite (TRUNCATE instead
+    of DROP+CREATE), preserving grants/indexes.
+
+    For *warehouse* loads prefer the staged path the reference uses
+    (``rs_client.py:83-98``): stage Parquet + ``plans/ddl.py`` COPY +
+    ``sinks/lakehouse.py`` MERGE — row-wise INSERT through JDBC is the
+    slow lane at bulk scale. This sink is for operational targets (the
+    reference's SQL-Server-style endpoints) and modest volumes.
+    """
+    out = df.repartition(num_partitions) if num_partitions else df
+    w = (
+        out.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .option("truncate", str(truncate).lower())
+        .mode(mode)
+    )
+    for k, v in (properties or {}).items():
+        w = w.option(k, v)
+    w.save()

@@ -122,7 +122,7 @@ def read_orc(
     The reference's staging layer is Parquet-only (``config.py:77-106``); a
     warehouse migrating off Hive will have ORC fact tables, so the engine
     reads them natively (predicate pushdown + column pruning reach the ORC
-    reader exactly like Parquet — verified in ``tests/test_sources.py``).
+    reader exactly like Parquet — verified in ``tests/test_formats.py``).
     """
     if isinstance(paths, str):
         paths = [paths]

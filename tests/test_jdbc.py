@@ -106,3 +106,33 @@ def test_jdbc_filter_pushdown_reaches_the_scan(spark, derby_url):
 def test_jdbc_partition_bounds_required():
     with pytest.raises(ValueError, match="lower_bound"):
         read_jdbc(None, "jdbc:derby:x", "t", partition_column="id")
+
+
+def test_write_jdbc_append_and_overwrite(spark, derby_url):
+    """The symmetric sink: write through write_jdbc, read back through
+    read_jdbc — append accumulates, overwrite replaces."""
+    from pyveb_spark.sinks.writers import write_jdbc
+
+    rows = [(i, f"w_{i}", float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "id INT, name STRING, score DOUBLE")
+    write_jdbc(
+        df, derby_url, "sink_t", mode="overwrite",
+        properties={"driver": DRIVER}, num_partitions=1,
+    )
+    back = read_jdbc(spark, derby_url, "sink_t", properties={"driver": DRIVER})
+    assert back.count() == 10
+
+    write_jdbc(
+        df.where(F.col("id") < 3), derby_url, "sink_t", mode="append",
+        properties={"driver": DRIVER}, num_partitions=1,
+    )
+    back2 = read_jdbc(spark, derby_url, "sink_t", properties={"driver": DRIVER})
+    assert back2.count() == 13
+
+    write_jdbc(
+        df.where(F.col("id") < 5), derby_url, "sink_t", mode="overwrite",
+        properties={"driver": DRIVER}, num_partitions=1,
+    )
+    assert read_jdbc(
+        spark, derby_url, "sink_t", properties={"driver": DRIVER}
+    ).count() == 5
