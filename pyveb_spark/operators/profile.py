@@ -21,7 +21,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table", "column_histogram"]
+__all__ = ["profile_table", "column_histogram", "zscore_outliers"]
 
 
 def profile_table(
@@ -124,4 +124,50 @@ def column_histogram(
             (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("hi_edge"),
             "n",
         )
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] | None = None,
+    z_threshold: float = 3.0,
+    precision: str = "decimal(12,2)",
+) -> DataFrame:
+    """Per-group z-score outlier screen: rows whose value deviates more
+    than ``z_threshold`` standard deviations from their group's mean.
+    Adds a ``z`` column (signed) to the surviving rows.
+
+    Engine-portable float contract: first and second moments are EXACT
+    decimal sums (order-independent, so hash-aggregation order can't
+    perturb them); mean/variance/z are then derived in double with one
+    fixed expression order — identical inputs + identical IEEE op order =
+    identical z on every engine and cluster layout. Variance is clamped
+    at a tiny epsilon so constant groups yield z=0-ish instead of NaN.
+
+    100 TB design: one groupBy shuffle of 3 mergeable partials per group,
+    then the per-group stats broadcast back over the scan — the second
+    pass is shuffle-free. Same shape as any two-pass normalization.
+    """
+    keys = list(group_cols) if group_cols else []
+    dec = F.col(value_col).cast(precision)
+    stats = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(dec).cast("double").alias("__s"),
+        F.sum(dec * dec).cast("double").alias("__sq"),
+    )
+    joined = (
+        df.join(F.broadcast(stats), keys)
+        if keys
+        else df.crossJoin(F.broadcast(stats))
+    )
+    mean = F.col("__s") / F.col("__n")
+    var = F.greatest(
+        F.col("__sq") / F.col("__n") - mean * mean, F.lit(1e-300)
+    )
+    z = (F.col(value_col) - mean) / F.sqrt(var)
+    return (
+        joined.withColumn("z", z)
+        .where(F.abs(F.col("z")) > z_threshold)
+        .drop("__n", "__s", "__sq")
     )

@@ -4653,6 +4653,42 @@ ORDER BY bin
 """
 
 
+def q95_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier screen (|z| > 3) over
+    ``events.value`` — the pre-training anomaly drop. Moments are exact
+    decimal sums (order-independent), z derived in one fixed double
+    expression order, so the boundary decision is engine-portable; the
+    fixture's closest |z| to 3 is ≥ 3e-4 away (probed at every SF), far
+    above double noise."""
+    from pyveb_spark.operators.profile import zscore_outliers
+
+    e = read_table(spark, sf_dir, "events")
+    return (
+        zscore_outliers(
+            e.select("event_id", "event_type", "value"),
+            "value", ["event_type"], z_threshold=3.0,
+        )
+        .select("event_id", "event_type", F.round("z", 4).alias("z"))
+        .orderBy("event_id")
+    )
+
+
+_Q95_SQL = """
+WITH g AS (SELECT event_type, COUNT(*) AS n,
+                  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s,
+                  CAST(SUM(CAST(value AS DECIMAL(12,2))
+                           * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sq
+           FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+       ROUND((e.value - s / n)
+             / sqrt(GREATEST(sq / n - (s / n) * (s / n), 1e-300)), 4) AS z
+FROM events e JOIN g USING (event_type)
+WHERE abs((e.value - s / n)
+          / sqrt(GREATEST(sq / n - (s / n) * (s / n), 1e-300))) > 3
+ORDER BY e.event_id
+"""
+
+
 def q92_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column profile of ``orders`` — row/null/distinct counts and
     min/max — produced by ONE aggregation over ONE scan (all measures are
@@ -4803,6 +4839,7 @@ QUERIES = {
     "q92_profile_orders": q92_profile_orders,
     "q93_value_histogram": q93_value_histogram,
     "q94_llm_data_pipeline": q94_llm_data_pipeline,
+    "q95_value_outliers": q95_value_outliers,
 }
 
 ORACLE_SQL = {
@@ -4900,4 +4937,5 @@ ORACLE_SQL = {
     "q92_profile_orders": _Q92_SQL,
     "q93_value_histogram": _Q93_SQL,
     "q94_llm_data_pipeline": _Q94_SQL,
+    "q95_value_outliers": _Q95_SQL,
 }

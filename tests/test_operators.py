@@ -579,3 +579,18 @@ def test_column_histogram_edges_and_clamp(spark):
     empty = spark.createDataFrame([], "x double")
     with _pytest.raises(ValueError):
         column_histogram(empty, "x")
+
+
+def test_zscore_outliers_flags_extreme_only(spark):
+    from pyveb_spark.operators.profile import zscore_outliers
+
+    rows = [("a", float(v)) for v in [10, 10, 10, 10, 10, 10, 10, 10, 10, 100]]
+    rows += [("b", 5.0), ("b", 5.0), ("b", 5.0)]  # constant group -> no NaN
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = zscore_outliers(df, "value", ["g"], z_threshold=2.0).collect()
+    assert [(r.g, r.value) for r in out] == [("a", 100.0)]
+    assert out[0].z > 2.0
+
+    # ungrouped mode (global stats via crossJoin broadcast)
+    glob = zscore_outliers(df.select("value"), "value", z_threshold=2.0).collect()
+    assert [r.value for r in glob] == [100.0]
