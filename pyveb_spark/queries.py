@@ -4428,18 +4428,23 @@ ORDER BY w.doc_id
 # ---------------------------------------------------------------------------
 
 def q91_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (cluster-then-dedup): k-means the embeddings (same k=10 /
-    6-iteration Lloyd recurrence as q57, so the oracle reuses the same
-    unrolled CTEs), then flag within-cluster rows whose rounded cosine to
-    a lower-id row is ≥ 0.45. The quadratic step runs per-cluster (one
-    shuffle on ``cluster``), which is the whole point of the procedure at
-    scale; the rounded-to-4 cosine compare is the q36 float contract.
+    """SemDeDup (cluster-then-dedup): k-means the embeddings (k=10, the
+    q57 Lloyd recurrence capped at THREE iterations — SemDeDup needs a
+    coarse partition, not a converged clustering, and each extra Lloyd
+    round is a full assign+update job pair; ``tol=0`` pins the exact
+    iteration count so the oracle's unrolled CTEs stay in lockstep), then
+    flag within-cluster rows whose rounded cosine to a lower-id row is
+    ≥ 0.45. The quadratic step runs per-cluster (one shuffle on
+    ``cluster``), which is the whole point of the procedure at scale; the
+    rounded-to-4 cosine compare is the q36 float contract, and the
+    per-iteration assignment margins (incl. the 3-iteration prefix) are
+    guarded in ``test_float_margin``.
     """
     from pyveb_spark.operators.similarity import semdedup
 
     e = read_table(spark, sf_dir, "embeddings")
     return semdedup(
-        e, k=10, tau=0.45, max_iter=6, tol=1e-4,
+        e, k=10, tau=0.45, max_iter=3, tol=0.0,
         id_col="vec_id", vec_col="embedding",
     ).orderBy("vec_id")
 
@@ -4463,7 +4468,7 @@ ORDER BY f.vec_id
 """
 
 
-_Q91_SQL = _semdedup_sql(10, 6, 0.45)
+_Q91_SQL = _semdedup_sql(10, 3, 0.45)
 
 
 # ---------------------------------------------------------------------------
