@@ -594,3 +594,27 @@ def test_zscore_outliers_flags_extreme_only(spark):
     # ungrouped mode (global stats via crossJoin broadcast)
     glob = zscore_outliers(df.select("value"), "value", z_threshold=2.0).collect()
     assert [r.value for r in glob] == [100.0]
+
+
+def test_fill_time_gaps_zero_fills_only_inside_range(spark):
+    import datetime
+
+    from pyveb_spark.operators.timeseries import fill_time_gaps, time_spine
+
+    t = lambda h: datetime.datetime(2024, 1, 1, h)
+    agg = spark.createDataFrame(
+        [("a", t(0), 5), ("a", t(3), 2), ("b", t(1), 7)],
+        "k string, h timestamp, n long",
+    )
+    dense = fill_time_gaps(agg, "h", "1 hour", keys=["k"]).orderBy("k", "h")
+    rows = [(r.k, r.h.hour, r.n) for r in dense.collect()]
+    # key a: hours 0..3 dense with 1,2 zero-filled; key b: single slot only
+    assert rows == [
+        ("a", 0, 5), ("a", 1, 0), ("a", 2, 0), ("a", 3, 2), ("b", 1, 7),
+    ]
+
+    # custom fill value + spine-only view
+    dense2 = fill_time_gaps(agg, "h", "1 hour", keys=["k"], fill={"n": -1})
+    assert sorted(r.n for r in dense2.collect()) == [-1, -1, 2, 5, 7]
+    spine = time_spine(agg, "h", "1 hour", keys=["k"])
+    assert spine.count() == 5
