@@ -151,8 +151,12 @@ def zscore_outliers(
     """
     keys = list(group_cols) if group_cols else []
     dec = F.col(value_col).cast(precision)
+    # __n counts NON-NULL values (F.count(dec), not count(*)): F.sum
+    # skips NULLs, so a row count would bias the mean toward 0 and could
+    # drive sq/n - mean^2 negative for null-bearing columns. The oracle
+    # mirrors this with COUNT(value).
     stats = df.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("__n"),
+        F.count(dec).alias("__n"),
         F.sum(dec).cast("double").alias("__s"),
         F.sum(dec * dec).cast("double").alias("__sq"),
     )

@@ -57,16 +57,31 @@ def fill_time_gaps(
     fill: dict | None = None,
 ) -> DataFrame:
     """Left-join an aggregated frame onto its dense spine, filling missing
-    slots. ``fill`` maps measure column → fill value (default 0 for every
-    non-key, non-ts column). Slots outside a key's observed [min, max]
-    range are NOT invented — densification, not extrapolation.
+    slots. ``fill`` maps measure column → fill value; numeric measures
+    default to 0, non-numeric measures (strings, timestamps, …) pass
+    through un-filled (NULL on spine-only slots) unless ``fill`` names
+    them explicitly. Slots outside a key's observed [min, max] range are
+    NOT invented — densification, not extrapolation.
     """
+    import pyspark.sql.types as T
+
     keys = list(keys)
     measures = [c for c in agg_df.columns if c not in keys and c != ts_col]
     fill = dict(fill or {})
+    numeric = {
+        f.name
+        for f in agg_df.schema.fields
+        if isinstance(f.dataType, (T.NumericType,))
+    }
     spine = time_spine(agg_df, ts_col, step, keys)
     joined = spine.join(agg_df, [*keys, ts_col], "left")
-    out_cols = [*keys, ts_col] + [
-        F.coalesce(F.col(c), F.lit(fill.get(c, 0))).alias(c) for c in measures
-    ]
+
+    def _out(c):
+        if c in fill:
+            return F.coalesce(F.col(c), F.lit(fill[c])).alias(c)
+        if c in numeric:
+            return F.coalesce(F.col(c), F.lit(0)).alias(c)
+        return F.col(c)
+
+    out_cols = [*keys, ts_col] + [_out(c) for c in measures]
     return joined.select(*out_cols)

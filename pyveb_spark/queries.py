@@ -4679,7 +4679,7 @@ def q95_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q95_SQL = """
-WITH g AS (SELECT event_type, COUNT(*) AS n,
+WITH g AS (SELECT event_type, COUNT(value) AS n,
                   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s,
                   CAST(SUM(CAST(value AS DECIMAL(12,2))
                            * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sq

@@ -175,7 +175,18 @@ def write_jdbc(
     slow lane at bulk scale. This sink is for operational targets (the
     reference's SQL-Server-style endpoints) and modest volumes.
     """
-    out = df.repartition(num_partitions) if num_partitions else df
+    # Capping connections is a *reduction*: coalesce folds partitions
+    # without a shuffle. Only repartition (full shuffle) when the caller
+    # asks for MORE parallelism than the plan already has.
+    if num_partitions:
+        current = df.rdd.getNumPartitions()
+        out = (
+            df.coalesce(num_partitions)
+            if num_partitions <= current
+            else df.repartition(num_partitions)
+        )
+    else:
+        out = df
     w = (
         out.write.format("jdbc")
         .option("url", url)

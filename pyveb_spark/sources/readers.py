@@ -150,7 +150,14 @@ def read_avro(
     try:
         df = spark.read.format("avro").load(list(paths))
     except Exception as exc:  # pragma: no cover - classpath-dependent
-        if "avro" in str(exc).lower() or "DATA_SOURCE_NOT_FOUND" in str(exc):
+        # Match ONLY missing-classpath signals; a PATH_NOT_FOUND whose
+        # message merely contains a '*.avro' filename must re-raise as-is.
+        msg = str(exc)
+        if (
+            "DATA_SOURCE_NOT_FOUND" in msg
+            or "Failed to find data source" in msg
+            or "Failed to find the data source" in msg
+        ):
             raise RuntimeError(
                 "Avro support requires the spark-avro package on the "
                 "classpath (spark.jars.packages="

@@ -596,6 +596,26 @@ def test_zscore_outliers_flags_extreme_only(spark):
     assert [r.value for r in glob] == [100.0]
 
 
+def test_zscore_outliers_ignores_nulls(spark):
+    """NULL values must not bias the moments: SUM skips them, so the
+    count must too (COUNT(value), not COUNT(*)) — otherwise the mean is
+    pulled toward 0 and variance can go negative for every null-bearing
+    group."""
+    from pyveb_spark.operators.profile import zscore_outliers
+
+    base = [("a", float(v)) for v in [10, 10, 10, 10, 10, 10, 10, 10, 10, 100]]
+    nulls = [("a", None)] * 20  # 2/3 of the group is NULL
+    df = spark.createDataFrame(base + nulls, "g string, value double")
+    out = zscore_outliers(df, "value", ["g"], z_threshold=2.0).collect()
+    # identical verdict to the null-free test: stats over non-null values
+    assert [(r.g, r.value) for r in out] == [("a", 100.0)]
+    assert out[0].z > 2.0
+    # with COUNT(*) the 30-row count vs 10-value sum would have yielded
+    # mean≈6.3 and a NEGATIVE sq/n - mean^2 clamped to 1e-300 -> every
+    # non-null row "outlier"; assert that pathology is absent
+    assert len(out) == 1
+
+
 def test_fill_time_gaps_zero_fills_only_inside_range(spark):
     import datetime
 
@@ -618,3 +638,28 @@ def test_fill_time_gaps_zero_fills_only_inside_range(spark):
     assert sorted(r.n for r in dense2.collect()) == [-1, -1, 2, 5, 7]
     spine = time_spine(agg, "h", "1 hour", keys=["k"])
     assert spine.count() == 5
+
+
+def test_fill_time_gaps_passes_non_numeric_through(spark):
+    """Non-numeric measures (labels, timestamps) must pass through
+    un-filled — coalescing them with lit(0) would fail analysis or
+    silently coerce. Numeric columns still zero-fill; an explicit fill
+    entry overrides either way."""
+    import datetime
+
+    from pyveb_spark.operators.timeseries import fill_time_gaps
+
+    t = lambda h: datetime.datetime(2024, 1, 1, h)
+    agg = spark.createDataFrame(
+        [("a", t(0), 5, "x"), ("a", t(2), 2, "y")],
+        "k string, h timestamp, n long, label string",
+    )
+    dense = fill_time_gaps(agg, "h", "1 hour", keys=["k"]).orderBy("h")
+    rows = [(r.h.hour, r.n, r.label) for r in dense.collect()]
+    assert rows == [(0, 5, "x"), (1, 0, None), (2, 2, "y")]
+
+    # explicit fill for a string measure still honored
+    dense2 = fill_time_gaps(
+        agg, "h", "1 hour", keys=["k"], fill={"label": "missing"}
+    ).orderBy("h")
+    assert [r.label for r in dense2.collect()] == ["x", "missing", "y"]
