@@ -48,6 +48,16 @@ def test_query_matches_oracle(name, spark, sf_dir, oracle):
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
+    # NON-VACUITY INVARIANT (enforcement of the repo's zero-rows-only
+    # claim): every oracled query must return >=1 row at sf0.01. A query
+    # that hash-matches its oracle on an EMPTY result proves nothing —
+    # both round-2 vacuity bugs (q34/q75 empty Q9, q53 empty at sf0.01)
+    # would have been caught here.
+    assert len(spark_rows) >= 1, (
+        f"{name} returned 0 rows at {sf_dir} — vacuous oracle match; "
+        "adjust the query's predicates so the fixture exercises it"
+    )
+
     cur = oracle.execute(ORACLE_SQL[name])
     duck_cols = [d[0] for d in cur.description]
     duck_rows = cur.fetchall()

@@ -40,3 +40,17 @@ def test_every_query_has_an_oracle():
     assert missing == [], f"queries without oracles: {missing}"
     dangling = sorted(set(ORACLE_SQL) - set(QUERIES))
     assert dangling == [], f"oracles without queries: {dangling}"
+    # The other half of the invariant — every oracled query NON-EMPTY at
+    # sf0.01 — is enforced inside test_oracle.py::test_query_matches_oracle
+    # (which already collects each result, so the assert is free there).
+
+
+def test_gate_window_covers_round3_families():
+    """The driver certifies only the first 50 registry entries; the ten
+    round-3 family heads must sit inside that window (round-4 rotation —
+    see the gate-window comment in pyveb_spark/queries.py)."""
+    window = list(QUERIES)[:50]
+    r3_heads = [q for q in QUERIES if q >= "q87"]
+    assert len(r3_heads) == 10
+    missing = [q for q in r3_heads if q not in window]
+    assert missing == [], f"round-3 heads outside the gate window: {missing}"
