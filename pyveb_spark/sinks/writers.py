@@ -24,6 +24,7 @@ __all__ = [
     "write_json",
     "write_orc",
     "write_text",
+    "write_avro",
     "write_jdbc",
     "write_bucketed_table",
     "with_date_partitions",
@@ -148,6 +149,44 @@ def write_json(
 ) -> None:
     """↔ list-of-dicts → S3 JSON (``common.py:305-324``, ``s3_client.py:159-186``)."""
     _writer(df, mode, partition_by, max_records_per_file).json(path)
+
+
+def write_avro(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    compression: str | None = None,
+) -> None:
+    """Avro sink — the symmetric half of ``sources.readers.read_avro`` for
+    Kafka-edge pipelines that WRITE row-oriented interchange files as often
+    as they read them.
+
+    ``spark-avro`` is an external module; like the reader, a missing
+    classpath raises a guided error instead of an opaque
+    ``ClassNotFoundException`` mid-write. Only genuine missing-data-source
+    signals are rewrapped — path or analysis errors re-raise unchanged.
+    """
+    w = df.write.format("avro").mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if compression is not None:
+        w = w.option("compression", compression)
+    try:
+        w.save(path)
+    except Exception as exc:  # pragma: no cover - classpath-dependent
+        msg = str(exc)
+        if (
+            "DATA_SOURCE_NOT_FOUND" in msg
+            or "Failed to find data source" in msg
+            or "Failed to find the data source" in msg
+        ):
+            raise RuntimeError(
+                "Avro support requires the spark-avro package on the "
+                "classpath (spark.jars.packages="
+                "org.apache.spark:spark-avro_2.13:<spark-version>)."
+            ) from exc
+        raise
 
 
 def write_jdbc(

@@ -115,3 +115,22 @@ def test_avro_gated_error_message(spark, tmp_path):
         pytest.skip("avro present but path missing — classpath-dependent")
     else:  # pragma: no cover - spark-avro on classpath
         assert df is not None
+
+
+def test_avro_sink_symmetric_gate(spark, tmp_path):
+    """write_avro mirrors read_avro's classpath gate: guided RuntimeError
+    when spark-avro is absent; a real round-trip the moment it is present
+    (no skip-by-default — the gate IS the assertion in this container)."""
+    from pyveb_spark.sinks.writers import write_avro
+    from pyveb_spark.sources.readers import read_avro
+
+    df = spark.range(5).selectExpr("id", "cast(id as string) as s")
+    out = str(tmp_path / "out_avro")
+    try:
+        write_avro(df, out)
+    except RuntimeError as exc:
+        assert "spark-avro" in str(exc)
+        return
+    back = read_avro(spark, out)  # pragma: no cover - classpath-dependent
+    assert back.count() == 5
+    assert set(back.columns) == {"id", "s"}

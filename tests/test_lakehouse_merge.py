@@ -105,3 +105,50 @@ def test_plain_parquet_table_reports_no_merge_support(spark, tmp_path):
     from pyveb_spark.sinks.lakehouse import MERGE_CAPABLE_PROVIDERS
 
     assert {"delta", "iceberg"} <= MERGE_CAPABLE_PROVIDERS
+
+
+def test_lakehouse_merge_against_real_delta_if_available(spark, tmp_path):
+    """Full integration: LakehouseMergeSink MERGE INTO a REAL Delta table
+    (update + insert clauses, mirroring the reference's staged
+    DELETE USING + INSERT transaction, rs_client.py:242-283).
+
+    Gate, not skip-by-default: the test runs for real the moment a
+    delta-spark classpath exists. In THIS container it cannot — package
+    installation and network access are unavailable by policy (no
+    pip/apt; spark.jars.packages needs Maven), and the pyspark
+    distribution ships no delta jar (verified: pyspark/jars has
+    avro-1.12/derby only). The generated-SQL contract and the injected
+    runner cover the logic; this test documents exactly what executes
+    when the jar arrives.
+    """
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING")
+    target = str(tmp_path / "delta_tbl")
+    try:
+        df.write.format("delta").save(target)
+    except Exception as exc:
+        msg = str(exc)
+        assert (
+            "DATA_SOURCE_NOT_FOUND" in msg
+            or "Failed to find" in msg
+            or "delta" in msg.lower()
+        ), f"unexpected failure shape: {msg[:200]}"
+        pytest.skip(
+            "delta-spark not on classpath (no pip/network in this "
+            "container) — MERGE executes via injected-runner tests"
+        )
+    # --- real path: registered Delta table + MERGE with update & insert ---
+    spark.sql("DROP TABLE IF EXISTS delta_merge_it")
+    spark.sql(f"CREATE TABLE delta_merge_it USING delta LOCATION '{target}'")
+    try:
+        assert supports_merge_into(spark, "delta_merge_it") is True
+        sink = LakehouseMergeSink(spark, "delta_merge_it")
+        batch = spark.createDataFrame(
+            [(2, "B"), (3, "c")], "k INT, v STRING"
+        )  # k=2 update, k=3 insert
+        sink.upsert(batch, keys=["k"])
+        state = {
+            r.k: r.v for r in spark.table("delta_merge_it").collect()
+        }
+        assert state == {1: "a", 2: "B", 3: "c"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS delta_merge_it")
