@@ -597,15 +597,33 @@ def minhash_lsh_index(
     the lookup join needs no index-side shuffle at all; append new
     batches' postings after admission.
 
-    The index precomputes each posting's bucket size (``__m``) so the
-    lookup's hot-bucket cap is a plain filter instead of a per-lookup
-    count aggregation over the whole index — pay the count once at
-    (re)write time, amortized over every admission batch. After appending
-    a batch, refresh ``__m`` (or accept a slightly stale cap until the
-    next compaction — it only guards skew, not correctness)."""
-    posts = _banded_postings(df, id_col, text_col, n, num_hashes, bands)
-    w = Window.partitionBy("__band", "__h")
-    return posts.withColumn("__m", F.count(F.lit(1)).over(w))
+    The index is pure scan-stage — NO shuffle at build. The hot-bucket
+    skew cap is enforced at lookup via :func:`minhash_hot_buckets` (a
+    tiny blacklist, broadcast anti-joined); persist that blacklist next
+    to the index and refresh it at compaction time — it only guards
+    skew, not correctness, so staleness after appends is acceptable.
+    (Earlier rounds attached a per-posting ``__m`` size column via a
+    window count, which shuffled every posting WITH its shingle array
+    just to carry 8 bytes of skew metadata — the blacklist shuffles
+    (band, hash) pairs only, map-side combined.)"""
+    return _banded_postings(df, id_col, text_col, n, num_hashes, bands)
+
+
+def minhash_hot_buckets(
+    index: DataFrame, max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE
+) -> DataFrame:
+    """Buckets of a ``minhash_lsh_index`` with more than ``max_bucket_size``
+    postings — boilerplate shingles whose candidate fan-out would be
+    quadratic. Hot buckets are rare by definition, so the result is tiny
+    and broadcastable at any corpus size; the aggregation shuffles only
+    (band, hash) pairs with map-side partial counts, never the postings
+    themselves."""
+    return (
+        index.groupBy("__band", "__h")
+        .agg(F.count(F.lit(1)).alias("__m"))
+        .where(F.col("__m") > int(max_bucket_size))
+        .select("__band", "__h")
+    )
 
 
 def minhash_lsh_lookup(
@@ -618,6 +636,7 @@ def minhash_lsh_lookup(
     bands: int = 8,
     threshold: float = 0.8,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    hot_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup check: candidate (new, corpus) pairs from a
     band-hash join of the new batch's postings against a
@@ -626,7 +645,12 @@ def minhash_lsh_lookup(
     ``minhash_lsh_pairs``, but the cost scales with the BATCH, not the
     corpus. Returns ``(<id>_new, <id>_corpus, jaccard)``. The verify
     reuses the shingle sets already carried on both posting sides, so
-    the only shuffle is the candidate join itself."""
+    the only shuffle is the candidate join itself.
+
+    Pass a persisted :func:`minhash_hot_buckets` frame as ``hot_buckets``
+    to skip recomputing the skew blacklist per admission batch (the
+    production shape); otherwise it is derived from ``index`` on the fly.
+    """
     a_id, b_id = f"{id_col}_new", f"{id_col}_corpus"
     probe = _banded_postings(new_df, id_col, text_col, n, num_hashes, bands)
     a = probe.select(
@@ -650,14 +674,25 @@ def minhash_lsh_lookup(
     if max_bucket_size is not None:
         # hot-bucket skew cap on the CORPUS side (see minhash_lsh_pairs) —
         # a boilerplate bucket with m index members fans every probe row
-        # hitting it out ×m. A minhash_lsh_index carries precomputed
-        # bucket sizes (__m), so the cap is a scan-stage filter; fall back
-        # to a per-lookup count for indexes built elsewhere without it.
-        if not has_sizes:
-            wb = Window.partitionBy("__band", "__h")
-            b = b.withColumn("__m", F.count(F.lit(1)).over(wb))
-        b = b.where(F.col("__m") <= F.lit(int(max_bucket_size)))
-    if has_sizes or max_bucket_size is not None:
+        # hitting it out ×m. Legacy indexes carrying a per-posting ``__m``
+        # use it as a scan-stage filter; otherwise drop postings in hot
+        # buckets via a BROADCAST anti-join against the (tiny, rare-by-
+        # definition) blacklist — the postings themselves never shuffle.
+        if has_sizes:
+            b = b.where(F.col("__m") <= F.lit(int(max_bucket_size)))
+        else:
+            if hot_buckets is None:
+                # Deriving the blacklist on the fly reads the index twice
+                # (blacklist aggregation + candidate join); persist the
+                # postings so the expensive minhash pipeline runs once.
+                # The production path passes a persisted blacklist and
+                # never hits this branch.
+                b = b.persist()
+                hot_buckets = minhash_hot_buckets(
+                    b.select("__band", "__h"), max_bucket_size
+                )
+            b = b.join(F.broadcast(hot_buckets), ["__band", "__h"], "left_anti")
+    if has_sizes:
         b = b.drop("__m")
     cand = (
         a.join(b, ["__band", "__h"])
