@@ -2,12 +2,15 @@
 
 North-star surface (BASELINE.json): image/audio/video as opaque ``binary``
 columns with a typed metadata struct, processed by Arrow-batched
-``mapInPandas`` stages. The decode kernels themselves are STUBBED here (the
-container ships no image/audio libs — they raise ``NotImplementedError``
-unless ``fake=True`` provides a deterministic synthetic decode), but the
-Spark-side plumbing is real and tested: schema convention, batch iteration
-shape, partition sizing, and the pattern for swapping in a real kernel
-(PIL/torchaudio/ffmpeg) unchanged.
+``mapInPandas`` stages. Two REAL pure-numpy decode kernels ship here —
+:func:`decode_bmp` (BMP header parse) and :func:`decode_wav` (RIFF/WAVE
+header parse) — so the Arrow batch path decodes actual bytes end-to-end
+with no external media lib. Formats needing real codecs (JPEG/PNG/MP3/…)
+remain gated: pass ``decoder=``/``extractor=`` (e.g. PIL
+``Image.open(BytesIO(b)).size``) or ``fake=True`` for the deterministic
+synthetic kernel; otherwise a guided error. The Spark-side plumbing —
+schema convention, batch iteration shape, partition sizing — is identical
+for every kernel.
 
 Scale notes: binary payloads dominate row size — ``repartition`` by byte
 budget (``target_partition_bytes``), never by row count, so Arrow batches
@@ -37,7 +40,12 @@ from pyspark.sql.types import (
 __all__ = [
     "MEDIA_SCHEMA",
     "media_table",
+    "decode_bmp",
+    "decode_wav",
+    "synth_bmp",
+    "synth_wav",
     "decode_images",
+    "decode_audio",
     "extract_features",
     "sample_frames",
 ]
@@ -86,6 +94,124 @@ def _fake_decode(payload: bytes) -> tuple[int, int]:
     return 16 + h[0] % 64, 16 + h[1] % 64
 
 
+def decode_bmp(payload: bytes) -> tuple[int, int]:
+    """REAL pure-numpy BMP decode: validate the ``BM`` magic and the
+    BITMAPINFOHEADER, read ``biWidth``/``biHeight`` (int32 LE at byte
+    offsets 18/22). No image library involved — the header layout is the
+    public BMP file-format spec. Raises ``ValueError`` on non-BMP bytes
+    so a mixed-format corpus fails loudly instead of mis-measuring."""
+    import numpy as np
+
+    b = bytes(payload or b"")
+    if len(b) < 26 or b[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    dib_size = int(np.frombuffer(b, dtype="<u4", count=1, offset=14)[0])
+    if dib_size < 40:
+        raise ValueError(f"unsupported BMP DIB header size {dib_size}")
+    w, h = np.frombuffer(b, dtype="<i4", count=2, offset=18)
+    return int(w), abs(int(h))  # negative height = top-down rows
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int]:
+    """REAL pure-numpy WAV decode: validate ``RIFF``/``WAVE`` magic, parse
+    the ``fmt `` chunk for (channels, sample_rate, bits), locate the
+    ``data`` chunk and derive the per-channel sample count. Returns
+    ``(channels, sample_rate, n_samples)``."""
+    import numpy as np
+
+    b = bytes(payload or b"")
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
+    pos, channels, rate, bits = 12, None, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        csize = int(np.frombuffer(b, dtype="<u4", count=1, offset=pos + 4)[0])
+        if cid == b"fmt ":
+            channels = int(np.frombuffer(b, "<u2", 1, offset=pos + 10)[0])
+            rate = int(np.frombuffer(b, "<u4", 1, offset=pos + 12)[0])
+            bits = int(np.frombuffer(b, "<u2", 1, offset=pos + 22)[0])
+        elif cid == b"data":
+            if channels is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            bytes_per_frame = channels * max(bits, 8) // 8
+            return channels, rate, csize // bytes_per_frame
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    raise ValueError("WAV payload has no data chunk")
+
+
+def synth_bmp(width, height) -> F.Column:
+    """Build a REAL minimal BMP (54-byte header, no pixel data) natively in
+    Spark from integer width/height columns — fixture generator for the
+    decode path. Widths/heights must fit one byte (< 256): the int32 LE
+    fields are emitted as ``chr(n)`` + three zero bytes, all inside
+    codegen, so synthesizing a billion test images is a scan-stage
+    expression. ``decode_bmp`` round-trips these bytes exactly."""
+    w = F.col(width) if isinstance(width, str) else width
+    h = F.col(height) if isinstance(height, str) else height
+
+    def le32_byte(col):  # value < 256 -> one real byte + 3 zeros
+        return F.concat(
+            F.encode(F.char(col), "ISO-8859-1"),
+            F.to_binary(F.lit("000000"), F.lit("hex")),
+        )
+
+    return F.concat(
+        F.to_binary(F.lit("424d"), F.lit("hex")),          # 'BM'
+        F.to_binary(F.lit("36000000" + "00000000" + "36000000"), F.lit("hex")),
+        # ^ file size (54, good enough), reserved, pixel-data offset (54)
+        F.to_binary(F.lit("28000000"), F.lit("hex")),      # biSize = 40
+        le32_byte(w),                                      # biWidth  @18
+        le32_byte(h),                                      # biHeight @22
+        F.to_binary(F.lit("0100" + "1800" + "00000000" * 6), F.lit("hex")),
+        # ^ planes=1, 24bpp, compression/size/res/colors zeroed
+    )
+
+
+def _le_bytes(col, n_bytes: int) -> F.Column:
+    """Render an int column as ``n_bytes`` little-endian bytes, inside
+    codegen: per byte, shift-right then ``char`` → ISO-8859-1 (a bijection
+    between 0-255 and single bytes)."""
+    return F.concat(
+        *[
+            F.encode(
+                F.char((F.shiftright(col, 8 * i) % 256 + 256) % 256),
+                "ISO-8859-1",
+            )
+            for i in range(n_bytes)
+        ]
+    )
+
+
+def synth_wav(channels, sample_rate, n_samples) -> F.Column:
+    """Build a REAL 16-bit PCM WAV natively in Spark from integer columns:
+    44-byte RIFF/fmt/data header plus ``n_samples × channels`` two-byte
+    frames of filler audio — all scan-stage expressions, so synthesizing a
+    media corpus at any SF never leaves codegen. ``decode_wav``
+    round-trips the header exactly."""
+    ch = F.col(channels) if isinstance(channels, str) else channels
+    sr = F.col(sample_rate) if isinstance(sample_rate, str) else sample_rate
+    ns = F.col(n_samples) if isinstance(n_samples, str) else n_samples
+    data_size = (ns * ch * F.lit(2)).cast("int")
+    header = F.concat(
+        F.encode(F.lit("RIFF"), "ISO-8859-1"),
+        _le_bytes(F.lit(36) + data_size, 4),
+        F.encode(F.lit("WAVEfmt "), "ISO-8859-1"),
+        _le_bytes(F.lit(16), 4),           # fmt chunk size
+        _le_bytes(F.lit(1), 2),            # PCM
+        _le_bytes(ch, 2),
+        _le_bytes(sr, 4),
+        _le_bytes(sr * ch * F.lit(2), 4),  # byte rate
+        _le_bytes(ch * F.lit(2), 2),       # block align
+        _le_bytes(F.lit(16), 2),           # bits per sample
+        F.encode(F.lit("data"), "ISO-8859-1"),
+        _le_bytes(data_size, 4),
+    )
+    filler = F.encode(
+        F.repeat(F.lit("ab"), (ns * ch).cast("int")), "ISO-8859-1"
+    )
+    return F.concat(header, filler)
+
+
 def decode_images(
     df: DataFrame,
     fake: bool = False,
@@ -93,25 +219,33 @@ def decode_images(
 ) -> DataFrame:
     """Fill meta.width/height by decoding payloads in Arrow batches.
 
-    ``decoder(payload) -> (width, height)`` is the swap-in point for a real
-    kernel (e.g. PIL ``Image.open(BytesIO(b)).size``). STUB: with neither
-    ``decoder`` nor ``fake`` this raises NotImplementedError — the container
-    has no image libs (BASELINE.json multimodal contract).
+    Default kernel is the REAL :func:`decode_bmp` when the first payload
+    carries the ``BM`` magic; other formats need a codec — pass
+    ``decoder(payload) -> (width, height)`` (e.g. PIL
+    ``Image.open(BytesIO(b)).size``) or ``fake=True`` for the
+    deterministic synthetic kernel, else a guided NotImplementedError
+    (the container ships no image libs — BASELINE.json contract).
     """
-    if decoder is None:
-        if not fake:
-            raise NotImplementedError(
-                "no image codec in this environment; pass decoder=... or fake=True"
-            )
+    if decoder is None and fake:
         decoder = _fake_decode
 
     schema = df.schema
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kernel = decoder
         for pdf in batches:
             metas = []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
-                w, h = decoder(payload)
+                if kernel is None:
+                    if payload is not None and bytes(payload[:2]) == b"BM":
+                        kernel = decode_bmp
+                    else:
+                        raise NotImplementedError(
+                            "payload is not BMP and no codec is available "
+                            "in this environment; pass decoder=... or "
+                            "fake=True"
+                        )
+                w, h = kernel(payload)
                 m = dict(meta) if meta is not None else {}
                 m["width"], m["height"] = int(w), int(h)
                 metas.append(m)
@@ -122,6 +256,36 @@ def decode_images(
     return df.mapInPandas(_decode, schema=schema)
 
 
+def decode_audio(
+    df: DataFrame,
+    decoder: Callable[[bytes], tuple[int, int, int]] | None = None,
+) -> DataFrame:
+    """Audio half of the decode path: payload → ``(channels, sample_rate,
+    n_samples)`` columns via Arrow batches. Default kernel is the REAL
+    :func:`decode_wav` (RIFF header parse, pure numpy); compressed codecs
+    (MP3/FLAC/OGG) need an injected ``decoder`` with the same signature."""
+    kernel = decoder or decode_wav
+    out_schema = StructType(
+        df.schema.fields
+        + [
+            StructField("channels", IntegerType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_samples", IntegerType()),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [kernel(p) for p in pdf["payload"]]
+            pdf = pdf.copy()
+            pdf["channels"] = [d[0] for d in decoded]
+            pdf["sample_rate"] = [d[1] for d in decoded]
+            pdf["n_samples"] = [d[2] for d in decoded]
+            yield pdf
+
+    return df.mapInPandas(_decode, schema=out_schema)
+
+
 def extract_features(
     df: DataFrame,
     dim: int = 8,
@@ -129,20 +293,30 @@ def extract_features(
     extractor: Callable[[bytes], list[float]] | None = None,
 ) -> DataFrame:
     """Payload → embedding column (``array<float>``), feeding the
-    ``operators.similarity`` stack. STUB kernel (fake = hash-derived unit
-    vector); real deployments swap a model forward pass in, batching via
-    the same Arrow iterator."""
-    if extractor is None:
-        if not fake:
-            raise NotImplementedError(
-                "no feature extractor in this environment; pass extractor=... or fake=True"
-            )
+    ``operators.similarity`` stack. Default kernel is REAL numpy
+    computation on the actual bytes — an L2-normalized ``dim``-bucket
+    byte-value histogram (the classic content-signature baseline; numpy
+    vectorized per payload). Model forward passes swap in via
+    ``extractor``; ``fake=True`` keeps the hash-derived deterministic
+    vector for tests that need dims independent of content length."""
+    if extractor is None and fake:
 
         def extractor(payload: bytes) -> list[float]:
             h = hashlib.sha256(payload or b"").digest()
             raw = [(h[i % 32] - 128) / 128.0 for i in range(dim)]
             norm = sum(x * x for x in raw) ** 0.5 or 1.0
             return [x / norm for x in raw]
+
+    elif extractor is None:
+        import numpy as np
+
+        def extractor(payload: bytes) -> list[float]:
+            a = np.frombuffer(bytes(payload or b"\x00"), dtype=np.uint8)
+            hist = np.bincount(
+                (a.astype(np.int32) * dim) // 256, minlength=dim
+            )[:dim].astype(np.float64)
+            norm = float(np.sqrt((hist * hist).sum())) or 1.0
+            return [float(x / norm) for x in hist]
 
     out_schema = StructType(
         df.schema.fields + [StructField("embedding", ArrayType(FloatType()))]

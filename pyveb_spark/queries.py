@@ -1459,18 +1459,30 @@ LIMIT 10
 # ---------------------------------------------------------------------------
 
 def q38_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.text → binary payload → media convention → Arrow-batched
-    decode (fake kernel) → per-source stats. Exercises the full multimodal
-    pipeline INCLUDING the mapInPandas batch path under the oracle gate."""
-    from pyveb_spark.operators.multimodal import decode_images, media_table
+    """documents → REAL synthetic BMP payloads (54-byte header built
+    natively in Spark by ``synth_bmp``, text bytes appended as pixel
+    data) → media convention → Arrow-batched REAL header decode
+    (``decode_bmp``, pure numpy — no fake kernel) → per-source stats.
+    The mapInPandas path parses actual bytes; the oracle re-derives the
+    dimensions from the generator formula (width = 16 + len(text) % 64,
+    height = 16 + doc_id % 64), so a decoder that misread a single
+    header byte would hash-mismatch."""
+    from pyveb_spark.operators.multimodal import (
+        decode_images,
+        media_table,
+        synth_bmp,
+    )
 
     d = read_table(spark, sf_dir, "documents")
+    w = (F.lit(16) + F.length("text") % 64).cast("int")
+    h = (F.lit(16) + F.col("doc_id") % 64).cast("int")
+    payload = F.concat(synth_bmp(w, h), F.encode("text", "UTF-8"))
     media = media_table(
-        d.withColumn("payload", F.encode("text", "UTF-8")),
+        d.withColumn("payload", payload),
         id_col="doc_id",
         payload_col="payload",
     )
-    decoded = decode_images(media, fake=True).select(
+    decoded = decode_images(media).select(
         F.col("media_id").cast("bigint").alias("doc_id"),
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
@@ -1490,18 +1502,15 @@ def q38_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# h[0] / h[1] of the sha256 digest, re-derived from the hex string with a
-# hex-char strpos trick (DuckDB lacks blob-byte indexing).
+# The oracle replays the BMP GENERATOR formula, not the parse: the Spark
+# side must recover exactly these numbers from the real header bytes.
+# n_bytes = 54-byte header + the text payload appended as pixel data.
 _Q38_SQL = """
-WITH hx AS (SELECT doc_id, source, sha256(text) AS h,
-                   octet_length(encode(text)) AS n_bytes
-            FROM documents),
-dims AS (SELECT source, n_bytes,
-    16 + ((16*(strpos('0123456789abcdef', substr(h,1,1))-1)
-              + strpos('0123456789abcdef', substr(h,2,1))-1) % 64) AS width,
-    16 + ((16*(strpos('0123456789abcdef', substr(h,3,1))-1)
-              + strpos('0123456789abcdef', substr(h,4,1))-1) % 64) AS height
-  FROM hx)
+WITH dims AS (SELECT source,
+                     54 + octet_length(encode(text)) AS n_bytes,
+                     16 + (length(text) % 64) AS width,
+                     16 + (doc_id % 64) AS height
+              FROM documents)
 SELECT source, COUNT(*) AS n_media,
        AVG(width) AS avg_width, AVG(height) AS avg_height,
        SUM(n_bytes)::BIGINT AS total_bytes
@@ -3782,7 +3791,7 @@ def q67_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame.frame_no").alias("frame_no"),
         F.encode(F.col("frame.frame_sig"), "UTF-8").alias("payload"),
     )
-    feat = extract_features(per_frame, dim=8, fake=True)
+    feat = extract_features(per_frame, dim=8)  # real byte-histogram kernel
     return (
         feat.groupBy("media_id")
         .agg(
@@ -4783,6 +4792,49 @@ ORDER BY col_name
 """
 
 
+def q97_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio half of the multimodal decode path: documents → REAL 16-bit
+    PCM WAV payloads (44-byte RIFF header + filler frames, built natively
+    in Spark by ``synth_wav``) → Arrow-batched REAL header parse
+    (``decode_wav``, pure numpy) → per-format stats. The oracle replays
+    the generator formulas (channels = 1 + doc_id % 2, rate = 8000 ×
+    (1 + doc_id % 3), samples = len(text)), so a decoder misreading any
+    RIFF field would hash-mismatch. Duration is held exact as total
+    samples; divide by rate at the edge if you need seconds."""
+    from pyveb_spark.operators.multimodal import decode_audio, synth_wav
+
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    ch = (F.lit(1) + F.col("doc_id") % 2).cast("int")
+    sr = (F.lit(8000) * (F.lit(1) + F.col("doc_id") % 3)).cast("int")
+    ns = F.length("text").cast("int")
+    media = d.select(
+        F.col("doc_id"), synth_wav(ch, sr, ns).alias("payload")
+    )
+    return (
+        decode_audio(media)
+        .groupBy("channels", "sample_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum(F.col("n_samples").cast("bigint")).alias("total_samples"),
+        )
+        .orderBy("channels", "sample_rate")
+    )
+
+
+# Oracle = the WAV GENERATOR formulas; the Spark side must recover them
+# from the real RIFF header bytes it just built and parsed.
+_Q97_SQL = """
+SELECT 1 + (doc_id % 2) AS channels,
+       8000 * (1 + (doc_id % 3)) AS sample_rate,
+       COUNT(*) AS n_clips,
+       SUM(length(text)) AS total_samples
+FROM documents
+WHERE doc_id < 300
+GROUP BY 1, 2
+ORDER BY channels, sample_rate
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4884,6 +4936,7 @@ QUERIES = {
     "q94_llm_data_pipeline": q94_llm_data_pipeline,
     "q95_value_outliers": q95_value_outliers,
     "q96_hourly_gap_fill": q96_hourly_gap_fill,
+    "q97_audio_stats": q97_audio_stats,
 }
 
 ORACLE_SQL = {
@@ -4983,6 +5036,7 @@ ORACLE_SQL = {
     "q94_llm_data_pipeline": _Q94_SQL,
     "q95_value_outliers": _Q95_SQL,
     "q96_hourly_gap_fill": _Q96_SQL,
+    "q97_audio_stats": _Q97_SQL,
 }
 
 # ---------------------------------------------------------------------------

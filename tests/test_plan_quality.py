@@ -230,6 +230,7 @@ _ARROW_PY_OK = {
     "q38_multimodal_decode", # mapInPandas decode kernel
     "q62_embedding_dedup",   # composes through cosine_pairs
     "q67_frame_features",    # mapInPandas feature kernel
+    "q97_audio_stats",       # mapInPandas WAV header decode kernel
 }
 
 # streaming replays execute a stream inside the query fn; their final

@@ -50,7 +50,8 @@ def test_gate_window_covers_round3_families():
     round-3 family heads must sit inside that window (round-4 rotation —
     see the gate-window comment in pyveb_spark/queries.py)."""
     window = list(QUERIES)[:50]
-    r3_heads = [q for q in QUERIES if q >= "q87"]
-    assert len(r3_heads) == 10
-    missing = [q for q in r3_heads if q not in window]
+    r3_heads = [f"q{n}" for n in range(87, 97)]  # q87..q96
+    present = [q for q in QUERIES if q.split("_")[0] in r3_heads]
+    assert len(present) == 10
+    missing = [q for q in present if q not in window]
     assert missing == [], f"round-3 heads outside the gate window: {missing}"
