@@ -96,3 +96,70 @@ def test_color_formatter_noncolor_has_empty_fields():
     rec = logging.LogRecord("n", logging.INFO, "p", 1, "m", (), None)
     line = ColorFormatter(False, fmt="%(color_on)s%(message)s%(color_off)s").format(rec)
     assert line == "m"
+
+
+def test_pipeline_run_emits_step_records_and_ships(tmp_path, spark):
+    """Pipeline.run wired to the triple-sink logger: every stage
+    transition (source, step begin/end, sink begin/end, outcome) lands in
+    the shippable buffer and the shipper uploads it at run end — the
+    reference logged each stage this way (logger.py:33-135)."""
+    from pyspark.sql import functions as F
+
+    from pyveb_spark.plans.pipeline import Pipeline, PipelineStep
+
+    pl = _make(tmp_path, console_level="critical")
+    shipped = []
+    shipper = ObjectStoreLogShipper(
+        pl, "logs", "runs/p.log",
+        put=lambda body, bucket, key: shipped.append(body),
+    )
+    sunk = []
+    pipe = Pipeline(
+        name="demo",
+        source=lambda s: s.range(10),
+        steps=[
+            PipelineStep("double", lambda df: df.select((F.col("id") * 2).alias("id"))),
+            PipelineStep("filter_small", lambda df, lo: df.where(F.col("id") >= lo), {"lo": 6}),
+        ],
+        sink=lambda df: sunk.append(df.count()),
+        logger=pl,
+        shipper=shipper,
+    )
+    out = pipe.run(spark)
+    pl.close()
+    assert sunk == [7] and out.count() == 7
+    assert len(shipped) == 1
+    body = shipped[0]
+    for needle in (
+        "run begin", "source loaded",
+        "step double begin", "step double end",
+        "step filter_small begin", "step filter_small end",
+        "sink begin", "sink end", "run end status=ok",
+    ):
+        assert needle in body, f"missing record: {needle}"
+
+
+def test_pipeline_run_failure_still_ships(tmp_path, spark):
+    from pyveb_spark.plans.pipeline import Pipeline, PipelineStep
+
+    pl = _make(tmp_path, console_level="critical")
+    shipped = []
+    shipper = ObjectStoreLogShipper(
+        pl, "logs", "runs/f.log",
+        put=lambda body, bucket, key: shipped.append(body),
+    )
+
+    def explode(df):
+        raise RuntimeError("bad transform")
+
+    pipe = Pipeline(
+        name="boom",
+        source=lambda s: s.range(3),
+        steps=[PipelineStep("explode", explode)],
+        logger=pl,
+        shipper=shipper,
+    )
+    with pytest.raises(RuntimeError, match="bad transform"):
+        pipe.run(spark)
+    pl.close()
+    assert len(shipped) == 1 and "run FAILED" in shipped[0]
