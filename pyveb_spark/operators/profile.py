@@ -21,7 +21,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table", "column_histogram", "zscore_outliers"]
+__all__ = [
+    "profile_table",
+    "column_histogram",
+    "zscore_outliers",
+    "iqr_outliers",
+]
 
 
 def profile_table(
@@ -174,4 +179,73 @@ def zscore_outliers(
         joined.withColumn("z", z)
         .where(F.abs(F.col("z")) > z_threshold)
         .drop("__n", "__s", "__sq")
+    )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] | None = None,
+    k: float = 1.5,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group Tukey-fence outlier screen: rows outside
+    ``[q1 - k*IQR, q3 + k*IQR]`` where q1/q3 are DISCRETE quartiles —
+    actual data values at sorted positions ``ceil(0.25*n)`` /
+    ``ceil(0.75*n)`` — not interpolated. Discrete quantiles are the
+    engine-portable choice: every engine sorting the same totally-ordered
+    key picks the same element, where interpolation formulas differ.
+    ``tiebreak_cols`` extend the sort key to make it total under value
+    ties. Robust counterpart of :func:`zscore_outliers` for heavy-tailed
+    columns where mean/stddev are themselves dragged by the outliers.
+
+    100 TB design: one window sort per group to rank values, a tiny
+    per-group quantile extraction, then the fences broadcast back over
+    the scan (second pass shuffle-free — the zscore shape). The full
+    per-group sort is the price of EXACT discrete quantiles; at warehouse
+    scale substitute approx_percentile partials for the rank pass and
+    keep the fence join unchanged.
+    """
+    from pyspark.sql import Window
+
+    keys = list(group_cols) if group_cols else []
+    val = F.col(value_col)
+    order = [val.asc(), *[F.col(c).asc() for c in tiebreak_cols]]
+    w = Window.partitionBy(*keys).orderBy(*order) if keys else (
+        Window.partitionBy().orderBy(*order)
+    )
+    ranked = df.where(val.isNotNull()).select(
+        *keys,
+        val.alias("__v"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(*keys)).alias("__n"),
+    )
+    quarts = (
+        ranked.where(
+            (F.col("__rn") == F.ceil(F.lit(0.25) * F.col("__n")))
+            | (F.col("__rn") == F.ceil(F.lit(0.75) * F.col("__n")))
+        )
+        .groupBy(*keys)
+        .agg(
+            F.min(F.when(
+                F.col("__rn") == F.ceil(F.lit(0.25) * F.col("__n")), F.col("__v")
+            )).alias("__q1"),
+            F.min(F.when(
+                F.col("__rn") == F.ceil(F.lit(0.75) * F.col("__n")), F.col("__v")
+            )).alias("__q3"),
+        )
+    )
+    joined = (
+        df.join(F.broadcast(quarts), keys)
+        if keys
+        else df.crossJoin(F.broadcast(quarts))
+    )
+    iqr = F.col("__q3") - F.col("__q1")
+    lo = F.col("__q1") - F.lit(k) * iqr
+    hi = F.col("__q3") + F.lit(k) * iqr
+    return (
+        joined.where(val.isNotNull() & ((val < lo) | (val > hi)))
+        .withColumn("fence_lo", lo)
+        .withColumn("fence_hi", hi)
+        .drop("__q1", "__q3")
     )

@@ -395,3 +395,43 @@ def repetition_stats(
             F.col("__top.g").alias("top_ngram"),
         )
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """First-iteration BPE merge statistics: corpus-wide counts of adjacent
+    CHARACTER pairs within whitespace tokens, ranked by frequency — the
+    quantity byte-pair-encoding greedily merges on (Sennrich et al. 2016,
+    the public subword-vocabulary recipe). Returns the ``top_k`` pairs as
+    ``(pair, n)`` with a total deterministic order (count desc, pair asc),
+    so the cut is engine-portable even under count ties.
+
+    100 TB design: pair extraction is a scan-stage nested HOF (per token,
+    zip the character array against its tail); the explode feeds straight
+    into a partial-aggregated groupBy on a key whose cardinality is
+    ~|alphabet|² — the shuffle carries ONLY (pair, partial count) rows, so
+    cost is one corpus scan regardless of size. Top-k is a driver-side
+    LIMIT over the tiny aggregate."""
+    toks = F.split(F.col(text_col), " ")
+    pair_lists = F.flatten(
+        F.transform(
+            toks,
+            lambda t: F.zip_with(
+                F.split(t, ""),
+                F.slice(F.split(t, ""), 2, F.greatest(F.length(t) - 1, F.lit(0))),
+                lambda a, b: F.concat(a, b),
+            ),
+        )
+    )
+    pairs = df.select(
+        F.explode(F.filter(pair_lists, lambda p: F.length(p) == 2)).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(top_k)
+    )

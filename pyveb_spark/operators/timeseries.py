@@ -22,7 +22,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["time_spine", "fill_time_gaps"]
+__all__ = ["time_spine", "fill_time_gaps", "rolling_stats"]
 
 
 def time_spine(
@@ -85,3 +85,43 @@ def fill_time_gaps(
 
     out_cols = [*keys, ts_col] + [_out(c) for c in measures]
     return joined.select(*out_cols)
+
+
+def rolling_stats(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: Sequence[str] = (),
+    window: int = 7,
+) -> DataFrame:
+    """Trailing ``window``-slot moving aggregate per key over a DENSE
+    series (run :func:`fill_time_gaps` first — on a gappy series a
+    row-frame window silently spans missing slots and the "7-slot"
+    average becomes a 7-*observations* average). Adds ``mov_sum``,
+    ``mov_avg``, ``mov_n`` (slots actually in frame — fewer at the series
+    head, so the early averages are honest, not zero-padded).
+
+    Engine-portable: the frame is ROWS-based over a total order
+    (key, ts), ``mov_sum`` is an exact integer/decimal sum when the input
+    is, and ``mov_avg`` is the single final double division.
+
+    100 TB design: ONE window shuffle on the key — and none at all when
+    the input arrives partitioned by key from :func:`fill_time_gaps`
+    (same partitioning expression, Catalyst reuses the exchange). State
+    per row is the ``window``-row frame, independent of series length.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    return (
+        df.withColumn("mov_sum", F.sum(value_col).over(w))
+        .withColumn("mov_n", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "mov_avg",
+            F.col("mov_sum").cast("double") / F.col("mov_n"),
+        )
+    )

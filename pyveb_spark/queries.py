@@ -4827,11 +4827,172 @@ _Q97_SQL = """
 SELECT 1 + (doc_id % 2) AS channels,
        8000 * (1 + (doc_id % 3)) AS sample_rate,
        COUNT(*) AS n_clips,
-       SUM(length(text)) AS total_samples
+       SUM(length(text))::BIGINT AS total_samples
 FROM documents
 WHERE doc_id < 300
 GROUP BY 1, 2
 ORDER BY channels, sample_rate
+"""
+
+
+def q98_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase with a 3-day
+    per-transition window and a value>100 purchase filter (probed
+    non-trivial narrowing at every SF: 15/10/2, 150/115/20, 1500/1087/177
+    users). Stage k is an aggregation of stage-k events joined to the
+    stage-k-1 cohort on ``user_id`` — no per-user event lists, one
+    shrinking timestamp per survivor (see ``operators/funnel.py``). Lags
+    are exact summed micros; divide by n_users at the edge."""
+    from pyveb_spark.operators.funnel import funnel_summary
+
+    e = read_table(spark, sf_dir, "events")
+    return funnel_summary(
+        e,
+        ["view", "click", "purchase"],
+        within="3 days",
+        filters={"purchase": F.col("value") > 100},
+    )
+
+
+_Q98_SQL = """
+WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t1
+         AND e.ts <= s1.t1 + INTERVAL 3 DAY GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+         AND e.ts <= s2.t2 + INTERVAL 3 DAY AND e.value > 100
+       GROUP BY e.user_id)
+SELECT 1 AS stage, 'view' AS event_type, COUNT(*) AS n_users,
+       CAST(0 AS BIGINT) AS total_lag_us FROM s1
+UNION ALL
+SELECT 2, 'click', COUNT(*),
+       COALESCE(SUM(epoch_us(t2) - epoch_us(t1)), 0)::BIGINT
+FROM s2 JOIN s1 USING (user_id)
+UNION ALL
+SELECT 3, 'purchase', COUNT(*),
+       COALESCE(SUM(epoch_us(t3) - epoch_us(t2)), 0)::BIGINT
+FROM s3 JOIN s2 USING (user_id)
+ORDER BY stage
+"""
+
+
+def q99_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-iteration BPE merge statistics over the corpus: top-20
+    within-token adjacent character pairs — the quantity byte-pair
+    encoding greedily merges on (Sennrich et al. 2016). Pair extraction
+    is a scan-stage nested HOF; the groupBy key has ~|alphabet)|²
+    cardinality so the shuffle carries only (pair, partial count) rows.
+    The (count desc, pair asc) order is total, so the top-20 cut is
+    engine-portable under ties."""
+    from pyveb_spark.operators.text import bpe_merge_candidates
+
+    d = read_table(spark, sf_dir, "documents")
+    return bpe_merge_candidates(d, "text", top_k=20)
+
+
+_Q99_SQL = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+pl AS (SELECT [substr(tok, CAST(i AS INT), 2)
+               FOR i IN range(1, length(tok))] AS pairs FROM toks),
+p AS (SELECT unnest(pairs) AS pair FROM pl)
+SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
+ORDER BY n DESC, pair LIMIT 20
+"""
+
+
+def q100_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Tukey-fence (IQR) outlier screen over
+    ``events.value`` — the robust counterpart of q95's z-score (fences
+    are order statistics, so they don't chase the outliers they screen).
+    Quartiles are DISCRETE (actual values at ceil(n/4)/ceil(3n/4) rank),
+    the engine-portable choice; fence arithmetic shares one double
+    expression order with the oracle. Probed fence margin ≥ 0.18 at
+    sf0.01 — far above double noise."""
+    from pyveb_spark.operators.profile import iqr_outliers
+
+    e = read_table(spark, sf_dir, "events")
+    return (
+        iqr_outliers(
+            e.select("event_id", "event_type", "value"),
+            "value",
+            ["event_type"],
+            k=1.5,
+        )
+        .select("event_id", "event_type", "value", "fence_lo", "fence_hi")
+        .orderBy("event_id")
+    )
+
+
+_Q100_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL),
+quarts AS (
+  SELECT event_type,
+         MIN(CASE WHEN rn = CEIL(0.25 * n) THEN value END) AS q1,
+         MIN(CASE WHEN rn = CEIL(0.75 * n) THEN value END) AS q3
+  FROM ranked WHERE rn = CEIL(0.25 * n) OR rn = CEIL(0.75 * n)
+  GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+       q1 - 1.5 * (q3 - q1) AS fence_lo,
+       q3 + 1.5 * (q3 - q1) AS fence_hi
+FROM events e JOIN quarts USING (event_type)
+WHERE e.value IS NOT NULL
+  AND (e.value < q1 - 1.5 * (q3 - q1) OR e.value > q3 + 1.5 * (q3 - q1))
+ORDER BY e.event_id
+"""
+
+
+def q101_rolling_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-hour moving average over the q96 DENSE hourly series
+    (gap fill first, so the row frame means 7 clock hours, not 7
+    observations — the composition the two operators exist for). mov_sum
+    is an exact bigint window sum; mov_avg is the single final double
+    division, engine-portable."""
+    from pyveb_spark.operators.timeseries import fill_time_gaps, rolling_stats
+
+    e = read_table(spark, sf_dir, "events")
+    agg = (
+        e.where(F.col("value") > 150)
+        .select("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dense = fill_time_gaps(agg, "h", step="1 hour", keys=["event_type"])
+    rolled = rolling_stats(dense, "h", "n", keys=["event_type"], window=7)
+    return rolled.select(
+        "event_type",
+        F.unix_micros(F.col("h")).alias("hour_us"),
+        "n",
+        "mov_sum",
+        "mov_n",
+        "mov_avg",
+    ).orderBy("event_type", "hour_us")
+
+
+_Q101_SQL = """
+WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h
+           FROM events WHERE value > 150),
+agg AS (SELECT event_type, h, COUNT(*) AS n FROM e GROUP BY 1, 2),
+b AS (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM e GROUP BY 1),
+spine AS (SELECT event_type,
+                 unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+          FROM b),
+dense AS (SELECT s.event_type, s.h, COALESCE(a.n, 0) AS n
+          FROM spine s LEFT JOIN agg a
+            ON a.event_type = s.event_type AND a.h = s.h)
+SELECT event_type, epoch_us(h) AS hour_us, n,
+       (SUM(n) OVER w)::BIGINT AS mov_sum,
+       COUNT(*) OVER w AS mov_n,
+       CAST(SUM(n) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS mov_avg
+FROM dense
+WINDOW w AS (PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY event_type, hour_us
 """
 
 
@@ -4937,6 +5098,10 @@ QUERIES = {
     "q95_value_outliers": q95_value_outliers,
     "q96_hourly_gap_fill": q96_hourly_gap_fill,
     "q97_audio_stats": q97_audio_stats,
+    "q98_funnel": q98_funnel,
+    "q99_bpe_merge_pairs": q99_bpe_merge_pairs,
+    "q100_iqr_outliers": q100_iqr_outliers,
+    "q101_rolling_activity": q101_rolling_activity,
 }
 
 ORACLE_SQL = {
@@ -5037,6 +5202,10 @@ ORACLE_SQL = {
     "q95_value_outliers": _Q95_SQL,
     "q96_hourly_gap_fill": _Q96_SQL,
     "q97_audio_stats": _Q97_SQL,
+    "q98_funnel": _Q98_SQL,
+    "q99_bpe_merge_pairs": _Q99_SQL,
+    "q100_iqr_outliers": _Q100_SQL,
+    "q101_rolling_activity": _Q101_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -663,3 +663,91 @@ def test_fill_time_gaps_passes_non_numeric_through(spark):
         agg, "h", "1 hour", keys=["k"], fill={"label": "missing"}
     ).orderBy("h")
     assert [r.label for r in dense2.collect()] == ["x", "missing", "y"]
+
+
+def test_funnel_window_and_filters(spark):
+    import datetime
+
+    from pyveb_spark.operators.funnel import funnel_stages, funnel_summary
+
+    t = lambda d, h=0: datetime.datetime(2024, 1, d, h)
+    rows = [
+        # u1 completes: view d1, click d2, purchase d3 (value 200)
+        (1, t(1), "view", 0.0), (1, t(2), "click", 0.0), (1, t(3), "purchase", 200.0),
+        # u2 clicks OUTSIDE the 3-day window -> drops at stage 2
+        (2, t(1), "view", 0.0), (2, t(6), "click", 0.0), (2, t(7), "purchase", 200.0),
+        # u3 purchase below the value filter -> drops at stage 3
+        (3, t(1), "view", 0.0), (3, t(2), "click", 0.0), (3, t(3), "purchase", 50.0),
+        # u4 events in the WRONG order (purchase before click) -> stage 2 only
+        (4, t(1), "view", 0.0), (4, t(3), "click", 0.0), (4, t(2), "purchase", 200.0),
+        # u5 never views -> not even stage 1
+        (5, t(1), "click", 0.0), (5, t(2), "purchase", 200.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string, value double"
+    )
+    reach = funnel_stages(
+        df, ["view", "click", "purchase"], within="3 days",
+        filters={"purchase": F.col("value") > 100},
+    )
+    got = {r.user_id: (r.t1 is not None, r.t2 is not None, r.t3 is not None)
+           for r in reach.collect()}
+    assert got == {
+        1: (True, True, True),
+        2: (True, False, False),
+        3: (True, True, False),
+        4: (True, True, False),
+    }
+
+    summary = funnel_summary(
+        df, ["view", "click", "purchase"], within="3 days",
+        filters={"purchase": F.col("value") > 100},
+    ).collect()
+    assert [(r.stage, r.n_users) for r in summary] == [(1, 4), (2, 3), (3, 1)]
+    # exact lag: u1 click-purchase = 1 day = 86400e6 us
+    assert summary[2].total_lag_us == 86_400_000_000
+
+
+def test_iqr_outliers_discrete_quartiles(spark):
+    from pyveb_spark.operators.profile import iqr_outliers
+
+    # group a: 1..12 plus an extreme; discrete q1 = value at rank ceil(13*.25)=4,
+    # q3 at rank ceil(13*.75)=10 -> q1=4, q3=10, IQR=6, fences [-5, 19] -> only 100
+    vals = [float(v) for v in range(1, 13)] + [100.0]
+    rows = [("a", v) for v in vals] + [("a", None)] * 5  # NULLs must not shift ranks
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = iqr_outliers(df, "value", ["g"]).collect()
+    assert [(r.g, r.value) for r in out] == [("a", 100.0)]
+    assert out[0].fence_lo == -5.0 and out[0].fence_hi == 19.0
+
+    # ungrouped mode
+    glob = iqr_outliers(df.select("value"), "value").collect()
+    assert [r.value for r in glob] == [100.0]
+
+
+def test_rolling_stats_head_frames(spark):
+    import datetime
+
+    from pyveb_spark.operators.timeseries import rolling_stats
+
+    t = lambda h: datetime.datetime(2024, 1, 1, h)
+    df = spark.createDataFrame(
+        [("a", t(i), i + 1) for i in range(5)], "k string, h timestamp, n long"
+    )
+    out = rolling_stats(df, "h", "n", keys=["k"], window=3).orderBy("h").collect()
+    # frames grow to 3 then slide: sums 1,3,6,9,12; counts 1,2,3,3,3
+    assert [r.mov_sum for r in out] == [1, 3, 6, 9, 12]
+    assert [r.mov_n for r in out] == [1, 2, 3, 3, 3]
+    assert out[3].mov_avg == 9 / 3
+
+
+def test_bpe_merge_candidates_counts_and_tie_order(spark):
+    from pyveb_spark.operators.text import bpe_merge_candidates
+
+    df = spark.createDataFrame(
+        [("abab zz",), ("ab a",)], "text string"
+    )
+    got = [(r.pair, r.n) for r in bpe_merge_candidates(df, top_k=10).collect()]
+    # 'abab' -> ab,ba,ab ; 'zz' -> zz ; 'ab' -> ab ; 'a' -> none
+    # counts: ab=3, ba=1, zz=1 ; ties (ba, zz) break lexicographically
+    assert got == [("ab", 3), ("ba", 1), ("zz", 1)]
