@@ -368,6 +368,10 @@ def ngram_jaccard_pairs(
 # see ngram_jaccard_pairs: cache bookkeeping for the prefix-postings table
 _PERSISTED_PREFIXES: list[DataFrame] = []
 
+# at most one cached lookup-postings frame per process (minhash_lsh_lookup's
+# derive-blacklist-on-the-fly branch); new persists evict the previous one
+_PERSISTED_LOOKUP_POSTINGS: list[DataFrame] = []
+
 
 # Portable hashing: every hash in the MinHash/SimHash pipelines must be
 # reproducible verbatim in ANSI SQL so the DuckDB oracle can replay the
@@ -649,7 +653,9 @@ def minhash_lsh_lookup(
 
     Pass a persisted :func:`minhash_hot_buckets` frame as ``hot_buckets``
     to skip recomputing the skew blacklist per admission batch (the
-    production shape); otherwise it is derived from ``index`` on the fly.
+    production shape) — an explicit blacklist is ALWAYS applied,
+    regardless of ``max_bucket_size`` or a legacy ``__m`` column;
+    otherwise it is derived from ``index`` on the fly.
     """
     a_id, b_id = f"{id_col}_new", f"{id_col}_corpus"
     probe = _banded_postings(new_df, id_col, text_col, n, num_hashes, bands)
@@ -671,27 +677,35 @@ def minhash_lsh_lookup(
     if has_sizes:
         b_cols.append("__m")
     b = index.select(*b_cols)
-    if max_bucket_size is not None:
-        # hot-bucket skew cap on the CORPUS side (see minhash_lsh_pairs) —
-        # a boilerplate bucket with m index members fans every probe row
-        # hitting it out ×m. Legacy indexes carrying a per-posting ``__m``
-        # use it as a scan-stage filter; otherwise drop postings in hot
-        # buckets via a BROADCAST anti-join against the (tiny, rare-by-
-        # definition) blacklist — the postings themselves never shuffle.
+    # hot-bucket skew cap on the CORPUS side (see minhash_lsh_pairs) — a
+    # boilerplate bucket with m index members fans every probe row hitting
+    # it out ×m. Precedence: an explicitly passed blacklist ALWAYS applies
+    # (the caller built it to protect this job); else a legacy per-posting
+    # ``__m`` column filters scan-stage; else the blacklist is derived
+    # from the index on the fly. The anti-join carries no broadcast hint —
+    # the blacklist is tiny in the rare-by-definition skew case and AQE
+    # picks broadcast then, but a pathological cap (most buckets hot)
+    # degrades to a sort-merge anti-join instead of a driver OOM.
+    if hot_buckets is not None:
+        b = b.join(hot_buckets, ["__band", "__h"], "left_anti")
+    elif max_bucket_size is not None:
         if has_sizes:
             b = b.where(F.col("__m") <= F.lit(int(max_bucket_size)))
         else:
-            if hot_buckets is None:
-                # Deriving the blacklist on the fly reads the index twice
-                # (blacklist aggregation + candidate join); persist the
-                # postings so the expensive minhash pipeline runs once.
-                # The production path passes a persisted blacklist and
-                # never hits this branch.
-                b = b.persist()
-                hot_buckets = minhash_hot_buckets(
-                    b.select("__band", "__h"), max_bucket_size
-                )
-            b = b.join(F.broadcast(hot_buckets), ["__band", "__h"], "left_anti")
+            # Deriving the blacklist on the fly reads the index twice
+            # (blacklist aggregation + candidate join); persist the
+            # postings so the expensive minhash pipeline runs once. At
+            # most one such cache is kept per process (previous one is
+            # unpersisted — the text.py postings pattern); production
+            # passes a persisted blacklist and never hits this branch.
+            b = b.persist()
+            while _PERSISTED_LOOKUP_POSTINGS:
+                _PERSISTED_LOOKUP_POSTINGS.pop().unpersist()
+            _PERSISTED_LOOKUP_POSTINGS.append(b)
+            derived = minhash_hot_buckets(
+                b.select("__band", "__h"), max_bucket_size
+            )
+            b = b.join(derived, ["__band", "__h"], "left_anti")
     if has_sizes:
         b = b.drop("__m")
     cand = (

@@ -88,33 +88,47 @@ def funnel_summary(
     """Funnel rollup: per stage, how many users reached it and the EXACT
     total lag from the previous stage (``total_lag_us``, summed unix
     micros — integer-exact and order-independent; divide by ``n_users``
-    at the edge for the average). Stage 1's lag is 0 by definition."""
+    at the edge for the average). Stage 1's lag is 0 by definition.
+
+    All stages aggregate in ONE pass over the reach frame (parallel agg
+    expressions, then an explode to rows — the ``profile_table`` shape);
+    a per-stage union of separate ``reach.agg`` calls would re-execute
+    the whole multi-join funnel DAG once per stage."""
     reach = funnel_stages(
         events, stages, user_col, type_col, ts_col, within, filters
     )
-    per_stage = []
-    for k, stage in enumerate(stages, start=1):
+    aggs = []
+    for k in range(1, len(stages) + 1):
         t = F.col(f"t{k}")
-        prev = F.col(f"t{k-1}") if k > 1 else None
-        lag = (
-            F.sum(
-                F.when(
-                    t.isNotNull(),
-                    F.unix_micros(t) - F.unix_micros(prev),
-                ).otherwise(F.lit(0))
+        aggs.append(F.count(t).alias(f"__n{k}"))
+        if k > 1:
+            prev = F.col(f"t{k-1}")
+            aggs.append(
+                F.sum(
+                    F.when(
+                        t.isNotNull(),
+                        F.unix_micros(t) - F.unix_micros(prev),
+                    ).otherwise(F.lit(0))
+                ).alias(f"__lag{k}")
             )
-            if prev is not None
-            else F.lit(0).cast("bigint")
-        )
-        per_stage.append(
-            reach.agg(
+    row = reach.agg(*aggs)
+    per_stage = F.array(
+        *[
+            F.struct(
                 F.lit(k).alias("stage"),
                 F.lit(stage).alias("event_type"),
-                F.count(t).alias("n_users"),
-                lag.alias("total_lag_us"),
+                F.col(f"__n{k}").alias("n_users"),
+                (
+                    F.coalesce(F.col(f"__lag{k}"), F.lit(0)).cast("bigint")
+                    if k > 1
+                    else F.lit(0).cast("bigint")
+                ).alias("total_lag_us"),
             )
-        )
-    out = per_stage[0]
-    for frame in per_stage[1:]:
-        out = out.unionByName(frame)
-    return out.orderBy("stage")
+            for k, stage in enumerate(stages, start=1)
+        ]
+    )
+    return (
+        row.select(F.explode(per_stage).alias("s"))
+        .select("s.*")
+        .orderBy("stage")
+    )

@@ -236,8 +236,15 @@ def decode_images(
         for pdf in batches:
             metas = []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                m = dict(meta) if meta is not None else {}
+                if payload is None:
+                    # NULL payload → NULL dims, independent of row order
+                    m["width"], m["height"] = None, None
+                    metas.append(m)
+                    continue
                 if kernel is None:
-                    if payload is not None and bytes(payload[:2]) == b"BM":
+                    # sniff on the first NON-NULL payload of the partition
+                    if bytes(payload[:2]) == b"BM":
                         kernel = decode_bmp
                     else:
                         raise NotImplementedError(
@@ -246,7 +253,6 @@ def decode_images(
                             "fake=True"
                         )
                 w, h = kernel(payload)
-                m = dict(meta) if meta is not None else {}
                 m["width"], m["height"] = int(w), int(h)
                 metas.append(m)
             pdf = pdf.copy()

@@ -105,10 +105,11 @@ def rolling_stats(
     (key, ts), ``mov_sum`` is an exact integer/decimal sum when the input
     is, and ``mov_avg`` is the single final double division.
 
-    100 TB design: ONE window shuffle on the key — and none at all when
-    the input arrives partitioned by key from :func:`fill_time_gaps`
-    (same partitioning expression, Catalyst reuses the exchange). State
-    per row is the ``window``-row frame, independent of series length.
+    100 TB design: ONE window shuffle on the key (the upstream fill join
+    partitions on (key, slot) — a DIFFERENT expression, so that exchange
+    is not reusable; the window's own key-only shuffle is the real cost
+    and it moves slot-grained rows, never raw facts). State per row is
+    the ``window``-row frame, independent of series length.
     """
     from pyspark.sql import Window
 

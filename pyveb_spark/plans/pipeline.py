@@ -109,4 +109,13 @@ class Pipeline:
             raise
         finally:
             if self.shipper is not None:
-                self.shipper.send_logs()
+                # never let a log-upload failure mask the pipeline's own
+                # outcome (shipping trouble is often correlated with the
+                # failure being reported)
+                try:
+                    self.shipper.send_logs()
+                except Exception:
+                    if log:
+                        log.exception(
+                            "pipeline %s: log shipping failed", self.name
+                        )

@@ -198,6 +198,7 @@ def write_jdbc(
     batch_size: int = 10_000,
     num_partitions: int | None = None,
     truncate: bool = False,
+    shuffle: bool = True,
 ) -> None:
     """Generic JDBC sink — executor-parallel batched INSERTs.
 
@@ -214,15 +215,19 @@ def write_jdbc(
     slow lane at bulk scale. This sink is for operational targets (the
     reference's SQL-Server-style endpoints) and modest volumes.
     """
-    # Capping connections is a *reduction*: coalesce folds partitions
-    # without a shuffle. Only repartition (full shuffle) when the caller
-    # asks for MORE parallelism than the plan already has.
+    # Connection-count capping: repartition (default) pays one shuffle but
+    # keeps the upstream computation at full parallelism; shuffle=False
+    # uses coalesce, which is free of the shuffle but folds the cap INTO
+    # the upstream stage (an aggregation feeding a 4-connection write then
+    # runs on 4 tasks) — choose it only when the plan above is cheap.
+    # (Probing df.rdd.getNumPartitions() to pick automatically is a trap:
+    # it finalizes the AQE plan by EXECUTING the upstream stages, so the
+    # query would run twice.)
     if num_partitions:
-        current = df.rdd.getNumPartitions()
         out = (
-            df.coalesce(num_partitions)
-            if num_partitions <= current
-            else df.repartition(num_partitions)
+            df.repartition(num_partitions)
+            if shuffle
+            else df.coalesce(num_partitions)
         )
     else:
         out = df

@@ -571,3 +571,55 @@ def test_semdedup_flags_higher_id_of_near_identical(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     out = {r.vec_id: r.is_dup for r in semdedup(df, k=1, tau=0.9).collect()}
     assert out == {1: 0, 2: 1, 3: 0}
+
+
+def test_decode_images_null_payload_yields_null_dims(spark):
+    """A NULL payload must decode to NULL dims — not abort the partition,
+    and not depend on whether the NULL sorts first (review fix r4)."""
+    from pyspark.sql import functions as F
+
+    from pyveb_spark.operators.multimodal import decode_images, synth_bmp
+
+    imgs = spark.range(3).select(
+        F.col("id").cast("string").alias("media_id"),
+        F.when(
+            F.col("id") == 0, F.lit(None).cast("binary")
+        ).otherwise(synth_bmp(F.lit(20), F.lit(30))).alias("payload"),
+    ).coalesce(1)  # force the NULL to lead its partition
+    media = media_table(imgs, "media_id", "payload")
+    d = {r.media_id: (r.meta["width"], r.meta["height"])
+         for r in decode_images(media).collect()}
+    assert d["0"] == (None, None)
+    assert d["1"] == (20, 30) and d["2"] == (20, 30)
+
+
+def test_explicit_hot_buckets_blacklist_always_applies(spark):
+    """An explicitly passed blacklist supersedes max_bucket_size=None —
+    the caller built it to protect the job (review fix r4)."""
+    from pyveb_spark.operators.dedup import (
+        minhash_hot_buckets,
+        minhash_lsh_index,
+        minhash_lsh_lookup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100 + i, "cookie banner accept all terms and conditions apply now")
+         for i in range(12)]
+        + [(200, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id int, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1, "cookie banner accept all terms and conditions apply now"),
+         (2, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id int, text string",
+    )
+    index = minhash_lsh_index(corpus, "doc_id", "text")
+    bl = minhash_hot_buckets(index, max_bucket_size=10)
+    got = {
+        (r.doc_id_new, r.doc_id_corpus)
+        for r in minhash_lsh_lookup(
+            batch, index, "doc_id", "text", threshold=0.5,
+            max_bucket_size=None, hot_buckets=bl,
+        ).collect()
+    }
+    assert got == {(2, 200)}  # boilerplate capped by the explicit blacklist
