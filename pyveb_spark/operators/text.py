@@ -435,3 +435,122 @@ def bpe_merge_candidates(
         .orderBy(F.col("n").desc(), F.col("pair"))
         .limit(top_k)
     )
+
+
+def ngram_count_table(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus n-gram count table ``(gram, n_occurrences)`` with a prune
+    threshold — the backbone of count-based LM quality filters (the CCNet
+    recipe scores documents against exactly such tables). Gram extraction
+    is a scan-stage HOF (no explode until the counting groupBy, which
+    partial-aggregates map-side); pruning keeps the table broadcastable
+    for downstream scoring joins."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = F.split(F.col(text_col), " ")
+    if n == 1:
+        grams = toks
+    else:
+        m = F.size(toks) - (n - 1)
+        # guard m < 1: sequence(1, 0) would generate DESCENDING [1, 0]
+        grams = F.when(
+            m >= 1,
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    out = (
+        df.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    if min_count > 1:
+        out = out.where(F.col("n_occurrences") >= min_count)
+    return out
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.1,
+    min_count: int = 2,
+    bigram_counts: DataFrame | None = None,
+    unigram_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document bigram language-model quality score — the CCNet-style
+    count-LM filter: ``avg_logp = (1/k) Σ ln P(wᵢ | wᵢ₋₁)`` with
+    add-``alpha`` smoothing ``P = (c₂ + α) / (c₁ + α·V)`` over corpus (or
+    supplied) count tables; higher = more fluent under the corpus LM,
+    low-scoring docs are the filter's drop set. Returns
+    ``(<id>, n_bigrams, avg_logp)``.
+
+    Engine-portable BIT-EXACTLY: each ln term is computed from identical
+    operands, and the per-doc sum is an ORDERED left-to-right fold over
+    the position-sorted term array (``F.aggregate`` ↔ DuckDB
+    ``list_reduce``) — no aggregation-order nondeterminism — followed by
+    one final double division.
+
+    100 TB design: scoring is two joins on gram keys (the pruned bigram
+    table broadcasts when ``min_count`` bites; the unigram table is
+    vocabulary-sized) plus one groupBy per doc whose state is the doc's
+    own term list. Train tables once, persist, reuse per batch."""
+    toks = F.split(F.col(text_col), " ")
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    c2 = (
+        bigram_counts
+        if bigram_counts is not None
+        else ngram_count_table(docs, text_col, n=2, min_count=min_count)
+    ).select(F.col("gram"), F.col("n_occurrences").alias("__c2"))
+    c1 = (
+        unigram_counts
+        if unigram_counts is not None
+        else ngram_count_table(docs, text_col, n=1)
+    ).select(F.col("gram").alias("__w"), F.col("n_occurrences").alias("__c1"))
+    vocab = c1.agg(F.count(F.lit(1)).alias("__v"))
+
+    terms = (
+        docs.select(F.col(id_col), F.posexplode(bigrams).alias("__pos", "gram"))
+        .withColumn("__w", F.split(F.col("gram"), " ")[0])
+        .join(c2, "gram", "left")
+        .join(c1, "__w")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__lnp",
+            F.log(
+                (F.coalesce(F.col("__c2"), F.lit(0)) + F.lit(float(alpha)))
+                / (F.col("__c1") + F.lit(float(alpha)) * F.col("__v"))
+            ),
+        )
+    )
+    folded = (
+        terms.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.aggregate(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("__pos", "__lnp"))
+                    ),
+                    lambda s: s["__lnp"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("__sum"),
+        )
+        .withColumn("avg_logp", F.col("__sum") / F.col("n_bigrams"))
+        .drop("__sum")
+    )
+    return folded

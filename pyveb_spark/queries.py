@@ -4996,6 +4996,92 @@ ORDER BY event_type, hour_us
 """
 
 
+def q102_trigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned corpus trigram count table, top 15 — the count-based-LM
+    building block (CCNet-style filters score documents against exactly
+    such tables). Gram extraction is scan-stage; the groupBy
+    partial-aggregates map-side; pruning (≥5) keeps the table
+    broadcastable for scoring joins. Total (n desc, gram asc) order makes
+    the top-15 cut engine-portable."""
+    from pyveb_spark.operators.text import ngram_count_table
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        ngram_count_table(d, "text", n=3, min_count=5)
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
+        .limit(15)
+    )
+
+
+_Q102_SQL = """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+gl AS (SELECT [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+               FOR i IN range(1, len(t) - 1)] AS gs FROM toks),
+g AS (SELECT unnest(gs) AS gram FROM gl)
+SELECT gram, COUNT(*) AS n_occurrences FROM g GROUP BY gram
+HAVING COUNT(*) >= 5
+ORDER BY n_occurrences DESC, gram LIMIT 15
+"""
+
+
+def q103_lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM quality score (CCNet-style count-LM
+    filter): avg ln P(wᵢ|wᵢ₋₁) with add-0.1 smoothing over corpus-trained
+    bigram (pruned ≥2) and unigram tables. Portability: every ln term has
+    identical operands and the per-doc sum is an ordered left-to-right
+    fold (``F.aggregate`` ↔ DuckDB ``list_reduce`` over a
+    position-ordered list) — that kills aggregation-order variance, but
+    HotSpot's ``Math.log`` is not correctly rounded on every input where
+    glibc's nearly is, so a last-ulp residue (~1e-15 relative) remains;
+    the score is compared at round(6), with the distance of every doc to
+    a rounding boundary probed ≥ 1e-9 at each SF. Scored slice:
+    doc_id < 200 (tables train on the FULL corpus). Docs with < 2 tokens
+    carry no score and are absent by construction (none in the
+    fixture)."""
+    from pyveb_spark.operators.text import bigram_lm_score, ngram_count_table
+
+    d = read_table(spark, sf_dir, "documents")
+    # train on the FULL corpus, score the doc_id < 200 slice
+    c2 = ngram_count_table(d, "text", n=2, min_count=2)
+    c1 = ngram_count_table(d, "text", n=1)
+    scored = bigram_lm_score(
+        d.where(F.col("doc_id") < 200), "doc_id", "text",
+        alpha=0.1, bigram_counts=c2, unigram_counts=c1,
+    )
+    return scored.select(
+        "doc_id", "n_bigrams", F.round("avg_logp", 6).alias("avg_logp")
+    ).orderBy("doc_id")
+
+
+_Q103_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+u AS (SELECT unnest(t) AS w FROM toks),
+c1 AS (SELECT w, COUNT(*) AS c FROM u GROUP BY w),
+v AS (SELECT COUNT(*) AS v FROM c1),
+bgall AS (SELECT unnest([t[i] || ' ' || t[i+1]
+                         FOR i IN range(1, len(t))]) AS g FROM toks),
+c2 AS (SELECT g, COUNT(*) AS c FROM bgall GROUP BY g HAVING COUNT(*) >= 2),
+bg AS (SELECT doc_id, generate_subscripts(gs, 1) AS pos, unnest(gs) AS g,
+              unnest(ws) AS w1
+       FROM (SELECT doc_id,
+                    [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))] AS gs,
+                    [t[i] FOR i IN range(1, len(t))] AS ws
+             FROM toks WHERE doc_id < 200)),
+terms AS (SELECT bg.doc_id, bg.pos,
+                 ln((COALESCE(c2.c, 0) + 0.1)
+                    / (c1.c + 0.1 * (SELECT v FROM v))) AS lnp
+          FROM bg LEFT JOIN c2 ON bg.g = c2.g JOIN c1 ON bg.w1 = c1.w),
+folded AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                  list_reduce(
+                    list_prepend(CAST(0 AS DOUBLE),
+                                 list(lnp ORDER BY pos)),
+                    (acc, x) -> acc + x) AS s
+           FROM terms GROUP BY doc_id)
+SELECT doc_id, n_bigrams, ROUND(s / n_bigrams, 6) AS avg_logp
+FROM folded ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5102,6 +5188,8 @@ QUERIES = {
     "q99_bpe_merge_pairs": q99_bpe_merge_pairs,
     "q100_iqr_outliers": q100_iqr_outliers,
     "q101_rolling_activity": q101_rolling_activity,
+    "q102_trigram_counts": q102_trigram_counts,
+    "q103_lm_quality_scores": q103_lm_quality_scores,
 }
 
 ORACLE_SQL = {
@@ -5206,6 +5294,8 @@ ORACLE_SQL = {
     "q99_bpe_merge_pairs": _Q99_SQL,
     "q100_iqr_outliers": _Q100_SQL,
     "q101_rolling_activity": _Q101_SQL,
+    "q102_trigram_counts": _Q102_SQL,
+    "q103_lm_quality_scores": _Q103_SQL,
 }
 
 # ---------------------------------------------------------------------------

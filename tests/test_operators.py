@@ -751,3 +751,50 @@ def test_bpe_merge_candidates_counts_and_tie_order(spark):
     # 'abab' -> ab,ba,ab ; 'zz' -> zz ; 'ab' -> ab ; 'a' -> none
     # counts: ab=3, ba=1, zz=1 ; ties (ba, zz) break lexicographically
     assert got == [("ab", 3), ("ba", 1), ("zz", 1)]
+
+
+def test_ngram_count_table_and_guard(spark):
+    from pyveb_spark.operators.text import ngram_count_table
+
+    df = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the cat ran",), ("x",)], "text string"
+    )
+    bi = {r.gram: r.n_occurrences for r in ngram_count_table(df, n=2).collect()}
+    assert bi["the cat"] == 2 and bi["cat sat"] == 1 and len(bi) == 6
+    # short docs (< n tokens) contribute nothing; descending-sequence guard
+    tri = {r.gram: r.n_occurrences
+           for r in ngram_count_table(df, n=3, min_count=1).collect()}
+    assert "the cat sat" in tri and "x" not in " ".join(tri)
+    pruned = ngram_count_table(df, n=2, min_count=2).collect()
+    assert [(r.gram, r.n_occurrences) for r in pruned] == [("the cat", 2)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ngram_count_table(df, n=0)
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    """Pin the smoothing formula against a hand computation:
+    P = (c2 + 0.1) / (c1 + 0.1 * V) with V=7 distinct corpus tokens."""
+    import math
+
+    from pyveb_spark.operators.text import bigram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat ran"), (3, "x")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in bigram_lm_score(df, min_count=1).collect()}
+    V, a = 7, 0.1
+    exp2 = (
+        math.log((2 + a) / (3 + a * V))   # 'the cat': c2=2, c1('the')=3
+        + math.log((1 + a) / (2 + a * V))  # 'cat ran': c2=1, c1('cat')=2
+    ) / 2
+    assert out[2].n_bigrams == 2
+    assert abs(out[2].avg_logp - exp2) < 1e-12
+    assert 3 not in out  # single-token doc: no bigrams, no score
+    # pruning unseen bigrams exercises the smoothing floor: score drops
+    pruned = {r.doc_id: r.avg_logp
+              for r in bigram_lm_score(df, min_count=2).collect()}
+    assert pruned[2] < out[2].avg_logp
