@@ -26,6 +26,7 @@ __all__ = [
     "column_histogram",
     "zscore_outliers",
     "iqr_outliers",
+    "key_skew_profile",
 ]
 
 
@@ -249,3 +250,57 @@ def iqr_outliers(
         .withColumn("fence_hi", hi)
         .drop("__q1", "__q3")
     )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    keys: Sequence[str],
+    percentiles: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """One-row skew diagnostic for a prospective shuffle/join key: key
+    cardinality, row count, max and discrete-percentile per-key counts,
+    and the Gini coefficient of the count distribution — the numbers that
+    say "salt this join" or "cap that bucket" BEFORE the job falls over.
+    Returns ``(n_keys, n_rows, max_n, p50_n, p90_n, p99_n, gini)``.
+
+    Engine-portable: percentiles are DISCRETE order statistics over the
+    totally-ordered (count, keys...) sort; the Gini numerator
+    ``Σ rank·count`` is an EXACT integer sum, with one fixed-order double
+    expression at the end (``2·Σ/(n·S) − (n+1)/n``).
+
+    100 TB design: the groupBy shuffles (key, partial count) rows only;
+    the global rank then sorts the COUNTS TABLE, which is key-cardinality
+    sized, not row sized — cheap for any key worth joining on (≤ tens of
+    millions). For monster cardinalities sample keys or swap the rank
+    pass for approx_percentile and skip gini; the alert thresholds don't
+    need 3 significant digits."""
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__c"))
+    order = [F.col("__c").asc(), *[F.col(k).asc() for k in keys]]
+    ranked = counts.select(
+        "__c",
+        F.row_number().over(Window.partitionBy().orderBy(*order)).alias("__i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("__n"),
+    )
+    pct_aggs = [
+        F.min(
+            F.when(
+                F.col("__i") == F.ceil(F.lit(float(p)) * F.col("__n")),
+                F.col("__c"),
+            )
+        ).alias(f"p{int(p * 100)}_n")
+        for p in percentiles
+    ]
+    row = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("__c").alias("n_rows"),
+        F.max("__c").alias("max_n"),
+        *pct_aggs,
+        F.sum(F.col("__i") * F.col("__c")).alias("__ic"),
+    )
+    n = F.col("n_keys")
+    s = F.col("n_rows")
+    gini = (F.lit(2.0) * F.col("__ic")) / (n * s) - (n + F.lit(1.0)) / n
+    return row.withColumn("gini", gini).drop("__ic")

@@ -5082,6 +5082,38 @@ FROM folded ORDER BY doc_id
 """
 
 
+def q104_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic for the lineitem→supplier join key: per-key count
+    distribution of ``l_suppkey`` (cardinality, max, discrete p50/p90/p99,
+    Gini) — the pre-flight numbers that decide between a plain shuffle
+    join, salting, or a bucket cap. Exact integer sums end-to-end; gini
+    is one fixed-order double expression."""
+    from pyveb_spark.operators.profile import key_skew_profile
+
+    l = read_table(spark, sf_dir, "lineitem")
+    return key_skew_profile(l.select("l_suppkey"), ["l_suppkey"])
+
+
+_Q104_SQL = """
+WITH counts AS (SELECT l_suppkey, COUNT(*) AS c FROM lineitem GROUP BY l_suppkey),
+ranked AS (SELECT c,
+                  ROW_NUMBER() OVER (ORDER BY c, l_suppkey) AS i,
+                  COUNT(*) OVER () AS n
+           FROM counts),
+agg AS (SELECT COUNT(*) AS n_keys,
+               SUM(c)::BIGINT AS n_rows,
+               MAX(c) AS max_n,
+               MIN(CASE WHEN i = CEIL(0.5 * n) THEN c END) AS p50_n,
+               MIN(CASE WHEN i = CEIL(0.9 * n) THEN c END) AS p90_n,
+               MIN(CASE WHEN i = CEIL(0.99 * n) THEN c END) AS p99_n,
+               SUM(i * c)::BIGINT AS ic
+        FROM ranked)
+SELECT n_keys, n_rows, max_n, p50_n, p90_n, p99_n,
+       (2.0 * ic) / (n_keys * n_rows) - (n_keys + 1.0) / n_keys AS gini
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5190,6 +5222,7 @@ QUERIES = {
     "q101_rolling_activity": q101_rolling_activity,
     "q102_trigram_counts": q102_trigram_counts,
     "q103_lm_quality_scores": q103_lm_quality_scores,
+    "q104_join_key_skew": q104_join_key_skew,
 }
 
 ORACLE_SQL = {
@@ -5296,6 +5329,7 @@ ORACLE_SQL = {
     "q101_rolling_activity": _Q101_SQL,
     "q102_trigram_counts": _Q102_SQL,
     "q103_lm_quality_scores": _Q103_SQL,
+    "q104_join_key_skew": _Q104_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -798,3 +798,21 @@ def test_bigram_lm_score_hand_computed(spark):
     pruned = {r.doc_id: r.avg_logp
               for r in bigram_lm_score(df, min_count=2).collect()}
     assert pruned[2] < out[2].avg_logp
+
+
+def test_key_skew_profile_known_distribution(spark):
+    from pyveb_spark.operators.profile import key_skew_profile
+
+    # keys a..d with counts 1, 1, 2, 6 -> n_keys=4, n_rows=10, max=6
+    rows = [("a",)] + [("b",)] + [("c",)] * 2 + [("d",)] * 6
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_profile(df, ["k"]).first()
+    assert (r.n_keys, r.n_rows, r.max_n) == (4, 10, 6)
+    # sorted counts [1,1,2,6]; p50 at rank ceil(2)=2 -> 1, p90/p99 at rank 4 -> 6
+    assert (r.p50_n, r.p90_n, r.p99_n) == (1, 6, 6)
+    # gini = 2*(1*1+2*1+3*2+4*6)/(4*10) - 5/4 = 2*33/40 - 1.25 = 0.4
+    assert abs(r.gini - 0.4) < 1e-12
+
+    # uniform distribution -> gini near 0
+    uni = spark.createDataFrame([(str(i),) for i in range(10)] * 3, "k string")
+    assert abs(key_skew_profile(uni, ["k"]).first().gini) < 1e-12
