@@ -27,6 +27,8 @@ __all__ = [
     "zscore_outliers",
     "iqr_outliers",
     "key_skew_profile",
+    "quantile_bins",
+    "pairwise_correlations",
 ]
 
 
@@ -304,3 +306,81 @@ def key_skew_profile(
     s = F.col("n_rows")
     gini = (F.lit(2.0) * F.col("__ic")) / (n * s) - (n + F.lit(1.0)) / n
     return row.withColumn("gini", gini).drop("__ic")
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Equal-frequency (quantile) binning: assign each row its
+    ``1..n_bins`` bucket by rank over the totally-ordered
+    ``(value, tiebreaks...)`` sort — the feature-discretization primitive
+    (decile scoring, equal-population histograms, monotonic binning for
+    calibration). ``ntile`` semantics are identical across engines on a
+    total order (even split, remainder to the leading buckets), so the
+    assignment is engine-portable.
+
+    100 TB design: one global sort — the honest cost of exact
+    equal-frequency bins (same bound as any exact quantile); for
+    approximate bins at extreme scale, bucket by `approx_percentile`
+    edges with :func:`column_histogram`-style scan expressions instead.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(value_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]]
+    w = Window.partitionBy().orderBy(*order)
+    return df.where(F.col(value_col).isNotNull()).withColumn(
+        "bin", F.ntile(n_bins).over(w)
+    )
+
+
+def pairwise_correlations(
+    df: DataFrame,
+    cols: Sequence[str],
+    precision: str = "decimal(18,2)",
+) -> DataFrame:
+    """Pearson correlation matrix over numeric columns in ONE aggregation
+    pass: every moment (n, Σx, Σx², Σxy per pair) is an EXACT decimal sum
+    — order-independent, so hash-aggregation layout can't perturb them —
+    and each correlation derives in one fixed-order double expression
+    ``(nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²) · √(nΣy²−(Σy)²))``. Returns the
+    upper triangle as ``(col_a, col_b, corr)`` rows.
+
+    100 TB design: a single scan with map-side partial moments —
+    O(k²) agg expressions for k columns, zero extra shuffles. Decimal
+    sums bound the row count (Σxy at decimal(38,4) overflows ~1e33);
+    beyond that, drop precision or pre-aggregate per partition.
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    d = {c: F.col(c).cast(precision) for c in cols}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(d[c]).cast("double").alias(f"__s_{c}"))
+        aggs.append(F.sum(d[c] * d[c]).cast("double").alias(f"__q_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        aggs.append(F.sum(d[a] * d[b]).cast("double").alias(f"__p_{a}_{b}"))
+    row = df.agg(*aggs)
+    n = F.col("__n").cast("double")
+
+    def corr(a, b):
+        num = n * F.col(f"__p_{a}_{b}") - F.col(f"__s_{a}") * F.col(f"__s_{b}")
+        va = n * F.col(f"__q_{a}") - F.col(f"__s_{a}") * F.col(f"__s_{a}")
+        vb = n * F.col(f"__q_{b}") - F.col(f"__s_{b}") * F.col(f"__s_{b}")
+        return num / (F.sqrt(va) * F.sqrt(vb))
+
+    out = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                corr(a, b).alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return row.select(F.explode(out).alias("r")).select("r.*")

@@ -5114,6 +5114,103 @@ FROM agg
 """
 
 
+def q105_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile binning of ``l_extendedprice`` (total order
+    with (orderkey, linenumber) tiebreak) rolled up to per-decile stats —
+    the feature-discretization primitive. ``ntile`` splits identically on
+    both engines given a total order (even split, remainder to leading
+    buckets), so bucket membership is engine-portable."""
+    from pyveb_spark.operators.profile import quantile_bins
+
+    l = read_table(spark, sf_dir, "lineitem")
+    binned = quantile_bins(
+        l.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        "l_extendedprice",
+        n_bins=10,
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+            F.sum(_dec("l_extendedprice", 18, 2)).cast("double").alias("total"),
+        )
+        .orderBy("bin")
+    )
+
+
+_Q105_SQL = """
+WITH binned AS (
+  SELECT l_extendedprice,
+         NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS bin
+  FROM lineitem)
+SELECT bin, COUNT(*) AS n,
+       MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
+def q106_measure_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix of the four lineitem measures in ONE
+    aggregation pass (exact decimal moments — order-independent — then a
+    single fixed-order double formula per pair; see
+    ``profile.pairwise_correlations``). The profiling companion to q92:
+    which measures move together decides feature pruning and stratifier
+    choice."""
+    from pyveb_spark.operators.profile import pairwise_correlations
+
+    l = read_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return (
+        pairwise_correlations(l, cols)
+        .select("col_a", "col_b", F.round("corr", 6).alias("corr"))
+        .orderBy("col_a", "col_b")
+    )
+
+
+_Q106_SQL = """
+WITH m AS (
+  SELECT COUNT(*) AS n,
+         {sums}
+  FROM lineitem)
+SELECT col_a, col_b,
+       ROUND((n * p - sa * sb)
+             / (sqrt(n * qa - sa * sa) * sqrt(n * qb - sb * sb)), 6) AS corr
+FROM (
+  {pairs}
+)
+ORDER BY col_a, col_b
+"""
+
+
+def _q106_sql() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    sums = ",\n         ".join(
+        f"CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS s_{c},\n"
+        f"         CAST(SUM(CAST({c} AS DECIMAL(18,2))"
+        f" * CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS q_{c}"
+        for c in cols
+    )
+    xsums = ",\n         ".join(
+        f"CAST(SUM(CAST({a} AS DECIMAL(18,2))"
+        f" * CAST({b} AS DECIMAL(18,2))) AS DOUBLE) AS p_{a}_{b}"
+        for i, a in enumerate(cols)
+        for b in cols[i + 1:]
+    )
+    pairs = "\n  UNION ALL\n  ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, n,"
+        f" s_{a} AS sa, s_{b} AS sb, q_{a} AS qa, q_{b} AS qb,"
+        f" p_{a}_{b} AS p FROM m"
+        for i, a in enumerate(cols)
+        for b in cols[i + 1:]
+    )
+    return _Q106_SQL.format(sums=sums + ",\n         " + xsums, pairs=pairs)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5223,6 +5320,8 @@ QUERIES = {
     "q102_trigram_counts": q102_trigram_counts,
     "q103_lm_quality_scores": q103_lm_quality_scores,
     "q104_join_key_skew": q104_join_key_skew,
+    "q105_price_deciles": q105_price_deciles,
+    "q106_measure_correlations": q106_measure_correlations,
 }
 
 ORACLE_SQL = {
@@ -5330,6 +5429,8 @@ ORACLE_SQL = {
     "q102_trigram_counts": _Q102_SQL,
     "q103_lm_quality_scores": _Q103_SQL,
     "q104_join_key_skew": _Q104_SQL,
+    "q105_price_deciles": _Q105_SQL,
+    "q106_measure_correlations": _q106_sql(),
 }
 
 # ---------------------------------------------------------------------------

@@ -816,3 +816,34 @@ def test_key_skew_profile_known_distribution(spark):
     # uniform distribution -> gini near 0
     uni = spark.createDataFrame([(str(i),) for i in range(10)] * 3, "k string")
     assert abs(key_skew_profile(uni, ["k"]).first().gini) < 1e-12
+
+
+def test_quantile_bins_even_split_and_nulls(spark):
+    from pyveb_spark.operators.profile import quantile_bins
+
+    rows = [(i, float(i)) for i in range(10)] + [(99, None)]
+    df = spark.createDataFrame(rows, "id int, v double")
+    out = quantile_bins(df, "v", n_bins=5, tiebreak_cols=["id"]).collect()
+    bins = {r.id: r.bin for r in out}
+    assert 99 not in bins  # NULLs excluded, not bucketed
+    # 10 values into 5 bins -> 2 each, in value order
+    assert [bins[i] for i in range(10)] == [1, 1, 2, 2, 3, 3, 4, 4, 5, 5]
+
+
+def test_pairwise_correlations_known_values(spark):
+    from pyveb_spark.operators.profile import pairwise_correlations
+
+    # y = 2x (corr 1), z anti-correlated with x (corr -1), w uncorrelated
+    rows = [(1.0, 2.0, 3.0, 1.0), (2.0, 4.0, 2.0, 1.0),
+            (3.0, 6.0, 1.0, 1.0), (4.0, 8.0, 0.0, 1.0)]
+    df = spark.createDataFrame(rows, "x double, y double, z double, w double")
+    got = {(r.col_a, r.col_b): r.corr
+           for r in pairwise_correlations(df, ["x", "y", "z"]).collect()}
+    assert abs(got[("x", "y")] - 1.0) < 1e-12
+    assert abs(got[("x", "z")] + 1.0) < 1e-12
+    assert abs(got[("y", "z")] + 1.0) < 1e-12
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pairwise_correlations(df, ["x"])
