@@ -21,6 +21,7 @@ __all__ = [
     "range_join",
     "fuzzy_top1_join",
     "salted_join",
+    "join_size_estimate",
 ]
 
 
@@ -238,4 +239,42 @@ def fuzzy_top1_join(
         scored.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") == 1)
         .drop("__rk", "__rid")
+    )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    keys,
+) -> DataFrame:
+    """EXACT inner-equi-join output size without running the join:
+    ``|A ⋈ B| = Σ_k c_A(k)·c_B(k)`` over the two per-key count tables.
+    Returns one row ``(left_rows, right_rows, n_join_keys, est_rows)`` —
+    the pre-flight check that catches a fan-out join (est_rows ≫
+    max(left, right)) BEFORE it materializes 10¹² rows. Pair with
+    ``profile.key_skew_profile`` to decide salting.
+
+    100 TB design: two (key, partial count) groupBys and a count-table
+    join — shuffle volume is key-cardinality-sized on both sides, never
+    the fact rows. The estimate is exact for inner equi-joins; for outer
+    joins add the unmatched side counts."""
+    from pyspark.sql import functions as F
+
+    keys = list(keys) if not isinstance(keys, str) else [keys]
+    ca = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("__ca"))
+    cb = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("__cb"))
+    matched = ca.join(cb, keys)
+    est = matched.agg(
+        F.count(F.lit(1)).alias("n_join_keys"),
+        F.sum(F.col("__ca") * F.col("__cb")).alias("est_rows"),
+    )
+    lr = left.agg(F.count(F.lit(1)).alias("left_rows"))
+    rr = right.agg(F.count(F.lit(1)).alias("right_rows"))
+    return (
+        lr.crossJoin(rr)
+        .crossJoin(est)
+        .select(
+            "left_rows", "right_rows", "n_join_keys",
+            F.coalesce(F.col("est_rows"), F.lit(0)).alias("est_rows"),
+        )
     )

@@ -554,3 +554,64 @@ def bigram_lm_score(
         .drop("__sum")
     )
     return folded
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the RAG /
+    context-window ingestion primitive: one row per chunk with
+    ``(chunk_no, tok_start, n_tokens, chunk_text)``, stride =
+    ``chunk_tokens - overlap``. The final chunk is the remainder (shorter
+    than ``chunk_tokens``) unless a full-size chunk already covers the
+    tail exactly; empty docs yield no chunks.
+
+    100 TB design: chunk boundaries are a scan-stage ``sequence`` over
+    token offsets and each chunk is a ``slice`` of the token array — no
+    shuffle at all until whatever consumes the chunks aggregates them.
+    Output rows ≈ corpus tokens / stride; pick stride ≥ chunk/2 to bound
+    the duplication factor at 2×."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    # split("", " ") yields [""] (size 1) — treat empty text as 0 tokens
+    n = F.when(F.length(F.col(text_col)) == 0, F.lit(0)).otherwise(
+        F.size(toks)
+    )
+    # starts: 1, 1+stride, ... while start <= max(n - overlap, 1) — the
+    # last window begins before the un-covered tail, remainder included
+    n_chunks = F.when(
+        n <= 0, F.lit(0)
+    ).otherwise(
+        F.floor((F.greatest(n - F.lit(overlap + 1), F.lit(0)))
+                / F.lit(stride)).cast("int") + 1
+    )
+    starts = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: i * stride + 1,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = df.select(
+        F.col(id_col),
+        n.alias("__n"),
+        F.posexplode(starts).alias("chunk_no", "tok_start"),
+        toks.alias("__t"),
+    )
+    chunk = F.slice(
+        F.col("__t"), F.col("tok_start"),
+        F.least(F.lit(chunk_tokens), F.col("__n") - F.col("tok_start") + 1),
+    )
+    return exploded.select(
+        F.col(id_col),
+        "chunk_no",
+        "tok_start",
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

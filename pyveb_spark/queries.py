@@ -5211,6 +5211,77 @@ def _q106_sql() -> str:
     return _Q106_SQL.format(sums=sums + ",\n         " + xsums, pairs=pairs)
 
 
+def q107_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping token-window chunking (32-token chunks,
+    8-token overlap) of the doc_id < 50 slice: one row per chunk with
+    offsets and text. Boundaries are scan-stage ``sequence``/``slice``
+    expressions — zero shuffles until a consumer aggregates; the oracle
+    replays the stride arithmetic and slicing with DuckDB list
+    comprehensions."""
+    from pyveb_spark.operators.text import chunk_documents
+
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return chunk_documents(
+        d, "doc_id", "text", chunk_tokens=32, overlap=8
+    ).orderBy("doc_id", "chunk_no")
+
+
+_Q107_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t,
+                     CASE WHEN length(text) = 0 THEN 0
+                          ELSE len(string_split(text, ' ')) END AS n
+              FROM documents WHERE doc_id < 50),
+nc AS (SELECT doc_id, t, n,
+              CASE WHEN n <= 0 THEN 0
+                   ELSE CAST(FLOOR(GREATEST(n - 9, 0) / 24) AS INT) + 1
+              END AS n_chunks
+       FROM toks),
+chunks AS (SELECT doc_id, t, n,
+                  unnest(range(0, n_chunks)) AS chunk_no
+           FROM nc),
+sliced AS (SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+                  CAST(chunk_no * 24 + 1 AS INT) AS tok_start,
+                  t[(chunk_no * 24 + 1):
+                    (chunk_no * 24 + LEAST(32, n - chunk_no * 24))] AS ct
+           FROM chunks)
+SELECT doc_id, chunk_no, tok_start,
+       CAST(len(ct) AS INT) AS n_tokens,
+       array_to_string(ct, ' ') AS chunk_text
+FROM sliced
+ORDER BY doc_id, chunk_no
+"""
+
+
+def q108_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join sizing: the EXACT output cardinality of
+    lineitem ⋈ orders on orderkey from the two per-key count tables —
+    no fact-row join materializes (Σ c_A(k)·c_B(k)). With q104's skew
+    profile, these are the two numbers that size every shuffle join
+    before it runs."""
+    from pyveb_spark.operators.joins import join_size_estimate
+
+    l = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey")
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey")
+    )
+    return join_size_estimate(l, o, ["okey"])
+
+
+_Q108_SQL = """
+WITH ca AS (SELECT l_orderkey AS okey, COUNT(*) AS ca FROM lineitem GROUP BY 1),
+cb AS (SELECT o_orderkey AS okey, COUNT(*) AS cb FROM orders GROUP BY 1),
+m AS (SELECT COUNT(*) AS n_join_keys,
+             COALESCE(SUM(ca * cb), 0)::BIGINT AS est_rows
+      FROM ca JOIN cb USING (okey))
+SELECT (SELECT COUNT(*) FROM lineitem) AS left_rows,
+       (SELECT COUNT(*) FROM orders) AS right_rows,
+       n_join_keys, est_rows
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5322,6 +5393,8 @@ QUERIES = {
     "q104_join_key_skew": q104_join_key_skew,
     "q105_price_deciles": q105_price_deciles,
     "q106_measure_correlations": q106_measure_correlations,
+    "q107_document_chunks": q107_document_chunks,
+    "q108_join_size_estimate": q108_join_size_estimate,
 }
 
 ORACLE_SQL = {
@@ -5431,6 +5504,8 @@ ORACLE_SQL = {
     "q104_join_key_skew": _Q104_SQL,
     "q105_price_deciles": _Q105_SQL,
     "q106_measure_correlations": _q106_sql(),
+    "q107_document_chunks": _Q107_SQL,
+    "q108_join_size_estimate": _Q108_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -847,3 +847,44 @@ def test_pairwise_correlations_known_values(spark):
 
     with _pytest.raises(ValueError):
         pairwise_correlations(df, ["x"])
+
+
+def test_chunk_documents_stride_and_edges(spark):
+    from pyveb_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(1, 11))), (2, "a b c"), (3, "")],
+        "doc_id int, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=4, overlap=2).orderBy(
+        "doc_id", "chunk_no"
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.tok_start, r.n_tokens, r.chunk_text))
+    # 10 tokens, chunk 4, stride 2 -> starts 1,3,5,7; full coverage w/ overlap
+    assert by_doc[1] == [
+        (1, 4, "w1 w2 w3 w4"), (3, 4, "w3 w4 w5 w6"),
+        (5, 4, "w5 w6 w7 w8"), (7, 4, "w7 w8 w9 w10"),
+    ]
+    assert by_doc[2] == [(1, 3, "a b c")]  # short doc: one remainder chunk
+    assert 3 not in by_doc  # empty doc: no chunks
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_join_size_estimate_exact(spark):
+    from pyveb_spark.operators.joins import join_size_estimate
+
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,)], "k int")
+    b = spark.createDataFrame([(1,), (2,), (2,), (9,)], "k int")
+    r = join_size_estimate(a, b, ["k"]).first()
+    # matches: k=1 -> 2*1, k=2 -> 1*2; k=3/k=9 unmatched
+    assert (r.left_rows, r.right_rows, r.n_join_keys, r.est_rows) == (4, 4, 2, 4)
+    assert a.join(b, "k").count() == r.est_rows  # estimate is EXACT
+    # disjoint keys -> 0, not NULL
+    c = spark.createDataFrame([(7,)], "k int")
+    assert join_size_estimate(a, c, ["k"]).first().est_rows == 0
