@@ -5282,6 +5282,77 @@ FROM m
 """
 
 
+def q109_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bidirected customer↔supplier trade graph (edges
+    from distinct (o_custkey, l_suppkey) pairs of high-value orders,
+    o_totalprice > 150000, both directions so no node dangles), 3
+    iterations, d=0.85, top 20 nodes. Each iteration is one edge⋈rank
+    join + one aggregation (``operators/graph.py``); the oracle unrolls
+    all three iterations as CTEs (the q57 treatment). Ranks compared at
+    round(6) — contribution sums are order-dependent doubles (~1e-16 per
+    term); the (rank, node) order is made total by the node tiebreak."""
+    from pyveb_spark.operators.graph import pagerank
+
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 150000
+    )
+    l = read_table(spark, sf_dir, "lineitem")
+    cs = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = cs.unionByName(
+        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(edges, iters=3, damping=0.85)
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(20)
+    )
+
+
+_Q109_SQL = """
+WITH cs AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_totalprice > 150000),
+edges AS (SELECT src, dst FROM cs UNION ALL SELECT dst, src FROM cs),
+nodes AS (SELECT DISTINCT node FROM
+            (SELECT src AS node FROM edges
+             UNION ALL SELECT dst FROM edges)),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+i1 AS (SELECT e.dst AS node, SUM(r.rank / d.deg) AS s
+       FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.node
+       GROUP BY e.dst),
+r1 AS (SELECT nodes.node,
+              0.15 / (SELECT n FROM nn)
+              + 0.85 * COALESCE(i1.s, 0.0) AS rank
+       FROM nodes LEFT JOIN i1 ON nodes.node = i1.node),
+i2 AS (SELECT e.dst AS node, SUM(r.rank / d.deg) AS s
+       FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.node
+       GROUP BY e.dst),
+r2 AS (SELECT nodes.node,
+              0.15 / (SELECT n FROM nn)
+              + 0.85 * COALESCE(i2.s, 0.0) AS rank
+       FROM nodes LEFT JOIN i2 ON nodes.node = i2.node),
+i3 AS (SELECT e.dst AS node, SUM(r.rank / d.deg) AS s
+       FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.node
+       GROUP BY e.dst),
+r3 AS (SELECT nodes.node,
+              0.15 / (SELECT n FROM nn)
+              + 0.85 * COALESCE(i3.s, 0.0) AS rank
+       FROM nodes LEFT JOIN i3 ON nodes.node = i3.node)
+SELECT node, ROUND(rank, 6) AS rank
+FROM r3 ORDER BY rank DESC, node LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5395,6 +5466,7 @@ QUERIES = {
     "q106_measure_correlations": q106_measure_correlations,
     "q107_document_chunks": q107_document_chunks,
     "q108_join_size_estimate": q108_join_size_estimate,
+    "q109_trade_pagerank": q109_trade_pagerank,
 }
 
 ORACLE_SQL = {
@@ -5506,6 +5578,7 @@ ORACLE_SQL = {
     "q106_measure_correlations": _q106_sql(),
     "q107_document_chunks": _Q107_SQL,
     "q108_join_size_estimate": _Q108_SQL,
+    "q109_trade_pagerank": _Q109_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -888,3 +888,22 @@ def test_join_size_estimate_exact(spark):
     # disjoint keys -> 0, not NULL
     c = spark.createDataFrame([(7,)], "k int")
     assert join_size_estimate(a, c, ["k"]).first().est_rows == 0
+
+
+def test_pagerank_known_graphs(spark):
+    from pyveb_spark.operators.graph import pagerank
+
+    # symmetric 2-cycle: stationary at 0.5/0.5, invariant under iteration
+    cyc = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    r = {x.node: x.rank for x in pagerank(cyc, iters=4).collect()}
+    assert abs(r["a"] - 0.5) < 1e-12 and abs(r["b"] - 0.5) < 1e-12
+
+    # chain with a dangling tail: hand-computed single iteration
+    chain = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    r1 = {x.node: x.rank for x in pagerank(chain, iters=1).collect()}
+    third = 1.0 / 3.0
+    assert abs(r1["a"] - 0.05) < 1e-12                 # no in-edges: base only
+    assert abs(r1["b"] - (0.05 + 0.85 * third)) < 1e-12
+    assert abs(r1["c"] - (0.05 + 0.85 * third)) < 1e-12
+    # dangling mass dropped -> total rank < 1 (documented simplification)
+    assert sum(r1.values()) < 1.0
