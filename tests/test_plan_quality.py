@@ -314,3 +314,30 @@ def test_q89_exact_substring_plan_two_shuffles_no_join(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2
     for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
         assert join not in plan
+
+
+def test_q99_bpe_single_pair_shuffle(spark, sf_dir):
+    """BPE pair counting must shuffle ONLY (pair, partial count) rows:
+    exactly one exchange, keyed on pair — extraction stays scan-stage."""
+    plan = _executed_plan(QUERIES["q99_bpe_merge_pairs"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "Exchange hashpartitioning(pair" in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_q107_chunking_is_shuffle_free(spark, sf_dir):
+    """Chunk generation is pure scan-stage sequence/slice arithmetic —
+    the ONLY exchange in the plan is the final presentation sort."""
+    plan = _executed_plan(QUERIES["q107_document_chunks"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "Exchange rangepartitioning" in plan
+    assert "Join" not in plan
+
+
+def test_q104_skew_profile_shuffles_counts_only(spark, sf_dir):
+    """The skew diagnostic shuffles the (key, partial count) table and a
+    SinglePartition rank pass over it — never raw fact rows twice."""
+    plan = _executed_plan(QUERIES["q104_join_key_skew"](spark, sf_dir))
+    assert "Exchange hashpartitioning(l_suppkey" in plan
+    assert "Exchange SinglePartition" in plan
+    assert "partial_count" in plan
