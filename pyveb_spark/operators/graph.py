@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_counts"]
 
 
 def pagerank(
@@ -78,3 +78,79 @@ def pagerank(
             )
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph given as an edge
+    list (either or both directions, duplicates and self-loops tolerated).
+    Returns ``(node, triangles)`` for every node that closes at least one
+    triangle. The global count is ``Σ triangles / 3``.
+
+    Degree-ordered node-iterator (Schank & Wagner 2005; the MapReduce
+    formulation is Suri & Vassilvitskii, WWW 2011): canonicalize each edge
+    to ``a < b``, then orient every edge from its LOWER-(degree, id)
+    endpoint to the higher one. Wedges are enumerated by self-joining the
+    oriented list on the pivot — because every node's oriented out-degree
+    is O(√m) regardless of its real degree, the wedge fan-out of hub
+    nodes collapses from deg² to m, which is what makes this survive
+    power-law graphs at 100 TB. Each candidate wedge is closed by one
+    hash join against the canonical edge set.
+
+    Shuffle shape: one groupBy for degrees, two joins to attach them,
+    the wedge self-join keyed on the pivot node, and the closing join
+    keyed on the (min, max) node pair — all key-partitioned, no
+    cartesian, nothing driver-side.
+    """
+    a, b = F.col(src), F.col(dst)
+    canon = (
+        edges.where(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionByName(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    with_deg = (
+        canon.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("__deg", "__da")
+        .join(deg.withColumnRenamed("node", "b"), "b")
+        .withColumnRenamed("__deg", "__db")
+    )
+    lo_first = F.struct(F.col("__da"), F.col("a")) < F.struct(
+        F.col("__db"), F.col("b")
+    )
+    oriented = with_deg.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")),
+    ).select(
+        F.col("e1.u").alias("pivot"),
+        F.col("e1.v").alias("x"),
+        F.col("e2.v").alias("y"),
+    )
+    tri = wedges.join(
+        canon,
+        (F.least(F.col("x"), F.col("y")) == F.col("a"))
+        & (F.greatest(F.col("x"), F.col("y")) == F.col("b")),
+    ).select("pivot", "x", "y")
+    return (
+        tri.select(
+            F.explode(F.array(F.col("pivot"), F.col("x"), F.col("y"))).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )

@@ -29,6 +29,7 @@ __all__ = [
     "key_skew_profile",
     "quantile_bins",
     "pairwise_correlations",
+    "binary_auc",
 ]
 
 
@@ -384,3 +385,66 @@ def pairwise_correlations(
         ]
     )
     return row.select(F.explode(out).alias("r")).select("r.*")
+
+
+def binary_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """ROC-AUC of a score against a binary label, optionally per group —
+    the evaluation primitive for every admission-pipeline classifier
+    (quality scorer q27/q103, hashed linear model q61, language-id q85):
+    before a threshold goes into the pipeline, this says whether the
+    score RANKS good above bad at all. ``label_col`` may be a column name
+    or a boolean Column expression. Returns
+    ``(group_cols..., n_pos, n_neg, auc)``.
+
+    Computed by the tie-corrected Mann-Whitney U identity on the SCORE
+    HISTOGRAM, not on ranked rows: aggregate (pos, neg) counts per
+    distinct score, order by score, then
+    ``AUC = Σ_s [pos_s · cum_neg_<s + pos_s·neg_s/2] / (P·N)``.
+    Integer counts make the numerator exact in every engine; the single
+    final division is the only float op.
+
+    100 TB design: one groupBy on (group, score) with map-side partials,
+    then a window over the DISTINCT-SCORE table — which is histogram
+    sized, not row sized. Row-rank formulations sort the full fact table;
+    this sorts only the per-group score dictionary. For continuous scores
+    at extreme cardinality, quantize the score first (e.g. round to 1e-4
+    — AUC over 10k bins is within ±1e-4 of exact).
+    """
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    pos = F.when(lab.cast("boolean"), 1).otherwise(0)
+    hist = df.groupBy(*groups, F.col(score_col).alias("__s")).agg(
+        F.sum(pos).alias("__pos"),
+        F.sum(1 - pos).alias("__neg"),
+    )
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = hist.select(
+        *groups,
+        "__pos",
+        "__neg",
+        (
+            F.col("__pos") * F.coalesce(F.sum("__neg").over(w), F.lit(0))
+        ).alias("__below"),
+        (F.col("__pos") * F.col("__neg")).alias("__tie"),
+    )
+    agg = contrib.groupBy(*groups).agg(
+        F.sum("__pos").alias("n_pos"),
+        F.sum("__neg").alias("n_neg"),
+        F.sum("__below").alias("__b"),
+        F.sum("__tie").alias("__t"),
+    )
+    auc = (
+        F.col("__b").cast("double") + F.col("__t").cast("double") / 2
+    ) / (F.col("n_pos") * F.col("n_neg")).cast("double")
+    return agg.select(*groups, "n_pos", "n_neg", auc.alias("auc"))

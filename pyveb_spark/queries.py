@@ -5353,6 +5353,101 @@ FROM r3 ORDER BY rank DESC, node LIMIT 20
 """
 
 
+def q110_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts over the part co-purchase graph (edges = part pairs
+    sharing an URGENT order): the community-density primitive behind
+    co-occurrence clustering and link-spam screens. Edges come from a
+    bounded per-order pair fan-out (≤ lines²/order) + distinct; counting
+    is the degree-ordered node-iterator in ``operators/graph.py`` —
+    oriented out-degree is O(√m), so hub wedges can't explode. Top 20
+    nodes by (triangles, partkey) total order."""
+    from pyveb_spark.operators.graph import triangle_counts
+
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    l = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = l.select(
+        F.col("l_orderkey").alias("okey2"), F.col("l_partkey").alias("pkey2")
+    )
+    edges = (
+        l.join(o.select("o_orderkey"), l["l_orderkey"] == F.col("o_orderkey"))
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("okey2"))
+            & (F.col("l_partkey") < F.col("pkey2")),
+        )
+        .select(F.col("l_partkey").alias("src"), F.col("pkey2").alias("dst"))
+        .distinct()
+    )
+    return (
+        triangle_counts(edges)
+        .orderBy(F.col("triangles").desc(), F.col("node"))
+        .limit(20)
+    )
+
+
+_Q110_SQL = """
+WITH u AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+e AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1
+      JOIN u ON l1.l_orderkey = u.o_orderkey
+      JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT node, COUNT(*) AS triangles
+FROM (SELECT x AS node FROM t
+      UNION ALL SELECT y FROM t
+      UNION ALL SELECT z FROM t)
+GROUP BY node
+ORDER BY triangles DESC, node
+LIMIT 20
+"""
+
+
+def q111_quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ROC-AUC of document length (``n_chars``) as a predictor
+    of ``lang = 'en'`` — the evaluate-before-you-threshold step every
+    admission-pipeline classifier needs (``operators/profile.py::
+    binary_auc``). Histogram Mann-Whitney: integer tie-corrected numerator,
+    one final double division, so the value is bit-identical across
+    engines."""
+    from pyveb_spark.operators.profile import binary_auc
+
+    d = read_table(spark, sf_dir, "documents")
+    return binary_auc(
+        d, "n_chars", F.col("lang") == F.lit("en"), ["source"]
+    ).orderBy("source")
+
+
+_Q111_SQL = """
+WITH h AS (SELECT source, n_chars AS s,
+                  COUNT(CASE WHEN lang = 'en' THEN 1 END) AS pos,
+                  COUNT(CASE WHEN lang <> 'en' THEN 1 END) AS neg
+           FROM documents GROUP BY 1, 2),
+c AS (SELECT source, pos, neg,
+             pos * COALESCE(SUM(neg) OVER (
+                 PARTITION BY source ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below,
+             pos * neg AS tie
+      FROM h),
+a AS (SELECT source,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(neg) AS BIGINT) AS n_neg,
+             CAST(SUM(below) AS BIGINT) AS b,
+             CAST(SUM(tie) AS BIGINT) AS t
+      FROM c GROUP BY 1)
+SELECT source, n_pos, n_neg,
+       (CAST(b AS DOUBLE) + CAST(t AS DOUBLE) / 2)
+         / CAST(n_pos * n_neg AS DOUBLE) AS auc
+FROM a ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5467,6 +5562,8 @@ QUERIES = {
     "q107_document_chunks": q107_document_chunks,
     "q108_join_size_estimate": q108_join_size_estimate,
     "q109_trade_pagerank": q109_trade_pagerank,
+    "q110_copurchase_triangles": q110_copurchase_triangles,
+    "q111_quality_score_auc": q111_quality_score_auc,
 }
 
 ORACLE_SQL = {
@@ -5579,6 +5676,8 @@ ORACLE_SQL = {
     "q107_document_chunks": _Q107_SQL,
     "q108_join_size_estimate": _Q108_SQL,
     "q109_trade_pagerank": _Q109_SQL,
+    "q110_copurchase_triangles": _Q110_SQL,
+    "q111_quality_score_auc": _Q111_SQL,
 }
 
 # ---------------------------------------------------------------------------

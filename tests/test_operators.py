@@ -907,3 +907,55 @@ def test_pagerank_known_graphs(spark):
     assert abs(r1["c"] - (0.05 + 0.85 * third)) < 1e-12
     # dangling mass dropped -> total rank < 1 (documented simplification)
     assert sum(r1.values()) < 1.0
+
+
+def test_triangle_counts_known_graphs(spark):
+    from pyveb_spark.operators.graph import triangle_counts
+
+    # K4 plus noise the canonicalizer must absorb: reversed duplicates and
+    # a self-loop. K4 has 4 triangles; every node is in C(3,2) = 3.
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (2, 1), (4, 3),            # reversed duplicates
+        (1, 1),                    # self-loop
+    ]
+    e = spark.createDataFrame(edges, "src int, dst int")
+    r = {x.node: x.triangles for x in triangle_counts(e).collect()}
+    assert r == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    # star graph: wedges everywhere, zero closures
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src int, dst int"
+    )
+    assert triangle_counts(star).count() == 0
+
+
+def test_binary_auc_hand_computed(spark):
+    from pyveb_spark.operators.profile import binary_auc
+
+    # perfect separation -> 1.0; anti-separation -> 0.0
+    rows = [(1.0, 1), (2.0, 1), (0.5, 0), (0.2, 0)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    assert binary_auc(df, "s", "y").first().auc == 1.0
+    flipped = df.selectExpr("s", "1 - y AS y")
+    assert binary_auc(flipped, "s", "y").first().auc == 0.0
+
+    # ties: pos scores {3,3,2}, neg {1,3} -> U = 1 + 2 + 0.5*2 = 4,
+    # AUC = 4 / (3*2)
+    rows = [(3, 1), (3, 1), (2, 1), (1, 0), (3, 0)]
+    df = spark.createDataFrame(rows, "s int, y int")
+    r = binary_auc(df, "s", "y").first()
+    assert (r.n_pos, r.n_neg) == (3, 2)
+    assert abs(r.auc - 4.0 / 6.0) < 1e-12
+
+    # per-group + boolean Column label
+    from pyspark.sql import functions as F
+    rows = [("a", 5, "en"), ("a", 1, "fr"), ("b", 1, "en"), ("b", 5, "fr")]
+    df = spark.createDataFrame(rows, "g string, s int, lang string")
+    r = {
+        x.g: x.auc
+        for x in binary_auc(
+            df, "s", F.col("lang") == F.lit("en"), ["g"]
+        ).collect()
+    }
+    assert r == {"a": 1.0, "b": 0.0}
