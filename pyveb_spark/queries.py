@@ -5448,6 +5448,96 @@ FROM a ORDER BY source
 """
 
 
+def q112_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply (``sinks/merge.py::apply_changelog``): a
+    synthetic Debezium-style changelog derived from orders — key =
+    custkey, seq = (orderdate, orderkey), op = D when the latest order is
+    'F' else U with the order's payload — applied to the customer table.
+    Latest-op-wins per key, deletes remove rows, updates/inserts land the
+    payload. The delete capability is exactly what the reference's
+    three ``insert_type`` strategies lack (``rs_client.py:242-283``)."""
+    from pyveb_spark.sinks.merge import apply_changelog
+
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    o = read_table(spark, sf_dir, "orders")
+    changelog = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("u"), F.col("o_orderkey")).alias("c_name"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    return apply_changelog(
+        c, changelog, ["c_custkey"], ["o_orderdate", "o_orderkey"]
+    ).orderBy("c_custkey")
+
+
+_Q112_SQL = """
+WITH ch AS (SELECT o_custkey AS c_custkey,
+                   'u' || o_orderkey AS c_name,
+                   o_totalprice AS c_acctbal,
+                   CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders),
+latest AS (SELECT * FROM ch WHERE rn = 1)
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op <> 'D'
+ORDER BY c_custkey
+"""
+
+
+def q113_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) read: backfill an SCD2 history from the
+    orders event stream (``history_from_events`` — each customer's orders
+    become consecutive versions closed by the next order) and snapshot
+    the state as of 1997-06-01 (``snapshot_asof`` — a shuffle-free,
+    pushdown-able filter). The question the reference's destructive
+    upsert permanently destroys the answer to."""
+    from pyveb_spark.sinks.merge import history_from_events, snapshot_asof
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice", "o_orderstatus",
+        "o_orderdate",
+    )
+    hist = history_from_events(
+        o, ["o_custkey"], "o_orderdate", tiebreak_cols=["o_orderkey"]
+    )
+    return (
+        snapshot_asof(hist, "1997-06-01")
+        .select(
+            "o_custkey", "o_orderkey", "o_totalprice", "o_orderstatus",
+            F.unix_micros("valid_from").alias("valid_from_us"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+_Q113_SQL = """
+WITH v AS (SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus,
+                  o_orderdate AS valid_from,
+                  LEAD(o_orderdate) OVER (
+                      PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey) AS valid_to
+           FROM orders)
+SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus,
+       epoch_us(valid_from) AS valid_from_us
+FROM v
+WHERE valid_from <= TIMESTAMP '1997-06-01'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '1997-06-01')
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5564,6 +5654,8 @@ QUERIES = {
     "q109_trade_pagerank": q109_trade_pagerank,
     "q110_copurchase_triangles": q110_copurchase_triangles,
     "q111_quality_score_auc": q111_quality_score_auc,
+    "q112_cdc_apply": q112_cdc_apply,
+    "q113_asof_snapshot": q113_asof_snapshot,
 }
 
 ORACLE_SQL = {
@@ -5678,6 +5770,8 @@ ORACLE_SQL = {
     "q109_trade_pagerank": _Q109_SQL,
     "q110_copurchase_triangles": _Q110_SQL,
     "q111_quality_score_auc": _Q111_SQL,
+    "q112_cdc_apply": _Q112_SQL,
+    "q113_asof_snapshot": _Q113_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -115,3 +115,50 @@ def test_upsert_if_changed_skips_noop_updates(spark):
     stage2 = spark.createDataFrame([(1, "a", 99)], "k int, v string, w int")
     out2 = {r["k"]: (r["v"], r["w"]) for r in upsert_if_changed(target, stage2, ["k"], compare_cols=["v"]).collect()}
     assert out2[1] == ("a", 10)
+
+
+def test_apply_changelog_latest_wins_and_deletes(spark):
+    from pyveb_spark.sinks.merge import apply_changelog
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    # key 1: U then D (seq 2 latest) -> deleted despite the earlier update
+    # key 2: D then U (seq 2 latest) -> update wins, row replaced
+    # key 4: I -> inserted; key 3 untouched -> survives
+    log = spark.createDataFrame(
+        [(1, "a2", "U", 1), (1, None, "D", 2),
+         (2, None, "D", 1), (2, "b2", "U", 2),
+         (4, "d", "I", 1)],
+        "k int, v string, op string, seq int",
+    )
+    out = {r.k: r.v for r in
+           apply_changelog(target, log, ["k"], ["seq"]).collect()}
+    assert out == {2: "b2", 3: "c", 4: "d"}
+    # idempotent: re-applying the same changelog changes nothing
+    once = apply_changelog(target, log, ["k"], ["seq"])
+    twice = apply_changelog(once, log, ["k"], ["seq"])
+    assert sorted(once.collect()) == sorted(twice.collect())
+
+
+def test_history_from_events_and_snapshot_asof(spark):
+    from pyspark.sql import functions as F
+    from pyveb_spark.sinks.merge import history_from_events, snapshot_asof
+
+    ev = spark.createDataFrame(
+        [(1, "v1", "2020-01-01"), (1, "v2", "2020-03-01"),
+         (2, "w1", "2020-02-01"),
+         # equal-timestamp pair: tiebreak makes n=3 a zero-width version
+         (3, "x1", "2020-01-01"), (3, "x2", "2020-01-01")],
+        "k int, v string, d string",
+    ).select("k", "v", F.col("d").cast("timestamp").alias("ts"))
+    hist = history_from_events(ev, ["k"], "ts", tiebreak_cols=["v"])
+    assert hist.count() == 5
+    assert hist.where("is_current").count() == 3  # one open version per key
+
+    snap = {r.k: r.v for r in snapshot_asof(hist, "2020-02-15").collect()}
+    assert snap == {1: "v1", 2: "w1", 3: "x2"}  # x1 zero-width: excluded
+    later = {r.k: r.v for r in snapshot_asof(hist, "2020-03-01").collect()}
+    assert later[1] == "v2"  # boundary: valid_from <= ts is inclusive
+    before = snapshot_asof(hist, "2019-12-31")
+    assert before.count() == 0
