@@ -20,6 +20,7 @@ __all__ = [
     "asof_join",
     "range_join",
     "fuzzy_top1_join",
+    "fuzzy_pairs_blocked",
     "salted_join",
     "join_size_estimate",
 ]
@@ -277,4 +278,62 @@ def join_size_estimate(
             "left_rows", "right_rows", "n_join_keys",
             F.coalesce(F.col("est_rows"), F.lit(0)).alias("est_rows"),
         )
+    )
+
+
+def fuzzy_pairs_blocked(
+    df: DataFrame,
+    name_col: str,
+    block_cols,
+    max_distance: int,
+    id_cols=(),
+) -> DataFrame:
+    """Entity-resolution candidate pairs: all record pairs that share a
+    BLOCK key and sit within ``max_distance`` edit distance — the
+    blocking + verification pattern (Fellegi-Sunter style pipelines) that
+    makes large×large fuzzy matching tractable where
+    :func:`fuzzy_top1_join`'s broadcast cross-join cannot. ``block_cols``
+    may be column names or Column expressions (phonetic code, first
+    token, sorted-token prefix, length band...). Returns one row per
+    unordered pair ``(block, a_<name>, b_<name>, ids..., dist)`` with
+    ``a < b`` on (name, ids) so no pair appears twice.
+
+    100 TB design: the self-join is keyed on the block — ONE shuffle,
+    candidate count Σ_b n_b² bounded by the largest block instead of n².
+    Pick blocks with :func:`~pyveb_spark.operators.profile.key_skew_profile`
+    (a hot block is a hot join key); multi-pass blocking (union of pairs
+    from several cheap keys) raises recall without unblocking the join.
+    The edit-distance verify is a scan-stage native expression
+    (``levenshtein``), never a Python UDF.
+    """
+    ids = list(id_cols)
+    blocks = [
+        F.col(b).alias(f"__b{i}") if isinstance(b, str) else b.alias(f"__b{i}")
+        for i, b in enumerate(block_cols)
+    ]
+    base = df.select(
+        *blocks, F.col(name_col).alias("__name"),
+        *[F.col(c) for c in ids],
+    )
+    bkeys = [f"__b{i}" for i in range(len(blocks))]
+    left = base.select(
+        *bkeys,
+        F.col("__name").alias(f"a_{name_col}"),
+        *[F.col(c).alias(f"a_{c}") for c in ids],
+    )
+    right = base.select(
+        *bkeys,
+        F.col("__name").alias(f"b_{name_col}"),
+        *[F.col(c).alias(f"b_{c}") for c in ids],
+    )
+    a_key = F.struct(F.col(f"a_{name_col}"), *[F.col(f"a_{c}") for c in ids])
+    b_key = F.struct(F.col(f"b_{name_col}"), *[F.col(f"b_{c}") for c in ids])
+    return (
+        left.join(right, bkeys)
+        .where(a_key < b_key)
+        .withColumn(
+            "dist",
+            F.levenshtein(F.col(f"a_{name_col}"), F.col(f"b_{name_col}")),
+        )
+        .where(F.col("dist") <= max_distance)
     )

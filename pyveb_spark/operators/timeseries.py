@@ -22,7 +22,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["time_spine", "fill_time_gaps", "rolling_stats"]
+__all__ = ["time_spine", "fill_time_gaps", "rolling_stats", "ohlc_bars"]
 
 
 def time_spine(
@@ -125,4 +125,44 @@ def rolling_stats(
             "mov_avg",
             F.col("mov_sum").cast("double") / F.col("mov_n"),
         )
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 day",
+    keys: Sequence[str] = (),
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Downsample an event stream into open/high/low/close bars per
+    ``step`` bucket (finance candles, sensor downsampling, metric
+    rollups): ``open``/``close`` are the values at the bucket's first/
+    last event, ``high``/``low`` the extremes, ``n`` the event count.
+    Returns ``(keys..., bucket_start, open, high, low, close, n)``.
+
+    open/close use ``min_by``/``max_by`` on the (ts, tiebreaks...) struct
+    — single-pass order statistics, no window, no self-join; ties at
+    equal timestamps are resolved by ``tiebreak_cols`` so the bars are
+    deterministic. All values pass through unchanged (no float
+    arithmetic), so results are engine-exact.
+
+    100 TB design: ONE groupBy on (keys, bucket) with map-side partial
+    min_by/max_by/min/max/count — the same shuffle any rollup pays, and
+    orders of magnitude less than the window-rank formulation (which
+    sorts every group's full event list).
+    """
+    keys = list(keys)
+    ordkey = F.struct(
+        F.col(ts_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    bucket = F.window(F.col(ts_col), step)["start"].alias("bucket_start")
+    v = F.col(value_col)
+    return df.groupBy(*keys, bucket).agg(
+        F.min_by(v, ordkey).alias("open"),
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.max_by(v, ordkey).alias("close"),
+        F.count(F.lit(1)).alias("n"),
     )

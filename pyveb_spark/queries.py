@@ -5538,6 +5538,88 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+def q114_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open/high/low/close bars of event values per event type
+    (``operators/timeseries.py::ohlc_bars``): single-pass min_by/max_by
+    order statistics on the (ts, event_id) struct — no window sort, one
+    rollup-shaped shuffle. Values pass through unchanged, so the result
+    is engine-exact with zero float contract."""
+    from pyveb_spark.operators.timeseries import ohlc_bars
+
+    e = read_table(spark, sf_dir, "events")
+    bars = ohlc_bars(
+        e, "ts", "value", "1 day", keys=["event_type"],
+        tiebreak_cols=["event_id"],
+    )
+    return bars.select(
+        "event_type",
+        F.unix_micros("bucket_start").alias("day_us"),
+        "open", "high", "low", "close", "n",
+    ).orderBy("event_type", "day_us")
+
+
+_Q114_SQL = """
+WITH ranked AS (
+    SELECT event_type,
+           time_bucket(INTERVAL '1 day', ts) AS day,
+           value,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type, time_bucket(INTERVAL '1 day', ts)
+               ORDER BY ts, event_id) AS rf,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type, time_bucket(INTERVAL '1 day', ts)
+               ORDER BY ts DESC, event_id DESC) AS rl
+    FROM events)
+SELECT event_type,
+       epoch_us(day) AS day_us,
+       MIN(CASE WHEN rf = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MIN(CASE WHEN rl = 1 THEN value END) AS close,
+       COUNT(*) AS n
+FROM ranked
+GROUP BY event_type, day
+ORDER BY event_type, day_us
+"""
+
+
+def q115_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs over the part-name dictionary:
+    distinct names blocked by their noun (second token), verified at
+    edit distance ≤ 4 (``operators/joins.py::fuzzy_pairs_blocked``).
+    Dictionary-first is the scale design — the pair join runs on the
+    DISTINCT names (dictionary-sized), never the fact rows, and the
+    block key bounds the quadratic term to the largest block."""
+    from pyveb_spark.operators.joins import fuzzy_pairs_blocked
+
+    names = (
+        read_table(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    pairs = fuzzy_pairs_blocked(
+        names,
+        "p_name",
+        [F.element_at(F.split(F.col("p_name"), " "), 2).alias("noun")],
+        max_distance=4,
+    )
+    return pairs.select(
+        F.col("__b0").alias("noun"), "a_p_name", "b_p_name", "dist"
+    ).orderBy("noun", "a_p_name", "b_p_name")
+
+
+_Q115_SQL = """
+WITH n AS (SELECT DISTINCT p_name FROM part),
+b AS (SELECT p_name, split_part(p_name, ' ', 2) AS noun FROM n)
+SELECT x.noun AS noun,
+       x.p_name AS a_p_name,
+       y.p_name AS b_p_name,
+       levenshtein(x.p_name, y.p_name) AS dist
+FROM b x
+JOIN b y ON x.noun = y.noun AND x.p_name < y.p_name
+WHERE levenshtein(x.p_name, y.p_name) <= 4
+ORDER BY noun, a_p_name, b_p_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5656,6 +5738,8 @@ QUERIES = {
     "q111_quality_score_auc": q111_quality_score_auc,
     "q112_cdc_apply": q112_cdc_apply,
     "q113_asof_snapshot": q113_asof_snapshot,
+    "q114_daily_ohlc": q114_daily_ohlc,
+    "q115_fuzzy_name_pairs": q115_fuzzy_name_pairs,
 }
 
 ORACLE_SQL = {
@@ -5772,6 +5856,8 @@ ORACLE_SQL = {
     "q111_quality_score_auc": _Q111_SQL,
     "q112_cdc_apply": _Q112_SQL,
     "q113_asof_snapshot": _Q113_SQL,
+    "q114_daily_ohlc": _Q114_SQL,
+    "q115_fuzzy_name_pairs": _Q115_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -959,3 +959,56 @@ def test_binary_auc_hand_computed(spark):
         ).collect()
     }
     assert r == {"a": 1.0, "b": 0.0}
+
+
+def test_ohlc_bars_known_series(spark):
+    from pyspark.sql import functions as F
+    from pyveb_spark.operators.timeseries import ohlc_bars
+
+    rows = [
+        # day 1, key a: open=10 (earliest), close=30 (latest), high=40, low=5
+        ("a", "2020-01-01 00:05:00", 1, 10.0),
+        ("a", "2020-01-01 06:00:00", 2, 40.0),
+        ("a", "2020-01-01 12:00:00", 3, 5.0),
+        ("a", "2020-01-01 23:00:00", 4, 30.0),
+        # day 2, key a: single event -> all four equal
+        ("a", "2020-01-02 01:00:00", 5, 7.0),
+        # equal timestamps: tiebreak id decides open (id 6) and close (id 7)
+        ("b", "2020-01-01 09:00:00", 6, 1.0),
+        ("b", "2020-01-01 09:00:00", 7, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, d string, id int, v double"
+    ).select("k", F.col("d").cast("timestamp").alias("ts"), "id", "v")
+    bars = {
+        (r.k, str(r.bucket_start)): (r.open, r.high, r.low, r.close, r.n)
+        for r in ohlc_bars(df, "ts", "v", "1 day", ["k"], ["id"]).collect()
+    }
+    assert bars[("a", "2020-01-01 00:00:00")] == (10.0, 40.0, 5.0, 30.0, 4)
+    assert bars[("a", "2020-01-02 00:00:00")] == (7.0, 7.0, 7.0, 7.0, 1)
+    assert bars[("b", "2020-01-01 00:00:00")] == (1.0, 2.0, 1.0, 2.0, 2)
+
+
+def test_fuzzy_pairs_blocked(spark):
+    from pyspark.sql import functions as F
+    from pyveb_spark.operators.joins import fuzzy_pairs_blocked
+
+    df = spark.createDataFrame(
+        [(1, "red bolt"), (2, "rad bolt"), (3, "blue bolt"),
+         (4, "red widget"),   # different block: never paired with bolts
+         (5, "red bolt")],    # exact duplicate name, distinct id
+        "id int, name string",
+    )
+    out = fuzzy_pairs_blocked(
+        df, "name",
+        [F.element_at(F.split(F.col("name"), " "), 2)],
+        max_distance=2, id_cols=["id"],
+    ).collect()
+    pairs = {(r.a_name, r.b_name, r.a_id, r.b_id, r.dist) for r in out}
+    # red~rad (dist 1) twice (ids 1,5 each vs 2), dup pair (dist 0),
+    # blue~red dist 3 excluded, widget in another block
+    assert pairs == {
+        ("rad bolt", "red bolt", 2, 1, 1),
+        ("rad bolt", "red bolt", 2, 5, 1),
+        ("red bolt", "red bolt", 1, 5, 0),
+    }
