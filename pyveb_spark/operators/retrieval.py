@@ -30,7 +30,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["build_inverted_index", "bm25_search"]
+__all__ = ["build_inverted_index", "bm25_search", "tfidf_doc_norms", "tfidf_search"]
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -102,5 +102,83 @@ def bm25_search(
             F.count(F.lit(1)).alias("n_matched"),
         )
         .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def tfidf_doc_norms(
+    postings: DataFrame,
+    docstats: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document L2 norms of the TF-IDF vectors implied by the
+    inverted index: ``w(d,t) = tf · idf(t)`` with the smooth idf
+    ``ln((1+N)/(1+df)) + 1`` (never negative, never div-zero — the
+    scikit-learn convention), ``norm(d) = √Σ_t w²``. Computed once at
+    index-build time and persisted next to the postings; every cosine
+    search then reads norms instead of re-scanning the corpus.
+
+    One aggregation over the postings table (map-side partials); the
+    corpus constant N rides in via a broadcast single-row cross join —
+    no driver round-trip."""
+    n_docs = docstats.select("n_docs").distinct()
+    idf = (
+        F.log(
+            (F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))
+        )
+        + F.lit(1.0)
+    )
+    w = F.col("tf") * idf
+    return (
+        postings.crossJoin(F.broadcast(n_docs))
+        .withColumn("__w2", w * w)
+        .groupBy(id_col)
+        .agg(F.sqrt(F.sum("__w2")).alias("norm"))
+    )
+
+
+def tfidf_search(
+    postings: DataFrame,
+    docstats: DataFrame,
+    norms: DataFrame,
+    query_tokens: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents by TF-IDF cosine against a bag-of-tokens query
+    (uniform query weights — the vector-space twin of :func:`bm25_search`;
+    BM25 usually ranks better for ad-hoc queries, TF-IDF cosine is the
+    standard for doc-to-doc similarity and linear classifiers).
+    ``score(d) = Σ_{t∈q} tf·idf / norm(d)``, rounded to 6 decimals with a
+    doc-id tie-break (float sums are association-order sensitive; the
+    rounding absorbs that — the q44 contract).
+
+    Scale shape: query tokens are a literal IN-filter pushed into the
+    (token-bucketed) postings scan; one narrow aggregation over the
+    ≤ |q|·df matching postings; the norm join touches only matched docs;
+    top-k compiles to TakeOrderedAndProject."""
+    qtoks = sorted(set(query_tokens))
+    n_docs = docstats.select("n_docs").distinct()
+    idf = (
+        F.log(
+            (F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))
+        )
+        + F.lit(1.0)
+    )
+    hits = (
+        postings.where(F.col("token").isin(qtoks))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("__w", F.col("tf") * idf)
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(F.sum("__w").alias("__num"), F.count(F.lit(1)).alias("n_matched"))
+        .join(norms, id_col)
+        .select(
+            id_col,
+            F.round(F.col("__num") / F.col("norm"), 6).alias("score"),
+            "n_matched",
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )

@@ -24,6 +24,8 @@ __all__ = [
     "winnow_pairs",
     "repetition_stats",
     "hashed_linear_score",
+    "build_vocab",
+    "encode_with_vocab",
 ]
 
 # see dedup.py::_PERSISTED_PREFIXES for the pattern: the returned plan is
@@ -614,4 +616,79 @@ def chunk_documents(
         "tok_start",
         F.size(chunk).alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def build_vocab(
+    df: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency vocabulary: the top ``vocab_size`` tokens by
+    (count DESC, token ASC) — a total order, so ids are deterministic —
+    with ``token_id`` 0-based in that order. The ID-assignment step every
+    tokenizer pipeline ends with (after BPE merges, q99, pick the vocab;
+    this operator is the unigram baseline and the serving-side table).
+
+    Scale shape: one explode + one partial-aggregated groupBy over the
+    corpus, then rank/limit on the TOKEN DICTIONARY (vocabulary-sized,
+    not corpus-sized). The final row_number runs on ≤ vocab_size rows.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(vocab_size)
+    w = Window.partitionBy().orderBy(F.desc("n"), F.asc("token"))
+    return top.select(
+        "token", "n", (F.row_number().over(w) - 1).alias("token_id")
+    )
+
+
+def encode_with_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Encode each document's token sequence to id arrays against a
+    ``build_vocab`` table: ``(id_col, ids, n_tokens, oov_rate)`` where
+    out-of-vocabulary tokens map to ``unk_id``. The corpus→tensors step
+    of a training-data pipeline; OOV rate is its standing quality metric
+    (a rising OOV rate means the vocab no longer fits the corpus mix).
+
+    Scale shape: posexplode to (doc, pos, token), ONE broadcast join
+    against the vocabulary (vocab ≪ corpus, always), and one groupBy
+    back to arrays via ``array_sort`` on (pos, id) structs — order is
+    restored by data, not by assuming shuffle stability. No Python UDFs;
+    the id arrays never pass through the driver.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "token"),
+    )
+    enc = toks.join(F.broadcast(vocab.select("token", "token_id")),
+                    "token", "left").select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(unk_id)).alias("tid"),
+    )
+    return (
+        enc.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda x: x["tid"],
+            ).alias("ids"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum(F.when(F.col("tid") == unk_id, 1).otherwise(0))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("oov_rate"),
+        )
     )

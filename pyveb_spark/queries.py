@@ -5620,6 +5620,84 @@ ORDER BY noun, a_p_name, b_p_name
 """
 
 
+def q116_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine top-10 over the documents corpus for the q44 query
+    bag — the vector-space twin of BM25 (``operators/retrieval.py::
+    tfidf_search``): smooth-idf weights, per-doc L2 norms computed once
+    at index build, literal token filter pushed into the postings scan,
+    heap top-k. Scores rounded to 6 (the q44 float contract)."""
+    from pyveb_spark.operators.retrieval import (
+        build_inverted_index,
+        tfidf_doc_norms,
+        tfidf_search,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    postings, docstats = build_inverted_index(d, "doc_id", "text")
+    norms = tfidf_doc_norms(postings, docstats)
+    return tfidf_search(
+        postings, docstats, norms, ["hash", "merge", "scan", "window"], k=10
+    )
+
+
+_Q116_SQL = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+stats AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+w AS (SELECT t.doc_id, t.token,
+             t.tf * (ln((1.0 + s.n_docs) / (1.0 + d.df)) + 1.0) AS w
+      FROM tf t JOIN dfq d USING (token) CROSS JOIN stats s),
+norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS norm FROM w GROUP BY doc_id),
+num AS (SELECT doc_id, SUM(w) AS num, COUNT(*) AS n_matched
+        FROM w WHERE token IN ('hash', 'merge', 'scan', 'window')
+        GROUP BY doc_id)
+SELECT n.doc_id,
+       ROUND(n.num / m.norm, 6) AS score,
+       n.n_matched
+FROM num n JOIN norms m USING (doc_id)
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
+def q117_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary + corpus encoding (``operators/text.py::
+    build_vocab / encode_with_vocab``): top-64 unigram vocab by
+    (count, token) total order, documents encoded to 0-based id arrays
+    with OOV → -1, per-doc OOV rate. The corpus→tensors admission step;
+    ids are rebuilt from (pos, id) structs via array_sort, so order
+    never depends on shuffle stability."""
+    from pyveb_spark.operators.text import build_vocab, encode_with_vocab
+
+    d = read_table(spark, sf_dir, "documents")
+    vocab = build_vocab(d, vocab_size=64)
+    return encode_with_vocab(d, vocab).orderBy("doc_id")
+
+
+_Q117_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+pos AS (SELECT doc_id, i AS pos, ts[i + 1] AS token
+        FROM toks, UNNEST(range(len(ts))) AS u(i)),
+counts AS (SELECT token, COUNT(*) AS n FROM pos GROUP BY token),
+vocab AS (SELECT token,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 AS token_id
+          FROM counts ORDER BY n DESC, token LIMIT 64),
+enc AS (SELECT p.doc_id, p.pos,
+               CAST(COALESCE(v.token_id, -1) AS INTEGER) AS tid
+        FROM pos p LEFT JOIN vocab v USING (token))
+SELECT doc_id,
+       list(tid ORDER BY pos) AS ids,
+       COUNT(*) AS n_tokens,
+       CAST(COUNT(CASE WHEN tid = -1 THEN 1 END) AS DOUBLE) / COUNT(*)
+         AS oov_rate
+FROM enc
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5740,6 +5818,8 @@ QUERIES = {
     "q113_asof_snapshot": q113_asof_snapshot,
     "q114_daily_ohlc": q114_daily_ohlc,
     "q115_fuzzy_name_pairs": q115_fuzzy_name_pairs,
+    "q116_tfidf_search": q116_tfidf_search,
+    "q117_vocab_encode": q117_vocab_encode,
 }
 
 ORACLE_SQL = {
@@ -5858,6 +5938,8 @@ ORACLE_SQL = {
     "q113_asof_snapshot": _Q113_SQL,
     "q114_daily_ohlc": _Q114_SQL,
     "q115_fuzzy_name_pairs": _Q115_SQL,
+    "q116_tfidf_search": _Q116_SQL,
+    "q117_vocab_encode": _Q117_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -1012,3 +1012,21 @@ def test_fuzzy_pairs_blocked(spark):
         ("rad bolt", "red bolt", 2, 5, 1),
         ("red bolt", "red bolt", 1, 5, 0),
     }
+
+
+def test_build_vocab_and_encode(spark):
+    from pyveb_spark.operators.text import build_vocab, encode_with_vocab
+
+    docs = [(1, "b a b c"), (2, "a b zz")]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    # counts: b=3, a=2, c=1, zz=1 -> vocab_size=3 keeps b,a,c (count desc,
+    # token asc breaks the c/zz tie in favor of 'c')
+    vocab = {r.token: (r.token_id, r.n)
+             for r in build_vocab(df, 3).collect()}
+    assert vocab == {"b": (0, 3), "a": (1, 2), "c": (2, 1)}
+
+    v = build_vocab(df, 3)
+    enc = {r.doc_id: (list(r.ids), r.n_tokens, r.oov_rate)
+           for r in encode_with_vocab(df, v).collect()}
+    assert enc[1] == ([0, 1, 0, 2], 4, 0.0)
+    assert enc[2] == ([1, 0, -1], 3, 1.0 / 3.0)  # zz is OOV

@@ -61,3 +61,71 @@ def test_bm25_query_token_dedup(spark):
     assert [(r.doc_id, r.bm25) for r in once] == [
         (r.doc_id, r.bm25) for r in twice
     ]
+
+
+def test_tfidf_search_matches_numpy(spark):
+    """tfidf_doc_norms + tfidf_search replicate a numpy TF-IDF cosine on a
+    tiny corpus (smooth idf ln((1+N)/(1+df))+1, uniform query weights)."""
+    import math
+
+    from pyveb_spark.operators.retrieval import (
+        build_inverted_index,
+        tfidf_doc_norms,
+        tfidf_search,
+    )
+
+    docs = [
+        (1, "a b a c"),
+        (2, "b c d"),
+        (3, "d d e"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    postings, docstats = build_inverted_index(df, "doc_id", "text")
+    norms = tfidf_doc_norms(postings, docstats)
+
+    def idf(dfreq, n=3):
+        return math.log((1.0 + n) / (1.0 + dfreq)) + 1.0
+
+    # doc 1 vector: a:2*idf(1), b:1*idf(2), c:1*idf(2)
+    w1 = {"a": 2 * idf(1), "b": idf(2), "c": idf(2)}
+    n1 = math.sqrt(sum(v * v for v in w1.values()))
+    expect1 = round((w1["a"] + w1["b"]) / n1, 6)
+
+    out = {r.doc_id: (r.score, r.n_matched)
+           for r in tfidf_search(postings, docstats, norms, ["a", "b"], k=3)
+           .collect()}
+    assert out[1] == (expect1, 2)
+    assert 3 not in out  # doc 3 has no query token
+    # ranking: doc 1 (two matches incl. the rare 'a') above doc 2
+    assert out[1][0] > out[2][0]
+
+
+def test_tfidf_q116_rounding_boundary_margins(spark, sf_dir):
+    """Every per-doc score sits ≥ 1e-5 (in 1e-6-scaled units) from a
+    round-half boundary, so the cross-engine double divergence (~5e-9
+    scaled) cannot flip round(score, 6) — the q44/q103 margin treatment."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    scores = con.execute("""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+                      FROM documents),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1,2),
+        dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        stats AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+        w AS (SELECT t.doc_id, t.token,
+                     t.tf * (ln((1.0+s.n_docs)/(1.0+d.df)) + 1.0) AS w
+              FROM tf t JOIN dfq d USING (token) CROSS JOIN stats s),
+        norms AS (SELECT doc_id, sqrt(SUM(w*w)) AS norm FROM w GROUP BY 1),
+        num AS (SELECT doc_id, SUM(w) AS num FROM w
+                WHERE token IN ('hash','merge','scan','window') GROUP BY 1)
+        SELECT n.num / m.norm FROM num n JOIN norms m USING (doc_id)
+    """).fetchall()
+    assert scores
+    for (s,) in scores:
+        frac = abs((s * 1e6) % 1.0 - 0.5)
+        assert frac > 1e-5, f"score {s} too close to a rounding boundary"
