@@ -22,7 +22,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["time_spine", "fill_time_gaps", "rolling_stats", "ohlc_bars"]
+__all__ = ["time_spine", "fill_time_gaps", "rolling_stats", "ohlc_bars", "ewma_level"]
 
 
 def time_spine(
@@ -165,4 +165,47 @@ def ohlc_bars(
         F.min(v).alias("low"),
         F.max_by(v, ordkey).alias("close"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+def ewma_level(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key: the current
+    smoothed level after folding the key's full (ts-ordered) series
+    through ``level = α·x + (1-α)·level`` (seeded with the first value) —
+    the standard anomaly-baseline / trend-level primitive. Returns
+    ``(keys..., ewma, n_points, last_ts)``.
+
+    EWMA is inherently a sequential recurrence, so it cannot be a window
+    aggregate; the distributed form is the ordered-fold pattern (q103):
+    ``array_sort(collect_list(struct(ts, value)))`` then one ``aggregate``
+    fold — sort order comes from the DATA, the fold order is total, and
+    the float sequence is identical on every engine (the DuckDB oracle
+    replays it with ``list_reduce``). Feed PRE-AGGREGATED series (daily
+    rollups, OHLC closes): the per-key array must fit an executor, which
+    thousands-of-slots grains trivially do. For raw-event grains,
+    aggregate to a grain first — smoothing raw ticks is noise anyway.
+
+    One shuffle on ``keys``; nothing driver-side.
+    """
+    keys = list(keys)
+    pair = F.struct(F.col(ts_col).alias("t"), F.col(value_col).alias("x"))
+    series = df.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(pair)).alias("__s"),
+        F.count(F.lit(1)).alias("n_points"),
+        F.max(ts_col).alias("last_ts"),
+    )
+    a = F.lit(float(alpha))
+    fold = F.aggregate(
+        F.slice(F.col("__s"), 2, F.size(F.col("__s"))),
+        F.element_at(F.col("__s"), 1)["x"].cast("double"),
+        lambda acc, p: a * p["x"].cast("double") + (F.lit(1.0) - a) * acc,
+    )
+    return series.select(
+        *keys, fold.alias("ewma"), "n_points", "last_ts"
     )

@@ -5698,6 +5698,130 @@ ORDER BY doc_id
 """
 
 
+def q118_ewma_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA trend level (α=0.3) of DAILY event-value sums per event type
+    (``operators/timeseries.py::ewma_level``): exact-decimal daily
+    rollup first, then the ordered-fold recurrence — array_sort +
+    ``F.aggregate``, replayed by the oracle with ``list_reduce``, the
+    q103 portability pattern. ``1-α`` is written as the expression
+    ``1.0 - 0.3`` in BOTH engines (the two IEEE doubles differ!), so the
+    fold sequence is bit-identical; level compared at round(6)."""
+    from pyveb_spark.operators.timeseries import ewma_level
+
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(_dec("value")).cast("double").alias("v"))
+    lvl = ewma_level(daily, ["event_type"], "day", "v", alpha=0.3)
+    return lvl.select(
+        "event_type",
+        F.round("ewma", 6).alias("ewma"),
+        "n_points",
+        F.unix_micros("last_ts").alias("last_day_us"),
+    ).orderBy("event_type")
+
+
+_Q118_SQL = """
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+    FROM events GROUP BY 1, 2),
+folded AS (
+    SELECT event_type,
+           list_reduce(list(v ORDER BY day),
+                       (acc, x) -> 0.3 * x + (1.0 - 0.3) * acc) AS ewma,
+           COUNT(*) AS n_points,
+           epoch_us(MAX(day)) AS last_day_us
+    FROM daily GROUP BY 1)
+SELECT event_type, ROUND(ewma, 6) AS ewma, n_points, last_day_us
+FROM folded ORDER BY event_type
+"""
+
+
+def q119_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events replayed as a file stream through a SLIDING window
+    aggregation (1-day windows every 12 hours — each event lands in two
+    overlapping windows) per event type, complete-mode memory sink. The
+    overlap is what tumbling q15 can't express: a smoothed daily rate
+    refreshed twice a day. Complete mode emits every window, so the full
+    AvailableNow replay equals the batch oracle (each event contributes
+    to exactly the two 12h-aligned window starts covering it);
+    production streams switch to append + a watermark (``windowed_agg``
+    takes both) and trade the tail windows for bounded state."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyveb_spark.streaming.stream import (
+        read_file_stream,
+        run_available_now,
+        windowed_agg,
+    )
+
+    src = read_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="q119_")
+    drops = os.path.join(tmp, "drops")
+    src.repartition(2).write.mode("overwrite").parquet(drops)
+    stream = read_file_stream(spark, drops, src.schema)
+    win = windowed_agg(
+        stream,
+        "ts",
+        "1 day",
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum(_dec("value")).cast("double"),
+        },
+        slide_duration="12 hours",
+        group_by=["event_type"],
+    )
+    name = f"q119_{uuid.uuid4().hex[:8]}"
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = run_available_now(
+            win,
+            os.path.join(tmp, "ck"),
+            output_mode="complete",
+            fmt="memory",
+            query_name=name,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q119 sliding-window replay did not finish")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.table(name)
+        .select(
+            F.unix_micros("window_start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start_us", "event_type")
+    )
+
+
+_Q119_SQL = """
+WITH starts AS (
+    SELECT time_bucket(INTERVAL '12 hours', ts) AS ws, event_type, value
+    FROM events
+    UNION ALL
+    SELECT time_bucket(INTERVAL '12 hours', ts) - INTERVAL '12 hours' AS ws,
+           event_type, value
+    FROM events)
+SELECT epoch_us(ws) AS window_start_us,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM starts
+GROUP BY ws, event_type
+ORDER BY window_start_us, event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5820,6 +5944,8 @@ QUERIES = {
     "q115_fuzzy_name_pairs": q115_fuzzy_name_pairs,
     "q116_tfidf_search": q116_tfidf_search,
     "q117_vocab_encode": q117_vocab_encode,
+    "q118_ewma_baseline": q118_ewma_baseline,
+    "q119_stream_sliding_windows": q119_stream_sliding_windows,
 }
 
 ORACLE_SQL = {
@@ -5940,6 +6066,8 @@ ORACLE_SQL = {
     "q115_fuzzy_name_pairs": _Q115_SQL,
     "q116_tfidf_search": _Q116_SQL,
     "q117_vocab_encode": _Q117_SQL,
+    "q118_ewma_baseline": _Q118_SQL,
+    "q119_stream_sliding_windows": _Q119_SQL,
 }
 
 # ---------------------------------------------------------------------------

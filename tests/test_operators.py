@@ -1030,3 +1030,28 @@ def test_build_vocab_and_encode(spark):
            for r in encode_with_vocab(df, v).collect()}
     assert enc[1] == ([0, 1, 0, 2], 4, 0.0)
     assert enc[2] == ([1, 0, -1], 3, 1.0 / 3.0)  # zz is OOV
+
+
+def test_ewma_level_hand_computed(spark):
+    from pyspark.sql import functions as F
+    from pyveb_spark.operators.timeseries import ewma_level
+
+    rows = [
+        ("a", "2020-01-01", 10.0),
+        ("a", "2020-01-02", 20.0),
+        ("a", "2020-01-03", 0.0),
+        ("b", "2020-01-01", 5.0),  # single point: level = the point
+    ]
+    df = spark.createDataFrame(rows, "k string, d string, v double").select(
+        "k", F.col("d").cast("timestamp").alias("ts"), "v"
+    )
+    out = {r.k: (r.ewma, r.n_points) for r in
+           ewma_level(df, ["k"], "ts", "v", alpha=0.5).collect()}
+    # a: seed 10 -> 0.5*20+0.5*10 = 15 -> 0.5*0+0.5*15 = 7.5
+    assert out["a"] == (7.5, 3)
+    assert out["b"] == (5.0, 1)
+    # rows arriving in reverse order fold identically (order from data)
+    rev = df.orderBy(F.desc("ts"))
+    out2 = {r.k: r.ewma for r in
+            ewma_level(rev, ["k"], "ts", "v", alpha=0.5).collect()}
+    assert out2 == {"a": 7.5, "b": 5.0}
