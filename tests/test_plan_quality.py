@@ -243,6 +243,7 @@ _STREAM_REPLAYS = {
     "q46_stream_dedup",
     "q47_stream_enrich",
     "q26_stream_upsert",
+    "q119_stream_sliding_windows",
 }
 
 
@@ -341,3 +342,71 @@ def test_q104_skew_profile_shuffles_counts_only(spark, sf_dir):
     assert "Exchange hashpartitioning(l_suppkey" in plan
     assert "Exchange SinglePartition" in plan
     assert "partial_count" in plan
+
+
+def test_q110_triangles_no_cartesian(spark, sf_dir):
+    """Every join in the triangle plan is key-partitioned (wedge join on
+    the pivot, closing join on the (min,max) pair) — a nested-loop
+    anywhere means the orientation trick silently degraded to n²."""
+    plan = _executed_plan(QUERIES["q110_copurchase_triangles"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-20 is a heap
+
+
+def test_q111_auc_windows_histogram_not_rows(spark, sf_dir):
+    """The AUC window must run over the per-(group, score) HISTOGRAM:
+    no join anywhere, and the window exchange is keyed on the group."""
+    plan = _executed_plan(QUERIES["q111_quality_score_auc"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning(source" in plan
+    assert "partial_" in plan  # histogram build combines map-side
+
+
+def test_q114_ohlc_single_rollup_shuffle(spark, sf_dir):
+    """OHLC is ONE hash-aggregation shuffle (min_by/max_by partials) —
+    no window sort, no join; the only other exchange presents the rows."""
+    plan = _executed_plan(QUERIES["q114_daily_ohlc"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan and "Window" not in plan
+    assert "partial_min_by" in plan or "partial_" in plan
+
+
+def test_q115_fuzzy_pairs_block_keyed(spark, sf_dir):
+    """The ER pair join must be keyed on the block — never a broadcast
+    nested loop — and the levenshtein verify stays a scan-stage filter."""
+    plan = _executed_plan(QUERIES["q115_fuzzy_name_pairs"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
+
+
+def test_q116_tfidf_plan(spark, sf_dir):
+    plan = _executed_plan(QUERIES["q116_tfidf_search"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    f = _formatted_plan(QUERIES["q116_tfidf_search"](spark, sf_dir))
+    assert " IN (hash,merge,scan,window)" in f  # literal prune of postings
+
+
+def test_q117_vocab_join_broadcasts(spark, sf_dir):
+    """Encoding joins the exploded corpus against the VOCABULARY — that
+    join must broadcast (vocab ≪ corpus, always); a sort-merge here
+    would shuffle every token occurrence at 100 TB."""
+    plan = _executed_plan(QUERIES["q117_vocab_encode"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q113_asof_snapshot_no_join(spark, sf_dir):
+    """history_from_events + snapshot_asof: one window shuffle over the
+    events, a scan-stage validity filter — no join may appear."""
+    plan = _executed_plan(QUERIES["q113_asof_snapshot"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the lead window
+
+
+def test_q118_ewma_single_key_shuffle(spark, sf_dir):
+    """Daily rollup + ordered fold: exchanges are the day-rollup and the
+    per-key series collect — no join, no global sort before the fold."""
+    plan = _executed_plan(QUERIES["q118_ewma_baseline"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
