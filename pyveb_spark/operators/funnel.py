@@ -22,7 +22,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_stages", "funnel_summary"]
+__all__ = ["funnel_stages", "funnel_summary", "transition_matrix"]
 
 
 def funnel_stages(
@@ -131,4 +131,51 @@ def funnel_summary(
         row.select(F.explode(per_stage).alias("s"))
         .select("s.*")
         .orderBy("stage")
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    state_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """First-order Markov transition statistics over per-key event
+    sequences: for every consecutive (state → next_state) step in each
+    key's ts-ordered stream, the count and the row-normalized probability
+    ``p = n / Σ_next n``. Returns ``(from_state, to_state, n, p)`` —
+    the behavioral model funnels summarize one path of; also the
+    session-level anomaly baseline (improbable transition = bot/fraud
+    signal).
+
+    Same-timestamp events are ordered by ``tiebreak_cols`` so the chain
+    is deterministic. ``p`` is a single integer division per row
+    (engine-exact given the same counts).
+
+    100 TB design: ONE window shuffle on ``keys`` (lead), then a
+    (from, to)-keyed aggregation of the transition pairs — state² output,
+    independent of event count. Per-row window state is one element; no
+    per-key sequence is ever collected.
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    steps = (
+        df.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col).over(w).alias("to_state"),
+        )
+        .where(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("from_state")
+    return steps.select(
+        "from_state",
+        "to_state",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(tot)).alias("p"),
     )

@@ -5822,6 +5822,90 @@ ORDER BY window_start_us, event_type
 """
 
 
+def q120_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets of part BRANDS
+    (``operators/rules.py::association_rules``): support / confidence /
+    lift per unordered brand pair, top 20 by lift. Pair generation is the
+    basket-keyed self-join with the apriori item prune; all ratios are
+    fixed-order double expressions over exact integer counts. Ordered on
+    the ROUNDED lift (+ pair tiebreak) — the cross-engine rank contract."""
+    from pyveb_spark.operators.rules import association_rules
+
+    l = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"]).select(
+        "l_orderkey", "p_brand"
+    )
+    rules = association_rules(
+        baskets, "l_orderkey", "p_brand", min_item_count=2, min_pair_count=2
+    )
+    return (
+        rules.select(
+            "item_a", "item_b", "n_pairs", "n_a", "n_b",
+            F.round("support", 6).alias("support"),
+            F.round("conf_a_to_b", 6).alias("conf_a_to_b"),
+            F.round("lift", 6).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "item_a", "item_b")
+        .limit(20)
+    )
+
+
+_Q120_SQL = """
+WITH bi AS (SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS it
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+n AS (SELECT COUNT(DISTINCT b) AS n FROM bi),
+items AS (SELECT it, COUNT(*) AS c FROM bi GROUP BY it HAVING COUNT(*) >= 2),
+pruned AS (SELECT bi.b, bi.it FROM bi JOIN items ON bi.it = items.it),
+pairs AS (SELECT x.it AS item_a, y.it AS item_b, COUNT(*) AS n_pairs
+          FROM pruned x JOIN pruned y ON x.b = y.b AND x.it < y.it
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+SELECT item_a, item_b, n_pairs,
+       ca.c AS n_a, cb.c AS n_b,
+       ROUND(CAST(n_pairs AS DOUBLE) / CAST(n.n AS DOUBLE), 6) AS support,
+       ROUND(CAST(n_pairs AS DOUBLE) / CAST(ca.c AS DOUBLE), 6)
+         AS conf_a_to_b,
+       ROUND(CAST(n_pairs AS DOUBLE) * CAST(n.n AS DOUBLE)
+             / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 6) AS lift
+FROM pairs
+JOIN items ca ON pairs.item_a = ca.it
+JOIN items cb ON pairs.item_b = cb.it
+CROSS JOIN n
+ORDER BY lift DESC, item_a, item_b
+LIMIT 20
+"""
+
+
+def q121_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    (``operators/funnel.py::transition_matrix``): one lead-window shuffle
+    on user, (from, to)-keyed aggregation, row-normalized probabilities
+    as single integer divisions. The behavioral baseline the funnel
+    (q98) summarizes one path of."""
+    from pyveb_spark.operators.funnel import transition_matrix
+
+    e = read_table(spark, sf_dir, "events")
+    return transition_matrix(
+        e, ["user_id"], "ts", "event_type", tiebreak_cols=["event_id"]
+    ).orderBy("from_state", "to_state")
+
+
+_Q121_SQL = """
+WITH steps AS (
+    SELECT event_type AS from_state,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+    FROM events),
+c AS (SELECT from_state, to_state, COUNT(*) AS n
+      FROM steps WHERE to_state IS NOT NULL GROUP BY 1, 2)
+SELECT from_state, to_state, n,
+       CAST(n AS DOUBLE)
+         / CAST(SUM(n) OVER (PARTITION BY from_state) AS DOUBLE) AS p
+FROM c
+ORDER BY from_state, to_state
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5946,6 +6030,8 @@ QUERIES = {
     "q117_vocab_encode": q117_vocab_encode,
     "q118_ewma_baseline": q118_ewma_baseline,
     "q119_stream_sliding_windows": q119_stream_sliding_windows,
+    "q120_brand_affinity": q120_brand_affinity,
+    "q121_event_transitions": q121_event_transitions,
 }
 
 ORACLE_SQL = {
@@ -6068,6 +6154,8 @@ ORACLE_SQL = {
     "q117_vocab_encode": _Q117_SQL,
     "q118_ewma_baseline": _Q118_SQL,
     "q119_stream_sliding_windows": _Q119_SQL,
+    "q120_brand_affinity": _Q120_SQL,
+    "q121_event_transitions": _Q121_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -1055,3 +1055,45 @@ def test_ewma_level_hand_computed(spark):
     out2 = {r.k: r.ewma for r in
             ewma_level(rev, ["k"], "ts", "v", alpha=0.5).collect()}
     assert out2 == {"a": 7.5, "b": 5.0}
+
+
+def test_association_rules_hand_computed(spark):
+    from pyveb_spark.operators.rules import association_rules
+
+    # 4 baskets: {a,b}, {a,b}, {a,c}, {c}; duplicate (1,'a') row absorbed
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b"),
+            (3, "a"), (3, "c"), (4, "c")]
+    df = spark.createDataFrame(rows, "b int, it string")
+    out = {(r.item_a, r.item_b): r for r in
+           association_rules(df, "b", "it").collect()}
+    ab = out[("a", "b")]
+    assert (ab.n_pairs, ab.n_a, ab.n_b) == (2, 3, 2)
+    assert ab.support == 2 / 4
+    assert ab.conf_a_to_b == 2 / 3
+    assert ab.conf_b_to_a == 2 / 2
+    assert abs(ab.lift - (2 * 4) / (3 * 2)) < 1e-15
+    ac = out[("a", "c")]
+    assert ac.n_pairs == 1 and abs(ac.lift - (1 * 4) / (3 * 2)) < 1e-15
+    # apriori prune: min_item_count=3 keeps only 'a' -> no pairs at all
+    assert association_rules(df, "b", "it", min_item_count=3).count() == 0
+
+
+def test_transition_matrix_hand_computed(spark):
+    from pyspark.sql import functions as F
+    from pyveb_spark.operators.funnel import transition_matrix
+
+    rows = [  # user 1: a->b->a ; user 2: a->a ; user 3: lone event
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"),
+        (2, 1, "a"), (2, 2, "a"),
+        (3, 1, "b"),
+    ]
+    df = spark.createDataFrame(rows, "u int, t int, s string").select(
+        "u", F.col("t").cast("timestamp").alias("ts"), "s"
+    )
+    out = {(r.from_state, r.to_state): (r.n, r.p) for r in
+           transition_matrix(df, ["u"], "ts", "s").collect()}
+    # from 'a': a->b once, a->a once  -> p = 0.5 each
+    assert out[("a", "b")] == (1, 0.5)
+    assert out[("a", "a")] == (1, 0.5)
+    assert out[("b", "a")] == (1, 1.0)
+    assert ("b", "b") not in out  # lone events produce no transition

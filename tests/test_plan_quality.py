@@ -410,3 +410,24 @@ def test_q118_ewma_single_key_shuffle(spark, sf_dir):
     plan = _executed_plan(QUERIES["q118_ewma_baseline"](spark, sf_dir))
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_q120_rules_basket_keyed_pairs(spark, sf_dir):
+    """Pair generation must be keyed on the basket id and the item-count
+    join-backs must broadcast; top-20 is a heap."""
+    plan = _executed_plan(QUERIES["q120_brand_affinity"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # exactly ONE nested-loop is allowed: the broadcast cross join of the
+    # single-row n_baskets table (the zscore/stats pattern); the pair
+    # self-join itself must stay keyed
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q121_transitions_single_user_shuffle(spark, sf_dir):
+    """One lead-window shuffle on user, one (from,to) aggregation, one
+    from_state window over the states² table — no joins anywhere."""
+    plan = _executed_plan(QUERIES["q121_event_transitions"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning(user_id" in plan
