@@ -30,6 +30,7 @@ __all__ = [
     "quantile_bins",
     "pairwise_correlations",
     "binary_auc",
+    "fk_orphan_stats",
 ]
 
 
@@ -448,3 +449,70 @@ def binary_auc(
         F.col("__b").cast("double") + F.col("__t").cast("double") / 2
     ) / (F.col("n_pos") * F.col("n_neg")).cast("double")
     return agg.select(*groups, "n_pos", "n_neg", auc.alias("auc"))
+
+
+def fk_orphan_stats(checks) -> DataFrame:
+    """Referential-integrity audit: for each named foreign-key
+    relationship, the row counts that answer "can I join these safely" —
+    ``(check_name, n_child, n_null_fk, n_checked, n_orphans,
+    orphan_rate)``. ``checks`` is a list of
+    ``(name, child_df, child_keys, parent_df, parent_keys)`` tuples.
+    NULL foreign keys are counted separately, not as orphans (the SQL
+    convention); ``orphan_rate`` = orphans / non-null-FK rows.
+
+    The pre-flight audit for every warehouse load: the reference's
+    pipelines assumed upstream integrity and discovered violations as
+    silently-shrinking inner joins — this makes the orphan count a
+    number a gate can threshold on.
+
+    100 TB design: each check is ONE anti-join on the FK (the upsert
+    shuffle shape; AQE broadcasts dimension parents) plus one scalar
+    aggregation per side — no row-level output, so the result is
+    checks-sized. Orphan SAMPLES for debugging are the same anti-join
+    without the count, bounded by a limit.
+    """
+    frames = []
+    for name, child, child_keys, parent, parent_keys in checks:
+        child_keys = list(child_keys)
+        parent_keys = list(parent_keys)
+        nn_pred = F.lit(True)
+        for c in child_keys:
+            nn_pred = nn_pred & F.col(c).isNotNull()
+        nn = child.where(nn_pred)
+        pk = parent.select(
+            *[
+                F.col(p).alias(c)
+                for c, p in zip(child_keys, parent_keys)
+            ]
+        ).distinct()
+        orphan_cnt = nn.join(pk, child_keys, "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphans")
+        )
+        base = child.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.when(~nn_pred, 1).otherwise(0)).alias("n_null_fk"),
+        )
+        frames.append(
+            base.crossJoin(F.broadcast(orphan_cnt)).select(
+                F.lit(name).alias("check_name"),
+                "n_child",
+                F.coalesce(F.col("n_null_fk"), F.lit(0)).alias("n_null_fk"),
+                (F.col("n_child") - F.coalesce(F.col("n_null_fk"), F.lit(0)))
+                .alias("n_checked"),
+                "n_orphans",
+                (
+                    F.col("n_orphans").cast("double")
+                    / F.greatest(
+                        (
+                            F.col("n_child")
+                            - F.coalesce(F.col("n_null_fk"), F.lit(0))
+                        ).cast("double"),
+                        F.lit(1.0),
+                    )
+                ).alias("orphan_rate"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

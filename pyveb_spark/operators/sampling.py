@@ -38,6 +38,7 @@ __all__ = [
     "source_mix",
     "ranked_quota_sample",
     "epoch_repeat",
+    "weighted_sample",
 ]
 
 _HEX_DIGITS = 12  # 48-bit prefix of the md5
@@ -233,4 +234,48 @@ def ranked_quota_sample(
         .withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= F.col(quota_col))
         .drop("__rk", quota_col)
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_cols: Sequence[str],
+    group_cols: Sequence[str] = (),
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (exact k per
+    group): the Efraimidis-Spirakis A-ES scheme — each row draws the
+    content-keyed uniform ``u`` (same ``uniform_hex`` value as every
+    other hash operator) and the k rows with the largest ``u^(1/w)``
+    win, computed in the numerically-stable form ``ln(u)/w`` (monotone
+    equivalent). Inclusion probability is proportional to weight, the
+    keep-set is identical on any cluster layout, and the same
+    seed+keys compose with :func:`hash_sample` nesting.
+
+    Rows with ``weight <= 0`` or NULL are never sampled (dropped before
+    ranking). Ties are broken by ``key_cols``, making membership total.
+
+    100 TB design: one shuffle on ``group_cols`` + a per-group top-k
+    rank — the `ranked_quota_sample` shape; the ln/division are
+    scan-stage expressions. Float caveat: membership only flips if the
+    rank-k/k+1 gap is inside cross-engine libm noise (~1e-15 relative);
+    the q123 margin test probes the fixture's boundary gaps ≥ 1e-9.
+    """
+    groups = list(group_cols)
+    h = F.conv(uniform_hex(key_cols, seed), 16, 10).cast("bigint")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(16**_HEX_DIGITS))
+    es_key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(*groups).orderBy(
+        F.col("__es").desc(), *[F.col(c) for c in key_cols]
+    )
+    return (
+        df.where(
+            F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+        )
+        .withColumn("__es", es_key)
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__es", "__rk")
     )

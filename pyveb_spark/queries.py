@@ -5906,6 +5906,129 @@ ORDER BY from_state, to_state
 """
 
 
+def q122_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the star schema
+    (``operators/profile.py::fk_orphan_stats``): one anti-join per FK
+    relationship, checks-sized output. Four healthy edges (orphans = 0
+    IS the assertion) plus a deliberately restricted nation parent
+    (n_regionkey < 2) that must surface real orphans — proving the
+    detector detects."""
+    from pyveb_spark.operators.profile import fk_orphan_stats
+
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    p = read_table(spark, sf_dir, "part")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    checks = [
+        ("lineitem_orders", l, ["l_orderkey"], o, ["o_orderkey"]),
+        ("orders_customer", o, ["o_custkey"], c, ["c_custkey"]),
+        ("lineitem_part", l, ["l_partkey"], p, ["p_partkey"]),
+        ("lineitem_supplier", l, ["l_suppkey"], s, ["s_suppkey"]),
+        (
+            "customer_nation_restricted",
+            c,
+            ["c_nationkey"],
+            n.where(F.col("n_regionkey") < 2),
+            ["n_nationkey"],
+        ),
+    ]
+    return fk_orphan_stats(checks).orderBy("check_name")
+
+
+_Q122_SQL = """
+WITH k AS (
+  SELECT 'lineitem_orders' AS check_name,
+         (SELECT COUNT(*) FROM lineitem) AS n_child,
+         (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)
+           AS n_null_fk,
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_orderkey IS NOT NULL
+            AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                   WHERE o_orderkey IS NOT NULL))
+           AS n_orphans
+  UNION ALL
+  SELECT 'orders_customer',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL),
+         (SELECT COUNT(*) FROM orders
+          WHERE o_custkey IS NOT NULL
+            AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                  WHERE c_custkey IS NOT NULL))
+  UNION ALL
+  SELECT 'lineitem_part',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NULL),
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_partkey IS NOT NULL
+            AND l_partkey NOT IN (SELECT p_partkey FROM part
+                                  WHERE p_partkey IS NOT NULL))
+  UNION ALL
+  SELECT 'lineitem_supplier',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NULL),
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_suppkey IS NOT NULL
+            AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                  WHERE s_suppkey IS NOT NULL))
+  UNION ALL
+  SELECT 'customer_nation_restricted',
+         (SELECT COUNT(*) FROM customer),
+         (SELECT COUNT(*) FROM customer WHERE c_nationkey IS NULL),
+         (SELECT COUNT(*) FROM customer
+          WHERE c_nationkey IS NOT NULL
+            AND c_nationkey NOT IN (SELECT n_nationkey FROM nation
+                                    WHERE n_regionkey < 2
+                                      AND n_nationkey IS NOT NULL)))
+SELECT check_name, n_child, n_null_fk,
+       n_child - n_null_fk AS n_checked,
+       n_orphans,
+       CAST(n_orphans AS DOUBLE)
+         / GREATEST(CAST(n_child - n_null_fk AS DOUBLE), 1.0) AS orphan_rate
+FROM k
+ORDER BY check_name
+"""
+
+
+def q123_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted document sampling, exact 10 per language
+    (``operators/sampling.py::weighted_sample``): Efraimidis-Spirakis
+    A-ES keys ``ln(u)/w`` over the shared content-hash uniform, ranked
+    per group — deterministic weighted sampling without replacement,
+    the curation pattern for "prefer longer docs but keep variety".
+    Membership-boundary float margins are probed in
+    ``test_float_margin.py``."""
+    from pyveb_spark.operators.sampling import weighted_sample
+
+    d = read_table(spark, sf_dir, "documents")
+    kept = weighted_sample(
+        d, k=10, weight_col="n_chars", key_cols=["doc_id"],
+        group_cols=["lang"], seed="ws",
+    )
+    return kept.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+_Q123_SQL = """
+WITH keyed AS (
+    SELECT doc_id, lang, n_chars,
+           ln(CAST((('0x' || substr(
+                  md5('ws|' || doc_id), 1, 12))::BIGINT + 1) AS DOUBLE)
+              / 281474976710656.0)
+             / CAST(n_chars AS DOUBLE) AS es
+    FROM documents
+    WHERE n_chars IS NOT NULL AND n_chars > 0),
+ranked AS (
+    SELECT doc_id, lang, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY es DESC, doc_id) AS rk
+    FROM keyed)
+SELECT doc_id, lang, n_chars
+FROM ranked WHERE rk <= 10
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6032,6 +6155,8 @@ QUERIES = {
     "q119_stream_sliding_windows": q119_stream_sliding_windows,
     "q120_brand_affinity": q120_brand_affinity,
     "q121_event_transitions": q121_event_transitions,
+    "q122_fk_integrity": q122_fk_integrity,
+    "q123_weighted_sample": q123_weighted_sample,
 }
 
 ORACLE_SQL = {
@@ -6156,6 +6281,8 @@ ORACLE_SQL = {
     "q119_stream_sliding_windows": _Q119_SQL,
     "q120_brand_affinity": _Q120_SQL,
     "q121_event_transitions": _Q121_SQL,
+    "q122_fk_integrity": _Q122_SQL,
+    "q123_weighted_sample": _Q123_SQL,
 }
 
 # ---------------------------------------------------------------------------

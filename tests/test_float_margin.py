@@ -224,3 +224,36 @@ def test_ivfpq_shortlist_and_rerank_margins(emb):
     if len(ex) > 10:
         rcut = (ex[10] - ex[9]) / max(ex[10], 1e-30)
         assert rcut > REL_MARGIN, f"IVF-PQ re-rank cut margin {rcut:.3e}"
+
+
+def test_q123_weighted_sample_boundary_margins():
+    """A-ES membership only flips if the rank-10/11 key gap per language
+    is inside cross-engine libm noise; probe the fixture's boundary gaps
+    ≥ 1e-9 relative (five orders above ~1e-15 ln divergence)."""
+    import duckdb
+
+    con = duckdb.connect()
+    gaps = con.execute(f"""
+        WITH keyed AS (
+            SELECT lang,
+                   ln(CAST((('0x' || substr(md5('ws|' || doc_id), 1, 12))
+                            ::BIGINT + 1) AS DOUBLE) / 281474976710656.0)
+                     / CAST(n_chars AS DOUBLE) AS es
+            FROM '{SF_DIR}/documents.parquet'
+            WHERE n_chars IS NOT NULL AND n_chars > 0),
+        ranked AS (
+            SELECT lang, es,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY es DESC)
+                     AS rk
+            FROM keyed)
+        SELECT lang,
+               MAX(CASE WHEN rk = 10 THEN es END) AS k10,
+               MAX(CASE WHEN rk = 11 THEN es END) AS k11
+        FROM ranked GROUP BY lang
+    """).fetchall()
+    assert gaps
+    for lang, k10, k11 in gaps:
+        if k11 is None:  # group smaller than k: no boundary to flip
+            continue
+        rel = abs(k10 - k11) / max(abs(k10), abs(k11))
+        assert rel > REL_MARGIN, f"{lang}: boundary gap {rel}"

@@ -1097,3 +1097,52 @@ def test_transition_matrix_hand_computed(spark):
     assert out[("a", "a")] == (1, 0.5)
     assert out[("b", "a")] == (1, 1.0)
     assert ("b", "b") not in out  # lone events produce no transition
+
+
+def test_fk_orphan_stats_detects_and_clears(spark):
+    from pyveb_spark.operators.profile import fk_orphan_stats
+
+    child = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (9, "z"), (None, "n")], "fk int, v string"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    out = {r.check_name: r for r in fk_orphan_stats([
+        ("ok_and_orphan", child, ["fk"], parent, ["pk"]),
+        ("all_ok", child.where("fk < 3"), ["fk"], parent, ["pk"]),
+    ]).collect()}
+    r = out["ok_and_orphan"]
+    # 4 child rows, 1 NULL fk (not an orphan), 1 orphan (fk=9) of 3 checked
+    assert (r.n_child, r.n_null_fk, r.n_checked, r.n_orphans) == (4, 1, 3, 1)
+    assert abs(r.orphan_rate - 1.0 / 3.0) < 1e-15
+    r2 = out["all_ok"]
+    assert (r2.n_orphans, r2.orphan_rate) == (0, 0.0)
+
+
+def test_weighted_sample_properties(spark):
+    from pyveb_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "g", float(1 + i % 7)) for i in range(200)]
+    rows += [(1000 + i, "h", 1.0) for i in range(5)]
+    rows += [(2000, "g", 0.0), (2001, "g", None)]  # never sampled
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+
+    kept = weighted_sample(df, 10, "w", ["id"], ["g"], seed="t")
+    by_g = {g: [r.id for r in rs] for g, rs in (
+        ("g", kept.where("g = 'g'").collect()),
+        ("h", kept.where("g = 'h'").collect()),
+    )}
+    assert len(by_g["g"]) == 10
+    assert sorted(by_g["h"]) == [1000, 1001, 1002, 1003, 1004]  # all 5 kept
+    assert 2000 not in by_g["g"] and 2001 not in by_g["g"]
+    # deterministic: identical keep-set on a differently-partitioned input
+    kept2 = weighted_sample(
+        df.repartition(7), 10, "w", ["id"], ["g"], seed="t"
+    )
+    assert sorted(r.id for r in kept2.collect()) == sorted(
+        r.id for r in kept.collect()
+    )
+    # seed changes the sample
+    kept3 = weighted_sample(df, 10, "w", ["id"], ["g"], seed="u")
+    assert sorted(r.id for r in kept3.collect()) != sorted(
+        r.id for r in kept.collect()
+    )
