@@ -22,7 +22,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_stages", "funnel_summary", "transition_matrix"]
+__all__ = ["funnel_stages", "funnel_summary", "transition_matrix", "cohort_retention"]
 
 
 def funnel_stages(
@@ -178,4 +178,60 @@ def transition_matrix(
         "to_state",
         "n",
         (F.col("n").cast("double") / F.sum("n").over(tot)).alias("p"),
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention table: users grouped by their FIRST-activity
+    period (the cohort), tracked by how many are still active N periods
+    later — ``(cohort, period_offset, n_active, cohort_size,
+    retention)``. The standing growth/engagement readout next to the
+    funnel (one path) and the transition matrix (one step).
+
+    ``retention`` is a single integer division (active/size) — engine-
+    exact. Offsets are exact integer day-diffs divided by the period
+    length, so period boundaries can't drift between engines.
+
+    100 TB design: first-activity is one groupBy on user; the join back
+    to events is keyed on the SAME column (co-partitioned, AQE reuses
+    the exchange); the retention aggregation counts DISTINCT users per
+    (cohort, offset) — cohorts² cells, not event rows. No per-user
+    sequences, no windows over raw events.
+    """
+    days = {"week": 7, "day": 1}[period]
+    bucket = F.date_trunc(period, F.col(ts_col))
+    first = df.groupBy(F.col(user_col).alias("__u")).agg(
+        F.min(bucket).alias("cohort")
+    )
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    joined = df.select(
+        F.col(user_col).alias("__u"), bucket.alias("__p")
+    ).join(first, "__u")
+    active = (
+        joined.select(
+            "__u",
+            "cohort",
+            (F.datediff(F.col("__p"), F.col("cohort")) / days)
+            .cast("int")
+            .alias("period_offset"),
+        )
+        .groupBy("cohort", "period_offset")
+        .agg(F.count_distinct(F.col("__u")).alias("n_active"))
+    )
+    return active.join(sizes, "cohort").select(
+        "cohort",
+        "period_offset",
+        "n_active",
+        "cohort_size",
+        (
+            F.col("n_active").cast("double")
+            / F.col("cohort_size").cast("double")
+        ).alias("retention"),
     )

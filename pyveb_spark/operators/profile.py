@@ -31,6 +31,7 @@ __all__ = [
     "pairwise_correlations",
     "binary_auc",
     "fk_orphan_stats",
+    "calibration_curve",
 ]
 
 
@@ -516,3 +517,45 @@ def fk_orphan_stats(checks) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def calibration_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    n_bins: int = 10,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Reliability diagram data for a score against a binary outcome:
+    equal-population score bins (:func:`quantile_bins` — ntile over a
+    total order, engine-portable) with each bin's size, mean score, and
+    observed positive rate. AUC (:func:`binary_auc`) says the score
+    RANKS; this says whether its VALUES mean what they claim — the
+    second half of classifier evaluation before thresholding an
+    admission pipeline on it.
+
+    Means/rates are single divisions over exact integer sums (int
+    scores) or decimal sums; with genuinely-float scores pass a decimal
+    cast upstream. Cost: the quantile_bins global sort (the honest price
+    of exact equal-population bins) + one n_bins-sized aggregation.
+    """
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    pos = F.when(lab.cast("boolean"), 1).otherwise(0)
+    binned = quantile_bins(df, score_col, n_bins, tiebreak_cols)
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(score_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("__s"),
+            F.sum(pos).alias("n_pos"),
+        )
+        .select(
+            "bin",
+            "n",
+            (F.col("__s") / F.col("n")).alias("mean_score"),
+            "n_pos",
+            (F.col("n_pos").cast("double") / F.col("n")).alias("pos_rate"),
+        )
+    )

@@ -26,6 +26,7 @@ __all__ = [
     "hashed_linear_score",
     "build_vocab",
     "encode_with_vocab",
+    "distinctive_terms",
 ]
 
 # see dedup.py::_PERSISTED_PREFIXES for the pattern: the returned plan is
@@ -691,4 +692,70 @@ def encode_with_vocab(
                 / F.count(F.lit(1))
             ).alias("oov_rate"),
         )
+    )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    top_k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """The characteristic vocabulary of each document group: top-k tokens
+    per group by group-level TF-IDF — ``score = tf_g · ln(G / gf)`` where
+    ``tf_g`` is the token's count inside the group, ``G`` the number of
+    groups, and ``gf`` the number of groups containing the token. Tokens
+    appearing in EVERY group score exactly 0 (ln 1) and drop out, so the
+    output is what makes each source/language/domain DIFFERENT — the
+    corpus-triage view (which source is code? which is boilerplate?)
+    every mixing decision starts from. Returns
+    ``(group, token, tf_g, gf, score)``, ``top_k`` rows per group by
+    (score DESC, token).
+
+    Scale shape: one explode + one (group, token) partial-aggregated
+    groupBy; group-frequency and G are aggregations of THAT table (token-
+    dictionary-sized). The ranking window partitions by group over
+    dictionary rows. One corpus scan total; the score is one int
+    multiply and one ln — margins are rank-gaps on the top-k cut, probed
+    like every rounded ranking.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokenize(F.col(text_col))).alias("token"),
+        )
+        .groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).alias("tf_g"))
+        .where(F.col("tf_g") >= min_count)
+    )
+    gf = tf.groupBy("token").agg(F.count(F.lit(1)).alias("gf"))
+    n_groups = tf.select("grp").distinct().agg(
+        F.count(F.lit(1)).alias("__g")
+    )
+    scored = (
+        tf.join(gf, "token")
+        .crossJoin(F.broadcast(n_groups))
+        .select(
+            "grp",
+            "token",
+            "tf_g",
+            "gf",
+            F.round(
+                F.col("tf_g")
+                * F.log(F.col("__g").cast("double") / F.col("gf")),
+                6,
+            ).alias("score"),
+        )
+        .where(F.col("score") > 0)
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= top_k)
+        .drop("__rk")
     )

@@ -6029,6 +6029,114 @@ ORDER BY doc_id
 """
 
 
+def q124_length_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of document length as an English-language
+    predictor (``operators/profile.py::calibration_curve``): decile
+    score bins (ntile over the (n_chars, doc_id) total order), each
+    bin's size, mean score, and observed positive rate. AUC (q111) said
+    whether the score ranks; this says whether its values calibrate."""
+    from pyveb_spark.operators.profile import calibration_curve
+
+    d = read_table(spark, sf_dir, "documents")
+    return calibration_curve(
+        d, "n_chars", F.col("lang") == F.lit("en"),
+        n_bins=10, tiebreak_cols=["doc_id"],
+    ).orderBy("bin")
+
+
+_Q124_SQL = """
+WITH binned AS (
+  SELECT n_chars, lang,
+         NTILE(10) OVER (ORDER BY n_chars, doc_id) AS bin
+  FROM documents WHERE n_chars IS NOT NULL)
+SELECT bin, COUNT(*) AS n,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         AS mean_score,
+       CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_pos,
+       CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS DOUBLE) / COUNT(*)
+         AS pos_rate
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
+def q125_source_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each source's characteristic vocabulary (``operators/text.py::
+    distinctive_terms``): top-5 tokens per source by group-level TF-IDF
+    ``tf_g · ln(G/gf)`` — tokens in every source score 0 and vanish, so
+    what remains is what makes each source different. One corpus scan;
+    ranking runs over the token dictionary."""
+    from pyveb_spark.operators.text import distinctive_terms
+
+    d = read_table(spark, sf_dir, "documents")
+    return distinctive_terms(d, "source", "text", top_k=5).orderBy(
+        "grp", F.col("score").desc(), "token"
+    )
+
+
+_Q125_SQL = """
+WITH tf AS (
+  SELECT source AS grp, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+tfc AS (SELECT grp, token, COUNT(*) AS tf_g FROM tf GROUP BY 1, 2
+        HAVING COUNT(*) >= 2),
+gf AS (SELECT token, COUNT(*) AS gf FROM tfc GROUP BY token),
+g AS (SELECT COUNT(DISTINCT grp) AS g FROM tfc),
+scored AS (
+  SELECT grp, token, tf_g, gf,
+         ROUND(tf_g * ln(CAST(g.g AS DOUBLE) / gf), 6) AS score
+  FROM tfc JOIN gf USING (token) CROSS JOIN g),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+                               ORDER BY score DESC, token) AS rk
+  FROM scored WHERE score > 0)
+SELECT grp, token, tf_g, gf, score
+FROM ranked WHERE rk <= 5
+ORDER BY grp, score DESC, token
+"""
+
+
+def q126_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events stream
+    (``operators/funnel.py::cohort_retention``): users bucketed by
+    first-activity week, distinct-active counts per week offset,
+    retention as a single integer division. Cohort-size cells, never
+    event rows."""
+    from pyveb_spark.operators.funnel import cohort_retention
+
+    e = read_table(spark, sf_dir, "events")
+    r = cohort_retention(e, "user_id", "ts", "week")
+    return r.select(
+        F.unix_micros("cohort").alias("cohort_us"),
+        "period_offset",
+        "n_active",
+        "cohort_size",
+        "retention",
+    ).orderBy("cohort_us", "period_offset")
+
+
+_Q126_SQL = """
+WITH first AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort
+  FROM events GROUP BY user_id),
+sizes AS (SELECT cohort, COUNT(*) AS cohort_size FROM first GROUP BY cohort),
+active AS (
+  SELECT f.cohort,
+         CAST(date_diff('day', f.cohort, date_trunc('week', e.ts)) / 7
+              AS INTEGER) AS period_offset,
+         COUNT(DISTINCT e.user_id) AS n_active
+  FROM events e JOIN first f ON e.user_id = f.user_id
+  GROUP BY 1, 2)
+SELECT epoch_us(a.cohort) AS cohort_us,
+       a.period_offset,
+       a.n_active,
+       s.cohort_size,
+       CAST(a.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+         AS retention
+FROM active a JOIN sizes s ON a.cohort = s.cohort
+ORDER BY cohort_us, period_offset
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6157,6 +6265,9 @@ QUERIES = {
     "q121_event_transitions": q121_event_transitions,
     "q122_fk_integrity": q122_fk_integrity,
     "q123_weighted_sample": q123_weighted_sample,
+    "q124_length_calibration": q124_length_calibration,
+    "q125_source_signatures": q125_source_signatures,
+    "q126_weekly_retention": q126_weekly_retention,
 }
 
 ORACLE_SQL = {
@@ -6283,6 +6394,9 @@ ORACLE_SQL = {
     "q121_event_transitions": _Q121_SQL,
     "q122_fk_integrity": _Q122_SQL,
     "q123_weighted_sample": _Q123_SQL,
+    "q124_length_calibration": _Q124_SQL,
+    "q125_source_signatures": _Q125_SQL,
+    "q126_weekly_retention": _Q126_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -1146,3 +1146,53 @@ def test_weighted_sample_properties(spark):
     assert sorted(r.id for r in kept3.collect()) != sorted(
         r.id for r in kept.collect()
     )
+
+
+def test_calibration_curve_hand_computed(spark):
+    from pyveb_spark.operators.profile import calibration_curve
+
+    # 4 rows, 2 bins: bin1 = scores {1,2} labels {1,0}; bin2 = {3,4},{1,1}
+    rows = [(1, 1, 1), (2, 2, 0), (3, 3, 1), (4, 4, 1)]
+    df = spark.createDataFrame(rows, "id int, s int, y int")
+    out = {r.bin: (r.n, r.mean_score, r.n_pos, r.pos_rate) for r in
+           calibration_curve(df, "s", "y", n_bins=2,
+                             tiebreak_cols=["id"]).collect()}
+    assert out[1] == (2, 1.5, 1, 0.5)
+    assert out[2] == (2, 3.5, 2, 1.0)
+
+
+def test_distinctive_terms_drops_universal_tokens(spark):
+    from pyveb_spark.operators.text import distinctive_terms
+
+    docs = [
+        ("a", "the the code code code the the"),
+        ("b", "the the news news news the the"),
+    ]
+    df = spark.createDataFrame(docs, "source string, text string")
+    out = {(r.grp, r.token): (r.tf_g, r.gf) for r in
+           distinctive_terms(df, "source", "text", top_k=5).collect()}
+    # 'the' is in both groups -> ln(2/2) = 0 -> dropped everywhere
+    assert ("a", "the") not in out and ("b", "the") not in out
+    assert out[("a", "code")] == (3, 1)
+    assert out[("b", "news")] == (3, 1)
+
+
+def test_cohort_retention_hand_computed(spark):
+    from pyspark.sql import functions as F
+    from pyveb_spark.operators.funnel import cohort_retention
+
+    # Mondays: 2020-01-06 (w0) and 2020-01-13 (w1)
+    rows = [
+        (1, "2020-01-06"), (1, "2020-01-14"),   # cohort w0, active w0+w1
+        (2, "2020-01-07"),                       # cohort w0, w0 only
+        (3, "2020-01-13"),                       # cohort w1
+    ]
+    df = spark.createDataFrame(rows, "u int, d string").select(
+        "u", F.col("d").cast("timestamp").alias("ts")
+    )
+    out = {(str(r.cohort)[:10], r.period_offset):
+           (r.n_active, r.cohort_size, r.retention)
+           for r in cohort_retention(df, "u", "ts", "week").collect()}
+    assert out[("2020-01-06", 0)] == (2, 2, 1.0)
+    assert out[("2020-01-06", 1)] == (1, 2, 0.5)
+    assert out[("2020-01-13", 0)] == (1, 1, 1.0)
