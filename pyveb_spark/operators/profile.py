@@ -32,6 +32,7 @@ __all__ = [
     "binary_auc",
     "fk_orphan_stats",
     "calibration_curve",
+    "mutual_information",
 ]
 
 
@@ -558,4 +559,72 @@ def calibration_curve(
             "n_pos",
             (F.col("n_pos").cast("double") / F.col("n")).alias("pos_rate"),
         )
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns —
+    ``MI = Σ_xy p(x,y)·ln(p(x,y)/(p(x)p(y)))`` — the dependence measure
+    that catches what Pearson correlation (q106) can't: non-linear and
+    non-ordinal association (is `source` informative about `lang`? does
+    event type depend on weekday?). Returns one row:
+    ``(n, n_x, n_y, n_cells, mi)``.
+
+    Portability: every count is exact; each cell's contribution is one
+    fixed-order double expression; and the cross-cell sum — the one
+    order-sensitive float reduction — is an ORDERED fold over the
+    (x, y)-sorted cell array (the q103/q118 pattern), so the float
+    sequence is identical on every engine and layout.
+
+    100 TB design: one (x,y) groupBy of the scan (map-side partials);
+    marginals are aggregations of the CELL table. The fold collects
+    |X|·|Y| cells into one row — categorical cardinalities only; for
+    high-cardinality pairs, bucket first (MI is estimated on bins
+    anyway).
+    """
+    joint = df.groupBy(
+        F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    mx = joint.groupBy("__x").agg(F.sum("__c").alias("__cx"))
+    my = joint.groupBy("__y").agg(F.sum("__c").alias("__cy"))
+    n = joint.agg(F.sum("__c").alias("__n"))
+    cells = (
+        joint.join(F.broadcast(mx), "__x")
+        .join(F.broadcast(my), "__y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "__x",
+            "__y",
+            "__n",
+            (
+                (F.col("__c").cast("double") / F.col("__n"))
+                * F.log(
+                    F.col("__c").cast("double")
+                    * F.col("__n").cast("double")
+                    / (
+                        F.col("__cx").cast("double")
+                        * F.col("__cy").cast("double")
+                    )
+                )
+            ).alias("__mi"),
+        )
+    )
+    folded = cells.groupBy("__n").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count_distinct("__x").alias("n_x"),
+        F.count_distinct("__y").alias("n_y"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("__x", "__y", "__mi"))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["__mi"],
+        ).alias("mi"),
+    )
+    return folded.select(
+        F.col("__n").alias("n"), "n_x", "n_y", "n_cells", "mi"
     )

@@ -6137,6 +6137,91 @@ ORDER BY cohort_us, period_offset
 """
 
 
+def q127_type_weekday_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and weekday
+    (``operators/profile.py::mutual_information``): exact joint/marginal
+    counts, fixed-order per-cell contributions, and the ONE
+    order-sensitive reduction (the cross-cell sum) as an ordered fold
+    over the (x,y)-sorted cell array — the q103/q118 portability
+    pattern. Weekday is the locale-stable 'EEE' label so both engines
+    bucket identically."""
+    from pyveb_spark.operators.profile import mutual_information
+
+    e = read_table(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "EEE").alias("dow")
+    )
+    mi = mutual_information(e, "event_type", "dow")
+    return mi.select(
+        "n", "n_x", "n_y", "n_cells", F.round("mi", 6).alias("mi")
+    )
+
+
+_Q127_SQL = """
+WITH joint AS (
+  SELECT event_type AS x, strftime(ts, '%a') AS y, COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+mx AS (SELECT x, SUM(c) AS cx FROM joint GROUP BY x),
+my AS (SELECT y, SUM(c) AS cy FROM joint GROUP BY y),
+n AS (SELECT SUM(c) AS n FROM joint),
+cells AS (
+  SELECT j.x, j.y,
+         (CAST(j.c AS DOUBLE) / n.n)
+           * ln(CAST(j.c AS DOUBLE) * CAST(n.n AS DOUBLE)
+                / (CAST(mx.cx AS DOUBLE) * CAST(my.cy AS DOUBLE))) AS mi
+  FROM joint j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n)
+SELECT (SELECT CAST(n AS BIGINT) FROM n) AS n,
+       (SELECT COUNT(*) FROM mx) AS n_x,
+       (SELECT COUNT(*) FROM my) AS n_y,
+       COUNT(*) AS n_cells,
+       ROUND(list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+                        list(mi ORDER BY x, y)),
+           (acc, v) -> acc + v), 6) AS mi
+FROM cells
+"""
+
+
+def q128_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/valid/test assignment audit (``operators/sampling.py::
+    hash_split``): the 80/10/10 content-keyed split of the documents
+    corpus, counted per (split, lang). Disjoint-and-exhaustive is by
+    construction (cumulative hash thresholds); this survey is the
+    recurring sanity readout that the language mix is preserved across
+    splits — the leakage/imbalance check every training run should log."""
+    from pyveb_spark.operators.sampling import hash_split
+
+    d = read_table(spark, sf_dir, "documents")
+    s = hash_split(
+        d, {"train": 0.8, "valid": 0.1, "test": 0.1}, ["doc_id"],
+        seed="split",
+    )
+    return (
+        s.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split", "lang")
+    )
+
+
+def _q128_sql() -> str:
+    from pyveb_spark.operators.sampling import threshold_hex
+
+    t_train = threshold_hex(0.8)
+    t_valid = threshold_hex(0.8 + 0.1)
+    return f"""
+WITH assigned AS (
+  SELECT lang,
+         CASE WHEN substr(md5('split|' || doc_id), 1, 12) < '{t_train}'
+                THEN 'train'
+              WHEN substr(md5('split|' || doc_id), 1, 12) < '{t_valid}'
+                THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT split, lang, COUNT(*) AS n
+FROM assigned GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6268,6 +6353,8 @@ QUERIES = {
     "q124_length_calibration": q124_length_calibration,
     "q125_source_signatures": q125_source_signatures,
     "q126_weekly_retention": q126_weekly_retention,
+    "q127_type_weekday_mi": q127_type_weekday_mi,
+    "q128_split_audit": q128_split_audit,
 }
 
 ORACLE_SQL = {
@@ -6397,6 +6484,8 @@ ORACLE_SQL = {
     "q124_length_calibration": _Q124_SQL,
     "q125_source_signatures": _Q125_SQL,
     "q126_weekly_retention": _Q126_SQL,
+    "q127_type_weekday_mi": _Q127_SQL,
+    "q128_split_audit": _q128_sql(),
 }
 
 # ---------------------------------------------------------------------------

@@ -1196,3 +1196,23 @@ def test_cohort_retention_hand_computed(spark):
     assert out[("2020-01-06", 0)] == (2, 2, 1.0)
     assert out[("2020-01-06", 1)] == (1, 2, 0.5)
     assert out[("2020-01-13", 0)] == (1, 1, 1.0)
+
+
+def test_mutual_information_known_values(spark):
+    import math
+
+    from pyveb_spark.operators.profile import mutual_information
+
+    # perfectly dependent: y == x -> MI = H(X) = ln 2 for a 50/50 split
+    dep = spark.createDataFrame(
+        [("a", "a"), ("a", "a"), ("b", "b"), ("b", "b")], "x string, y string"
+    )
+    r = mutual_information(dep, "x", "y").first()
+    assert (r.n, r.n_x, r.n_y, r.n_cells) == (4, 2, 2, 2)
+    assert abs(r.mi - math.log(2)) < 1e-12
+
+    # independent uniform 2x2 -> MI = 0
+    ind = spark.createDataFrame(
+        [("a", "u"), ("a", "v"), ("b", "u"), ("b", "v")], "x string, y string"
+    )
+    assert abs(mutual_information(ind, "x", "y").first().mi) < 1e-12
