@@ -33,6 +33,7 @@ __all__ = [
     "fk_orphan_stats",
     "calibration_curve",
     "mutual_information",
+    "correlation_pca",
 ]
 
 
@@ -627,4 +628,110 @@ def mutual_information(
     )
     return folded.select(
         F.col("__n").alias("n"), "n_x", "n_y", "n_cells", "mi"
+    )
+
+
+def correlation_pca(
+    df: DataFrame,
+    cols: Sequence[str],
+    iters: int = 3,
+    precision: str = "decimal(18,2)",
+) -> DataFrame:
+    """First principal component of the STANDARDIZED columns — power
+    iteration on the correlation matrix. Returns one row:
+    ``(n, eigenvalue, loading_<col>...)``; the eigenvalue (of k total)
+    is the variance share the component explains, the loadings are the
+    axis every "which measures move together" question projects onto.
+
+    The 100 TB architecture point: the DATA sees exactly ONE pass — the
+    same exact-decimal moment aggregation as :func:`pairwise_correlations`
+    — and the eigen-solve runs on the k×k MODEL as a fixed chain of
+    column expressions (no collect, no second scan, k ≤ dozens). Power
+    iteration and the Rayleigh quotient are built with explicit
+    left-to-right association, every moment is an order-independent
+    decimal sum, so the whole result is bit-reproducible and the DuckDB
+    oracle replays it CTE-for-CTE. Sign convention: the first loading is
+    made non-negative (eigenvectors are sign-ambiguous).
+    """
+    cols = list(cols)
+    k = len(cols)
+    if k < 2:
+        raise ValueError("need at least two columns")
+    d = {c: F.col(c).cast(precision) for c in cols}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(d[c]).cast("double").alias(f"s_{c}"))
+        aggs.append(F.sum(d[c] * d[c]).cast("double").alias(f"q_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.sum(d[a] * d[b]).cast("double").alias(f"p_{a}_{b}"))
+    row = df.agg(*aggs)
+
+    n = F.col("n").cast("double")
+
+    def corr(a: str, b: str):
+        if a == b:
+            return F.lit(1.0)
+        lo, hi = (a, b) if cols.index(a) < cols.index(b) else (b, a)
+        num = n * F.col(f"p_{lo}_{hi}") - F.col(f"s_{lo}") * F.col(f"s_{hi}")
+        va = n * F.col(f"q_{lo}") - F.col(f"s_{lo}") * F.col(f"s_{lo}")
+        vb = n * F.col(f"q_{hi}") - F.col(f"s_{hi}") * F.col(f"s_{hi}")
+        return num / (F.sqrt(va) * F.sqrt(vb))
+
+    # materialize the k×k matrix once, then iterate on aliased columns so
+    # the expression tree stays linear in iters (not exponential)
+    m_cols = [
+        corr(a, b).alias(f"m_{i}_{j}")
+        for i, a in enumerate(cols)
+        for j, b in enumerate(cols)
+    ]
+    import math
+
+    cur = row.select(
+        "n", *m_cols,
+        *[F.lit(1.0 / math.sqrt(k)).alias(f"v_{i}") for i in range(k)],
+    )
+
+    def matvec(prefix: str):
+        out = []
+        for i in range(k):
+            e = F.col(f"m_{i}_0") * F.col(f"{prefix}_0")
+            for j in range(1, k):
+                e = e + F.col(f"m_{i}_{j}") * F.col(f"{prefix}_{j}")
+            out.append(e.alias(f"w_{i}"))
+        return out
+
+    passthru = ["n", *[f"m_{i}_{j}" for i in range(k) for j in range(k)]]
+    for _ in range(iters):
+        cur = cur.select(*passthru, *matvec("v"))
+        norm2 = F.col("w_0") * F.col("w_0")
+        for i in range(1, k):
+            norm2 = norm2 + F.col(f"w_{i}") * F.col(f"w_{i}")
+        cur = cur.select(
+            *passthru,
+            F.sqrt(norm2).alias("nrm"),
+            *[F.col(f"w_{i}") for i in range(k)],
+        ).select(
+            *passthru,
+            *[
+                (F.col(f"w_{i}") / F.col("nrm")).alias(f"v_{i}")
+                for i in range(k)
+            ],
+        )
+    # Rayleigh quotient λ = vᵀ(Mv), then the sign convention
+    cur = cur.select(*passthru, *[F.col(f"v_{i}") for i in range(k)])
+    cur = cur.select(
+        "n", *[F.col(f"v_{i}") for i in range(k)], *matvec("v")
+    )
+    lam = F.col("v_0") * F.col("w_0")
+    for i in range(1, k):
+        lam = lam + F.col(f"v_{i}") * F.col(f"w_{i}")
+    sign = F.when(F.col("v_0") < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return cur.select(
+        "n",
+        lam.alias("eigenvalue"),
+        *[
+            (sign * F.col(f"v_{i}")).alias(f"loading_{c}")
+            for i, c in enumerate(cols)
+        ],
     )

@@ -22,7 +22,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["time_spine", "fill_time_gaps", "rolling_stats", "ohlc_bars", "ewma_level"]
+__all__ = ["time_spine", "fill_time_gaps", "rolling_stats", "ohlc_bars", "ewma_level", "trend_fit"]
 
 
 def time_spine(
@@ -208,4 +208,49 @@ def ewma_level(
     )
     return series.select(
         *keys, fold.alias("ewma"), "n_points", "last_ts"
+    )
+
+
+def trend_fit(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    y_precision: str = "decimal(18,2)",
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend line ``y = slope·x +
+    intercept`` (plus r²) — the "is this metric growing" primitive over
+    per-period aggregates (daily volumes, error counts, queue depths).
+    ``x_col`` must be numeric (day index, epoch days); pass
+    pre-aggregated series, one row per (key, x).
+
+    Engine-portable by the q106 recipe: all five moments (n, Σx, Σy,
+    Σxy, Σx²,  Σy²) are EXACT decimal sums — order-independent under any
+    aggregation layout — and slope/intercept/r² derive in fixed-order
+    double expressions. One groupBy with map-side partials; zero joins.
+    """
+    keys = list(keys)
+    x = F.col(x_col).cast("decimal(18,2)")
+    y = F.col(y_col).cast(y_precision)
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("__sx"),
+        F.sum(y).cast("double").alias("__sy"),
+        F.sum(x * y).cast("double").alias("__sxy"),
+        F.sum(x * x).cast("double").alias("__sxx"),
+        F.sum(y * y).cast("double").alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    varx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vary = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    slope = cov / varx
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / n
+    r2 = (cov * cov) / (varx * vary)
+    return agg.select(
+        *keys,
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
     )

@@ -6222,6 +6222,147 @@ ORDER BY split, lang
 """
 
 
+def q129_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend of daily event value (``operators/timeseries.py
+    ::trend_fit``): slope/intercept/r² from exact decimal moments (the
+    q106 recipe) over the daily rollup — "is this metric growing", one
+    groupBy, zero joins, engine-exact."""
+    from pyveb_spark.operators.timeseries import trend_fit
+
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(_dec("value")).cast("double").alias("v"))
+    xi = daily.withColumn(
+        "xi", F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    )
+    t = trend_fit(xi, ["event_type"], "xi", "v")
+    return t.select(
+        "event_type", "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    ).orderBy("event_type")
+
+
+_Q129_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2),
+xi AS (SELECT event_type,
+              date_diff('day', DATE '1970-01-01', day) AS xi, v
+       FROM daily),
+m AS (SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(xi AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(xi AS DECIMAL(18,2))
+                      * CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(xi AS DECIMAL(18,2))
+                      * CAST(xi AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(v AS DECIMAL(18,2))
+                      * CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM xi GROUP BY event_type)
+SELECT event_type, n,
+       ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+             / CAST(n AS DOUBLE), 6) AS intercept,
+       ROUND(((CAST(n AS DOUBLE) * sxy - sx * sy)
+              * (CAST(n AS DOUBLE) * sxy - sx * sy))
+             / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
+FROM m ORDER BY event_type
+"""
+
+
+_PCA_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q130_measure_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First principal component of the four standardized lineitem
+    measures (``operators/profile.py::correlation_pca``): ONE
+    exact-decimal moment pass over the data, then power iteration on the
+    4×4 correlation matrix as a fixed left-associated expression chain —
+    no collect, no second scan, bit-reproducible (only +,*,/,√ — all
+    correctly-rounded IEEE ops), oracle replays it CTE-for-CTE."""
+    from pyveb_spark.operators.profile import correlation_pca
+
+    l = read_table(spark, sf_dir, "lineitem")
+    return correlation_pca(l, _PCA_COLS, iters=3)
+
+
+def _q130_sql() -> str:
+    cols = _PCA_COLS
+    k = len(cols)
+    dec = lambda c: f"CAST({c} AS DECIMAL(18,2))"  # noqa: E731
+    moments = [
+        "COUNT(*) AS n",
+        *[f"CAST(SUM({dec(c)}) AS DOUBLE) AS s_{c}" for c in cols],
+        *[f"CAST(SUM({dec(c)} * {dec(c)}) AS DOUBLE) AS q_{c}" for c in cols],
+    ]
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            moments.append(
+                f"CAST(SUM({dec(a)} * {dec(b)}) AS DOUBLE) AS p_{a}_{b}"
+            )
+
+    def corr(i: int, j: int) -> str:
+        if i == j:
+            return "1.0"
+        a, b = (cols[i], cols[j]) if i < j else (cols[j], cols[i])
+        num = f"(CAST(n AS DOUBLE) * p_{a}_{b} - s_{a} * s_{b})"
+        va = f"(CAST(n AS DOUBLE) * q_{a} - s_{a} * s_{a})"
+        vb = f"(CAST(n AS DOUBLE) * q_{b} - s_{b} * s_{b})"
+        return f"({num} / (sqrt({va}) * sqrt({vb})))"
+
+    m_alias = ", ".join(
+        f"{corr(i, j)} AS m_{i}_{j}" for i in range(k) for j in range(k)
+    )
+    v0 = repr(1.0 / k**0.5)
+    v_init = ", ".join(f"{v0} AS v_{i}" for i in range(k))
+    m_pass = ", ".join(f"m_{i}_{j}" for i in range(k) for j in range(k))
+
+    def matvec() -> str:
+        return ", ".join(
+            " + ".join(f"m_{i}_{j} * v_{j}" for j in range(k)) + f" AS w_{i}"
+            for i in range(k)
+        )
+
+    norm2 = " + ".join(f"w_{i} * w_{i}" for i in range(k))
+    w_pass = ", ".join(f"w_{i}" for i in range(k))
+    v_norm = ", ".join(f"w_{i} / nrm AS v_{i}" for i in range(k))
+
+    ctes = [f"m0 AS (SELECT {', '.join(moments)} FROM lineitem)",
+            f"mat AS (SELECT n, {m_alias}, {v_init} FROM m0)"]
+    prev = "mat"
+    for t in range(3):
+        ctes.append(
+            f"i{t}w AS (SELECT n, {m_pass}, {matvec()} FROM {prev})"
+        )
+        ctes.append(
+            f"i{t}n AS (SELECT n, {m_pass}, sqrt({norm2}) AS nrm, {w_pass} "
+            f"FROM i{t}w)"
+        )
+        ctes.append(
+            f"i{t} AS (SELECT n, {m_pass}, {v_norm} FROM i{t}n)"
+        )
+        prev = f"i{t}"
+    v_pass = ", ".join(f"v_{i}" for i in range(k))
+    ctes.append(f"fin AS (SELECT n, {v_pass}, {matvec()} FROM {prev})")
+    lam = " + ".join(f"v_{i} * w_{i}" for i in range(k))
+    sign = "CASE WHEN v_0 < 0 THEN -1.0 ELSE 1.0 END"
+    loadings = ", ".join(
+        f"{sign} * v_{i} AS loading_{c}" for i, c in enumerate(cols)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT n, {lam} AS eigenvalue, {loadings} FROM fin"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6355,6 +6496,8 @@ QUERIES = {
     "q126_weekly_retention": q126_weekly_retention,
     "q127_type_weekday_mi": q127_type_weekday_mi,
     "q128_split_audit": q128_split_audit,
+    "q129_daily_trend": q129_daily_trend,
+    "q130_measure_pca": q130_measure_pca,
 }
 
 ORACLE_SQL = {
@@ -6486,6 +6629,8 @@ ORACLE_SQL = {
     "q126_weekly_retention": _Q126_SQL,
     "q127_type_weekday_mi": _Q127_SQL,
     "q128_split_audit": _q128_sql(),
+    "q129_daily_trend": _Q129_SQL,
+    "q130_measure_pca": _q130_sql(),
 }
 
 # ---------------------------------------------------------------------------

@@ -1216,3 +1216,48 @@ def test_mutual_information_known_values(spark):
         [("a", "u"), ("a", "v"), ("b", "u"), ("b", "v")], "x string, y string"
     )
     assert abs(mutual_information(ind, "x", "y").first().mi) < 1e-12
+
+
+def test_trend_fit_known_line(spark):
+    from pyveb_spark.operators.timeseries import trend_fit
+
+    # exact line y = 2x + 1 -> slope 2, intercept 1, r2 = 1
+    rows = [("a", i, 2.0 * i + 1.0) for i in range(10)]
+    # noisy flat series -> slope ~0, r2 small
+    rows += [("b", i, 5.0 if i % 2 else 4.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, x int, y double")
+    out = {r.k: r for r in trend_fit(df, ["k"], "x", "y").collect()}
+    a = out["a"]
+    assert a.n == 10
+    assert abs(a.slope - 2.0) < 1e-9
+    assert abs(a.intercept - 1.0) < 1e-9
+    assert abs(a.r2 - 1.0) < 1e-9
+    assert abs(out["b"].slope) < 0.2 and out["b"].r2 < 0.5
+
+
+def test_correlation_pca_matches_numpy(spark):
+    import numpy as np
+
+    from pyveb_spark.operators.profile import correlation_pca
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(300)
+    X = np.stack([
+        base + 0.1 * rng.randn(300),        # a, b strongly correlated
+        base + 0.1 * rng.randn(300),
+        rng.randn(300),                     # c independent
+    ], axis=1).round(2)
+    df = spark.createDataFrame(
+        [tuple(map(float, r)) for r in X], "a double, b double, c double"
+    )
+    r = correlation_pca(df, ["a", "b", "c"], iters=20).first()
+    C = np.corrcoef(X.round(2).T)
+    evals, evecs = np.linalg.eigh(C)
+    top = evecs[:, -1] * (1 if evecs[0, -1] >= 0 else -1)
+    got = np.array([r.loading_a, r.loading_b, r.loading_c])
+    # power iteration converges linearly at rate λ2/λ1 ≈ 0.5: 20 iters
+    # puts the vector within ~1e-6 and the Rayleigh quotient far closer
+    assert abs(r.eigenvalue - evals[-1]) < 1e-8
+    assert np.allclose(got, top, atol=1e-5)
+    # the correlated pair dominates the component
+    assert abs(r.loading_a) > abs(r.loading_c)
