@@ -698,10 +698,34 @@ def minhash_lsh_lookup(
             # most one such cache is kept per process (previous one is
             # unpersisted — the text.py postings pattern); production
             # passes a persisted blacklist and never hits this branch.
-            b = b.persist()
-            while _PERSISTED_LOOKUP_POSTINGS:
-                _PERSISTED_LOOKUP_POSTINGS.pop().unpersist()
-            _PERSISTED_LOOKUP_POSTINGS.append(b)
+            # evict the previous cache ONLY when the plan actually
+            # changed: repeated lookups against the same index (bench
+            # warm runs, successive admission batches in one session)
+            # must keep hitting the CacheManager — the eager eviction an
+            # earlier fix did here forced every call to re-run the full
+            # minhash pipeline (~2x the lookup cost)
+            def _same_plan(x: DataFrame, y: DataFrame) -> bool:
+                return bool(
+                    x._jdf.queryExecution()
+                    .analyzed()
+                    .sameResult(y._jdf.queryExecution().analyzed())
+                )
+
+            cached = next(
+                (
+                    old
+                    for old in _PERSISTED_LOOKUP_POSTINGS
+                    if _same_plan(old, b)
+                ),
+                None,
+            )
+            if cached is not None:
+                b = cached
+            else:
+                while _PERSISTED_LOOKUP_POSTINGS:
+                    _PERSISTED_LOOKUP_POSTINGS.pop().unpersist()
+                b = b.persist()
+                _PERSISTED_LOOKUP_POSTINGS.append(b)
             derived = minhash_hot_buckets(
                 b.select("__band", "__h"), max_bucket_size
             )
