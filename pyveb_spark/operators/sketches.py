@@ -34,6 +34,7 @@ __all__ = [
     "cms_bucket",
     "cms_build",
     "cms_estimate",
+    "merge_additive",
 ]
 
 # lgConfigK=12 → 4 KB sketches with ~1.6% relative standard error — the
@@ -206,3 +207,36 @@ def cms_estimate(
         F.broadcast(sketch), ["depth_idx", "bucket"], "left"
     ).withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
     return joined.groupBy(col).agg(F.min("n").alias(out_col))
+
+
+def merge_additive(
+    frames: Sequence[DataFrame],
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+) -> DataFrame:
+    """Merge pre-aggregated rollups by summing their additive measures —
+    the incremental-view-maintenance primitive: yesterday's persisted
+    rollup + today's partial (keys may OVERLAP, e.g. a day split across
+    two loads) == the full recompute, without rescanning history.
+    ``frames`` is a list of DataFrames with identical schemas; ``keys``
+    the grouping columns; ``sum_cols`` the additive measure columns
+    (counts, decimal sums, HLL/CMS partials merge with their own
+    operators — see :func:`hll_merge`).
+
+    Keep measures in their EXACT form (counts, decimals) until after the
+    final merge and cast at presentation — double partials would make
+    the merged result depend on load order.
+
+    100 TB design: inputs are rollup-sized, not fact-sized; one shuffle
+    on ``keys`` over rollup rows. This plus partitioned upsert
+    (`ParquetMergeSink.upsert_partitioned`) is the pattern that replaces
+    full-history recomputes with per-load increments.
+    """
+    from functools import reduce
+
+    keys = list(keys)
+    sum_cols = list(sum_cols)
+    unioned = reduce(lambda a, b: a.unionByName(b), frames)
+    return unioned.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )

@@ -6363,6 +6363,99 @@ def _q130_sql() -> str:
     )
 
 
+def q131_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (``operators/sketches.py::
+    merge_additive``): the daily (type, day) rollup computed as TWO
+    loads split MID-DAY (Jan 15 noon) — the boundary day exists in both partials with
+    partial sums — then additively merged. Measures stay exact decimals
+    until after the merge, so the result equals the full recompute the
+    oracle runs, independent of load order. The pattern that replaces
+    full-history rescans with per-load increments."""
+    from pyveb_spark.operators.sketches import merge_additive
+
+    e = read_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 12:00:00").cast("timestamp")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).alias("sum_value_dec"),
+        )
+
+    merged = merge_additive(
+        [rollup(e.where(F.col("ts") <= cut)), rollup(e.where(F.col("ts") > cut))],
+        ["event_type", "day"],
+        ["n_events", "sum_value_dec"],
+    )
+    return merged.select(
+        "event_type",
+        F.unix_micros("day").alias("day_us"),
+        "n_events",
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+    ).orderBy("event_type", "day_us")
+
+
+_Q131_SQL = """
+SELECT event_type,
+       epoch_us(date_trunc('day', ts)) AS day_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, day_us
+"""
+
+
+def q132_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted skew join end-to-end under the value-hash oracle
+    (``operators/joins.py::salted_join``): lineitem ⋈ orders on orderkey
+    with 8 salt buckets, revenue per order priority. The oracle runs the
+    PLAIN join — hash equality certifies that salting is semantically
+    invisible (salt columns never escape), the property that lets a
+    hot-key job switch to the salted form without revalidating results."""
+    from pyveb_spark.operators.joins import salted_join
+
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    joined = salted_join(
+        l.withColumnRenamed("l_orderkey", "okey"),
+        o.withColumnRenamed("o_orderkey", "okey"),
+        on="okey",
+        how="inner",
+        salt_buckets=8,
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (one - _dec("l_discount", 3, 2))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q132_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2))
+                   - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6498,6 +6591,8 @@ QUERIES = {
     "q128_split_audit": q128_split_audit,
     "q129_daily_trend": q129_daily_trend,
     "q130_measure_pca": q130_measure_pca,
+    "q131_incremental_rollup": q131_incremental_rollup,
+    "q132_salted_revenue": q132_salted_revenue,
 }
 
 ORACLE_SQL = {
@@ -6631,6 +6726,8 @@ ORACLE_SQL = {
     "q128_split_audit": _q128_sql(),
     "q129_daily_trend": _Q129_SQL,
     "q130_measure_pca": _q130_sql(),
+    "q131_incremental_rollup": _Q131_SQL,
+    "q132_salted_revenue": _Q132_SQL,
 }
 
 # ---------------------------------------------------------------------------

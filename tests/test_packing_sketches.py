@@ -257,3 +257,36 @@ def test_cms_weighted_counts(spark):
     )
     rows = {r.token: r.cms_count for r in est.collect()}
     assert rows["a"] >= 7 and rows["b"] >= 3
+
+
+def test_merge_additive_equals_full_recompute(spark):
+    from pyspark.sql import functions as F
+    from pyveb_spark.operators.sketches import merge_additive
+
+    rows = [("a", 1, 10.00), ("a", 1, 2.50), ("a", 2, 1.00), ("b", 1, 7.25)]
+    df = spark.createDataFrame(rows, "k string, d int, v double")
+
+    def roll(frame):
+        return frame.groupBy("k", "d").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(12,2)")).alias("s"),
+        )
+
+    # split WITHIN key (a,1) so the merge must actually add partials
+    merged = merge_additive(
+        [roll(df.where("v > 5")), roll(df.where("v <= 5"))],
+        ["k", "d"], ["n", "s"],
+    )
+    full = roll(df)
+    m = {(r.k, r.d): (r.n, float(r.s)) for r in merged.collect()}
+    f = {(r.k, r.d): (r.n, float(r.s)) for r in full.collect()}
+    assert m == f
+    assert m[("a", 1)] == (2, 12.5)  # the split key really merged
+    # three-way merge associativity
+    merged3 = merge_additive(
+        [roll(df.where("v > 5")), roll(df.where("v <= 5 and v > 2")),
+         roll(df.where("v <= 2"))],
+        ["k", "d"], ["n", "s"],
+    )
+    assert {(r.k, r.d): (r.n, float(r.s))
+            for r in merged3.collect()} == f
