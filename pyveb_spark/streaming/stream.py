@@ -34,6 +34,8 @@ __all__ = [
     "stream_enrich",
     "foreach_batch_upsert",
     "run_available_now",
+    "read_kafka_stream",
+    "write_kafka_stream",
 ]
 
 
@@ -297,3 +299,85 @@ def stream_interval_join(
     for k in keys:
         out = out.drop(rw[k])
     return out
+
+
+_KAFKA_GATE_MSG = (
+    "Kafka support requires the spark-sql-kafka package on the classpath "
+    "(spark.jars.packages="
+    "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>)."
+)
+
+
+def _is_missing_source(exc: Exception) -> bool:
+    # Match ONLY missing-classpath signals (the read_avro lesson): an
+    # unreachable broker or a bad topic must re-raise as-is.
+    msg = str(exc)
+    return (
+        "DATA_SOURCE_NOT_FOUND" in msg
+        or "Failed to find data source" in msg
+        or "Failed to find the data source" in msg
+    )
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "latest",
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Kafka micro-batch source — the production edge for the streaming
+    operators in this module (the file-drop source stands in for it in
+    tests; both yield the same downstream plans). Returns the standard
+    Kafka schema (key/value binary, topic, partition, offset,
+    timestamp); decode ``value`` with ``cast('string')``/``from_json``
+    (or ``read_avro``'s module for Avro payloads).
+
+    ``spark-sql-kafka`` is an external module; absence raises a guided
+    error instead of an opaque ClassNotFoundException mid-job. At scale,
+    Kafka partitions map 1:1 to input tasks — parallelism is the TOPIC's
+    partition count, so size that (not Spark) for throughput.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+    )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load()
+    except Exception as exc:  # pragma: no cover - classpath-dependent
+        if _is_missing_source(exc):
+            raise RuntimeError(_KAFKA_GATE_MSG) from exc
+        raise
+
+
+def write_kafka_stream(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+    options: dict[str, str] | None = None,
+):
+    """Kafka sink for a streaming DataFrame: expects ``key``/``value``
+    (binary or string) columns per the Kafka connector contract.
+    Exactly-once within a topic-partition comes from the checkpointed
+    offsets plus Kafka's idempotent producer; cross-system transactions
+    need the foreachBatch upsert path instead. Same classpath gate as
+    :func:`read_kafka_stream`."""
+    writer = (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    try:
+        return writer.start()
+    except Exception as exc:  # pragma: no cover - classpath-dependent
+        if _is_missing_source(exc):
+            raise RuntimeError(_KAFKA_GATE_MSG) from exc
+        raise

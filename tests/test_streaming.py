@@ -357,3 +357,27 @@ def test_stream_session_windows_equal_batch(spark, events_dir):
         for r in batch.collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_kafka_gate_behavior(spark, tmp_path):
+    """Without the spark-sql-kafka jar the source/sink must raise the
+    GUIDED classpath error (and only for the missing-source signal —
+    the read_avro lesson: other failures re-raise untouched)."""
+    from pyveb_spark.streaming.stream import (
+        _is_missing_source,
+        read_kafka_stream,
+    )
+
+    try:
+        df = read_kafka_stream(spark, "localhost:9", "t")
+    except RuntimeError as e:
+        assert "spark-sql-kafka" in str(e)  # gated: guided message
+    else:
+        # jar present in this environment: the standard Kafka schema
+        cols = set(df.columns)
+        assert {"key", "value", "topic", "partition", "offset"} <= cols
+    # classifier: only missing-source signals match
+    assert _is_missing_source(Exception("Failed to find data source: kafka"))
+    assert _is_missing_source(Exception("[DATA_SOURCE_NOT_FOUND] ..."))
+    assert not _is_missing_source(Exception("PATH_NOT_FOUND: x.kafka"))
+    assert not _is_missing_source(Exception("Connection to broker failed"))
