@@ -34,6 +34,7 @@ __all__ = [
     "calibration_curve",
     "mutual_information",
     "correlation_pca",
+    "pr_curve",
 ]
 
 
@@ -734,4 +735,60 @@ def correlation_pca(
             (sign * F.col(f"v_{i}")).alias(f"loading_{c}")
             for i, c in enumerate(cols)
         ],
+    )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+) -> DataFrame:
+    """Full precision/recall curve of a score against a binary label —
+    one row per DISTINCT score value, treating it as the admission
+    threshold (``score >= t`` predicts positive): ``(threshold, n_pred,
+    tp, precision, recall, f1)``. The threshold-picking table that
+    completes the eval family: AUC (:func:`binary_auc`) ranks,
+    calibration (:func:`calibration_curve`) checks values, this says
+    what each cut actually costs.
+
+    Same scale shape as AUC: one (score) groupBy of the scan with
+    map-side partials, then a cumulative window DOWN the distinct-score
+    table (histogram-sized, never row-sized). Counts are exact integers;
+    precision/recall are single divisions; f1 is one fixed-order
+    expression over them. Quantize continuous scores first at extreme
+    cardinality (the binary_auc note).
+    """
+    from pyspark.sql import Window
+
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    pos = F.when(lab.cast("boolean"), 1).otherwise(0)
+    hist = df.groupBy(F.col(score_col).alias("threshold")).agg(
+        F.sum(pos).alias("__pos"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy(F.col("threshold").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    total_pos = Window.partitionBy()
+    cum = hist.select(
+        "threshold",
+        F.sum("__n").over(w).alias("n_pred"),
+        F.sum("__pos").over(w).alias("tp"),
+        F.sum("__pos").over(total_pos).alias("__p"),
+    )
+    precision = F.col("tp").cast("double") / F.col("n_pred").cast("double")
+    recall = F.col("tp").cast("double") / F.col("__p").cast("double")
+    return cum.select(
+        "threshold",
+        "n_pred",
+        "tp",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        (
+            F.lit(2.0)
+            * (precision * recall)
+            / (precision + recall + F.lit(1e-300))
+        ).alias("f1"),
     )

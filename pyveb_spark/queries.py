@@ -6456,6 +6456,100 @@ ORDER BY o_orderpriority
 """
 
 
+def q133_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC recovery from full snapshots (``sinks/merge.py::
+    snapshot_diff`` — the inverse of q112's apply): yesterday = orders
+    before 1997, today = orders from 1996 on with 1996 prices doubled.
+    The diff must classify pre-1996 keys D, 1997+ keys I, and 1996 keys
+    U with the new payload — exactly the changelog a full-extract source
+    (the reference's ``lynx_client`` daily pulls) can't emit itself.
+    One full-outer join on the key; output is delta-sized."""
+    from pyveb_spark.sinks.merge import snapshot_diff
+
+    o = read_table(spark, sf_dir, "orders")
+    y96 = F.lit("1996-01-01").cast("timestamp")
+    y97 = F.lit("1997-01-01").cast("timestamp")
+    old = o.where(F.col("o_orderdate") < y97).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    new = o.where(F.col("o_orderdate") >= y96).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderdate") < y97, F.col("o_totalprice") * 2
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    return snapshot_diff(old, new, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+_Q133_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+  WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+              THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+         o_orderpriority
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+SELECT n.o_orderkey, n.o_totalprice, n.o_orderpriority, 'I' AS op
+FROM new n WHERE n.o_orderkey NOT IN (SELECT o_orderkey FROM old)
+UNION ALL
+SELECT o.o_orderkey, o.o_totalprice, o.o_orderpriority, 'D' AS op
+FROM old o WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM new)
+UNION ALL
+SELECT n.o_orderkey, n.o_totalprice, n.o_orderpriority, 'U' AS op
+FROM new n JOIN old o ON n.o_orderkey = o.o_orderkey
+WHERE n.o_totalprice IS DISTINCT FROM o.o_totalprice
+   OR n.o_orderpriority IS DISTINCT FROM o.o_orderpriority
+ORDER BY o_orderkey
+"""
+
+
+def q134_length_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full precision/recall curve of document length as an English
+    predictor (``operators/profile.py::pr_curve``): one row per distinct
+    length threshold, cumulative window DOWN the histogram — exact
+    integer counts, single divisions, fixed-order f1. With AUC (q111)
+    and calibration (q124) this completes the classifier-eval family."""
+    from pyveb_spark.operators.profile import pr_curve
+
+    d = read_table(spark, sf_dir, "documents")
+    return pr_curve(d, "n_chars", F.col("lang") == F.lit("en")).orderBy(
+        F.col("threshold").desc()
+    )
+
+
+_Q134_SQL = """
+WITH hist AS (
+  SELECT n_chars AS threshold,
+         CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS pos,
+         COUNT(*) AS n
+  FROM documents GROUP BY n_chars),
+cum AS (
+  SELECT threshold,
+         CAST(SUM(n) OVER (ORDER BY threshold DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_pred,
+         CAST(SUM(pos) OVER (ORDER BY threshold DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS tp,
+         CAST(SUM(pos) OVER () AS BIGINT) AS p
+  FROM hist)
+SELECT threshold, n_pred, tp,
+       CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) AS precision,
+       CAST(tp AS DOUBLE) / CAST(p AS DOUBLE) AS recall,
+       2.0 * ((CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE))
+              * (CAST(tp AS DOUBLE) / CAST(p AS DOUBLE)))
+           / ((CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE))
+              + (CAST(tp AS DOUBLE) / CAST(p AS DOUBLE)) + 1e-300) AS f1
+FROM cum
+ORDER BY threshold DESC
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6593,6 +6687,8 @@ QUERIES = {
     "q130_measure_pca": q130_measure_pca,
     "q131_incremental_rollup": q131_incremental_rollup,
     "q132_salted_revenue": q132_salted_revenue,
+    "q133_snapshot_diff": q133_snapshot_diff,
+    "q134_length_pr_curve": q134_length_pr_curve,
 }
 
 ORACLE_SQL = {
@@ -6728,6 +6824,8 @@ ORACLE_SQL = {
     "q130_measure_pca": _q130_sql(),
     "q131_incremental_rollup": _Q131_SQL,
     "q132_salted_revenue": _Q132_SQL,
+    "q133_snapshot_diff": _Q133_SQL,
+    "q134_length_pr_curve": _Q134_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -34,6 +34,7 @@ __all__ = [
     "upsert_if_changed",
     "scd2_apply",
     "apply_changelog",
+    "snapshot_diff",
     "history_from_events",
     "snapshot_asof",
     "merge_frames",
@@ -377,3 +378,62 @@ class ParquetMergeSink:
         current = current.join(F.broadcast(touched), partition_cols, "inner")
         merged = upsert_frames(current, df, keys).localCheckpoint(eager=True)
         merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(self.path)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+    op_col: str = "op",
+) -> DataFrame:
+    """Diff two table snapshots into a changelog — the INVERSE of
+    :func:`apply_changelog`: rows with ``op`` ``I`` (key only in new),
+    ``D`` (key only in old, payload = old values), ``U`` (key in both,
+    compared columns differ null-safely, payload = new values).
+    Unchanged keys produce nothing. Round-trip law (pinned in tests):
+    ``apply_changelog(old, snapshot_diff(old, new)) == new``.
+
+    This is how CDC is RECOVERED when the source system can't emit it
+    (the reference's daily full extracts are exactly this situation —
+    ``lynx_client`` re-pulls whole tables); diff yesterday's snapshot
+    against today's and downstream consumes deltas instead of full
+    loads.
+
+    100 TB design: one full-outer join on the keys — the honest cost of
+    snapshot diffing (both sides scanned once); co-partition/bucket both
+    snapshots by key to make it shuffle-free. Output is delta-sized.
+    """
+    keys = list(keys)
+    payload = [c for c in new.columns if c not in keys]
+    compare = list(compare_cols) if compare_cols else payload
+    o = old.select(
+        *keys,
+        F.lit(True).alias("__o_exists"),
+        *[F.col(c).alias(f"__o_{c}") for c in payload],
+    )
+    nn = new.select(
+        *keys,
+        F.lit(True).alias("__n_exists"),
+        *[F.col(c) for c in payload],
+    )
+    j = nn.join(o, keys, "full_outer")
+    differs = F.lit(False)
+    for c in compare:
+        differs = differs | ~F.col(c).eqNullSafe(F.col(f"__o_{c}"))
+    op = (
+        F.when(F.col("__o_exists").isNull(), F.lit("I"))
+        .when(F.col("__n_exists").isNull(), F.lit("D"))
+        .when(differs, F.lit("U"))
+    )
+    out_payload = [
+        F.when(F.col("__n_exists").isNull(), F.col(f"__o_{c}"))
+        .otherwise(F.col(c))
+        .alias(c)
+        for c in payload
+    ]
+    return (
+        j.withColumn(op_col, op)
+        .where(F.col(op_col).isNotNull())
+        .select(*keys, *out_payload, op_col)
+    )

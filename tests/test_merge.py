@@ -162,3 +162,34 @@ def test_history_from_events_and_snapshot_asof(spark):
     assert later[1] == "v2"  # boundary: valid_from <= ts is inclusive
     before = snapshot_asof(hist, "2019-12-31")
     assert before.count() == 0
+
+
+def test_snapshot_diff_roundtrip_law(spark):
+    """apply_changelog(old, snapshot_diff(old, new)) == new — diff and
+    apply are exact inverses, so recovered CDC is lossless."""
+    from pyspark.sql import functions as F
+    from pyveb_spark.sinks.merge import apply_changelog, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+        "k int, v string, w double",
+    )
+    new = spark.createDataFrame(
+        [(2, "B", 20.0),          # changed v -> U
+         (3, "c", None),          # identical incl. NULL -> no row
+         (4, "d", 40.0)],         # new key -> I; key 1 gone -> D
+        "k int, v string, w double",
+    )
+    diff = snapshot_diff(old, new, ["k"])
+    ops = {r.k: r.op for r in diff.collect()}
+    assert ops == {1: "D", 2: "U", 4: "I"}
+    d2 = {r.k: (r.v, r.w) for r in diff.collect()}
+    assert d2[1] == ("a", 10.0)   # D carries the OLD payload
+    assert d2[2] == ("B", 20.0)   # U carries the NEW payload
+
+    applied = apply_changelog(
+        old, diff.withColumn("seq", F.lit(1)), ["k"], ["seq"]
+    )
+    assert sorted(map(tuple, applied.collect())) == sorted(
+        map(tuple, new.collect())
+    )

@@ -1261,3 +1261,20 @@ def test_correlation_pca_matches_numpy(spark):
     assert np.allclose(got, top, atol=1e-5)
     # the correlated pair dominates the component
     assert abs(r.loading_a) > abs(r.loading_c)
+
+
+def test_pr_curve_hand_computed(spark):
+    from pyveb_spark.operators.profile import pr_curve
+
+    # scores desc: 3(pos), 2(neg), 1(pos)
+    rows = [(3, 1), (2, 0), (1, 1)]
+    df = spark.createDataFrame(rows, "s int, y int")
+    out = {r.threshold: (r.n_pred, r.tp, r.precision, r.recall)
+           for r in pr_curve(df, "s", "y").collect()}
+    assert out[3] == (1, 1, 1.0, 0.5)
+    assert out[2] == (2, 1, 0.5, 0.5)
+    assert out[1] == (3, 2, 2.0 / 3.0, 1.0)
+    # f1 at full recall
+    r1 = [r for r in pr_curve(df, "s", "y").collect() if r.threshold == 1][0]
+    p, rec = 2.0 / 3.0, 1.0
+    assert abs(r1.f1 - 2 * p * rec / (p + rec + 1e-300)) < 1e-15
