@@ -41,6 +41,11 @@ def pagerank(
     order is engine/layout dependent (~1e-16/term); compare ranks
     rounded (the k-means centroid treatment), not bit-exact.
     """
+    from pyveb_spark.operators.cache import cached_once
+
+    # the edge list is read for degrees plus ONCE PER ITERATION — without
+    # a cache the full upstream edge derivation recomputes iters+2 times
+    edges = cached_once(edges, "graph.pagerank.edges")
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -106,10 +111,15 @@ def triangle_counts(
     cartesian, nothing driver-side.
     """
     a, b = F.col(src), F.col(dst)
-    canon = (
+    from pyveb_spark.operators.cache import cached_once
+
+    # canon is read three times (degrees, orientation attach, closing
+    # join) — cache the canonical edge set, not the raw input
+    canon = cached_once(
         edges.where(a != b)
         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
-        .distinct()
+        .distinct(),
+        "graph.triangles.canon",
     )
     deg = (
         canon.select(F.col("a").alias("node"))

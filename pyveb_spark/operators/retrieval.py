@@ -57,7 +57,14 @@ def build_inverted_index(
     doc_freq = tf.groupBy("token").agg(
         F.count(F.lit(1)).alias("df")
     )
-    postings = tf.join(doc_freq, "token")
+    from pyveb_spark.operators.cache import cached_once
+
+    # postings feed BM25 hits, TF-IDF norms AND TF-IDF scores — cache the
+    # aggregated table so the tokenize/explode pipeline runs once per
+    # corpus (persisting bucketed-by-token is the durable form at scale)
+    postings = cached_once(
+        tf.join(doc_freq, "token"), "retrieval.postings"
+    )
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -39,9 +39,16 @@ def association_rules(
     confidence = P(b|a) (and the reverse), lift = P(a,b)/(P(a)·P(b)) —
     lift > 1 means the pair co-occurs more than independence predicts.
     """
-    bi = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__it")
-    ).distinct()
+    from pyveb_spark.operators.cache import cached_once
+
+    # bi feeds the basket count, the item marginals AND both sides of
+    # the pair join — cache it or the distinct recomputes four times
+    bi = cached_once(
+        df.select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__it")
+        ).distinct(),
+        "rules.association.bi",
+    )
     n_baskets = bi.select("__b").distinct().agg(
         F.count(F.lit(1)).alias("__n")
     )

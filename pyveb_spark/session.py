@@ -70,6 +70,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE keep optimizing INSIDE persisted plans — without this a
+        # .persist() freezes the cached subtree's shuffle partitioning
+        # (no runtime coalescing), which made the operator-level caches
+        # (operators/cache.py) slower than the recomputation they saved
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
