@@ -38,6 +38,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "simhash_pairs",
+    "hamming_pairs",
     "duplicate_clusters",
     "chunk_stats",
     "contamination_check",
@@ -807,23 +808,44 @@ def simhash_pairs(
     ``max_hamming < bands`` (the pigeonhole guarantee — unlike MinHash
     banding, this blocking is lossless). One band-bucket self-join is the
     only shuffle."""
+    fp = simhash(df, id_col, text_col)
+    return hamming_pairs(
+        fp, id_col, "simhash", max_hamming=max_hamming, bands=bands,
+        bits=SIMHASH_BITS,
+    )
+
+
+def hamming_pairs(
+    fp: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Pigeonhole-banded near-dup pairs over ANY precomputed ``bits``-wide
+    fingerprint column (SimHash, image dHash, audio chromaprints...):
+    split into ``bands`` equal chunks — a pair within
+    ``max_hamming ≤ bands - 1`` bit flips must agree on at least one full
+    chunk, so candidates come from ``bands`` hash-join buckets instead of
+    O(n²), verified exactly with ``bit_count(xor)``. Lossless blocking
+    (recall 1.0 whenever ``max_hamming < bands``); one band-bucket
+    self-join is the only shuffle. Fingerprints must be non-negative
+    (< 2^bits)."""
     if max_hamming >= bands:
         raise ValueError(
             "pigeonhole blocking needs max_hamming < bands "
             f"(got {max_hamming} >= {bands})"
         )
-    if SIMHASH_BITS % bands != 0:
-        raise ValueError(
-            f"bands must divide {SIMHASH_BITS} (got bands={bands})"
-        )
-    width = SIMHASH_BITS // bands
+    if bits % bands != 0:
+        raise ValueError(f"bands must divide {bits} (got bands={bands})")
+    width = bits // bands
     a, b_ = f"{id_col}_a", f"{id_col}_b"
-    fp = simhash(df, id_col, text_col)
-    # fingerprints are positive (< 2^60), so plain shift + mask per band
+    # fingerprints are positive (< 2^bits), so plain shift + mask per band
     band_arr = F.array(
         *[
             F.expr(
-                f"(CAST(simhash AS BIGINT) >> {i * width})"
+                f"(CAST({hash_col} AS BIGINT) >> {i * width})"
                 f" & {(1 << width) - 1}"
             )
             for i in range(bands)
@@ -831,15 +853,15 @@ def simhash_pairs(
     )
     banded = fp.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(hash_col),
         F.posexplode(band_arr).alias("__band", "__v"),
     )
     left = banded.select(
-        F.col(id_col).alias(a), F.col("simhash").alias("__fa"),
+        F.col(id_col).alias(a), F.col(hash_col).alias("__fa"),
         "__band", "__v",
     )
     right = banded.select(
-        F.col(id_col).alias(b_), F.col("simhash").alias("__fb"),
+        F.col(id_col).alias(b_), F.col(hash_col).alias("__fb"),
         "__band", "__v",
     )
     return (

@@ -43,6 +43,8 @@ __all__ = [
     "decode_bmp",
     "decode_wav",
     "synth_bmp",
+    "synth_bmp_pixels",
+    "dhash_images",
     "synth_wav",
     "decode_images",
     "decode_audio",
@@ -364,3 +366,107 @@ def sample_frames(
     return df.withColumn("frames", frames).withColumn(
         "frame", F.explode_outer("frames")
     ).drop("frames")
+
+
+DHASH_W, DHASH_H = 9, 8  # 9 columns -> 8 comparisons per row, 8 rows
+DHASH_BITS = 60  # keep banding-compatible with dedup.SIMHASH_BITS
+
+
+def _pix(seed, x: int, y: int):
+    """The synthetic pixel intensity formula — shared between the Spark
+    byte generator and the DuckDB oracle's arithmetic replay:
+    ``((seed+1)*(x+3)*(y+5)*17) % 256`` (multiplicative mixing so the
+    dHash bits vary across the grid; a linear ramp made 19 of 37 seeds
+    collide)."""
+    s = F.col(seed) if isinstance(seed, str) else seed
+    return (((s + 1) * (x + 3) * (y + 5) * 17) % 256 + 256) % 256
+
+
+def synth_bmp_pixels(seed) -> F.Column:
+    """A REAL 9×8 24-bpp BMP **with pixel data** generated natively in
+    Spark from a per-row integer ``seed``: grayscale intensity
+    ``_pix(seed, x, y)`` in all three channels, bottom-up row order and
+    4-byte row stride exactly per the BMP spec (9 px × 3 B = 27 → 28 with
+    pad). Every byte is a codegen expression — synthesizing a
+    billion-image fixture corpus never leaves the JVM, and
+    :func:`dhash_images` must parse these bytes FOR REAL (offsets,
+    bottom-up rows, stride) to reproduce the oracle's arithmetic hash."""
+    def raw_byte(col):  # 0-255 -> one byte (char↔ISO-8859-1 bijection)
+        return F.encode(F.char(col), "ISO-8859-1")
+
+    rows = []
+    for r in range(DHASH_H):            # file row r = image row (H-1-r)
+        y = DHASH_H - 1 - r
+        for x in range(DHASH_W):
+            px = raw_byte(_pix(seed, x, y))
+            rows += [px, px, px]        # BGR, all equal (grayscale)
+        rows.append(F.to_binary(F.lit("00"), F.lit("hex")))  # stride pad
+    header = F.concat(
+        F.to_binary(F.lit("424d"), F.lit("hex")),              # 'BM'
+        F.to_binary(F.lit("16010000" "00000000" "36000000"),
+                    F.lit("hex")),  # size 278, reserved, data offset 54
+        F.to_binary(F.lit("28000000"), F.lit("hex")),          # biSize 40
+        F.to_binary(F.lit("09000000" "08000000"), F.lit("hex")),  # 9 × 8
+        F.to_binary(F.lit("0100" "1800" + "00000000" * 6), F.lit("hex")),
+    )
+    return F.concat(header, *rows)
+
+
+def dhash_images(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+) -> DataFrame:
+    """Perceptual difference-hash over BMP payloads: parse the REAL bytes
+    (data offset @10, width @18, height @22, 24 bpp, bottom-up rows,
+    4-byte stride) and emit the classic dHash — bit ``y*8+x`` set iff
+    ``gray(x+1, y) > gray(x, y)`` over the top-left 9×8 grid, truncated
+    to 60 bits so the fingerprint drops straight into
+    :func:`~pyveb_spark.operators.dedup.hamming_pairs`' pigeonhole
+    banding. Returns ``(id_col, dhash)``.
+
+    Near-duplicate IMAGE detection is the visual twin of SimHash text
+    dedup (re-encoded/resized copies differ by a few bits); with the
+    shared banding operator the whole multimodal dedup path is one
+    band-keyed shuffle. Real codecs (JPEG via PIL) plug in by decoding
+    to a 9×8 grayscale grid and reusing the same bit construction.
+
+    Arrow-batched mapInPandas kernel (UDF is unavoidable: byte parsing),
+    output is (id, int64) — narrow rows, no payload shuffle anywhere
+    downstream.
+    """
+    out_schema = f"{id_col} long, dhash long"
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                if b[:2] != b"BM":
+                    raise ValueError("dhash_images expects BMP payloads")
+                off = int.from_bytes(b[10:14], "little")
+                w = int.from_bytes(b[18:22], "little", signed=True)
+                h = int.from_bytes(b[22:26], "little", signed=True)
+                if w < DHASH_W or abs(h) < DHASH_H:
+                    raise ValueError(f"image smaller than dHash grid: {w}x{h}")
+                stride = ((3 * w + 3) // 4) * 4
+                bottom_up = h > 0
+                hh = abs(h)
+
+                def gray(x: int, y: int) -> int:
+                    row = (hh - 1 - y) if bottom_up else y
+                    return b[off + row * stride + 3 * x]  # blue channel
+
+                v = 0
+                for y in range(DHASH_H):
+                    for x in range(DHASH_W - 1):
+                        bit = y * (DHASH_W - 1) + x
+                        if bit >= DHASH_BITS:
+                            continue
+                        if gray(x + 1, y) > gray(x, y):
+                            v |= 1 << bit
+                ids.append(int(i))
+                hashes.append(v)
+            yield pd.DataFrame({id_col: ids, "dhash": hashes})
+
+    return df.mapInPandas(_hash, schema=out_schema)

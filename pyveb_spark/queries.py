@@ -6550,6 +6550,60 @@ ORDER BY threshold DESC
 """
 
 
+def q135_image_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE detection end-to-end: synthesize REAL 9×8
+    24-bpp BMPs (pixel bytes generated in codegen from a per-doc seed,
+    ``multimodal.synth_bmp_pixels``), perceptual-hash them by PARSING the
+    actual bytes (``dhash_images`` — offsets, bottom-up rows, stride),
+    and pair within Hamming ≤ 2 via the generalized pigeonhole banding
+    (``dedup.hamming_pairs`` — the SimHash machinery, reused for vision).
+    The oracle replays the generator arithmetic straight to the hash (the
+    q38 contract: a single misread byte anywhere in the kernel
+    hash-mismatches); docs sharing ``doc_id % 37`` carry identical
+    images, so the pair set is the duplicate-class structure."""
+    from pyveb_spark.operators.dedup import hamming_pairs
+    from pyveb_spark.operators.multimodal import (
+        dhash_images,
+        synth_bmp_pixels,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 37).cast("int").alias("seed")
+    )
+    bmp = d.select(
+        "doc_id", synth_bmp_pixels(F.col("seed")).alias("payload")
+    )
+    fp = dhash_images(bmp, "doc_id", "payload")
+    return hamming_pairs(
+        fp, "doc_id", "dhash", max_hamming=2, bands=4, bits=60
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+def _q135_sql() -> str:
+    terms = []
+    for y in range(8):
+        for x in range(8):
+            bit = y * 8 + x
+            if bit >= 60:
+                continue
+            c0 = (x + 3) * (y + 5) * 17
+            c1 = (x + 4) * (y + 5) * 17
+            terms.append(
+                f"CASE WHEN ((seed+1)*{c1})%256 > ((seed+1)*{c0})%256 "
+                f"THEN {1 << bit} ELSE 0 END"
+            )
+    hash_expr = "\n       + ".join(terms)
+    return f"""
+WITH s AS (SELECT doc_id, doc_id % 37 AS seed FROM documents),
+fp AS (SELECT doc_id, CAST({hash_expr} AS BIGINT) AS dhash FROM s)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       bit_count(xor(a.dhash, b.dhash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6689,6 +6743,7 @@ QUERIES = {
     "q132_salted_revenue": q132_salted_revenue,
     "q133_snapshot_diff": q133_snapshot_diff,
     "q134_length_pr_curve": q134_length_pr_curve,
+    "q135_image_dhash_dups": q135_image_dhash_dups,
 }
 
 ORACLE_SQL = {
@@ -6826,6 +6881,7 @@ ORACLE_SQL = {
     "q132_salted_revenue": _Q132_SQL,
     "q133_snapshot_diff": _Q133_SQL,
     "q134_length_pr_curve": _Q134_SQL,
+    "q135_image_dhash_dups": _q135_sql(),
 }
 
 # ---------------------------------------------------------------------------

@@ -1278,3 +1278,65 @@ def test_pr_curve_hand_computed(spark):
     r1 = [r for r in pr_curve(df, "s", "y").collect() if r.threshold == 1][0]
     p, rec = 2.0 / 3.0, 1.0
     assert abs(r1.f1 - 2 * p * rec / (p + rec + 1e-300)) < 1e-15
+
+
+def test_dhash_images_parses_real_bytes(spark):
+    """The dHash kernel must read the BMP for REAL: header offsets,
+    bottom-up row order, stride — verified against the arithmetic
+    reference of the shared _pix formula, plus a top-down (negative
+    height) variant the generator never emits."""
+    from pyspark.sql import functions as F
+    from pyveb_spark.operators.multimodal import (
+        DHASH_BITS,
+        dhash_images,
+        synth_bmp_pixels,
+    )
+
+    def pix(seed, x, y):
+        return ((seed + 1) * (x + 3) * (y + 5) * 17) % 256
+
+    def ref(seed):
+        v = 0
+        for y in range(8):
+            for x in range(8):
+                bit = y * 8 + x
+                if bit >= DHASH_BITS:
+                    continue
+                if pix(seed, x + 1, y) > pix(seed, x, y):
+                    v |= 1 << bit
+        return v
+
+    df = spark.createDataFrame(
+        [(i, i % 5) for i in range(10)], "doc_id long, seed int"
+    )
+    bmp = df.select(
+        "doc_id", synth_bmp_pixels(F.col("seed")).alias("payload")
+    )
+    out = {r.doc_id: r.dhash
+           for r in dhash_images(bmp, "doc_id", "payload").collect()}
+    assert out == {i: ref(i % 5) for i in range(10)}
+
+    # top-down BMP (negative height): same image content, same hash
+    row = bmp.where("doc_id = 0").first()
+    b = bytearray(bytes(row.payload))
+    h = int.from_bytes(b[22:26], "little")
+    b[22:26] = (-h).to_bytes(4, "little", signed=True)
+    # flip the pixel rows so top-down content equals the bottom-up image
+    off, stride = 54, 28
+    rows = [bytes(b[off + r * stride: off + (r + 1) * stride])
+            for r in range(8)]
+    b[off:off + 8 * stride] = b"".join(reversed(rows))
+    td = spark.createDataFrame([(99, bytes(b))], "doc_id long, payload binary")
+    assert dhash_images(td, "doc_id", "payload").first().dhash == ref(0)
+
+
+def test_hamming_pairs_generalized(spark):
+    from pyveb_spark.operators.dedup import hamming_pairs
+
+    rows = [(1, 0b1111), (2, 0b1110), (3, 0b0000), (4, 0b1111)]
+    df = spark.createDataFrame(rows, "id long, h long")
+    out = {(r.id_a, r.id_b): r.hamming
+           for r in hamming_pairs(df, "id", "h", max_hamming=2,
+                                  bands=4, bits=60).collect()}
+    # 1-2 differ by 1 bit, 1-4 identical, 2-4 by 1; 3 is ≥3 bits from all
+    assert out == {(1, 2): 1, (1, 4): 0, (2, 4): 1}

@@ -231,6 +231,7 @@ _ARROW_PY_OK = {
     "q62_embedding_dedup",   # composes through cosine_pairs
     "q67_frame_features",    # mapInPandas feature kernel
     "q97_audio_stats",       # mapInPandas WAV header decode kernel
+    "q135_image_dhash_dups", # mapInPandas dHash kernel over real BMP bytes
 }
 
 # streaming replays execute a stream inside the query fn; their final
