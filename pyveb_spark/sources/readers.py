@@ -41,6 +41,7 @@ __all__ = [
     "read_avro",
     "read_text",
     "read_binary_files",
+    "read_tar_members",
     "read_jdbc",
     "read_records",
     "read_table",
@@ -343,3 +344,66 @@ def add_ingest_metadata(df: DataFrame, partition_date: str | None = None) -> Dat
     )
     part = F.lit(partition_date).cast("date") if partition_date else F.current_date()
     return out.withColumn("META_partition_date", part)
+
+
+def read_tar_members(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.tar",
+    member_suffixes: "Sequence[str] | None" = None,
+) -> DataFrame:
+    """WebDataset-style archive ingestion: scan ``*.tar`` shards with the
+    ``binaryFile`` source (one input partition per shard — the planner
+    parallelizes across archives) and explode each into one row per
+    member: ``(archive, member, n_bytes, content)``. This is the standard
+    large-scale multimodal layout — millions of small image/audio/text
+    files packed into thousand-member tar shards so object storage serves
+    sequential reads instead of per-file requests; downstream, pair the
+    payload with the decode kernels in ``operators/multimodal``.
+
+    Extraction runs executor-side in an Arrow-batched kernel (stdlib
+    ``tarfile`` over an in-memory shard — shards are sized to fit, that
+    is the POINT of sharding). ``member_suffixes`` prunes members before
+    they enter Spark rows (e.g. ``('.jpg', '.json')``).
+
+    Scale notes: parallelism = shard count; keep shards in the 100 MB –
+    1 GB band. The payload column follows the binary-column convention —
+    project it away in metadata-only queries so the scan prunes it.
+    """
+    import io
+    import tarfile
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    suffixes = tuple(member_suffixes) if member_suffixes else None
+    shards = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def _explode(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            rows = {"archive": [], "member": [], "n_bytes": [], "content": []}
+            for apath, blob in zip(pdf["path"], pdf["content"]):
+                with tarfile.open(
+                    fileobj=io.BytesIO(bytes(blob)), mode="r:*"
+                ) as tf:
+                    for m in tf.getmembers():
+                        if not m.isfile():
+                            continue
+                        if suffixes and not m.name.endswith(suffixes):
+                            continue
+                        data = tf.extractfile(m).read()
+                        rows["archive"].append(apath)
+                        rows["member"].append(m.name)
+                        rows["n_bytes"].append(len(data))
+                        rows["content"].append(data)
+            yield pd.DataFrame(rows)
+
+    return shards.mapInPandas(
+        _explode,
+        schema="archive string, member string, n_bytes long, content binary",
+    )

@@ -134,3 +134,44 @@ def test_avro_sink_symmetric_gate(spark, tmp_path):
     back = read_avro(spark, out)  # pragma: no cover - classpath-dependent
     assert back.count() == 5
     assert set(back.columns) == {"id", "s"}
+
+
+def test_read_tar_members_webdataset_shards(spark, tmp_path):
+    """Two tar shards -> one row per member, gz handled by mode='r:*',
+    suffix pruning, directories skipped, payload round-trips exactly."""
+    import io
+    import tarfile
+
+    def make_tar(path, members, gz=False):
+        mode = "w:gz" if gz else "w"
+        with tarfile.open(path, mode) as tf:
+            d = tarfile.TarInfo("subdir/")
+            d.type = tarfile.DIRTYPE
+            tf.addfile(d)
+            for name, data in members:
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+
+    make_tar(tmp_path / "shard-000.tar",
+             [("a.txt", b"alpha"), ("a.jpg", b"\xff\xd8JPEG")])
+    # gzip-compressed shard under the same .tar glob: mode='r:*' sniffs it
+    make_tar(tmp_path / "shard-001.tar",
+             [("b.txt", b"beta-longer"), ("b.bin", b"\x00\x01")], gz=True)
+
+    from pyveb_spark.sources.readers import read_tar_members
+
+    out = read_tar_members(spark, str(tmp_path)).collect()
+    rows = {r.member: (r.n_bytes, bytes(r.content)) for r in out}
+    assert rows == {
+        "a.txt": (5, b"alpha"),
+        "a.jpg": (6, b"\xff\xd8JPEG"),
+        "b.txt": (11, b"beta-longer"),
+        "b.bin": (2, b"\x00\x01"),
+    }
+    assert all(r.archive.endswith(".tar") for r in out)
+
+    pruned = read_tar_members(
+        spark, str(tmp_path), member_suffixes=(".txt",)
+    ).collect()
+    assert sorted(r.member for r in pruned) == ["a.txt", "b.txt"]
