@@ -135,3 +135,54 @@ def test_llm_pipeline_end_to_end(spark, sf_dir):
     pipe.run(spark)
     again = {r.doc_id for r in sink.read().select("doc_id").collect()}
     assert again == first_ids
+
+
+def test_tar_to_image_dedup_e2e(spark, tmp_path):
+    """WebDataset path end-to-end: synth BMPs packed into tar shards ->
+    read_tar_members -> real-byte dHash kernel -> banded Hamming pairs.
+    Members that carried the same seed must pair at distance 0."""
+    import io
+    import tarfile
+
+    from pyspark.sql import functions as F
+
+    from pyveb_spark.operators.dedup import hamming_pairs
+    from pyveb_spark.operators.multimodal import (
+        dhash_images,
+        synth_bmp_pixels,
+    )
+    from pyveb_spark.sources.readers import read_tar_members
+
+    # 12 images, seeds repeat every 4 -> 3 copies of each of 4 images
+    src = spark.createDataFrame(
+        [(i, i % 4) for i in range(12)], "img_id long, seed int"
+    ).select("img_id", synth_bmp_pixels(F.col("seed")).alias("payload"))
+    rows = src.collect()
+    for shard in range(2):
+        with tarfile.open(tmp_path / f"shard-{shard}.tar", "w") as tf:
+            for r in rows[shard * 6:(shard + 1) * 6]:
+                info = tarfile.TarInfo(f"{r.img_id}.bmp")
+                data = bytes(r.payload)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+
+    members = read_tar_members(spark, str(tmp_path), glob="*.tar")
+    assert members.count() == 12
+    imgs = members.select(
+        F.replace(F.col("member"), F.lit(".bmp"), F.lit(""))
+        .cast("long")
+        .alias("img_id"),
+        F.col("content").alias("payload"),
+    )
+    fp = dhash_images(imgs, "img_id", "payload")
+    pairs = hamming_pairs(fp, "img_id", "dhash", max_hamming=2, bands=4,
+                          bits=60)
+    got = {(r.img_id_a, r.img_id_b) for r in
+           pairs.where("hamming = 0").collect()}
+    expect = {
+        (a, b)
+        for a in range(12)
+        for b in range(12)
+        if a < b and a % 4 == b % 4
+    }
+    assert got >= expect  # every same-seed pair found (banding lossless)
