@@ -6604,6 +6604,153 @@ ORDER BY doc_id_a, doc_id_b
 """
 
 
+def q136_system_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level reconciliation between 'two systems'
+    (``operators/profile.py::reconcile_tables``): the orders table vs a
+    perturbed replica — rows before mid-1995 missing, 'P'-status prices
+    shifted by +1 — must report exactly which column diverges on how
+    many rows and the left/right-only counts. ONE full-outer join + one
+    aggregation; column-count output. The sign-off report for every
+    migration/dual-write."""
+    from pyveb_spark.operators.profile import reconcile_tables
+
+    o = read_table(spark, sf_dir, "orders")
+    left = o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+    right = o.where(
+        F.col("o_orderdate") >= F.lit("1995-06-01").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderstatus") == "P", F.col("o_totalprice") + 1.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    return reconcile_tables(
+        left, right, ["o_orderkey"]
+    ).orderBy("col_name")
+
+
+_Q136_SQL = """
+WITH l AS (SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders),
+r AS (SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-06-01'),
+j AS (SELECT l.o_orderkey AS lk, r.o_orderkey AS rk,
+             l.o_totalprice AS lp, r.o_totalprice AS rp,
+             l.o_orderpriority AS lo, r.o_orderpriority AS ro
+      FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey),
+a AS (SELECT
+        COUNT(lk) AS nl, COUNT(rk) AS nr,
+        COUNT(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL THEN 1 END) AS nb,
+        COUNT(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                    AND lp IS NOT DISTINCT FROM rp THEN 1 END) AS eq_p,
+        COUNT(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                    AND lo IS NOT DISTINCT FROM ro THEN 1 END) AS eq_o
+      FROM j)
+SELECT 'o_orderpriority' AS col_name, nl AS n_left, nr AS n_right,
+       nb AS n_both, nl - nb AS n_only_left, nr - nb AS n_only_right,
+       eq_o AS n_equal, nb - eq_o AS n_diff,
+       CAST(eq_o AS DOUBLE) / GREATEST(CAST(nb AS DOUBLE), 1.0)
+         AS match_rate
+FROM a
+UNION ALL
+SELECT 'o_totalprice', nl, nr, nb, nl - nb, nr - nb,
+       eq_p, nb - eq_p,
+       CAST(eq_p AS DOUBLE) / GREATEST(CAST(nb AS DOUBLE), 1.0)
+FROM a
+ORDER BY col_name
+"""
+
+
+def q137_ab_conversion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B conversion readout (``operators/profile.py::
+    ab_proportion_test``): users split 50/50 by the content-keyed hash
+    (``hash_split`` — the experiment-assignment primitive, q128), a user
+    converts if they made ≥ 14 purchases (the fixture's median
+    engagement — "any purchase" is degenerate here: everyone buys,
+    pooled p = 1, se = 0), and the two-proportion
+    pooled z-test says whether the variants differ. Unit of analysis is
+    the USER (assignment and outcome both per user — the correct A/B
+    grain); exact counts, fixed-order z. Null-true by construction
+    (the hash is independent of behavior), so |z| small — the value is
+    the engine-exact pipeline, certified by the oracle replaying the
+    same thresholds."""
+    from pyveb_spark.operators.profile import ab_proportion_test
+    from pyveb_spark.operators.sampling import hash_split
+
+    e = read_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14
+        )
+        .cast("int")
+        .alias("converted")
+    )
+    assigned = hash_split(
+        users, {"a": 0.5, "b": 0.5}, ["user_id"], seed="exp1",
+        out_col="variant",
+    )
+    return ab_proportion_test(
+        assigned, "variant", F.col("converted") == 1
+    ).select(
+        "n_a", "x_a", "n_b", "x_b",
+        F.round("rate_a", 6).alias("rate_a"),
+        F.round("rate_b", 6).alias("rate_b"),
+        F.round("diff", 6).alias("diff"),
+        F.round("z", 6).alias("z"),
+    )
+
+
+def _q137_sql() -> str:
+    from pyveb_spark.operators.sampling import threshold_hex
+
+    t_a = threshold_hex(0.5)
+    return f"""
+WITH users AS (
+  SELECT user_id,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 14 THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id),
+assigned AS (
+  SELECT converted,
+         CASE WHEN substr(md5('exp1|' || user_id), 1, 12) < '{t_a}'
+              THEN 'a' ELSE 'b' END AS variant
+  FROM users),
+a AS (SELECT
+        CAST(SUM(CASE WHEN variant = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_a,
+        CAST(SUM(CASE WHEN variant = 'a' THEN converted ELSE 0 END)
+             AS BIGINT) AS x_a,
+        CAST(SUM(CASE WHEN variant = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_b,
+        CAST(SUM(CASE WHEN variant = 'b' THEN converted ELSE 0 END)
+             AS BIGINT) AS x_b
+      FROM assigned)
+SELECT n_a, x_a, n_b, x_b,
+       ROUND(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+       ROUND(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+       ROUND(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+             - CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS diff,
+       ROUND((CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+              - CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+             / sqrt((CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+                    / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                    * (1.0 - (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+                             / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                    * (1.0 / CAST(n_a AS DOUBLE)
+                       + 1.0 / CAST(n_b AS DOUBLE))), 6) AS z
+FROM a
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6744,6 +6891,8 @@ QUERIES = {
     "q133_snapshot_diff": q133_snapshot_diff,
     "q134_length_pr_curve": q134_length_pr_curve,
     "q135_image_dhash_dups": q135_image_dhash_dups,
+    "q136_system_reconciliation": q136_system_reconciliation,
+    "q137_ab_conversion_test": q137_ab_conversion_test,
 }
 
 ORACLE_SQL = {
@@ -6882,6 +7031,8 @@ ORACLE_SQL = {
     "q133_snapshot_diff": _Q133_SQL,
     "q134_length_pr_curve": _Q134_SQL,
     "q135_image_dhash_dups": _q135_sql(),
+    "q136_system_reconciliation": _Q136_SQL,
+    "q137_ab_conversion_test": _q137_sql(),
 }
 
 # ---------------------------------------------------------------------------

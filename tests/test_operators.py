@@ -1340,3 +1340,45 @@ def test_hamming_pairs_generalized(spark):
                                   bands=4, bits=60).collect()}
     # 1-2 differ by 1 bit, 1-4 identical, 2-4 by 1; 3 is ≥3 bits from all
     assert out == {(1, 2): 1, (1, 4): 0, (2, 4): 1}
+
+
+def test_reconcile_tables_hand_computed(spark):
+    from pyveb_spark.operators.profile import reconcile_tables
+
+    left = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0)],
+        "k int, v string, w double",
+    )
+    right = spark.createDataFrame(
+        [(2, "B", 20.0),      # v differs, w equal
+         (3, None, 30.0),     # identical incl. NULL (null-safe equal)
+         (4, "d", 40.0)],     # right-only
+        "k int, v string, w double",
+    )
+    out = {r.col_name: r for r in
+           reconcile_tables(left, right, ["k"]).collect()}
+    v = out["v"]
+    assert (v.n_left, v.n_right, v.n_both) == (3, 3, 2)
+    assert (v.n_only_left, v.n_only_right) == (1, 1)
+    assert (v.n_equal, v.n_diff) == (1, 1)
+    assert v.match_rate == 0.5
+    w = out["w"]
+    assert (w.n_equal, w.n_diff, w.match_rate) == (2, 0, 1.0)
+
+
+def test_ab_proportion_test_hand_computed(spark):
+    import math
+
+    from pyveb_spark.operators.profile import ab_proportion_test
+
+    # a: 4 trials 1 success; b: 4 trials 3 successes
+    rows = [("a", 1), ("a", 0), ("a", 0), ("a", 0),
+            ("b", 1), ("b", 1), ("b", 1), ("b", 0),
+            ("c", 1)]  # unknown variant rows are excluded
+    df = spark.createDataFrame(rows, "variant string, y int")
+    r = ab_proportion_test(df, "variant", "y").first()
+    assert (r.n_a, r.x_a, r.n_b, r.x_b) == (4, 1, 4, 3)
+    assert r.rate_a == 0.25 and r.rate_b == 0.75
+    pooled = 4 / 8
+    se = math.sqrt(pooled * (1 - pooled) * (1 / 4 + 1 / 4))
+    assert abs(r.z - (0.75 - 0.25) / se) < 1e-12
