@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_counts"]
+__all__ = ["pagerank", "triangle_counts", "label_propagation"]
 
 
 def pagerank(
@@ -83,6 +83,79 @@ def pagerank(
             )
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 4,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007, the near-linear-time LPA): every node starts in its own
+    community (label = node id); each iteration every node adopts the
+    label carrying the largest (weighted) vote among its in-neighbors,
+    with a DETERMINISTIC tie-break — highest vote first, then smallest
+    label — so two engines replaying the same graph converge to the same
+    assignment. Isolated nodes (no in-edges) keep their label. Pass both
+    edge directions for an undirected graph. Returns ``(node, community)``
+    for every node after ``iters`` synchronous rounds.
+
+    100 TB design: one iteration = one join of the edge list with the
+    k-row label table on ``src`` + one (node, label) vote aggregation +
+    one row_number() window partitioned by node — all shuffle-keyed on
+    node ids, so bucketing the edge list by ``src`` leaves only the label
+    table moving per round. Synchronous (Pregel-style) updates rather
+    than the paper's sequential sweep: order-free, hence distributable
+    and oracle-replayable; the tie-break rule doubles as the oscillation
+    damper. Lineage grows one join per round — checkpoint every few
+    rounds at high ``iters`` (the q41 connected-components pattern).
+    """
+    from pyspark.sql import Window
+
+    from pyveb_spark.operators.cache import cached_once
+
+    w = F.col(weight) if weight else F.lit(1)
+    # the edge list is re-read every round — cache it, not the raw input
+    edges = cached_once(
+        edges.select(
+            F.col(src).alias("__src"),
+            F.col(dst).alias("__dst"),
+            w.alias("__w"),
+        ),
+        "graph.lpa.edges",
+    )
+    nodes = (
+        edges.select(F.col("__src").alias("node"))
+        .unionByName(edges.select(F.col("__dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("community"))
+    rank_w = Window.partitionBy("node").orderBy(
+        F.col("__vote").desc(), F.col("community").asc()
+    )
+    for _ in range(iters):
+        votes = (
+            edges.join(
+                labels.withColumnRenamed("node", "__src"), "__src"
+            )
+            .groupBy(F.col("__dst").alias("node"), "community")
+            .agg(F.sum("__w").alias("__vote"))
+        )
+        best = (
+            votes.withColumn("__rn", F.row_number().over(rank_w))
+            .where(F.col("__rn") == 1)
+            .select("node", F.col("community").alias("__new"))
+        )
+        labels = (
+            nodes.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__new"), F.col("node")).alias("community"),
+            )
+        )
+    return labels
 
 
 def triangle_counts(

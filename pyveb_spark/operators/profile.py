@@ -37,6 +37,8 @@ __all__ = [
     "pr_curve",
     "reconcile_tables",
     "ab_proportion_test",
+    "winsorize",
+    "validate_expectations",
 ]
 
 
@@ -910,4 +912,174 @@ def ab_proportion_test(
         *groups, "n_a", "x_a", "n_b", "x_b",
         pa.alias("rate_a"), pb.alias("rate_b"),
         (pb - pa).alias("diff"), z.alias("z"),
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorize (percentile-clip) ``value_col`` at per-group NEAREST-RANK
+    (type-1) quantiles — the robust-statistics treatment for heavy-tailed
+    measures before averaging or model features. The p-th bound is the
+    ``ceil(n·p/100)``-th smallest non-null value, computed with INTEGER
+    arithmetic (``(n·p + 99) div 100``), so the bounds are exact data
+    values and the whole operator is engine-replayable bit-for-bit — no
+    interpolation formula whose float evaluation order could differ
+    between engines. NULLs pass through unclipped (and are excluded from
+    the ranks). Adds ``out_col`` (default ``{value_col}_winsorized``)
+    plus the group's ``__lo``/``__hi`` bounds for auditability.
+
+    100 TB design: bounds need a per-group sort — one row_number window
+    keyed on the group (the q06 top-n shape, spill-safe), filtered to
+    exactly two ranks per group, re-aggregated to a group-count-sized
+    bounds table that broadcast-joins back onto a scan-stage clip. No
+    driver-side state; swap in ``approx_percentile`` when rank exactness
+    stops being worth the sort."""
+    from pyspark.sql import Window
+
+    out_col = out_col or f"{value_col}_winsorized"
+    v = F.col(value_col).cast("double")
+    gcols = [F.col(c) for c in group_cols]
+    w_rank = Window.partitionBy(*gcols).orderBy(v)
+    w_all = (
+        Window.partitionBy(*gcols)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ranked = df.where(v.isNotNull()).select(
+        *gcols,
+        v.alias("__v"),
+        F.row_number().over(w_rank).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    )
+    k_lo = ((F.col("__n") * lo_pct + 99) / 100).cast("bigint")
+    k_hi = ((F.col("__n") * hi_pct + 99) / 100).cast("bigint")
+    bounds = (
+        ranked.where((F.col("__rn") == k_lo) | (F.col("__rn") == k_hi))
+        .groupBy(*gcols)
+        .agg(
+            F.min("__v").alias("__lo"),
+            F.max("__v").alias("__hi"),
+        )
+    )
+    joined = (
+        df.join(F.broadcast(bounds), list(group_cols))
+        if group_cols
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    return joined.withColumn(
+        out_col,
+        F.when(v < F.col("__lo"), F.col("__lo"))
+        .when(v > F.col("__hi"), F.col("__hi"))
+        .otherwise(v),
+    )
+
+
+def validate_expectations(
+    df: DataFrame,
+    expectations: Sequence[tuple],
+) -> DataFrame:
+    """Declarative data-quality expectation suite evaluated in ONE
+    aggregation pass (the Great Expectations / dbt-test shape, in-engine).
+    ``expectations`` is a list of rules:
+
+    - ``("not_null", col)`` — no NULLs in ``col``
+    - ``("unique", col)`` — no duplicate non-null values in ``col``
+    - ``("accepted_values", col, [v, …])`` — every non-null value ∈ set
+    - ``("between", col, lo, hi)`` — every non-null value in [lo, hi]
+    - ``("row_count_between", lo, hi)`` — table size bounds
+
+    Returns one row per rule: ``(rule, column, n_violations, passed)``.
+
+    100 TB design: every rule compiles to a conditional-count agg
+    expression over the SAME single scan (uniqueness adds a distinct
+    count — Spark's multi-distinct Expand; the profiler's ``exact=False``
+    HLL trade applies). No per-rule jobs, no driver loops — adding a
+    50th rule costs one more agg expression."""
+    aggs = []
+    meta: list[tuple[str, str]] = []
+    n_rows = F.count(F.lit(1))
+    for idx, rule in enumerate(expectations):
+        kind = rule[0]
+        a = f"__e{idx}"
+        if kind == "not_null":
+            _, col = rule
+            aggs.append(
+                F.sum(
+                    F.when(F.col(col).isNull(), 1).otherwise(0)
+                ).alias(a)
+            )
+            meta.append((kind, col))
+        elif kind == "unique":
+            _, col = rule
+            aggs.append(
+                (
+                    F.count(F.col(col)) - F.count_distinct(F.col(col))
+                ).alias(a)
+            )
+            meta.append((kind, col))
+        elif kind == "accepted_values":
+            _, col, vals = rule
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.col(col).isNotNull()
+                        & ~F.col(col).isin(*list(vals)),
+                        1,
+                    ).otherwise(0)
+                ).alias(a)
+            )
+            meta.append((kind, col))
+        elif kind == "between":
+            _, col, lo, hi = rule
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.col(col).isNotNull()
+                        & (
+                            (F.col(col) < F.lit(lo))
+                            | (F.col(col) > F.lit(hi))
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).alias(a)
+            )
+            meta.append((kind, col))
+        elif kind == "row_count_between":
+            _, lo, hi = rule
+            aggs.append(
+                F.when(
+                    (n_rows >= F.lit(int(lo))) & (n_rows <= F.lit(int(hi))),
+                    F.lit(0),
+                )
+                .otherwise(F.lit(1))
+                .alias(a)
+            )
+            meta.append((kind, "*"))
+        else:
+            raise ValueError(f"unknown expectation kind: {kind!r}")
+    wide = df.agg(*aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(kind).alias("rule"),
+                    F.lit(col).alias("column"),
+                    F.col(f"__e{idx}")
+                    .cast("bigint")
+                    .alias("n_violations"),
+                )
+                for idx, (kind, col) in enumerate(meta)
+            ]
+        )
+    ).alias("r")
+    return wide.select(rows).select(
+        "r.rule",
+        "r.column",
+        "r.n_violations",
+        (F.col("r.n_violations") == 0).alias("passed"),
     )

@@ -44,6 +44,9 @@ __all__ = [
     "pq_adc_topk",
     "ivfpq_search",
     "semdedup",
+    "sq8_stats",
+    "sq8_encode",
+    "sq8_ann",
 ]
 
 
@@ -872,4 +875,133 @@ def semdedup(
             "cluster",
             F.coalesce(F.col("__dup"), F.lit(0)).alias("is_dup"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar (int8) quantization — the 4× compression tier between full floats
+# and PQ codes
+# ---------------------------------------------------------------------------
+
+def sq8_stats(df: DataFrame, vec_col: str = "embedding") -> list[tuple[float, float]]:
+    """Per-dimension (min, max) over the corpus — the scalar-quantizer
+    "codebook" (FAISS ``ScalarQuantizer`` recipe). One posexplode scan
+    with map-side partial min/max; the shuffle carries ``dim`` keys and
+    the collect is ``dim`` rows — a bounded model, like the k-means
+    centroid table. Returns ``[(lo_0, hi_0), …]`` ordered by dimension."""
+    rows = (
+        df.select(
+            F.posexplode(_as_double(F.col(vec_col))).alias("__dim", "__x")
+        )
+        .groupBy("__dim")
+        .agg(F.min("__x").alias("lo"), F.max("__x").alias("hi"))
+        .orderBy("__dim")
+        .collect()
+    )
+    return [(float(r["lo"]), float(r["hi"])) for r in rows]
+
+
+def _sq8_code_expr(vec, lo_arr: Column, hi_arr: Column, dim: int) -> Column:
+    """uint8 code per dimension: round((x-lo)·255/(hi-lo)), clamped.
+    Positive-argument ROUND agrees between Spark (HALF_UP) and DuckDB
+    (half away from zero), so codes are engine-exact integers."""
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: F.when(
+            F.element_at(hi_arr, i) == F.element_at(lo_arr, i), F.lit(0)
+        ).otherwise(
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.round(
+                        (F.element_at(vec, i) - F.element_at(lo_arr, i))
+                        * F.lit(255.0)
+                        / (
+                            F.element_at(hi_arr, i)
+                            - F.element_at(lo_arr, i)
+                        ),
+                        0,
+                    ).cast("int"),
+                ),
+            )
+        ),
+    )
+
+
+def sq8_encode(
+    df: DataFrame,
+    stats: Sequence[tuple[float, float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "code",
+) -> DataFrame:
+    """Encode vectors to int8 codes (``array<int>`` holding 0..255) against
+    driver-held per-dim stats — a stateless scan-stage map, 4× smaller at
+    rest than float32 and SIMD-decodable. Returns ``(id, code)`` only:
+    the codes table is the thing you SCAN at serving time; full vectors
+    are only fetched for the re-rank shortlist."""
+    lo = F.array(*[F.lit(float(l)) for l, _ in stats])
+    hi = F.array(*[F.lit(float(h)) for _, h in stats])
+    v = _as_double(F.col(vec_col))
+    return df.select(
+        F.col(id_col),
+        _sq8_code_expr(v, lo, hi, len(stats)).alias(code_col),
+    )
+
+
+def sq8_ann(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    shortlist: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats: Sequence[tuple[float, float]] | None = None,
+    exclude_ids: Sequence[int] | None = None,
+) -> DataFrame:
+    """ANN over scalar-quantized codes: score every code by cosine between
+    the DEQUANTIZED vector (lo + code·(hi-lo)/255) and the query, heap a
+    ``shortlist`` (cut on round(approx, 6) with id tie-break — rounding
+    collapses float noise below the ranking signal so both engines cut
+    identically), then re-rank the shortlist EXACTLY against the full
+    vectors and return top ``k``.
+
+    100 TB design: the serving scan touches ONLY the (id, code) table —
+    4× fewer bytes than floats, no shuffle (TakeOrderedAndProject heap);
+    the exact re-rank joins ``shortlist`` ids back to the vector store
+    (broadcast the shortlist). Train/encode amortize across queries like
+    the PQ tier; SQ8 trades PQ's 64× compression for zero codebook
+    lookups and a tighter approximation."""
+    if stats is None:
+        stats = sq8_stats(df, vec_col)
+    codes = sq8_encode(df, stats, id_col, vec_col)
+    if exclude_ids:
+        codes = codes.where(
+            ~F.col(id_col).isin(*[int(i) for i in exclude_ids])
+        )
+    lo = F.array(*[F.lit(float(l)) for l, _ in stats])
+    hi = F.array(*[F.lit(float(h)) for _, h in stats])
+    dim = len(stats)
+    dq = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: F.element_at(lo, i)
+        + F.element_at(F.col("code"), i).cast("double")
+        * (F.element_at(hi, i) - F.element_at(lo, i))
+        / F.lit(255.0),
+    )
+    q = F.array(*[F.lit(float(x)) for x in query])
+    approx = _dot(dq, q) / (F.sqrt(_dot(dq, dq)) * F.sqrt(_dot(q, q)))
+    short = (
+        codes.select(id_col, F.round(approx, 6).alias("approx_sim"))
+        .orderBy(F.desc("approx_sim"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    exact = df.select(
+        id_col, cosine_sim_expr(F.col(vec_col), query).alias("cosine_sim")
+    )
+    return (
+        exact.join(F.broadcast(short.select(id_col)), id_col)
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
     )

@@ -35,6 +35,9 @@ __all__ = [
     "cms_build",
     "cms_estimate",
     "merge_additive",
+    "bloom_positions",
+    "bloom_build",
+    "bloom_probe",
 ]
 
 # lgConfigK=12 → 4 KB sketches with ~1.6% relative standard error — the
@@ -239,4 +242,109 @@ def merge_additive(
     unioned = reduce(lambda a, b: a.unionByName(b), frames)
     return unioned.groupBy(*keys).agg(
         *[F.sum(c).alias(c) for c in sum_cols]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — engine-portable membership sketch (Bloom 1970)
+# ---------------------------------------------------------------------------
+
+def bloom_positions(col, num_bits: int, num_hashes: int) -> Column:
+    """The ``num_hashes`` bit positions a key sets, as an array —
+    md5-derived (``portable_hash48``-style), so any engine can replay
+    them: position_i = hash48('bf{i}|' || key) % num_bits."""
+    from pyveb_spark.operators.dedup import portable_hash48
+
+    return F.array(
+        *[
+            portable_hash48(
+                F.concat(F.lit(f"bf{i}|"), col.cast("string"))
+            )
+            % F.lit(int(num_bits))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 2048,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Build an ``num_bits``-bit Bloom filter over ``key_col`` as a packed
+    word table ``(word_idx, word)`` — 63 bits per BIGINT word (bit 63
+    stays clear so no engine hits signed-shift overflow). The build is
+    one explode + distinct + bit_or aggregation, all map-side
+    combinable; the result is ≤ ``num_bits/63`` rows — broadcastable
+    state, the classic join-pruning / admission-screen sidecar.
+
+    Scale: the filter size is FIXED (bits), independent of corpus size;
+    false-positive rate ≈ (1 - e^(-kn/m))^k. Size ``num_bits`` ≈ 10 bits
+    per expected member for ~1% FP at ``num_hashes``=3."""
+    pos = (
+        df.select(
+            F.explode(
+                bloom_positions(F.col(key_col), num_bits, num_hashes)
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    return (
+        pos.select(
+            (F.col("pos") / F.lit(63)).cast("bigint").alias("word_idx"),
+            (F.col("pos") % F.lit(63)).cast("int").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).alias("word")
+        )
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    num_bits: int = 2048,
+    num_hashes: int = 3,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Probe a Bloom filter: a key hits iff ALL its positions are set.
+    Explode each probe key's positions, broadcast-join the word table
+    (left join — an absent word is an unset bit), and AND the bit tests
+    back per key. Original columns pass through; ``out_col`` is 1/0.
+
+    NO false negatives ever (certified under the oracle in q141); false
+    positives at the designed rate. At scale the word table rides along
+    as a broadcast — probing is a scan-stage filter, the same shape as
+    the Bloom-join pruning in ``operators/layout.py``."""
+    probes = df.select(
+        F.col(key_col).alias("__key"),
+        F.posexplode(
+            bloom_positions(F.col(key_col), num_bits, num_hashes)
+        ).alias("__i", "pos"),
+    ).select(
+        "__key",
+        "__i",
+        (F.col("pos") / F.lit(63)).cast("bigint").alias("word_idx"),
+        (F.col("pos") % F.lit(63)).cast("int").alias("bit"),
+    )
+    hit = (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            "__key",
+            F.when(
+                F.expr("(shiftright(word, bit) & 1) = 1"), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("__set"),
+        )
+        .groupBy("__key")
+        .agg(F.min("__set").alias(out_col))
+    )
+    return df.join(
+        hit.withColumnRenamed("__key", key_col), key_col
     )

@@ -27,6 +27,7 @@ __all__ = [
     "build_vocab",
     "encode_with_vocab",
     "distinctive_terms",
+    "bpe_train",
 ]
 
 # see dedup.py::_PERSISTED_PREFIXES for the pattern: the returned plan is
@@ -437,6 +438,110 @@ def bpe_merge_candidates(
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("pair"))
         .limit(top_k)
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): run the
+    full greedy merge loop, not just the first-iteration statistics
+    (``bpe_merge_candidates``). Returns the learned merge table
+    ``(merge_rank, left_sym, right_sym, merged, pair_count)`` — the
+    artifact a tokenizer ships.
+
+    Exactly the reference algorithm on (word, frequency) pairs: the
+    corpus is scanned ONCE into a distinct-word frequency table (the
+    classical trick — pair counts only depend on word shapes ×
+    frequencies), each word's symbol sequence is kept as a
+    double-space-joined string (`` a  b  c ``), and one merge round is
+    (1) a pair-count aggregation over the zipped symbol arrays, (2) a
+    1-row argmax collect (count desc, pair asc — the deterministic
+    tie-break that makes training engine-replayable), (3) a literal
+    ``replace(' l  r ', ' lr ')`` over the sequence strings. Literal
+    leftmost non-overlapping replace IS greedy BPE application, and both
+    Spark and DuckDB implement exactly that semantics, so the oracle
+    can replay training as ``num_merges`` unrolled CTE blocks.
+
+    100 TB design: cost is one corpus tokenization scan + ``num_merges``
+    rounds over the DISTINCT-WORD table (vocabulary-sized, cached — at
+    web scale ~10⁷ rows regardless of corpus bytes). Each round shuffles
+    only (pair, partial count) rows with |alphabet|²-bounded keys and
+    collects exactly one row. The O(corpus) work never repeats.
+    """
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = F.regexp_extract_all(F.col("word"), F.lit("."), 0)
+    cur = words.select(
+        "word",
+        "freq",
+        F.concat(
+            F.lit(" "), F.array_join(chars, "  "), F.lit(" ")
+        ).alias("seq"),
+    )
+    # each round's frame feeds BOTH that round's argmax and the next
+    # round's rewrite — persist the chain, release it all at the end
+    persisted = []
+    cur = cur.persist()
+    persisted.append(cur)
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        for rank in range(num_merges):
+            syms = F.split(F.trim(F.col("seq")), "\\s+")
+            pair_arr = F.zip_with(
+                syms,
+                F.slice(
+                    syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))
+                ),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+            top = (
+                cur.select(
+                    "freq", F.explode(pair_arr).alias("pair")
+                )
+                .where(F.col("pair").isNotNull())
+                .groupBy("pair")
+                .agg(F.sum("freq").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("pair").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            pair, n = top[0]["pair"], int(top[0]["n"])
+            left, right = pair.split(" ", 1)
+            merged = left + right
+            merges.append((rank, left, right, merged, n))
+            replaced = F.replace(
+                F.col("seq"),
+                F.lit(f" {left}  {right} "),
+                F.lit(f" {merged} "),
+            )
+            canon = F.concat(
+                F.lit(" "),
+                F.array_join(F.split(F.trim(replaced), "\\s+"), "  "),
+                F.lit(" "),
+            )
+            cur = cur.select("word", "freq", canon.alias("seq")).persist()
+            persisted.append(cur)
+    finally:
+        for p in persisted:
+            p.unpersist()
+    return spark.createDataFrame(
+        merges,
+        schema=(
+            "merge_rank int, left_sym string, right_sym string, "
+            "merged string, pair_count bigint"
+        ),
     )
 
 

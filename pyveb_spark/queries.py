@@ -6751,6 +6751,428 @@ FROM a
 """
 
 
+def q138_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (``text.py::bpe_train``,
+    Sennrich et al. 2016): the full greedy merge loop — not just q99's
+    first-iteration pair statistics — over the corpus's (word, freq)
+    table, returning the learned merge table a tokenizer ships. The
+    oracle replays all six rounds as unrolled CTE blocks: literal
+    leftmost non-overlapping ``replace`` on double-space-joined symbol
+    strings IS greedy BPE application, and both engines implement that
+    replace semantics identically, so training is value-hash-certified
+    end to end (pair counts, tie-breaks, merge order)."""
+    from pyveb_spark.operators.text import bpe_train
+
+    d = read_table(spark, sf_dir, "documents")
+    return bpe_train(d, text_col="text", num_merges=6).orderBy(
+        "merge_rank"
+    )
+
+
+def _q138_sql(num_merges: int = 6) -> str:
+    blocks = [
+        """
+WITH words AS (
+  SELECT word, COUNT(*)::BIGINT AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word),
+s0 AS (SELECT word, freq,
+       ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' '
+         AS seq
+       FROM words)"""
+    ]
+    for i in range(1, num_merges + 1):
+        p = i - 1
+        blocks.append(
+            rf""",
+p{i} AS (
+  SELECT l[j] || ' ' || l[j+1] AS pair, SUM(freq)::BIGINT AS n
+  FROM (SELECT freq, string_split_regex(trim(seq), '\s+') AS l FROM s{p}) t,
+       LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS j) u
+  GROUP BY 1),
+m{i} AS (SELECT pair, n FROM p{i} ORDER BY n DESC, pair LIMIT 1),
+s{i} AS (
+  SELECT word, freq,
+         ' ' || array_to_string(string_split_regex(trim(
+             replace(seq,
+                     ' ' || split_part(m.pair, ' ', 1) || '  '
+                         || split_part(m.pair, ' ', 2) || ' ',
+                     ' ' || replace(m.pair, ' ', '') || ' ')),
+             '\s+'), '  ') || ' ' AS seq
+  FROM s{p}, m{i} m)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i - 1} AS merge_rank, split_part(pair, ' ', 1) AS left_sym, "
+        f"split_part(pair, ' ', 2) AS right_sym, "
+        f"replace(pair, ' ', '') AS merged, n AS pair_count FROM m{i}"
+        for i in range(1, num_merges + 1)
+    )
+    return "".join(blocks) + "\n" + selects + "\nORDER BY merge_rank"
+
+
+def q139_nation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the nation-level trade graph
+    (``graph.py::label_propagation``, Raghavan et al. 2007): edges are
+    (customer nation ↔ supplier nation) weighted by lineitem count —
+    aggregated FIRST so the iterative rounds run over a ≤|nations|²-row
+    weighted edge list, not the fact table — then three synchronous LPA
+    rounds with the deterministic (vote desc, label asc) tie-break. The
+    oracle unrolls all three rounds as CTEs (the q109 treatment); exact
+    integer votes, so the assignment is hash-certified."""
+    from pyveb_spark.operators.graph import label_propagation
+
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    cn = c.join(n, c["c_nationkey"] == n["n_nationkey"]).select(
+        "c_custkey", F.col("n_name").alias("cnation")
+    )
+    sn = s.join(n, s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey", F.col("n_name").alias("snation")
+    )
+    ce = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(cn, o["o_custkey"] == cn["c_custkey"])
+        .join(sn, l["l_suppkey"] == sn["s_suppkey"])
+        .groupBy("cnation", "snation")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = ce.select(
+        F.col("cnation").alias("src"), F.col("snation").alias("dst"), "w"
+    ).unionByName(
+        ce.select(
+            F.col("snation").alias("src"),
+            F.col("cnation").alias("dst"),
+            "w",
+        )
+    )
+    return label_propagation(
+        edges, "src", "dst", weight="w", iters=3
+    ).orderBy("node")
+
+
+def _q139_sql(iters: int = 3) -> str:
+    blocks = [
+        """
+WITH ce AS (
+  SELECT cn.n_name AS cnation, sn.n_name AS snation,
+         COUNT(*)::BIGINT AS w
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  GROUP BY 1, 2),
+edges AS (SELECT cnation AS src, snation AS dst, w FROM ce
+          UNION ALL
+          SELECT snation, cnation, w FROM ce),
+nodes AS (SELECT DISTINCT node FROM
+            (SELECT src AS node FROM edges
+             UNION ALL SELECT dst FROM edges)),
+l0 AS (SELECT node, node AS community FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        blocks.append(
+            f""",
+v{i} AS (SELECT e.dst AS node, l.community, SUM(e.w)::BIGINT AS vote
+        FROM edges e JOIN l{p} l ON l.node = e.src
+        GROUP BY 1, 2),
+b{i} AS (SELECT node, community FROM
+          (SELECT node, community,
+                  ROW_NUMBER() OVER (PARTITION BY node
+                                     ORDER BY vote DESC, community) AS rn
+           FROM v{i})
+        WHERE rn = 1),
+l{i} AS (SELECT n.node, COALESCE(b.community, n.node) AS community
+        FROM nodes n LEFT JOIN b{i} b ON b.node = n.node)"""
+        )
+    return (
+        "".join(blocks)
+        + f"\nSELECT node, community FROM l{iters} ORDER BY node"
+    )
+
+
+def q140_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over int8 scalar-quantized codes (``similarity.py::sq8_ann``,
+    the FAISS ScalarQuantizer recipe): per-dim min/max "codebook" from
+    one scan, codes = round((x-lo)·255/(hi-lo)) — engine-exact integers
+    — then a codes-only approximate scan (cut on round(approx, 6)),
+    shortlist 40, EXACT re-rank to top 10. The 4× compression tier
+    between full floats (q19) and PQ's 64× (q87); the oracle replays
+    quantize → dequantize → shortlist → re-rank end to end."""
+    from pyveb_spark.operators.similarity import sq8_ann
+
+    e = read_table(spark, sf_dir, "embeddings")
+    query_vec = _query_vec(e)
+    out = sq8_ann(
+        e, query_vec, k=10, shortlist=40, exclude_ids=[0]
+    )
+    return out.select(
+        "vec_id", F.round("cosine_sim", 4).alias("cosine_sim")
+    )
+
+
+_Q140_SQL = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+stats AS (SELECT i, MIN(x) AS lo, MAX(x) AS hi
+          FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS i
+                FROM base)
+          GROUP BY i),
+arrs AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi
+         FROM stats),
+q AS (SELECT v AS qv FROM base WHERE vec_id = 0),
+codes AS (SELECT vec_id,
+                 list_transform(v, (x, i) -> CASE
+                     WHEN hi[i] = lo[i] THEN 0
+                     ELSE LEAST(255, GREATEST(0,
+                          CAST(ROUND((x - lo[i]) * 255.0
+                                     / (hi[i] - lo[i]), 0) AS INT)))
+                 END) AS code
+          FROM base, arrs),
+dq AS (SELECT vec_id,
+              list_transform(code, (c, i) ->
+                  lo[i] + CAST(c AS DOUBLE) * (hi[i] - lo[i]) / 255.0)
+                AS d
+       FROM codes, arrs),
+approx AS (SELECT vec_id,
+                  ROUND(list_dot_product(d, qv)
+                        / (sqrt(list_dot_product(d, d))
+                           * sqrt(list_dot_product(qv, qv))), 6)
+                    AS approx_sim
+           FROM dq, q
+           WHERE vec_id <> 0),
+short AS (SELECT vec_id FROM approx
+          ORDER BY approx_sim DESC, vec_id LIMIT 40)
+SELECT b.vec_id,
+       ROUND(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v))
+                * sqrt(list_dot_product(qv, qv))), 4) AS cosine_sim
+FROM base b JOIN short USING (vec_id), q
+ORDER BY cosine_sim DESC, vec_id LIMIT 10
+"""
+
+
+def q141_bloom_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership screen (``sketches.py::bloom_build`` /
+    ``bloom_probe``, Bloom 1970): build a fixed 2048-bit filter (3
+    md5-derived hashes, 63-bit word packing) over the BUILDING-segment
+    customer names, probe EVERY customer, and report the confusion
+    counts. The oracle replays the exact bit arithmetic, certifying the
+    two properties that matter: ZERO false negatives (the Bloom
+    guarantee) and the designed-rate false positives — the admission /
+    join-pruning sidecar at its real contract."""
+    from pyveb_spark.operators.sketches import bloom_build, bloom_probe
+
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_name",
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias(
+            "is_member"
+        ),
+    )
+    bloom = bloom_build(
+        c.where(F.col("is_member") == 1), "c_name", 2048, 3
+    )
+    probed = bloom_probe(c, bloom, "c_name", 2048, 3)
+    return probed.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum("is_member").cast("bigint").alias("n_members"),
+        F.sum("bloom_hit").cast("bigint").alias("n_bloom_hits"),
+        F.sum(
+            F.when(
+                (F.col("bloom_hit") == 1) & (F.col("is_member") == 0), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_positives"),
+        F.sum(
+            F.when(
+                (F.col("bloom_hit") == 0) & (F.col("is_member") == 1), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_negatives"),
+    )
+
+
+_Q141_SQL = """
+WITH keys AS (SELECT c_name,
+                     CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                       AS is_member
+              FROM customer),
+mpos AS (SELECT DISTINCT p FROM (
+    SELECT ('0x' || substr(md5('bf0|' || c_name), 1, 12))::BIGINT % 2048
+      AS p FROM keys WHERE is_member = 1
+    UNION ALL
+    SELECT ('0x' || substr(md5('bf1|' || c_name), 1, 12))::BIGINT % 2048
+      FROM keys WHERE is_member = 1
+    UNION ALL
+    SELECT ('0x' || substr(md5('bf2|' || c_name), 1, 12))::BIGINT % 2048
+      FROM keys WHERE is_member = 1)),
+words AS (SELECT p // 63 AS word_idx,
+                 bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS word
+          FROM mpos GROUP BY 1),
+probe AS (
+    SELECT c_name, is_member, unnest([
+      ('0x' || substr(md5('bf0|' || c_name), 1, 12))::BIGINT % 2048,
+      ('0x' || substr(md5('bf1|' || c_name), 1, 12))::BIGINT % 2048,
+      ('0x' || substr(md5('bf2|' || c_name), 1, 12))::BIGINT % 2048]) AS p
+    FROM keys),
+bits AS (SELECT c_name, is_member,
+                CASE WHEN w.word IS NOT NULL
+                      AND ((w.word >> CAST(pr.p % 63 AS INT)) & 1) = 1
+                     THEN 1 ELSE 0 END AS bit_set
+         FROM probe pr LEFT JOIN words w ON w.word_idx = pr.p // 63),
+hits AS (SELECT c_name, MIN(is_member) AS is_member,
+                MIN(bit_set) AS bloom_hit
+         FROM bits GROUP BY c_name)
+SELECT COUNT(*)::BIGINT AS n_probes,
+       SUM(is_member)::BIGINT AS n_members,
+       SUM(bloom_hit)::BIGINT AS n_bloom_hits,
+       SUM(CASE WHEN bloom_hit = 1 AND is_member = 0 THEN 1 ELSE 0
+           END)::BIGINT AS n_false_positives,
+       SUM(CASE WHEN bloom_hit = 0 AND is_member = 1 THEN 1 ELSE 0
+           END)::BIGINT AS n_false_negatives
+FROM hits
+"""
+
+
+def q142_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization (``profile.py::winsorize``): clip
+    o_totalprice per order priority at the [5, 95] NEAREST-RANK
+    quantiles — bounds picked by pure integer rank arithmetic
+    (``(n·p+99) div 100``), so they are exact data values and the whole
+    operator replays bit-for-bit in any engine (no interpolation-formula
+    float drift). Output: per-priority clip counts, the bounds, and the
+    exact-decimal means before/after — the heavy-tail treatment applied
+    ahead of averages or features."""
+    from pyveb_spark.operators.profile import winsorize
+
+    o = read_table(spark, sf_dir, "orders")
+    w = winsorize(
+        o, "o_totalprice", ["o_orderpriority"], lo_pct=5, hi_pct=95
+    )
+    v = F.col("o_totalprice")
+    n = F.count(F.lit(1))
+    return (
+        w.groupBy("o_orderpriority")
+        .agg(
+            n.alias("n_orders"),
+            F.sum(F.when(v < F.col("__lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_lo"),
+            F.sum(F.when(v > F.col("__hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_hi"),
+            F.min("__lo").alias("lo_bound"),
+            F.min("__hi").alias("hi_bound"),
+            (
+                F.sum(_dec("o_totalprice", 14)).cast("double") / n
+            ).alias("mean_before"),
+            (
+                F.sum(
+                    F.col("o_totalprice_winsorized").cast(
+                        "decimal(14,2)"
+                    )
+                ).cast("double")
+                / n
+            ).alias("mean_after"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q142_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice AS v,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders WHERE o_totalprice IS NOT NULL),
+bounds AS (
+  SELECT o_orderpriority, MIN(v) AS lo, MAX(v) AS hi
+  FROM ranked
+  WHERE rn = (n * 5 + 99) // 100 OR rn = (n * 95 + 99) // 100
+  GROUP BY 1),
+clipped AS (
+  SELECT o.o_orderpriority, o.o_totalprice AS v, b.lo, b.hi,
+         CASE WHEN o.o_totalprice < b.lo THEN b.lo
+              WHEN o.o_totalprice > b.hi THEN b.hi
+              ELSE o.o_totalprice END AS w
+  FROM orders o JOIN bounds b USING (o_orderpriority))
+SELECT o_orderpriority,
+       COUNT(*)::BIGINT AS n_orders,
+       SUM(CASE WHEN v < lo THEN 1 ELSE 0 END)::BIGINT AS n_clipped_lo,
+       SUM(CASE WHEN v > hi THEN 1 ELSE 0 END)::BIGINT AS n_clipped_hi,
+       MIN(lo) AS lo_bound,
+       MIN(hi) AS hi_bound,
+       CAST(SUM(CAST(v AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*)
+         AS mean_before,
+       CAST(SUM(CAST(w AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*)
+         AS mean_after
+FROM clipped
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q143_order_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite
+    (``profile.py::validate_expectations``, the Great Expectations /
+    dbt-test shape in-engine): five rules — key not-null, key
+    uniqueness, status domain, a price range sized to FAIL (the suite
+    must prove it can catch violations, not just bless clean data), and
+    table-size bounds — all evaluated in ONE aggregation pass over ONE
+    scan, then unpivoted to a (rule, column, n_violations, passed)
+    report."""
+    from pyveb_spark.operators.profile import validate_expectations
+
+    o = read_table(spark, sf_dir, "orders")
+    out = validate_expectations(
+        o,
+        [
+            ("not_null", "o_orderkey"),
+            ("unique", "o_orderkey"),
+            ("accepted_values", "o_orderstatus", ["F", "O", "P"]),
+            ("between", "o_totalprice", 0.0, 300000.0),
+            ("row_count_between", 1000, 1_000_000_000),
+        ],
+    )
+    return out.orderBy("rule", "column")
+
+
+_Q143_SQL = """
+WITH a AS (
+  SELECT
+    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS e_notnull,
+    COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS e_unique,
+    SUM(CASE WHEN o_orderstatus IS NOT NULL
+              AND o_orderstatus NOT IN ('F', 'O', 'P')
+             THEN 1 ELSE 0 END) AS e_domain,
+    SUM(CASE WHEN o_totalprice IS NOT NULL
+              AND (o_totalprice < 0.0 OR o_totalprice > 300000.0)
+             THEN 1 ELSE 0 END) AS e_range,
+    CASE WHEN COUNT(*) BETWEEN 1000 AND 1000000000
+         THEN 0 ELSE 1 END AS e_rows
+  FROM orders)
+SELECT rule, "column", n_violations, n_violations = 0 AS passed FROM (
+  SELECT 'not_null' AS rule, 'o_orderkey' AS "column",
+         e_notnull::BIGINT AS n_violations FROM a
+  UNION ALL
+  SELECT 'unique', 'o_orderkey', e_unique::BIGINT FROM a
+  UNION ALL
+  SELECT 'accepted_values', 'o_orderstatus', e_domain::BIGINT FROM a
+  UNION ALL
+  SELECT 'between', 'o_totalprice', e_range::BIGINT FROM a
+  UNION ALL
+  SELECT 'row_count_between', '*', e_rows::BIGINT FROM a)
+ORDER BY rule, "column"
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6893,6 +7315,12 @@ QUERIES = {
     "q135_image_dhash_dups": q135_image_dhash_dups,
     "q136_system_reconciliation": q136_system_reconciliation,
     "q137_ab_conversion_test": q137_ab_conversion_test,
+    "q138_bpe_merges": q138_bpe_merges,
+    "q139_nation_communities": q139_nation_communities,
+    "q140_sq8_ann": q140_sq8_ann,
+    "q141_bloom_admission": q141_bloom_admission,
+    "q142_winsorized_prices": q142_winsorized_prices,
+    "q143_order_expectations": q143_order_expectations,
 }
 
 ORACLE_SQL = {
@@ -7033,6 +7461,12 @@ ORACLE_SQL = {
     "q135_image_dhash_dups": _q135_sql(),
     "q136_system_reconciliation": _Q136_SQL,
     "q137_ab_conversion_test": _q137_sql(),
+    "q138_bpe_merges": _q138_sql(),
+    "q139_nation_communities": _q139_sql(),
+    "q140_sq8_ann": _Q140_SQL,
+    "q141_bloom_admission": _Q141_SQL,
+    "q142_winsorized_prices": _Q142_SQL,
+    "q143_order_expectations": _Q143_SQL,
 }
 
 # ---------------------------------------------------------------------------

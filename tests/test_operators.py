@@ -1382,3 +1382,166 @@ def test_ab_proportion_test_hand_computed(spark):
     pooled = 4 / 8
     se = math.sqrt(pooled * (1 - pooled) * (1 / 4 + 1 / 4))
     assert abs(r.z - (0.75 - 0.25) / se) < 1e-12
+
+
+def test_bpe_train_hand_computed_merges(spark):
+    """Pin the full greedy merge loop against the classic hand example:
+    corpus 'low low lower' -> merges (l,o)x3 [tie with (o,w) broken
+    lexicographically], (lo,w)x3, then (e,r) [tie with (low,e)]."""
+    from pyveb_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([("low low",), ("lower",)], "text string")
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in bpe_train(df, num_merges=3).orderBy("merge_rank").collect()
+    ]
+    assert got == [
+        (0, "l", "o", "lo", 3),
+        (1, "lo", "w", "low", 3),
+        (2, "e", "r", "er", 1),
+    ]
+    # exhausting the pair supply stops early instead of erroring
+    tiny = spark.createDataFrame([("ab",)], "text string")
+    from pyveb_spark.operators.text import bpe_train as bt
+
+    few = bt(tiny, num_merges=5).collect()
+    assert len(few) == 1 and few[0].merged == "ab"
+    with pytest.raises(ValueError):
+        bpe_train(df, num_merges=0)
+
+
+def test_label_propagation_two_triangles(spark):
+    """Two triangles bridged by one edge resolve into two communities
+    under the deterministic (vote desc, label asc) tie-break."""
+    from pyveb_spark.operators.graph import label_propagation
+
+    und = [("a", "b"), ("a", "c"), ("b", "c"),
+           ("d", "e"), ("d", "f"), ("e", "f"), ("c", "d")]
+    edges = spark.createDataFrame(
+        und + [(y, x) for x, y in und], "src string, dst string"
+    )
+    got = {
+        r.node: r.community
+        for r in label_propagation(edges, iters=4).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "d": "c", "e": "c", "f": "c"}
+    # isolated node (self-loop only graph edge case): keeps its own label
+    solo = spark.createDataFrame([("z", "z")], "src string, dst string")
+    assert label_propagation(solo, iters=2).collect()[0].community == "z"
+
+
+def test_sq8_encode_and_ann_rerank(spark):
+    from pyveb_spark.operators.similarity import (
+        sq8_ann,
+        sq8_encode,
+        sq8_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 10.0]), (3, [2.0, 20.0])],
+        "vec_id long, embedding array<double>",
+    )
+    stats = sq8_stats(df)
+    assert stats == [(0.0, 2.0), (0.0, 20.0)]
+    codes = {
+        r.vec_id: list(r.code) for r in sq8_encode(df, stats).collect()
+    }
+    # (1-0)*255/2 = 127.5 -> HALF_UP 128; endpoints hit 0 / 255 exactly
+    assert codes == {1: [0, 0], 2: [128, 128], 3: [255, 255]}
+    # degenerate dimension (hi == lo) encodes 0, not a div-by-zero
+    flat = spark.createDataFrame(
+        [(1, [5.0, 1.0]), (2, [5.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    fstats = sq8_stats(flat)
+    fcodes = {r.vec_id: list(r.code) for r in sq8_encode(flat, fstats).collect()}
+    assert fcodes[1][0] == 0 and fcodes[2][0] == 0
+    # ann: exact re-rank returns the true top-k
+    basis = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = [r.vec_id for r in sq8_ann(basis, [1.0, 0.0], k=2).collect()]
+    assert got == [1, 3]
+
+
+def test_bloom_no_false_negatives_and_portable_bits(spark):
+    """The membership contract plus the md5 bit arithmetic replicated in
+    plain Python — every probe's hit equals the hand-computed value."""
+    import hashlib
+
+    from pyveb_spark.operators.sketches import bloom_build, bloom_probe
+
+    m, h = 256, 3
+    members = ["apple", "banana", "cherry"]
+    probes = members + ["durian", "elderberry", "fig", "grape"]
+
+    def positions(key):
+        return {
+            int(hashlib.md5(f"bf{i}|{key}".encode()).hexdigest()[:12], 16)
+            % m
+            for i in range(h)
+        }
+
+    member_bits = set().union(*[positions(k) for k in members])
+    mdf = spark.createDataFrame([(k,) for k in members], "k string")
+    pdf = spark.createDataFrame([(k,) for k in probes], "k string")
+    bloom = bloom_build(mdf, "k", num_bits=m, num_hashes=h)
+    assert all(r.word_idx < (m + 62) // 63 for r in bloom.collect())
+    got = {
+        r.k: r.bloom_hit
+        for r in bloom_probe(pdf, bloom, "k", num_bits=m, num_hashes=h).collect()
+    }
+    for k in probes:
+        expected = 1 if positions(k) <= member_bits else 0
+        assert got[k] == expected, k
+    assert all(got[k] == 1 for k in members)  # no false negatives, ever
+
+
+def test_winsorize_nearest_rank_bounds(spark):
+    from pyveb_spark.operators.profile import winsorize
+
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(1, 11)] + [("g", None)],
+        "k string, v double",
+    )
+    out = winsorize(df, "v", ["k"], lo_pct=10, hi_pct=90)
+    rows = {r.v: r for r in out.collect() if r.v is not None}
+    # k_lo = ceil(10*10/100) = 1 -> bound 1.0 ; k_hi = ceil(900/100)=9 -> 9.0
+    assert rows[1.0]["__lo"] == 1.0
+    assert rows[1.0]["__hi"] == 9.0
+    assert rows[10.0].v_winsorized == 9.0
+    assert rows[5.0].v_winsorized == 5.0
+    # NULL passes through unclipped
+    nulls = [r for r in out.collect() if r.v is None]
+    assert len(nulls) == 1 and nulls[0].v_winsorized is None
+
+
+def test_validate_expectations_one_pass_counts(spark):
+    from pyveb_spark.operators.profile import validate_expectations
+
+    df = spark.createDataFrame(
+        [(1, "ok", 5.0), (2, "ok", 50.0), (2, "bad", None), (None, "ok", 7.0)],
+        "id int, status string, x double",
+    )
+    out = {
+        (r.rule, r.column): (r.n_violations, r.passed)
+        for r in validate_expectations(
+            df,
+            [
+                ("not_null", "id"),
+                ("unique", "id"),
+                ("accepted_values", "status", ["ok"]),
+                ("between", "x", 0.0, 10.0),
+                ("row_count_between", 1, 3),
+            ],
+        ).collect()
+    }
+    assert out[("not_null", "id")] == (1, False)
+    assert out[("unique", "id")] == (1, False)  # 3 non-null, 2 distinct
+    assert out[("accepted_values", "status")] == (1, False)
+    assert out[("between", "x")] == (1, False)  # 50.0; NULL not counted
+    assert out[("row_count_between", "*")] == (1, False)  # 4 rows > 3
+    with pytest.raises(ValueError):
+        validate_expectations(df, [("no_such_rule", "id")])
