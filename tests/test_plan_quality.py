@@ -432,3 +432,103 @@ def test_q121_transitions_single_user_shuffle(spark, sf_dir):
     plan = _executed_plan(QUERIES["q121_event_transitions"](spark, sf_dir))
     assert "Join" not in plan
     assert "Exchange hashpartitioning(user_id" in plan
+
+
+def test_q140_sq8_approx_scan_is_shuffle_free(spark, sf_dir):
+    """The SQ8 promise at 100 TB: the approximate pass reads ONLY the
+    (id, code) table — no exchange, a TakeOrdered heap — exactly like
+    the PQ ADC gate (q87)."""
+    from pyspark.sql import functions as F
+
+    from pyveb_spark.operators.similarity import sq8_encode, sq8_stats
+    from pyveb_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    stats = sq8_stats(e)
+    codes = sq8_encode(e, stats)
+    dim = len(stats)
+    lo = F.array(*[F.lit(l) for l, _ in stats])
+    hi = F.array(*[F.lit(h) for _, h in stats])
+    q = F.array(*[F.lit(0.01 * i) for i in range(dim)])
+    dq = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: F.element_at(lo, i)
+        + F.element_at(F.col("code"), i).cast("double")
+        * (F.element_at(hi, i) - F.element_at(lo, i))
+        / F.lit(255.0),
+    )
+    dot = F.aggregate(
+        F.zip_with(dq, q, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    plan = _executed_plan(
+        codes.select("vec_id", dot.alias("s"))
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(10)
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_q141_bloom_probe_broadcasts_word_table(spark, sf_dir):
+    """The Bloom filter must ride along as a broadcast — probing is a
+    scan-stage operation, never a shuffled join against the filter."""
+    from pyspark.sql import functions as F
+
+    from pyveb_spark.operators.sketches import bloom_build, bloom_probe
+    from pyveb_spark.sources.readers import read_table
+
+    c = read_table(spark, sf_dir, "customer")
+    bloom = bloom_build(
+        c.where(F.col("c_mktsegment") == "BUILDING"), "c_name", 2048, 3
+    )
+    plan = _executed_plan(
+        bloom_probe(c.select("c_name"), bloom, "c_name", 2048, 3)
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_q142_winsorize_bounds_broadcast_back(spark, sf_dir):
+    """The per-group bounds table (group-count rows) must broadcast onto
+    the scan-stage clip, not shuffle the fact table a second time."""
+    from pyveb_spark.operators.profile import winsorize
+    from pyveb_spark.sources.readers import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    plan = _executed_plan(
+        winsorize(o, "o_totalprice", ["o_orderpriority"])
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q143_expectations_single_scan(spark, sf_dir):
+    """The whole five-rule suite must evaluate over ONE scan of the
+    table — rules are parallel agg expressions, not per-rule jobs."""
+    from pyveb_spark.operators.profile import validate_expectations
+    from pyveb_spark.sources.readers import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    out = validate_expectations(
+        o,
+        [
+            ("not_null", "o_orderkey"),
+            ("unique", "o_orderkey"),
+            ("accepted_values", "o_orderstatus", ["F", "O", "P"]),
+            ("between", "o_totalprice", 0.0, 300000.0),
+            ("row_count_between", 1, 10**9),
+        ],
+    )
+    plan = _executed_plan(out)
+    assert plan.count("Scan parquet") == 1
+
+
+def test_q139_lpa_caches_edge_list(spark, sf_dir):
+    """Each LPA round re-reads the edge list; the rounds must hit the
+    cached aggregate (InMemoryTableScan), not re-derive it from the
+    fact tables."""
+    from pyveb_spark.queries import QUERIES as Q
+
+    plan = _formatted_plan(Q["q139_nation_communities"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan
