@@ -7476,14 +7476,20 @@ ORACLE_SQL = {
 # entries; the rest are verified by selfcheck.py. Registration order is
 # therefore a certification decision: the window must hold one
 # representative of EVERY operator family, rotating the newest (least
-# soaked) family heads in. Round 4 rotates the ten round-3 families
-# (q87-q96: PQ / IVF-PQ ANN, exact-substring pairs + coverage, SemDeDup,
+# soaked) family heads in. Round 4 rotates the round-3 families
+# (q88/q90-q96: IVF-PQ ANN, exact-substring coverage, SemDeDup,
 # profiler, histogram, admission pipeline, z-score screen, gap fill) into
-# the window, displacing ten near-duplicates whose family keeps an
-# in-window sibling: q05 (anti/semi kept by q04), q07 (windows by q06),
+# the window, displacing near-duplicates whose family keeps an in-window
+# sibling: q05 (anti/semi kept by q04), q07 (windows by q06),
 # q11/q22/q23/q39 (grouping/pivot family by q08 + q33), q25 (sessions by
-# q31), q40/q49 (streaming by q15/q26/q31/q46/q47), q43 (sampling by q42).
-# Query NAMES are stable — only dict insertion order changes.
+# q31), q40/q49 (streaming by q15/q26/q31/q46/q47), q43 (sampling by
+# q42). The round-4 second half frees three more ANN slots — q37
+# IVF-flat and q87 PQ are both composed inside in-window q88 IVF-PQ
+# (whose tests pin composition == restriction), and q89's
+# exact-substring pair machinery is q90's first stage — to certify three
+# round-4 family heads: q109 (iterative graph), q135 (vision dedup),
+# q138 (BPE tokenizer training). Query NAMES are stable — only dict
+# insertion order changes.
 # ---------------------------------------------------------------------------
 
 _ROTATED_OUT = [
@@ -7493,15 +7499,14 @@ _ROTATED_OUT = [
     "q22_cube",
     "q23_grouping_sets",
     "q25_sessionize",
+    "q37_ivf_ann",
     "q39_unpivot",
     "q40_stream_replay",
     "q43_source_mix",
     "q49_stream_attribution",
 ]
-_R3_HEADS = [
-    "q87_pq_ann",
+_ROTATED_IN = [
     "q88_ivfpq_ann",
-    "q89_exact_substring_pairs",
     "q90_substring_coverage",
     "q91_semdedup",
     "q92_profile_orders",
@@ -7509,13 +7514,16 @@ _R3_HEADS = [
     "q94_llm_data_pipeline",
     "q95_value_outliers",
     "q96_hourly_gap_fill",
+    "q109_trade_pagerank",
+    "q135_image_dhash_dups",
+    "q138_bpe_merges",
 ]
 _ALL = list(QUERIES)
 _WINDOW = [
     q for q in _ALL[:50] if q not in _ROTATED_OUT
-] + _R3_HEADS
+] + _ROTATED_IN
 GATE_ORDER = _WINDOW + _ROTATED_OUT + [
-    q for q in _ALL[50:] if q not in _R3_HEADS
+    q for q in _ALL[50:] if q not in _ROTATED_IN
 ]
 assert len(GATE_ORDER) == len(_ALL) and set(GATE_ORDER) == set(_ALL)
 assert len(_WINDOW) == 50

@@ -45,13 +45,25 @@ def test_every_query_has_an_oracle():
     # (which already collects each result, so the assert is free there).
 
 
-def test_gate_window_covers_round3_families():
-    """The driver certifies only the first 50 registry entries; the ten
-    round-3 family heads must sit inside that window (round-4 rotation —
-    see the gate-window comment in pyveb_spark/queries.py)."""
+def test_gate_window_composition():
+    """The driver certifies only the first 50 registry entries; the
+    rotation contract (gate-window comment in pyveb_spark/queries.py):
+    the round-3 heads stay certified except q37/q87/q89 — whose machinery
+    is composed inside in-window q88/q90 — which ceded their slots to
+    three round-4 family heads (q109 graph, q135 vision dedup, q138 BPE
+    training). Every displaced query must still exist (selfcheck covers
+    it outside the window)."""
     window = list(QUERIES)[:50]
-    r3_heads = [f"q{n}" for n in range(87, 97)]  # q87..q96
-    present = [q for q in QUERIES if q.split("_")[0] in r3_heads]
-    assert len(present) == 10
-    missing = [q for q in present if q not in window]
-    assert missing == [], f"round-3 heads outside the gate window: {missing}"
+    must_be_in = [
+        "q88_ivfpq_ann", "q90_substring_coverage", "q91_semdedup",
+        "q92_profile_orders", "q93_value_histogram",
+        "q94_llm_data_pipeline", "q95_value_outliers",
+        "q96_hourly_gap_fill", "q109_trade_pagerank",
+        "q135_image_dhash_dups", "q138_bpe_merges",
+    ]
+    missing = [q for q in must_be_in if q not in window]
+    assert missing == [], f"family heads outside the gate window: {missing}"
+    displaced = ["q37_ivf_ann", "q87_pq_ann", "q89_exact_substring_pairs"]
+    assert all(q in QUERIES for q in displaced)
+    assert all(q not in window for q in displaced)
+    assert len(window) == 50
