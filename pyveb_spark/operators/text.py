@@ -10,6 +10,8 @@ the batching pattern).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -28,6 +30,7 @@ __all__ = [
     "encode_with_vocab",
     "distinctive_terms",
     "bpe_train",
+    "bpe_apply",
 ]
 
 # see dedup.py::_PERSISTED_PREFIXES for the pattern: the returned plan is
@@ -542,6 +545,56 @@ def bpe_train(
             "merge_rank int, left_sym string, right_sym string, "
             "merged string, pair_count bigint"
         ),
+    )
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned BPE merge list (``bpe_train`` output order) to
+    tokenize ``text_col`` — the serving half of the tokenizer: merges are
+    baked into the plan as literal replace chains, so encoding a corpus
+    is a STATELESS scan-stage expression (codegen, no UDF, no join
+    against a vocab table). Adds ``out_col`` = the subword token array
+    per document.
+
+    Each word becomes the canonical double-space symbol string; each
+    merge is one literal leftmost ``replace`` followed by
+    re-normalization (split + re-join) so the next merge's pattern sees
+    canonical boundaries — identical semantics to training's rewrite
+    step, hence train→apply round-trips. Expression depth grows with
+    ``len(merges)``: fine for the tens-of-merges demo grain; production
+    vocab sizes (~50k merges) would compile the SAME merge table into a
+    linear-scan Arrow kernel (``mapInPandas``) instead — the plan shape
+    (broadcast-free scan) is unchanged."""
+
+    def encode_word(w):
+        s = F.concat(
+            F.lit(" "),
+            F.array_join(F.regexp_extract_all(w, F.lit("."), 0), "  "),
+            F.lit(" "),
+        )
+        for left, right in merges:
+            s = F.replace(
+                s,
+                F.lit(f" {left}  {right} "),
+                F.lit(f" {left}{right} "),
+            )
+            s = F.concat(
+                F.lit(" "),
+                F.array_join(F.split(F.trim(s), "\\s+"), "  "),
+                F.lit(" "),
+            )
+        return F.split(F.trim(s), "\\s+")
+
+    words = F.filter(
+        F.split(F.col(text_col), " "), lambda w: w != ""
+    )
+    return df.withColumn(
+        out_col, F.flatten(F.transform(words, encode_word))
     )
 
 

@@ -7173,6 +7173,69 @@ ORDER BY rule, "column"
 """
 
 
+def q144_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving half of the BPE tokenizer: TRAIN six merges on the
+    corpus (q138's loop), then APPLY them corpus-wide as a stateless
+    literal-replace scan (``text.py::bpe_apply`` — no UDF, no vocab
+    join) and report per-document word vs subword token counts. The
+    oracle re-derives the merges from scratch (the q138 CTE blocks) and
+    re-applies them via scalar-subquery replaces — certifying the full
+    train→apply round trip end to end."""
+    from pyveb_spark.operators.text import bpe_apply, bpe_train
+
+    d = read_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(d, text_col="text", num_merges=6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    enc = bpe_apply(d, merges, text_col="text")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    return enc.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def _q144_sql(num_merges: int = 6) -> str:
+    # merge-table CTE blocks identical to q138's generator
+    train = _q138_sql(num_merges)
+    train_ctes = train[: train.rindex("\nSELECT 0 AS merge_rank")]
+    apply_blocks = [
+        """,
+docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         FROM documents),
+e0 AS (SELECT doc_id,
+              ' ' || array_to_string(regexp_extract_all(w, '.'), '  ')
+                  || ' ' AS s
+       FROM docw WHERE w <> '')"""
+    ]
+    for i in range(1, num_merges + 1):
+        p = i - 1
+        apply_blocks.append(
+            rf""",
+e{i} AS (SELECT doc_id,
+              ' ' || array_to_string(string_split_regex(trim(
+                  replace(s,
+                      (SELECT ' ' || split_part(pair, ' ', 1) || '  '
+                              || split_part(pair, ' ', 2) || ' ' FROM m{i}),
+                      (SELECT ' ' || replace(pair, ' ', '') || ' '
+                       FROM m{i}))),
+                  '\s+'), '  ') || ' ' AS s
+       FROM e{p})"""
+        )
+    final = rf"""
+SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+       SUM(len(string_split_regex(trim(s), '\s+')))::BIGINT
+         AS n_bpe_tokens
+FROM e{num_merges}
+GROUP BY doc_id
+ORDER BY doc_id"""
+    return train_ctes + "".join(apply_blocks) + final
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7321,6 +7384,7 @@ QUERIES = {
     "q141_bloom_admission": q141_bloom_admission,
     "q142_winsorized_prices": q142_winsorized_prices,
     "q143_order_expectations": q143_order_expectations,
+    "q144_bpe_tokenize": q144_bpe_tokenize,
 }
 
 ORACLE_SQL = {
@@ -7467,6 +7531,7 @@ ORACLE_SQL = {
     "q141_bloom_admission": _Q141_SQL,
     "q142_winsorized_prices": _Q142_SQL,
     "q143_order_expectations": _Q143_SQL,
+    "q144_bpe_tokenize": _q144_sql(),
 }
 
 # ---------------------------------------------------------------------------

@@ -1545,3 +1545,24 @@ def test_validate_expectations_one_pass_counts(spark):
     assert out[("row_count_between", "*")] == (1, False)  # 4 rows > 3
     with pytest.raises(ValueError):
         validate_expectations(df, [("no_such_rule", "id")])
+
+
+def test_bpe_apply_round_trips_training(spark):
+    """Applying the learned merges reproduces training's final
+    segmentation: 'low lower' under merges (l,o),(lo,w),(e,r) tokenizes
+    to [low] and [low, er]."""
+    from pyveb_spark.operators.text import bpe_apply, bpe_train
+
+    corpus = spark.createDataFrame([("low low",), ("lower",)], "text string")
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_train(corpus, num_merges=3).orderBy("merge_rank").collect()
+    ]
+    doc = spark.createDataFrame([("low lower",)], "text string")
+    out = bpe_apply(doc, merges).collect()[0]
+    assert list(out.bpe_tokens) == ["low", "low", "er"]
+    # unmerged unseen characters stay as single symbols
+    unseen = bpe_apply(
+        spark.createDataFrame([("xyz",)], "text string"), merges
+    ).collect()[0]
+    assert list(unseen.bpe_tokens) == ["x", "y", "z"]
