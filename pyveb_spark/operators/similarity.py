@@ -47,6 +47,7 @@ __all__ = [
     "sq8_stats",
     "sq8_encode",
     "sq8_ann",
+    "hard_negative_mining",
 ]
 
 
@@ -1004,4 +1005,54 @@ def sq8_ann(
         exact.join(F.broadcast(short.select(id_col)), id_col)
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def hard_negative_mining(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/SimCSE
+    data-prep step): for every query vector, the ``k`` most-similar
+    corpus vectors whose LABEL DIFFERS — maximally confusing negatives.
+    Ranking uses round(cosine, 6) with an id tie-break so the cut is
+    engine-replayable (the q140 treatment). Returns
+    ``(id, neg_id, neg_label, cosine_sim, rank)``.
+
+    100 TB design: the brute-force form broadcasts the query batch
+    (queries are the SMALL side — a training batch, not the corpus) and
+    scans the corpus once; per-query top-k is a windowed heap over the
+    broadcast-keyed join. When the query batch itself is corpus-sized,
+    route the candidate generation through the ANN tiers (LSH/IVF-PQ)
+    and only exact-score the shortlist — same shape as q88."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col),
+            F.col(vec_col).alias("__qv"),
+            F.col(label_col).alias("__ql"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("neg_label"),
+    )
+    qv, cv = _as_double(F.col("__qv")), _as_double(F.col("__cv"))
+    sim = F.round(
+        _dot(qv, cv) / (F.sqrt(_dot(qv, qv)) * F.sqrt(_dot(cv, cv))), 6
+    )
+    joined = c.join(q, F.col("__ql") != F.col("neg_label")).withColumn(
+        "cosine_sim", sim
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("cosine_sim"), F.asc("neg_id")
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "neg_id", "neg_label", "cosine_sim", "rank")
     )

@@ -31,6 +31,8 @@ __all__ = [
     "distinctive_terms",
     "bpe_train",
     "bpe_apply",
+    "gopher_quality_filter",
+    "mlm_mask",
 ]
 
 # see dedup.py::_PERSISTED_PREFIXES for the pattern: the returned plan is
@@ -916,4 +918,99 @@ def distinctive_terms(
         scored.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= top_k)
         .drop("__rk")
+    )
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The Gopher document-quality rules (Rae et al. 2021 §A1.1, the
+    published heuristic battery most LLM corpora start from), as native
+    scan-stage expressions: word-count bounds, mean-word-length band,
+    fraction of words containing an alphabetic character, and a minimum
+    stopword count (the "the/of/and" signal that screens gibberish and
+    boilerplate). Adds the per-rule booleans plus the conjunctive
+    ``keep`` — keep the columns, not just the verdict, so downstream
+    audits can ask WHICH rule rejected a document.
+
+    100 TB design: stateless per-row expressions inside whole-stage
+    codegen — no shuffle, no UDF, no vocabulary join; composes with the
+    q94 admission pipeline as one more filter stage."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    n_words = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_len = total_len.cast("double") / n_words
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = n_alpha.cast("double") / n_words
+    stop_arr = F.array(*[F.lit(s) for s in _EN_STOPWORDS])
+    n_stop = F.size(
+        F.filter(toks, lambda w: F.array_contains(stop_arr, F.lower(w)))
+    )
+    r_words = (n_words >= min_words) & (n_words <= max_words)
+    r_len = (mean_len >= min_mean_word_len) & (
+        mean_len <= max_mean_word_len
+    )
+    r_alpha = alpha_frac >= min_alpha_frac
+    r_stop = n_stop >= min_stopwords
+    return (
+        df.withColumn("n_words", n_words.cast("bigint"))
+        .withColumn("mean_word_len", F.round(mean_len, 4))
+        .withColumn("alpha_frac", F.round(alpha_frac, 4))
+        .withColumn("n_stopwords", n_stop.cast("bigint"))
+        .withColumn("rule_word_count", r_words)
+        .withColumn("rule_word_len", r_len)
+        .withColumn("rule_alpha", r_alpha)
+        .withColumn("rule_stopwords", r_stop)
+        .withColumn("keep", r_words & r_len & r_alpha & r_stop)
+    )
+
+
+def mlm_mask(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate_pct: int = 15,
+    sentinel: str = "<mask>",
+) -> DataFrame:
+    """Deterministic masked-LM example construction: mask ``rate_pct``%
+    of whitespace tokens, chosen by the portable md5 hash of
+    ``(doc_id, position)`` — so the "random" mask is reproducible across
+    engines, runs, and retries (the property that makes training-data
+    builds idempotent; seeded RNGs are NOT stable across partitionings).
+    Adds ``masked_text`` and ``n_masked``.
+
+    100 TB design: a single index-aware ``transform`` over the token
+    array — per-row, scan-stage, codegen; no explode, no shuffle, no
+    re-join to restore token order. Position indices are 0-based."""
+    from pyveb_spark.operators.dedup import portable_hash48
+
+    toks = F.split(F.col(text_col), " ")
+    masked = F.transform(
+        toks,
+        lambda t, i: F.when(
+            portable_hash48(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit("|"),
+                    i.cast("string"),
+                )
+            )
+            % 100
+            < F.lit(int(rate_pct)),
+            F.lit(sentinel),
+        ).otherwise(t),
+    )
+    return df.withColumn(
+        "masked_text", F.array_join(masked, " ")
+    ).withColumn(
+        "n_masked",
+        F.size(F.filter(masked, lambda t: t == sentinel)).cast("bigint"),
     )

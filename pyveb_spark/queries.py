@@ -7236,6 +7236,127 @@ ORDER BY doc_id"""
     return train_ctes + "".join(apply_blocks) + final
 
 
+def q145_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher document-quality rule battery (Rae et al. 2021,
+    ``text.py::gopher_quality_filter``) over the corpus: per-document
+    word-count bounds, mean-word-length band, alphabetic-word fraction,
+    and minimum stopword count, each kept as an auditable column plus
+    the conjunctive keep verdict — all stateless codegen expressions,
+    the shape that filters a 100 TB crawl in one scan."""
+    from pyveb_spark.operators.text import gopher_quality_filter
+
+    d = read_table(spark, sf_dir, "documents")
+    out = gopher_quality_filter(d, text_col="text", min_words=30)
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "alpha_frac",
+        "n_stopwords", "rule_word_count", "rule_word_len", "rule_alpha",
+        "rule_stopwords", "keep",
+    ).orderBy("doc_id")
+
+
+_Q145_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+           / len(toks) AS mean_len,
+         CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+              AS DOUBLE) / len(toks) AS alpha_frac,
+         len(list_filter(toks, w -> list_contains(
+             ['the','a','of','and','to','in','is','it'], lower(w))))
+           AS n_stop
+  FROM t)
+SELECT doc_id,
+       n_words::BIGINT AS n_words,
+       ROUND(mean_len, 4) AS mean_word_len,
+       ROUND(alpha_frac, 4) AS alpha_frac,
+       n_stop::BIGINT AS n_stopwords,
+       (n_words >= 30 AND n_words <= 100000) AS rule_word_count,
+       (mean_len >= 3.0 AND mean_len <= 10.0) AS rule_word_len,
+       (alpha_frac >= 0.8) AS rule_alpha,
+       (n_stop >= 2) AS rule_stopwords,
+       ((n_words >= 30 AND n_words <= 100000)
+        AND (mean_len >= 3.0 AND mean_len <= 10.0)
+        AND (alpha_frac >= 0.8) AND (n_stop >= 2)) AS keep
+FROM s
+ORDER BY doc_id
+"""
+
+
+def q146_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (``similarity.py::hard_negative_mining``, the DPR data-prep step):
+    for each of the first five vectors, the 3 most-cosine-similar
+    vectors with a DIFFERENT class label — the maximally confusing
+    negatives a contrastive loss wants. Query batch broadcasts, corpus
+    scans once, per-query top-k is a windowed heap on round(cos, 6)."""
+    from pyveb_spark.operators.similarity import hard_negative_mining
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return hard_negative_mining(q, e, k=3).orderBy("vec_id", "rank")
+
+
+_Q146_SQL = """
+WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+              FROM embeddings),
+q AS (SELECT vec_id AS qid, label AS ql, v AS qv FROM base
+      WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid AS vec_id, c.vec_id AS neg_id, c.label AS neg_label,
+         ROUND(list_dot_product(c.v, q.qv)
+               / (sqrt(list_dot_product(c.v, c.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+  FROM base c JOIN q ON c.label <> q.ql),
+ranked AS (
+  SELECT vec_id, neg_id, neg_label, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cosine_sim DESC, neg_id) AS rank
+  FROM scored)
+SELECT vec_id, neg_id, neg_label, cosine_sim, rank::INT AS rank
+FROM ranked WHERE rank <= 3
+ORDER BY vec_id, rank
+"""
+
+
+def q147_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic masked-LM example construction
+    (``text.py::mlm_mask``): mask 15% of tokens chosen by the portable
+    md5 hash of (doc_id, position) — reproducible across engines, runs,
+    and partitionings, which is what makes a training-data build
+    idempotent (a seeded RNG is not). One index-aware ``transform`` per
+    row: no explode, no shuffle, no order-restoring join. The oracle
+    replays the identical hash arithmetic token by token."""
+    from pyveb_spark.operators.text import mlm_mask
+
+    d = read_table(spark, sf_dir, "documents")
+    out = mlm_mask(d, rate_pct=15)
+    return out.select(
+        "doc_id", "n_masked", F.md5("masked_text").alias("masked_md5")
+    ).orderBy("doc_id")
+
+
+_Q147_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         list_transform(toks, (w, i) -> CASE
+             WHEN ('0x' || substr(md5(doc_id || '|' || (i - 1)), 1, 12))
+                    ::BIGINT % 100 < 15
+             THEN '<mask>' ELSE w END) AS masked
+  FROM t)
+SELECT doc_id,
+       len(list_filter(masked, w -> w = '<mask>'))::BIGINT AS n_masked,
+       md5(array_to_string(masked, ' ')) AS masked_md5
+FROM m
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7385,6 +7506,9 @@ QUERIES = {
     "q142_winsorized_prices": q142_winsorized_prices,
     "q143_order_expectations": q143_order_expectations,
     "q144_bpe_tokenize": q144_bpe_tokenize,
+    "q145_gopher_rules": q145_gopher_rules,
+    "q146_hard_negatives": q146_hard_negatives,
+    "q147_mlm_masking": q147_mlm_masking,
 }
 
 ORACLE_SQL = {
@@ -7532,6 +7656,9 @@ ORACLE_SQL = {
     "q142_winsorized_prices": _Q142_SQL,
     "q143_order_expectations": _Q143_SQL,
     "q144_bpe_tokenize": _q144_sql(),
+    "q145_gopher_rules": _Q145_SQL,
+    "q146_hard_negatives": _Q146_SQL,
+    "q147_mlm_masking": _Q147_SQL,
 }
 
 # ---------------------------------------------------------------------------

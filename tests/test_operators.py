@@ -1566,3 +1566,74 @@ def test_bpe_apply_round_trips_training(spark):
         spark.createDataFrame([("xyz",)], "text string"), merges
     ).collect()[0]
     assert list(unseen.bpe_tokens) == ["x", "y", "z"]
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    from pyveb_spark.operators.text import gopher_quality_filter
+
+    good = "the cats sat near the mats and it was good to rest in sunny fields " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, good.strip()),                    # passes everything
+            (2, "short doc only"),                # fails word count
+            (3, ("a " * 60).strip()),             # fails mean word len (1.0)
+            (4, ("1234 " * 60).strip()),          # fails alpha fraction
+            (5, ("xyzzy " * 60).strip()),         # fails stopword minimum
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in gopher_quality_filter(docs, min_words=20).collect()
+    }
+    assert out[1].keep
+    assert not out[2].rule_word_count and not out[2].keep
+    assert not out[3].rule_word_len and not out[3].keep
+    assert not out[4].rule_alpha and not out[4].keep
+    assert out[5].rule_alpha and not out[5].rule_stopwords and not out[5].keep
+
+
+def test_mlm_mask_deterministic_and_rate(spark):
+    import hashlib
+
+    from pyveb_spark.operators.text import mlm_mask
+
+    docs = spark.createDataFrame(
+        [(7, " ".join(f"w{i}" for i in range(200)))],
+        "doc_id long, text string",
+    )
+    out = mlm_mask(docs, rate_pct=15).collect()[0]
+    toks = out.masked_text.split(" ")
+
+    def should_mask(doc_id, pos):
+        h = int(hashlib.md5(f"{doc_id}|{pos}".encode()).hexdigest()[:12], 16)
+        return h % 100 < 15
+
+    expected = [
+        "<mask>" if should_mask(7, i) else f"w{i}" for i in range(200)
+    ]
+    assert toks == expected  # bit-for-bit the hash schedule, 0-based
+    assert out.n_masked == sum(t == "<mask>" for t in expected)
+    # two runs agree (no RNG state) and rate lands near 15%
+    again = mlm_mask(docs, rate_pct=15).collect()[0]
+    assert again.masked_text == out.masked_text
+    assert 0.05 < out.n_masked / 200 < 0.30
+
+
+def test_hard_negative_mining_excludes_same_label(spark):
+    from pyveb_spark.operators.similarity import hard_negative_mining
+
+    rows = [
+        (0, [1.0, 0.0], 0),   # query
+        (1, [1.0, 0.01], 0),  # same label: nearest but NOT a negative
+        (2, [1.0, 0.1], 1),   # hard negative (closest other-label)
+        (3, [0.0, 1.0], 1),   # easy negative
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = hard_negative_mining(
+        df.where(F.col("vec_id") == 0), df, k=2
+    ).collect()
+    assert [(r.neg_id, r.rank) for r in got] == [(2, 1), (3, 2)]
+    assert all(r.neg_label != 0 for r in got)
