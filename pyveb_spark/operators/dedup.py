@@ -46,6 +46,7 @@ __all__ = [
     "minhash_lsh_lookup",
     "exact_substring_pairs",
     "substring_duplication",
+    "cross_source_overlap",
 ]
 
 
@@ -1125,5 +1126,85 @@ def substring_duplication(
                 F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0)).cast("double")
                 / F.count(F.lit(1))
             ).alias("dup_frac"),
+        )
+    )
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    chunk_tokens: int = 12,
+    delimiter: str = " ",
+) -> DataFrame:
+    """Pairwise CONTENT overlap between corpus partitions (sources,
+    crawl dumps, snapshots): chunk every document (the ``chunk_stats``
+    granularity), reduce to distinct (group, chunk-hash), and count
+    shared chunks per group pair with a chunk-Jaccard. The
+    contamination *matrix* — q65 answers "is my eval set leaked into
+    train"; this answers "which sources are copies of each other", the
+    question dedup planning starts from.
+
+    Returns ``(group_a, group_b, shared_chunks, chunks_a, chunks_b,
+    jaccard)`` for pairs with at least one shared chunk.
+
+    100 TB design: the distinct collapses to |groups| × |distinct
+    chunks per group| rows BEFORE any pairing; the pair join is keyed on
+    the chunk hash, so fan-out per hash is (groups containing that
+    chunk)² — bounded by |groups|², not documents. One distinct shuffle,
+    one hash-keyed join, one pair aggregation; fixed-width md5 keys."""
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), delimiter)
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - F.lit(1)),
+                    lambda i: F.array_join(
+                        F.slice(toks, i * chunk_tokens + 1, chunk_tokens),
+                        delimiter,
+                    ),
+                )
+            ).alias("__chunk"),
+        )
+        .select("__g", F.md5(F.col("__chunk").cast("binary")).alias("__h"))
+        .distinct()
+    )
+    sizes = chunks.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    a = chunks.select(F.col("__g").alias("group_a"), "__h")
+    b = chunks.select(F.col("__g").alias("group_b"), "__h")
+    pairs = (
+        a.join(b, "__h")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("shared_chunks"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.withColumnRenamed("__g", "group_a")),
+            "group_a",
+        )
+        .withColumnRenamed("__n", "chunks_a")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("__g", "group_b")),
+            "group_b",
+        )
+        .withColumnRenamed("__n", "chunks_b")
+        .select(
+            "group_a",
+            "group_b",
+            "shared_chunks",
+            F.col("chunks_a").cast("bigint").alias("chunks_a"),
+            F.col("chunks_b").cast("bigint").alias("chunks_b"),
+            F.round(
+                F.col("shared_chunks")
+                / (
+                    F.col("chunks_a")
+                    + F.col("chunks_b")
+                    - F.col("shared_chunks")
+                ),
+                6,
+            ).alias("jaccard"),
         )
     )

@@ -39,6 +39,7 @@ __all__ = [
     "ranked_quota_sample",
     "epoch_repeat",
     "weighted_sample",
+    "shard_assign",
 ]
 
 _HEX_DIGITS = 12  # 48-bit prefix of the md5
@@ -279,3 +280,30 @@ def weighted_sample(
         .where(F.col("__rk") <= k)
         .drop("__es", "__rk")
     )
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    key_cols: Sequence[str],
+    seed: str = "",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Deterministic shard assignment for materializing a training set:
+    ``shard = hash48(seed | key) mod n_shards`` — a pure function of the
+    row key, so re-runs and retries place every document in the same
+    shard (the idempotent-build property; ``repartition`` round-robin
+    does NOT have it). Write with ``partitionBy(out_col)`` to get one
+    directory per shard; the md5 arithmetic is the same as the sampling
+    primitives, so an oracle can replay assignments exactly.
+
+    100 TB design: a stateless scan-stage expression; balance follows
+    from the hash (expected skew ~ 1/sqrt(docs per shard)) — audit it
+    with a shard-count aggregation (q148) rather than trusting it."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = (
+        F.conv(uniform_hex(key_cols, seed), 16, 10).cast("bigint")
+        % F.lit(int(n_shards))
+    )
+    return df.withColumn(out_col, h.cast("int"))

@@ -7357,6 +7357,185 @@ ORDER BY doc_id
 """
 
 
+def q148_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-set sharding
+    (``sampling.py::shard_assign``): every document lands in
+    ``hash48(seed|doc_id) mod 8`` — a pure function of the key, so
+    retries and re-runs rebuild byte-identical shards (round-robin
+    ``repartition`` cannot promise that) — plus the balance audit: per
+    shard doc/token counts and the doc fraction. Write-side pairing is
+    ``partitionBy('shard')`` (``sinks/writers.py``)."""
+    from pyveb_spark.operators.sampling import shard_assign
+
+    d = read_table(spark, sf_dir, "documents")
+    s = shard_assign(d, 8, ["doc_id"], seed="train-v1")
+    n = F.count(F.lit(1))
+    w = Window.partitionBy()
+    return (
+        s.groupBy("shard")
+        .agg(
+            n.alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .withColumn(
+            "doc_frac",
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.sum("n_docs").over(w).cast("double"),
+                6,
+            ),
+        )
+        .orderBy("shard")
+    )
+
+
+_Q148_SQL = """
+WITH s AS (
+  SELECT ('0x' || substr(md5('train-v1|' || doc_id), 1, 12))::BIGINT % 8
+           AS shard,
+         len(string_split(text, ' ')) AS nt
+  FROM documents)
+SELECT shard::INT AS shard,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(nt)::BIGINT AS n_tokens,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS doc_frac
+FROM s GROUP BY shard ORDER BY shard
+"""
+
+
+def q149_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination MATRIX
+    (``dedup.py::cross_source_overlap``): which corpus sources share
+    verbatim 12-token chunks, with chunk-Jaccard — the question dedup
+    planning starts from (q65 answers train↔eval leakage; this answers
+    source↔source duplication). Distinct (source, chunk-hash) collapses
+    the corpus before any pairing; the pair join fans out per chunk by
+    at most |sources|². Top 20 pairs by shared chunks."""
+    from pyveb_spark.operators.dedup import cross_source_overlap
+
+    d = read_table(spark, sf_dir, "documents")
+    out = cross_source_overlap(d, "source", "text", chunk_tokens=12)
+    return out.orderBy(
+        F.col("shared_chunks").desc(), "group_a", "group_b"
+    ).limit(20)
+
+
+_Q149_SQL = """
+WITH d AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(toks[(i * 12 + 1):(i * 12 + 12)], ' ')) AS h
+  FROM (SELECT source, toks,
+               unnest(generate_series(
+                   0, CAST(ceil(len(toks) / 12.0) AS BIGINT) - 1)) AS i
+        FROM d)),
+sizes AS (SELECT source, COUNT(*)::BIGINT AS n FROM c GROUP BY source),
+pairs AS (
+  SELECT a.source AS group_a, b.source AS group_b,
+         COUNT(*)::BIGINT AS shared_chunks
+  FROM c a JOIN c b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT group_a, group_b, shared_chunks,
+       sa.n AS chunks_a, sb.n AS chunks_b,
+       ROUND(shared_chunks / CAST(sa.n + sb.n - shared_chunks AS DOUBLE),
+             6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.source = group_a
+JOIN sizes sb ON sb.source = group_b
+ORDER BY shared_chunks DESC, group_a, group_b
+LIMIT 20
+"""
+
+
+def q150_pretrain_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 admission pipeline, composed from the NEWEST
+    operators as ONE lazy plan (the q94 discipline): Gopher rule gate
+    (q145, scan-stage) → exact dedup keep-first on the md5 content
+    fingerprint (one window shuffle) → deterministic MLM masking (q147,
+    scan-stage) → hash-shard assignment (q148, scan-stage) → per-shard
+    audit aggregation (one shuffle). TWO shuffles total for the whole
+    five-stage build; nothing materializes in between, every stage's
+    arithmetic is replayed by the oracle."""
+    from pyveb_spark.operators.dedup import portable_hash48
+    from pyveb_spark.operators.sampling import shard_assign
+    from pyveb_spark.operators.text import (
+        gopher_quality_filter,
+        mlm_mask,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    gated = gopher_quality_filter(d, text_col="text", min_words=30).where(
+        F.col("keep")
+    )
+    fp = portable_hash48(F.trim(F.lower(F.col("text"))))
+    w = Window.partitionBy("__fp").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("__fp", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+    )
+    masked = mlm_mask(deduped, rate_pct=15)
+    sharded = shard_assign(masked, 4, ["doc_id"], seed="v2")
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.sum("n_masked").cast("bigint").alias("n_masked"),
+        )
+        .orderBy("shard")
+    )
+
+
+_Q150_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), w -> w <> '') AS toks,
+         string_split(text, ' ') AS raw_toks
+  FROM documents),
+gated AS (
+  SELECT doc_id, text, raw_toks
+  FROM t
+  WHERE len(toks) >= 30 AND len(toks) <= 100000
+    AND CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+          / len(toks) BETWEEN 3.0 AND 10.0
+    AND CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+             AS DOUBLE) / len(toks) >= 0.8
+    AND len(list_filter(toks, w -> list_contains(
+            ['the','a','of','and','to','in','is','it'], lower(w)))) >= 2),
+deduped AS (
+  SELECT doc_id, raw_toks
+  FROM (SELECT doc_id, raw_toks,
+               ROW_NUMBER() OVER (
+                 PARTITION BY
+                   ('0x' || substr(md5(trim(lower(text))), 1, 12))::BIGINT
+                 ORDER BY doc_id) AS rn
+        FROM gated)
+  WHERE rn = 1),
+masked AS (
+  SELECT doc_id, len(raw_toks) AS nt,
+         len(list_filter(
+             list_transform(raw_toks, (w, i) -> CASE
+                 WHEN ('0x' || substr(md5(doc_id || '|' || (i - 1)), 1, 12))
+                        ::BIGINT % 100 < 15
+                 THEN '<mask>' ELSE w END),
+             w -> w = '<mask>')) AS nm
+  FROM deduped)
+SELECT CAST(('0x' || substr(md5('v2|' || doc_id), 1, 12))::BIGINT % 4
+            AS INT) AS shard,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(nt)::BIGINT AS n_tokens,
+       SUM(nm)::BIGINT AS n_masked
+FROM masked
+GROUP BY 1 ORDER BY shard
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7509,6 +7688,9 @@ QUERIES = {
     "q145_gopher_rules": q145_gopher_rules,
     "q146_hard_negatives": q146_hard_negatives,
     "q147_mlm_masking": q147_mlm_masking,
+    "q148_training_shards": q148_training_shards,
+    "q149_source_overlap": q149_source_overlap,
+    "q150_pretrain_pipeline_v2": q150_pretrain_pipeline_v2,
 }
 
 ORACLE_SQL = {
@@ -7659,6 +7841,9 @@ ORACLE_SQL = {
     "q145_gopher_rules": _Q145_SQL,
     "q146_hard_negatives": _Q146_SQL,
     "q147_mlm_masking": _Q147_SQL,
+    "q148_training_shards": _Q148_SQL,
+    "q149_source_overlap": _Q149_SQL,
+    "q150_pretrain_pipeline_v2": _Q150_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -1637,3 +1637,35 @@ def test_hard_negative_mining_excludes_same_label(spark):
     ).collect()
     assert [(r.neg_id, r.rank) for r in got] == [(2, 1), (3, 2)]
     assert all(r.neg_label != 0 for r in got)
+
+
+def test_shard_assign_deterministic_and_bounds(spark):
+    from pyveb_spark.operators.sampling import shard_assign
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    a = {r.doc_id: r.shard for r in shard_assign(df, 8, ["doc_id"]).collect()}
+    b = {r.doc_id: r.shard for r in shard_assign(df, 8, ["doc_id"]).collect()}
+    assert a == b                       # pure function of the key
+    assert set(a.values()) <= set(range(8))
+    assert len(set(a.values())) > 1     # actually spreads
+    one = shard_assign(df, 1, ["doc_id"]).select("shard").distinct().collect()
+    assert [r.shard for r in one] == [0]
+    with pytest.raises(ValueError):
+        shard_assign(df, 0, ["doc_id"])
+
+
+def test_cross_source_overlap_hand_computed(spark):
+    from pyveb_spark.operators.dedup import cross_source_overlap
+
+    docs = spark.createDataFrame(
+        [("s1", "a b c d"), ("s2", "a b x y"), ("s3", "zz qq")],
+        "source string, text string",
+    )
+    got = cross_source_overlap(
+        docs, "source", "text", chunk_tokens=2
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.group_a, r.group_b, r.shared_chunks) == ("s1", "s2", 1)
+    assert r.chunks_a == 2 and r.chunks_b == 2
+    assert abs(r.jaccard - round(1 / 3, 6)) < 1e-9

@@ -532,3 +532,14 @@ def test_q139_lpa_caches_edge_list(spark, sf_dir):
 
     plan = _formatted_plan(Q["q139_nation_communities"](spark, sf_dir))
     assert "InMemoryTableScan" in plan
+
+
+def test_q150_pipeline_two_shuffles_one_scan(spark, sf_dir):
+    """The five-stage round-4 admission pipeline must stay ONE lazy plan:
+    a single corpus scan and only the dedup-window + shard-agg
+    exchanges (plus the trivial 4-row output sort)."""
+    from pyveb_spark.queries import QUERIES as Q
+
+    plan = _executed_plan(Q["q150_pretrain_pipeline_v2"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") <= 3
