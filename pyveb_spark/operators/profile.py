@@ -966,8 +966,10 @@ def winsorize(
             F.max("__v").alias("__hi"),
         )
     )
+    # LEFT join: a group whose values are all NULL has no bounds row —
+    # its rows must pass through unclipped, not silently drop
     joined = (
-        df.join(F.broadcast(bounds), list(group_cols))
+        df.join(F.broadcast(bounds), list(group_cols), "left")
         if group_cols
         else df.crossJoin(F.broadcast(bounds))
     )

@@ -1516,6 +1516,15 @@ def test_winsorize_nearest_rank_bounds(spark):
     # NULL passes through unclipped
     nulls = [r for r in out.collect() if r.v is None]
     assert len(nulls) == 1 and nulls[0].v_winsorized is None
+    # a group that is ALL NULLs has no bounds row — its rows must
+    # survive (left join), not silently drop
+    withnull = df.unionByName(
+        spark.createDataFrame([("h", None), ("h", None)], "k string, v double")
+    )
+    hrows = [
+        r for r in winsorize(withnull, "v", ["k"]).collect() if r.k == "h"
+    ]
+    assert len(hrows) == 2 and all(r.v_winsorized is None for r in hrows)
 
 
 def test_validate_expectations_one_pass_counts(spark):
