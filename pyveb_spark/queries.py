@@ -7536,6 +7536,56 @@ GROUP BY 1 ORDER BY shard
 """
 
 
+def q151_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A Bloom-filter-pruned join certified SEMANTICALLY INVISIBLE (the
+    q132 salted-join discipline): revenue of lineitems whose order is
+    URGENT-priority, computed by first screening the 600k-row lineitem
+    scan through a 16384-bit Bloom filter built on the qualifying order
+    keys (``sketches.py::bloom_build``), then joining only survivors.
+    Zero false negatives means the result is hash-identical to the plain
+    join — which is exactly what the oracle computes, so the certificate
+    is the equality itself. At 100 TB this is the pattern that cuts a
+    fact-scan's join input by the filter's selectivity for the cost of a
+    broadcast bitset (runtime row-group skipping, portable across
+    engines — `layout.py` has the Spark-native twin)."""
+    from pyveb_spark.operators.sketches import bloom_build, bloom_probe
+
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    l = read_table(spark, sf_dir, "lineitem")
+    bloom = bloom_build(o, "o_orderkey", num_bits=16384, num_hashes=3)
+    survivors = bloom_probe(
+        l.withColumnRenamed("l_orderkey", "o_orderkey"),
+        bloom,
+        "o_orderkey",
+        num_bits=16384,
+        num_hashes=3,
+    ).where(F.col("bloom_hit") == 1)
+    joined = survivors.join(o.select("o_orderkey"), "o_orderkey")
+    return joined.groupBy(F.col("o_orderkey") % 7).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(_dec("l_extendedprice", 14))
+        .cast("double")
+        .alias("revenue"),
+    ).select(
+        F.col("(o_orderkey % 7)").cast("bigint").alias("key_bucket"),
+        "n_lines",
+        "revenue",
+    ).orderBy("key_bucket")
+
+
+_Q151_SQL = """
+SELECT l_orderkey % 7 AS key_bucket,
+       COUNT(*)::BIGINT AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+         AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY 1 ORDER BY key_bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7691,6 +7741,7 @@ QUERIES = {
     "q148_training_shards": q148_training_shards,
     "q149_source_overlap": q149_source_overlap,
     "q150_pretrain_pipeline_v2": q150_pretrain_pipeline_v2,
+    "q151_bloom_pruned_join": q151_bloom_pruned_join,
 }
 
 ORACLE_SQL = {
@@ -7844,6 +7895,7 @@ ORACLE_SQL = {
     "q148_training_shards": _Q148_SQL,
     "q149_source_overlap": _Q149_SQL,
     "q150_pretrain_pipeline_v2": _Q150_SQL,
+    "q151_bloom_pruned_join": _Q151_SQL,
 }
 
 # ---------------------------------------------------------------------------
