@@ -39,6 +39,7 @@ __all__ = [
     "ab_proportion_test",
     "winsorize",
     "validate_expectations",
+    "k_anonymity",
 ]
 
 
@@ -1084,4 +1085,33 @@ def validate_expectations(
         "r.column",
         "r.n_violations",
         (F.col("r.n_violations") == 0).alias("passed"),
+    )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002): group rows into equivalence
+    classes over the quasi-identifier columns and flag classes smaller
+    than ``k`` — rows in those classes are re-identifiable by joining
+    the quasi-identifiers against an external dataset. Returns the class
+    table ``(quasi_cols…, class_size, at_risk)``; aggregate it for the
+    release-gate summary, anti-join it against the data to SUPPRESS the
+    at-risk rows before publishing.
+
+    NULL quasi-values form their own class (groupBy semantics) — NULL is
+    itself an identifying signal, so this is the conservative choice.
+
+    100 TB design: one groupBy shuffle on the quasi-identifier key —
+    class count, not row count, bounds the output; the suppression
+    anti-join broadcasts the (usually small) at-risk class list back
+    over the scan."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .withColumn("at_risk", F.col("class_size") < F.lit(int(k)))
     )

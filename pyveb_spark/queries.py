@@ -7586,6 +7586,65 @@ GROUP BY 1 ORDER BY key_bucket
 """
 
 
+def q152_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate (``profile.py::k_anonymity``, Sweeney
+    2002): equivalence classes over the quasi-identifiers (nation,
+    market segment, account-balance bucket) with the k=5 re-identifiability
+    audit — class counts, at-risk classes/rows, and the risk fraction a
+    privacy review signs off on. One groupBy on the quasi-key; the
+    summary is class-count sized. The other half of the privacy story
+    beside q82's PII redaction."""
+    from pyveb_spark.operators.profile import k_anonymity
+
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000)
+        .cast("int")
+        .alias("bal_bucket"),
+    )
+    cls = k_anonymity(
+        c, ["c_nationkey", "c_mktsegment", "bal_bucket"], k=5
+    )
+    at_risk_rows = F.sum(
+        F.when(F.col("at_risk"), F.col("class_size")).otherwise(0)
+    )
+    return cls.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.col("at_risk").cast("int"))
+        .cast("bigint")
+        .alias("n_at_risk_classes"),
+        F.sum("class_size").cast("bigint").alias("n_rows"),
+        at_risk_rows.cast("bigint").alias("n_at_risk_rows"),
+        F.min("class_size").alias("min_class_size"),
+        F.max("class_size").alias("max_class_size"),
+        F.round(
+            at_risk_rows.cast("double")
+            / F.sum("class_size").cast("double"),
+            6,
+        ).alias("risk_frac"),
+    )
+
+
+_Q152_SQL = """
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS INT) AS bal_bucket,
+         COUNT(*)::BIGINT AS n
+  FROM customer GROUP BY 1, 2, 3)
+SELECT COUNT(*)::BIGINT AS n_classes,
+       SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT
+         AS n_at_risk_classes,
+       SUM(n)::BIGINT AS n_rows,
+       SUM(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT AS n_at_risk_rows,
+       MIN(n)::BIGINT AS min_class_size,
+       MAX(n)::BIGINT AS max_class_size,
+       ROUND(CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(n) AS DOUBLE), 6) AS risk_frac
+FROM cls
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7742,6 +7801,7 @@ QUERIES = {
     "q149_source_overlap": q149_source_overlap,
     "q150_pretrain_pipeline_v2": q150_pretrain_pipeline_v2,
     "q151_bloom_pruned_join": q151_bloom_pruned_join,
+    "q152_k_anonymity": q152_k_anonymity,
 }
 
 ORACLE_SQL = {
@@ -7896,6 +7956,7 @@ ORACLE_SQL = {
     "q149_source_overlap": _Q149_SQL,
     "q150_pretrain_pipeline_v2": _Q150_SQL,
     "q151_bloom_pruned_join": _Q151_SQL,
+    "q152_k_anonymity": _Q152_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -1678,3 +1678,21 @@ def test_cross_source_overlap_hand_computed(spark):
     assert (r.group_a, r.group_b, r.shared_chunks) == ("s1", "s2", 1)
     assert r.chunks_a == 2 and r.chunks_b == 2
     assert abs(r.jaccard - round(1 / 3, 6)) < 1e-9
+
+
+def test_k_anonymity_classes_and_guard(spark):
+    from pyveb_spark.operators.profile import k_anonymity
+
+    df = spark.createDataFrame(
+        [("us", "a"), ("us", "a"), ("us", "a"), ("de", "b"), (None, "b")],
+        "country string, seg string",
+    )
+    got = {
+        (r.country, r.seg): (r.class_size, r.at_risk)
+        for r in k_anonymity(df, ["country", "seg"], k=2).collect()
+    }
+    assert got[("us", "a")] == (3, False)
+    assert got[("de", "b")] == (1, True)
+    assert got[(None, "b")] == (1, True)  # NULL is its own class
+    with pytest.raises(ValueError):
+        k_anonymity(df, ["country"], k=0)

@@ -297,3 +297,136 @@ def test_multi_probe_bucket_set_properties(n_planes, n_probes, bits):
     assert probes[0] == qbits
     for p in probes[1:]:
         assert bin(p ^ qbits).count("1") == 1
+
+
+# ---------------------------------------------------------------------------
+# round-4 session properties: Bloom membership, winsorize bounds,
+# BPE round-trip conservation, shard-assign partition invariance
+# ---------------------------------------------------------------------------
+
+
+@given(
+    members=st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=6),
+        min_size=1, max_size=20, unique=True,
+    ),
+    probes=st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=6),
+        min_size=1, max_size=20, unique=True,
+    ),
+    m=st.sampled_from([64, 256, 1024]),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bloom_never_false_negative(spark, members, probes, m):
+    """For ANY member/probe sets and filter size: every member probe
+    hits. (False positives are allowed; false negatives never.)"""
+    from pyveb_spark.operators.sketches import bloom_build, bloom_probe
+
+    mdf = spark.createDataFrame([(k,) for k in members], "k string")
+    pdf = spark.createDataFrame(
+        [(k,) for k in set(members) | set(probes)], "k string"
+    )
+    bloom = bloom_build(mdf, "k", num_bits=m, num_hashes=3)
+    got = {
+        r.k: r.bloom_hit
+        for r in bloom_probe(pdf, bloom, "k", num_bits=m, num_hashes=3)
+        .collect()
+    }
+    assert all(got[k] == 1 for k in members)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=30,
+    ),
+    lo=st.integers(min_value=1, max_value=40),
+    hi=st.integers(min_value=60, max_value=99),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_winsorize_bounds_are_data_values(spark, vals, lo, hi):
+    """Nearest-rank winsorization: bounds are ALWAYS actual data values,
+    clipped outputs stay within [min, max] of the data, and row count is
+    preserved."""
+    from pyveb_spark.operators.profile import winsorize
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = winsorize(df, "v", [], lo_pct=lo, hi_pct=hi).collect()
+    assert len(out) == len(vals)
+    sv = set(vals)
+    for r in out:
+        assert r["__lo"] in sv and r["__hi"] in sv
+        assert min(vals) <= r.v_winsorized <= max(vals)
+        assert r["__lo"] <= r.v_winsorized <= r["__hi"]
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=5),
+        min_size=1, max_size=8,
+    ),
+    k=st.integers(min_value=1, max_value=3),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_apply_conserves_characters(spark, words, k):
+    """For ANY corpus and merge budget: applying the learned merges
+    changes segmentation, never content — concatenating each doc's
+    tokens reproduces the original text minus spaces, and token count
+    only shrinks as merges grow."""
+    from pyveb_spark.operators.text import bpe_apply, bpe_train
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "text string")
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_train(df, num_merges=k).orderBy("merge_rank").collect()
+    ]
+    toks = list(bpe_apply(df, merges).collect()[0].bpe_tokens)
+    assert "".join(toks) == text.replace(" ", "")
+    if merges:
+        fewer = list(
+            bpe_apply(df, merges[:-1]).collect()[0].bpe_tokens
+        )
+        assert len(toks) <= len(fewer)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=60),
+    shards=st.sampled_from([1, 2, 8]),
+    parts=st.sampled_from([1, 4]),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_shard_assign_partitioning_invariant(spark, n, shards, parts):
+    """Shard assignment is a pure function of the key: physical
+    repartitioning must never change any document's shard."""
+    from pyveb_spark.operators.sampling import shard_assign
+
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    a = {
+        r.doc_id: r.shard
+        for r in shard_assign(df, shards, ["doc_id"]).collect()
+    }
+    b = {
+        r.doc_id: r.shard
+        for r in shard_assign(
+            df.repartition(parts), shards, ["doc_id"]
+        ).collect()
+    }
+    assert a == b
