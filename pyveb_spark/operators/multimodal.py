@@ -50,6 +50,8 @@ __all__ = [
     "decode_audio",
     "extract_features",
     "sample_frames",
+    "synth_wav_samples",
+    "fingerprint_audio",
 ]
 
 # Column convention: one binary payload + one typed metadata struct.
@@ -470,3 +472,117 @@ def dhash_images(
             yield pd.DataFrame({id_col: ids, "dhash": hashes})
 
     return df.mapInPandas(_hash, schema=out_schema)
+
+
+# audio fingerprint grid: 128 mono 16-bit samples → 32 frames of 4 →
+# 30 energy-delta bits (31 is prime — banding needs bands | bits, so the
+# last delta is dropped; 30 = 5 bands × 6 bits in dedup.hamming_pairs)
+AFP_SAMPLES = 128
+AFP_FRAMES = 32
+AFP_BITS = AFP_FRAMES - 2
+
+
+def _sample_lo(seed, k: int):
+    """Low byte of synthetic sample ``k`` — shared between the Spark byte
+    generator and the oracle's arithmetic replay."""
+    s = F.col(seed) if isinstance(seed, str) else seed
+    return (((s + 2) * (k + 3) * 17) % 256 + 256) % 256
+
+
+def _sample_hi(seed, k: int):
+    """High byte of synthetic sample ``k`` (same contract)."""
+    s = F.col(seed) if isinstance(seed, str) else seed
+    return (((s + 3) * (k + 5) * 13) % 256 + 256) % 256
+
+
+def synth_wav_samples(seed) -> F.Column:
+    """A REAL 44-byte-header mono 16-bit PCM WAV **with sample data**
+    generated natively in Spark from a per-row integer ``seed``:
+    sample ``k`` is the little-endian int16 ``(lo, hi)`` from
+    :func:`_sample_lo`/:func:`_sample_hi`. Every byte is a codegen
+    expression (the :func:`synth_bmp_pixels` discipline for audio);
+    :func:`fingerprint_audio` must parse the RIFF layout FOR REAL to
+    reproduce the oracle's arithmetic fingerprint."""
+    def raw_byte(col):
+        return F.encode(F.char(col), "ISO-8859-1")
+
+    data_size = AFP_SAMPLES * 2
+    header = F.concat(
+        F.encode(F.lit("RIFF"), "ISO-8859-1"),
+        _le_bytes(F.lit(36 + data_size), 4),
+        F.encode(F.lit("WAVEfmt "), "ISO-8859-1"),
+        _le_bytes(F.lit(16), 4),
+        _le_bytes(F.lit(1), 2),                 # PCM
+        _le_bytes(F.lit(1), 2),                 # mono
+        _le_bytes(F.lit(8000), 4),              # sample rate
+        _le_bytes(F.lit(16000), 4),             # byte rate
+        _le_bytes(F.lit(2), 2),                 # block align
+        _le_bytes(F.lit(16), 2),                # bits/sample
+        F.encode(F.lit("data"), "ISO-8859-1"),
+        _le_bytes(F.lit(data_size), 4),
+    )
+    data = [
+        b
+        for k in range(AFP_SAMPLES)
+        for b in (raw_byte(_sample_lo(seed, k)), raw_byte(_sample_hi(seed, k)))
+    ]
+    return F.concat(header, *data)
+
+
+def fingerprint_audio(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+) -> DataFrame:
+    """Energy-delta audio fingerprint over WAV payloads — the acoustic
+    twin of :func:`dhash_images` (the Chromaprint/Shazam family's core
+    trick at its smallest): parse the REAL RIFF bytes (mono 16-bit PCM,
+    data chunk at offset 36, samples little-endian signed), split the
+    samples into ``AFP_FRAMES`` frames, sum |amplitude| per frame, and
+    set bit ``f`` iff ``energy(f+1) > energy(f)`` — a 31-bit fingerprint
+    that drops straight into
+    :func:`~pyveb_spark.operators.dedup.hamming_pairs`' pigeonhole
+    banding. Returns ``(id_col, afp)``.
+
+    Re-encoded/resampled copies move a few frame energies slightly →
+    small Hamming distance; the banding makes the all-pairs search one
+    band-keyed shuffle corpus-wide. Arrow-batched mapInPandas kernel
+    (byte parsing is the one place Python is unavoidable); output rows
+    are (id, int64) — the payload never shuffles."""
+    out_schema = f"{id_col} long, afp long"
+    frame_len = AFP_SAMPLES // AFP_FRAMES
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError("fingerprint_audio expects WAV payloads")
+                if b[36:40] != b"data":
+                    raise ValueError("expected data chunk at offset 36")
+                n = int.from_bytes(b[40:44], "little") // 2
+                if n < AFP_SAMPLES:
+                    raise ValueError(f"need >= {AFP_SAMPLES} samples, got {n}")
+                samples = [
+                    int.from_bytes(
+                        b[44 + 2 * k : 46 + 2 * k], "little", signed=True
+                    )
+                    for k in range(AFP_SAMPLES)
+                ]
+                energies = [
+                    sum(
+                        abs(s)
+                        for s in samples[f * frame_len : (f + 1) * frame_len]
+                    )
+                    for f in range(AFP_FRAMES)
+                ]
+                v = 0
+                for f in range(AFP_BITS):
+                    if energies[f + 1] > energies[f]:
+                        v |= 1 << f
+                ids.append(int(i))
+                fps.append(v)
+            yield pd.DataFrame({id_col: ids, "afp": fps})
+
+    return df.mapInPandas(_fp, schema=out_schema)

@@ -7645,6 +7645,76 @@ FROM cls
 """
 
 
+def q153_audio_fingerprint_dups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-duplicate AUDIO detection end-to-end — the acoustic twin of
+    q135: synthesize REAL mono 16-bit PCM WAVs (every byte a codegen
+    expression from a per-doc seed, ``multimodal.synth_wav_samples``),
+    fingerprint them by PARSING the actual RIFF bytes
+    (``fingerprint_audio`` — the frame-energy-delta trick at the core of
+    the Chromaprint family), and pair within Hamming ≤ 2 via the same
+    generalized pigeonhole banding (``dedup.hamming_pairs``). The oracle
+    replays the generator arithmetic straight to the fingerprint (the
+    q38/q135 contract: one misparsed byte anywhere hash-mismatches);
+    docs sharing ``doc_id % 41`` carry identical audio, so the pair set
+    is the duplicate-class structure."""
+    from pyveb_spark.operators.dedup import hamming_pairs
+    from pyveb_spark.operators.multimodal import (
+        AFP_BITS,
+        fingerprint_audio,
+        synth_wav_samples,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 41).cast("int").alias("seed")
+    )
+    wav = d.select(
+        "doc_id", synth_wav_samples(F.col("seed")).alias("payload")
+    )
+    fp = fingerprint_audio(wav, "doc_id", "payload")
+    return hamming_pairs(
+        fp, "doc_id", "afp", max_hamming=2, bands=5, bits=AFP_BITS
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+def _q153_sql() -> str:
+    from pyveb_spark.operators.multimodal import AFP_BITS, AFP_FRAMES
+
+    frame_len = 128 // AFP_FRAMES
+
+    def amp(k: int) -> str:
+        lo = f"(((seed+2)*{k + 3}*17)%256)"
+        hi = f"(((seed+3)*{k + 5}*13)%256)"
+        v = f"({lo} + 256*{hi})"
+        return (
+            f"ABS(CASE WHEN {v} >= 32768 THEN {v} - 65536 ELSE {v} END)"
+        )
+
+    e_cols = ",\n       ".join(
+        "("
+        + " + ".join(amp(f * frame_len + j) for j in range(frame_len))
+        + f") AS e{f}"
+        for f in range(AFP_FRAMES)
+    )
+    hash_expr = "\n       + ".join(
+        f"CASE WHEN e{f + 1} > e{f} THEN {1 << f} ELSE 0 END"
+        for f in range(AFP_BITS)
+    )
+    return f"""
+WITH s AS (SELECT doc_id, doc_id % 41 AS seed FROM documents),
+e AS (SELECT doc_id,
+       {e_cols}
+      FROM s),
+fp AS (SELECT doc_id, CAST({hash_expr} AS BIGINT) AS afp FROM e)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       bit_count(xor(a.afp, b.afp)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 2
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7802,6 +7872,7 @@ QUERIES = {
     "q150_pretrain_pipeline_v2": q150_pretrain_pipeline_v2,
     "q151_bloom_pruned_join": q151_bloom_pruned_join,
     "q152_k_anonymity": q152_k_anonymity,
+    "q153_audio_fingerprint_dups": q153_audio_fingerprint_dups,
 }
 
 ORACLE_SQL = {
@@ -7957,6 +8028,7 @@ ORACLE_SQL = {
     "q150_pretrain_pipeline_v2": _Q150_SQL,
     "q151_bloom_pruned_join": _Q151_SQL,
     "q152_k_anonymity": _Q152_SQL,
+    "q153_audio_fingerprint_dups": _q153_sql(),
 }
 
 # ---------------------------------------------------------------------------

@@ -1696,3 +1696,49 @@ def test_k_anonymity_classes_and_guard(spark):
     assert got[(None, "b")] == (1, True)  # NULL is its own class
     with pytest.raises(ValueError):
         k_anonymity(df, ["country"], k=0)
+
+
+def test_audio_fingerprint_parses_real_wav_bytes(spark):
+    """The kernel must parse the RIFF layout for real: its fingerprint
+    equals a plain-Python replay of the generator arithmetic, and
+    identical seeds collide while different seeds (generally) do not."""
+    from pyveb_spark.operators.multimodal import (
+        AFP_BITS,
+        AFP_FRAMES,
+        AFP_SAMPLES,
+        fingerprint_audio,
+        synth_wav_samples,
+    )
+    from pyspark.sql import functions as F2
+
+    d = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 0), (3, 5)], "doc_id long, seed int"
+    )
+    wav = d.select(
+        "doc_id", synth_wav_samples(F2.col("seed")).alias("payload")
+    )
+    raw = {r.doc_id: bytes(r.payload) for r in wav.collect()}
+    assert raw[0][:4] == b"RIFF" and raw[0][36:40] == b"data"
+    assert len(raw[0]) == 44 + AFP_SAMPLES * 2
+
+    def py_fp(seed):
+        frame_len = AFP_SAMPLES // AFP_FRAMES
+        def amp(k):
+            lo = ((seed + 2) * (k + 3) * 17) % 256
+            hi = ((seed + 3) * (k + 5) * 13) % 256
+            v = lo + 256 * hi
+            return abs(v - 65536 if v >= 32768 else v)
+        e = [
+            sum(amp(f * frame_len + j) for j in range(frame_len))
+            for f in range(AFP_FRAMES)
+        ]
+        return sum(
+            1 << f for f in range(AFP_BITS) if e[f + 1] > e[f]
+        )
+
+    got = {
+        r.doc_id: r.afp
+        for r in fingerprint_audio(wav, "doc_id", "payload").collect()
+    }
+    assert got == {0: py_fp(0), 1: py_fp(1), 2: py_fp(0), 3: py_fp(5)}
+    assert got[0] == got[2] and got[0] != got[1]

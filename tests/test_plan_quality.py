@@ -232,6 +232,7 @@ _ARROW_PY_OK = {
     "q67_frame_features",    # mapInPandas feature kernel
     "q97_audio_stats",       # mapInPandas WAV header decode kernel
     "q135_image_dhash_dups", # mapInPandas dHash kernel over real BMP bytes
+    "q153_audio_fingerprint_dups",  # mapInPandas energy-delta kernel over real WAV bytes
 }
 
 # streaming replays execute a stream inside the query fn; their final
