@@ -544,3 +544,64 @@ def test_q150_pipeline_two_shuffles_one_scan(spark, sf_dir):
     plan = _executed_plan(Q["q150_pretrain_pipeline_v2"](spark, sf_dir))
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange") <= 3
+
+
+def test_q145_q147_are_pure_scans(spark, sf_dir):
+    """Gopher rules and MLM masking are per-row codegen expressions —
+    their plans must contain NO exchange at all (ordering excluded)."""
+    from pyspark.sql import functions as F
+
+    from pyveb_spark.operators.text import gopher_quality_filter, mlm_mask
+    from pyveb_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    for frame in (
+        gopher_quality_filter(d),
+        mlm_mask(d).select("doc_id", "n_masked"),
+    ):
+        plan = _executed_plan(frame)
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q146_hard_negatives_broadcasts_queries(spark, sf_dir):
+    """The query batch must broadcast; the corpus side is the scan."""
+    from pyspark.sql import functions as F
+
+    from pyveb_spark.operators.similarity import hard_negative_mining
+    from pyveb_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    plan = _executed_plan(hard_negative_mining(q, e, k=3))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q153_fingerprint_rows_are_narrow(spark, sf_dir):
+    """After the kernel, only (id, int64) rows flow — the WAV payload
+    must never reach an exchange."""
+    from pyspark.sql import functions as F
+
+    from pyveb_spark.operators.dedup import hamming_pairs
+    from pyveb_spark.operators.multimodal import (
+        AFP_BITS,
+        fingerprint_audio,
+        synth_wav_samples,
+    )
+    from pyveb_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 41).cast("int").alias("seed")
+    )
+    wav = d.select("doc_id", synth_wav_samples(F.col("seed")).alias("payload"))
+    fp = fingerprint_audio(wav, "doc_id", "payload")
+    pairs = hamming_pairs(fp, "doc_id", "afp", max_hamming=2, bands=5,
+                          bits=AFP_BITS)
+    plan = _executed_plan(pairs)
+    exchange_lines = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert exchange_lines and all(
+        "payload" not in l for l in exchange_lines
+    )
