@@ -476,7 +476,9 @@ def dhash_images(
 
 # audio fingerprint grid: 128 mono 16-bit samples → 32 frames of 4 →
 # 30 energy-delta bits (31 is prime — banding needs bands | bits, so the
-# last delta is dropped; 30 = 5 bands × 6 bits in dedup.hamming_pairs)
+# last delta is dropped; 30 = 3 bands × 10 bits in dedup.hamming_pairs
+# — with max_hamming=2 the pigeonhole needs only 3 bands, and 10-bit band
+# values keep cross-class candidate collisions ~16× rarer than 6-bit ones)
 AFP_SAMPLES = 128
 AFP_FRAMES = 32
 AFP_BITS = AFP_FRAMES - 2
@@ -503,9 +505,7 @@ def synth_wav_samples(seed) -> F.Column:
     expression (the :func:`synth_bmp_pixels` discipline for audio);
     :func:`fingerprint_audio` must parse the RIFF layout FOR REAL to
     reproduce the oracle's arithmetic fingerprint."""
-    def raw_byte(col):
-        return F.encode(F.char(col), "ISO-8859-1")
-
+    s = F.col(seed) if isinstance(seed, str) else seed
     data_size = AFP_SAMPLES * 2
     header = F.concat(
         F.encode(F.lit("RIFF"), "ISO-8859-1"),
@@ -521,12 +521,19 @@ def synth_wav_samples(seed) -> F.Column:
         F.encode(F.lit("data"), "ISO-8859-1"),
         _le_bytes(F.lit(data_size), 4),
     )
-    data = [
-        b
-        for k in range(AFP_SAMPLES)
-        for b in (raw_byte(_sample_lo(seed, k)), raw_byte(_sample_hi(seed, k)))
-    ]
-    return F.concat(header, *data)
+    # ONE small lambda evaluated AFP_SAMPLES× per row (hex render, then a
+    # single to_binary) — a flat 2·AFP_SAMPLES-term concat of independent
+    # byte expressions overflows janino codegen and falls back to
+    # interpreted eval, ~2× the whole stage's cost at sf0.1
+    sample_hex = F.transform(
+        F.sequence(F.lit(0), F.lit(AFP_SAMPLES - 1)),
+        lambda k: F.concat(
+            F.lpad(F.hex(F.pmod((s + 2) * (k + 3) * 17, F.lit(256))), 2, "0"),
+            F.lpad(F.hex(F.pmod((s + 3) * (k + 5) * 13, F.lit(256))), 2, "0"),
+        ),
+    )
+    data = F.to_binary(F.array_join(sample_hex, ""), F.lit("hex"))
+    return F.concat(header, data)
 
 
 def fingerprint_audio(
@@ -564,23 +571,16 @@ def fingerprint_audio(
                 n = int.from_bytes(b[40:44], "little") // 2
                 if n < AFP_SAMPLES:
                     raise ValueError(f"need >= {AFP_SAMPLES} samples, got {n}")
-                samples = [
-                    int.from_bytes(
-                        b[44 + 2 * k : 46 + 2 * k], "little", signed=True
-                    )
-                    for k in range(AFP_SAMPLES)
-                ]
-                energies = [
-                    sum(
-                        abs(s)
-                        for s in samples[f * frame_len : (f + 1) * frame_len]
-                    )
-                    for f in range(AFP_FRAMES)
-                ]
-                v = 0
-                for f in range(AFP_BITS):
-                    if energies[f + 1] > energies[f]:
-                        v |= 1 << f
+                import numpy as np
+
+                samples = np.frombuffer(
+                    b, dtype="<i2", count=AFP_SAMPLES, offset=44
+                ).astype(np.int64)
+                energies = (
+                    np.abs(samples).reshape(AFP_FRAMES, frame_len).sum(axis=1)
+                )
+                rising = energies[1 : AFP_BITS + 1] > energies[:AFP_BITS]
+                v = int((rising << np.arange(AFP_BITS, dtype=np.int64)).sum())
                 ids.append(int(i))
                 fps.append(v)
             yield pd.DataFrame({id_col: ids, "afp": fps})

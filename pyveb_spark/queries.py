@@ -7674,7 +7674,7 @@ def q153_audio_fingerprint_dups(
     )
     fp = fingerprint_audio(wav, "doc_id", "payload")
     return hamming_pairs(
-        fp, "doc_id", "afp", max_hamming=2, bands=5, bits=AFP_BITS
+        fp, "doc_id", "afp", max_hamming=2, bands=3, bits=AFP_BITS
     ).orderBy("doc_id_a", "doc_id_b")
 
 

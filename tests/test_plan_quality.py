@@ -596,7 +596,7 @@ def test_q153_fingerprint_rows_are_narrow(spark, sf_dir):
     )
     wav = d.select("doc_id", synth_wav_samples(F.col("seed")).alias("payload"))
     fp = fingerprint_audio(wav, "doc_id", "payload")
-    pairs = hamming_pairs(fp, "doc_id", "afp", max_hamming=2, bands=5,
+    pairs = hamming_pairs(fp, "doc_id", "afp", max_hamming=2, bands=3,
                           bits=AFP_BITS)
     plan = _executed_plan(pairs)
     exchange_lines = [
