@@ -329,12 +329,23 @@ def ngram_jaccard_pairs(
         .select(id_col, "__n", "__p", "__g")
     ).persist()
     _PERSISTED_PREFIXES.append(pref)
+    # Pin the self-join exchange width: the prefix table is BYTES-tiny but
+    # the __g join's output explodes (Σ prefix_df²), so AQE's bytes-based
+    # coalescing — reachable inside cached plans since
+    # canChangeCachedPlanOutputPartitioning=true (session.py) — would run
+    # the CPU-heavy candidate join + dedup on 1-3 tasks (measured 2.6× the
+    # whole operator at sf0.1). An explicit repartition(n, __g) is a
+    # user-specified partition count AQE does not coalesce, and it IS the
+    # hash distribution the join needs, so it adds no extra shuffle.
+    n_shuf = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     pa = pref.select(
         F.col(id_col).alias(a), F.col("__n").alias("__na"), F.col("__p").alias("__pa"), "__g"
-    )
+    ).repartition(n_shuf, "__g")
     pb = pref.select(
         F.col(id_col).alias(b), F.col("__n").alias("__nb"), F.col("__p").alias("__pb"), "__g"
-    )
+    ).repartition(n_shuf, "__g")
     # positional filter (PPJoin, Xiao et al. WWW'08): for the first common
     # prefix element at 0-based positions (pa, pb), the overlap can't exceed
     # min(|A|-pa, |B|-pb); a pair with J ≥ t needs overlap ≥
@@ -362,6 +373,10 @@ def ngram_jaccard_pairs(
             & (overlap_ub >= alpha)
         )
         .select(a, b)
+        # candidate rows are 16 bytes but the verify work per row is not —
+        # pin the dedup width too (same AQE-coalesce hazard as above);
+        # repartition on the full dedup key adds no extra exchange
+        .repartition(n_shuf, a, b)
         .dropDuplicates([a, b])
     )
     return _verify_jaccard(cand, docs, id_col, threshold)

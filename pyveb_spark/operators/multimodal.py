@@ -484,17 +484,19 @@ AFP_FRAMES = 32
 AFP_BITS = AFP_FRAMES - 2
 
 
-def _sample_lo(seed, k: int):
-    """Low byte of synthetic sample ``k`` — shared between the Spark byte
-    generator and the oracle's arithmetic replay."""
+def _sample_lo(seed, k):
+    """Low byte of synthetic sample ``k`` (``k`` may be an int or a
+    Column) — the ONE copy of the formula shared between the Spark byte
+    generator and the oracle's arithmetic replay (the q153 SQL mirrors
+    it; edit both together)."""
     s = F.col(seed) if isinstance(seed, str) else seed
-    return (((s + 2) * (k + 3) * 17) % 256 + 256) % 256
+    return F.pmod((s + 2) * (k + 3) * 17, F.lit(256))
 
 
-def _sample_hi(seed, k: int):
+def _sample_hi(seed, k):
     """High byte of synthetic sample ``k`` (same contract)."""
     s = F.col(seed) if isinstance(seed, str) else seed
-    return (((s + 3) * (k + 5) * 13) % 256 + 256) % 256
+    return F.pmod((s + 3) * (k + 5) * 13, F.lit(256))
 
 
 def synth_wav_samples(seed) -> F.Column:
@@ -528,8 +530,8 @@ def synth_wav_samples(seed) -> F.Column:
     sample_hex = F.transform(
         F.sequence(F.lit(0), F.lit(AFP_SAMPLES - 1)),
         lambda k: F.concat(
-            F.lpad(F.hex(F.pmod((s + 2) * (k + 3) * 17, F.lit(256))), 2, "0"),
-            F.lpad(F.hex(F.pmod((s + 3) * (k + 5) * 13, F.lit(256))), 2, "0"),
+            F.lpad(F.hex(_sample_lo(s, k)), 2, "0"),
+            F.lpad(F.hex(_sample_hi(s, k)), 2, "0"),
         ),
     )
     data = F.to_binary(F.array_join(sample_hex, ""), F.lit("hex"))
@@ -546,7 +548,8 @@ def fingerprint_audio(
     trick at its smallest): parse the REAL RIFF bytes (mono 16-bit PCM,
     data chunk at offset 36, samples little-endian signed), split the
     samples into ``AFP_FRAMES`` frames, sum |amplitude| per frame, and
-    set bit ``f`` iff ``energy(f+1) > energy(f)`` — a 31-bit fingerprint
+    set bit ``f`` iff ``energy(f+1) > energy(f)`` — a 30-bit fingerprint
+    (the last delta is dropped so 3 × 10-bit banding divides evenly)
     that drops straight into
     :func:`~pyveb_spark.operators.dedup.hamming_pairs`' pigeonhole
     banding. Returns ``(id_col, afp)``.

@@ -968,12 +968,15 @@ def winsorize(
         )
     )
     # LEFT join: a group whose values are all NULL has no bounds row —
-    # its rows must pass through unclipped, not silently drop
-    joined = (
-        df.join(F.broadcast(bounds), list(group_cols), "left")
-        if group_cols
-        else df.crossJoin(F.broadcast(bounds))
-    )
+    # its rows must pass through unclipped, not silently drop. The
+    # ungrouped path joins on a constant key for the same reason: a
+    # crossJoin against an EMPTY bounds table would drop every row.
+    if group_cols:
+        joined = df.join(F.broadcast(bounds), list(group_cols), "left")
+    else:
+        joined = df.withColumn("__k", F.lit(1)).join(
+            F.broadcast(bounds.withColumn("__k", F.lit(1))), "__k", "left"
+        ).drop("__k")
     return joined.withColumn(
         out_col,
         F.when(v < F.col("__lo"), F.col("__lo"))
@@ -1012,8 +1015,9 @@ def validate_expectations(
         if kind == "not_null":
             _, col = rule
             aggs.append(
-                F.sum(
-                    F.when(F.col(col).isNull(), 1).otherwise(0)
+                F.coalesce(
+                    F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)),
+                    F.lit(0),
                 ).alias(a)
             )
             meta.append((kind, col))
@@ -1028,27 +1032,33 @@ def validate_expectations(
         elif kind == "accepted_values":
             _, col, vals = rule
             aggs.append(
-                F.sum(
-                    F.when(
-                        F.col(col).isNotNull()
-                        & ~F.col(col).isin(*list(vals)),
-                        1,
-                    ).otherwise(0)
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col(col).isNotNull()
+                            & ~F.col(col).isin(*list(vals)),
+                            1,
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
                 ).alias(a)
             )
             meta.append((kind, col))
         elif kind == "between":
             _, col, lo, hi = rule
             aggs.append(
-                F.sum(
-                    F.when(
-                        F.col(col).isNotNull()
-                        & (
-                            (F.col(col) < F.lit(lo))
-                            | (F.col(col) > F.lit(hi))
-                        ),
-                        1,
-                    ).otherwise(0)
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col(col).isNotNull()
+                            & (
+                                (F.col(col) < F.lit(lo))
+                                | (F.col(col) > F.lit(hi))
+                            ),
+                            1,
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
                 ).alias(a)
             )
             meta.append((kind, col))

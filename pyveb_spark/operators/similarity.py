@@ -1001,9 +1001,12 @@ def sq8_ann(
     exact = df.select(
         id_col, cosine_sim_expr(F.col(vec_col), query).alias("cosine_sim")
     )
+    # Cut the final top-k on round(cosine, 6) with an id tie-break — the
+    # same treatment as the shortlist stage — so both engines select the
+    # identical row set when ranks k/k+1 collide below ranking precision.
     return (
         exact.join(F.broadcast(short.select(id_col)), id_col)
-        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .orderBy(F.round("cosine_sim", 6).desc(), F.asc(id_col))
         .limit(k)
     )
 

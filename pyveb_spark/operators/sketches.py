@@ -345,6 +345,9 @@ def bloom_probe(
         .groupBy("__key")
         .agg(F.min("__set").alias(out_col))
     )
+    # LEFT join back so NULL-key rows (which produce no probe positions,
+    # and would never equi-join anyway) pass through with bloom_hit=0
+    # instead of silently dropping.
     return df.join(
-        hit.withColumnRenamed("__key", key_col), key_col
-    )
+        hit.withColumnRenamed("__key", key_col), key_col, "left"
+    ).withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0)))

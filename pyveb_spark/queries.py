@@ -3120,15 +3120,29 @@ def q45_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs; cost scales with the batch. Same portable hash pipeline as
     q28, so the oracle replays index build, band-join candidates, and the
     exact-Jaccard verify. The batch↔corpus restriction of q28's pairs is
-    also pinned equal in tests/test_sources_llmops.py."""
-    from pyveb_spark.operators.dedup import minhash_lsh_index, minhash_lsh_lookup
+    also pinned equal in tests/test_sources_llmops.py.
+
+    Runs the PRODUCTION blacklist shape end-to-end: the index postings
+    are persisted (the bucketed-table stand-in) and the skew blacklist
+    is derived ONCE from them and passed as ``hot_buckets=`` — the
+    lookup plan carries no per-batch blacklist aggregation
+    (plan-gated, tests/test_plan_quality.py)."""
+    from pyveb_spark.operators.cache import cached_once
+    from pyveb_spark.operators.dedup import (
+        minhash_hot_buckets,
+        minhash_lsh_index,
+        minhash_lsh_lookup,
+    )
 
     d = read_table(spark, sf_dir, "documents")
     corpus = d.where(F.col("doc_id") >= 100)
     batch = d.where(F.col("doc_id") < 100)
-    index = minhash_lsh_index(corpus, "doc_id", "text")
+    index = cached_once(
+        minhash_lsh_index(corpus, "doc_id", "text"), "q45_index"
+    )
+    hot = cached_once(minhash_hot_buckets(index), "q45_hot_buckets")
     return minhash_lsh_lookup(
-        batch, index, "doc_id", "text", threshold=0.8
+        batch, index, "doc_id", "text", threshold=0.8, hot_buckets=hot
     ).orderBy("doc_id_new", "doc_id_corpus")
 
 
@@ -6946,13 +6960,15 @@ approx AS (SELECT vec_id,
            FROM dq, q
            WHERE vec_id <> 0),
 short AS (SELECT vec_id FROM approx
-          ORDER BY approx_sim DESC, vec_id LIMIT 40)
-SELECT b.vec_id,
-       ROUND(list_dot_product(v, qv)
-             / (sqrt(list_dot_product(v, v))
-                * sqrt(list_dot_product(qv, qv))), 4) AS cosine_sim
-FROM base b JOIN short USING (vec_id), q
-ORDER BY cosine_sim DESC, vec_id LIMIT 10
+          ORDER BY approx_sim DESC, vec_id LIMIT 40),
+rerank AS (SELECT b.vec_id,
+                  list_dot_product(v, qv)
+                  / (sqrt(list_dot_product(v, v))
+                     * sqrt(list_dot_product(qv, qv))) AS sim
+           FROM base b JOIN short USING (vec_id), q)
+SELECT vec_id, ROUND(sim, 4) AS cosine_sim
+FROM rerank
+ORDER BY ROUND(sim, 6) DESC, vec_id LIMIT 10
 """
 
 
@@ -8052,6 +8068,20 @@ ORACLE_SQL = {
 # round-4 family heads: q109 (iterative graph), q135 (vision dedup),
 # q138 (BPE tokenizer training). Query NAMES are stable — only dict
 # insertion order changes.
+#
+# Round 5 continues the playbook one generation later: the round-4 hard
+# artifact (CORRECTNESS_r04.json) certified q90/q91/q93/q94/q95, so they
+# rotate out — q90 substring coverage (q89 sibling machinery, certified
+# r04), q91 SemDeDup (embedding-dedup family keeps q36/q88 in-window),
+# q93 histogram + q95 z-score outliers (profiler family keeps its head
+# q92), and q94 admission pipeline v1 (directly SUPERSEDED by in-window
+# q150 pipeline v2, the same composition plus Gopher/MLM/shard/audit
+# stages). Their five slots certify five round-4-second-half family
+# heads never yet seen by the driver: q139 (label propagation — the
+# second iterative-graph algorithm), q144 (BPE apply — closes the
+# train→apply round trip with in-window q138), q150 (admission pipeline
+# v2), q151 (Bloom-pruned join — the certified-equivalence discipline),
+# q153 (audio fingerprint dedup — the acoustic twin of in-window q135).
 # ---------------------------------------------------------------------------
 
 _ROTATED_OUT = [
@@ -8080,12 +8110,29 @@ _ROTATED_IN = [
     "q135_image_dhash_dups",
     "q138_bpe_merges",
 ]
+_R5_OUT = [
+    "q90_substring_coverage",
+    "q91_semdedup",
+    "q93_value_histogram",
+    "q94_llm_data_pipeline",
+    "q95_value_outliers",
+]
+_R5_IN = [
+    "q139_nation_communities",
+    "q144_bpe_tokenize",
+    "q150_pretrain_pipeline_v2",
+    "q151_bloom_pruned_join",
+    "q153_audio_fingerprint_dups",
+]
 _ALL = list(QUERIES)
 _WINDOW = [
-    q for q in _ALL[:50] if q not in _ROTATED_OUT
-] + _ROTATED_IN
-GATE_ORDER = _WINDOW + _ROTATED_OUT + [
-    q for q in _ALL[50:] if q not in _ROTATED_IN
+    q
+    for q in _ALL[:50]
+    if q not in _ROTATED_OUT and q not in _R5_OUT
+] + [q for q in _ROTATED_IN if q not in _R5_OUT] + _R5_IN
+_OUT = _ROTATED_OUT + _R5_OUT
+GATE_ORDER = _WINDOW + _OUT + [
+    q for q in _ALL[50:] if q not in _ROTATED_IN and q not in _R5_IN
 ]
 assert len(GATE_ORDER) == len(_ALL) and set(GATE_ORDER) == set(_ALL)
 assert len(_WINDOW) == 50

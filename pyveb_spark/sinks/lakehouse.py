@@ -36,7 +36,13 @@ from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["MergeSpec", "merge_into_sql", "supports_merge_into", "LakehouseMergeSink"]
+__all__ = [
+    "MergeSpec",
+    "merge_into_sql",
+    "supports_merge_into",
+    "LakehouseMergeSink",
+    "execute_merge_spec",
+]
 
 #: catalog providers whose Spark integration implements MERGE INTO
 MERGE_CAPABLE_PROVIDERS = {"delta", "iceberg", "hudi"}

@@ -605,3 +605,48 @@ def test_q153_fingerprint_rows_are_narrow(spark, sf_dir):
     assert exchange_lines and all(
         "payload" not in l for l in exchange_lines
     )
+
+
+def test_q45_supplied_blacklist_skips_per_lookup_aggregation(spark, sf_dir):
+    """r4 item 5: when a persisted minhash_hot_buckets frame is passed as
+    hot_buckets=, the lookup plan must NOT re-derive the blacklist — one
+    fewer Aggregate than the derive-on-the-fly branch, and the supplied
+    blacklist side reads from the cache (InMemoryTableScan)."""
+    from pyspark.sql import functions as F
+
+    from pyveb_spark.operators.cache import cached_once, clear_slot
+    from pyveb_spark.operators.dedup import (
+        minhash_hot_buckets,
+        minhash_lsh_index,
+        minhash_lsh_lookup,
+    )
+    from pyveb_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") >= 100)
+    batch = d.where(F.col("doc_id") < 100)
+    index = minhash_lsh_index(corpus, "doc_id", "text")
+    try:
+        cached = cached_once(index, "t_q45_index")
+        hot = cached_once(minhash_hot_buckets(cached), "t_q45_hot")
+        supplied = minhash_lsh_lookup(
+            batch, cached, "doc_id", "text", hot_buckets=hot
+        )
+        derived = minhash_lsh_lookup(batch, index, "doc_id", "text")
+
+        def optimized(df):
+            return df._jdf.queryExecution().optimizedPlan().toString()
+
+        p_supplied, p_derived = optimized(supplied), optimized(derived)
+        # the derive-on-the-fly branch re-runs a LIVE logical aggregation
+        # over the postings per lookup; the supplied branch must not —
+        # its blacklist is an InMemoryRelation (the cached-plan text
+        # embedded in that node prints HashAggregate(...), a different
+        # format, so this match is specific to the live node)
+        assert "Aggregate [__band" in p_derived
+        assert "Aggregate [__band" not in p_supplied
+        # both the index postings and the blacklist read from cache
+        assert p_supplied.count("InMemoryRelation") >= 2
+    finally:
+        clear_slot("t_q45_index")
+        clear_slot("t_q45_hot")

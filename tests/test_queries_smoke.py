@@ -47,23 +47,31 @@ def test_every_query_has_an_oracle():
 
 def test_gate_window_composition():
     """The driver certifies only the first 50 registry entries; the
-    rotation contract (gate-window comment in pyveb_spark/queries.py):
-    the round-3 heads stay certified except q37/q87/q89 — whose machinery
-    is composed inside in-window q88/q90 — which ceded their slots to
-    three round-4 family heads (q109 graph, q135 vision dedup, q138 BPE
-    training). Every displaced query must still exist (selfcheck covers
-    it outside the window)."""
+    rotation contract (gate-window comment in pyveb_spark/queries.py).
+    Round 5: q90/q91/q93/q94/q95 — all certified green in the round-4
+    hard artifact — cede their slots to five round-4-second-half family
+    heads the driver has never certified (q139 label propagation, q144
+    BPE apply, q150 pipeline v2, q151 Bloom-pruned join, q153 audio
+    dedup). Every displaced query must still exist (selfcheck covers it
+    outside the window), and every family keeps an in-window
+    representative (q94's successor IS in-window q150)."""
     window = list(QUERIES)[:50]
     must_be_in = [
-        "q88_ivfpq_ann", "q90_substring_coverage", "q91_semdedup",
-        "q92_profile_orders", "q93_value_histogram",
-        "q94_llm_data_pipeline", "q95_value_outliers",
-        "q96_hourly_gap_fill", "q109_trade_pagerank",
-        "q135_image_dhash_dups", "q138_bpe_merges",
+        # round-3/4 heads still soaking
+        "q88_ivfpq_ann", "q92_profile_orders", "q96_hourly_gap_fill",
+        "q109_trade_pagerank", "q135_image_dhash_dups", "q138_bpe_merges",
+        # round-5 rotation: the newest family heads
+        "q139_nation_communities", "q144_bpe_tokenize",
+        "q150_pretrain_pipeline_v2", "q151_bloom_pruned_join",
+        "q153_audio_fingerprint_dups",
     ]
     missing = [q for q in must_be_in if q not in window]
     assert missing == [], f"family heads outside the gate window: {missing}"
-    displaced = ["q37_ivf_ann", "q87_pq_ann", "q89_exact_substring_pairs"]
+    displaced = [
+        "q37_ivf_ann", "q87_pq_ann", "q89_exact_substring_pairs",
+        "q90_substring_coverage", "q91_semdedup", "q93_value_histogram",
+        "q94_llm_data_pipeline", "q95_value_outliers",
+    ]
     assert all(q in QUERIES for q in displaced)
     assert all(q not in window for q in displaced)
     assert len(window) == 50

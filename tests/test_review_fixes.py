@@ -134,3 +134,89 @@ def test_redact_pii_international_phone_prefix(spark):
     row = redact_pii(df, ["note"]).first()
     assert "+" not in row.note  # the '+' is part of the redacted span
     assert "[PII]" in row.note and row.note_pii_count == 1
+
+
+def test_winsorize_ungrouped_all_null_passthrough(spark):
+    # r4 advice: ungrouped winsorize crossJoined an EMPTY bounds table when
+    # every value was NULL, dropping all rows; constant-key left join keeps them
+    from pyveb_spark.operators.profile import winsorize
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "id int, v double"
+    )
+    rows = winsorize(df, "v").collect()
+    assert len(rows) == 2
+    assert all(r.v_winsorized is None for r in rows)
+    # non-degenerate ungrouped path still clips
+    df2 = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "id int, v double"
+    )
+    out = {
+        r.id: r.v_winsorized
+        for r in winsorize(df2, "v", lo_pct=5, hi_pct=95).collect()
+    }
+    assert out[1] == 5.0 and out[100] == 95.0 and out[50] == 50.0
+
+
+def test_winsorize_ungrouped_empty_input(spark):
+    from pyveb_spark.operators.profile import winsorize
+
+    df = spark.createDataFrame([], "id int, v double")
+    assert winsorize(df, "v").count() == 0  # no crash, no phantom rows
+
+
+def test_bloom_probe_null_key_passes_through(spark):
+    # r4 advice: inner join back dropped NULL-key rows; they must survive
+    # with bloom_hit=0 (a NULL key is trivially not a member)
+    from pyveb_spark.operators.sketches import bloom_build, bloom_probe
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, None), (3, "beta")], "id int, k string"
+    )
+    bloom = bloom_build(df.where(F.col("k") == "alpha"), "k", 256, 3)
+    rows = {r.id: r.bloom_hit for r in bloom_probe(df, bloom, "k", 256, 3).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] == 1 and rows[2] == 0
+
+
+def test_validate_expectations_empty_table_passes(spark):
+    # r4 advice: SUM over zero rows is NULL -> n_violations/passed were NULL;
+    # an empty table violates nothing (except row_count_between lower bounds)
+    from pyveb_spark.operators.profile import validate_expectations
+
+    df = spark.createDataFrame([], "a string, b int")
+    out = {
+        (r.rule, r.column): (r.n_violations, r.passed)
+        for r in validate_expectations(
+            df,
+            [
+                ("not_null", "a"),
+                ("unique", "a"),
+                ("accepted_values", "a", ["x"]),
+                ("between", "b", 0, 10),
+                ("row_count_between", 1, 5),
+            ],
+        ).collect()
+    }
+    for key in [("not_null", "a"), ("unique", "a"),
+                ("accepted_values", "a"), ("between", "b")]:
+        assert out[key] == (0, True), key
+    assert out[("row_count_between", "*")] == (1, False)
+
+
+def test_sq8_ann_final_cut_uses_rounded_key(spark):
+    # r4 advice: the final top-k must cut on round(cosine, 6) + id in BOTH
+    # engines; ties at the boundary must resolve to the lower id
+    from pyveb_spark.operators.similarity import sq8_ann
+
+    # two vectors exactly tied in cosine vs the query, plus one clear winner
+    vecs = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),   # tied with id 3
+        (3, [0.0, 2.0]),   # same direction as id 2 -> same cosine
+    ]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+    out = sq8_ann(df, [1.0, 1.0], k=2, shortlist=3).collect()
+    ids = sorted(r.vec_id for r in out)
+    # ids 1..3 all have identical cosine (0.7071...): the id tie-break keeps 1,2
+    assert ids == [1, 2]
