@@ -35,6 +35,7 @@ from dataclasses import dataclass, field
 from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 __all__ = [
     "MergeSpec",
@@ -108,6 +109,73 @@ def merge_into_sql(spec: MergeSpec) -> str:
     )
 
 
+def execute_merge_spec(
+    sink,
+    stage: DataFrame,
+    spec: MergeSpec,
+) -> dict:
+    """Execute a :class:`MergeSpec`'s algebra against a
+    ``ParquetMergeSink`` — the fallback when :func:`supports_merge_into`
+    is False (no lakehouse jar). This INTERPRETS the same statement
+    :func:`merge_into_sql` compiles, clause by clause, so the merge
+    semantics run end-to-end even without a transactional table format:
+
+    - stage key-uniqueness is enforced first (a real MERGE engine raises
+      on multiple source matches per target row; plain DELETE+INSERT
+      would silently load duplicates — the sharpening documented above),
+    - ``WHEN MATCHED [AND any-compare-col-differs] THEN UPDATE SET *``
+      replaces the full target row,
+    - ``WHEN NOT MATCHED THEN INSERT *`` appends,
+    - the new state lands via the sink's atomic directory swap (the
+      single-writer stand-in for the transaction log).
+
+    Returns ``{"updated": n, "matched_skipped": n, "inserted": n}`` so
+    the ``upsert_if_changed`` guard is observable — at 100 TB the whole
+    point of the guard is that ``updated`` tracks the churn the
+    transaction log would see, not the snapshot size. Counting costs one
+    extra key-join over the (small) stage; the state rewrite itself is
+    one anti-join + union, AQE-broadcast on the stage side.
+    """
+    from pyveb_spark.sinks.merge import upsert_frames, upsert_if_changed
+
+    keys = list(spec.keys)
+    n_stage = stage.count()
+    n_stage_keys = stage.select(*keys).distinct().count()
+    if n_stage_keys != n_stage:
+        raise ValueError(
+            "MERGE source has multiple rows per key "
+            f"({n_stage} rows, {n_stage_keys} distinct keys)"
+        )
+    target = sink.read()
+    t_keys = target.select(*keys, F.lit(True).alias("__m"))
+    joined = stage.join(t_keys, keys, "left")
+    n_matched = joined.where(F.col("__m")).count()
+    n_inserted = n_stage - n_matched
+    if spec.mode == "upsert_if_changed":
+        compare = list(spec.compare_cols)
+        t_cmp = target.select(
+            *keys, *[F.col(c).alias(f"__t_{c}") for c in compare]
+        )
+        differs = F.lit(False)
+        for c in compare:
+            differs = differs | ~F.col(c).eqNullSafe(F.col(f"__t_{c}"))
+        n_updated = (
+            stage.join(t_cmp, keys, "inner").where(differs).count()
+        )
+        new_state = upsert_if_changed(target, stage, keys, compare)
+    else:
+        n_updated = n_matched
+        new_state = upsert_frames(target, stage, keys)
+    # materialize before the swap destroys the plan's own input files
+    # (the ParquetMergeSink.upsert discipline)
+    sink.overwrite(new_state.localCheckpoint(eager=True))
+    return {
+        "updated": n_updated,
+        "matched_skipped": n_matched - n_updated,
+        "inserted": n_inserted,
+    }
+
+
 def supports_merge_into(spark: SparkSession, table: str) -> bool:
     """True when ``table`` exists in the catalog under a MERGE-capable
     provider. Unknown tables / providers → False (caller falls back to the
@@ -144,6 +212,35 @@ class LakehouseMergeSink:
 
     def supports_merge(self) -> bool:
         return supports_merge_into(self.spark, self.table)
+
+    def upsert_auto(
+        self,
+        df: DataFrame,
+        keys: Sequence[str],
+        compare_cols: Sequence[str] | None = None,
+        fallback_sink=None,
+    ):
+        """Route one upsert through ``MERGE INTO`` when the catalog table
+        supports it, else execute the SAME spec's algebra against
+        ``fallback_sink`` (a ``ParquetMergeSink``) via
+        :func:`execute_merge_spec` — the spec, not the path, is the
+        contract, so upgrading a table to Delta/Iceberg changes no
+        caller code."""
+        if self.supports_merge():
+            return self.upsert(df, keys, compare_cols)
+        if fallback_sink is None:
+            raise ValueError(
+                f"table {self.table!r} has no MERGE-capable provider and "
+                "no fallback_sink was given"
+            )
+        spec = MergeSpec(
+            target=self.table,
+            source="__stage__",
+            keys=keys,
+            mode="upsert_if_changed" if compare_cols else "upsert",
+            compare_cols=tuple(compare_cols or ()),
+        )
+        return execute_merge_spec(fallback_sink, df, spec)
 
     def upsert(
         self,

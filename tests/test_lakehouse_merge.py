@@ -152,3 +152,79 @@ def test_lakehouse_merge_against_real_delta_if_available(spark, tmp_path):
         assert state == {1: "a", 2: "B", 3: "c"}
     finally:
         spark.sql("DROP TABLE IF EXISTS delta_merge_it")
+
+
+def test_merge_spec_executes_end_to_end_on_parquet_fallback(spark, tmp_path):
+    """r4 item 3: the merge algebra EXECUTES (not just generates SQL) on
+    the no-jar fallback. The same MergeSpec drives execute_merge_spec
+    against a ParquetMergeSink and an independent DELETE+INSERT replay in
+    DuckDB of the generated statement's semantics; final states must be
+    identical, and the upsert_if_changed guard's churn counts observable."""
+    import duckdb
+
+    from pyveb_spark.sinks.lakehouse import MergeSpec, execute_merge_spec, merge_into_sql
+    from pyveb_spark.sinks.merge import ParquetMergeSink
+
+    target_rows = [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+    stage_rows = [(2, "b", 20), (3, "C", 31), (4, "d", 40)]  # no-op, change, insert
+    schema = "id int, name string, v int"
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"))
+    sink.overwrite(spark.createDataFrame(target_rows, schema))
+    stage = spark.createDataFrame(stage_rows, schema)
+
+    spec = MergeSpec(
+        target="t", source="s", keys=["id"],
+        mode="upsert_if_changed", compare_cols=["name", "v"],
+    )
+    sql = merge_into_sql(spec)
+    assert "WHEN MATCHED AND NOT" in sql and "WHEN NOT MATCHED THEN INSERT *" in sql
+
+    counts = execute_merge_spec(sink, stage, spec)
+    # the guard is the point: row 2 is a no-op and must not churn
+    assert counts == {"updated": 1, "matched_skipped": 1, "inserted": 1}
+    got = sorted(tuple(r) for r in sink.read().collect())
+
+    # independent replay of the statement's semantics (the reference's
+    # DELETE USING + INSERT transaction) in a second engine
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id INT, name TEXT, v INT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", target_rows)
+    con.execute("CREATE TABLE s(id INT, name TEXT, v INT)")
+    con.executemany("INSERT INTO s VALUES (?,?,?)", stage_rows)
+    con.execute("""
+        DELETE FROM t USING s WHERE t.id = s.id
+          AND NOT (t.name IS NOT DISTINCT FROM s.name
+                   AND t.v IS NOT DISTINCT FROM s.v)""")
+    con.execute("""
+        INSERT INTO t SELECT * FROM s
+        WHERE s.id NOT IN (SELECT id FROM t)""")
+    want = sorted(tuple(r) for r in con.execute("SELECT * FROM t").fetchall())
+    assert got == want
+
+    # plain-upsert mode: matched rows all churn; duplicate stage keys raise
+    counts2 = execute_merge_spec(
+        sink, stage, MergeSpec(target="t", source="s", keys=["id"])
+    )
+    assert counts2 == {"updated": 3, "matched_skipped": 0, "inserted": 0}
+    dup = spark.createDataFrame([(5, "x", 1), (5, "y", 2)], schema)
+    with pytest.raises(ValueError, match="multiple rows per key"):
+        execute_merge_spec(sink, dup, MergeSpec(target="t", source="s", keys=["id"]))
+
+
+def test_upsert_auto_routes_to_fallback_when_no_provider(spark, tmp_path):
+    from pyveb_spark.sinks.lakehouse import LakehouseMergeSink
+    from pyveb_spark.sinks.merge import ParquetMergeSink
+
+    schema = "id int, v string"
+    sink = ParquetMergeSink(spark, str(tmp_path / "t2"))
+    sink.overwrite(spark.createDataFrame([(1, "a")], schema))
+    lake = LakehouseMergeSink(spark, "nonexistent_table_xyz")
+    assert not lake.supports_merge()
+    counts = lake.upsert_auto(
+        spark.createDataFrame([(1, "A"), (2, "b")], schema),
+        keys=["id"], fallback_sink=sink,
+    )
+    assert counts == {"updated": 1, "matched_skipped": 0, "inserted": 1}
+    assert {tuple(r) for r in sink.read().collect()} == {(1, "A"), (2, "b")}
+    with pytest.raises(ValueError, match="no fallback_sink"):
+        lake.upsert_auto(spark.createDataFrame([(1, "A")], schema), keys=["id"])
