@@ -116,6 +116,57 @@ def decode_bmp(payload: bytes) -> tuple[int, int]:
     return int(w), abs(int(h))  # negative height = top-down rows
 
 
+def decode_pgm(payload: bytes) -> tuple[int, int]:
+    """REAL pure-python PGM (binary P5) decode — the second image codec
+    through the injectable-kernel seam, proving the contract generalizes
+    beyond BMP with a second real format: validate the ``P5`` magic, then
+    read the whitespace-separated ASCII header tokens (width, height,
+    maxval) with ``#``-comment skipping per the public Netpbm spec, and
+    check the raster is actually present. Returns ``(width, height)``."""
+    b = bytes(payload or b"")
+    if len(b) < 2 or b[:2] != b"P5":
+        raise ValueError("not a PGM payload (missing 'P5' magic)")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(b) and b[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PGM header")
+        tokens.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = tokens
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported PGM maxval {maxval}")
+    if len(b) - pos < w * h:
+        raise ValueError("PGM raster shorter than width*height")
+    return int(w), int(h)
+
+
+def synth_pgm(seed, width: int, height: int) -> F.Column:
+    """Build a REAL binary-P5 PGM natively in Spark from a per-row integer
+    ``seed``: ASCII header + ``width*height`` deterministic pixel bytes,
+    every byte a codegen expression (the :func:`synth_wav_samples`
+    discipline — one HOF hex lambda, single ``to_binary``).
+    :func:`decode_pgm` round-trips the header exactly, and the pixel
+    formula is arithmetic an oracle can replay."""
+    s = F.col(seed) if isinstance(seed, str) else seed
+    header = F.encode(F.lit(f"P5\n{int(width)} {int(height)}\n255\n"), "ISO-8859-1")
+    px_hex = F.transform(
+        F.sequence(F.lit(0), F.lit(int(width) * int(height) - 1)),
+        lambda k: F.lpad(
+            F.hex(F.pmod((s + 1) * (k + 7) * 31, F.lit(256))), 2, "0"
+        ),
+    )
+    return F.concat(header, F.to_binary(F.array_join(px_hex, ""), F.lit("hex")))
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, int]:
     """REAL pure-numpy WAV decode: validate ``RIFF``/``WAVE`` magic, parse
     the ``fmt `` chunk for (channels, sample_rate, bits), locate the
@@ -248,13 +299,16 @@ def decode_images(
                     continue
                 if kernel is None:
                     # sniff on the first NON-NULL payload of the partition
-                    if bytes(payload[:2]) == b"BM":
+                    magic = bytes(payload[:2])
+                    if magic == b"BM":
                         kernel = decode_bmp
+                    elif magic == b"P5":
+                        kernel = decode_pgm
                     else:
                         raise NotImplementedError(
-                            "payload is not BMP and no codec is available "
-                            "in this environment; pass decoder=... or "
-                            "fake=True"
+                            "payload is neither BMP nor PGM and no codec "
+                            "is available in this environment; pass "
+                            "decoder=... or fake=True"
                         )
                 w, h = kernel(payload)
                 m["width"], m["height"] = int(w), int(h)

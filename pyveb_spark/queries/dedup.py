@@ -1,0 +1,666 @@
+"""Document dedup: exact, n-gram Jaccard, MinHash LSH, SimHash, substring, clustering, decontamination.
+
+Split from the round-4 queries.py monolith; float determinism contract
+in ``pyveb_spark.queries.__doc__``. Registry/gate-window order lives in
+``pyveb_spark/queries/__init__.py`` only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyveb_spark.operators.cleaning import clean_old_dates
+from pyveb_spark.operators.joins import asof_join
+from pyveb_spark.queries._helpers import _dec, _query_vec
+from pyveb_spark.sources.readers import read_table
+
+
+
+# ---------------------------------------------------------------------------
+# dedup: keep-first by key (common.py:294-303 ≙ row_number()==1)
+# ---------------------------------------------------------------------------
+
+def q16_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the first record per (lang, source) by doc_id ↔ the reference's
+    by-key keep-first dedup over list-of-dicts (``common.py:294-303``).
+    Implemented as min_by-style window rank; at scale this is one shuffle on
+    the dedup key with partial aggregation."""
+    d = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+_Q16_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM (
+    SELECT doc_id, lang, source, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rk
+    FROM documents) t
+WHERE rk = 1
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: exact n-gram Jaccard near-dup pairs (deterministic; oracle-able)
+# ---------------------------------------------------------------------------
+
+def q17_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard near-duplicate pairs at threshold 0.8.
+
+    Exact algorithm with shared-shingle blocking: a pair with Jaccard ≥ t>0
+    must share ≥1 shingle, so joining on the shingle loses nothing — the
+    result is identical to the O(n²) brute force the oracle runs. Scale
+    path: the shingle join's fan-out is bounded by shingle document
+    frequency; production use drops ultra-frequent shingles or switches to
+    the MinHash-LSH variant (``operators.dedup.minhash_dedup_pairs``,
+    rows-only checked) when the corpus no longer fits this plan.
+    """
+    from pyveb_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        d, id_col="doc_id", text_col="text", n=2, threshold=0.8
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+_Q17_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS g
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) s),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS intersection
+          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_id_a, doc_id_b,
+       intersection * 1.0 / (sa.n + sb.n - intersection) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_id_a
+JOIN sizes sb ON sb.doc_id = doc_id_b
+WHERE intersection * 1.0 / (sa.n + sb.n - intersection) >= 0.8
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash / SimHash — fully oracle-checked: every hash in the pipeline is
+# the portable md5-prefix scheme (operators/dedup.py::portable_hash48), so
+# the DuckDB SQL below replays signatures, banding, candidates, and verify
+# bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def q28_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate near-dup pairs (MinHash banding + exact verify). The
+    oracle replays the identical construction: 48-bit md5 shingle hashes,
+    32 multiply-add minhash functions, 8 md5-keyed bands, exact-Jaccard
+    verify — recall vs the exact q17 pairs is additionally asserted in
+    tests/test_sources_llmops.py."""
+    from pyveb_spark.operators.dedup import minhash_lsh_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=32, bands=8, threshold=0.8
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+def _minhash_sql_exprs(num_hashes: int = 32) -> str:
+    """The 32 DuckDB minhash expressions, generated from the SAME
+    ``minhash_coeffs`` the Spark operator uses — single source of truth
+    for the (a, b) constants."""
+    from pyveb_spark.operators.dedup import _MERSENNE61, minhash_coeffs
+
+    exprs = []
+    for s in range(num_hashes):
+        a, b = minhash_coeffs(s)
+        exprs.append(
+            f"list_min(list_transform(gh, x -> ({a}*x + {b}) % {_MERSENNE61}))"
+        )
+    return ",\n    ".join(exprs)
+
+
+def _band_sql_exprs(num_hashes: int = 32, bands: int = 8) -> str:
+    r = num_hashes // bands
+    out = []
+    for b in range(bands):
+        parts = " || '|' || ".join(
+            f"mh[{b * r + i + 1}]::VARCHAR" for i in range(r)
+        )
+        out.append(f"('0x' || substr(md5({parts}), 1, 12))::BIGINT")
+    return ",\n    ".join(out)
+
+
+# the oracle mirrors the operator's default hot-bucket cap — one constant
+from pyveb_spark.operators.dedup import (  # noqa: E402
+    DEFAULT_MAX_BUCKET_SIZE as _LSH_CAP,
+)
+
+_Q28_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (SELECT doc_id,
+                 list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS gs
+          FROM toks),
+hashed AS (SELECT doc_id,
+                  list_transform(gs, g -> ('0x' || substr(md5(g), 1, 12))::BIGINT) AS gh,
+                  len(gs) AS n
+           FROM grams),
+sigs AS (SELECT doc_id, gh, n, [
+    {_minhash_sql_exprs(32)}
+  ] AS mh
+  FROM hashed WHERE n > 0),
+bandvals AS (SELECT doc_id, [
+    {_band_sql_exprs(32, 8)}
+  ] AS bh
+  FROM sigs),
+banded AS (SELECT doc_id, generate_subscripts(bh, 1) AS band, unnest(bh) AS h
+           FROM bandvals),
+bsz AS (SELECT band, h, COUNT(*) AS m FROM banded GROUP BY band, h),
+bandedc AS (SELECT banded.doc_id, banded.band, banded.h
+            FROM banded JOIN bsz USING (band, h)
+            WHERE m <= {_LSH_CAP}),
+cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         FROM bandedc a JOIN bandedc b
+           ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id)
+SELECT ida AS doc_id_a, idb AS doc_id_b,
+       len(list_intersect(ga.gh, gb.gh)) * 1.0
+         / (ga.n + gb.n - len(list_intersect(ga.gh, gb.gh))) AS jaccard
+FROM cand
+JOIN hashed ga ON ga.doc_id = ida
+JOIN hashed gb ON gb.doc_id = idb
+WHERE len(list_intersect(ga.gh, gb.gh)) * 1.0
+        / (ga.n + gb.n - len(list_intersect(ga.gh, gb.gh))) >= 0.8
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
+def q29_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document — oracle-checked: the fingerprint is
+    rebuilt in DuckDB from the same 15-hex md5 token hashes; Hamming-
+    closeness of near-dups additionally asserted in unit tests."""
+    from pyveb_spark.operators.dedup import simhash
+
+    d = read_table(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text").orderBy("doc_id")
+
+
+_SIMHASH_FP_SQL = """
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+bits AS (SELECT doc_id, b,
+                SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bl
+         GROUP BY doc_id, b),
+fp AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                   AS BIGINT) AS simhash
+       FROM bits GROUP BY doc_id)
+"""
+
+_Q29_SQL = f"""
+WITH {_SIMHASH_FP_SQL}
+SELECT doc_id, simhash FROM fp ORDER BY doc_id
+"""
+
+_Q64_SQL = f"""
+WITH {_SIMHASH_FP_SQL},
+banded AS (SELECT doc_id, simhash, band,
+                  (simhash >> (band * 15)) & 32767 AS v
+           FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+cand AS (SELECT DISTINCT a.doc_id AS ida, a.simhash AS fa,
+                         b.doc_id AS idb, b.simhash AS fb
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
+SELECT ida AS doc_id_a, idb AS doc_id_b, bit_count(xor(fa, fb)) AS hamming
+FROM cand
+WHERE bit_count(xor(fa, fb)) <= 3
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: content-fingerprint exact-duplicate groups (text.py
+# doc_fingerprint ↔ reference dataclass hashes dbt_client.py:45-58,649-658)
+# ---------------------------------------------------------------------------
+
+def q86_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs whose 12-token *prefix* fingerprint collides — prefix blocking
+    catches template/head duplicates (the fixture has no whole-doc exact
+    dups below sf0.1, so whole-doc hashing would be a vacuous 0-row
+    query; prefix-12 yields ~45 collided docs at every SF). Oracle groups
+    by the normalized prefix itself — equal modulo xxhash64 collisions
+    (~n²/2⁶⁵)."""
+    from pyveb_spark.operators.text import doc_fingerprint
+
+    d = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint")
+    return (
+        doc_fingerprint(d, prefix_tokens=12)
+        .withColumn("n_dups", F.count(F.lit(1)).over(w))
+        .where(F.col("n_dups") > 1)
+        .select("doc_id", "n_dups")
+        .orderBy("doc_id")
+    )
+
+
+_Q86_SQL = r"""
+WITH g AS (SELECT doc_id,
+                  array_to_string(
+                    (string_split(
+                       trim(lower(regexp_replace(text, '\s+', ' ', 'g'))),
+                       ' '))[1:12], ' ') AS nt
+           FROM documents),
+c AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY nt) AS n_dups FROM g)
+SELECT doc_id, n_dups FROM c WHERE n_dups > 1 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: near-dup clusters (connected components) + representative pick
+# ---------------------------------------------------------------------------
+
+def q41_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters → keep-one: the full dedup decision pipeline.
+
+    Near-dup pairs (q17's exact algorithm) are clustered with alternating
+    large-star/small-star connected components (``duplicate_clusters``),
+    singleton docs rejoin as their own cluster, and one representative per
+    cluster is chosen (longest text, ties to smallest doc_id) — exactly
+    what a 100 TB corpus dedup emits: every doc labeled keep/drop.
+    The oracle reproduces the clustering with a recursive CTE (min-label
+    reachability), which only DuckDB-side smallness permits — the Spark
+    plan is the one that scales.
+    """
+    from pyveb_spark.operators.dedup import duplicate_clusters, ngram_jaccard_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, id_col="doc_id", text_col="text", n=2, threshold=0.8)
+    clustered = duplicate_clusters(
+        pairs, "doc_id_a", "doc_id_b", out_node="doc_id", out_cluster="cluster_id"
+    )
+    singles = d.select("doc_id").join(clustered, "doc_id", "left_anti").select(
+        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
+    )
+    labeled = clustered.union(singles).join(
+        d.select("doc_id", "n_chars"), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id")
+    rk = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    )
+    return (
+        labeled.select(
+            "doc_id",
+            "cluster_id",
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+            (rk == 1).cast("int").alias("is_representative"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q41_SQL = """
+WITH RECURSIVE
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS g
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) s),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+cand AS (SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS isect
+         FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+pairs AS (SELECT u, v FROM cand
+          JOIN sizes sa ON sa.doc_id = u JOIN sizes sb ON sb.doc_id = v
+          WHERE isect * 1.0 / (sa.n + sb.n - isect) >= 0.8),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(u, x) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+    UNION
+    SELECT e.u, r.x FROM edges e JOIN reach r ON r.u = e.v),
+comp AS (SELECT u AS doc_id, MIN(x) AS cluster_id FROM reach GROUP BY u),
+labeled AS (
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+                               ORDER BY n_chars DESC, doc_id ASC) = 1 AS INT)
+         AS is_representative
+FROM labeled
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: winnowing fingerprints → shared-passage doc pairs
+# ---------------------------------------------------------------------------
+
+def q80_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-similarity detection: docs sharing ≥ 2 winnowed rolling-hash
+    fingerprints (word 3-grams, window 4) — catches copied *passages* that
+    whole-doc hashing (q86) misses and set-similarity (q17) underweights.
+    Explode + equi-join on the fingerprint: the 100 TB plan is a shuffle
+    keyed on 48-bit hashes, fan-out bounded by fingerprint document
+    frequency (winnowing keeps ~2/(w+1) of grams, so postings stay sparse).
+    """
+    from pyveb_spark.operators.text import winnow_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    return winnow_pairs(
+        d, id_col="doc_id", text_col="text", k=3, w=4, min_shared=2
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+_Q80_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                 i -> substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 12)) AS h
+      FROM toks),
+fp AS (SELECT doc_id,
+              list_distinct(list_transform(
+                  generate_series(1, greatest(len(h) - 3, least(len(h), 1))),
+                  j -> list_min(h[j:j+3]))) AS f
+       FROM g),
+ex AS (SELECT doc_id, unnest(f) AS fh FROM fp)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_shared
+FROM ex a JOIN ex b ON a.fh = b.fh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: sub-document exact dedup (C4/CCNet line-dedup shape)
+# ---------------------------------------------------------------------------
+
+def q55_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-chunk profile: split every document into
+    12-token chunks, mark each chunk a duplicate if the identical text
+    occurred earlier in the corpus stream (global keep-first order), and
+    report per-doc counts + duplicate fraction — the signal CCNet-style
+    pipelines threshold to drop boilerplate-heavy documents."""
+    from pyveb_spark.operators.dedup import chunk_stats
+
+    d = read_table(spark, sf_dir, "documents")
+    return chunk_stats(d, "doc_id", "text", chunk_tokens=12).orderBy(
+        "doc_id"
+    )
+
+
+_Q55_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[(i * 12 + 1):(i * 12 + 12)], ' ') AS chunk
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(
+                   0, CAST(ceil(len(toks) / 12.0) AS BIGINT) - 1)) AS i
+        FROM d)
+),
+r AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rk
+  FROM c
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_chunks,
+       ROUND(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) / COUNT(*), 4)
+           AS dup_frac
+FROM r
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def q45_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup admission — the PRODUCTION dedup shape at
+    100 TB: check a new batch (doc_id < 100) against a prebuilt banded
+    MinHash index of the corpus (doc_id ≥ 100) instead of re-running
+    all-pairs; cost scales with the batch. Same portable hash pipeline as
+    q28, so the oracle replays index build, band-join candidates, and the
+    exact-Jaccard verify. The batch↔corpus restriction of q28's pairs is
+    also pinned equal in tests/test_sources_llmops.py.
+
+    Runs the PRODUCTION blacklist shape end-to-end: the index postings
+    are persisted (the bucketed-table stand-in) and the skew blacklist
+    is derived ONCE from them and passed as ``hot_buckets=`` — the
+    lookup plan carries no per-batch blacklist aggregation
+    (plan-gated, tests/test_plan_quality.py)."""
+    from pyveb_spark.operators.cache import cached_once
+    from pyveb_spark.operators.dedup import (
+        minhash_hot_buckets,
+        minhash_lsh_index,
+        minhash_lsh_lookup,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") >= 100)
+    batch = d.where(F.col("doc_id") < 100)
+    index = cached_once(
+        minhash_lsh_index(corpus, "doc_id", "text"), "q45_index"
+    )
+    hot = cached_once(minhash_hot_buckets(index), "q45_hot_buckets")
+    return minhash_lsh_lookup(
+        batch, index, "doc_id", "text", threshold=0.8, hot_buckets=hot
+    ).orderBy("doc_id_new", "doc_id_corpus")
+
+
+_Q45_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (SELECT doc_id,
+                 list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS gs
+          FROM toks),
+hashed AS (SELECT doc_id,
+                  list_transform(gs, g -> ('0x' || substr(md5(g), 1, 12))::BIGINT) AS gh,
+                  len(gs) AS n
+           FROM grams),
+sigs AS (SELECT doc_id, gh, n, [
+    {_minhash_sql_exprs(32)}
+  ] AS mh
+  FROM hashed WHERE n > 0),
+bandvals AS (SELECT doc_id, gh, n, [
+    {_band_sql_exprs(32, 8)}
+  ] AS bh
+  FROM sigs),
+banded AS (SELECT doc_id, gh, n,
+                  generate_subscripts(bh, 1) AS band, unnest(bh) AS h
+           FROM bandvals),
+bsz AS (SELECT band, h, COUNT(*) AS m FROM banded
+        WHERE doc_id >= 100 GROUP BY band, h),
+corpusb AS (SELECT banded.doc_id, banded.band, banded.h
+            FROM banded JOIN bsz USING (band, h)
+            WHERE banded.doc_id >= 100 AND m <= {_LSH_CAP}),
+cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         FROM banded a JOIN corpusb b ON a.band = b.band AND a.h = b.h
+         WHERE a.doc_id < 100)
+SELECT ida AS doc_id_new, idb AS doc_id_corpus,
+       len(list_intersect(ga.gh, gb.gh)) * 1.0
+         / (ga.n + gb.n - len(list_intersect(ga.gh, gb.gh))) AS jaccard
+FROM cand
+JOIN hashed ga ON ga.doc_id = ida
+JOIN hashed gb ON gb.doc_id = idb
+WHERE len(list_intersect(ga.gh, gb.gh)) * 1.0
+        / (ga.n + gb.n - len(list_intersect(ga.gh, gb.gh))) >= 0.8
+ORDER BY doc_id_new, doc_id_corpus
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: benchmark decontamination (train/eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def q65_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination sweep: treating the first 50 documents as the held-
+    out benchmark, flag every training document sharing a distinct 5-gram
+    with any benchmark item (the GPT-3/PaLM-style overlap check run
+    before training). Benchmark postings broadcast; the corpus streams
+    through one scan — no corpus shuffle, no self-join."""
+    from pyveb_spark.operators.dedup import contamination_check
+
+    d = read_table(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("bench_id"), F.col("text").alias("btext")
+    )
+    corpus = d.where(F.col("doc_id") >= 50)
+    return contamination_check(
+        corpus, bench, "doc_id", "text", "bench_id", "btext",
+        n=5, min_overlap=1,
+    ).orderBy("doc_id", "bench_id")
+
+
+_Q65_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (SELECT DISTINCT doc_id,
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                      || ' ' || t[i+4] AS g
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(1, len(t)-4)) AS i) s),
+bench AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id < 50),
+corp AS (SELECT doc_id, g FROM grams WHERE doc_id >= 50)
+SELECT corp.doc_id, bench_id, COUNT(*) AS n_shared
+FROM corp JOIN bench USING (g)
+GROUP BY corp.doc_id, bench_id
+HAVING COUNT(*) >= 1
+ORDER BY doc_id, bench_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: SimHash near-dup pairs via pigeonhole banding
+# (rows-only: xxhash64-seeded fingerprints aren't reproducible in DuckDB;
+# the pigeonhole-losslessness contract is pinned in unit tests)
+# ---------------------------------------------------------------------------
+
+def q64_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs within Hamming distance 3 of each other's SimHash —
+    the constant-cost near-dup screen (one 60-bit fingerprint per doc, 4
+    band-bucket joins) that complements q17's exact Jaccard and q28's
+    MinHash: blocking here is *lossless* by pigeonhole, so this is the
+    cheap first pass a 100 TB dedup runs before any expensive verify."""
+    from pyveb_spark.operators.dedup import simhash_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    return simhash_pairs(
+        d, "doc_id", "text", max_hamming=3, bands=4
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: exact-substring window dedup (ExactSubstr family, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+def q89_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc pairs sharing ≥ 1 exact 8-token substring, with shared-window
+    counts — the pair/forensic view of exact-substring dedup, as hashed
+    sliding windows + a postings self-join (a distributed re-expression of
+    the suffix-array ExactSubstr procedure, which is single-machine by
+    construction). Window hashes are the portable md5-prefix construction,
+    so the oracle replays them bit-for-bit; the window-document-frequency
+    cap (1000, no-op on this fixture where max df = 4) bounds join fan-out
+    at scale and is mirrored in the SQL.
+    """
+    from pyveb_spark.operators.dedup import exact_substring_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    return exact_substring_pairs(
+        d, id_col="doc_id", text_col="text", window=8, max_window_df=1000
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+_Q89_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+wins AS (SELECT DISTINCT doc_id,
+                ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 12))::BIGINT AS h
+         FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) s),
+freq AS (SELECT h, COUNT(*) AS df FROM wins GROUP BY h),
+keep AS (SELECT w.doc_id, w.h FROM wins w JOIN freq f USING (h) WHERE f.df <= 1000)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_shared_windows
+FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
+def q90_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-substring fraction (the ExactSubstr admission
+    metric): of each doc's positional 8-token windows, the fraction whose
+    text occurs in ≥ 2 distinct docs. Linear in corpus windows — no
+    self-join — so this is the shape that scans 100 TB; q89 is the pair
+    view. Single final int/int double division keeps the float
+    deterministic across engines.
+    """
+    from pyveb_spark.operators.dedup import substring_duplication
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        substring_duplication(d, id_col="doc_id", text_col="text", window=8)
+        .select("doc_id", "n_windows", "dup_frac")
+        .orderBy("doc_id")
+    )
+
+
+_Q90_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+wins AS (SELECT doc_id,
+                ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 12))::BIGINT AS h
+         FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) s),
+freq AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM wins GROUP BY h)
+SELECT w.doc_id, COUNT(*) AS n_windows,
+       CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+FROM wins w JOIN freq f USING (h)
+GROUP BY w.doc_id
+ORDER BY w.doc_id
+"""
+
+
+def q149_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination MATRIX
+    (``dedup.py::cross_source_overlap``): which corpus sources share
+    verbatim 12-token chunks, with chunk-Jaccard — the question dedup
+    planning starts from (q65 answers train↔eval leakage; this answers
+    source↔source duplication). Distinct (source, chunk-hash) collapses
+    the corpus before any pairing; the pair join fans out per chunk by
+    at most |sources|². Top 20 pairs by shared chunks."""
+    from pyveb_spark.operators.dedup import cross_source_overlap
+
+    d = read_table(spark, sf_dir, "documents")
+    out = cross_source_overlap(d, "source", "text", chunk_tokens=12)
+    return out.orderBy(
+        F.col("shared_chunks").desc(), "group_a", "group_b"
+    ).limit(20)
+
+
+_Q149_SQL = """
+WITH d AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(toks[(i * 12 + 1):(i * 12 + 12)], ' ')) AS h
+  FROM (SELECT source, toks,
+               unnest(generate_series(
+                   0, CAST(ceil(len(toks) / 12.0) AS BIGINT) - 1)) AS i
+        FROM d)),
+sizes AS (SELECT source, COUNT(*)::BIGINT AS n FROM c GROUP BY source),
+pairs AS (
+  SELECT a.source AS group_a, b.source AS group_b,
+         COUNT(*)::BIGINT AS shared_chunks
+  FROM c a JOIN c b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT group_a, group_b, shared_chunks,
+       sa.n AS chunks_a, sb.n AS chunks_b,
+       ROUND(shared_chunks / CAST(sa.n + sb.n - shared_chunks AS DOUBLE),
+             6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.source = group_a
+JOIN sizes sb ON sb.source = group_b
+ORDER BY shared_chunks DESC, group_a, group_b
+LIMIT 20
+"""

@@ -1,0 +1,330 @@
+"""Sampling and packing: hash splits, source mixing, weighted sampling, sequence packing, shard assignment.
+
+Split from the round-4 queries.py monolith; float determinism contract
+in ``pyveb_spark.queries.__doc__``. Registry/gate-window order lives in
+``pyveb_spark/queries/__init__.py`` only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyveb_spark.operators.cleaning import clean_old_dates
+from pyveb_spark.operators.joins import asof_join
+from pyveb_spark.queries._helpers import _dec, _query_vec
+from pyveb_spark.sources.readers import read_table
+
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: deterministic content-keyed sampling (reproducible subsets)
+# ---------------------------------------------------------------------------
+
+def q42_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25% deterministic sample of documents keyed on doc_id.
+
+    The predicate is a stateless scan-stage filter (no shuffle, no RNG
+    state) and is portable verbatim to the oracle — see
+    ``operators/sampling.py`` for the md5-hex design rationale.
+    """
+    from pyveb_spark.operators.sampling import hash_sample
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        hash_sample(d, fraction=0.25, key_cols=["doc_id"], seed="split1")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+_Q42_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE substr(md5(concat_ws('|', 'split1', doc_id)), 1, 12) < '400000000000'
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: weighted source mixing (corpus re-weighting)
+# ---------------------------------------------------------------------------
+
+def q43_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-weighted corpus mix: keep 100% of en, 50% of de/zh, 25% of
+    fr/es — the deterministic re-weighting step of a training-data pipeline.
+    Per-group thresholds ride the same md5 uniform value as q42, so group
+    membership composes with sampling (a doc keeps the same hash across
+    both)."""
+    from pyveb_spark.operators.sampling import source_mix
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        source_mix(
+            d,
+            rates={"en": 1.0, "de": 0.5, "zh": 0.5, "fr": 0.25, "es": 0.25},
+            group_col="lang",
+            key_cols=["doc_id"],
+            seed="mix1",
+        )
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang", "source")
+    )
+
+
+_Q43_SQL = """
+SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE substr(md5(concat_ws('|', 'mix1', doc_id)), 1, 12) <
+      CASE lang
+           WHEN 'en' THEN 'g'
+           WHEN 'de' THEN '800000000000'
+           WHEN 'zh' THEN '800000000000'
+           WHEN 'fr' THEN '400000000000'
+           WHEN 'es' THEN '400000000000'
+           ELSE '000000000000' END
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: GPT-style sequence packing (token stream → fixed windows)
+# ---------------------------------------------------------------------------
+
+def q54_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the document corpus into 512-token training windows
+    (documents span window boundaries — the standard pretraining layout)
+    and summarize each pack: contributing docs, token count, doc-id range.
+    Every pack except the last must hold exactly 512 tokens — the
+    invariant the oracle re-derives independently via window prefix sums."""
+    from pyveb_spark.operators.packing import pack_spans
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    spans = pack_spans(d, "n_tokens", "doc_id", budget=512)
+    return (
+        spans.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("span_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("pack_id")
+    )
+
+
+_Q54_SQL = """
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+),
+offs AS (
+  SELECT doc_id, n,
+         SUM(n) OVER (ORDER BY doc_id) - n AS start_tok,
+         SUM(n) OVER (ORDER BY doc_id) - 1 AS end_tok
+  FROM d
+),
+spans AS (
+  SELECT doc_id,
+         unnest(generate_series(CAST(start_tok // 512 AS BIGINT),
+                                CAST(end_tok // 512 AS BIGINT))) AS pack_id,
+         start_tok, end_tok
+  FROM offs WHERE n > 0
+)
+SELECT pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LEAST(end_tok, pack_id * 512 + 511)
+                - GREATEST(start_tok, pack_id * 512) + 1) AS BIGINT)
+           AS pack_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM spans
+GROUP BY pack_id
+ORDER BY pack_id
+"""
+
+
+def q78_epoch_weighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional epoch up-weighting of the corpus by language (de×2.5,
+    fr×2.0, es×1.25, en×1.0, zh×0.5): each doc repeats ⌊w⌋ times plus a
+    content-hash coin for the fraction — the true up-sampling half of
+    corpus mixing (down-sampling is q43/q66). Per-language realized rows
+    vs distinct docs make the weighting auditable; determinism of the
+    per-doc coin is what the oracle reproduces."""
+    from pyveb_spark.operators.sampling import epoch_repeat
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    wt = (
+        F.when(F.col("lang") == "en", 1.0)
+        .when(F.col("lang") == "de", 2.5)
+        .when(F.col("lang") == "zh", 0.5)
+        .when(F.col("lang") == "fr", 2.0)
+        .otherwise(1.25)
+    )
+    rep = epoch_repeat(
+        d.withColumn("wt", wt), "wt", ["doc_id"], seed="epoch1"
+    )
+    return (
+        rep.groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q78_SQL = """
+WITH w AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 2.5 WHEN 'zh' THEN 0.5
+                   WHEN 'fr' THEN 2.0 ELSE 1.25 END AS wt,
+         CAST(('0x' || substr(md5(concat_ws('|', 'epoch1', doc_id)), 1, 12))
+                  ::BIGINT AS DOUBLE) AS h
+  FROM documents
+),
+n AS (
+  SELECT doc_id, lang,
+         CAST(FLOOR(wt) AS INT)
+         + CASE WHEN h < (wt - FLOOR(wt)) * 281474976710656.0
+                THEN 1 ELSE 0 END AS k
+  FROM w
+),
+r AS (
+  SELECT doc_id, lang, unnest(generate_series(0, k - 1)) AS epoch
+  FROM n WHERE k > 0
+)
+SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_rows
+FROM r GROUP BY lang ORDER BY lang
+"""
+
+
+def q123_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted document sampling, exact 10 per language
+    (``operators/sampling.py::weighted_sample``): Efraimidis-Spirakis
+    A-ES keys ``ln(u)/w`` over the shared content-hash uniform, ranked
+    per group — deterministic weighted sampling without replacement,
+    the curation pattern for "prefer longer docs but keep variety".
+    Membership-boundary float margins are probed in
+    ``test_float_margin.py``."""
+    from pyveb_spark.operators.sampling import weighted_sample
+
+    d = read_table(spark, sf_dir, "documents")
+    kept = weighted_sample(
+        d, k=10, weight_col="n_chars", key_cols=["doc_id"],
+        group_cols=["lang"], seed="ws",
+    )
+    return kept.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+_Q123_SQL = """
+WITH keyed AS (
+    SELECT doc_id, lang, n_chars,
+           ln(CAST((('0x' || substr(
+                  md5('ws|' || doc_id), 1, 12))::BIGINT + 1) AS DOUBLE)
+              / 281474976710656.0)
+             / CAST(n_chars AS DOUBLE) AS es
+    FROM documents
+    WHERE n_chars IS NOT NULL AND n_chars > 0),
+ranked AS (
+    SELECT doc_id, lang, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY es DESC, doc_id) AS rk
+    FROM keyed)
+SELECT doc_id, lang, n_chars
+FROM ranked WHERE rk <= 10
+ORDER BY doc_id
+"""
+
+
+def q128_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/valid/test assignment audit (``operators/sampling.py::
+    hash_split``): the 80/10/10 content-keyed split of the documents
+    corpus, counted per (split, lang). Disjoint-and-exhaustive is by
+    construction (cumulative hash thresholds); this survey is the
+    recurring sanity readout that the language mix is preserved across
+    splits — the leakage/imbalance check every training run should log."""
+    from pyveb_spark.operators.sampling import hash_split
+
+    d = read_table(spark, sf_dir, "documents")
+    s = hash_split(
+        d, {"train": 0.8, "valid": 0.1, "test": 0.1}, ["doc_id"],
+        seed="split",
+    )
+    return (
+        s.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split", "lang")
+    )
+
+
+def _q128_sql() -> str:
+    from pyveb_spark.operators.sampling import threshold_hex
+
+    t_train = threshold_hex(0.8)
+    t_valid = threshold_hex(0.8 + 0.1)
+    return f"""
+WITH assigned AS (
+  SELECT lang,
+         CASE WHEN substr(md5('split|' || doc_id), 1, 12) < '{t_train}'
+                THEN 'train'
+              WHEN substr(md5('split|' || doc_id), 1, 12) < '{t_valid}'
+                THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT split, lang, COUNT(*) AS n
+FROM assigned GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
+def q148_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-set sharding
+    (``sampling.py::shard_assign``): every document lands in
+    ``hash48(seed|doc_id) mod 8`` — a pure function of the key, so
+    retries and re-runs rebuild byte-identical shards (round-robin
+    ``repartition`` cannot promise that) — plus the balance audit: per
+    shard doc/token counts and the doc fraction. Write-side pairing is
+    ``partitionBy('shard')`` (``sinks/writers.py``)."""
+    from pyveb_spark.operators.sampling import shard_assign
+
+    d = read_table(spark, sf_dir, "documents")
+    s = shard_assign(d, 8, ["doc_id"], seed="train-v1")
+    n = F.count(F.lit(1))
+    w = Window.partitionBy()
+    return (
+        s.groupBy("shard")
+        .agg(
+            n.alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .withColumn(
+            "doc_frac",
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.sum("n_docs").over(w).cast("double"),
+                6,
+            ),
+        )
+        .orderBy("shard")
+    )
+
+
+_Q148_SQL = """
+WITH s AS (
+  SELECT ('0x' || substr(md5('train-v1|' || doc_id), 1, 12))::BIGINT % 8
+           AS shard,
+         len(string_split(text, ' ')) AS nt
+  FROM documents)
+SELECT shard::INT AS shard,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(nt)::BIGINT AS n_tokens,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS doc_frac
+FROM s GROUP BY shard ORDER BY shard
+"""

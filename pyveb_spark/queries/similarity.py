@@ -1,0 +1,720 @@
+"""Embedding similarity and ANN: exact cosine, LSH, IVF, PQ, SQ8, SemDeDup, k-means, hard negatives.
+
+Split from the round-4 queries.py monolith; float determinism contract
+in ``pyveb_spark.queries.__doc__``. Registry/gate-window order lives in
+``pyveb_spark/queries/__init__.py`` only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyveb_spark.operators.cleaning import clean_old_dates
+from pyveb_spark.operators.joins import asof_join
+from pyveb_spark.queries._helpers import _dec, _query_vec
+from pyveb_spark.sources.readers import read_table
+
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: brute-force cosine top-k (ANN baseline)
+# ---------------------------------------------------------------------------
+
+def q19_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyveb_spark.operators.similarity import cosine_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    query_vec = _query_vec(e)
+    return cosine_topk(e, query_vec, k=10, id_col="vec_id", vec_col="embedding",
+                       exclude_ids=[0]).select(
+        "vec_id", "label", F.round("cosine_sim", 4).alias("cosine_sim")
+    )
+
+
+_Q19_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+    SELECT vec_id, label,
+           list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))) AS sim
+    FROM embeddings, q
+    WHERE vec_id <> 0)
+SELECT vec_id, label, ROUND(sim, 4) AS cosine_sim
+FROM scored
+ORDER BY sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def q30_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN top-k (random-hyperplane LSH) — oracle-checked: the
+    ±1 plane matrix is md5-derived (``_rademacher_planes``), so DuckDB
+    rebuilds the buckets, probes the query's bucket, and rescores exactly
+    like the Spark plan. Exact-baseline superset/ordering properties are
+    additionally asserted in unit tests."""
+    from pyveb_spark.operators.similarity import cosine_topk_lsh
+
+    e = read_table(spark, sf_dir, "embeddings")
+    query_vec = _query_vec(e)
+    return cosine_topk_lsh(
+        e, query_vec, k=10, n_planes=6, exclude_ids=[0]
+    ).select("vec_id", "label", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+# the ±1 plane entry for (plane j, dim d): md5('plane|42|j|d') parity —
+# identical to similarity.py::_rademacher_planes(seed=42)
+_Q30_SQL = """
+WITH vecd AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                     unnest(embedding::DOUBLE[]) AS v
+              FROM embeddings),
+bits AS (SELECT vec_id, j,
+                CASE WHEN SUM(v * (CASE WHEN (('0x' || substr(md5('plane|42|' || j || '|' || d), 1, 12))::BIGINT % 2) = 1
+                                        THEN 1.0 ELSE -1.0 END)) >= 0
+                     THEN 1 ELSE 0 END AS bit
+         FROM vecd CROSS JOIN (SELECT unnest(range(0, 6)) AS j) jj
+         GROUP BY vec_id, j),
+bkt AS (SELECT vec_id, CAST(SUM(bit * (1::BIGINT << j)) AS BIGINT) AS bucket
+        FROM bits GROUP BY vec_id),
+q AS (SELECT b.bucket AS qb, e.embedding::DOUBLE[] AS qv
+      FROM bkt b JOIN embeddings e ON e.vec_id = b.vec_id
+      WHERE b.vec_id = 0),
+scored AS (SELECT e.vec_id, e.label,
+                  list_dot_product(e.embedding::DOUBLE[], q.qv)
+                    / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+           FROM embeddings e
+           JOIN bkt ON e.vec_id = bkt.vec_id
+           CROSS JOIN q
+           WHERE bkt.bucket = q.qb AND e.vec_id <> 0)
+SELECT vec_id, label, ROUND(sim, 4) AS cosine_sim
+FROM scored
+ORDER BY sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: embedding-cosine near-duplicate pairs (exact baseline)
+# ---------------------------------------------------------------------------
+
+def q36_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs with round(cosine,4) ≥ 0.5 — the exact
+    brute-force near-dup baseline; the LSH-blocked variant is q30's
+    bucketing applied pairwise (rows-only)."""
+    from pyveb_spark.operators.similarity import cosine_pairs
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(
+        e, threshold=0.5, id_col="vec_id", vec_col="embedding",
+        extra_cols=["label"],
+    ).orderBy("vec_id_a", "vec_id_b")
+
+
+_Q36_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       a.label AS label_a, b.label AS label_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.5
+ORDER BY vec_id_a, vec_id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: IVF-Flat ANN probe — oracle-checked: the centroid sample is the
+# portable md5-48 hash order (similarity.py::_seed_centroids), so DuckDB
+# re-derives centroids, assignment, probe set, and rescoring exactly.
+# ---------------------------------------------------------------------------
+
+def q37_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyveb_spark.operators.similarity import ivf_index, ivf_search
+
+    e = read_table(spark, sf_dir, "embeddings")
+    query_vec = _query_vec(e)
+    indexed, centroids = ivf_index(e, n_lists=16)
+    return ivf_search(
+        indexed, centroids, query_vec, k=10, nprobe=4, exclude_ids=[0]
+    ).select("vec_id", "label", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+_Q37_SQL = """
+WITH ch AS (SELECT vec_id, embedding,
+                   ('0x' || substr(md5('ivf|' || vec_id), 1, 12))::BIGINT AS h
+            FROM embeddings),
+cent AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS list_id,
+                embedding::DOUBLE[] AS cv
+         FROM ch
+         QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 16),
+assign AS (SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.embedding::DOUBLE[], c.cv),
+                                       c.list_id) AS rk
+    FROM embeddings e CROSS JOIN cent c) t
+  WHERE rk = 1),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (SELECT c.list_id FROM cent c, q
+          ORDER BY list_distance(c.cv, q.qv), c.list_id
+          LIMIT 4),
+scored AS (SELECT e.vec_id, e.label,
+                  list_dot_product(e.embedding::DOUBLE[], q.qv)
+                    / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+           FROM embeddings e
+           JOIN assign a ON a.vec_id = e.vec_id
+           CROSS JOIN q
+           WHERE a.list_id IN (SELECT list_id FROM probe) AND e.vec_id <> 0)
+SELECT vec_id, label, ROUND(sim, 4) AS cosine_sim
+FROM scored
+ORDER BY sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: embedding-space dedup pipeline (pairs → clusters → keep-one)
+# ---------------------------------------------------------------------------
+
+def q62_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q41 dedup decision pipeline driven by *embedding* similarity
+    instead of n-gram overlap: exact cosine pairs (Arrow block-matmul,
+    q36's kernel) above 0.45 become edges, alternating large-star/
+    small-star connected components cluster them, singletons rejoin, and
+    the smallest vec_id in each cluster is kept — semantic dedup as a
+    100 TB pipeline emits it. Oracle: same pairs in SQL + recursive-CTE
+    min-label reachability."""
+    from pyveb_spark.operators.dedup import duplicate_clusters
+    from pyveb_spark.operators.similarity import cosine_pairs
+
+    e = read_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(
+        e, threshold=0.45, id_col="vec_id", vec_col="embedding"
+    )
+    clustered = duplicate_clusters(
+        pairs, "vec_id_a", "vec_id_b",
+        out_node="vec_id", out_cluster="cluster_id",
+    )
+    singles = e.select("vec_id").join(
+        clustered, "vec_id", "left_anti"
+    ).select(F.col("vec_id"), F.col("vec_id").alias("cluster_id"))
+    labeled = clustered.union(singles)
+    w = Window.partitionBy("cluster_id")
+    return (
+        labeled.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "is_kept",
+            (F.col("vec_id") == F.min("vec_id").over(w)).cast("int"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_Q62_SQL = """
+WITH RECURSIVE
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS w
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45),
+edges AS (SELECT u, w FROM pairs UNION SELECT w, u FROM pairs),
+reach(u, x) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+    UNION
+    SELECT e2.u, r.x FROM edges e2 JOIN reach r ON r.u = e2.w),
+comp AS (SELECT u AS vec_id, MIN(x) AS cluster_id FROM reach GROUP BY u),
+labeled AS (
+    SELECT emb.vec_id, COALESCE(c.cluster_id, emb.vec_id) AS cluster_id
+    FROM embeddings emb LEFT JOIN comp c ON c.vec_id = emb.vec_id)
+SELECT vec_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       CAST(vec_id = MIN(vec_id) OVER (PARTITION BY cluster_id) AS INT)
+           AS is_kept
+FROM labeled
+ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# ML ops: k-means clustering over embeddings
+# (rows-only: iterative float averaging isn't SQL-expressible; the
+# numpy-equivalence contract is pinned in tests/test_packing_sketches.py)
+# ---------------------------------------------------------------------------
+
+def q57_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=10, the fixture's true label count) over the
+    64-dim embeddings: fit distributed (assignment is a scan-stage argmin
+    expression, update one k×dim shuffle), then report per-cluster size
+    and label purity — majority true label over cluster size, the
+    standard unsupervised-quality readout. Oracle-checked: the md5-ordered
+    seed centroids and the Lloyd recurrence are both engine-portable, so
+    the DuckDB oracle unrolls the same 6 iterations as CTEs (generated by
+    ``_kmeans_sql``); early stopping is a no-op once assignments are
+    stable, which the fixture reaches before the cap."""
+    from pyveb_spark.operators.similarity import kmeans_assign, kmeans_fit
+
+    e = read_table(spark, sf_dir, "embeddings")
+    # 6 iterations with a 1e-4 movement tolerance: on this fixture the
+    # assignment is stable after ~4 rounds; each extra round is a full
+    # assign+update job pair, so the cap is the bench-relevant knob
+    centroids = kmeans_fit(e, k=10, max_iter=6, tol=1e-4)
+    labeled = kmeans_assign(e, centroids)
+    top_label = (
+        labeled.groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("cluster")
+        .agg(
+            F.max_by(
+                "label",
+                F.struct(F.col("n"), (-F.col("label")).alias("nl")),
+            ).alias("majority_label"),
+            F.max("n").alias("majority_n"),
+            F.sum("n").alias("n_vecs"),
+        )
+    )
+    return top_label.select(
+        "cluster",
+        "n_vecs",
+        "majority_label",
+        F.round(F.col("majority_n") / F.col("n_vecs"), 4).alias("purity"),
+    ).orderBy("cluster")
+
+
+def _kmeans_assign_ctes(k: int, iters: int) -> str:
+    """Shared CTE body: unrolled Lloyd's k-means through the final
+    assignment ``aF (vec_id, cluster)`` — one (assign, update) pair per
+    iteration, mirroring ``similarity.kmeans_fit`` exactly: md5-ordered
+    seed centroids, squared-L2 argmin with ties to the lowest centroid
+    id, per-(cluster, dim) mean update, empty clusters keep the previous
+    centroid. Used by both the q57 purity oracle and the q91 SemDeDup
+    oracle so iteration count and k stay in lockstep with Spark."""
+    parts = [
+        f"""
+vecd AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                unnest(embedding::DOUBLE[]) AS v
+         FROM embeddings),
+seedh AS (SELECT vec_id,
+                 ('0x' || substr(md5('ivf|' || vec_id), 1, 12))::BIGINT AS h
+          FROM embeddings),
+seedv AS (SELECT vec_id,
+                 ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS list_id
+          FROM seedh
+          QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= {k}),
+cent0 AS (SELECT s.list_id, v.d, v.v AS c
+          FROM seedv s JOIN vecd v ON v.vec_id = s.vec_id)"""
+    ]
+    for i in range(iters):
+        parts.append(f"""
+dist{i} AS (SELECT v.vec_id, c.list_id, SUM((v.v - c.c) * (v.v - c.c)) AS dist
+            FROM vecd v JOIN cent{i} c ON c.d = v.d
+            GROUP BY v.vec_id, c.list_id),
+a{i} AS (SELECT vec_id, list_id
+         FROM dist{i}
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, list_id) = 1),
+u{i} AS (SELECT a.list_id, v.d, AVG(v.v) AS c
+         FROM a{i} a JOIN vecd v ON v.vec_id = a.vec_id
+         GROUP BY a.list_id, v.d),
+cent{i + 1} AS (SELECT c0.list_id, c0.d, COALESCE(u.c, c0.c) AS c
+                FROM cent{i} c0
+                LEFT JOIN u{i} u ON u.list_id = c0.list_id AND u.d = c0.d)""")
+    parts.append(f"""
+distF AS (SELECT v.vec_id, c.list_id, SUM((v.v - c.c) * (v.v - c.c)) AS dist
+          FROM vecd v JOIN cent{iters} c ON c.d = v.d
+          GROUP BY v.vec_id, c.list_id),
+aF AS (SELECT vec_id, list_id AS cluster
+       FROM distF
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, list_id) = 1)""")
+    return ",".join(parts)
+
+
+def _kmeans_sql(k: int = 10, iters: int = 6) -> str:
+    """q57 oracle: k-means assignment CTEs + per-cluster label purity."""
+    body = _kmeans_assign_ctes(k, iters)
+    return f"""
+WITH {body},
+bylabel AS (SELECT a.cluster, e.label, COUNT(*) AS n
+            FROM aF a JOIN embeddings e ON e.vec_id = a.vec_id
+            GROUP BY a.cluster, e.label)
+SELECT cluster,
+       CAST(SUM(n) AS BIGINT) AS n_vecs,
+       MAX(CASE WHEN rk = 1 THEN label END) AS majority_label,
+       ROUND(MAX(CASE WHEN rk = 1 THEN n END) * 1.0 / SUM(n), 4) AS purity
+FROM (SELECT cluster, label, n,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+                                ORDER BY n DESC, label ASC) AS rk
+      FROM bylabel)
+GROUP BY cluster
+ORDER BY cluster
+"""
+
+
+_Q57_SQL = _kmeans_sql(10, 6)
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: product-quantization ANN (compressed-vector search)
+# ---------------------------------------------------------------------------
+
+def q87_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ (product-quantization) ANN with exact re-rank: train m=4 × k=16
+    sub-codebooks with the seeded Lloyd recurrence, encode every vector to
+    4 code bytes (64× compression of a float32 corpus — the memory path
+    that makes billion-vector ANN feasible), shortlist 50 candidates by
+    asymmetric distance (an m×k driver lookup table + m literal lookups
+    per row in a shuffle-free narrow scan of ONLY the codes column), then
+    re-rank the shortlist by exact squared L2 on the full vectors — the
+    standard two-stage PQ serving shape: the coarse pass touches no float
+    vectors, the exact pass touches 50. Oracle-checked end-to-end: the
+    md5-seeded per-subspace k-means, the encode argmin, the ADC sum (same
+    explicit left-to-right addition order), and the re-rank are all
+    replayed in DuckDB by ``_pq_sql``."""
+    from pyveb_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    query_vec = _query_vec(e)
+    codebooks = pq_train(e, m=4, k=16, iters=2)
+    encoded = pq_encode(e, codebooks)
+    short = pq_adc_topk(encoded, codebooks, query_vec, k=50, exclude_ids=[0])
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    exact = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            qarr,
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        short.join(F.broadcast(e.select("vec_id", "label", "embedding")),
+                   "vec_id")
+        .withColumn("l2_dist", exact)
+        .select("vec_id", "label", F.round("l2_dist", 4).alias("l2_dist"))
+        .orderBy("l2_dist", "vec_id")
+        .limit(10)
+    )
+
+
+def q88_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the composed 100 TB serving shape: the IVF coarse
+    quantizer (16 full-dim seed centroids, q37's) prunes the scan to the
+    4 lists nearest the query (partition pruning on a list-partitioned
+    table), PQ asymmetric distance shortlists 50 candidates reading only
+    the 4 code bytes per vector (q87's), and the exact-L2 re-rank
+    finishes on 50 full vectors. Every stage reuses an independently
+    oracle-verified component; the composed oracle is ``_pq_sql(...,
+    nprobe=4)``. No-residual variant: codes quantize raw vectors, so one
+    encoded table serves any nprobe without re-encoding."""
+    from pyveb_spark.operators.similarity import (
+        ivf_index,
+        ivfpq_search,
+        pq_encode,
+        pq_train,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    query_vec = _query_vec(e)
+    indexed, cents = ivf_index(e, n_lists=16)
+    codebooks = pq_train(e, m=4, k=16, iters=2)
+    encoded = pq_encode(indexed, codebooks)
+    short = ivfpq_search(
+        encoded, cents, codebooks, query_vec,
+        nprobe=4, shortlist=50, exclude_ids=[0],
+    )
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    exact = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            qarr,
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        short.join(F.broadcast(e.select("vec_id", "label", "embedding")),
+                   "vec_id")
+        .withColumn("l2_dist", exact)
+        .select("vec_id", "label", F.round("l2_dist", 4).alias("l2_dist"))
+        .orderBy("l2_dist", "vec_id")
+        .limit(10)
+    )
+
+
+def _pq_sql(m: int = 4, k: int = 16, iters: int = 2, dsub: int = 16,
+            shortlist: int = 50, topk: int = 10,
+            sample_size: int = 4096, nprobe: int | None = None) -> str:
+    """Unrolled PQ pipeline as DuckDB CTEs — per-subspace seeded Lloyd
+    over the md5-ordered training sample (same recurrence as
+    ``_kmeans_sql``), final-codebook encode of the FULL corpus, the ADC
+    lookup sum in the same explicit addition order as the Spark
+    expression, the ADC shortlist cut, and the exact-L2 re-rank.
+    Generated so m/k/iters/shortlist/sample stay in lockstep with q87.
+
+    ``nprobe`` adds the IVF-PQ composition (q88): full-dim coarse
+    centroids from the SAME k seed rows, every vector assigned to its
+    nearest list, and the ADC shortlist restricted to the ``nprobe``
+    lists nearest the query — the oracle form of ``ivfpq_search``."""
+    parts = [
+        f"""
+vecd AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                unnest(embedding::DOUBLE[]) AS v
+         FROM embeddings),
+seedh AS (SELECT vec_id,
+                 ('0x' || substr(md5('ivf|' || vec_id), 1, 12))::BIGINT AS h
+          FROM embeddings),
+seedv AS (SELECT vec_id,
+                 ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS list_id
+          FROM seedh
+          QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= {k}),
+samp AS (SELECT vec_id FROM seedh
+         QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= {sample_size})"""
+    ]
+    for j in range(m):
+        lo, hi = j * dsub, (j + 1) * dsub
+        parts.append(f"""
+v{j} AS (SELECT vec_id, d - {lo} AS d, v FROM vecd
+         WHERE d >= {lo} AND d < {hi}),
+t{j} AS (SELECT v.* FROM v{j} v JOIN samp s ON s.vec_id = v.vec_id),
+c{j}_0 AS (SELECT s.list_id, v.d, v.v AS c
+           FROM seedv s JOIN v{j} v ON v.vec_id = s.vec_id)""")
+        for i in range(iters):
+            parts.append(f"""
+d{j}_{i} AS (SELECT v.vec_id, c.list_id,
+                    SUM((v.v - c.c) * (v.v - c.c)) AS dist
+             FROM t{j} v JOIN c{j}_{i} c ON c.d = v.d
+             GROUP BY v.vec_id, c.list_id),
+a{j}_{i} AS (SELECT vec_id, list_id FROM d{j}_{i}
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, list_id) = 1),
+u{j}_{i} AS (SELECT a.list_id, v.d, AVG(v.v) AS c
+             FROM a{j}_{i} a JOIN v{j} v ON v.vec_id = a.vec_id
+             GROUP BY a.list_id, v.d),
+c{j}_{i + 1} AS (SELECT c0.list_id, c0.d, COALESCE(u.c, c0.c) AS c
+                 FROM c{j}_{i} c0
+                 LEFT JOIN u{j}_{i} u
+                   ON u.list_id = c0.list_id AND u.d = c0.d)""")
+        parts.append(f"""
+ed{j} AS (SELECT v.vec_id, c.list_id,
+                 SUM((v.v - c.c) * (v.v - c.c)) AS dist
+          FROM v{j} v JOIN c{j}_{iters} c ON c.d = v.d
+          GROUP BY v.vec_id, c.list_id),
+code{j} AS (SELECT vec_id, list_id AS code FROM ed{j}
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, list_id) = 1),
+lut{j} AS (SELECT c.list_id, SUM((q.v - c.c) * (q.v - c.c)) AS dist
+           FROM c{j}_{iters} c
+           JOIN (SELECT d, v FROM v{j} WHERE vec_id = 0) q ON q.d = c.d
+           GROUP BY c.list_id)""")
+    adc_sum = " + ".join(f"l{j}.dist" for j in range(m))
+    adc_joins = "\n        ".join(
+        (
+            f"FROM code0 c0 JOIN lut0 l0 ON l0.list_id = c0.code"
+            if j == 0
+            else f"JOIN code{j} c{j} ON c{j}.vec_id = c0.vec_id "
+            f"JOIN lut{j} l{j} ON l{j}.list_id = c{j}.code"
+        )
+        for j in range(m)
+    )
+    if nprobe is not None:
+        parts.append(f"""
+idist AS (SELECT v.vec_id, c.list_id,
+                 SUM((v.v - c.c) * (v.v - c.c)) AS dist
+          FROM vecd v
+          JOIN (SELECT s.list_id, w.d, w.v AS c
+                FROM seedv s JOIN vecd w ON w.vec_id = s.vec_id) c
+            ON c.d = v.d
+          GROUP BY v.vec_id, c.list_id),
+iassign AS (SELECT vec_id, list_id FROM idist
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, list_id) = 1),
+iprobe AS (SELECT list_id FROM idist WHERE vec_id = 0
+           ORDER BY dist, list_id LIMIT {nprobe})""")
+        short_src = ("adc a JOIN iassign ia ON ia.vec_id = a.vec_id\n"
+                     "          WHERE a.vec_id <> 0\n"
+                     "            AND ia.list_id IN (SELECT list_id FROM iprobe)")
+    else:
+        short_src = "adc a WHERE a.vec_id <> 0"
+    parts.append(f"""
+adc AS (SELECT c0.vec_id, {adc_sum} AS adc_dist
+        {adc_joins}),
+short AS (SELECT a.vec_id FROM {short_src}
+          ORDER BY a.adc_dist, a.vec_id LIMIT {shortlist}),
+rerank AS (SELECT s.vec_id,
+                  SUM((v.v - q.v) * (v.v - q.v)) AS l2_dist
+           FROM short s
+           JOIN vecd v ON v.vec_id = s.vec_id
+           JOIN (SELECT d, v FROM vecd WHERE vec_id = 0) q ON q.d = v.d
+           GROUP BY s.vec_id)""")
+    body = ",".join(parts)
+    return f"""
+WITH {body}
+SELECT r.vec_id, e.label, ROUND(r.l2_dist, 4) AS l2_dist
+FROM rerank r JOIN embeddings e ON e.vec_id = r.vec_id
+ORDER BY r.l2_dist, r.vec_id
+LIMIT {topk}
+"""
+
+
+_Q87_SQL = _pq_sql(4, 16, 2, 16, 50, 10)
+_Q88_SQL = _pq_sql(4, 16, 2, 16, 50, 10, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: SemDeDup — semantic dedup via k-means + within-cluster cosine
+# ---------------------------------------------------------------------------
+
+def q91_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-dedup): k-means the embeddings (k=10, the
+    q57 Lloyd recurrence capped at THREE iterations — SemDeDup needs a
+    coarse partition, not a converged clustering, and each extra Lloyd
+    round is a full assign+update job pair; ``tol=0`` pins the exact
+    iteration count so the oracle's unrolled CTEs stay in lockstep), then
+    flag within-cluster rows whose rounded cosine to a lower-id row is
+    ≥ 0.45. The quadratic step runs per-cluster (one shuffle on
+    ``cluster``), which is the whole point of the procedure at scale; the
+    rounded-to-4 cosine compare is the q36 float contract, and the
+    per-iteration assignment margins (incl. the 3-iteration prefix) are
+    guarded in ``test_float_margin``.
+    """
+    from pyveb_spark.operators.similarity import semdedup
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return semdedup(
+        e, k=10, tau=0.45, max_iter=3, tol=0.0,
+        id_col="vec_id", vec_col="embedding",
+    ).orderBy("vec_id")
+
+
+def _semdedup_sql(k: int = 10, iters: int = 6, tau: float = 0.45) -> str:
+    body = _kmeans_assign_ctes(k, iters)
+    return f"""
+WITH {body},
+ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dups AS (SELECT DISTINCT b.vec_id
+         FROM aF a JOIN aF b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         JOIN ev va ON va.vec_id = a.vec_id
+         JOIN ev vb ON vb.vec_id = b.vec_id
+         WHERE ROUND(list_dot_product(va.v, vb.v)
+                     / (sqrt(list_dot_product(va.v, va.v))
+                        * sqrt(list_dot_product(vb.v, vb.v))), 4) >= {tau})
+SELECT f.vec_id, f.cluster,
+       CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+FROM aF f LEFT JOIN dups d ON d.vec_id = f.vec_id
+ORDER BY f.vec_id
+"""
+
+
+_Q91_SQL = _semdedup_sql(10, 3, 0.45)
+
+
+def q140_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over int8 scalar-quantized codes (``similarity.py::sq8_ann``,
+    the FAISS ScalarQuantizer recipe): per-dim min/max "codebook" from
+    one scan, codes = round((x-lo)·255/(hi-lo)) — engine-exact integers
+    — then a codes-only approximate scan (cut on round(approx, 6)),
+    shortlist 40, EXACT re-rank to top 10. The 4× compression tier
+    between full floats (q19) and PQ's 64× (q87); the oracle replays
+    quantize → dequantize → shortlist → re-rank end to end."""
+    from pyveb_spark.operators.similarity import sq8_ann
+
+    e = read_table(spark, sf_dir, "embeddings")
+    query_vec = _query_vec(e)
+    out = sq8_ann(
+        e, query_vec, k=10, shortlist=40, exclude_ids=[0]
+    )
+    return out.select(
+        "vec_id", F.round("cosine_sim", 4).alias("cosine_sim")
+    )
+
+
+_Q140_SQL = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+stats AS (SELECT i, MIN(x) AS lo, MAX(x) AS hi
+          FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS i
+                FROM base)
+          GROUP BY i),
+arrs AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi
+         FROM stats),
+q AS (SELECT v AS qv FROM base WHERE vec_id = 0),
+codes AS (SELECT vec_id,
+                 list_transform(v, (x, i) -> CASE
+                     WHEN hi[i] = lo[i] THEN 0
+                     ELSE LEAST(255, GREATEST(0,
+                          CAST(ROUND((x - lo[i]) * 255.0
+                                     / (hi[i] - lo[i]), 0) AS INT)))
+                 END) AS code
+          FROM base, arrs),
+dq AS (SELECT vec_id,
+              list_transform(code, (c, i) ->
+                  lo[i] + CAST(c AS DOUBLE) * (hi[i] - lo[i]) / 255.0)
+                AS d
+       FROM codes, arrs),
+approx AS (SELECT vec_id,
+                  ROUND(list_dot_product(d, qv)
+                        / (sqrt(list_dot_product(d, d))
+                           * sqrt(list_dot_product(qv, qv))), 6)
+                    AS approx_sim
+           FROM dq, q
+           WHERE vec_id <> 0),
+short AS (SELECT vec_id FROM approx
+          ORDER BY approx_sim DESC, vec_id LIMIT 40),
+rerank AS (SELECT b.vec_id,
+                  list_dot_product(v, qv)
+                  / (sqrt(list_dot_product(v, v))
+                     * sqrt(list_dot_product(qv, qv))) AS sim
+           FROM base b JOIN short USING (vec_id), q)
+SELECT vec_id, ROUND(sim, 4) AS cosine_sim
+FROM rerank
+ORDER BY ROUND(sim, 6) DESC, vec_id LIMIT 10
+"""
+
+
+def q146_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (``similarity.py::hard_negative_mining``, the DPR data-prep step):
+    for each of the first five vectors, the 3 most-cosine-similar
+    vectors with a DIFFERENT class label — the maximally confusing
+    negatives a contrastive loss wants. Query batch broadcasts, corpus
+    scans once, per-query top-k is a windowed heap on round(cos, 6)."""
+    from pyveb_spark.operators.similarity import hard_negative_mining
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return hard_negative_mining(q, e, k=3).orderBy("vec_id", "rank")
+
+
+_Q146_SQL = """
+WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+              FROM embeddings),
+q AS (SELECT vec_id AS qid, label AS ql, v AS qv FROM base
+      WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid AS vec_id, c.vec_id AS neg_id, c.label AS neg_label,
+         ROUND(list_dot_product(c.v, q.qv)
+               / (sqrt(list_dot_product(c.v, c.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+  FROM base c JOIN q ON c.label <> q.ql),
+ranked AS (
+  SELECT vec_id, neg_id, neg_label, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cosine_sim DESC, neg_id) AS rank
+  FROM scored)
+SELECT vec_id, neg_id, neg_label, cosine_sim, rank::INT AS rank
+FROM ranked WHERE rank <= 3
+ORDER BY vec_id, rank
+"""

@@ -1,0 +1,638 @@
+"""Structured Streaming: windows, watermark dedup, stream-stream and stream-static joins, foreachBatch upserts.
+
+Split from the round-4 queries.py monolith; float determinism contract
+in ``pyveb_spark.queries.__doc__``. Registry/gate-window order lives in
+``pyveb_spark/queries/__init__.py`` only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyveb_spark.operators.cleaning import clean_old_dates
+from pyveb_spark.operators.joins import asof_join
+from pyveb_spark.queries._helpers import _dec, _query_vec
+from pyveb_spark.sources.readers import read_table
+
+
+
+# ---------------------------------------------------------------------------
+# §2.11 tumbling window (batch twin of the streaming window; F.window)
+# ---------------------------------------------------------------------------
+
+def q15_daily_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day ``F.window`` — identical semantics to the Structured
+    Streaming window used in ``pyveb_spark.streaming`` (epoch-aligned
+    buckets, matching DuckDB's time_bucket)."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start_us", "event_type")
+    )
+
+
+_Q15_SQL = """
+SELECT epoch_us(time_bucket(INTERVAL '1 day', ts)) AS window_start_us,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start_us, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.6/§2.11 sessionization (batch form: gap > 30 min starts a new session)
+# ---------------------------------------------------------------------------
+
+def q25_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — cumulative-sum-of-gap-flags windowing (the
+    streaming twin is ``streaming.session_window_agg``). One shuffle on
+    user_id drives both window passes."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessioned = flagged.withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+_Q25_SQL = """
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
+                  OR epoch(ts) - LAG(epoch(ts)) OVER w > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+    SELECT user_id, ts,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+    FROM flagged
+)
+SELECT user_id, session_no,
+       COUNT(*) AS n_events,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) AS session_end_us
+FROM sessioned
+GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.11 streaming: file-drop replay through Structured Streaming.
+# Oracle-checked: a completed AvailableNow replay of a tumbling-window agg
+# in complete mode materializes exactly the batch daily rollup (no
+# watermark → nothing dropped), so the DuckDB oracle is the batch SQL —
+# the stream==batch equivalence the unit tests pin, now under the driver
+# gate too.
+# ---------------------------------------------------------------------------
+
+def q40_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events replayed as a file stream → daily windowed counts per type via
+    an AvailableNow pass (the backfill execution mode); returns the
+    materialized result. Exercises readStream → window agg → memory sink
+    under the driver's rows-only gate."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyveb_spark.streaming.stream import (
+        read_file_stream,
+        run_available_now,
+        windowed_agg,
+    )
+
+    src = read_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="q40_")
+    drops = os.path.join(tmp, "drops")
+    src.repartition(2).write.mode("overwrite").parquet(drops)
+    stream = read_file_stream(spark, drops, src.schema, max_files_per_trigger=1)
+    windowed = windowed_agg(
+        stream,
+        ts_col="ts",
+        window_duration="1 day",
+        aggs={"n_events": F.count(F.lit(1))},
+        group_by=["event_type"],
+    )
+    name = f"q40_{uuid.uuid4().hex[:8]}"
+    # streaming state width: one state store per shuffle partition is
+    # created at the checkpoint's FIRST start and initialized every
+    # micro-batch; at replay scale 4 stores cover the (type×day) key
+    # space, so don't pay 32 store inits per batch. Fresh checkpoint per
+    # call makes the narrowed setting safe; restored in finally.
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = run_available_now(
+            windowed,
+            os.path.join(tmp, "ck"),
+            output_mode="complete",
+            fmt="memory",
+            query_name=name,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q40 stream replay did not finish within 300s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        # the memory sink holds the result; the staged drops + checkpoint
+        # are no longer needed (and would otherwise accrete per run)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.table(name)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+# F.window(ts, '1 day') buckets are epoch-aligned UTC days — identical to
+# date_trunc('day') under the UTC session read_table pins.
+_Q40_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY day, event_type
+ORDER BY day, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.11 streaming: stream-stream interval (attribution) join
+# (rows-only: streaming execution; stream==batch equivalence pinned in
+# tests/test_streaming.py::test_stream_interval_join_equals_batch)
+# ---------------------------------------------------------------------------
+
+def q49_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events replayed as TWO file streams (clicks, purchases) joined
+    stream-to-stream on user within a 2-day interval — the attribution
+    shape. Watermarks on both sides + both-bounded time condition keep the
+    join state evictable (the property that survives unbounded streams).
+    Returns per-user attributed-pair counts. Oracle-checked: inner
+    stream-stream joins emit every matched pair regardless of watermark,
+    and the AvailableNow replay processes the whole fixture, so the final
+    count table equals the batch interval join the DuckDB oracle runs."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyveb_spark.streaming.stream import (
+        read_file_stream,
+        run_available_now,
+        stream_interval_join,
+    )
+
+    src = read_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="q49_")
+    drops = os.path.join(tmp, "drops")
+    src.repartition(2).write.mode("overwrite").parquet(drops)
+    stream = read_file_stream(spark, drops, src.schema)
+    clicks = stream.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("ts_click"),
+        F.col("event_id").alias("click_id"),
+    )
+    buys = stream.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ts_buy"),
+        F.col("event_id").alias("buy_id"),
+    )
+    joined = stream_interval_join(
+        clicks,
+        buys,
+        keys=["user_id"],
+        left_ts="ts_click",
+        right_ts="ts_buy",
+        max_delay="2 days",
+        watermark="1 day",
+    ).select("user_id", "click_id", "buy_id")
+    name = f"q49_{uuid.uuid4().hex[:8]}"
+    # narrow the streaming state width (one store per shuffle partition,
+    # ×2 join sides) for the replay; fresh checkpoint per call, restored
+    # in finally — same rationale as q40
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = run_available_now(
+            joined,
+            os.path.join(tmp, "ck"),
+            output_mode="append",
+            fmt="memory",
+            query_name=name,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q49 stream attribution did not finish in 300s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_attributed"))
+        .orderBy("user_id")
+    )
+
+
+_Q49_SQL = """
+WITH c AS (SELECT user_id, ts AS ts_click FROM events WHERE event_type = 'click'),
+b AS (SELECT user_id, ts AS ts_buy FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, COUNT(*) AS n_attributed
+FROM c JOIN b ON c.user_id = b.user_id
+              AND b.ts_buy >= c.ts_click
+              AND b.ts_buy <= c.ts_click + INTERVAL 2 DAY
+GROUP BY c.user_id
+ORDER BY c.user_id
+"""
+
+
+def q46_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events replayed as a file stream through
+    ``dropDuplicatesWithinWatermark`` on (user, type, day) — bounded-state
+    cross-batch dedup, the streaming form of daily-active rollups. The
+    deduped append stream lands in a memory sink and a batch aggregation
+    counts surviving rows; a full AvailableNow replay dedups exactly, so
+    the oracle is the batch COUNT(DISTINCT (user, day)) per type.
+
+    Oracle-equality depends on the whole drop being consumed in ONE
+    micro-batch (asserted below): with ``maxFilesPerTrigger`` set or more
+    drop files, the 1-day watermark over this multi-day fixture would
+    evict keys between batches and legitimately re-emit their later
+    duplicates — correct streaming semantics, but no longer equal to the
+    batch DISTINCT. Keep the drop a single-trigger load (or widen the
+    watermark past the fixture's day span) when changing file layout."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyveb_spark.streaming.stream import (
+        read_file_stream,
+        run_available_now,
+        stateful_dedup,
+    )
+
+    src = read_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="q82_")
+    drops = os.path.join(tmp, "drops")
+    src.repartition(2).write.mode("overwrite").parquet(drops)
+    stream = read_file_stream(spark, drops, src.schema)
+    dd = stateful_dedup(
+        stream.select(
+            "user_id", "event_type", F.to_date("ts").alias("day"), "ts"
+        ),
+        ["user_id", "event_type", "day"],
+        ts_col="ts",
+        watermark="1 day",
+    ).drop("ts")
+    name = f"q82_{uuid.uuid4().hex[:8]}"
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = run_available_now(
+            dd,
+            os.path.join(tmp, "ck"),
+            output_mode="append",
+            fmt="memory",
+            query_name=name,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q46 stateful dedup replay did not finish")
+        # pin the single-micro-batch dependence the docstring explains:
+        # every input row must arrive in batch 0 (later batches are only
+        # the empty state-cleanup trigger AvailableNow appends)
+        late_rows = sum(
+            p["numInputRows"]
+            for p in q.recentProgress
+            if p["batchId"] > 0
+        )
+        if late_rows:
+            raise AssertionError(
+                f"q46 drop spanned multiple micro-batches ({late_rows} "
+                "rows after batch 0) — watermark eviction can now re-emit "
+                "duplicates and the batch oracle no longer applies; see "
+                "docstring"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_user_days"))
+        .orderBy("event_type")
+    )
+
+
+_Q46_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT (user_id, CAST(ts AS DATE))) AS n_user_days
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q47_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events replayed as a file stream, enriched per micro-batch with the
+    customer dimension via a broadcast stream-static join (no stream-side
+    shuffle, no streaming state — the right shape for dimension lookup at
+    any stream rate), then rolled up per market segment and event type.
+    The enrichment is stateless, so the full replay equals the batch join
+    the oracle runs."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyveb_spark.streaming.stream import (
+        read_file_stream,
+        run_available_now,
+        stream_enrich,
+    )
+
+    src = read_table(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    tmp = tempfile.mkdtemp(prefix="q83_")
+    drops = os.path.join(tmp, "drops")
+    src.repartition(2).write.mode("overwrite").parquet(drops)
+    stream = read_file_stream(spark, drops, src.schema)
+    enriched = stream_enrich(
+        stream.select("event_id", "user_id", "event_type"),
+        cust,
+        keys=["user_id"],
+        how="inner",
+    )
+    name = f"q83_{uuid.uuid4().hex[:8]}"
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = run_available_now(
+            enriched,
+            os.path.join(tmp, "ck"),
+            output_mode="append",
+            fmt="memory",
+            query_name=name,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q47 stream enrich replay did not finish")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("c_mktsegment", "event_type")
+    )
+
+
+_Q47_SQL = """
+SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n_events
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c.c_mktsegment, e.event_type
+ORDER BY c.c_mktsegment, e.event_type
+"""
+
+
+def q26_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-materialization pattern end-to-end: a purchase
+    stream's running per-user counts (update-mode aggregation) land in a
+    ``ParquetMergeSink`` through ``foreachBatch`` upsert — each micro-batch
+    merges with the same delete-then-insert algebra as the batch loader,
+    so the final table equals the batch aggregate REGARDLESS of how the
+    replay was micro-batched (later updates overwrite earlier ones by
+    key). That multi-batch-safe equivalence is exactly what the oracle
+    checks."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyveb_spark.sinks.merge import ParquetMergeSink
+    from pyveb_spark.streaming.stream import (
+        foreach_batch_upsert,
+        read_file_stream,
+        run_available_now,
+    )
+
+    src = read_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="q84_")
+    drops = os.path.join(tmp, "drops")
+    src.repartition(2).write.mode("overwrite").parquet(drops)
+    stream = read_file_stream(spark, drops, src.schema)
+    agg = (
+        stream.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    sink = ParquetMergeSink(spark, os.path.join(tmp, "table"))
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = run_available_now(
+            agg,
+            os.path.join(tmp, "ck"),
+            foreach_batch=foreach_batch_upsert(sink, ["user_id"]),
+            output_mode="update",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q26 stream upsert replay did not finish")
+        out = (
+            sink.read()
+            .select("user_id", "n_purchases")
+            .orderBy("user_id")
+        )
+        # materialize before the temp table directory is removed
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_Q26_SQL = """
+SELECT user_id, COUNT(*) AS n_purchases
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def q31_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``F.session_window`` sessionization (batch mode — the operator is
+    batch/stream-unified; q25 is the lag-based formulation of the same
+    semantics modulo boundary: session_window merges events strictly
+    CLOSER than the gap, so the oracle's new-session condition is
+    ``diff >= gap``). session_end = last event + gap by definition; both
+    bounds emitted as exact integer microseconds."""
+    from pyveb_spark.streaming.stream import session_window_agg
+
+    e = read_table(spark, sf_dir, "events")
+    out = session_window_agg(
+        e,
+        ts_col="ts",
+        gap="30 minutes",
+        aggs={"n_events": F.count(F.lit(1))},
+        group_by=["user_id"],
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+    ).orderBy("user_id", "start_us")
+
+
+_Q31_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessioned AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM flagged
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS start_us,
+       epoch_us(MAX(ts)) + 1800000000 AS end_us,
+       COUNT(*) AS n_events
+FROM sessioned
+GROUP BY user_id, session_no
+ORDER BY user_id, start_us
+"""
+
+
+def q119_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events replayed as a file stream through a SLIDING window
+    aggregation (1-day windows every 12 hours — each event lands in two
+    overlapping windows) per event type, complete-mode memory sink. The
+    overlap is what tumbling q15 can't express: a smoothed daily rate
+    refreshed twice a day. Complete mode emits every window, so the full
+    AvailableNow replay equals the batch oracle (each event contributes
+    to exactly the two 12h-aligned window starts covering it);
+    production streams switch to append + a watermark (``windowed_agg``
+    takes both) and trade the tail windows for bounded state."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyveb_spark.streaming.stream import (
+        read_file_stream,
+        run_available_now,
+        windowed_agg,
+    )
+
+    src = read_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="q119_")
+    drops = os.path.join(tmp, "drops")
+    src.repartition(2).write.mode("overwrite").parquet(drops)
+    stream = read_file_stream(spark, drops, src.schema)
+    win = windowed_agg(
+        stream,
+        "ts",
+        "1 day",
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum(_dec("value")).cast("double"),
+        },
+        slide_duration="12 hours",
+        group_by=["event_type"],
+    )
+    name = f"q119_{uuid.uuid4().hex[:8]}"
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = run_available_now(
+            win,
+            os.path.join(tmp, "ck"),
+            output_mode="complete",
+            fmt="memory",
+            query_name=name,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q119 sliding-window replay did not finish")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.table(name)
+        .select(
+            F.unix_micros("window_start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start_us", "event_type")
+    )
+
+
+_Q119_SQL = """
+WITH starts AS (
+    SELECT time_bucket(INTERVAL '12 hours', ts) AS ws, event_type, value
+    FROM events
+    UNION ALL
+    SELECT time_bucket(INTERVAL '12 hours', ts) - INTERVAL '12 hours' AS ws,
+           event_type, value
+    FROM events)
+SELECT epoch_us(ws) AS window_start_us,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM starts
+GROUP BY ws, event_type
+ORDER BY window_start_us, event_type
+"""

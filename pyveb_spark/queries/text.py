@@ -1,0 +1,812 @@
+"""Text analysis: stats, quality, language-id, PII, BPE, n-gram LMs, chunking, retrieval (BM25/TF-IDF).
+
+Split from the round-4 queries.py monolith; float determinism contract
+in ``pyveb_spark.queries.__doc__``. Registry/gate-window order lives in
+``pyveb_spark/queries/__init__.py`` only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyveb_spark.operators.cleaning import clean_old_dates
+from pyveb_spark.operators.joins import asof_join
+from pyveb_spark.queries._helpers import _dec, _query_vec
+from pyveb_spark.sources.readers import read_table
+
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: text statistics (tokenize / quality features, all native fns)
+# ---------------------------------------------------------------------------
+
+def q18_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyveb_spark.operators.text import text_stats
+
+    d = read_table(spark, sf_dir, "documents")
+    return text_stats(d, text_col="text").select(
+        "doc_id", "lang", "n_tokens", "n_unique_tokens", "n_chars_text",
+        "avg_token_len", "unique_ratio",
+    ).orderBy("doc_id")
+
+
+_Q18_SQL = """
+SELECT doc_id, lang,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+       length(text) AS n_chars_text,
+       CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS avg_token_len,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS unique_ratio
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.9 explode at query level: token frequencies over a document slice
+# ---------------------------------------------------------------------------
+
+def q84_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+_Q84_SQL = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE doc_id < 100) t
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: quality scoring (C4/Gopher-style linear blend; oracle-mirrored)
+# ---------------------------------------------------------------------------
+
+def q27_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyveb_spark.operators.text import quality_score
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        quality_score(d, "text")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_stopwords",
+            F.round("quality_score", 4).alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q27_SQL = """
+WITH stats AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stopwords,
+           len(list_distinct(string_split(text, ' '))) AS n_unique
+    FROM documents)
+SELECT doc_id, n_tokens, n_stopwords,
+       ROUND(
+         least(n_tokens / 50.0, 1.0) * 0.4
+         + (CAST(n_unique AS DOUBLE) / n_tokens) * 0.4
+         + least((CAST(n_stopwords AS DOUBLE) / n_tokens) * 5.0, 1.0) * 0.2,
+       4) AS quality_score
+FROM stats
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: heuristic language-ID confusion matrix (text.py language_id)
+# ---------------------------------------------------------------------------
+
+def q85_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language-ID vs the corpus's true ``lang`` label."""
+    from pyveb_spark.operators.text import language_id
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        language_id(d)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+# lang order in the CASE chain mirrors _LANG_MARKERS iteration order (the
+# reduce keeps the earlier language on ties).
+_Q85_SQL = """
+WITH toks AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+hits AS (SELECT lang,
+    len(list_filter(t, x -> x IN ('the','a','of','and')))      AS h_en,
+    len(list_filter(t, x -> x IN ('el','la','de','los')))      AS h_es,
+    len(list_filter(t, x -> x IN ('der','die','das','und')))   AS h_de,
+    len(list_filter(t, x -> x IN ('le','la','les','et')))      AS h_fr,
+    len(list_filter(t, x -> x IN ('de5','shi4','le5','he2')))  AS h_zh
+  FROM toks),
+pred AS (SELECT lang,
+    CASE WHEN greatest(h_en,h_es,h_de,h_fr,h_zh) <= 0 THEN 'und'
+         WHEN h_en = greatest(h_en,h_es,h_de,h_fr,h_zh) THEN 'en'
+         WHEN h_es = greatest(h_es,h_de,h_fr,h_zh) THEN 'es'
+         WHEN h_de = greatest(h_de,h_fr,h_zh) THEN 'de'
+         WHEN h_fr = greatest(h_fr,h_zh) THEN 'fr'
+         ELSE 'zh' END AS lang_pred
+  FROM hits)
+SELECT lang, lang_pred, COUNT(*) AS n_docs
+FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: intra-document repetition (Gopher filters) + PII redaction
+# ---------------------------------------------------------------------------
+
+def q81_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram repetition metrics (Gopher/MassiveText filter
+    family): total/distinct gram counts, duplicate-gram fraction, top-gram
+    share, and the (deterministically tie-broken) top gram itself. One
+    explode + two hash aggregations keyed on doc_id — map-side combine
+    does the heavy lifting at scale."""
+    from pyveb_spark.operators.text import repetition_stats
+
+    d = read_table(spark, sf_dir, "documents")
+    return repetition_stats(d, id_col="doc_id", text_col="text", n=2).orderBy(
+        "doc_id"
+    )
+
+
+_Q81_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                 i -> t[i] || ' ' || t[i+1])) AS gram
+      FROM toks),
+pg AS (SELECT doc_id, gram, COUNT(*) AS c,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY COUNT(*) DESC, gram DESC) AS rn
+       FROM g GROUP BY doc_id, gram)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_ngrams,
+       COUNT(*) AS n_distinct,
+       ROUND(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 4) AS dup_ngram_frac,
+       ROUND(MAX(CASE WHEN rn = 1 THEN c END) / CAST(SUM(c) AS DOUBLE), 4)
+           AS top_ngram_frac,
+       MAX(CASE WHEN rn = 1 THEN gram END) AS top_ngram
+FROM pg
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def q82_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing under the oracle gate: build a deterministic note
+    string with an email / phone / IPv4 per customer (the corpus itself is
+    PII-free synthetic text), redact with the shared dialect-portable
+    patterns, and count redacted spans. The scrub is a chain of
+    regexp_replace inside whole-stage codegen — at 100 TB it runs at scan
+    throughput with no shuffle."""
+    from pyveb_spark.operators.cleaning import redact_pii
+
+    c = read_table(spark, sf_dir, "customer")
+    email = F.concat(
+        F.lower(F.regexp_replace(F.col("c_name"), "#", ".")),
+        F.lit("@example.com"),
+    )
+    phone = F.concat(
+        F.lit("555-"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit("10."), (F.col("c_custkey") % 256).cast("string"), F.lit(".0.1")
+    )
+    note = F.concat_ws(
+        " ",
+        F.lit("contact"), email,
+        F.lit("phone"), phone,
+        F.lit("ip"), ip,
+        F.lit("segment"), F.col("c_mktsegment"),
+    )
+    base = c.select("c_custkey", note.alias("note"))
+    return (
+        redact_pii(base, ["note"])
+        .select("c_custkey", "note", "note_pii_count")
+        .orderBy("c_custkey")
+    )
+
+
+def _q46_sql() -> str:
+    from pyveb_spark.operators.cleaning import PII_PATTERNS
+
+    e, i, p = (PII_PATTERNS[k] for k in ("email", "ipv4", "phone"))
+    return f"""
+WITH base AS (
+  SELECT c_custkey,
+         'contact ' || lower(replace(c_name, '#', '.')) || '@example.com'
+         || ' phone 555-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+         || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+         || ' ip 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.0.1'
+         || ' segment ' || c_mktsegment AS note
+  FROM customer),
+-- sequential count-then-redact per pattern, mirroring redact_pii: the
+-- count is the number of spans actually replaced at each step
+r1 AS (SELECT c_custkey, len(regexp_extract_all(note, '{e}')) AS n1,
+              regexp_replace(note, '{e}', '[PII]', 'g') AS s1 FROM base),
+r2 AS (SELECT c_custkey, n1, len(regexp_extract_all(s1, '{i}')) AS n2,
+              regexp_replace(s1, '{i}', '[PII]', 'g') AS s2 FROM r1),
+r3 AS (SELECT c_custkey, n1, n2, len(regexp_extract_all(s2, '{p}')) AS n3,
+              regexp_replace(s2, '{p}', '[PII]', 'g') AS s3 FROM r2)
+SELECT c_custkey, s3 AS note, CAST(n1 + n2 + n3 AS INT) AS note_pii_count
+FROM r3
+ORDER BY c_custkey
+"""
+
+
+_Q82_SQL = _q46_sql()
+
+
+def q44_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 lexical retrieval over the documents corpus for a fixed
+    bag-of-tokens query — the inverted-index search a training-data
+    pipeline runs for decontamination and curation. One postings build
+    (two aggregations), a literal token filter pushed into the postings
+    scan, and a heap top-k; scores rounded to 6 decimals for cross-engine
+    rank stability (see ``operators/retrieval.py``)."""
+    from pyveb_spark.operators.retrieval import bm25_search, build_inverted_index
+
+    d = read_table(spark, sf_dir, "documents")
+    postings, docstats = build_inverted_index(d, "doc_id", "text")
+    return bm25_search(
+        postings, docstats, ["hash", "merge", "scan", "window"], k=10
+    )
+
+
+_Q44_SQL = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+hits AS (SELECT t.doc_id, t.tf, d.df, l.dl, s.n_docs, s.avgdl
+         FROM tf t
+         JOIN dfq d USING (token)
+         JOIN dl l USING (doc_id)
+         CROSS JOIN stats s
+         WHERE t.token IN ('hash', 'merge', 'scan', 'window'))
+SELECT doc_id,
+       ROUND(SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25,
+       COUNT(*) AS n_matched
+FROM hits
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: hashed linear classifier scoring (fastText-shaped, oracle-checked)
+# ---------------------------------------------------------------------------
+
+def q61_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier scoring pass: hashing-trick features, mean
+    bucket weight, sigmoid — the exported-model scoring shape, as one
+    stateless scan expression. Weights are an exact-in-double ramp
+    (multiples of 2⁻³¹, so the fold is associative and the oracle's
+    unordered SUM matches bit-for-bit; see hashed_linear_score)."""
+    from pyveb_spark.operators.text import hashed_linear_score
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        hashed_linear_score(d, "text")
+        .select("doc_id", "clf_score")
+        .orderBy("doc_id")
+    )
+
+
+_Q61_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+b AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('clf|' || token), 1, 12))::BIGINT) % 1024 AS bk
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+         SUM(CAST((bk * 2654435761) % 2147483648 AS DOUBLE) / 2147483648.0
+             - 0.5) AS tot,
+         COUNT(*) AS n
+  FROM b GROUP BY doc_id
+)
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + exp(-(tot / n) * 8.0)), 4) AS clf_score
+FROM s
+ORDER BY doc_id
+"""
+
+
+def q99_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-iteration BPE merge statistics over the corpus: top-20
+    within-token adjacent character pairs — the quantity byte-pair
+    encoding greedily merges on (Sennrich et al. 2016). Pair extraction
+    is a scan-stage nested HOF; the groupBy key has ~|alphabet)|²
+    cardinality so the shuffle carries only (pair, partial count) rows.
+    The (count desc, pair asc) order is total, so the top-20 cut is
+    engine-portable under ties."""
+    from pyveb_spark.operators.text import bpe_merge_candidates
+
+    d = read_table(spark, sf_dir, "documents")
+    return bpe_merge_candidates(d, "text", top_k=20)
+
+
+_Q99_SQL = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+pl AS (SELECT [substr(tok, CAST(i AS INT), 2)
+               FOR i IN range(1, length(tok))] AS pairs FROM toks),
+p AS (SELECT unnest(pairs) AS pair FROM pl)
+SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
+ORDER BY n DESC, pair LIMIT 20
+"""
+
+
+def q102_trigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned corpus trigram count table, top 15 — the count-based-LM
+    building block (CCNet-style filters score documents against exactly
+    such tables). Gram extraction is scan-stage; the groupBy
+    partial-aggregates map-side; pruning (≥5) keeps the table
+    broadcastable for scoring joins. Total (n desc, gram asc) order makes
+    the top-15 cut engine-portable."""
+    from pyveb_spark.operators.text import ngram_count_table
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        ngram_count_table(d, "text", n=3, min_count=5)
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
+        .limit(15)
+    )
+
+
+_Q102_SQL = """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+gl AS (SELECT [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+               FOR i IN range(1, len(t) - 1)] AS gs FROM toks),
+g AS (SELECT unnest(gs) AS gram FROM gl)
+SELECT gram, COUNT(*) AS n_occurrences FROM g GROUP BY gram
+HAVING COUNT(*) >= 5
+ORDER BY n_occurrences DESC, gram LIMIT 15
+"""
+
+
+def q103_lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM quality score (CCNet-style count-LM
+    filter): avg ln P(wᵢ|wᵢ₋₁) with add-0.1 smoothing over corpus-trained
+    bigram (pruned ≥2) and unigram tables. Portability: every ln term has
+    identical operands and the per-doc sum is an ordered left-to-right
+    fold (``F.aggregate`` ↔ DuckDB ``list_reduce`` over a
+    position-ordered list) — that kills aggregation-order variance, but
+    HotSpot's ``Math.log`` is not correctly rounded on every input where
+    glibc's nearly is, so a last-ulp residue (~1e-15 relative) remains;
+    the score is compared at round(6), with the distance of every doc to
+    a rounding boundary probed ≥ 1e-9 at each SF. Scored slice:
+    doc_id < 200 (tables train on the FULL corpus). Docs with < 2 tokens
+    carry no score and are absent by construction (none in the
+    fixture)."""
+    from pyveb_spark.operators.text import bigram_lm_score, ngram_count_table
+
+    d = read_table(spark, sf_dir, "documents")
+    # train on the FULL corpus, score the doc_id < 200 slice
+    c2 = ngram_count_table(d, "text", n=2, min_count=2)
+    c1 = ngram_count_table(d, "text", n=1)
+    scored = bigram_lm_score(
+        d.where(F.col("doc_id") < 200), "doc_id", "text",
+        alpha=0.1, bigram_counts=c2, unigram_counts=c1,
+    )
+    return scored.select(
+        "doc_id", "n_bigrams", F.round("avg_logp", 6).alias("avg_logp")
+    ).orderBy("doc_id")
+
+
+_Q103_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+u AS (SELECT unnest(t) AS w FROM toks),
+c1 AS (SELECT w, COUNT(*) AS c FROM u GROUP BY w),
+v AS (SELECT COUNT(*) AS v FROM c1),
+bgall AS (SELECT unnest([t[i] || ' ' || t[i+1]
+                         FOR i IN range(1, len(t))]) AS g FROM toks),
+c2 AS (SELECT g, COUNT(*) AS c FROM bgall GROUP BY g HAVING COUNT(*) >= 2),
+bg AS (SELECT doc_id, generate_subscripts(gs, 1) AS pos, unnest(gs) AS g,
+              unnest(ws) AS w1
+       FROM (SELECT doc_id,
+                    [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))] AS gs,
+                    [t[i] FOR i IN range(1, len(t))] AS ws
+             FROM toks WHERE doc_id < 200)),
+terms AS (SELECT bg.doc_id, bg.pos,
+                 ln((COALESCE(c2.c, 0) + 0.1)
+                    / (c1.c + 0.1 * (SELECT v FROM v))) AS lnp
+          FROM bg LEFT JOIN c2 ON bg.g = c2.g JOIN c1 ON bg.w1 = c1.w),
+folded AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                  list_reduce(
+                    list_prepend(CAST(0 AS DOUBLE),
+                                 list(lnp ORDER BY pos)),
+                    (acc, x) -> acc + x) AS s
+           FROM terms GROUP BY doc_id)
+SELECT doc_id, n_bigrams, ROUND(s / n_bigrams, 6) AS avg_logp
+FROM folded ORDER BY doc_id
+"""
+
+
+def q107_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping token-window chunking (32-token chunks,
+    8-token overlap) of the doc_id < 50 slice: one row per chunk with
+    offsets and text. Boundaries are scan-stage ``sequence``/``slice``
+    expressions — zero shuffles until a consumer aggregates; the oracle
+    replays the stride arithmetic and slicing with DuckDB list
+    comprehensions."""
+    from pyveb_spark.operators.text import chunk_documents
+
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return chunk_documents(
+        d, "doc_id", "text", chunk_tokens=32, overlap=8
+    ).orderBy("doc_id", "chunk_no")
+
+
+_Q107_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t,
+                     CASE WHEN length(text) = 0 THEN 0
+                          ELSE len(string_split(text, ' ')) END AS n
+              FROM documents WHERE doc_id < 50),
+nc AS (SELECT doc_id, t, n,
+              CASE WHEN n <= 0 THEN 0
+                   ELSE CAST(FLOOR(GREATEST(n - 9, 0) / 24) AS INT) + 1
+              END AS n_chunks
+       FROM toks),
+chunks AS (SELECT doc_id, t, n,
+                  unnest(range(0, n_chunks)) AS chunk_no
+           FROM nc),
+sliced AS (SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+                  CAST(chunk_no * 24 + 1 AS INT) AS tok_start,
+                  t[(chunk_no * 24 + 1):
+                    (chunk_no * 24 + LEAST(32, n - chunk_no * 24))] AS ct
+           FROM chunks)
+SELECT doc_id, chunk_no, tok_start,
+       CAST(len(ct) AS INT) AS n_tokens,
+       array_to_string(ct, ' ') AS chunk_text
+FROM sliced
+ORDER BY doc_id, chunk_no
+"""
+
+
+def q116_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine top-10 over the documents corpus for the q44 query
+    bag — the vector-space twin of BM25 (``operators/retrieval.py::
+    tfidf_search``): smooth-idf weights, per-doc L2 norms computed once
+    at index build, literal token filter pushed into the postings scan,
+    heap top-k. Scores rounded to 6 (the q44 float contract)."""
+    from pyveb_spark.operators.retrieval import (
+        build_inverted_index,
+        tfidf_doc_norms,
+        tfidf_search,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    postings, docstats = build_inverted_index(d, "doc_id", "text")
+    norms = tfidf_doc_norms(postings, docstats)
+    return tfidf_search(
+        postings, docstats, norms, ["hash", "merge", "scan", "window"], k=10
+    )
+
+
+_Q116_SQL = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+stats AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+w AS (SELECT t.doc_id, t.token,
+             t.tf * (ln((1.0 + s.n_docs) / (1.0 + d.df)) + 1.0) AS w
+      FROM tf t JOIN dfq d USING (token) CROSS JOIN stats s),
+norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS norm FROM w GROUP BY doc_id),
+num AS (SELECT doc_id, SUM(w) AS num, COUNT(*) AS n_matched
+        FROM w WHERE token IN ('hash', 'merge', 'scan', 'window')
+        GROUP BY doc_id)
+SELECT n.doc_id,
+       ROUND(n.num / m.norm, 6) AS score,
+       n.n_matched
+FROM num n JOIN norms m USING (doc_id)
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
+def q117_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary + corpus encoding (``operators/text.py::
+    build_vocab / encode_with_vocab``): top-64 unigram vocab by
+    (count, token) total order, documents encoded to 0-based id arrays
+    with OOV → -1, per-doc OOV rate. The corpus→tensors admission step;
+    ids are rebuilt from (pos, id) structs via array_sort, so order
+    never depends on shuffle stability."""
+    from pyveb_spark.operators.text import build_vocab, encode_with_vocab
+
+    d = read_table(spark, sf_dir, "documents")
+    vocab = build_vocab(d, vocab_size=64)
+    return encode_with_vocab(d, vocab).orderBy("doc_id")
+
+
+_Q117_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+pos AS (SELECT doc_id, i AS pos, ts[i + 1] AS token
+        FROM toks, UNNEST(range(len(ts))) AS u(i)),
+counts AS (SELECT token, COUNT(*) AS n FROM pos GROUP BY token),
+vocab AS (SELECT token,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 AS token_id
+          FROM counts ORDER BY n DESC, token LIMIT 64),
+enc AS (SELECT p.doc_id, p.pos,
+               CAST(COALESCE(v.token_id, -1) AS INTEGER) AS tid
+        FROM pos p LEFT JOIN vocab v USING (token))
+SELECT doc_id,
+       list(tid ORDER BY pos) AS ids,
+       COUNT(*) AS n_tokens,
+       CAST(COUNT(CASE WHEN tid = -1 THEN 1 END) AS DOUBLE) / COUNT(*)
+         AS oov_rate
+FROM enc
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def q125_source_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each source's characteristic vocabulary (``operators/text.py::
+    distinctive_terms``): top-5 tokens per source by group-level TF-IDF
+    ``tf_g · ln(G/gf)`` — tokens in every source score 0 and vanish, so
+    what remains is what makes each source different. One corpus scan;
+    ranking runs over the token dictionary."""
+    from pyveb_spark.operators.text import distinctive_terms
+
+    d = read_table(spark, sf_dir, "documents")
+    return distinctive_terms(d, "source", "text", top_k=5).orderBy(
+        "grp", F.col("score").desc(), "token"
+    )
+
+
+_Q125_SQL = """
+WITH tf AS (
+  SELECT source AS grp, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+tfc AS (SELECT grp, token, COUNT(*) AS tf_g FROM tf GROUP BY 1, 2
+        HAVING COUNT(*) >= 2),
+gf AS (SELECT token, COUNT(*) AS gf FROM tfc GROUP BY token),
+g AS (SELECT COUNT(DISTINCT grp) AS g FROM tfc),
+scored AS (
+  SELECT grp, token, tf_g, gf,
+         ROUND(tf_g * ln(CAST(g.g AS DOUBLE) / gf), 6) AS score
+  FROM tfc JOIN gf USING (token) CROSS JOIN g),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+                               ORDER BY score DESC, token) AS rk
+  FROM scored WHERE score > 0)
+SELECT grp, token, tf_g, gf, score
+FROM ranked WHERE rk <= 5
+ORDER BY grp, score DESC, token
+"""
+
+
+def q138_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (``text.py::bpe_train``,
+    Sennrich et al. 2016): the full greedy merge loop — not just q99's
+    first-iteration pair statistics — over the corpus's (word, freq)
+    table, returning the learned merge table a tokenizer ships. The
+    oracle replays all six rounds as unrolled CTE blocks: literal
+    leftmost non-overlapping ``replace`` on double-space-joined symbol
+    strings IS greedy BPE application, and both engines implement that
+    replace semantics identically, so training is value-hash-certified
+    end to end (pair counts, tie-breaks, merge order)."""
+    from pyveb_spark.operators.text import bpe_train
+
+    d = read_table(spark, sf_dir, "documents")
+    return bpe_train(d, text_col="text", num_merges=6).orderBy(
+        "merge_rank"
+    )
+
+
+def _q138_sql(num_merges: int = 6) -> str:
+    blocks = [
+        """
+WITH words AS (
+  SELECT word, COUNT(*)::BIGINT AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word),
+s0 AS (SELECT word, freq,
+       ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' '
+         AS seq
+       FROM words)"""
+    ]
+    for i in range(1, num_merges + 1):
+        p = i - 1
+        blocks.append(
+            rf""",
+p{i} AS (
+  SELECT l[j] || ' ' || l[j+1] AS pair, SUM(freq)::BIGINT AS n
+  FROM (SELECT freq, string_split_regex(trim(seq), '\s+') AS l FROM s{p}) t,
+       LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS j) u
+  GROUP BY 1),
+m{i} AS (SELECT pair, n FROM p{i} ORDER BY n DESC, pair LIMIT 1),
+s{i} AS (
+  SELECT word, freq,
+         ' ' || array_to_string(string_split_regex(trim(
+             replace(seq,
+                     ' ' || split_part(m.pair, ' ', 1) || '  '
+                         || split_part(m.pair, ' ', 2) || ' ',
+                     ' ' || replace(m.pair, ' ', '') || ' ')),
+             '\s+'), '  ') || ' ' AS seq
+  FROM s{p}, m{i} m)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i - 1} AS merge_rank, split_part(pair, ' ', 1) AS left_sym, "
+        f"split_part(pair, ' ', 2) AS right_sym, "
+        f"replace(pair, ' ', '') AS merged, n AS pair_count FROM m{i}"
+        for i in range(1, num_merges + 1)
+    )
+    return "".join(blocks) + "\n" + selects + "\nORDER BY merge_rank"
+
+
+def q144_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving half of the BPE tokenizer: TRAIN six merges on the
+    corpus (q138's loop), then APPLY them corpus-wide as a stateless
+    literal-replace scan (``text.py::bpe_apply`` — no UDF, no vocab
+    join) and report per-document word vs subword token counts. The
+    oracle re-derives the merges from scratch (the q138 CTE blocks) and
+    re-applies them via scalar-subquery replaces — certifying the full
+    train→apply round trip end to end."""
+    from pyveb_spark.operators.text import bpe_apply, bpe_train
+
+    d = read_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(d, text_col="text", num_merges=6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    enc = bpe_apply(d, merges, text_col="text")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    return enc.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def _q144_sql(num_merges: int = 6) -> str:
+    # merge-table CTE blocks identical to q138's generator
+    train = _q138_sql(num_merges)
+    train_ctes = train[: train.rindex("\nSELECT 0 AS merge_rank")]
+    apply_blocks = [
+        """,
+docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         FROM documents),
+e0 AS (SELECT doc_id,
+              ' ' || array_to_string(regexp_extract_all(w, '.'), '  ')
+                  || ' ' AS s
+       FROM docw WHERE w <> '')"""
+    ]
+    for i in range(1, num_merges + 1):
+        p = i - 1
+        apply_blocks.append(
+            rf""",
+e{i} AS (SELECT doc_id,
+              ' ' || array_to_string(string_split_regex(trim(
+                  replace(s,
+                      (SELECT ' ' || split_part(pair, ' ', 1) || '  '
+                              || split_part(pair, ' ', 2) || ' ' FROM m{i}),
+                      (SELECT ' ' || replace(pair, ' ', '') || ' '
+                       FROM m{i}))),
+                  '\s+'), '  ') || ' ' AS s
+       FROM e{p})"""
+        )
+    final = rf"""
+SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+       SUM(len(string_split_regex(trim(s), '\s+')))::BIGINT
+         AS n_bpe_tokens
+FROM e{num_merges}
+GROUP BY doc_id
+ORDER BY doc_id"""
+    return train_ctes + "".join(apply_blocks) + final
+
+
+def q145_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher document-quality rule battery (Rae et al. 2021,
+    ``text.py::gopher_quality_filter``) over the corpus: per-document
+    word-count bounds, mean-word-length band, alphabetic-word fraction,
+    and minimum stopword count, each kept as an auditable column plus
+    the conjunctive keep verdict — all stateless codegen expressions,
+    the shape that filters a 100 TB crawl in one scan."""
+    from pyveb_spark.operators.text import gopher_quality_filter
+
+    d = read_table(spark, sf_dir, "documents")
+    out = gopher_quality_filter(d, text_col="text", min_words=30)
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "alpha_frac",
+        "n_stopwords", "rule_word_count", "rule_word_len", "rule_alpha",
+        "rule_stopwords", "keep",
+    ).orderBy("doc_id")
+
+
+_Q145_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+           / len(toks) AS mean_len,
+         CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+              AS DOUBLE) / len(toks) AS alpha_frac,
+         len(list_filter(toks, w -> list_contains(
+             ['the','a','of','and','to','in','is','it'], lower(w))))
+           AS n_stop
+  FROM t)
+SELECT doc_id,
+       n_words::BIGINT AS n_words,
+       ROUND(mean_len, 4) AS mean_word_len,
+       ROUND(alpha_frac, 4) AS alpha_frac,
+       n_stop::BIGINT AS n_stopwords,
+       (n_words >= 30 AND n_words <= 100000) AS rule_word_count,
+       (mean_len >= 3.0 AND mean_len <= 10.0) AS rule_word_len,
+       (alpha_frac >= 0.8) AS rule_alpha,
+       (n_stop >= 2) AS rule_stopwords,
+       ((n_words >= 30 AND n_words <= 100000)
+        AND (mean_len >= 3.0 AND mean_len <= 10.0)
+        AND (alpha_frac >= 0.8) AND (n_stop >= 2)) AS keep
+FROM s
+ORDER BY doc_id
+"""
+
+
+def q147_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic masked-LM example construction
+    (``text.py::mlm_mask``): mask 15% of tokens chosen by the portable
+    md5 hash of (doc_id, position) — reproducible across engines, runs,
+    and partitionings, which is what makes a training-data build
+    idempotent (a seeded RNG is not). One index-aware ``transform`` per
+    row: no explode, no shuffle, no order-restoring join. The oracle
+    replays the identical hash arithmetic token by token."""
+    from pyveb_spark.operators.text import mlm_mask
+
+    d = read_table(spark, sf_dir, "documents")
+    out = mlm_mask(d, rate_pct=15)
+    return out.select(
+        "doc_id", "n_masked", F.md5("masked_text").alias("masked_md5")
+    ).orderBy("doc_id")
+
+
+_Q147_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         list_transform(toks, (w, i) -> CASE
+             WHEN ('0x' || substr(md5(doc_id || '|' || (i - 1)), 1, 12))
+                    ::BIGINT % 100 < 15
+             THEN '<mask>' ELSE w END) AS masked
+  FROM t)
+SELECT doc_id,
+       len(list_filter(masked, w -> w = '<mask>'))::BIGINT AS n_masked,
+       md5(array_to_string(masked, ' ')) AS masked_md5
+FROM m
+ORDER BY doc_id
+"""

@@ -623,3 +623,42 @@ def test_explicit_hot_buckets_blacklist_always_applies(spark):
         ).collect()
     }
     assert got == {(2, 200)}  # boilerplate capped by the explicit blacklist
+
+
+def test_real_pgm_kernel_roundtrip(spark):
+    """Second REAL image codec through the injectable-kernel seam (r4 item
+    7): Spark-native synth_pgm payloads round-trip through decode_pgm and
+    the decode_images magic sniffer picks the PGM kernel automatically."""
+    from pyspark.sql import functions as F
+
+    from pyveb_spark.operators.multimodal import (
+        decode_images,
+        decode_pgm,
+        media_table,
+        synth_pgm,
+    )
+
+    df = spark.range(3).select(
+        F.col("id").alias("doc_id"),
+        synth_pgm(F.col("id"), 6, 4).alias("payload"),
+    )
+    payloads = {r.doc_id: bytes(r.payload) for r in df.collect()}
+    # direct kernel: header parses, dims match, raster is w*h bytes
+    for seed, b in payloads.items():
+        assert decode_pgm(b) == (6, 4)
+        header_end = b.index(b"255\n") + 4
+        raster = b[header_end:]
+        assert len(raster) == 24
+        # deterministic pixel formula replayable outside Spark
+        assert raster[0] == ((seed + 1) * 7 * 31) % 256
+    # comment-tolerant header per the Netpbm spec
+    assert decode_pgm(b"P5\n# synthetic\n6 4\n255\n" + bytes(24)) == (6, 4)
+    with pytest.raises(ValueError, match="magic"):
+        decode_pgm(b"BM rubbish")
+    with pytest.raises(ValueError, match="raster"):
+        decode_pgm(b"P5\n6 4\n255\n" + bytes(10))
+    # sniffer routes P5 payloads without an explicit decoder
+    media = media_table(df, "doc_id", "payload")
+    decoded = decode_images(media)
+    dims = {(r.meta.width, r.meta.height) for r in decoded.collect()}
+    assert dims == {(6, 4)}
