@@ -1223,3 +1223,74 @@ def cross_source_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def trim_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """The APPLY step of exact-substring dedup (Lee et al. 2022 §4.1):
+    rewrite each document with corpus-duplicated spans REMOVED, keeping
+    one canonical occurrence corpus-wide. A ``window``-token span at
+    position ``p`` of doc ``D`` is removable iff its window text occurs
+    in ≥ 2 distinct documents AND ``D`` is not the minimum-id document
+    containing it (the deterministic canonical-survivor rule — the same
+    tie-break ``dedup_keep_first`` uses). Every token covered by at
+    least one removable span is dropped; the doc's surviving tokens are
+    re-joined in order. Returns
+    ``(<id>, text_clean, n_tokens, n_removed)`` for every input doc
+    (docs shorter than ``window`` pass through untouched).
+
+    100 TB design: positional windows are scan-stage; span statistics
+    (document frequency + canonical owner) are ONE groupBy on the
+    window hash with map-side partials; removable positions shuffle
+    back keyed on the hash (same key — no extra exchange) and collapse
+    to a per-doc start-position array (second shuffle, keyed on the
+    doc). The rewrite itself is a scan-stage higher-order filter over
+    the token array — per-token cost is O(|spans in this doc|), and the
+    span list rides in as a normal column, never through the driver. No
+    self-join, no pair materialization: cost is linear in corpus
+    windows, which is what makes the TRANSFORM (not just the metric,
+    ``substring_duplication``) runnable at corpus scale.
+    """
+    toks = F.split(F.col(text_col), " ")
+    wins = df.select(
+        F.col(id_col),
+        F.posexplode(
+            _window_hash_array(F.col(text_col), window)
+        ).alias("__p0", "__h"),
+    ).select(
+        id_col, (F.col("__p0") + F.lit(1)).alias("__p"), "__h"
+    )
+    stats = wins.groupBy("__h").agg(
+        F.count_distinct(F.col(id_col)).alias("__df"),
+        F.min(F.col(id_col)).alias("__owner"),
+    )
+    removable = (
+        wins.join(stats, "__h")
+        .where((F.col("__df") >= 2) & (F.col(id_col) != F.col("__owner")))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("__p")).alias("__starts"))
+    )
+    joined = df.join(removable, id_col, "left").withColumn(
+        "__starts",
+        F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
+    )
+    starts = F.col("__starts")
+    kept = F.filter(
+        toks,
+        lambda tok, i: ~F.exists(
+            starts,
+            # i is 0-based; spans are 1-based [p, p+window)
+            lambda p: (p <= i + 1) & (i + 1 < p + F.lit(window)),
+        ),
+    )
+    n_tokens = F.size(toks)
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("text_clean"),
+        n_tokens.alias("n_tokens"),
+        (n_tokens - F.size(kept)).alias("n_removed"),
+    )

@@ -1125,3 +1125,60 @@ def k_anonymity(
         .agg(F.count(F.lit(1)).alias("class_size"))
         .withColumn("at_risk", F.col("class_size") < F.lit(int(k)))
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    epsilon: float = 1.0,
+    seed: str = "dp",
+) -> DataFrame:
+    """Differentially-private group-count release (Dwork et al. 2006, the
+    Laplace mechanism): per group, the exact count plus Laplace(1/ε)
+    noise — sensitivity 1 for counting queries — released as
+    ``noisy_count``. The noise draw is DETERMINISTIC per (group, seed):
+    a 48-bit md5-derived uniform ``u`` mapped through the Laplace
+    inverse CDF ``-(1/ε)·sign(u-½)·ln(1-2|u-½|)``, so releases are
+    reproducible, engine-replayable (the q-level oracle replays the
+    identical arithmetic in DuckDB), and fresh seeds give fresh draws.
+    Returns ``(group_cols…, exact_count, noisy_count)`` with the noisy
+    value rounded to 4 decimals (float ln — module contract).
+
+    Production note: reproducibility makes repeated releases of the SAME
+    seed cost ONE epsilon budget (re-publishing an identical draw leaks
+    nothing new); changing the seed is what spends budget again.
+
+    100 TB design: one hash aggregation with map-side partials; the
+    noise is a scalar expression on the group-count table (group-sized,
+    not data-sized). No RNG state crosses executors — the draw is a pure
+    function of the group key, which is the only way to do DP noise in a
+    distributed, retry-safe job (a task retry with driver-side RNG would
+    silently release two different values for one group).
+    """
+    if not group_cols:
+        raise ValueError("dp_noisy_counts requires at least one group col")
+    key = F.concat_ws(
+        "|",
+        F.lit(str(seed)),
+        *[F.col(c).cast("string") for c in group_cols],
+    )
+    u = (
+        F.conv(F.substring(F.md5(key.cast("binary")), 1, 12), 16, 10)
+        .cast("double")
+        / F.lit(float(16**12))
+    )
+    t = u - F.lit(0.5)
+    lap = (
+        -F.lit(1.0 / float(epsilon))
+        * F.signum(t)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(t))
+    )
+    return (
+        df.groupBy(*[F.col(c) for c in group_cols])
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .select(
+            *group_cols,
+            "exact_count",
+            F.round(F.col("exact_count") + lap, 4).alias("noisy_count"),
+        )
+    )

@@ -30,7 +30,14 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["build_inverted_index", "bm25_search", "tfidf_doc_norms", "tfidf_search"]
+__all__ = [
+    "build_inverted_index",
+    "bm25_search",
+    "tfidf_doc_norms",
+    "tfidf_search",
+    "build_ngram_index",
+    "phrase_search",
+]
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -189,3 +196,66 @@ def tfidf_search(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def build_ngram_index(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional n-gram (phrase) index: one row per distinct
+    ``(window_hash, doc)`` over every ``n``-token sliding window, with
+    the in-doc occurrence count. The window hash is the portable
+    md5-prefix construction (``dedup.portable_hash48``), so a phrase
+    probe is ONE literal equality against the index — and an oracle can
+    replay the hash bit-for-bit.
+
+    100 TB design: windows are built scan-stage (no explode-shuffle
+    until the single groupBy); persist the result bucketed by ``__h``
+    (``writers.write_bucketed_table``) and phrase lookups become
+    bucket-pruned point reads — the same serving shape as the BM25
+    postings, specialized to exact phrases.
+    """
+    from pyveb_spark.operators.dedup import _window_hash_array
+
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                _window_hash_array(F.col(text_col), n)
+            ).alias("__h"),
+        )
+        .groupBy("__h", id_col)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Exact token-sequence (phrase) search through the n-gram index: the
+    phrase's own window hash is computed DRIVER-side as a literal and
+    pushed into the index scan — no join, no text scan. Returns
+    ``(<id>, n_occurrences)`` for matching docs.
+
+    The index path is certified hash-equal to the naive
+    whitespace-boundary substring scan (`` text LIKE '% phrase %'`` with
+    padding) at the query level (q158) — the q132/q151
+    certified-equivalence discipline: an index is only trustworthy if
+    the query proves it returns exactly what the scan it replaces would.
+
+    Pass a prebuilt (persisted/bucketed) ``index`` in production; the
+    default builds one from ``df`` for self-contained use.
+    """
+    from pyveb_spark.operators.dedup import portable_hash48
+
+    n = len(phrase.split(" "))
+    if index is None:
+        index = build_ngram_index(df, n, id_col, text_col)
+    probe = portable_hash48(F.lit(phrase))
+    return index.where(F.col("__h") == probe).select(id_col, "n_occurrences")

@@ -1014,3 +1014,165 @@ def mlm_mask(
         "n_masked",
         F.size(F.filter(masked, lambda t: t == sentinel)).cast("bigint"),
     )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 5,
+    require_terminal_punct: bool = False,
+    blocklist: Sequence[str] = ("javascript", "lorem ipsum", "cookie"),
+    drop_brace_lines: bool = True,
+) -> DataFrame:
+    """C4-style LINE-level cleaning (Raffel et al. 2020 §2.2, the public
+    recipe behind the C4 corpus): split each document on newlines and
+    keep only lines that (a) have ≥ ``min_words`` words, (b) end in
+    terminal punctuation when ``require_terminal_punct``, (c) contain no
+    blocklisted phrase (case-insensitive), and (d) carry no curly brace
+    when ``drop_brace_lines`` (the "looks like code/JSON" heuristic).
+    Returns ``(<id>, text_clean, n_lines, n_kept, n_dropped_short,
+    n_dropped_punct, n_dropped_blocklist, n_dropped_brace)`` — the
+    per-rule audit counts quality dashboards need, attributing each
+    dropped line to the FIRST rule that rejected it (rule order is the
+    documented C4 order).
+
+    100 TB design: pure per-row higher-order expressions — zero
+    shuffles, zero Python; the whole cleaning pass rides the scan stage
+    and composes with the admission pipeline's other per-row gates
+    (Gopher rules, MLM masking) into one codegen stage.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    n_words = lambda l: F.size(F.split(F.trim(l), " +"))  # noqa: E731
+    is_short = lambda l: n_words(l) < F.lit(int(min_words))  # noqa: E731
+    bad_punct = (
+        (lambda l: ~l.rlike("[.!?\"']$"))
+        if require_terminal_punct
+        else (lambda l: F.lit(False))
+    )
+    blk = [b.lower() for b in blocklist]
+    hits_block = lambda l: F.arrays_overlap(  # noqa: E731
+        F.array(*[F.lit(b) for b in blk]),
+        F.filter(
+            F.array(*[F.lit(b) for b in blk]),
+            lambda b: F.contains(F.lower(l), b),
+        ),
+    ) if blk else F.lit(False)
+    has_brace = (
+        (lambda l: l.contains("{") | l.contains("}"))
+        if drop_brace_lines
+        else (lambda l: F.lit(False))
+    )
+    keep = lambda l: (  # noqa: E731
+        ~is_short(l) & ~bad_punct(l) & ~hits_block(l) & ~has_brace(l)
+    )
+
+    def count_where(pred):
+        return F.size(F.filter(lines, pred))
+
+    kept = F.filter(lines, keep)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("text_clean"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        count_where(is_short).alias("n_dropped_short"),
+        count_where(lambda l: ~is_short(l) & bad_punct(l)).alias(
+            "n_dropped_punct"
+        ),
+        count_where(
+            lambda l: ~is_short(l) & ~bad_punct(l) & hits_block(l)
+        ).alias("n_dropped_blocklist"),
+        count_where(
+            lambda l: ~is_short(l)
+            & ~bad_punct(l)
+            & ~hits_block(l)
+            & has_brace(l)
+        ).alias("n_dropped_brace"),
+    )
+
+
+def token_kl_divergence(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Token-distribution drift per corpus partition: the KL divergence
+    ``KL(P_group || P_corpus)`` between each group's add-``alpha``
+    smoothed unigram distribution and the whole corpus's, over the
+    corpus vocabulary — the standard distribution-shift monitor for
+    multi-source training mixes (a new crawl snapshot whose KL jumps is
+    the first sign its content changed). Returns
+    ``(group, n_tokens, n_vocab_hit, kl_divergence)`` with KL in nats,
+    rounded to 4 decimals (float-accumulated — the module contract).
+
+    100 TB design: one shuffle builds (group, token) counts with
+    map-side partials; corpus totals re-aggregate FROM those partials
+    (never re-scanning text); the per-group sum over the corpus vocab
+    works on the grouped table — every join is keyed on the token and
+    the vocab-sized frames are the only intermediates. Smoothing over
+    missing (group, token) cells is computed in closed form
+    (``absent·alpha/denominator`` terms) instead of materializing the
+    group×vocab cross join.
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    gt = toks.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("c_gt"))
+    corpus = gt.groupBy("tok").agg(F.sum("c_gt").alias("c_t"))
+    totals = gt.groupBy("grp").agg(F.sum("c_gt").alias("n_g"))
+    n_total_row = corpus.agg(
+        F.sum("c_t").alias("n_all"), F.count(F.lit(1)).alias("v")
+    ).first()
+    n_all, v = float(n_total_row["n_all"]), int(n_total_row["v"])
+    a = float(alpha)
+    # present terms: p_g log(p_g / p_c) with both smoothed over corpus vocab
+    present = (
+        gt.join(F.broadcast(corpus), "tok")
+        .join(F.broadcast(totals), "grp")
+        .withColumn("p_g", (F.col("c_gt") + a) / (F.col("n_g") + a * v))
+        .withColumn("p_c", (F.col("c_t") + a) / (F.lit(n_all + a * v)))
+        .groupBy("grp")
+        .agg(
+            F.sum(F.col("p_g") * F.log(F.col("p_g") / F.col("p_c"))).alias(
+                "kl_present"
+            ),
+            F.count(F.lit(1)).alias("n_vocab_hit"),
+            # absent-cell correction needs Σ log p_c over the group's
+            # PRESENT tokens (the closed form subtracts it from the
+            # vocab-wide Σ log p_c, computed once below)
+            F.sum(F.log(F.col("p_c"))).alias("sum_log_pc_present"),
+        )
+    )
+    sum_log_pc_all = (
+        corpus.select(
+            F.sum(
+                F.log((F.col("c_t") + a) / F.lit(n_all + a * v))
+            ).alias("s")
+        ).first()["s"]
+    )
+    # each absent token contributes p0·log(p0/p_c) where p0 = a/(n_g+aV):
+    # Σ_absent = p0·(n_absent·log p0 − Σ_absent log p_c)
+    p0 = F.lit(a) / (F.col("n_g") + a * v)
+    n_absent = F.lit(v) - F.col("n_vocab_hit")
+    return (
+        present.join(F.broadcast(totals), "grp")
+        .withColumn(
+            "kl_absent",
+            p0
+            * (
+                n_absent * F.log(p0)
+                - (F.lit(float(sum_log_pc_all)) - F.col("sum_log_pc_present"))
+            ),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_g").alias("n_tokens"),
+            "n_vocab_hit",
+            F.round(F.col("kl_present") + F.col("kl_absent"), 4).alias(
+                "kl_divergence"
+            ),
+        )
+    )

@@ -211,6 +211,11 @@ QUERIES = {
     "q151_bloom_pruned_join": q151_bloom_pruned_join,
     "q152_k_anonymity": q152_k_anonymity,
     "q153_audio_fingerprint_dups": q153_audio_fingerprint_dups,
+    "q154_c4_line_clean": q154_c4_line_clean,
+    "q155_source_kl_drift": q155_source_kl_drift,
+    "q156_span_trim": q156_span_trim,
+    "q157_dp_release": q157_dp_release,
+    "q158_phrase_search": q158_phrase_search,
 }
 
 ORACLE_SQL = {
@@ -367,6 +372,11 @@ ORACLE_SQL = {
     "q151_bloom_pruned_join": _Q151_SQL,
     "q152_k_anonymity": _Q152_SQL,
     "q153_audio_fingerprint_dups": _q153_sql(),
+    "q154_c4_line_clean": _Q154_SQL,
+    "q155_source_kl_drift": _Q155_SQL,
+    "q156_span_trim": _Q156_SQL,
+    "q157_dp_release": _Q157_SQL,
+    "q158_phrase_search": _Q158_SQL,
 }
 
 # ---------------------------------------------------------------------------
@@ -446,15 +456,32 @@ _R5_IN = [
     "q151_bloom_pruned_join",
     "q153_audio_fingerprint_dups",
 ]
+# The five operators built new THIS round (q154-q158) take window slots
+# too — they are the least-soaked heads by definition. Displaced:
+# q88/q92/q109/q135/q138, all certified green in CORRECTNESS_r04 and each
+# with an in-window family sibling (ANN keeps q30/q36; profiling keeps
+# q157 + the q142/q143 selfcheck siblings; graph keeps q139; multimodal
+# keeps q153; BPE keeps q144).
+_R5B_OUT = [
+    "q88_ivfpq_ann",
+    "q92_profile_orders",
+    "q109_trade_pagerank",
+    "q135_image_dhash_dups",
+    "q138_bpe_merges",
+]
+_R5B_IN = [
+    "q154_c4_line_clean",
+    "q155_source_kl_drift",
+    "q156_span_trim",
+    "q157_dp_release",
+    "q158_phrase_search",
+]
 _ALL = list(QUERIES)
-_WINDOW = [
-    q
-    for q in _ALL[:50]
-    if q not in _ROTATED_OUT and q not in _R5_OUT
-] + [q for q in _ROTATED_IN if q not in _R5_OUT] + _R5_IN
-_OUT = _ROTATED_OUT + _R5_OUT
+_OUT = _ROTATED_OUT + _R5_OUT + _R5B_OUT
+_IN = [q for q in _ROTATED_IN + _R5_IN if q not in _OUT] + _R5B_IN
+_WINDOW = [q for q in _ALL[:50] if q not in _OUT] + _IN
 GATE_ORDER = _WINDOW + _OUT + [
-    q for q in _ALL[50:] if q not in _ROTATED_IN and q not in _R5_IN
+    q for q in _ALL[50:] if q not in _WINDOW and q not in _OUT
 ]
 assert len(GATE_ORDER) == len(_ALL) and set(GATE_ORDER) == set(_ALL)
 assert len(_WINDOW) == 50

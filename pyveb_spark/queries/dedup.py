@@ -664,3 +664,49 @@ JOIN sizes sb ON sb.source = group_b
 ORDER BY shared_chunks DESC, group_a, group_b
 LIMIT 20
 """
+
+
+def q156_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of exact-substring dedup
+    (``dedup.py::trim_duplicate_spans``, Lee et al. 2022 §4.1): rewrite
+    every document with corpus-duplicated 8-token spans removed, keeping
+    the minimum-id canonical occurrence. q89/q90 are the metric views of
+    this procedure; this is the actual TRANSFORM a training corpus
+    ships through, oracle-checked down to the rewritten text itself
+    (the oracle replays windows → df/owner stats → coverage mask →
+    in-order token reassembly)."""
+    from pyveb_spark.operators.dedup import trim_duplicate_spans
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        trim_duplicate_spans(d, "doc_id", "text", window=8)
+        .orderBy("doc_id")
+    )
+
+
+_Q156_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+wins AS (SELECT doc_id, i AS p,
+                ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 12))::BIGINT AS h
+         FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) s),
+stats AS (SELECT h, COUNT(DISTINCT doc_id) AS df, MIN(doc_id) AS owner
+          FROM wins GROUP BY h),
+removable AS (SELECT w.doc_id, w.p FROM wins w JOIN stats s USING (h)
+              WHERE s.df >= 2 AND w.doc_id <> s.owner),
+tokidx AS (SELECT doc_id, u.tok, u.i
+           FROM toks, LATERAL (SELECT unnest(t) AS tok,
+                                      generate_subscripts(t, 1) AS i) u),
+mask AS (SELECT ti.doc_id, ti.tok, ti.i,
+                NOT EXISTS (SELECT 1 FROM removable r
+                            WHERE r.doc_id = ti.doc_id
+                              AND r.p <= ti.i AND ti.i < r.p + 8) AS keep
+         FROM tokidx ti)
+SELECT doc_id,
+       COALESCE(string_agg(tok, ' ' ORDER BY i) FILTER (WHERE keep), '')
+         AS text_clean,
+       COUNT(*) AS n_tokens,
+       COUNT(*) FILTER (WHERE NOT keep) AS n_removed
+FROM mask
+GROUP BY doc_id
+ORDER BY doc_id
+"""

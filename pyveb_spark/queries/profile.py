@@ -971,3 +971,40 @@ SELECT COUNT(*)::BIGINT AS n_classes,
              / CAST(SUM(n) AS DOUBLE), 6) AS risk_frac
 FROM cls
 """
+
+
+def q157_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release
+    (``profile.py::dp_noisy_counts``, Dwork 2006 Laplace mechanism) over
+    order priorities at ε=0.5: exact count per group plus a
+    deterministic seeded Laplace draw — a pure function of the group key
+    via the portable md5 construction, so the release is retry-safe,
+    budget-accountable, and the oracle replays the identical inverse-CDF
+    arithmetic bit-for-bit. Complements q152 k-anonymity as the
+    privacy-release half of the privacy family."""
+    from pyveb_spark.operators.profile import dp_noisy_counts
+
+    o = read_table(spark, sf_dir, "orders")
+    return dp_noisy_counts(
+        o, ["o_orderpriority"], epsilon=0.5, seed="r5"
+    ).orderBy("o_orderpriority")
+
+
+_Q157_SQL = """
+WITH counts AS (
+  SELECT o_orderpriority, COUNT(*) AS exact_count
+  FROM orders GROUP BY 1
+),
+noise AS (
+  SELECT o_orderpriority, exact_count,
+         ('0x' || substr(md5('r5' || '|' || o_orderpriority), 1, 12))::BIGINT
+           / POWER(16, 12) - 0.5 AS t
+  FROM counts
+)
+SELECT o_orderpriority, exact_count,
+       ROUND(exact_count
+             + (-1.0 / 0.5) * sign(t) * ln(1.0 - 2.0 * abs(t)), 4)
+         AS noisy_count
+FROM noise
+ORDER BY o_orderpriority
+"""

@@ -810,3 +810,187 @@ SELECT doc_id,
 FROM m
 ORDER BY doc_id
 """
+
+
+def q154_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (``text.py::c4_line_filter``, Raffel
+    2020 §2.2) with per-rule audit counts. The fixture's docs are
+    single-line, so the query first assembles multi-line "pages"
+    deterministically (doc_id % 400 buckets, id-ordered, newline-joined
+    — a pure relational construction both engines replay), then cleans
+    each page: lines under 25 words drop as too-short, lines containing
+    the blocklisted phrase drop next, and the audit attributes each
+    dropped line to the FIRST rejecting rule in the documented C4 order.
+    Returns per-page counts + the cleaned page length."""
+    from pyveb_spark.operators.text import c4_line_filter
+
+    d = read_table(spark, sf_dir, "documents")
+    pages = (
+        d.groupBy((F.col("doc_id") % 400).alias("page_id"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+    )
+    out = c4_line_filter(
+        pages,
+        "page_id",
+        "text",
+        min_words=25,
+        blocklist=("merge join",),
+    )
+    return out.select(
+        "page_id",
+        "n_lines",
+        "n_kept",
+        "n_dropped_short",
+        "n_dropped_blocklist",
+        F.length("text_clean").alias("clean_chars"),
+    ).orderBy("page_id")
+
+
+_Q154_SQL = """
+WITH pages AS (
+  SELECT doc_id % 400 AS page_id,
+         string_agg(text, chr(10) ORDER BY doc_id) AS text
+  FROM documents GROUP BY 1
+),
+lines AS (SELECT page_id, string_split(text, chr(10)) AS ls FROM pages),
+flags AS (
+  SELECT page_id, ls,
+         list_transform(ls, l -> len(string_split_regex(trim(l), ' +')) < 25)
+           AS short,
+         list_transform(ls, l -> contains(lower(l), 'merge join')) AS blocked
+  FROM lines
+),
+audit AS (
+  SELECT page_id,
+         len(ls) AS n_lines,
+         len(list_filter(ls, (l, i) -> NOT short[i] AND NOT blocked[i]))
+           AS n_kept,
+         len(list_filter(ls, (l, i) -> short[i])) AS n_dropped_short,
+         len(list_filter(ls, (l, i) -> NOT short[i] AND blocked[i]))
+           AS n_dropped_blocklist,
+         COALESCE(length(array_to_string(
+             list_filter(ls, (l, i) -> NOT short[i] AND NOT blocked[i]),
+             chr(10))), 0) AS clean_chars
+  FROM flags
+)
+SELECT * FROM audit ORDER BY page_id
+"""
+
+
+def q155_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift (``text.py::token_kl_divergence``):
+    add-1-smoothed unigram KL(source ‖ corpus) in nats over the corpus
+    vocabulary — the distribution-shift monitor for multi-source training
+    mixes. Spark computes the absent-token mass in closed form (no
+    group×vocab cross join); the oracle materializes the explicit
+    source×vocab grid and sums directly — agreement certifies the closed
+    form. Top 10 most-drifted sources."""
+    from pyveb_spark.operators.text import token_kl_divergence
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        token_kl_divergence(d, "source", "text", alpha=1.0)
+        .orderBy(F.desc("kl_divergence"), "source")
+        .limit(10)
+    )
+
+
+_Q155_SQL = """
+WITH toks AS (
+  SELECT source AS grp, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+toks2 AS (SELECT * FROM toks WHERE tok <> ''),
+gt AS (SELECT grp, tok, COUNT(*) AS c_gt FROM toks2 GROUP BY 1, 2),
+corpus AS (SELECT tok, SUM(c_gt) AS c_t FROM gt GROUP BY 1),
+totals AS (SELECT grp, SUM(c_gt) AS n_g FROM gt GROUP BY 1),
+consts AS (SELECT SUM(c_t) AS n_all, COUNT(*) AS v FROM corpus),
+grid AS (
+  SELECT t.grp, c.tok, t.n_g, c.c_t, COALESCE(g.c_gt, 0) AS c_gt
+  FROM totals t CROSS JOIN corpus c
+  LEFT JOIN gt g ON g.grp = t.grp AND g.tok = c.tok
+),
+kl AS (
+  SELECT grp,
+         ANY_VALUE(n_g)::BIGINT AS n_tokens,
+         SUM(CASE WHEN c_gt > 0 THEN 1 ELSE 0 END)::BIGINT AS n_vocab_hit,
+         SUM(((c_gt + 1.0) / (n_g + 1.0 * v))
+             * ln(((c_gt + 1.0) / (n_g + 1.0 * v))
+                  / ((c_t + 1.0) / (n_all + 1.0 * v)))) AS kl_raw
+  FROM grid, consts
+  GROUP BY grp
+)
+SELECT grp AS source, n_tokens, n_vocab_hit,
+       ROUND(kl_raw, 4) AS kl_divergence
+FROM kl
+ORDER BY kl_divergence DESC, source LIMIT 10
+"""
+
+
+def q158_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval through the positional n-gram index
+    (``retrieval.py::build_ngram_index`` / ``phrase_search``): the probe
+    phrase (the first 3 tokens of doc 0 — a driver-side literal, the
+    ``_query_vec`` discipline) hashes to ONE literal pushed into the
+    index scan. The q132/q151 certified-equivalence discipline: the
+    query full-outer-joins the index hits against the naive
+    whitespace-boundary substring scan, so ANY disagreement between the
+    index and the scan it replaces materializes as a row difference and
+    fails the oracle hash. Returns (doc_id, n_occurrences, in_scan)."""
+    from pyveb_spark.operators.retrieval import phrase_search
+
+    d = read_table(spark, sf_dir, "documents")
+    row = d.where(F.col("doc_id") == 0).select("text").first()
+    phrase = " ".join(row["text"].split(" ")[:3])
+    idx_hits = phrase_search(d, phrase, "doc_id", "text")
+    scan_hits = d.where(
+        F.contains(
+            F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+            F.lit(f" {phrase} "),
+        )
+    ).select("doc_id", F.lit(1).alias("in_scan"))
+    return (
+        idx_hits.join(scan_hits, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("n_occurrences", F.lit(0)).alias("n_occurrences"),
+            F.coalesce("in_scan", F.lit(0)).alias("in_scan"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q158_SQL = """
+WITH phrase AS (
+  SELECT array_to_string(string_split(text, ' ')[1:3], ' ') AS ph
+  FROM documents WHERE doc_id = 0
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (
+  SELECT doc_id, COUNT(*) AS n_occurrences
+  FROM toks, phrase,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+  WHERE ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 12))::BIGINT
+        = ('0x' || substr(md5(ph), 1, 12))::BIGINT
+  GROUP BY doc_id
+),
+scan AS (
+  SELECT doc_id, 1 AS in_scan FROM documents, phrase
+  WHERE contains(' ' || text || ' ', ' ' || ph || ' ')
+)
+SELECT COALESCE(i.doc_id, s.doc_id) AS doc_id,
+       COALESCE(i.n_occurrences, 0) AS n_occurrences,
+       COALESCE(s.in_scan, 0) AS in_scan
+FROM idx i FULL OUTER JOIN scan s ON i.doc_id = s.doc_id
+ORDER BY doc_id
+"""

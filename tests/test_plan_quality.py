@@ -650,3 +650,47 @@ def test_q45_supplied_blacklist_skips_per_lookup_aggregation(spark, sf_dir):
     finally:
         clear_slot("t_q45_index")
         clear_slot("t_q45_hot")
+
+
+def test_q154_cleaning_is_scan_stage_after_one_groupby(spark, sf_dir):
+    """C4 line cleaning must add ZERO shuffles beyond the page-assembly
+    aggregation: every filter/audit count is a per-row HOF expression."""
+    df = QUERIES["q154_c4_line_clean"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    # page groupBy = one exchange (+ the final orderBy's range exchange)
+    assert plan.count("Exchange") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q156_span_trim_linear_no_selfjoin(spark, sf_dir):
+    """Span trimming must stay linear: window-stats groupBy, removable
+    groupBy, one join back to the doc table — no pair materialization,
+    no cartesian, no text re-shuffled with the stats."""
+    plan = _formatted_plan(QUERIES["q156_span_trim"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q158_phrase_probe_is_constant_folded_literal(spark, sf_dir):
+    """The phrase probe must reach the plan as ONE folded 48-bit literal —
+    no md5 evaluation against the probe at runtime, and the filter must
+    sit below the index aggregation (prune before shuffle)."""
+    from pyspark.sql import functions as F
+
+    from pyveb_spark.operators.dedup import portable_hash48
+    from pyveb_spark.operators.retrieval import phrase_search
+    from pyveb_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    row = d.where(F.col("doc_id") == 0).select("text").first()
+    phrase = " ".join(row["text"].split(" ")[:3])
+    df = phrase_search(d, phrase, "doc_id", "text")
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    probe = d.select(portable_hash48(F.lit(phrase)).alias("h")).first()["h"]
+    assert str(probe) in optimized          # constant-folded literal probe
+    # the literal filter sits BELOW the aggregate: prune-then-shuffle
+    agg_pos = optimized.index("Aggregate")
+    filt_pos = optimized.index(str(probe))
+    assert filt_pos > agg_pos  # deeper in the tree = later in the string

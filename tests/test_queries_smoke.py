@@ -57,20 +57,26 @@ def test_gate_window_composition():
     representative (q94's successor IS in-window q150)."""
     window = list(QUERIES)[:50]
     must_be_in = [
-        # round-3/4 heads still soaking
-        "q88_ivfpq_ann", "q92_profile_orders", "q96_hourly_gap_fill",
-        "q109_trade_pagerank", "q135_image_dhash_dups", "q138_bpe_merges",
-        # round-5 rotation: the newest family heads
+        # round-4 second-half heads, first driver certification
         "q139_nation_communities", "q144_bpe_tokenize",
         "q150_pretrain_pipeline_v2", "q151_bloom_pruned_join",
         "q153_audio_fingerprint_dups",
+        # round-5 new operators — least-soaked by definition
+        "q154_c4_line_clean", "q155_source_kl_drift", "q156_span_trim",
+        "q157_dp_release", "q158_phrase_search",
+        # still-soaking representative kept for the timeseries family
+        "q96_hourly_gap_fill",
     ]
     missing = [q for q in must_be_in if q not in window]
     assert missing == [], f"family heads outside the gate window: {missing}"
     displaced = [
+        # r4 displacements
         "q37_ivf_ann", "q87_pq_ann", "q89_exact_substring_pairs",
+        # r5 displacements (certified green in CORRECTNESS_r04)
         "q90_substring_coverage", "q91_semdedup", "q93_value_histogram",
         "q94_llm_data_pipeline", "q95_value_outliers",
+        "q88_ivfpq_ann", "q92_profile_orders", "q109_trade_pagerank",
+        "q135_image_dhash_dups", "q138_bpe_merges",
     ]
     assert all(q in QUERIES for q in displaced)
     assert all(q not in window for q in displaced)

@@ -1,0 +1,156 @@
+"""Round-5 operators: span trimming, C4 line filters, KL drift, DP noise,
+phrase index."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_trim_duplicate_spans_keeps_canonical_occurrence(spark):
+    from pyveb_spark.operators.dedup import trim_duplicate_spans
+
+    shared = "a b c d e f g h"  # exactly one 8-token window
+    df = spark.createDataFrame(
+        [
+            (1, shared + " x y"),          # canonical owner (min id)
+            (2, "p q " + shared),          # duplicate -> span removed
+            (3, "u v w"),                  # short doc: no windows, untouched
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in trim_duplicate_spans(df, "doc_id", "text").collect()}
+    assert out[1].text_clean == shared + " x y" and out[1].n_removed == 0
+    assert out[2].text_clean == "p q" and out[2].n_removed == 8
+    assert out[3].text_clean == "u v w" and out[3].n_removed == 0
+    assert out[2].n_tokens == 10
+
+
+def test_trim_duplicate_spans_overlapping_windows_union(spark):
+    from pyveb_spark.operators.dedup import trim_duplicate_spans
+
+    # doc 2 shares a 9-token run -> two overlapping windows; the union of
+    # covered tokens (9) is removed, not 16
+    run = "a b c d e f g h i"
+    df = spark.createDataFrame(
+        [(1, run), (2, run + " z")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in trim_duplicate_spans(df, "doc_id", "text").collect()}
+    assert out[2].n_removed == 9 and out[2].text_clean == "z"
+
+
+def test_c4_line_filter_rules_and_attribution(spark):
+    from pyveb_spark.operators.text import c4_line_filter
+
+    text = "\n".join(
+        [
+            "this line has more than five words total.",  # kept
+            "too short",                                   # short
+            "a very long line that mentions javascript somewhere in it",  # blocklist
+            "this { line } looks like code with many words in it",        # brace
+        ]
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    r = c4_line_filter(df, "doc_id", "text", min_words=5).first()
+    assert r.n_lines == 4 and r.n_kept == 1
+    assert r.n_dropped_short == 1
+    assert r.n_dropped_blocklist == 1
+    assert r.n_dropped_brace == 1
+    assert r.text_clean == "this line has more than five words total."
+    # terminal-punct rule: first-rule attribution order
+    r2 = c4_line_filter(
+        df, "doc_id", "text", min_words=5, require_terminal_punct=True
+    ).first()
+    assert r2.n_kept == 1  # only the punctuated line survives
+    assert r2.n_dropped_punct == 2  # blocklist+brace lines fail punct FIRST? no:
+    # attribution order is short -> punct -> blocklist -> brace; both the
+    # javascript and brace lines lack terminal punctuation
+    assert r2.n_dropped_blocklist == 0 and r2.n_dropped_brace == 0
+
+
+def test_token_kl_divergence_zero_for_identical_distribution(spark):
+    from pyveb_spark.operators.text import token_kl_divergence
+
+    df = spark.createDataFrame(
+        [("a", "x y"), ("a", "x y"), ("b", "x y")],
+        "source string, text string",
+    )
+    out = {r.source: r for r in token_kl_divergence(df, "source", "text").collect()}
+    # both groups have the corpus distribution -> KL == 0 exactly
+    assert out["a"].kl_divergence == 0.0 and out["b"].kl_divergence == 0.0
+    assert out["a"].n_tokens == 4 and out["b"].n_tokens == 2
+
+
+def test_token_kl_divergence_matches_explicit_sum(spark):
+    from pyveb_spark.operators.text import token_kl_divergence
+
+    df = spark.createDataFrame(
+        [("a", "x x y"), ("b", "y z")],
+        "source string, text string",
+    )
+    out = {r.source: r for r in token_kl_divergence(df, "source", "text").collect()}
+    # explicit grid replay (V=3, alpha=1)
+    counts = {"a": {"x": 2, "y": 1, "z": 0}, "b": {"x": 0, "y": 1, "z": 1}}
+    corpus = {"x": 2, "y": 2, "z": 1}
+    n_all, v = 5, 3
+    for g, cs in counts.items():
+        n_g = sum(cs.values())
+        kl = sum(
+            ((cs[t] + 1) / (n_g + v))
+            * math.log(((cs[t] + 1) / (n_g + v)) / ((corpus[t] + 1) / (n_all + v)))
+            for t in corpus
+        )
+        assert out[g].kl_divergence == pytest.approx(round(kl, 4), abs=1e-4)
+
+
+def test_dp_noisy_counts_deterministic_and_seed_sensitive(spark):
+    from pyveb_spark.operators.profile import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(30)], "id int, g string"
+    )
+    a1 = {r.g: r for r in dp_noisy_counts(df, ["g"], epsilon=1.0, seed="s").collect()}
+    a2 = {r.g: r for r in dp_noisy_counts(df, ["g"], epsilon=1.0, seed="s").collect()}
+    b = {r.g: r for r in dp_noisy_counts(df, ["g"], epsilon=1.0, seed="t").collect()}
+    assert all(a1[g].noisy_count == a2[g].noisy_count for g in a1)  # reproducible
+    assert any(a1[g].noisy_count != b[g].noisy_count for g in a1)   # fresh seed
+    assert all(a1[g].exact_count == 10 for g in a1)
+    # tighter epsilon -> larger expected noise magnitude
+    tight = {r.g: r for r in dp_noisy_counts(df, ["g"], epsilon=0.1, seed="s").collect()}
+    # both releases are rounded to 4 decimals, so the 10x relation holds
+    # only up to the rounding grain (10*5e-5 + 5e-5)
+    assert all(
+        abs(tight[g].noisy_count - 10)
+        == pytest.approx(10 * abs(a1[g].noisy_count - 10), abs=6e-4)
+        for g in a1
+    )
+    with pytest.raises(ValueError, match="group col"):
+        dp_noisy_counts(df, [])
+
+
+def test_phrase_search_matches_scan(spark):
+    from pyveb_spark.operators.retrieval import build_ngram_index, phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "a quick brown dog"),
+            (3, "quick brown quick brown fox"),
+            (4, "nothing here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    hits = {r.doc_id: r.n_occurrences for r in phrase_search(df, "quick brown").collect()}
+    assert hits == {1: 1, 2: 1, 3: 2}
+    # word-boundary: no match inside tokens
+    assert phrase_search(df, "ick bro").count() == 0
+    # prebuilt-index path returns the same rows
+    idx = build_ngram_index(df, 2)
+    hits2 = {
+        r.doc_id: r.n_occurrences
+        for r in phrase_search(df, "quick brown", index=idx).collect()
+    }
+    assert hits2 == hits
