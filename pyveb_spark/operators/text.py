@@ -1176,3 +1176,147 @@ def token_kl_divergence(
             ),
         )
     )
+
+
+def source_diversity(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Lexical-diversity monitor per corpus partition: type-token ratio
+    (distinct/total unigrams — the classic templated-content detector:
+    spun/boilerplate sources score low) and bigram Shannon entropy in
+    nats (low entropy = repetitive phrasing even when the vocabulary is
+    wide; the corpus-level counterpart of the per-doc q81 repetition
+    stats). Returns ``(group, n_tokens, n_types, type_token_ratio,
+    bigram_entropy)``, floats rounded to 4 (module contract).
+
+    100 TB design: two aggregations, each keyed on (group, gram) with
+    map-side partials, re-aggregated per group — never a per-group
+    collect. The entropy uses the identity −Σ(c/N)·ln(c/N) =
+    ln(N) − Σ c·ln(c)/N so the per-group pass needs only Σc·ln(c) and N
+    (single-pass mergeable partials, the sketch discipline).
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.split(F.col(text_col), " ").alias("__t"),
+    )
+    uni = (
+        toks.select("grp", F.explode("__t").alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("grp", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("grp")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+    )
+    t = F.col("__t")
+    # index the VALID positions only — element_at past the end throws
+    # under ANSI semantics, even inside a later-filtered transform
+    bi_expr = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = (
+        toks.select("grp", F.explode(bi_expr).alias("bg"))
+        .groupBy("grp", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("grp")
+        .agg(
+            F.sum("c").alias("nb"),
+            F.sum(F.col("c") * F.log(F.col("c"))).alias("clogc"),
+        )
+        .select(
+            "grp",
+            F.round(
+                F.log(F.col("nb")) - F.col("clogc") / F.col("nb"), 4
+            ).alias("bigram_entropy"),
+        )
+    )
+    return (
+        uni.join(bi, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "n_types",
+            F.round(
+                F.col("n_types").cast("double") / F.col("n_tokens"), 4
+            ).alias("type_token_ratio"),
+            "bigram_entropy",
+        )
+    )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023, DSIR —
+    public literature): score every raw-corpus document by its unigram
+    log-likelihood ratio under a TARGET-domain language model vs the raw
+    corpus's own, ``log w(d) = Σ_tok [ln p_target(tok) − ln p_raw(tok)]``
+    with add-``alpha`` smoothing over the RAW corpus vocabulary
+    (out-of-vocab target mass follows the same smoothing; raw-corpus
+    tokens absent from the target get the smoothed floor). High scores =
+    documents that look like the target domain; resample the corpus by
+    these weights (``sampling.weighted_sample``) to match it. Returns
+    ``(<id>, n_tokens, log_weight)`` (round 4, float-sum contract).
+
+    100 TB design: both LMs are token-keyed count tables (one shuffle
+    each, map-side combined — the raw LM reuses the token explode);
+    per-doc scoring joins the doc's token stream to the broadcast
+    log-ratio table and sums per doc — one shuffle keyed on the doc id.
+    The ratio table is vocabulary-sized (tiny next to the corpus), which
+    is exactly why DSIR scales where neural scoring doesn't.
+    """
+    raw_toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    tgt_toks = (
+        target.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    raw_lm = raw_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt_lm = tgt_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_tgt"))
+    consts = raw_lm.agg(
+        F.sum("c_raw").alias("n_raw"), F.count(F.lit(1)).alias("v")
+    ).crossJoin(
+        tgt_lm.agg(F.coalesce(F.sum("c_tgt"), F.lit(0)).alias("n_tgt"))
+    ).first()
+    n_raw, v, n_tgt = (
+        float(consts["n_raw"]),
+        int(consts["v"]),
+        float(consts["n_tgt"]),
+    )
+    a = float(alpha)
+    ratio = (
+        raw_lm.join(tgt_lm, "tok", "left")
+        .select(
+            "tok",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_tgt"), F.lit(0)) + a)
+                    / F.lit(n_tgt + a * v)
+                )
+                - F.log((F.col("c_raw") + a) / F.lit(n_raw + a * v))
+            ).alias("log_ratio"),
+        )
+    )
+    return (
+        raw_toks.join(F.broadcast(ratio), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("log_ratio"), 4).alias("log_weight"),
+        )
+    )

@@ -216,6 +216,9 @@ QUERIES = {
     "q156_span_trim": q156_span_trim,
     "q157_dp_release": q157_dp_release,
     "q158_phrase_search": q158_phrase_search,
+    "q159_source_diversity": q159_source_diversity,
+    "q160_dsir_weights": q160_dsir_weights,
+    "q161_chat_sft_prep": q161_chat_sft_prep,
 }
 
 ORACLE_SQL = {
@@ -377,6 +380,9 @@ ORACLE_SQL = {
     "q156_span_trim": _Q156_SQL,
     "q157_dp_release": _Q157_SQL,
     "q158_phrase_search": _Q158_SQL,
+    "q159_source_diversity": _Q159_SQL,
+    "q160_dsir_weights": _Q160_SQL,
+    "q161_chat_sft_prep": _Q161_SQL,
 }
 
 # ---------------------------------------------------------------------------
@@ -468,6 +474,12 @@ _R5B_OUT = [
     "q109_trade_pagerank",
     "q135_image_dhash_dups",
     "q138_bpe_merges",
+    # second r5 wave: r04-certified, families keep in-window siblings
+    # (similarity keeps q19/q30; retrieval keeps q158; dedup keeps
+    # q16/q17/q28/q45/q156)
+    "q36_embedding_pairs",
+    "q44_bm25_search",
+    "q29_simhash",
 ]
 _R5B_IN = [
     "q154_c4_line_clean",
@@ -475,6 +487,9 @@ _R5B_IN = [
     "q156_span_trim",
     "q157_dp_release",
     "q158_phrase_search",
+    "q159_source_diversity",
+    "q160_dsir_weights",
+    "q161_chat_sft_prep",
 ]
 _ALL = list(QUERIES)
 _OUT = _ROTATED_OUT + _R5_OUT + _R5B_OUT

@@ -184,3 +184,77 @@ SELECT epoch_us(a.cohort) AS cohort_us,
 FROM active a JOIN sizes s ON a.cohort = s.cohort
 ORDER BY cohort_us, period_offset
 """
+
+
+def q161_chat_sft_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT conversation rendering with loss-mask offsets
+    (``chat.py::render_chat_turns``): events become synthetic
+    conversations (user_id = conversation; turns ordered by (ts,
+    event_id); odd turns 'user', even turns 'assistant'; content =
+    event_type), rendered as ``<|role|>content\\n`` with per-turn
+    half-open character spans and the assistant-only trainable mask —
+    the instruction-tuning prep shape. ONE window shuffle computes turn
+    index and offsets together; the oracle replays the identical window
+    arithmetic. First 8 turns of the first 20 conversations."""
+    from pyveb_spark.operators.chat import render_chat_turns
+
+    e = read_table(spark, sf_dir, "events")
+    turns = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("content"),
+    ).withColumn(
+        "role",
+        F.when(
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            )
+            % 2
+            == 1,
+            F.lit("user"),
+        ).otherwise(F.lit("assistant")),
+    )
+    out = render_chat_turns(
+        turns,
+        conv_col="user_id",
+        order_cols=["ts", "event_id"],
+        role_col="role",
+        content_col="content",
+    )
+    return (
+        out.where((F.col("user_id") < 20) & (F.col("turn_idx") <= 8))
+        .orderBy("user_id", "turn_idx")
+    )
+
+
+_Q161_SQL = """
+WITH turns AS (
+  SELECT user_id, ts, event_id, event_type AS content,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+),
+roled AS (
+  SELECT user_id, ts, event_id, content, rn,
+         CASE WHEN rn % 2 = 1 THEN 'user' ELSE 'assistant' END AS role
+  FROM turns
+),
+spans AS (
+  SELECT user_id, rn AS turn_idx, role,
+         COALESCE(SUM(length(role) + length(content) + 5)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS start_char,
+         length(role) + length(content) + 5 AS turn_len,
+         CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS is_trainable
+  FROM roled
+)
+SELECT user_id, turn_idx, role,
+       start_char::BIGINT AS start_char,
+       (start_char + turn_len)::BIGINT AS end_char,
+       is_trainable
+FROM spans
+WHERE user_id < 20 AND turn_idx <= 8
+ORDER BY user_id, turn_idx
+"""

@@ -994,3 +994,104 @@ SELECT COALESCE(i.doc_id, s.doc_id) AS doc_id,
 FROM idx i FULL OUTER JOIN scan s ON i.doc_id = s.doc_id
 ORDER BY doc_id
 """
+
+
+def q159_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity monitor (``text.py::source_diversity``): per
+    source, type-token ratio and bigram Shannon entropy in nats — the
+    corpus-level templated-content detector complementing per-doc
+    repetition stats (q81). Entropy uses the single-pass identity
+    ln(N) − Σ c·ln(c)/N (mergeable partials); the oracle sums
+    −(c/N)·ln(c/N) directly over the bigram table, certifying the
+    identity. Bottom 10 sources by entropy (most repetitive first)."""
+    from pyveb_spark.operators.text import source_diversity
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        source_diversity(d, "source", "text")
+        .orderBy("bigram_entropy", "source")
+        .limit(10)
+    )
+
+
+_Q159_SQL = """
+WITH toks AS (
+  SELECT source AS grp, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+toks2 AS (SELECT * FROM toks WHERE tok <> ''),
+uni AS (
+  SELECT grp, SUM(c)::BIGINT AS n_tokens, COUNT(*)::BIGINT AS n_types
+  FROM (SELECT grp, tok, COUNT(*) AS c FROM toks2 GROUP BY 1, 2)
+  GROUP BY grp
+),
+docs2 AS (SELECT source AS grp, string_split(text, ' ') AS t FROM documents),
+bigrams AS (
+  SELECT grp, t[i] || ' ' || t[i+1] AS bg
+  FROM docs2, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) s
+),
+bc AS (SELECT grp, bg, COUNT(*) AS c FROM bigrams GROUP BY 1, 2),
+ent AS (
+  SELECT grp,
+         ROUND(-SUM((c * 1.0 / nb) * ln(c * 1.0 / nb)), 4) AS bigram_entropy
+  FROM (SELECT grp, bg, c, SUM(c) OVER (PARTITION BY grp) AS nb FROM bc)
+  GROUP BY grp
+)
+SELECT u.grp AS source, n_tokens, n_types,
+       ROUND(n_types * 1.0 / n_tokens, 4) AS type_token_ratio,
+       bigram_entropy
+FROM uni u JOIN ent e ON u.grp = e.grp
+ORDER BY bigram_entropy, source LIMIT 10
+"""
+
+
+def q160_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (``text.py::dsir_importance_weights``, Xie
+    2023): score every non-src0 document by its unigram log-likelihood
+    ratio under the src0 target LM vs the raw-corpus LM (add-1 smoothing
+    over the raw vocabulary) — the importance-resampling scores that
+    re-balance a web corpus toward a target domain. The ratio table is
+    vocabulary-sized and broadcast; the oracle replays both LMs and the
+    per-doc sum exactly. Top 15 most-target-like docs (id tie-break)."""
+    from pyveb_spark.operators.text import dsir_importance_weights
+
+    d = read_table(spark, sf_dir, "documents")
+    raw = d.where(F.col("source") != "src0")
+    target = d.where(F.col("source") == "src0")
+    return (
+        dsir_importance_weights(raw, target, "doc_id", "text")
+        .orderBy(F.desc("log_weight"), "doc_id")
+        .limit(15)
+    )
+
+
+_Q160_SQL = """
+WITH raw_toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE source <> 'src0'
+),
+raw_toks2 AS (SELECT * FROM raw_toks WHERE tok <> ''),
+tgt_toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE source = 'src0'
+),
+tgt_toks2 AS (SELECT * FROM tgt_toks WHERE tok <> ''),
+raw_lm AS (SELECT tok, COUNT(*) AS c_raw FROM raw_toks2 GROUP BY 1),
+tgt_lm AS (SELECT tok, COUNT(*) AS c_tgt FROM tgt_toks2 GROUP BY 1),
+consts AS (
+  SELECT (SELECT SUM(c_raw) FROM raw_lm) AS n_raw,
+         (SELECT COUNT(*) FROM raw_lm) AS v,
+         (SELECT COALESCE(SUM(c_tgt), 0) FROM tgt_lm) AS n_tgt
+),
+ratio AS (
+  SELECT r.tok,
+         ln((COALESCE(t.c_tgt, 0) + 1.0) / (n_tgt + 1.0 * v))
+         - ln((r.c_raw + 1.0) / (n_raw + 1.0 * v)) AS log_ratio
+  FROM raw_lm r LEFT JOIN tgt_lm t USING (tok), consts
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+       ROUND(SUM(log_ratio), 4) AS log_weight
+FROM raw_toks2 JOIN ratio USING (tok)
+GROUP BY doc_id
+ORDER BY log_weight DESC, doc_id LIMIT 15
+"""

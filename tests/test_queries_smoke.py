@@ -63,7 +63,8 @@ def test_gate_window_composition():
         "q153_audio_fingerprint_dups",
         # round-5 new operators — least-soaked by definition
         "q154_c4_line_clean", "q155_source_kl_drift", "q156_span_trim",
-        "q157_dp_release", "q158_phrase_search",
+        "q157_dp_release", "q158_phrase_search", "q159_source_diversity",
+        "q160_dsir_weights", "q161_chat_sft_prep",
         # still-soaking representative kept for the timeseries family
         "q96_hourly_gap_fill",
     ]
@@ -77,6 +78,7 @@ def test_gate_window_composition():
         "q94_llm_data_pipeline", "q95_value_outliers",
         "q88_ivfpq_ann", "q92_profile_orders", "q109_trade_pagerank",
         "q135_image_dhash_dups", "q138_bpe_merges",
+        "q36_embedding_pairs", "q44_bm25_search", "q29_simhash",
     ]
     assert all(q in QUERIES for q in displaced)
     assert all(q not in window for q in displaced)

@@ -154,3 +154,69 @@ def test_phrase_search_matches_scan(spark):
         for r in phrase_search(df, "quick brown", index=idx).collect()
     }
     assert hits2 == hits
+
+
+def test_source_diversity_entropy_identity(spark):
+    import math
+
+    from pyveb_spark.operators.text import source_diversity
+
+    df = spark.createDataFrame(
+        [("a", "x y x y"), ("b", "p q r s")],
+        "source string, text string",
+    )
+    out = {r.source: r for r in source_diversity(df, "source", "text").collect()}
+    # a: tokens x,y,x,y -> 2 types / 4 tokens; bigrams: "x y","y x","x y"
+    assert out["a"].n_tokens == 4 and out["a"].n_types == 2
+    assert out["a"].type_token_ratio == 0.5
+    h = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+    assert out["a"].bigram_entropy == pytest.approx(round(h, 4), abs=1e-4)
+    # b: all distinct -> TTR 1.0, 3 equiprobable bigrams -> ln(3)
+    assert out["b"].type_token_ratio == 1.0
+    assert out["b"].bigram_entropy == pytest.approx(round(math.log(3), 4))
+    # single-token doc: no bigrams -> NULL entropy survives the left join
+    df1 = spark.createDataFrame([("c", "solo")], "source string, text string")
+    r = source_diversity(df1, "source", "text").first()
+    assert r.n_tokens == 1 and r.bigram_entropy is None
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from pyveb_spark.operators.text import dsir_importance_weights
+
+    raw = spark.createDataFrame(
+        [(1, "alpha alpha beta"), (2, "gamma delta gamma")],
+        "doc_id bigint, text string",
+    )
+    target = spark.createDataFrame(
+        [(10, "alpha alpha alpha beta")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in dsir_importance_weights(raw, target).collect()}
+    # doc 1 shares the target's vocabulary; doc 2 shares nothing
+    assert out[1].log_weight > out[2].log_weight
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 3
+
+
+def test_render_chat_turns_offsets_and_mask(spark):
+    from pyveb_spark.operators.chat import render_chat_turns
+
+    df = spark.createDataFrame(
+        [
+            (1, 2, "assistant", "hello there"),
+            (1, 1, "user", "hi"),
+            (1, 3, "user", "bye"),
+        ],
+        "conv bigint, seq int, role string, content string",
+    )
+    rows = sorted(
+        render_chat_turns(df, "conv", ["seq"], "role", "content").collect(),
+        key=lambda r: r.turn_idx,
+    )
+    # rendered: '<|user|>hi\n' (11) + '<|assistant|>hello there\n' (25) + ...
+    assert [r.start_char for r in rows] == [0, 11, 36]
+    assert [r.end_char for r in rows] == [11, 36, 48]
+    assert [r.is_trainable for r in rows] == [0, 1, 0]
+    # offsets match an actual rendering of the conversation
+    rendered = "<|user|>hi\n<|assistant|>hello there\n<|user|>bye\n"
+    for r in rows:
+        seg = rendered[r.start_char : r.end_char]
+        assert seg.startswith(f"<|{r.role}|>") and seg.endswith("\n")

@@ -110,7 +110,7 @@ def test_media_pipeline_fake_kernels(spark):
     assert abs(norm - 1.0) < 1e-5
 
     # non-BMP payload without a codec → guided error from the kernel
-    with pytest.raises(Exception, match="not BMP"):
+    with pytest.raises(Exception, match="neither BMP nor PGM"):
         decode_images(media).collect()
 
 
