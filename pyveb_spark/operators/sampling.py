@@ -307,3 +307,71 @@ def shard_assign(
         % F.lit(int(n_shards))
     )
     return df.withColumn(out_col, h.cast("int"))
+
+
+def curriculum_phases(
+    df: DataFrame,
+    score_col: str,
+    token_col: str,
+    n_phases: int = 4,
+) -> DataFrame:
+    """Curriculum schedule assembly: bucket the corpus into ``n_phases``
+    quality tiers (phase 1 = highest scores, trained first — the
+    data-curriculum recipe of filtering-then-annealing pipelines) and
+    emit the per-phase schedule ``(phase, n_docs, n_tokens, cum_tokens,
+    score_lo, score_hi)`` with cumulative token counts in training
+    order. Phase assignment is by NEAREST-RANK quantile of the score
+    distribution: docs sharing a (6-decimal-rounded) score always share
+    a phase, so the split is deterministic and engine-replayable — no
+    tie-splitting by row position.
+
+    100 TB design: one map-side-combined groupBy collapses the corpus
+    to its DISTINCT-SCORE table (bounded cardinality — scores are
+    rounded); the cumulative rank runs over that tiny table and
+    broadcast-joins back as a scan-stage phase stamp. No global sort of
+    the corpus, no single-partition window over data-sized input — the
+    classic NTILE formulation (global ordered window) is exactly what
+    this avoids.
+    """
+    if n_phases < 1:
+        raise ValueError("n_phases must be >= 1")
+    s = F.round(F.col(score_col), 6)
+    per_score = df.groupBy(s.alias("__s")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(token_col)).alias("__toks"),
+    )
+    w = Window.orderBy(F.desc("__s")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = per_score.agg(F.sum("__n").alias("__N")).first()["__N"]
+    phased = per_score.withColumn(
+        "phase",
+        F.least(
+            F.lit(int(n_phases)),
+            F.ceil(
+                F.sum("__n").over(w)
+                * F.lit(int(n_phases))
+                / F.lit(float(total))
+            ).cast("int"),
+        ),
+    )
+    sched = (
+        phased.groupBy("phase")
+        .agg(
+            F.sum("__n").alias("n_docs"),
+            F.sum("__toks").alias("n_tokens"),
+            F.min("__s").alias("score_lo"),
+            F.max("__s").alias("score_hi"),
+        )
+    )
+    wp = Window.orderBy("phase").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return sched.select(
+        "phase",
+        "n_docs",
+        "n_tokens",
+        F.sum("n_tokens").over(wp).alias("cum_tokens"),
+        "score_lo",
+        "score_hi",
+    )

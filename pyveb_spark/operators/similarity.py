@@ -48,6 +48,7 @@ __all__ = [
     "sq8_encode",
     "sq8_ann",
     "hard_negative_mining",
+    "ann_recall_audit",
 ]
 
 
@@ -1058,4 +1059,95 @@ def hard_negative_mining(
         joined.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(id_col, "neg_id", "neg_label", "cosine_sim", "rank")
+    )
+
+
+def ann_recall_audit(
+    df: DataFrame,
+    n_queries: int = 20,
+    k: int = 10,
+    n_planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k audit of the LSH ANN tier against the exact baseline — the
+    standard ANN-serving acceptance metric (what ann-benchmarks reports),
+    computed IN-ENGINE over a batch of query points: vectors with
+    ``id < n_queries`` play the query batch, the rest the corpus. Both
+    paths run in one plan: exact = broadcast query batch × corpus scan
+    with a per-query top-k heap; approx = both sides bucketed by the SAME
+    md5-derived hyperplanes (``lsh_bucket``), bucket-equijoined, exactly
+    rescored, same top-k. Both cuts use round(cosine, 6) + id (the q140
+    boundary discipline) so the audit is engine-replayable. Returns
+    ``(<id>, n_exact, n_approx, n_hits, recall)`` per query — recall =
+    |approx ∩ exact| / k; ``n_approx < k`` reveals under-filled buckets
+    (the plane-count/probe tuning signal), which a mean-only metric
+    hides.
+
+    100 TB design: the query batch broadcasts (it is batch-sized); the
+    exact side is one corpus scan + heap; the approx side's bucket join
+    is the partition-pruned serving shape measured at its real recall.
+    Auditing on a sampled batch per ingest is how the ANN tier's recall
+    is MONITORED at scale — assumed recall is how serving quietly rots.
+    """
+    queries = df.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qv")
+    )
+    corpus = df.where(F.col(id_col) >= n_queries).select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")
+    )
+    qv, cv = _as_double(F.col("__qv")), _as_double(F.col("__cv"))
+    sim = F.round(
+        _dot(qv, cv) / (F.sqrt(_dot(qv, qv)) * F.sqrt(_dot(cv, cv))), 6
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.desc("__sim"), F.asc("__cid")
+    )
+
+    def topk(joined: DataFrame) -> DataFrame:
+        return (
+            joined.withColumn("__sim", sim)
+            .withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k)
+            .select("__qid", "__cid")
+        )
+
+    exact = topk(corpus.join(F.broadcast(queries)))
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    cb = lsh_bucket(
+        corpus, dim, n_planes, vec_col="__cv", seed=seed, bucket_col="__b"
+    )
+    qb = lsh_bucket(
+        queries, dim, n_planes, vec_col="__qv", seed=seed, bucket_col="__b"
+    )
+    approx = topk(cb.join(F.broadcast(qb), "__b"))
+    # ONE full-outer join + ONE aggregation: consuming exact/approx once
+    # each keeps both candidate plans single-execution (two separate
+    # count aggregations would recompute the cross join and the bucket
+    # join a second time — measured in the physical plan)
+    pairs = exact.withColumn("__e", F.lit(1)).join(
+        approx.withColumn("__a", F.lit(1)),
+        ["__qid", "__cid"],
+        "full_outer",
+    )
+    return (
+        pairs.groupBy("__qid")
+        .agg(
+            F.sum(F.coalesce("__e", F.lit(0))).alias("n_exact"),
+            F.sum(F.coalesce("__a", F.lit(0))).alias("n_approx"),
+            F.sum(
+                F.when(
+                    F.col("__e").isNotNull() & F.col("__a").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("n_hits"),
+        )
+        .select(
+            F.col("__qid").alias(id_col),
+            "n_exact",
+            "n_approx",
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(float(k)), 4).alias("recall"),
+        )
     )

@@ -219,6 +219,8 @@ QUERIES = {
     "q159_source_diversity": q159_source_diversity,
     "q160_dsir_weights": q160_dsir_weights,
     "q161_chat_sft_prep": q161_chat_sft_prep,
+    "q162_ann_recall_audit": q162_ann_recall_audit,
+    "q163_curriculum_schedule": q163_curriculum_schedule,
 }
 
 ORACLE_SQL = {
@@ -383,6 +385,8 @@ ORACLE_SQL = {
     "q159_source_diversity": _Q159_SQL,
     "q160_dsir_weights": _Q160_SQL,
     "q161_chat_sft_prep": _Q161_SQL,
+    "q162_ann_recall_audit": _Q162_SQL,
+    "q163_curriculum_schedule": _Q163_SQL,
 }
 
 # ---------------------------------------------------------------------------
@@ -480,6 +484,10 @@ _R5B_OUT = [
     "q36_embedding_pairs",
     "q44_bm25_search",
     "q29_simhash",
+    # third r5 wave (ANN family keeps q19 + the q162 audit itself;
+    # sampling keeps q163)
+    "q30_lsh_ann",
+    "q42_hash_sample",
 ]
 _R5B_IN = [
     "q154_c4_line_clean",
@@ -490,6 +498,8 @@ _R5B_IN = [
     "q159_source_diversity",
     "q160_dsir_weights",
     "q161_chat_sft_prep",
+    "q162_ann_recall_audit",
+    "q163_curriculum_schedule",
 ]
 _ALL = list(QUERIES)
 _OUT = _ROTATED_OUT + _R5_OUT + _R5B_OUT

@@ -328,3 +328,64 @@ SELECT shard::INT AS shard,
              / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS doc_frac
 FROM s GROUP BY shard ORDER BY shard
 """
+
+
+def q163_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule assembly (``sampling.py::curriculum_phases``):
+    quality-score the corpus (the q27 linear blend), bucket into 4
+    nearest-rank quality tiers over the DISTINCT-score table (no global
+    sort, no data-sized window — docs sharing a rounded score share a
+    phase), and emit the training-order schedule with cumulative token
+    counts. The oracle replays the scoring, the descending cumulative
+    rank, and the phase aggregation."""
+    from pyveb_spark.operators.sampling import curriculum_phases
+    from pyveb_spark.operators.text import quality_score
+
+    d = read_table(spark, sf_dir, "documents")
+    scored = quality_score(d, "text").select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    return curriculum_phases(
+        scored, "quality_score", "n_tokens", n_phases=4
+    ).orderBy("phase")
+
+
+_Q163_SQL = """
+WITH stats AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stopwords,
+           len(list_distinct(string_split(text, ' '))) AS n_unique
+    FROM documents),
+scored AS (
+  SELECT doc_id, n_tokens,
+         ROUND(
+           least(n_tokens / 50.0, 1.0) * 0.4
+           + (CAST(n_unique AS DOUBLE) / n_tokens) * 0.4
+           + least((CAST(n_stopwords AS DOUBLE) / n_tokens) * 5.0, 1.0) * 0.2,
+         6) AS s
+  FROM stats),
+per_score AS (
+  SELECT s AS __s, COUNT(*) AS __n, SUM(n_tokens) AS __toks
+  FROM scored GROUP BY s),
+consts AS (SELECT SUM(__n) AS N FROM per_score),
+phased AS (
+  SELECT __s, __n, __toks,
+         LEAST(4, CEIL(SUM(__n) OVER (ORDER BY __s DESC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+                       * 4 / (SELECT N * 1.0 FROM consts))::INT) AS phase
+  FROM per_score),
+sched AS (
+  SELECT phase, SUM(__n)::BIGINT AS n_docs, SUM(__toks)::BIGINT AS n_tokens,
+         MIN(__s) AS score_lo, MAX(__s) AS score_hi
+  FROM phased GROUP BY phase)
+SELECT phase, n_docs, n_tokens,
+       SUM(n_tokens) OVER (ORDER BY phase
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)::BIGINT AS cum_tokens,
+       score_lo, score_hi
+FROM sched
+ORDER BY phase
+"""

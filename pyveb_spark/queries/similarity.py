@@ -718,3 +718,72 @@ SELECT vec_id, neg_id, neg_label, cosine_sim, rank::INT AS rank
 FROM ranked WHERE rank <= 3
 ORDER BY vec_id, rank
 """
+
+
+def q162_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 audit of the LSH ANN tier against the exact baseline
+    (``similarity.py::ann_recall_audit``) over a 20-point query batch —
+    the ann-benchmarks acceptance metric computed in-engine, per query
+    point (under-filled buckets show as n_approx < 10, which a mean-only
+    recall hides). Both paths cut on round(cosine, 6) + id, and the
+    oracle replays the md5-derived hyperplanes, both joins, and both
+    heaps end-to-end."""
+    from pyveb_spark.operators.similarity import ann_recall_audit
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return ann_recall_audit(
+        e, n_queries=20, k=10, n_planes=6, seed=42
+    ).orderBy("vec_id")
+
+
+_Q162_SQL = """
+WITH scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         ROUND(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+               6) AS sim
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id < 20 AND c.vec_id >= 20
+),
+exact AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+    FROM scored
+  ) WHERE rk <= 10
+),
+vecd AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                unnest(embedding::DOUBLE[]) AS v
+         FROM embeddings),
+bits AS (SELECT vec_id, j,
+                CASE WHEN SUM(v * (CASE WHEN (('0x' || substr(md5('plane|42|' || j || '|' || d), 1, 12))::BIGINT % 2) = 1
+                                        THEN 1.0 ELSE -1.0 END)) >= 0
+                     THEN 1 ELSE 0 END AS bit
+         FROM vecd CROSS JOIN (SELECT unnest(range(0, 6)) AS j) jj
+         GROUP BY vec_id, j),
+bkt AS (SELECT vec_id, CAST(SUM(bit * (1::BIGINT << j)) AS BIGINT) AS bucket
+        FROM bits GROUP BY vec_id),
+approx AS (
+  SELECT qid, cid FROM (
+    SELECT s.qid, s.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY s.sim DESC, s.cid) AS rk
+    FROM scored s
+    JOIN bkt bq ON bq.vec_id = s.qid
+    JOIN bkt bc ON bc.vec_id = s.cid
+    WHERE bq.bucket = bc.bucket
+  ) WHERE rk <= 10
+),
+n_e AS (SELECT qid, COUNT(*) AS n_exact FROM exact GROUP BY qid),
+n_a AS (SELECT qid, COUNT(*) AS n_approx FROM approx GROUP BY qid),
+hits AS (SELECT e.qid, COUNT(*) AS n_hits
+         FROM exact e JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
+         GROUP BY e.qid)
+SELECT n_e.qid AS vec_id,
+       n_exact::BIGINT AS n_exact,
+       COALESCE(n_approx, 0)::BIGINT AS n_approx,
+       COALESCE(n_hits, 0)::BIGINT AS n_hits,
+       ROUND(COALESCE(n_hits, 0) / 10.0, 4) AS recall
+FROM n_e LEFT JOIN n_a USING (qid) LEFT JOIN hits USING (qid)
+ORDER BY vec_id
+"""

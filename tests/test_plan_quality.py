@@ -694,3 +694,15 @@ def test_q158_phrase_probe_is_constant_folded_literal(spark, sf_dir):
     agg_pos = optimized.index("Aggregate")
     filt_pos = optimized.index(str(probe))
     assert filt_pos > agg_pos  # deeper in the tree = later in the string
+
+
+def test_q162_recall_audit_join_shapes(spark, sf_dir):
+    """The audit's exact side is ONE deliberate broadcast cross (query
+    batch x corpus); the approx side must be an EQUI join on the bucket
+    — a second nested-loop would mean the LSH path degenerated to brute
+    force."""
+    df = QUERIES["q162_ann_recall_audit"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -65,6 +65,7 @@ def test_gate_window_composition():
         "q154_c4_line_clean", "q155_source_kl_drift", "q156_span_trim",
         "q157_dp_release", "q158_phrase_search", "q159_source_diversity",
         "q160_dsir_weights", "q161_chat_sft_prep",
+        "q162_ann_recall_audit", "q163_curriculum_schedule",
         # still-soaking representative kept for the timeseries family
         "q96_hourly_gap_fill",
     ]
@@ -79,6 +80,7 @@ def test_gate_window_composition():
         "q88_ivfpq_ann", "q92_profile_orders", "q109_trade_pagerank",
         "q135_image_dhash_dups", "q138_bpe_merges",
         "q36_embedding_pairs", "q44_bm25_search", "q29_simhash",
+        "q30_lsh_ann", "q42_hash_sample",
     ]
     assert all(q in QUERIES for q in displaced)
     assert all(q not in window for q in displaced)

@@ -220,3 +220,53 @@ def test_render_chat_turns_offsets_and_mask(spark):
     for r in rows:
         seg = rendered[r.start_char : r.end_char]
         assert seg.startswith(f"<|{r.role}|>") and seg.endswith("\n")
+
+
+def test_ann_recall_audit_perfect_when_one_bucket(spark):
+    from pyveb_spark.operators.similarity import ann_recall_audit
+
+    # clustered vectors: with 0 planes... use 1 plane; all vectors on the
+    # same side of the hyperplane end up in one bucket -> recall 1.0
+    vecs = [(i, [1.0 + 0.01 * i, 0.5]) for i in range(8)]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+    out = {r.vec_id: r for r in ann_recall_audit(
+        df, n_queries=2, k=3, n_planes=1, seed=42
+    ).collect()}
+    assert set(out) == {0, 1}
+    for r in out.values():
+        assert r.n_exact == 3
+        # same-direction vectors share the single bucket's sign bit
+        if r.n_approx == 3:
+            assert r.n_hits == 3 and r.recall == 1.0
+    # recall is bounded by hits/k even when the bucket is under-filled
+    assert all(0.0 <= r.recall <= 1.0 for r in out.values())
+
+
+def test_curriculum_phases_schedule_invariants(spark):
+    from pyveb_spark.operators.sampling import curriculum_phases
+
+    df = spark.createDataFrame(
+        [(i, 10 + i, float(i)) for i in range(100)],
+        "doc_id bigint, n_tokens int, score double",
+    )
+    sched = sorted(
+        curriculum_phases(df, "score", "n_tokens", n_phases=4).collect(),
+        key=lambda r: r.phase,
+    )
+    assert [r.phase for r in sched] == [1, 2, 3, 4]
+    assert sum(r.n_docs for r in sched) == 100
+    # phase 1 = HIGHEST scores (trained first)
+    assert sched[0].score_lo > sched[3].score_hi
+    # cumulative tokens are monotone and end at the corpus total
+    cums = [r.cum_tokens for r in sched]
+    assert cums == sorted(cums)
+    assert cums[-1] == sum(r.n_tokens for r in sched)
+    # ties share a phase: constant scores -> everything lands in phase 4
+    tied = spark.createDataFrame(
+        [(i, 5, 1.0) for i in range(10)],
+        "doc_id bigint, n_tokens int, score double",
+    )
+    one = curriculum_phases(tied, "score", "n_tokens", n_phases=4).collect()
+    assert len(one) == 1 and one[0].phase == 4 and one[0].n_docs == 10
+    with pytest.raises(ValueError, match="n_phases"):
+        curriculum_phases(df, "score", "n_tokens", n_phases=0)
