@@ -221,6 +221,7 @@ QUERIES = {
     "q161_chat_sft_prep": q161_chat_sft_prep,
     "q162_ann_recall_audit": q162_ann_recall_audit,
     "q163_curriculum_schedule": q163_curriculum_schedule,
+    "q164_stream_admission": q164_stream_admission,
 }
 
 ORACLE_SQL = {
@@ -387,6 +388,7 @@ ORACLE_SQL = {
     "q161_chat_sft_prep": _Q161_SQL,
     "q162_ann_recall_audit": _Q162_SQL,
     "q163_curriculum_schedule": _Q163_SQL,
+    "q164_stream_admission": _Q164_SQL,
 }
 
 # ---------------------------------------------------------------------------
@@ -488,6 +490,8 @@ _R5B_OUT = [
     # sampling keeps q163)
     "q30_lsh_ann",
     "q42_hash_sample",
+    # streaming family keeps q26/q31/q46/q47 + the new q164 head
+    "q15_tumbling_window",
 ]
 _R5B_IN = [
     "q154_c4_line_clean",
@@ -500,6 +504,7 @@ _R5B_IN = [
     "q161_chat_sft_prep",
     "q162_ann_recall_audit",
     "q163_curriculum_schedule",
+    "q164_stream_admission",
 ]
 _ALL = list(QUERIES)
 _OUT = _ROTATED_OUT + _R5_OUT + _R5B_OUT

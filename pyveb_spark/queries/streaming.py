@@ -636,3 +636,87 @@ FROM starts
 GROUP BY ws, event_type
 ORDER BY window_start_us, event_type
 """
+
+
+def q164_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING corpus admission: the documents table replayed as a file
+    stream through the Gopher quality gates
+    (``text.py::gopher_quality_filter`` — pure scan-stage expressions,
+    which is exactly what makes them legal in a streaming plan with no
+    watermark), aggregated per (source, keep) in complete mode. The
+    streaming-vs-batch equivalence IS the point: stateless admission
+    gates must produce identical counts whether the corpus arrives as a
+    drop or a stream, and the oracle is the batch replay. Returns
+    ``(source, n_admitted, n_rejected)``."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyveb_spark.operators.text import gopher_quality_filter
+    from pyveb_spark.streaming.stream import (
+        read_file_stream,
+        run_available_now,
+    )
+
+    src = read_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="q164_")
+    drops = os.path.join(tmp, "drops")
+    src.repartition(2).write.mode("overwrite").parquet(drops)
+    stream = read_file_stream(spark, drops, src.schema)
+    gated = gopher_quality_filter(stream, min_words=30)
+    counts = gated.groupBy("source").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_admitted"),
+        F.sum((~F.col("keep")).cast("int")).alias("n_rejected"),
+    )
+    name = f"q164_{uuid.uuid4().hex[:8]}"
+    q = run_available_now(
+        counts,
+        os.path.join(tmp, "ck"),
+        output_mode="complete",
+        fmt="memory",
+        query_name=name,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q164 streaming admission did not finish")
+    import shutil
+
+    out = (
+        spark.table(name)
+        .select("source", "n_admitted", "n_rejected")
+        .orderBy("source")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+_Q164_SQL = """
+WITH t AS (
+  SELECT source,
+         list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents),
+s AS (
+  SELECT source,
+         len(toks) AS n_words,
+         CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+           / len(toks) AS mean_len,
+         CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+              AS DOUBLE) / len(toks) AS alpha_frac,
+         len(list_filter(toks, w -> list_contains(
+             ['the','a','of','and','to','in','is','it'], lower(w))))
+           AS n_stop
+  FROM t),
+gated AS (
+  SELECT source,
+         ((n_words >= 30 AND n_words <= 100000)
+          AND (mean_len >= 3.0 AND mean_len <= 10.0)
+          AND (alpha_frac >= 0.8) AND (n_stop >= 2)) AS keep
+  FROM s)
+SELECT source,
+       SUM(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_admitted,
+       SUM(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_rejected
+FROM gated
+GROUP BY source
+ORDER BY source
+"""

@@ -66,6 +66,7 @@ def test_gate_window_composition():
         "q157_dp_release", "q158_phrase_search", "q159_source_diversity",
         "q160_dsir_weights", "q161_chat_sft_prep",
         "q162_ann_recall_audit", "q163_curriculum_schedule",
+        "q164_stream_admission",
         # still-soaking representative kept for the timeseries family
         "q96_hourly_gap_fill",
     ]
@@ -80,7 +81,7 @@ def test_gate_window_composition():
         "q88_ivfpq_ann", "q92_profile_orders", "q109_trade_pagerank",
         "q135_image_dhash_dups", "q138_bpe_merges",
         "q36_embedding_pairs", "q44_bm25_search", "q29_simhash",
-        "q30_lsh_ann", "q42_hash_sample",
+        "q30_lsh_ann", "q42_hash_sample", "q15_tumbling_window",
     ]
     assert all(q in QUERIES for q in displaced)
     assert all(q not in window for q in displaced)
