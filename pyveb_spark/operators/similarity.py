@@ -49,6 +49,7 @@ __all__ = [
     "sq8_ann",
     "hard_negative_mining",
     "ann_recall_audit",
+    "lsh_cosine_lookup",
 ]
 
 
@@ -1150,4 +1151,65 @@ def ann_recall_audit(
             "n_hits",
             F.round(F.col("n_hits") / F.lit(float(k)), 4).alias("recall"),
         )
+    )
+
+
+def lsh_cosine_lookup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    n_planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental EMBEDDING near-dup admission — the vector twin of
+    ``dedup.minhash_lsh_lookup``: check a new batch against the corpus
+    through the LSH bucket structure instead of re-running all-pairs.
+    Both sides hash with the same md5-derived hyperplanes
+    (``lsh_bucket``); candidates come from the bucket equijoin and are
+    exactly rescored, keeping pairs with ``round(cosine, 4) ≥
+    threshold`` (the q36/q62 compare discipline). Returns
+    ``(<id>_new, <id>_corpus, cosine_sim)``.
+
+    Pass the persisted/bucketed corpus index as ``index`` (a frame
+    already carrying ``lsh_bucket``) in production so admission cost
+    scales with the BATCH; the default buckets ``corpus`` on the fly.
+    Recall follows the single-probe LSH curve — tune n_planes/probes
+    against q162's recall audit, which is the monitoring loop for
+    exactly this path.
+
+    100 TB design: with the index bucketed on disk the lookup is a
+    bucket-pruned join touching ~|batch|·E[bucket] rows; no corpus
+    scan, no cross join. The 48-bit plane construction is portable, so
+    the whole admission decision replays under the SQL oracle.
+    """
+    a_id, b_id = f"{id_col}_new", f"{id_col}_corpus"
+    dim_row = batch.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    if index is None:
+        index = lsh_bucket(
+            corpus, dim, n_planes, vec_col=vec_col, seed=seed,
+            bucket_col="__b",
+        )
+    elif "__b" not in index.columns:
+        raise ValueError("index must carry the '__b' bucket column")
+    qb = lsh_bucket(
+        batch, dim, n_planes, vec_col=vec_col, seed=seed, bucket_col="__b"
+    )
+    a = qb.select(
+        F.col(id_col).alias(a_id), F.col(vec_col).alias("__av"), "__b"
+    )
+    b = index.select(
+        F.col(id_col).alias(b_id), F.col(vec_col).alias("__bv"), "__b"
+    )
+    av, bv = _as_double(F.col("__av")), _as_double(F.col("__bv"))
+    cos = _dot(av, bv) / (F.sqrt(_dot(av, av)) * F.sqrt(_dot(bv, bv)))
+    return (
+        a.join(b, "__b")
+        .where(F.col(a_id) != F.col(b_id))
+        .withColumn("cosine_sim", F.round(cos, 4))
+        .where(F.col("cosine_sim") >= F.lit(float(threshold)))
+        .select(a_id, b_id, "cosine_sim")
     )

@@ -222,6 +222,7 @@ QUERIES = {
     "q162_ann_recall_audit": q162_ann_recall_audit,
     "q163_curriculum_schedule": q163_curriculum_schedule,
     "q164_stream_admission": q164_stream_admission,
+    "q165_incremental_embedding_dedup": q165_incremental_embedding_dedup,
 }
 
 ORACLE_SQL = {
@@ -389,6 +390,7 @@ ORACLE_SQL = {
     "q162_ann_recall_audit": _Q162_SQL,
     "q163_curriculum_schedule": _Q163_SQL,
     "q164_stream_admission": _Q164_SQL,
+    "q165_incremental_embedding_dedup": _Q165_SQL,
 }
 
 # ---------------------------------------------------------------------------
@@ -492,6 +494,9 @@ _R5B_OUT = [
     "q42_hash_sample",
     # streaming family keeps q26/q31/q46/q47 + the new q164 head
     "q15_tumbling_window",
+    # ANN family keeps q162 + q165 (the exact kNN baseline lives inside
+    # the q162 audit)
+    "q19_knn_cosine",
 ]
 _R5B_IN = [
     "q154_c4_line_clean",
@@ -505,6 +510,7 @@ _R5B_IN = [
     "q162_ann_recall_audit",
     "q163_curriculum_schedule",
     "q164_stream_admission",
+    "q165_incremental_embedding_dedup",
 ]
 _ALL = list(QUERIES)
 _OUT = _ROTATED_OUT + _R5_OUT + _R5B_OUT

@@ -787,3 +787,53 @@ SELECT n_e.qid AS vec_id,
 FROM n_e LEFT JOIN n_a USING (qid) LEFT JOIN hits USING (qid)
 ORDER BY vec_id
 """
+
+
+def q165_incremental_embedding_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental embedding-dedup admission
+    (``similarity.py::lsh_cosine_lookup``) — the vector twin of q45:
+    a new batch (vec_id < 20) checked against the LSH-bucketed corpus
+    (vec_id ≥ 20) instead of re-running all-pairs; candidates from the
+    bucket equijoin, exact rescoring, round(cosine,4) ≥ 0.3 (the q36
+    compare at the looser admission threshold this fixture's
+    cluster-noise geometry needs). The oracle replays the md5-derived hyperplanes, the
+    bucket join, and the threshold bit-for-bit; q162 is the recall
+    monitor for this exact serving path."""
+    from pyveb_spark.operators.similarity import lsh_cosine_lookup
+
+    e = read_table(spark, sf_dir, "embeddings")
+    batch = e.where(F.col("vec_id") < 20)
+    corpus = e.where(F.col("vec_id") >= 20)
+    return lsh_cosine_lookup(
+        batch, corpus, threshold=0.3, n_planes=6, seed=42
+    ).orderBy("vec_id_new", "vec_id_corpus")
+
+
+_Q165_SQL = """
+WITH vecd AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                     unnest(embedding::DOUBLE[]) AS v
+              FROM embeddings),
+bits AS (SELECT vec_id, j,
+                CASE WHEN SUM(v * (CASE WHEN (('0x' || substr(md5('plane|42|' || j || '|' || d), 1, 12))::BIGINT % 2) = 1
+                                        THEN 1.0 ELSE -1.0 END)) >= 0
+                     THEN 1 ELSE 0 END AS bit
+         FROM vecd CROSS JOIN (SELECT unnest(range(0, 6)) AS j) jj
+         GROUP BY vec_id, j),
+bkt AS (SELECT vec_id, CAST(SUM(bit * (1::BIGINT << j)) AS BIGINT) AS bucket
+        FROM bits GROUP BY vec_id),
+scored AS (
+  SELECT a.vec_id AS vec_id_new, b.vec_id AS vec_id_corpus,
+         ROUND(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))),
+               4) AS cosine_sim
+  FROM bkt a JOIN bkt b ON a.bucket = b.bucket
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE a.vec_id < 20 AND b.vec_id >= 20)
+SELECT * FROM scored
+WHERE cosine_sim >= 0.3
+ORDER BY vec_id_new, vec_id_corpus
+"""

@@ -270,3 +270,23 @@ def test_curriculum_phases_schedule_invariants(spark):
     assert len(one) == 1 and one[0].phase == 4 and one[0].n_docs == 10
     with pytest.raises(ValueError, match="n_phases"):
         curriculum_phases(df, "score", "n_tokens", n_phases=0)
+
+
+def test_lsh_cosine_lookup_index_path_and_threshold(spark):
+    from pyveb_spark.operators.similarity import lsh_bucket, lsh_cosine_lookup
+
+    vecs = [(i, [1.0, 0.01 * i]) for i in range(6)] + [(99, [-1.0, 0.5])]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+    batch = df.where(F.col("vec_id") < 2)
+    corpus = df.where(F.col("vec_id") >= 2)
+    out = lsh_cosine_lookup(batch, corpus, threshold=0.9, n_planes=2).collect()
+    pairs = {(r.vec_id_new, r.vec_id_corpus) for r in out}
+    # near-parallel vectors match; the opposite-direction vec 99 never does
+    assert all(b >= 2 and b != 99 for _, b in pairs) and pairs
+    assert all(r.cosine_sim >= 0.9 for r in out)
+    # prebuilt-index path: same result, and a bucket-less index raises
+    idx = lsh_bucket(corpus, 2, 2, bucket_col="__b")
+    out2 = lsh_cosine_lookup(batch, corpus, threshold=0.9, n_planes=2, index=idx)
+    assert {(r.vec_id_new, r.vec_id_corpus) for r in out2.collect()} == pairs
+    with pytest.raises(ValueError, match="bucket column"):
+        lsh_cosine_lookup(batch, corpus, index=corpus)
