@@ -223,6 +223,7 @@ QUERIES = {
     "q163_curriculum_schedule": q163_curriculum_schedule,
     "q164_stream_admission": q164_stream_admission,
     "q165_incremental_embedding_dedup": q165_incremental_embedding_dedup,
+    "q166_tokenizer_fertility": q166_tokenizer_fertility,
 }
 
 ORACLE_SQL = {
@@ -391,6 +392,7 @@ ORACLE_SQL = {
     "q163_curriculum_schedule": _Q163_SQL,
     "q164_stream_admission": _Q164_SQL,
     "q165_incremental_embedding_dedup": _Q165_SQL,
+    "q166_tokenizer_fertility": _q166_sql(),
 }
 
 # ---------------------------------------------------------------------------
@@ -497,6 +499,8 @@ _R5B_OUT = [
     # ANN family keeps q162 + q165 (the exact kNN baseline lives inside
     # the q162 audit)
     "q19_knn_cosine",
+    # sketches family keeps in-window q151 (Bloom-pruned join)
+    "q50_hll_rollup",
 ]
 _R5B_IN = [
     "q154_c4_line_clean",
@@ -511,6 +515,7 @@ _R5B_IN = [
     "q163_curriculum_schedule",
     "q164_stream_admission",
     "q165_incremental_embedding_dedup",
+    "q166_tokenizer_fertility",
 ]
 _ALL = list(QUERIES)
 _OUT = _ROTATED_OUT + _R5_OUT + _R5B_OUT

@@ -1095,3 +1095,74 @@ FROM raw_toks2 JOIN ratio USING (tok)
 GROUP BY doc_id
 ORDER BY log_weight DESC, doc_id LIMIT 15
 """
+
+
+def q166_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit by language: after the q144 train→apply
+    round trip, the per-language subword fertility (BPE tokens per word)
+    and compression (characters per BPE token) — the metric that decides
+    whether a tokenizer under-serves a language (high fertility = more
+    sequence length spent per word; the multilingual-tokenizer fairness
+    check). Pure composition: ``bpe_train`` → ``bpe_apply`` →
+    language-keyed aggregate; the oracle replays the entire train→apply
+    pipeline and the same ratios."""
+    from pyveb_spark.operators.text import bpe_apply, bpe_train
+
+    d = read_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(d, text_col="text", num_merges=6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    enc = bpe_apply(d, merges, text_col="text")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    per_doc = enc.select(
+        "lang",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.size("bpe_tokens").cast("bigint").alias("n_bpe"),
+        chars.cast("bigint").alias("n_chars"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe").cast("double") / F.sum("n_words"), 4
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_bpe"), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q166_sql(num_merges: int = 6) -> str:
+    base = _q144_sql(num_merges)
+    final = base[base.rindex("SELECT doc_id, COUNT(*)::BIGINT") :]
+    ctes = base[: base.rindex("SELECT doc_id, COUNT(*)::BIGINT")]
+    assert final  # structure pinned by the rindex above
+    return (
+        ctes
+        + """,
+per_doc AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+         SUM(len(string_split_regex(trim(s), '\\s+')))::BIGINT AS n_bpe,
+         SUM(length(replace(trim(s), ' ', '')))::BIGINT AS n_chars
+  FROM e6
+  GROUP BY doc_id)
+SELECT d.lang,
+       SUM(p.n_words)::BIGINT AS n_words,
+       SUM(p.n_bpe)::BIGINT AS n_bpe_tokens,
+       ROUND(SUM(p.n_bpe) * 1.0 / SUM(p.n_words), 4) AS fertility,
+       ROUND(SUM(p.n_chars) * 1.0 / SUM(p.n_bpe), 4) AS chars_per_token
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+    )

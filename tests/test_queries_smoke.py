@@ -67,6 +67,7 @@ def test_gate_window_composition():
         "q160_dsir_weights", "q161_chat_sft_prep",
         "q162_ann_recall_audit", "q163_curriculum_schedule",
         "q164_stream_admission", "q165_incremental_embedding_dedup",
+        "q166_tokenizer_fertility",
         # still-soaking representative kept for the timeseries family
         "q96_hourly_gap_fill",
     ]
@@ -82,7 +83,7 @@ def test_gate_window_composition():
         "q135_image_dhash_dups", "q138_bpe_merges",
         "q36_embedding_pairs", "q44_bm25_search", "q29_simhash",
         "q30_lsh_ann", "q42_hash_sample", "q15_tumbling_window",
-        "q19_knn_cosine",
+        "q19_knn_cosine", "q50_hll_rollup",
     ]
     assert all(q in QUERIES for q in displaced)
     assert all(q not in window for q in displaced)
