@@ -344,6 +344,12 @@ def curriculum_phases(
         Window.unboundedPreceding, Window.currentRow
     )
     total = per_score.agg(F.sum("__n").alias("__N")).first()["__N"]
+    if total is None:  # empty input -> empty schedule, not a crash
+        return df.sparkSession.createDataFrame(
+            [],
+            "phase int, n_docs bigint, n_tokens bigint, "
+            "cum_tokens bigint, score_lo double, score_hi double",
+        )
     phased = per_score.withColumn(
         "phase",
         F.least(

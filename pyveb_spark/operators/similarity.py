@@ -1116,6 +1116,12 @@ def ann_recall_audit(
 
     exact = topk(corpus.join(F.broadcast(queries)))
     dim_row = df.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:  # empty table -> empty audit, not a crash
+        return df.sparkSession.createDataFrame(
+            [],
+            f"{id_col} bigint, n_exact bigint, n_approx bigint, "
+            "n_hits bigint, recall double",
+        )
     dim = int(dim_row["d"])
     cb = lsh_bucket(
         corpus, dim, n_planes, vec_col="__cv", seed=seed, bucket_col="__b"
@@ -1187,6 +1193,10 @@ def lsh_cosine_lookup(
     """
     a_id, b_id = f"{id_col}_new", f"{id_col}_corpus"
     dim_row = batch.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:  # empty batch -> no candidates, not a crash
+        return batch.sparkSession.createDataFrame(
+            [], f"{a_id} bigint, {b_id} bigint, cosine_sim double"
+        )
     dim = int(dim_row["d"])
     if index is None:
         index = lsh_bucket(

@@ -290,3 +290,26 @@ def test_lsh_cosine_lookup_index_path_and_threshold(spark):
     assert {(r.vec_id_new, r.vec_id_corpus) for r in out2.collect()} == pairs
     with pytest.raises(ValueError, match="bucket column"):
         lsh_cosine_lookup(batch, corpus, index=corpus)
+
+
+def test_r5_operators_empty_inputs_no_crash(spark):
+    """Empty inputs return empty results (never a driver None-crash) —
+    the winsorize/expectations lesson applied to the round-5 operators."""
+    from pyveb_spark.operators.sampling import curriculum_phases
+    from pyveb_spark.operators.similarity import (
+        ann_recall_audit,
+        lsh_cosine_lookup,
+    )
+
+    empty_scored = spark.createDataFrame(
+        [], "doc_id bigint, n_tokens int, score double"
+    )
+    assert curriculum_phases(empty_scored, "score", "n_tokens").count() == 0
+    empty_vecs = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>"
+    )
+    corpus = spark.createDataFrame(
+        [(5, [1.0, 0.0])], "vec_id bigint, embedding array<float>"
+    )
+    assert lsh_cosine_lookup(empty_vecs, corpus).count() == 0
+    assert ann_recall_audit(empty_vecs).count() == 0
