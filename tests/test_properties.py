@@ -430,3 +430,125 @@ def test_shard_assign_partitioning_invariant(spark, n, shards, parts):
         ).collect()
     }
     assert a == b
+
+
+_words = st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h", "w"])
+_texts = st.lists(
+    st.lists(_words, min_size=1, max_size=14).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_texts)
+def test_trim_duplicate_spans_conservation_and_canonical(spark, texts):
+    """Token conservation (kept + removed == total per doc), the
+    canonical min-id doc of any duplicated window keeps it, and the
+    rewritten text is always a subsequence of the original."""
+    from pyveb_spark.operators.dedup import trim_duplicate_spans
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in trim_duplicate_spans(
+        df, "doc_id", "text", window=3
+    ).collect()}
+    assert set(out) == set(range(len(texts)))
+    for i, text in enumerate(texts):
+        toks = text.split(" ")
+        r = out[i]
+        kept = r.text_clean.split(" ") if r.text_clean else []
+        assert r.n_tokens == len(toks)
+        assert r.n_tokens - r.n_removed == len(kept)
+        # subsequence check
+        it = iter(toks)
+        assert all(any(k == t for t in it) for k in kept)
+    # the minimum doc id never loses tokens to a window IT owns: doc 0
+    # can only lose tokens if a lower... doc 0 IS the minimum, so any
+    # window it shares is owned by it -> n_removed == 0 for doc 0
+    assert out[0].n_removed == 0
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    scores=st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=30,
+    ),
+    n_phases=st.integers(min_value=1, max_value=5),
+)
+def test_curriculum_phases_partition_properties(spark, scores, n_phases):
+    """Schedules partition the corpus exactly: doc/token totals conserved,
+    phases ordered by strictly descending score ranges, cumulative sums
+    monotone."""
+    from pyveb_spark.operators.sampling import curriculum_phases
+
+    rows = [(i, 10, float(s)) for i, s in enumerate(scores)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens int, score double")
+    sched = sorted(
+        curriculum_phases(df, "score", "n_tokens", n_phases=n_phases).collect(),
+        key=lambda r: r.phase,
+    )
+    assert sum(r.n_docs for r in sched) == len(scores)
+    assert sum(r.n_tokens for r in sched) == 10 * len(scores)
+    for a, b in zip(sched, sched[1:]):
+        assert a.score_lo > b.score_hi  # disjoint, descending ranges
+    assert sched[-1].cum_tokens == 10 * len(scores)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    convs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.sampled_from(["hi", "yo", "long reply here", ""]),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_render_chat_turns_span_tiling(spark, convs):
+    """Per conversation, turn spans tile [0, total) exactly: contiguous,
+    non-overlapping, in turn order, each of the rendered length."""
+    from pyveb_spark.operators.chat import render_chat_turns
+
+    rows = [
+        (conv, i, "user" if i % 2 == 0 else "assistant", content)
+        for i, (conv, content) in enumerate(convs)
+    ]
+    df = spark.createDataFrame(rows, "conv int, seq int, role string, content string")
+    out = render_chat_turns(df, "conv", ["seq"], "role", "content").collect()
+    by_conv: dict[int, list] = {}
+    for r in out:
+        by_conv.setdefault(r.conv, []).append(r)
+    rendered = {
+        (cv, i): f"<|{ro}|>{c}\n" for (cv, i, ro, c) in rows
+    }
+    for conv, turns in by_conv.items():
+        turns.sort(key=lambda r: r.turn_idx)
+        conv_turns = sorted(
+            (i for (cv, i) in rendered if cv == conv)
+        )
+        pos = 0
+        for t, seq in zip(turns, conv_turns, strict=True):
+            assert t.start_char == pos
+            assert t.end_char - t.start_char == len(rendered[(conv, seq)])
+            pos = t.end_char
+        # spans tile [0, total rendering length) exactly
+        assert pos == sum(
+            len(rendered[(conv, i)]) for i in conv_turns
+        )
