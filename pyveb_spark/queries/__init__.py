@@ -485,8 +485,9 @@ _R5B_OUT = [
     "q135_image_dhash_dups",
     "q138_bpe_merges",
     # second r5 wave: r04-certified, families keep in-window siblings
-    # (similarity keeps q19/q30; retrieval keeps q158; dedup keeps
-    # q16/q17/q28/q45/q156)
+    # (retrieval keeps q158; dedup keeps q16/q17/q28/q45/q156; the
+    # similarity slots pass to the q162 audit + q165 lookup in the
+    # later waves below)
     "q36_embedding_pairs",
     "q44_bm25_search",
     "q29_simhash",
