@@ -224,6 +224,7 @@ QUERIES = {
     "q164_stream_admission": q164_stream_admission,
     "q165_incremental_embedding_dedup": q165_incremental_embedding_dedup,
     "q166_tokenizer_fertility": q166_tokenizer_fertility,
+    "q167_corrupt_payload_audit": q167_corrupt_payload_audit,
 }
 
 ORACLE_SQL = {
@@ -393,6 +394,7 @@ ORACLE_SQL = {
     "q164_stream_admission": _Q164_SQL,
     "q165_incremental_embedding_dedup": _Q165_SQL,
     "q166_tokenizer_fertility": _q166_sql(),
+    "q167_corrupt_payload_audit": _Q167_SQL,
 }
 
 # ---------------------------------------------------------------------------
@@ -518,13 +520,78 @@ _R5B_IN = [
     "q165_incremental_embedding_dedup",
     "q166_tokenizer_fertility",
 ]
-_ALL = list(QUERIES)
-_OUT = _ROTATED_OUT + _R5_OUT + _R5B_OUT
-_IN = [q for q in _ROTATED_IN + _R5_IN if q not in _OUT] + _R5B_IN
-_WINDOW = [q for q in _ALL[:50] if q not in _OUT] + _IN
-GATE_ORDER = _WINDOW + _OUT + [
-    q for q in _ALL[50:] if q not in _WINDOW and q not in _OUT
+# Round 6 burns down the certification debt head-on: every r5-window
+# query is now r05-certified, so sixteen of them cede their slots to the
+# fifteen NEVER-driver-certified heads the round-5 verdict ranked
+# riskiest, plus the new q167 corrupt-payload decode audit. Displaced
+# (each r05-certified, family keeps an in-window sibling):
+#   q02 join+agg+top-k (q03 join-agg, q06 top-n stay)
+#   q04 anti join      (q48 NOT-EXISTS anti with non-equi conjuncts)
+#   q09 sort/top-k     (q06 window top-n, q158 heap top-k)
+#   q16 keep-first     (dedup keeps q17 + incoming q64/q89/q149)
+#   q20 date clamp     (q32 pipeline e2e runs the same clamp stage)
+#   q21 upsert         (q32 e2e upsert + incoming q112/q113 merge family)
+#   q24 string funcs   (q18 text stats, q154 line-cleaning HOFs)
+#   q27 quality score  (q18/q159 + q150's Gopher quality gates)
+#   q28 minhash LSH    (banding kept by q165's LSH-bucketed lookup + q17)
+#   q33 pivot          (q08 rollup — same precedent as r4's q22/q23/q39)
+#   q34 product profit (q01/q03 relational agg)
+#   q35 range join     (q14 as-of + incoming q132 salted join)
+#   q41 CC clusters    (graph keeps q139 + incoming q110; dedup keeps q17)
+#   q45 incr. minhash  (q165 is the same admission shape, in-window)
+#   q46/q47 streaming  (q26/q31/q164 stay)
+# Incoming, first driver certification for each: q57 k-means, q64
+# SimHash pairs, q87 PQ, q89 exact-substring pairs, q102 trigram tables,
+# q110 triangles, q112 CDC apply, q113 SCD2 snapshot, q116 TF-IDF, q123
+# weighted sampling, q126 retention (funnel family's first hard row),
+# q130 PCA, q132 salted-join equivalence, q140 SQ8 (the ADVICE-fixed
+# boundary), q149 overlap matrix, q167 corrupt-payload routing (new).
+_R6_OUT = [
+    "q02_shipping_priority",
+    "q04_anti_join",
+    "q09_sort_topk",
+    "q16_dedup_keep_first",
+    "q20_clean_old_dates",
+    "q21_upsert_merge",
+    "q24_string_funcs",
+    "q27_quality_score",
+    "q28_minhash_pairs",
+    "q33_pivot",
+    "q34_product_profit",
+    "q35_range_join",
+    "q41_dup_clusters",
+    "q45_incremental_dedup",
+    "q46_stream_dedup",
+    "q47_stream_enrich",
 ]
+_R6_IN = [
+    "q57_kmeans_clusters",
+    "q64_simhash_pairs",
+    "q87_pq_ann",
+    "q89_exact_substring_pairs",
+    "q102_trigram_counts",
+    "q110_copurchase_triangles",
+    "q112_cdc_apply",
+    "q113_asof_snapshot",
+    "q116_tfidf_search",
+    "q123_weighted_sample",
+    "q126_weekly_retention",
+    "q130_measure_pca",
+    "q132_salted_revenue",
+    "q140_sq8_ann",
+    "q149_source_overlap",
+    "q167_corrupt_payload_audit",
+]
+
+_ALL = list(QUERIES)
+# reconstruct the round-5 window exactly as shipped, then apply the
+# round-6 wave on top of it
+_OUT5 = _ROTATED_OUT + _R5_OUT + _R5B_OUT
+_IN5 = [q for q in _ROTATED_IN + _R5_IN if q not in _OUT5] + _R5B_IN
+_WINDOW5 = [q for q in _ALL[:50] if q not in _OUT5] + _IN5
+assert len(_WINDOW5) == 50
+_WINDOW = [q for q in _WINDOW5 if q not in _R6_OUT] + _R6_IN
+GATE_ORDER = _WINDOW + [q for q in _ALL if q not in _WINDOW]
 assert len(GATE_ORDER) == len(_ALL) and set(GATE_ORDER) == set(_ALL)
 assert len(_WINDOW) == 50
 

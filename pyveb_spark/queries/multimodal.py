@@ -345,6 +345,101 @@ def q153_audio_fingerprint_dups(
     ).orderBy("doc_id_a", "doc_id_b")
 
 
+def q167_corrupt_payload_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corruption-profile audit over a deliberately damaged media corpus —
+    the decode-FAILURE path, oracle-checked: 1/5 of the payloads are
+    truncated mid-header, 1/5 carry a foreign magic, 1/5 declare an
+    unsupported PGM maxval, and ``safe_decode_images`` must ROUTE every
+    one of them to the right quarantine class (and still decode the good
+    BMP/PGM rows to exact dimensions) instead of failing the job. The
+    oracle predicts the full (status × count × dimension-sum) table from
+    the corpus CONSTRUCTION arithmetic (``doc_id % 5``), so a kernel that
+    raised on bad bytes would fail the query outright and one that
+    misclassified (e.g. truncated-BMP → bad_magic, the pre-r6 kernel
+    ordering bug) would hash-mismatch.
+
+    At 100 TB of scraped media this IS the normal path: malformed bytes
+    are the norm, so decode errors must be data, not exceptions. The plan
+    is one Arrow-batched ``mapInPandas`` scan → project away the payload
+    → single groupBy on the narrow status column."""
+    from pyveb_spark.operators.multimodal import (
+        safe_decode_images,
+        synth_bmp_pixels,
+        synth_pgm,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 5).alias("mode"),
+        (F.col("doc_id") % 37).cast("int").alias("seed"),
+    )
+    bmp = synth_bmp_pixels(F.col("seed"))
+    pgm = synth_pgm(F.col("seed"), 6, 5)
+    payload = (
+        F.when(F.col("mode") == 0, bmp)
+        .when(F.col("mode") == 1, pgm)
+        # mid-header truncation: 'BM' magic intact, DIB fields gone
+        .when(F.col("mode") == 2, F.expr("substring(__bmp, 1, 20)"))
+        # foreign container: magic bytes replaced, body intact
+        .when(
+            F.col("mode") == 3,
+            F.concat(
+                F.encode(F.lit("XX"), "ISO-8859-1"),
+                F.expr("substring(__bmp, 3, 2000)"),
+            ),
+        )
+        # parseable PGM header declaring a >8-bit maxval the kernel
+        # doesn't support — header-level rejection, not truncation
+        .otherwise(
+            F.concat(
+                F.encode(F.lit("P5\n6 5\n999\n"), "ISO-8859-1"),
+                F.to_binary(F.lit("00" * 30), F.lit("hex")),
+            )
+        )
+    )
+    media = d.withColumn("__bmp", bmp).select(
+        "doc_id", payload.alias("payload")
+    )
+    decoded = safe_decode_images(media).select(
+        F.coalesce("decode_status", F.lit("ok")).alias("decode_status"),
+        "width",
+        "height",
+    )
+    return (
+        decoded.groupBy("decode_status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.coalesce("width", F.lit(0)))
+            .cast("bigint")
+            .alias("sum_width"),
+            F.sum(F.coalesce("height", F.lit(0)))
+            .cast("bigint")
+            .alias("sum_height"),
+        )
+        .orderBy("decode_status")
+    )
+
+
+# The oracle replays the corpus CONSTRUCTION (doc_id % 5 → corruption
+# mode) straight to the expected routing table; the Spark side must
+# recover the same classes by really parsing the damaged bytes.
+_Q167_SQL = """
+WITH m AS (SELECT doc_id, doc_id % 5 AS mode FROM documents)
+SELECT CASE WHEN mode IN (0, 1) THEN 'ok'
+            WHEN mode = 2 THEN 'truncated'
+            WHEN mode = 3 THEN 'bad_magic'
+            ELSE 'bad_header' END AS decode_status,
+       COUNT(*)::BIGINT AS n_rows,
+       SUM(CASE WHEN mode = 0 THEN 9 WHEN mode = 1 THEN 6
+                ELSE 0 END)::BIGINT AS sum_width,
+       SUM(CASE WHEN mode = 0 THEN 8 WHEN mode = 1 THEN 5
+                ELSE 0 END)::BIGINT AS sum_height
+FROM m GROUP BY 1 ORDER BY decode_status
+"""
+
+
 def _q153_sql() -> str:
     from pyveb_spark.operators.multimodal import AFP_BITS, AFP_FRAMES
 

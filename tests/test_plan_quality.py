@@ -233,6 +233,7 @@ _ARROW_PY_OK = {
     "q97_audio_stats",       # mapInPandas WAV header decode kernel
     "q135_image_dhash_dups", # mapInPandas dHash kernel over real BMP bytes
     "q153_audio_fingerprint_dups",  # mapInPandas energy-delta kernel over real WAV bytes
+    "q167_corrupt_payload_audit",   # mapInPandas safe-decode routing kernel
 }
 
 # streaming replays execute a stream inside the query fn; their final

@@ -47,43 +47,51 @@ def test_every_query_has_an_oracle():
 
 def test_gate_window_composition():
     """The driver certifies only the first 50 registry entries; the
-    rotation contract (gate-window comment in pyveb_spark/queries.py).
-    Round 5: q90/q91/q93/q94/q95 — all certified green in the round-4
-    hard artifact — cede their slots to five round-4-second-half family
-    heads the driver has never certified (q139 label propagation, q144
-    BPE apply, q150 pipeline v2, q151 Bloom-pruned join, q153 audio
-    dedup). Every displaced query must still exist (selfcheck covers it
-    outside the window), and every family keeps an in-window
-    representative (q94's successor IS in-window q150)."""
+    rotation contract (gate-window comment in
+    pyveb_spark/queries/__init__.py). Round 6 is the debt-burn-down
+    round: every r5-window query is r05-certified, so sixteen of them
+    (each with an in-window family sibling — mapping in the gate
+    comment) cede their slots to the fifteen NEVER-driver-certified
+    heads the round-5 verdict ranked riskiest plus the new q167
+    corrupt-payload audit. Every displaced query must still exist
+    (selfcheck covers it outside the window)."""
     window = list(QUERIES)[:50]
     must_be_in = [
-        # round-4 second-half heads, first driver certification
-        "q139_nation_communities", "q144_bpe_tokenize",
-        "q150_pretrain_pipeline_v2", "q151_bloom_pruned_join",
-        "q153_audio_fingerprint_dups",
-        # round-5 new operators — least-soaked by definition
-        "q154_c4_line_clean", "q155_source_kl_drift", "q156_span_trim",
-        "q157_dp_release", "q158_phrase_search", "q159_source_diversity",
-        "q160_dsir_weights", "q161_chat_sft_prep",
-        "q162_ann_recall_audit", "q163_curriculum_schedule",
-        "q164_stream_admission", "q165_incremental_embedding_dedup",
-        "q166_tokenizer_fertility",
-        # still-soaking representative kept for the timeseries family
-        "q96_hourly_gap_fill",
+        # round-6 rotations: first driver certification for each
+        "q57_kmeans_clusters", "q64_simhash_pairs", "q87_pq_ann",
+        "q89_exact_substring_pairs", "q102_trigram_counts",
+        "q110_copurchase_triangles", "q112_cdc_apply",
+        "q113_asof_snapshot", "q116_tfidf_search", "q123_weighted_sample",
+        "q126_weekly_retention", "q130_measure_pca", "q132_salted_revenue",
+        "q140_sq8_ann", "q149_source_overlap",
+        # round-6 new operator — least-soaked by definition
+        "q167_corrupt_payload_audit",
+        # r5-certified family heads that keep their families represented
+        "q96_hourly_gap_fill", "q139_nation_communities",
+        "q144_bpe_tokenize", "q150_pretrain_pipeline_v2",
+        "q151_bloom_pruned_join", "q153_audio_fingerprint_dups",
+        "q154_c4_line_clean", "q157_dp_release", "q158_phrase_search",
+        "q162_ann_recall_audit", "q164_stream_admission",
+        "q165_incremental_embedding_dedup",
     ]
     missing = [q for q in must_be_in if q not in window]
     assert missing == [], f"family heads outside the gate window: {missing}"
     displaced = [
-        # r4 displacements
-        "q37_ivf_ann", "q87_pq_ann", "q89_exact_substring_pairs",
-        # r5 displacements (certified green in CORRECTNESS_r04)
-        "q90_substring_coverage", "q91_semdedup", "q93_value_histogram",
-        "q94_llm_data_pipeline", "q95_value_outliers",
-        "q88_ivfpq_ann", "q92_profile_orders", "q109_trade_pagerank",
-        "q135_image_dhash_dups", "q138_bpe_merges",
+        # r4/r5 displacements still outside
+        "q37_ivf_ann", "q90_substring_coverage", "q91_semdedup",
+        "q93_value_histogram", "q94_llm_data_pipeline",
+        "q95_value_outliers", "q88_ivfpq_ann", "q92_profile_orders",
+        "q109_trade_pagerank", "q135_image_dhash_dups", "q138_bpe_merges",
         "q36_embedding_pairs", "q44_bm25_search", "q29_simhash",
         "q30_lsh_ann", "q42_hash_sample", "q15_tumbling_window",
         "q19_knn_cosine", "q50_hll_rollup",
+        # r6 displacements (every one certified green in CORRECTNESS_r05)
+        "q02_shipping_priority", "q04_anti_join", "q09_sort_topk",
+        "q16_dedup_keep_first", "q20_clean_old_dates", "q21_upsert_merge",
+        "q24_string_funcs", "q27_quality_score", "q28_minhash_pairs",
+        "q33_pivot", "q34_product_profit", "q35_range_join",
+        "q41_dup_clusters", "q45_incremental_dedup", "q46_stream_dedup",
+        "q47_stream_enrich",
     ]
     assert all(q in QUERIES for q in displaced)
     assert all(q not in window for q in displaced)

@@ -174,6 +174,44 @@ def test_real_bmp_and_wav_kernels(spark):
     assert decode_bmp(hdr) == (64, 48)
 
 
+def test_safe_decode_images_routes_corruption(spark):
+    """safe_decode_images quarantines malformed payloads into the stable
+    status vocabulary instead of failing the job (the 100 TB contract:
+    decode errors are data), and still decodes good BMP/PGM rows to
+    exact dimensions through the same per-row magic routing."""
+    import struct
+
+    from pyveb_spark.operators.multimodal import safe_decode_images
+
+    good_bmp = (
+        b"BM" + b"\x00" * 12 + struct.pack("<i", 40)
+        + struct.pack("<ii", 64, -48)
+    )
+    rows = [
+        ("good_bmp", bytearray(good_bmp)),
+        ("good_pgm", bytearray(b"P5\n4 3\n255\n" + b"\x07" * 12)),
+        ("trunc_bmp", bytearray(b"BM" + b"\x00" * 10)),
+        ("bad_magic", bytearray(b"ZZ not a known container")),
+        ("bad_maxval", bytearray(b"P5\n2 2\n999\n" + b"\x00" * 4)),
+        ("short_raster", bytearray(b"P5\n4 4\n255\n" + b"\x01" * 3)),
+        ("null_payload", None),
+    ]
+    df = spark.createDataFrame(rows, "name string, payload binary")
+    got = {
+        r.name: (r.width, r.height, r.decode_status)
+        for r in safe_decode_images(df).collect()
+    }
+    assert got == {
+        "good_bmp": (64, 48, None),
+        "good_pgm": (4, 3, None),
+        "trunc_bmp": (None, None, "truncated"),
+        "bad_magic": (None, None, "bad_magic"),
+        "bad_maxval": (None, None, "bad_header"),
+        "short_raster": (None, None, "truncated"),
+        "null_payload": (None, None, "null_payload"),
+    }
+
+
 # --- dedup / similarity / text ---------------------------------------------
 
 def test_exact_dedup_and_keep_first(spark):
