@@ -329,23 +329,29 @@ def ngram_jaccard_pairs(
         .select(id_col, "__n", "__p", "__g")
     ).persist()
     _PERSISTED_PREFIXES.append(pref)
-    # Pin the self-join exchange width: the prefix table is BYTES-tiny but
-    # the __g join's output explodes (Σ prefix_df²), so AQE's bytes-based
-    # coalescing — reachable inside cached plans since
-    # canChangeCachedPlanOutputPartitioning=true (session.py) — would run
-    # the CPU-heavy candidate join + dedup on 1-3 tasks (measured 2.6× the
-    # whole operator at sf0.1). An explicit repartition(n, __g) is a
-    # user-specified partition count AQE does not coalesce, and it IS the
-    # hash distribution the join needs, so it adds no extra shuffle.
+    # Pin the self-join exchange width (layout.pin_width — the q17 rule):
+    # the prefix table is BYTES-tiny but the __g join's output explodes
+    # (Σ prefix_df²), so AQE's bytes-based coalescing — reachable inside
+    # cached plans since canChangeCachedPlanOutputPartitioning=true
+    # (session.py) — would run the CPU-heavy candidate join + dedup on
+    # 1-3 tasks (measured 2.6× the whole operator at sf0.1).
+    from pyveb_spark.operators.layout import pin_width
+
     n_shuf = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    pa = pref.select(
-        F.col(id_col).alias(a), F.col("__n").alias("__na"), F.col("__p").alias("__pa"), "__g"
-    ).repartition(n_shuf, "__g")
-    pb = pref.select(
-        F.col(id_col).alias(b), F.col("__n").alias("__nb"), F.col("__p").alias("__pb"), "__g"
-    ).repartition(n_shuf, "__g")
+    pa = pin_width(
+        pref.select(
+            F.col(id_col).alias(a), F.col("__n").alias("__na"), F.col("__p").alias("__pa"), "__g"
+        ),
+        "__g",
+    )
+    pb = pin_width(
+        pref.select(
+            F.col(id_col).alias(b), F.col("__n").alias("__nb"), F.col("__p").alias("__pb"), "__g"
+        ),
+        "__g",
+    )
     # positional filter (PPJoin, Xiao et al. WWW'08): for the first common
     # prefix element at 0-based positions (pa, pb), the overlap can't exceed
     # min(|A|-pa, |B|-pb); a pair with J ≥ t needs overlap ≥
@@ -537,6 +543,18 @@ def minhash_lsh_pairs(
             .where(F.col("__m") <= F.lit(int(max_bucket_size)))
             .drop("__m")
         )
+    # Deliberately NOT width-pinned (the one fan-out join exempt from the
+    # layout.pin_width q17 rule): the band self-join's exchange input is
+    # the corpus's FULL posting set — bytes ∝ corpus — so AQE's
+    # bytes-based parallelism sizing is faithful here, and the hot-bucket
+    # cap above bounds per-key join CPU at cap² regardless. Pinning was
+    # measured, not skipped: pre-window pin 1.24×, both-sides 1.13× at
+    # sf0.1 (oversized task counts for the data), and a post-window
+    # one-sided pin is elided by EnsureRequirements (child already
+    # hash(band, h)-partitioned) — so the pin buys nothing the window
+    # exchange doesn't already provide. Contrast hamming_pairs/
+    # triangle_counts/ngram_jaccard_pairs, where the exchange input
+    # (16-byte fingerprints, cached plans) genuinely understates CPU.
     left = banded.select(F.col(id_col).alias(a), "__band", "__h")
     right = banded.select(F.col(id_col).alias(b_), "__band", "__h")
     cand = (
@@ -749,8 +767,19 @@ def minhash_lsh_lookup(
             b = b.join(derived, ["__band", "__h"], "left_anti")
     if has_sizes:
         b = b.drop("__m")
+    # Pin the candidate-join exchange width on the PROBE side only
+    # (layout.pin_width — the q17 rule): the probe batch is byte-tiny by
+    # design (cost ∝ batch), so AQE would otherwise run the fan-out join
+    # at the probe scan's parallelism (one task on a single-file batch).
+    # The INDEX side is deliberately left unpinned — its posting rows
+    # carry the shingle arrays the verify needs, and forcing a shuffle of
+    # that wide side (measured 1.16× at sf0.1) defeats the
+    # broadcast/bucketed-index plan that keeps the payload unshuffled.
+    from pyveb_spark.operators.layout import pin_width
+
     cand = (
-        a.join(b, ["__band", "__h"])
+        pin_width(a, "__band", "__h")
+        .join(b, ["__band", "__h"])
         .where(F.col(a_id) != F.col(b_id))
         .dropDuplicates([a_id, b_id])
     )
@@ -872,6 +901,14 @@ def hamming_pairs(
         F.col(hash_col),
         F.posexplode(band_arr).alias("__band", "__v"),
     )
+    # Pin the band-key exchange width (layout.pin_width — the q17 rule):
+    # fingerprint rows are 16 bytes but the band self-join's output is
+    # quadratic in bucket size; AQE's bytes-based sizing would coalesce
+    # the candidate join onto a few tasks. The pin IS the join's hash
+    # distribution, so it replaces the exchange rather than adding one.
+    from pyveb_spark.operators.layout import pin_width
+
+    banded = pin_width(banded, "__band", "__v")
     left = banded.select(
         F.col(id_col).alias(a), F.col(hash_col).alias("__fa"),
         "__band", "__v",

@@ -213,6 +213,15 @@ def triangle_counts(
         F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
     )
+    # Pin the wedge-join exchange width (layout.pin_width — the q17
+    # rule): the oriented edge list descends from the CACHED canonical
+    # edge set, whose tiny cached bytes are what AQE's coalescing sizes
+    # consumers by (canChangeCachedPlanOutputPartitioning=true), while
+    # the wedge self-join's output is Σ outdeg² — CPU-quadratic. The pin
+    # IS the pivot-key distribution the join needs; no extra exchange.
+    from pyveb_spark.operators.layout import pin_width
+
+    oriented = pin_width(oriented, "u")
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
     wedges = e1.join(

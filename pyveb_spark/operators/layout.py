@@ -28,7 +28,37 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["morton_interleave", "zorder_key", "zorder_layout", "compact_files"]
+__all__ = [
+    "morton_interleave",
+    "zorder_key",
+    "zorder_layout",
+    "compact_files",
+    "pin_width",
+]
+
+
+def pin_width(df: DataFrame, *keys: str, n: int | None = None) -> DataFrame:
+    """Pin the partition width of the next exchange: explicit
+    ``repartition(n, *keys)`` with a user-specified count AQE will NOT
+    coalesce (``REPARTITION_BY_NUM`` shuffle origin), hash-distributed on
+    exactly the keys the downstream keyed join/window needs — so the pin
+    replaces the exchange that was coming anyway and adds none.
+
+    Apply wherever an exchange's INPUT BYTES understate its OUTPUT CPU
+    (the q17 rule, SCALE.md): candidate self-joins over banded postings
+    (LSH/SimHash/dHash), wedge enumeration over oriented edges, blacklist
+    lookups against a persisted index. AQE sizes post-shuffle parallelism
+    from the map-side bytes it can see — with
+    ``canChangeCachedPlanOutputPartitioning=true`` (session.py) it reaches
+    inside cached-plan consumers too — so a byte-tiny posting table whose
+    self-join output is quadratic lands on 1-3 tasks (measured 2.6× the
+    whole q17 operator at sf0.1 before the pin). ``n`` defaults to the
+    session's ``spark.sql.shuffle.partitions``."""
+    if n is None:
+        n = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    return df.repartition(int(n), *[F.col(k) for k in keys])
 
 
 def morton_interleave(cols: Sequence[Column], bits: int = 16) -> Column:

@@ -275,6 +275,38 @@ def test_no_row_python_udf_anywhere(spark):
     )
 
 
+def test_pin_width_on_fanout_joins(spark, sf_dir):
+    """The q17 rule, generalized (layout.pin_width): every candidate
+    join whose output CPU is quadratic while its exchange INPUT BYTES
+    understate it — the pigeonhole band join over 16-byte fingerprints
+    (q64, and q135/q153 through the same hamming_pairs), the wedge
+    enumeration over the cached canonical edge set (q110), the
+    incremental-lookup probe batch (q45), the cached prefix self-join
+    (q17) — must be fed by at least one REPARTITION_BY_NUM exchange.
+    AQE never coalesces a user-specified partition count, and it must
+    keep join children co-partitioned, so one pinned side fixes the
+    whole joined stage's width even under
+    canChangeCachedPlanOutputPartitioning=true. Executed (post-AQE)
+    plans, so a future conf change that re-enabled coalescing here
+    would fail this gate.
+
+    q28's minhash band join is the measured EXEMPTION (rationale at the
+    join site in operators/dedup.py): its exchange input is the full
+    posting set, so AQE's sizing is faithful there — the gate instead
+    asserts the band exchange exists at all (the window-count shuffle
+    the join reuses)."""
+    for name in (
+        "q64_simhash_pairs",
+        "q45_incremental_dedup",
+        "q110_copurchase_triangles",
+        "q17_near_dup_pairs",
+    ):
+        plan = _executed_plan(QUERIES[name](spark, sf_dir))
+        assert "REPARTITION_BY_NUM" in plan, f"{name}: fan-out join unpinned"
+    q28 = _executed_plan(QUERIES["q28_minhash_pairs"](spark, sf_dir))
+    assert "Exchange hashpartitioning(__band" in q28
+
+
 def test_q44_bm25_plan(spark, sf_dir):
     plan = _executed_plan(QUERIES["q44_bm25_search"](spark, sf_dir))
     # top-k is a heap, not a global sort
