@@ -23,7 +23,49 @@ __all__ = [
     "fuzzy_pairs_blocked",
     "salted_join",
     "join_size_estimate",
+    "broadcast_if_bounded",
+    "VOCAB_BROADCAST_CAP_CONF",
+    "DEFAULT_VOCAB_BROADCAST_CAP",
 ]
+
+VOCAB_BROADCAST_CAP_CONF = "spark.pyveb.vocab.broadcastCap"
+# ~4M (token, stat) rows ≈ 120 MB hashed relation — comfortably inside a
+# normal executor's broadcast budget, far below the 10⁸-10⁹-row unigram
+# vocabularies a raw web crawl produces.
+DEFAULT_VOCAB_BROADCAST_CAP = 4_000_000
+
+
+def broadcast_if_bounded(df: DataFrame, n_rows: int | None = None) -> DataFrame:
+    """Broadcast hint gated on the configured vocabulary cap
+    (``spark.pyveb.vocab.broadcastCap``, default 4M rows): returns
+    ``F.broadcast(df)`` only when the table is known to fit, else ``df``
+    unchanged so AQE picks the strategy from real runtime sizes.
+
+    On this fixture every token-keyed side table (KL corpus counts, DSIR
+    log-ratios, encode vocabularies) is tiny and the hint wins; on a
+    100 TB web corpus a whitespace-unigram vocabulary runs 10⁸-10⁹ rows
+    and a forced broadcast is a guaranteed driver/executor OOM — the
+    classic fixture-tuned-hint failure. Pass ``n_rows`` when the caller
+    already knows the table's cardinality (KL and DSIR both compute the
+    vocab size ``v`` as a driver constant anyway, so the gate costs no
+    extra job): the hint applies iff ``n_rows <= cap``. Without
+    ``n_rows`` the hint applies unless the cap is set ``<= 0`` (the
+    web-scale deployment switch: disable hints, let AQE decide).
+
+    The complementary mitigation when a vocab-keyed join must stay
+    broadcast at scale: prune hapax/low-frequency tokens first (a
+    ``HAVING count >= f`` on the vocab aggregation) — Zipf's law puts
+    40-60%% of a web vocabulary at frequency 1, so a small floor shrinks
+    the table an order of magnitude while barely moving KL/DSIR scores.
+    """
+    cap = int(
+        df.sparkSession.conf.get(
+            VOCAB_BROADCAST_CAP_CONF, str(DEFAULT_VOCAB_BROADCAST_CAP)
+        )
+    )
+    if cap <= 0 or (n_rows is not None and int(n_rows) > cap):
+        return df
+    return F.broadcast(df)
 
 
 def merge_join(

@@ -822,8 +822,9 @@ def encode_with_vocab(
     of a training-data pipeline; OOV rate is its standing quality metric
     (a rising OOV rate means the vocab no longer fits the corpus mix).
 
-    Scale shape: posexplode to (doc, pos, token), ONE broadcast join
-    against the vocabulary (vocab ≪ corpus, always), and one groupBy
+    Scale shape: posexplode to (doc, pos, token), ONE token-keyed join
+    against the vocabulary (broadcast-hinted under the configured vocab
+    cap — ``joins.broadcast_if_bounded``), and one groupBy
     back to arrays via ``array_sort`` on (pos, id) structs — order is
     restored by data, not by assuming shuffle stability. No Python UDFs;
     the id arrays never pass through the driver.
@@ -832,7 +833,9 @@ def encode_with_vocab(
         F.col(id_col),
         F.posexplode(tokenize(F.col(text_col))).alias("pos", "token"),
     )
-    enc = toks.join(F.broadcast(vocab.select("token", "token_id")),
+    from pyveb_spark.operators.joins import broadcast_if_bounded
+
+    enc = toks.join(broadcast_if_bounded(vocab.select("token", "token_id")),
                     "token", "left").select(
         id_col,
         "pos",
@@ -1128,9 +1131,14 @@ def token_kl_divergence(
     ).first()
     n_all, v = float(n_total_row["n_all"]), int(n_total_row["v"])
     a = float(alpha)
+    # vocab-sized side: hint gated on the configured cap — v is already a
+    # driver constant here, so the gate is exact and free (joins.py
+    # docstring has the web-scale rationale + the hapax-floor trick)
+    from pyveb_spark.operators.joins import broadcast_if_bounded
+
     # present terms: p_g log(p_g / p_c) with both smoothed over corpus vocab
     present = (
-        gt.join(F.broadcast(corpus), "tok")
+        gt.join(broadcast_if_bounded(corpus, n_rows=v), "tok")
         .join(F.broadcast(totals), "grp")
         .withColumn("p_g", (F.col("c_gt") + a) / (F.col("n_g") + a * v))
         .withColumn("p_c", (F.col("c_t") + a) / (F.lit(n_all + a * v)))
@@ -1312,8 +1320,12 @@ def dsir_importance_weights(
             ).alias("log_ratio"),
         )
     )
+    # vocab-sized ratio table: hint gated on the configured cap (v is a
+    # driver constant already — exact and free; see joins.py docstring)
+    from pyveb_spark.operators.joins import broadcast_if_bounded
+
     return (
-        raw_toks.join(F.broadcast(ratio), "tok")
+        raw_toks.join(broadcast_if_bounded(ratio, n_rows=v), "tok")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
