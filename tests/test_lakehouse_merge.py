@@ -48,6 +48,72 @@ def test_conditional_upsert_adds_null_safe_change_guard():
     assert "WHEN NOT MATCHED THEN INSERT *" in sql
 
 
+def test_iceberg_dialect_spells_out_columns():
+    """r5 item 5: the explicit-column dialect (what 'iceberg'/'hudi'
+    normalize to) — assignments for non-key columns only (several engines
+    reject assigning merge keys), full column list on INSERT. Same
+    algebra as the star form; only the clause style differs."""
+    spec = MergeSpec(
+        target="lake.sales", source="stage_batch", keys=["order_id"]
+    )
+    sql = merge_into_sql(
+        spec, dialect="iceberg", columns=["order_id", "amount", "status"]
+    )
+    assert sql == (
+        "MERGE INTO `lake`.`sales` t\n"
+        "USING `stage_batch` s\n"
+        "ON t.`order_id` = s.`order_id`\n"
+        "WHEN MATCHED THEN UPDATE SET "
+        "t.`amount` = s.`amount`, t.`status` = s.`status`\n"
+        "WHEN NOT MATCHED THEN INSERT (`order_id`, `amount`, `status`) "
+        "VALUES (s.`order_id`, s.`amount`, s.`status`)"
+    )
+    # conditional guard composes with the explicit dialect unchanged
+    guarded = merge_into_sql(
+        MergeSpec(
+            target="t1", source="s1", keys=["k"],
+            mode="upsert_if_changed", compare_cols=["v"],
+        ),
+        dialect="hudi",
+        columns=["k", "v"],
+    )
+    assert "WHEN MATCHED AND NOT (t.`v` <=> s.`v`) THEN UPDATE SET t.`v` = s.`v`" in guarded
+
+
+def test_dialect_validation():
+    spec = MergeSpec(target="t", source="s", keys=["k"])
+    with pytest.raises(ValueError, match="unknown MERGE dialect"):
+        merge_into_sql(spec, dialect="bigquery")
+    with pytest.raises(ValueError, match="target column list"):
+        merge_into_sql(spec, dialect="iceberg")
+    with pytest.raises(ValueError, match="missing merge keys"):
+        merge_into_sql(spec, dialect="iceberg", columns=["v"])
+    with pytest.raises(ValueError, match="non-key column"):
+        merge_into_sql(spec, dialect="iceberg", columns=["k"])
+    # star dialect ignores columns entirely (same output with or without)
+    assert merge_into_sql(spec) == merge_into_sql(spec, columns=["k", "v"])
+
+
+def test_sink_dialect_pinning_and_auto_fallback(spark):
+    """A pinned 'iceberg' sink emits the explicit dialect through the
+    injected runner; 'auto' on a non-catalog table defaults to star (the
+    Spark-native form); unknown dialect names fail at construction."""
+    df = spark.createDataFrame([(1, "a")], "k INT, v STRING")
+    ran = []
+    LakehouseMergeSink(
+        spark, "cat.db.tbl", run=ran.append, dialect="iceberg"
+    ).upsert(df, keys=["k"])
+    assert "UPDATE SET t.`v` = s.`v`" in ran[0]
+    assert "INSERT (`k`, `v`) VALUES (s.`k`, s.`v`)" in ran[0]
+    ran2 = []
+    LakehouseMergeSink(spark, "no_such_table_xyz", run=ran2.append).upsert(
+        df, keys=["k"]
+    )
+    assert "UPDATE SET *" in ran2[0] and "INSERT *" in ran2[0]
+    with pytest.raises(ValueError, match="unknown MERGE dialect"):
+        LakehouseMergeSink(spark, "t", dialect="nope")
+
+
 def test_spec_validation():
     with pytest.raises(ValueError, match="at least one key"):
         MergeSpec(target="t", source="s", keys=[])
