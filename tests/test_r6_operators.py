@@ -3,7 +3,41 @@ dialects, streaming state bounds."""
 
 from __future__ import annotations
 
+import json
+import os
+import tempfile
+
 import pytest
+
+
+def test_stream_state_stays_bounded_across_many_batches(spark):
+    """The watermark-bounded-state claim, MEASURED (VERDICT r5 item 6):
+    replay the events table as 20+ time-ordered micro-batches
+    (maxFilesPerTrigger=1) through dropDuplicatesWithinWatermark and
+    assert from the per-batch stateOperators metrics that state rows
+    PLATEAU at ≈ one watermark horizon instead of tracking cumulative
+    input — an unbounded dedup would end holding every key it ever saw."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from stream_state_probe import run_probe, stage_time_ordered_drops
+
+    drops = tempfile.mkdtemp(prefix="state_drops_")
+    schema, n_events = stage_time_ordered_drops(
+        spark, "/root/testdata/sf0.001", drops, 20
+    )
+    rows = run_probe(spark, drops, schema, "dedup", "2 hours")
+    assert len(rows) >= 20, "expected one stateful progress row per drop"
+    assert sum(r["input_rows"] for r in rows) == n_events
+    peak = max(r["state_rows"] for r in rows)
+    # bounded: the peak is a small fraction of total keys processed
+    # (every event_id is unique, so unbounded state would reach n_events)
+    assert peak < 0.25 * n_events, (peak, n_events)
+    # ...and eviction actually runs: by the last batches, removals keep
+    # pace with ingestion instead of state accreting monotonically
+    assert sum(r["evicted"] or 0 for r in rows) > 0.5 * n_events
+    final = rows[-1]["state_rows"]
+    assert final <= peak
 
 
 def _analyzed_plan(df) -> str:
