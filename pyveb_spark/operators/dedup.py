@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "exact_dedup",
     "keep_first",
+    "repeat_weighted_dedup",
     "shingles",
     "ngram_jaccard_pairs",
     "minhash_signatures",
@@ -173,6 +174,48 @@ def keep_first(
         df.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") == 1)
         .drop("__rk")
+    )
+
+
+def repeat_weighted_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Duplicate-aware repeat weighting: collapse each exact-duplicate
+    class to its minimum-id representative carrying
+    ``weight = n_copies ** alpha`` — the training-mix step BETWEEN "keep
+    every copy" (over-weights boilerplate) and "hard dedup to weight 1"
+    (throws away the signal that a document the crawl found n times is
+    disproportionately canonical). Data-constrained-scaling measurements
+    (Muennighoff et al. 2023) show repeated data is worth less than fresh
+    data per additional epoch, decaying roughly like this sublinear
+    discount; ``alpha=0.5`` is the square-root compromise, ``alpha=0``
+    recovers hard dedup, ``alpha=1`` recovers keep-all.
+
+    Returns ``(id_col, n_copies, weight)``, one row per duplicate class,
+    weight rounded to 4 decimals (float pow — the module contract).
+
+    100 TB shape: ONE md5-keyed groupBy with map-side partials (the hash
+    is computed scan-stage; full texts never shuffle as keys — 16-byte
+    digests do). Compose upstream of the sampler: feed ``weight`` to
+    ``sampling.weighted_sample`` or multiply into per-example loss."""
+    h = F.md5(F.col(text_col).cast("binary"))
+    return (
+        df.groupBy(h.alias("__h"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            id_col,
+            "n_copies",
+            F.round(
+                F.pow(F.col("n_copies").cast("double"), F.lit(float(alpha))),
+                4,
+            ).alias("weight"),
+        )
     )
 
 

@@ -37,6 +37,7 @@ __all__ = [
     "tfidf_search",
     "build_ngram_index",
     "phrase_search",
+    "rrf_fuse",
 ]
 
 BM25_K1 = 1.2
@@ -259,3 +260,50 @@ def phrase_search(
         index = build_ngram_index(df, n, id_col, text_col)
     probe = portable_hash48(F.lit(phrase))
     return index.where(F.col("__h") == probe).select(id_col, "n_occurrences")
+
+
+def rrf_fuse(
+    ranked_lists: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of N ranked
+    lists — the standard score-free way to combine lexical (BM25) and
+    dense (embedding-cosine) retrieval into one hybrid ranking: each
+    input carries ``(id_col, rank)`` with rank starting at 1, the fused
+    score is ``Σ_lists 1/(rrf_k + rank)``, and ties break on id. RRF
+    needs no score calibration between the lists (BM25 logs and cosine
+    similarities live on incomparable scales), which is why it is the
+    default hybrid fusion in production search stacks.
+
+    Returns ``(id_col, rrf_score, n_lists)`` — top ``k`` by
+    ``(rrf_score desc, id asc)``, score rounded to 6 decimals (the q44
+    cross-engine rank-stability contract).
+
+    Scale shape: the inputs are already top-k'd (heap-sized, not
+    corpus-sized), so the union + one id-keyed aggregation is bounded by
+    N·k rows no matter the corpus; the final top-k compiles to
+    TakeOrderedAndProject."""
+    if not ranked_lists:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    parts = [
+        df.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("rank").cast("double"))
+             ).alias("__c"),
+        )
+        for df in ranked_lists
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.round(F.sum("__c"), 6).alias("rrf_score"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(int(k))
+    )

@@ -33,6 +33,7 @@ __all__ = [
     "bpe_apply",
     "gopher_quality_filter",
     "mlm_mask",
+    "fim_transform",
 ]
 
 # see dedup.py::_PERSISTED_PREFIXES for the pattern: the returned plan is
@@ -1331,4 +1332,65 @@ def dsir_importance_weights(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(F.sum("log_ratio"), 4).alias("log_weight"),
         )
+    )
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 4,
+    fim_rate: float = 0.5,
+) -> DataFrame:
+    """Fill-in-the-middle (FIM) transform in PSM order (Bavarian et al.
+    2022): pick two deterministic token cut points 0 < c1 ≤ c2 < n and
+    rewrite the document as ``<PRE>prefix<SUF>suffix<MID>middle`` so an
+    autoregressive model learns infilling "for free". The cuts and the
+    apply/skip decision are pure functions of the doc id (md5-derived,
+    ``portable_hash48``) — the only correct way to randomize a corpus
+    transform in a task-retry world (the q157/q147 rule: a retried
+    partition must re-emit byte-identical rows), and what lets the DuckDB
+    oracle replay every split exactly.
+
+    Docs shorter than ``min_tokens``, and the ``1 - fim_rate`` complement
+    of the hash split, pass through unchanged (``fim = false``) — the
+    standard practice of mixing FIM and plain-AR views of the same
+    corpus. Returns the input columns plus ``fim`` (bool), ``c1``/``c2``
+    (token cut points, NULL when not transformed) and ``fim_text``.
+
+    100 TB shape: pure per-row codegen (split / slice / concat — zero
+    shuffles, zero UDFs); composes scan-stage with the admission gates.
+    """
+    from pyveb_spark.operators.dedup import portable_hash48
+
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    gate_h = portable_hash48(
+        F.concat_ws("|", F.lit("fim-gate"), F.col(id_col).cast("string"))
+    )
+    eligible = (n >= F.lit(int(min_tokens))) & (
+        (gate_h % 1_000_000) < F.lit(int(round(fim_rate * 1_000_000)))
+    )
+    h1 = portable_hash48(
+        F.concat_ws("|", F.lit("fim-c1"), F.col(id_col).cast("string"))
+    )
+    h2 = portable_hash48(
+        F.concat_ws("|", F.lit("fim-c2"), F.col(id_col).cast("string"))
+    )
+    c1 = (h1 % (n - 1) + 1).cast("int")          # 1 .. n-1
+    c2 = (c1 + h2 % (n - c1)).cast("int")        # c1 .. n-1
+    prefix = F.array_join(F.slice(toks, 1, c1), " ")
+    middle = F.array_join(
+        F.slice(toks, c1 + 1, c2 - c1), " "
+    )
+    suffix = F.array_join(F.slice(toks, c2 + 1, n - c2), " ")
+    psm = F.concat(
+        F.lit("<PRE>"), prefix, F.lit("<SUF>"), suffix, F.lit("<MID>"), middle
+    )
+    return df.select(
+        "*",
+        eligible.alias("fim"),
+        F.when(eligible, c1).alias("c1"),
+        F.when(eligible, c2).alias("c2"),
+        F.when(eligible, psm).otherwise(F.col(text_col)).alias("fim_text"),
     )

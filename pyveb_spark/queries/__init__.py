@@ -225,6 +225,9 @@ QUERIES = {
     "q165_incremental_embedding_dedup": q165_incremental_embedding_dedup,
     "q166_tokenizer_fertility": q166_tokenizer_fertility,
     "q167_corrupt_payload_audit": q167_corrupt_payload_audit,
+    "q168_repeat_weighting": q168_repeat_weighting,
+    "q169_hybrid_retrieval": q169_hybrid_retrieval,
+    "q170_fim_transform": q170_fim_transform,
 }
 
 ORACLE_SQL = {
@@ -395,6 +398,9 @@ ORACLE_SQL = {
     "q165_incremental_embedding_dedup": _Q165_SQL,
     "q166_tokenizer_fertility": _q166_sql(),
     "q167_corrupt_payload_audit": _Q167_SQL,
+    "q168_repeat_weighting": _Q168_SQL,
+    "q169_hybrid_retrieval": _Q169_SQL,
+    "q170_fim_transform": _Q170_SQL,
 }
 
 # ---------------------------------------------------------------------------
@@ -582,6 +588,21 @@ _R6_IN = [
     "q149_source_overlap",
     "q167_corrupt_payload_audit",
 ]
+# Second r6 wave: the three operators built new this round take window
+# slots too (least-soaked by definition). Displaced — each r05-certified
+# with in-window family siblings: q154 C4 line cleaning + q159 lexical
+# diversity (text family keeps q18/q155/q156/q160/q161/q166), q163
+# curriculum schedule (sampling family keeps the newly rotated-in q123).
+_R6B_OUT = [
+    "q154_c4_line_clean",
+    "q159_source_diversity",
+    "q163_curriculum_schedule",
+]
+_R6B_IN = [
+    "q168_repeat_weighting",
+    "q169_hybrid_retrieval",
+    "q170_fim_transform",
+]
 
 _ALL = list(QUERIES)
 # reconstruct the round-5 window exactly as shipped, then apply the
@@ -590,7 +611,8 @@ _OUT5 = _ROTATED_OUT + _R5_OUT + _R5B_OUT
 _IN5 = [q for q in _ROTATED_IN + _R5_IN if q not in _OUT5] + _R5B_IN
 _WINDOW5 = [q for q in _ALL[:50] if q not in _OUT5] + _IN5
 assert len(_WINDOW5) == 50
-_WINDOW = [q for q in _WINDOW5 if q not in _R6_OUT] + _R6_IN
+_WINDOW6 = [q for q in _WINDOW5 if q not in _R6_OUT] + _R6_IN
+_WINDOW = [q for q in _WINDOW6 if q not in _R6B_OUT] + _R6B_IN
 GATE_ORDER = _WINDOW + [q for q in _ALL if q not in _WINDOW]
 assert len(GATE_ORDER) == len(_ALL) and set(GATE_ORDER) == set(_ALL)
 assert len(_WINDOW) == 50

@@ -710,3 +710,34 @@ FROM mask
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: duplicate-aware repeat weighting (Muennighoff 2023)
+# ---------------------------------------------------------------------------
+
+def q168_repeat_weighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware repeat weighting over the corpus: exact-duplicate
+    classes collapse to their min-id representative carrying
+    ``n_copies^0.5`` — the training-mix middle ground between keep-all
+    (over-weights boilerplate) and hard dedup (discards the canonicality
+    signal), per the data-constrained-scaling measurements that repeated
+    data decays in value per epoch (Muennighoff 2023). One md5-keyed
+    groupBy; digests shuffle, texts don't. The weight column feeds
+    ``sampling.weighted_sample`` or per-example loss downstream."""
+    from pyveb_spark.operators.dedup import repeat_weighted_dedup
+
+    d = read_table(spark, sf_dir, "documents")
+    return repeat_weighted_dedup(d, "doc_id", "text", alpha=0.5).orderBy(
+        "doc_id"
+    )
+
+
+_Q168_SQL = """
+SELECT MIN(doc_id) AS doc_id,
+       COUNT(*)::BIGINT AS n_copies,
+       ROUND(POWER(COUNT(*), 0.5), 4) AS weight
+FROM documents
+GROUP BY md5(text)
+ORDER BY doc_id
+"""

@@ -1166,3 +1166,148 @@ GROUP BY d.lang
 ORDER BY d.lang
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: hybrid retrieval — BM25 + embedding-cosine fused with RRF
+# ---------------------------------------------------------------------------
+
+def q169_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search, the production retrieval shape: the lexical BM25
+    top-10 (q44's index machinery) and the dense embedding-cosine top-10
+    (q19's exact baseline; vec_id ≡ doc_id in the fixture convention)
+    fused with reciprocal-rank fusion (``retrieval.rrf_fuse``, Cormack
+    2009) — score-free, so the incomparable BM25-log and cosine scales
+    need no calibration. Ranks are assigned on (rounded score, id) — the
+    cross-engine determinism contract — and the oracle replays BOTH
+    retrieval pipelines and the fusion arithmetic end-to-end."""
+    from pyveb_spark.operators.retrieval import (
+        bm25_search,
+        build_inverted_index,
+        rrf_fuse,
+    )
+    from pyveb_spark.operators.similarity import cosine_topk
+
+    d = read_table(spark, sf_dir, "documents")
+    e = read_table(spark, sf_dir, "embeddings")
+    postings, docstats = build_inverted_index(d, "doc_id", "text")
+    bm = bm25_search(
+        postings, docstats, ["hash", "merge", "scan", "window"], k=10
+    )
+    bm_ranked = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    qv = _query_vec(e)
+    knn = cosine_topk(e, qv, k=10, exclude_ids=[0]).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round("cosine_sim", 4).alias("sim"),
+    )
+    knn_ranked = knn.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("sim"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    return rrf_fuse([bm_ranked, knn_ranked], id_col="doc_id", k=10)
+
+
+_Q169_SQL = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+bm AS (SELECT t.doc_id,
+              ROUND(SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                        * t.tf * 2.2
+                        / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))), 6)
+                  AS bm25
+       FROM tf t JOIN dfq d USING (token) JOIN dl l USING (doc_id)
+       CROSS JOIN stats s
+       WHERE t.token IN ('hash', 'merge', 'scan', 'window')
+       GROUP BY t.doc_id
+       ORDER BY bm25 DESC, t.doc_id LIMIT 10),
+bmr AS (SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM bm),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+knn AS (SELECT vec_id AS doc_id,
+               ROUND(list_dot_product(embedding::DOUBLE[], qv)
+                     / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(qv, qv))), 4) AS sim
+        FROM embeddings, q
+        WHERE vec_id <> 0
+        ORDER BY sim DESC, vec_id LIMIT 10),
+knnr AS (SELECT doc_id,
+                ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rank
+         FROM knn),
+u AS (SELECT doc_id, 1.0 / (60 + rank) AS c FROM bmr
+      UNION ALL
+      SELECT doc_id, 1.0 / (60 + rank) AS c FROM knnr)
+SELECT doc_id, ROUND(SUM(c), 6) AS rrf_score, COUNT(*)::BIGINT AS n_lists
+FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: fill-in-the-middle corpus transform (Bavarian 2022)
+# ---------------------------------------------------------------------------
+
+def q170_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIM (PSM-order) corpus rewriting with md5-deterministic cut points
+    and apply-rate gate (``text.fim_transform``): half the corpus is
+    rewritten ``<PRE>prefix<SUF>suffix<MID>middle``, half passes through
+    as plain AR — the standard mixed-view pretraining recipe. The
+    randomness is a pure function of doc_id (the q157/q147 retry-safety
+    rule), which is exactly what lets the oracle re-derive every cut
+    point and the md5 of every rewritten document. Pure per-row codegen:
+    the only exchange in the plan is the presentation sort."""
+    from pyveb_spark.operators.text import fim_transform
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = fim_transform(d, "doc_id", "text", min_tokens=4, fim_rate=0.5)
+    return out.select(
+        "doc_id",
+        "fim",
+        "c1",
+        "c2",
+        F.md5(F.col("fim_text").cast("binary")).alias("fim_md5"),
+        F.length("fim_text").cast("bigint").alias("fim_len"),
+    ).orderBy("doc_id")
+
+
+_Q170_SQL = """
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+s AS (SELECT doc_id, text, tk, len(tk) AS n,
+             ('0x' || substr(md5('fim-gate|' || doc_id), 1, 12))::BIGINT AS gh,
+             ('0x' || substr(md5('fim-c1|' || doc_id), 1, 12))::BIGINT AS h1,
+             ('0x' || substr(md5('fim-c2|' || doc_id), 1, 12))::BIGINT AS h2
+      FROM t),
+c AS (SELECT *, (n >= 4 AND (gh % 1000000) < 500000) AS fim,
+             CASE WHEN n >= 4 THEN CAST(h1 % (n - 1) + 1 AS INT) END AS c1x
+      FROM s),
+c2t AS (SELECT *,
+               CASE WHEN n >= 4
+                    THEN CAST(c1x + h2 % (n - c1x) AS INT) END AS c2x
+        FROM c),
+r AS (SELECT doc_id, fim,
+             CASE WHEN fim THEN c1x END AS c1,
+             CASE WHEN fim THEN c2x END AS c2,
+             -- COALESCE: DuckDB yields NULL (not '') for an inverted
+             -- slice, e.g. the empty middle when c1 = c2; Spark's
+             -- slice/array_join yield '' — match that
+             CASE WHEN fim THEN
+                 '<PRE>' || COALESCE(array_to_string(tk[1:c1x], ' '), '')
+                 || '<SUF>' || COALESCE(array_to_string(tk[c2x + 1:n], ' '), '')
+                 || '<MID>' || COALESCE(array_to_string(tk[c1x + 1:c2x], ' '), '')
+             ELSE text END AS ft
+      FROM c2t)
+SELECT doc_id, fim, c1, c2, md5(ft) AS fim_md5, length(ft)::BIGINT AS fim_len
+FROM r ORDER BY doc_id
+"""

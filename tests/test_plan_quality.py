@@ -307,6 +307,36 @@ def test_pin_width_on_fanout_joins(spark, sf_dir):
     assert "Exchange hashpartitioning(__band" in q28
 
 
+def test_q170_fim_is_scan_stage(spark, sf_dir):
+    """FIM rewriting is pure per-row codegen: the ONLY exchange is the
+    presentation sort — no joins, no aggregations, no Python stages."""
+    plan = _executed_plan(QUERIES["q170_fim_transform"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "Exchange rangepartitioning" in plan
+    assert "Join" not in plan and "Aggregate" not in plan
+
+
+def test_q168_repeat_weighting_digests_not_texts(spark, sf_dir):
+    """Repeat weighting shuffles 16-byte md5 digests, never document
+    texts: the aggregation exchange's key is the digest, with map-side
+    partial aggregation before it."""
+    plan = _executed_plan(QUERIES["q168_repeat_weighting"](spark, sf_dir))
+    agg_exchanges = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert agg_exchanges and all("text" not in line for line in agg_exchanges)
+    assert "partial_min" in plan or "partial" in plan
+
+
+def test_q169_hybrid_fusion_heap_topk(spark, sf_dir):
+    """The fused ranking compiles to a heap top-k (TakeOrderedAndProject),
+    and the two retrieval legs stay bounded: the only rows entering the
+    fusion aggregation are the two top-10 lists."""
+    plan = _executed_plan(QUERIES["q169_hybrid_retrieval"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_q44_bm25_plan(spark, sf_dir):
     plan = _executed_plan(QUERIES["q44_bm25_search"](spark, sf_dir))
     # top-k is a heap, not a global sort

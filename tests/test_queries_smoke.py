@@ -64,13 +64,14 @@ def test_gate_window_composition():
         "q113_asof_snapshot", "q116_tfidf_search", "q123_weighted_sample",
         "q126_weekly_retention", "q130_measure_pca", "q132_salted_revenue",
         "q140_sq8_ann", "q149_source_overlap",
-        # round-6 new operator — least-soaked by definition
-        "q167_corrupt_payload_audit",
+        # round-6 new operators — least-soaked by definition
+        "q167_corrupt_payload_audit", "q168_repeat_weighting",
+        "q169_hybrid_retrieval", "q170_fim_transform",
         # r5-certified family heads that keep their families represented
         "q96_hourly_gap_fill", "q139_nation_communities",
         "q144_bpe_tokenize", "q150_pretrain_pipeline_v2",
         "q151_bloom_pruned_join", "q153_audio_fingerprint_dups",
-        "q154_c4_line_clean", "q157_dp_release", "q158_phrase_search",
+        "q157_dp_release", "q158_phrase_search",
         "q162_ann_recall_audit", "q164_stream_admission",
         "q165_incremental_embedding_dedup",
     ]
@@ -92,6 +93,10 @@ def test_gate_window_composition():
         "q33_pivot", "q34_product_profit", "q35_range_join",
         "q41_dup_clusters", "q45_incremental_dedup", "q46_stream_dedup",
         "q47_stream_enrich",
+        # r6 second wave: slots for the three new operators (text family
+        # keeps q18/q155/q156/q160/q161/q166; sampling keeps q123)
+        "q154_c4_line_clean", "q159_source_diversity",
+        "q163_curriculum_schedule",
     ]
     assert all(q in QUERIES for q in displaced)
     assert all(q not in window for q in displaced)

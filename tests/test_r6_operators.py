@@ -114,3 +114,82 @@ def test_token_kl_above_cap_still_correct(spark):
             spark.conf.unset(VOCAB_BROADCAST_CAP_CONF)
         else:
             spark.conf.set(VOCAB_BROADCAST_CAP_CONF, base)
+
+
+def test_repeat_weighted_dedup_weights(spark):
+    """n_copies^alpha weighting with min-id representatives; alpha=0
+    recovers hard dedup (weight 1), alpha=1 recovers keep-all mass."""
+    from pyveb_spark.operators.dedup import repeat_weighted_dedup
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (5, "aa"), (3, "aa"), (2, "bb"), (9, "aa"), (7, "bb")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_copies, r.weight)
+        for r in repeat_weighted_dedup(df, "doc_id", "text").collect()
+    }
+    assert got == {1: (4, 2.0), 2: (2, round(2 ** 0.5, 4))}
+    hard = repeat_weighted_dedup(df, "doc_id", "text", alpha=0.0)
+    assert {r.weight for r in hard.collect()} == {1.0}
+    keep_all = repeat_weighted_dedup(df, "doc_id", "text", alpha=1.0)
+    assert sum(r.weight for r in keep_all.collect()) == 6.0
+
+
+def test_rrf_fuse_orders_and_counts(spark):
+    """RRF: a doc ranked well in BOTH lists outranks a doc that tops only
+    one (1/61 + 1/62 > 1/61); ties break on id; n_lists counts votes."""
+    from pyveb_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(20, 1), (10, 2), (40, 3)], "doc_id long, rank int"
+    )
+    rows = rrf_fuse([a, b], k=4).collect()
+    ids = [r.doc_id for r in rows]
+    # 10 and 20 are symmetric (ranks {1,2}) -> tie broken by id
+    assert ids == [10, 20, 30, 40]
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[10].n_lists == 2 and by_id[30].n_lists == 1
+    assert by_id[10].rrf_score == by_id[20].rrf_score
+    assert by_id[10].rrf_score == round(1 / 61 + 1 / 62, 6)
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+
+
+def test_fim_transform_properties(spark):
+    """FIM invariants: deterministic across runs, PSM pieces reassemble
+    to the original token multiset, short docs and the AR complement pass
+    through, cut points in range."""
+    from pyveb_spark.operators.text import fim_transform
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(5 + i))) for i in range(40)]
+        + [(100, "a b c"), (101, "only")],
+        "doc_id long, text string",
+    )
+    out = fim_transform(df, "doc_id", "text", min_tokens=4, fim_rate=0.5)
+    rows = out.collect()
+    again = {r.doc_id: r.fim_text for r in out.collect()}
+    fim_rows = [r for r in rows if r.fim]
+    ar_rows = [r for r in rows if not r.fim]
+    assert fim_rows and ar_rows                      # both views present
+    for r in rows:
+        assert again[r.doc_id] == r.fim_text         # retry-deterministic
+    for r in rows:
+        if r.doc_id in (100, 101):
+            assert not r.fim and r.fim_text == r.text and r.c1 is None
+    for r in fim_rows:
+        n = len(r.text.split(" "))
+        assert 1 <= r.c1 <= r.c2 <= n - 1
+        body = r.fim_text
+        assert body.startswith("<PRE>")
+        pre, rest = body[5:].split("<SUF>", 1)
+        suf, mid = rest.split("<MID>", 1)
+        toks = r.text.split(" ")
+        assert pre.split(" ") == toks[: r.c1]
+        assert suf.split(" ") == toks[r.c2 :]
+        expect_mid = toks[r.c1 : r.c2]
+        assert (mid.split(" ") if mid else []) == expect_mid
