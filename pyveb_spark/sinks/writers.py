@@ -28,6 +28,7 @@ __all__ = [
     "write_jdbc",
     "write_bucketed_table",
     "with_date_partitions",
+    "write_tar_shards",
 ]
 
 # reference default: spark_client.py:207,213
@@ -242,3 +243,100 @@ def write_jdbc(
     for k, v in (properties or {}).items():
         w = w.option(k, v)
     w.save()
+
+
+def write_tar_shards(
+    df: DataFrame,
+    out_dir: str,
+    member_col: str = "member",
+    payload_col: str = "content",
+    max_members: int = 10_000,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """WebDataset-style tar-shard EXPORT — the write half of
+    ``sources.readers.read_tar_members``: pack ``(member, content)`` rows
+    into ``shard-{part:05d}-{seq:04d}.tar`` archives under ``out_dir``,
+    executor-parallel (each Spark partition writes its own shard
+    sequence, rolling at ``max_members``). Returns the manifest as a
+    DataFrame: ``(shard, n_members, n_bytes)`` — the caller persists it
+    next to the shards (training loaders shard-shuffle off the manifest).
+
+    Member bytes are BIT-REPRODUCIBLE: members are sorted within each
+    partition and every tar header is normalized (mtime=0, uid/gid=0,
+    mode=0644), so a task retry — or a full job rerun over the same
+    partitioning — re-emits byte-identical shards (the engine's
+    deterministic-output rule; verified by double-write hash equality in
+    tests). Pass ``n_shards`` to repartition by member hash first —
+    shard membership then depends only on the data, not on upstream
+    partitioning.
+
+    Scale notes: this is the standard export for multimodal training
+    corpora — millions of small samples become thousands of sequential-
+    read archives. Size shards into the 100 MB – 1 GB band via
+    ``max_members`` × expected sample size; parallelism = input
+    partitions. The payload never routes through the driver; manifest
+    rows (one per shard) are the only small output.
+    """
+    import io
+    import os
+    import tarfile
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+    src = df.select(
+        F.col(member_col).cast("string").alias("member"),
+        F.col(payload_col).cast("binary").alias("content"),
+    )
+    if n_shards is not None:
+        src = src.repartition(int(n_shards), "member")
+    src = src.sortWithinPartitions("member")
+
+    def _pack(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        pid = TaskContext.get().partitionId()
+        seq = 0
+        buf: io.BytesIO | None = None
+        tf: tarfile.TarFile | None = None
+        count = 0
+        out = {"shard": [], "n_members": [], "n_bytes": []}
+
+        def flush():
+            nonlocal buf, tf, seq, count
+            if tf is None:
+                return
+            tf.close()
+            data = buf.getvalue()
+            path = os.path.join(out_dir, f"shard-{pid:05d}-{seq:04d}.tar")
+            tmp = path + ".inprogress"
+            with open(tmp, "wb") as fh:
+                fh.write(data)
+            os.replace(tmp, path)  # atomic publish (retry-safe)
+            out["shard"].append(os.path.basename(path))
+            out["n_members"].append(count)
+            out["n_bytes"].append(len(data))
+            seq += 1
+            buf, tf, count = None, None, 0
+
+        for pdf in batches:
+            for member, blob in zip(pdf["member"], pdf["content"]):
+                if tf is None:
+                    buf = io.BytesIO()
+                    tf = tarfile.open(fileobj=buf, mode="w")
+                data = bytes(blob) if blob is not None else b""
+                info = tarfile.TarInfo(str(member))
+                info.size = len(data)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.mode = 0o644
+                tf.addfile(info, io.BytesIO(data))
+                count += 1
+                if count >= max_members:
+                    flush()
+        flush()
+        yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        _pack, schema="shard string, n_members long, n_bytes long"
+    )

@@ -193,3 +193,45 @@ def test_fim_transform_properties(spark):
         assert suf.split(" ") == toks[r.c2 :]
         expect_mid = toks[r.c1 : r.c2]
         assert (mid.split(" ") if mid else []) == expect_mid
+
+
+def test_tar_shard_write_read_roundtrip(spark, tmp_path):
+    """WebDataset EXPORT half: write_tar_shards packs (member, content)
+    rows into tar archives that read_tar_members round-trips exactly;
+    shard bytes are BIT-reproducible across a full re-write (normalized
+    tar headers — the deterministic-output rule), rolling at
+    max_members, manifest counts consistent."""
+    import hashlib
+    import os
+
+    from pyveb_spark.sinks.writers import write_tar_shards
+    from pyveb_spark.sources.readers import read_tar_members
+
+    df = spark.createDataFrame(
+        [(f"{i:04d}.txt", bytearray(f"payload-{i}".encode())) for i in range(57)],
+        "member string, content binary",
+    )
+    out1 = str(tmp_path / "shards1")
+    manifest = write_tar_shards(
+        df, out1, max_members=10, n_shards=3
+    ).collect()
+    assert sum(m.n_members for m in manifest) == 57
+    assert all(m.n_members <= 10 for m in manifest)
+    assert sorted(m.shard for m in manifest) == sorted(os.listdir(out1))
+
+    back = read_tar_members(spark, out1, glob="*.tar").collect()
+    got = {r.member: bytes(r.content) for r in back}
+    assert got == {f"{i:04d}.txt": f"payload-{i}".encode() for i in range(57)}
+
+    # byte-reproducibility: a second independent write emits identical
+    # shard files (same names, same md5s)
+    out2 = str(tmp_path / "shards2")
+    write_tar_shards(df, out2, max_members=10, n_shards=3).collect()
+
+    def digests(d):
+        return {
+            f: hashlib.md5(open(os.path.join(d, f), "rb").read()).hexdigest()
+            for f in sorted(os.listdir(d))
+        }
+
+    assert digests(out1) == digests(out2)
