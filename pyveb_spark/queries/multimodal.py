@@ -377,8 +377,11 @@ def q167_corrupt_payload_audit(
     )
     bmp = synth_bmp_pixels(F.col("seed"))
     pgm = synth_pgm(F.col("seed"), 6, 5)
+    # every BMP-derived branch references the one materialized __bmp
+    # column (added below) — the 224-byte pixel expression renders once
+    # per row, not once per branch
     payload = (
-        F.when(F.col("mode") == 0, bmp)
+        F.when(F.col("mode") == 0, F.col("__bmp"))
         .when(F.col("mode") == 1, pgm)
         # mid-header truncation: 'BM' magic intact, DIB fields gone
         .when(F.col("mode") == 2, F.expr("substring(__bmp, 1, 20)"))
