@@ -552,3 +552,77 @@ def test_render_chat_turns_span_tiling(spark, convs):
         assert pos == sum(
             len(rendered[(conv, i)]) for i in conv_turns
         )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("abcde"), min_size=1, max_size=6
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_repeat_weighting_mass_conservation(spark, texts):
+    """Σ n_copies over duplicate classes == corpus size for every input;
+    representatives are distinct texts' min ids; α=1 weight mass equals
+    the corpus size exactly (integers survive the pow round-trip)."""
+    from pyveb_spark.operators.dedup import repeat_weighted_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repeat_weighted_dedup(df, "doc_id", "text", alpha=1.0).collect()
+    assert sum(r.n_copies for r in out) == len(texts)
+    assert len(out) == len(set(texts))
+    assert sum(r.weight for r in out) == float(len(texts))
+    # representative = min doc_id of its class
+    first_idx = {}
+    for i, t in enumerate(texts):
+        first_idx.setdefault(t, i)
+    assert sorted(r.doc_id for r in out) == sorted(first_idx.values())
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_tokens=st.lists(st.integers(min_value=1, max_value=30),
+                      min_size=1, max_size=20),
+    rate=st.sampled_from([0.0, 0.3, 1.0]),
+)
+def test_fim_reassembly_property(spark, n_tokens, rate):
+    """For every doc and every apply rate: the PSM pieces partition the
+    original token sequence exactly (prefix+middle+suffix == tokens),
+    rate=0 transforms nothing, rate=1 transforms every eligible doc."""
+    from pyveb_spark.operators.text import fim_transform
+
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(k)))
+        for i, k in enumerate(n_tokens)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = fim_transform(df, "doc_id", "text", min_tokens=4, fim_rate=rate)
+    for r in out.collect():
+        toks = r.text.split(" ")
+        if rate == 0.0:
+            assert not r.fim
+        if rate == 1.0 and len(toks) >= 4:
+            assert r.fim
+        if not r.fim:
+            assert r.fim_text == r.text and r.c1 is None and r.c2 is None
+            continue
+        pre, rest = r.fim_text[5:].split("<SUF>", 1)
+        suf, mid = rest.split("<MID>", 1)
+        reassembled = (
+            pre.split(" ")
+            + (mid.split(" ") if mid else [])
+            + suf.split(" ")
+        )
+        assert reassembled == toks
