@@ -228,6 +228,7 @@ QUERIES = {
     "q168_repeat_weighting": q168_repeat_weighting,
     "q169_hybrid_retrieval": q169_hybrid_retrieval,
     "q170_fim_transform": q170_fim_transform,
+    "q171_copurchase_kcore": q171_copurchase_kcore,
 }
 
 ORACLE_SQL = {
@@ -401,6 +402,7 @@ ORACLE_SQL = {
     "q168_repeat_weighting": _Q168_SQL,
     "q169_hybrid_retrieval": _Q169_SQL,
     "q170_fim_transform": _Q170_SQL,
+    "q171_copurchase_kcore": _q171_sql(),
 }
 
 # ---------------------------------------------------------------------------
@@ -588,20 +590,24 @@ _R6_IN = [
     "q149_source_overlap",
     "q167_corrupt_payload_audit",
 ]
-# Second r6 wave: the three operators built new this round take window
+# Second r6 wave: the four operators built new this round take window
 # slots too (least-soaked by definition). Displaced — each r05-certified
 # with in-window family siblings: q154 C4 line cleaning + q159 lexical
 # diversity (text family keeps q18/q155/q156/q160/q161/q166), q163
-# curriculum schedule (sampling family keeps the newly rotated-in q123).
+# curriculum schedule (sampling family keeps the newly rotated-in q123),
+# q139 label propagation (graph family keeps rotated-in q110 triangles
+# plus the new q171 k-core).
 _R6B_OUT = [
     "q154_c4_line_clean",
     "q159_source_diversity",
     "q163_curriculum_schedule",
+    "q139_nation_communities",
 ]
 _R6B_IN = [
     "q168_repeat_weighting",
     "q169_hybrid_retrieval",
     "q170_fim_transform",
+    "q171_copurchase_kcore",
 ]
 
 _ALL = list(QUERIES)

@@ -227,3 +227,76 @@ l{i} AS (SELECT n.node, COALESCE(b.community, n.node) AS community
         "".join(blocks)
         + f"\nSELECT node, community FROM l{iters} ORDER BY node"
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: k-core decomposition of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+def q171_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-core of the part co-purchase graph (the q110 edge set): the
+    dense organic center after peeling away the long low-degree
+    periphery — the structural screen link-graph curation applies before
+    trusting connectivity signals (spam farms and isolated tails live
+    below the core). ``operators/graph.py::k_core`` peels to the TRUE
+    fixpoint (driver sees one scalar per round; lineage checkpointed);
+    the oracle replays 12 unrolled peel rounds — strictly more than any
+    committed fixture needs (sf0.1 converges in 8) — so the fixpoint and
+    the unrolled form provably agree, and a peeling bug that converged
+    to a different subgraph hash-mismatches. Output: every core member
+    with its IN-CORE degree."""
+    from pyveb_spark.operators.graph import k_core
+
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    l = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = l.select(
+        F.col("l_orderkey").alias("okey2"), F.col("l_partkey").alias("pkey2")
+    )
+    edges = (
+        l.join(o.select("o_orderkey"), l["l_orderkey"] == F.col("o_orderkey"))
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("okey2"))
+            & (F.col("l_partkey") < F.col("pkey2")),
+        )
+        .select(F.col("l_partkey").alias("src"), F.col("pkey2").alias("dst"))
+        .distinct()
+    )
+    return k_core(edges, k=14).orderBy("node")
+
+
+def _q171_sql(k: int = 14, rounds: int = 12) -> str:
+    # every round MATERIALIZED: DuckDB inlines plain CTEs, so a 12-deep
+    # self-referencing chain would otherwise expand exponentially (first
+    # symptom: "Too many open files" on the parquet view)
+    blocks = [
+        """
+WITH u AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+e0 AS MATERIALIZED (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+       FROM lineitem l1
+       JOIN u ON l1.l_orderkey = u.o_orderkey
+       JOIN lineitem l2
+         ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey)"""
+    ]
+    for i in range(rounds):
+        blocks.append(
+            f""",
+k{i} AS MATERIALIZED (SELECT node FROM
+          (SELECT node, COUNT(*) AS deg FROM
+            (SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i})
+           GROUP BY node)
+        WHERE deg >= {k}),
+e{i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{i} e
+        JOIN k{i} x ON e.a = x.node
+        JOIN k{i} y ON e.b = y.node)"""
+        )
+    return (
+        "".join(blocks)
+        + f""",
+df AS (SELECT node, COUNT(*)::BIGINT AS core_degree FROM
+        (SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+       GROUP BY node)
+SELECT node, core_degree FROM df WHERE core_degree >= {k} ORDER BY node"""
+    )

@@ -67,8 +67,9 @@ def test_gate_window_composition():
         # round-6 new operators — least-soaked by definition
         "q167_corrupt_payload_audit", "q168_repeat_weighting",
         "q169_hybrid_retrieval", "q170_fim_transform",
+        "q171_copurchase_kcore",
         # r5-certified family heads that keep their families represented
-        "q96_hourly_gap_fill", "q139_nation_communities",
+        "q96_hourly_gap_fill",
         "q144_bpe_tokenize", "q150_pretrain_pipeline_v2",
         "q151_bloom_pruned_join", "q153_audio_fingerprint_dups",
         "q157_dp_release", "q158_phrase_search",
@@ -93,10 +94,11 @@ def test_gate_window_composition():
         "q33_pivot", "q34_product_profit", "q35_range_join",
         "q41_dup_clusters", "q45_incremental_dedup", "q46_stream_dedup",
         "q47_stream_enrich",
-        # r6 second wave: slots for the three new operators (text family
-        # keeps q18/q155/q156/q160/q161/q166; sampling keeps q123)
+        # r6 second wave: slots for the four new operators (text family
+        # keeps q18/q155/q156/q160/q161/q166; sampling keeps q123; graph
+        # keeps q110 + the new q171)
         "q154_c4_line_clean", "q159_source_diversity",
-        "q163_curriculum_schedule",
+        "q163_curriculum_schedule", "q139_nation_communities",
     ]
     assert all(q in QUERIES for q in displaced)
     assert all(q not in window for q in displaced)

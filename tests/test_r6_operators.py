@@ -235,3 +235,25 @@ def test_tar_shard_write_read_roundtrip(spark, tmp_path):
         }
 
     assert digests(out1) == digests(out2)
+
+
+def test_k_core_known_graph(spark):
+    """Hand-checkable peeling: a 4-clique with pendant chains — the
+    2-core is exactly the clique (chains peel away in cascade); the
+    5-core is empty; core degrees are measured INSIDE the core."""
+    from pyveb_spark.operators.graph import k_core
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chains = [(3, 10), (10, 11), (11, 12), (0, 20)]
+    df = spark.createDataFrame(clique + chains, "src long, dst long")
+    core2 = {r.node: r.core_degree for r in k_core(df, 2).collect()}
+    assert core2 == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert k_core(df, 5).count() == 0
+    # duplicate + reversed + self-loop edges are tolerated
+    noisy = spark.createDataFrame(
+        clique + [(b, a) for a, b in clique] + [(7, 7)],
+        "src long, dst long",
+    )
+    assert {r.node for r in k_core(noisy, 3).collect()} == {0, 1, 2, 3}
+    with pytest.raises(ValueError, match="converge"):
+        k_core(df, 2, max_rounds=0)
