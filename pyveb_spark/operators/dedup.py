@@ -45,6 +45,7 @@ __all__ = [
     "contamination_check",
     "minhash_lsh_index",
     "minhash_lsh_lookup",
+    "fuzzy_decontaminate",
     "exact_substring_pairs",
     "substring_duplication",
     "cross_source_overlap",
@@ -836,6 +837,57 @@ def minhash_lsh_lookup(
         )
         .where(F.col("jaccard") >= threshold)
         .select(a_id, b_id, "jaccard")
+    )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: flag every training document
+    whose n-gram Jaccard similarity to ANY eval/benchmark document
+    reaches ``threshold`` — the paraphrase-robust complement to
+    :func:`contamination_check` (exact n-gram containment misses
+    reworded eval items; near-duplicate leakage is what actually
+    inflates benchmark scores). Returns one row per contaminated
+    training doc: ``(id_col, n_eval_matches, max_jaccard)`` — anti-join
+    it against the corpus to produce the cleaned training set.
+
+    100 TB shape: the EVAL set is indexed (``minhash_lsh_index`` — it is
+    benchmark-sized, thousands of rows, so its banded postings stay
+    broadcastable at any corpus size) and the CORPUS streams through
+    ONE :func:`minhash_lsh_lookup` pass — cost ∝ corpus scan, identical
+    recall curve to ``minhash_lsh_pairs`` at the same banding. Candidate
+    pairs are exact-Jaccard verified, so precision is 1.0 and the
+    flag threshold is a real similarity, not an LSH artifact."""
+    a_id, b_id = f"{id_col}_new", f"{id_col}_corpus"
+    index = minhash_lsh_index(
+        eval_docs, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
+    )
+    hits = minhash_lsh_lookup(
+        corpus,
+        index,
+        id_col,
+        text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        max_bucket_size=max_bucket_size,
+    )
+    return (
+        hits.groupBy(F.col(a_id).alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_matches"),
+            F.round(F.max("jaccard"), 4).alias("max_jaccard"),
+        )
     )
 
 

@@ -229,6 +229,11 @@ QUERIES = {
     "q169_hybrid_retrieval": q169_hybrid_retrieval,
     "q170_fim_transform": q170_fim_transform,
     "q171_copurchase_kcore": q171_copurchase_kcore,
+    # q172 is registered OUTSIDE the 50-slot window deliberately: round 6
+    # already carries 20 first-time certifications; q172 soaks under
+    # selfcheck this round and rotates in as a round-7 head (the same
+    # staging the round-4 second-half operators used).
+    "q172_fuzzy_decontamination": q172_fuzzy_decontamination,
 }
 
 ORACLE_SQL = {
@@ -403,6 +408,7 @@ ORACLE_SQL = {
     "q169_hybrid_retrieval": _Q169_SQL,
     "q170_fim_transform": _Q170_SQL,
     "q171_copurchase_kcore": _q171_sql(),
+    "q172_fuzzy_decontamination": _Q172_SQL,
 }
 
 # ---------------------------------------------------------------------------

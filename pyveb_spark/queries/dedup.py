@@ -741,3 +741,70 @@ FROM documents
 GROUP BY md5(text)
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: FUZZY benchmark decontamination (MinHash-LSH, paraphrase-robust)
+# ---------------------------------------------------------------------------
+
+def q172_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination sweep — the paraphrase-robust complement to
+    q65's exact n-gram check: treating every tenth document as the
+    held-out benchmark, flag training docs whose bigram Jaccard to ANY
+    benchmark item reaches 0.7 (``dedup.fuzzy_decontaminate``). The eval
+    set is indexed (benchmark-sized postings — broadcastable at any
+    corpus scale); the corpus streams through one LSH lookup pass with
+    exact-Jaccard verification, so the flags are real similarities. The
+    oracle replays index build, band candidates, cap, verify, and the
+    per-doc aggregation — the q45 pipeline with the roles flipped."""
+    from pyveb_spark.operators.dedup import fuzzy_decontaminate
+
+    d = read_table(spark, sf_dir, "documents")
+    eval_docs = d.where(F.col("doc_id") % 10 == 0)
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    return fuzzy_decontaminate(
+        corpus, eval_docs, "doc_id", "text", threshold=0.7
+    ).orderBy("doc_id")
+
+
+_Q172_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (SELECT doc_id,
+                 list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS gs
+          FROM toks),
+hashed AS (SELECT doc_id,
+                  list_transform(gs, g -> ('0x' || substr(md5(g), 1, 12))::BIGINT) AS gh,
+                  len(gs) AS n
+           FROM grams),
+sigs AS (SELECT doc_id, gh, n, [
+    {_minhash_sql_exprs(32)}
+  ] AS mh
+  FROM hashed WHERE n > 0),
+bandvals AS (SELECT doc_id, gh, n, [
+    {_band_sql_exprs(32, 8)}
+  ] AS bh
+  FROM sigs),
+banded AS (SELECT doc_id, gh, n,
+                  generate_subscripts(bh, 1) AS band, unnest(bh) AS h
+           FROM bandvals),
+bsz AS (SELECT band, h, COUNT(*) AS m FROM banded
+        WHERE doc_id % 10 = 0 GROUP BY band, h),
+evalb AS (SELECT banded.doc_id, banded.band, banded.h
+          FROM banded JOIN bsz USING (band, h)
+          WHERE banded.doc_id % 10 = 0 AND m <= {{cap}}),
+cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         FROM banded a JOIN evalb b ON a.band = b.band AND a.h = b.h
+         WHERE a.doc_id % 10 <> 0),
+pairs AS (SELECT ida, idb,
+                 len(list_intersect(ga.gh, gb.gh)) * 1.0
+                   / (ga.n + gb.n - len(list_intersect(ga.gh, gb.gh))) AS j
+          FROM cand
+          JOIN hashed ga ON ga.doc_id = ida
+          JOIN hashed gb ON gb.doc_id = idb)
+SELECT ida AS doc_id,
+       COUNT(*)::BIGINT AS n_eval_matches,
+       ROUND(MAX(j), 4) AS max_jaccard
+FROM pairs WHERE j >= 0.7
+GROUP BY ida
+ORDER BY doc_id
+""".replace("{cap}", str(_LSH_CAP))

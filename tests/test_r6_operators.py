@@ -8,6 +8,7 @@ import os
 import tempfile
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def test_stream_state_stays_bounded_across_many_batches(spark):
@@ -257,3 +258,46 @@ def test_k_core_known_graph(spark):
     assert {r.node for r in k_core(noisy, 3).collect()} == {0, 1, 2, 3}
     with pytest.raises(ValueError, match="converge"):
         k_core(df, 2, max_rounds=0)
+
+
+def test_fuzzy_decontamination_catches_paraphrase(spark):
+    """A lightly reworded eval item shares no 8-gram run with the
+    training doc (exact contamination_check misses it) but sits well
+    above bigram-Jaccard 0.7 — exactly the leakage fuzzy_decontaminate
+    exists to catch; an unrelated doc stays unflagged."""
+    from pyveb_spark.operators.dedup import (
+        contamination_check,
+        fuzzy_decontaminate,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls on the quiet green hill near the old stone bridge "
+            "as evening light settles slowly across the wide silent valley "
+            "and distant birds return home to rest before the long night")
+    # reword every 7th token: every 8-gram run is broken (the exact
+    # check's unit), but ~5/6 of the bigram set survives
+    toks = base.split()
+    for pos in range(6, len(toks), 7):
+        toks[pos] = toks[pos] + "x"
+    paraphrase = " ".join(toks)
+    eval_docs = spark.createDataFrame(
+        [(1000, base)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, paraphrase), (2, "completely unrelated text about spark sql")],
+        "doc_id long, text string",
+    )
+    flagged = {r.doc_id: r for r in fuzzy_decontaminate(
+        corpus, eval_docs, "doc_id", "text", threshold=0.5
+    ).collect()}
+    assert set(flagged) == {1}
+    assert flagged[1].n_eval_matches == 1
+    assert flagged[1].max_jaccard >= 0.5
+    exact = contamination_check(
+        corpus,
+        eval_docs.select(
+            F.col("doc_id").alias("bench_id"), F.col("text").alias("btext")
+        ),
+        "doc_id", "text", "bench_id", "btext", n=8,
+    )
+    assert exact.count() == 0  # the paraphrase evades the exact check
