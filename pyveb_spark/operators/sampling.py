@@ -36,6 +36,8 @@ __all__ = [
     "hash_sample",
     "hash_split",
     "source_mix",
+    "temperature_rates",
+    "temperature_mix",
     "ranked_quota_sample",
     "epoch_repeat",
     "weighted_sample",
@@ -151,6 +153,99 @@ def source_mix(
         else thr.otherwise(F.lit(threshold_hex(default_rate)))
     )
     return df.where(hexv < thr)
+
+
+_TEMP_GRID = 4096  # 3 hex digits: rate resolution 1/4096 ≈ 0.02 %
+
+
+def temperature_rates(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    grid: int = _TEMP_GRID,
+) -> DataFrame:
+    """Per-group keep-rate table for temperature-scaled corpus mixing
+    (multilingual-LM sampling à la mBERT/XLM-R: sample groups with
+    probability ∝ n_g^α, α<1 flattening the head so low-resource
+    languages aren't drowned; Conneau 2020 §3.1 uses α∈[0.3, 0.7]).
+
+    Realized as per-group *down-sampling* rates normalized so the
+    smallest group keeps everything: rate_g = (n_min/n_g)^(1-α). The
+    rate is quantized to a ``1/grid`` lattice (``t_int = ⌊grid·rate⌋``)
+    so the sampling threshold is a short hex literal computable IN-PLAN
+    (``format_string('%03x', t_int)``) — the thresholds depend on data
+    (group counts), so they cannot be Python-side ``threshold_hex``
+    literals like ``source_mix``'s.
+
+    Float-determinism note: for α = 0.5 the rate path is
+    ``sqrt(n_min / n_g)`` — one exact integer ratio through IEEE-754
+    sqrt, which the standard requires to be *correctly rounded*, so
+    Spark and any ANSI oracle produce bit-identical rates and therefore
+    identical quantized thresholds. Other α go through ``pow`` (only
+    1-ulp-accurate in most libms); they are fine for production but the
+    oracle-checked query pins α = 0.5.
+
+    Returns one row per group: ``(group_col, n_g, t_int, target_share)``
+    where ``target_share = n_g^α / Σ n^α`` (the mix the α-scaling aims
+    for; reporting only — not in the membership path).
+
+    Scale notes: one tiny groupBy (≤ #groups rows) plus unpartitioned
+    windows over that tiny frame — the single-partition window is over
+    #groups rows (languages/domains: bounded small), never over data.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_g"))
+    w = Window.partitionBy()
+    weight = (
+        F.sqrt(F.col("n_g").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("n_g").cast("double"), F.lit(float(alpha)))
+    )
+    ratio = F.col("n_min").cast("double") / F.col("n_g").cast("double")
+    rate = (
+        F.sqrt(ratio)
+        if alpha == 0.5
+        else F.pow(ratio, F.lit(1.0 - float(alpha)))
+    )
+    return (
+        counts.withColumn("n_min", F.min("n_g").over(w))
+        .withColumn("__w", weight)
+        .withColumn("target_share", F.col("__w") / F.sum("__w").over(w))
+        .withColumn(
+            "t_int", F.floor(F.lit(float(grid)) * rate).cast("int")
+        )
+        .select(group_col, "n_g", "t_int", "target_share")
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    key_cols: Sequence[str],
+    alpha: float = 0.5,
+    seed: str = "",
+    grid: int = _TEMP_GRID,
+) -> DataFrame:
+    """Apply ``temperature_rates``: keep each row iff its content-hash
+    uniform falls under its group's quantized threshold. The rate table
+    is broadcast (≤ #groups rows); the predicate is a stateless
+    scan-stage filter exactly like ``source_mix`` — same md5-hex
+    uniform, so temperature mixing composes with splits and samples.
+
+    A group at full rate (``t_int ≥ grid``) gets threshold ``'g'``,
+    which sorts after every lowercase-hex string — keep-all without a
+    hex-width wraparound (same convention as ``threshold_hex``).
+    """
+    rates = temperature_rates(df, group_col, alpha=alpha, grid=grid)
+    hex_digits = len(format(grid - 1, "x"))
+    thr = F.when(F.col("t_int") >= F.lit(int(grid)), F.lit("g")).otherwise(
+        F.format_string(f"%0{hex_digits}x", F.col("t_int"))
+    )
+    uni = F.substring(uniform_hex(key_cols, seed), 1, hex_digits)
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(uni < thr)
+        .select(*df.columns)
+    )
 
 
 def epoch_repeat(

@@ -21,6 +21,7 @@ __all__ = [
     "text_stats",
     "quality_score",
     "language_id",
+    "normalized_text",
     "doc_fingerprint",
     "winnow_fingerprints",
     "winnow_pairs",
@@ -151,6 +152,25 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.drop(*[f"__hits_{lang}" for lang in _LANG_MARKERS])
 
 
+def normalized_text(
+    text_col: str = "text", prefix_tokens: int | None = None
+) -> Column:
+    """The whitespace-collapsed lowercase normal form the fingerprinting
+    family keys on (optionally truncated to the first ``prefix_tokens``
+    whitespace tokens). Exposed as a Column so operators that need the
+    *string* itself — e.g. group-keyed splitting, where the md5 sampling
+    uniform must hash the same renderable value in Spark and the oracle —
+    share one definition with ``doc_fingerprint``'s xxhash."""
+    normalized = F.trim(
+        F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    )
+    if prefix_tokens is not None:
+        normalized = F.array_join(
+            F.slice(F.split(normalized, " "), 1, prefix_tokens), " "
+        )
+    return normalized
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str = "text", prefix_tokens: int | None = None
 ) -> DataFrame:
@@ -163,14 +183,9 @@ def doc_fingerprint(
     boilerplate dedup): catches template/head duplicates that whole-doc
     hashing misses whenever tails diverge, at the same stateless
     scan-stage cost."""
-    normalized = F.trim(
-        F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.withColumn(
+        "fingerprint", F.xxhash64(normalized_text(text_col, prefix_tokens))
     )
-    if prefix_tokens is not None:
-        normalized = F.array_join(
-            F.slice(F.split(normalized, " "), 1, prefix_tokens), " "
-        )
-    return df.withColumn("fingerprint", F.xxhash64(normalized))
 
 
 def hashed_linear_score(

@@ -234,6 +234,10 @@ QUERIES = {
     # selfcheck this round and rotates in as a round-7 head (the same
     # staging the round-4 second-half operators used).
     "q172_fuzzy_decontamination": q172_fuzzy_decontamination,
+    # q173/q174 likewise soak outside the window as round-7 heads
+    # (registered late round 6; least-certified by construction).
+    "q173_temperature_mix": q173_temperature_mix,
+    "q174_leakage_split": q174_leakage_split,
 }
 
 ORACLE_SQL = {
@@ -409,6 +413,8 @@ ORACLE_SQL = {
     "q170_fim_transform": _Q170_SQL,
     "q171_copurchase_kcore": _q171_sql(),
     "q172_fuzzy_decontamination": _Q172_SQL,
+    "q173_temperature_mix": _Q173_SQL,
+    "q174_leakage_split": _Q174_SQL,
 }
 
 # ---------------------------------------------------------------------------

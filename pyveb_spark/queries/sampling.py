@@ -389,3 +389,184 @@ SELECT phase, n_docs, n_tokens,
 FROM sched
 ORDER BY phase
 """
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: temperature-scaled language mixing (multilingual corpus balance)
+# ---------------------------------------------------------------------------
+
+def q173_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language re-balancing (α = 0.5), the
+    multilingual-LM mixing recipe (Conneau 2020 §3.1: sample languages
+    ∝ n^α to lift low-resource languages): per-lang keep-rates
+    ``(n_min/n_lang)^(1-α)`` computed FROM the data in-plan, quantized to
+    a 4096-grid hex threshold, applied as a stateless md5 filter.
+    Reports, per language: corpus count, quantized rate, surviving
+    count, the α-target share, and the achieved share.
+
+    Contrast with q43 (fixed operator-supplied rates): here the rates
+    are a function of observed group sizes — the form that survives
+    corpus drift without re-tuning. α = 0.5 pins the rate path to
+    ``sqrt`` (IEEE correctly-rounded → bit-identical in the oracle; see
+    ``operators/sampling.py::temperature_rates``).
+
+    Scale: two scans of documents (count pass + filter pass), one ≤5-row
+    rate table broadcast back, both aggregations tiny. The 100 TB cost
+    is the two scans — same as any count-then-sample recipe.
+    """
+    from pyveb_spark.operators.sampling import temperature_mix, temperature_rates
+
+    d = read_table(spark, sf_dir, "documents")
+    rates = temperature_rates(d, "lang", alpha=0.5)
+    kept = (
+        temperature_mix(d, "lang", key_cols=["doc_id"], alpha=0.5, seed="tmix1")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    w = Window.partitionBy()
+    return (
+        rates.join(kept, "lang", "left")
+        .withColumn("n_after", F.coalesce(F.col("n_after"), F.lit(0)))
+        .select(
+            "lang",
+            F.col("n_g").alias("n_before"),
+            F.round(F.col("t_int") / F.lit(4096.0), 6).alias("rate_q"),
+            "n_after",
+            F.round("target_share", 4).alias("target_share"),
+            F.round(
+                F.col("n_after")
+                / F.sum("n_after").over(w).cast("double"),
+                6,
+            ).alias("achieved_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q173_SQL = """
+WITH counts AS (SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang),
+stats AS (
+  SELECT lang, n_g,
+         MIN(n_g) OVER () AS n_min,
+         sqrt(CAST(n_g AS DOUBLE)) / SUM(sqrt(CAST(n_g AS DOUBLE))) OVER ()
+           AS target_share,
+         CAST(FLOOR(4096.0 * sqrt(CAST(MIN(n_g) OVER () AS DOUBLE)
+                                  / CAST(n_g AS DOUBLE))) AS INT) AS t_int
+  FROM counts),
+kept AS (
+  SELECT d.lang, COUNT(*) AS n_after
+  FROM documents d JOIN stats s ON d.lang = s.lang
+  WHERE substr(md5(concat_ws('|', 'tmix1', d.doc_id)), 1, 3) <
+        CASE WHEN s.t_int >= 4096 THEN 'g' ELSE printf('%03x', s.t_int) END
+  GROUP BY d.lang)
+SELECT s.lang,
+       s.n_g::BIGINT AS n_before,
+       ROUND(s.t_int / 4096.0, 6) AS rate_q,
+       COALESCE(k.n_after, 0)::BIGINT AS n_after,
+       ROUND(s.target_share, 4) AS target_share,
+       ROUND(COALESCE(k.n_after, 0)
+             / CAST(SUM(COALESCE(k.n_after, 0)) OVER () AS DOUBLE), 6)
+         AS achieved_share
+FROM stats s LEFT JOIN kept k ON s.lang = k.lang
+ORDER BY s.lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: leakage-free train/valid/test split (group-keyed assignment)
+# ---------------------------------------------------------------------------
+
+def q174_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe splitting: the doc_id-keyed 80/10/10 split
+    (q128's committed assignment) scatters near-duplicate documents
+    across train and test — exactly the train/test leakage Lee 2022 §6.2
+    measures. Keying the SAME hash split on the prefix-12 content
+    fingerprint instead pins every member of a duplicate group to one
+    split, eliminating the leak by construction.
+
+    Output: one row per (scheme, split) — docs assigned, distinct
+    fingerprint groups touched, and ``leaked_docs``: members of groups
+    that span >1 split under that scheme. The doc-keyed rows quantify
+    the leak; the group-keyed rows certify 0.
+
+    Scale: fingerprint + split assignment are scan-stage expressions;
+    the leak audit is one groupBy(fingerprint-string) plus a re-join on
+    it — two shuffles on a well-distributed key. (Spark hashes the
+    normalized-prefix STRING, not the xxhash64 fingerprint, because the
+    md5 split uniform must hash a value the oracle renders identically.)
+    """
+    from pyveb_spark.operators.sampling import hash_split
+    from pyveb_spark.operators.text import normalized_text
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .withColumn("nt", normalized_text("text", prefix_tokens=12))
+    )
+    out = []
+    for scheme, keys in (("doc_keyed", ["doc_id"]), ("group_keyed", ["nt"])):
+        s = hash_split(
+            d, {"train": 0.8, "valid": 0.1, "test": 0.1}, keys, seed="split"
+        )
+        spans = s.groupBy("nt").agg(
+            F.count_distinct("split").alias("n_splits")
+        )
+        out.append(
+            s.join(spans, "nt")
+            .groupBy("split")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.count_distinct("nt").alias("n_groups"),
+                F.sum((F.col("n_splits") > 1).cast("long")).alias(
+                    "leaked_docs"
+                ),
+            )
+            .withColumn("scheme", F.lit(scheme))
+        )
+    return (
+        out[0]
+        .unionByName(out[1])
+        .select("scheme", "split", "n_docs", "n_groups", "leaked_docs")
+        .orderBy("scheme", "split")
+    )
+
+
+def _q174_sql() -> str:
+    from pyveb_spark.operators.sampling import threshold_hex
+
+    t_train = threshold_hex(0.8)
+    t_valid = threshold_hex(0.8 + 0.1)
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+         array_to_string(
+           (string_split(
+              trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' '))[1:12],
+           ' ') AS nt
+  FROM documents),
+assigned AS (
+  SELECT scheme, nt,
+         CASE WHEN u < '{t_train}' THEN 'train'
+              WHEN u < '{t_valid}' THEN 'valid'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT 'doc_keyed' AS scheme, nt,
+           substr(md5(concat_ws('|', 'split', doc_id)), 1, 12) AS u
+    FROM d
+    UNION ALL
+    SELECT 'group_keyed' AS scheme, nt,
+           substr(md5(concat_ws('|', 'split', nt)), 1, 12) AS u
+    FROM d) t),
+spans AS (
+  SELECT scheme, nt, COUNT(DISTINCT split) AS n_splits
+  FROM assigned GROUP BY scheme, nt)
+SELECT a.scheme, a.split,
+       COUNT(*)::BIGINT AS n_docs,
+       COUNT(DISTINCT a.nt)::BIGINT AS n_groups,
+       SUM(CASE WHEN s.n_splits > 1 THEN 1 ELSE 0 END)::BIGINT AS leaked_docs
+FROM assigned a JOIN spans s ON a.scheme = s.scheme AND a.nt = s.nt
+GROUP BY a.scheme, a.split
+ORDER BY a.scheme, a.split
+"""
+
+
+_Q174_SQL = _q174_sql()
