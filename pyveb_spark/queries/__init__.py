@@ -621,6 +621,60 @@ _R6B_IN = [
     "q170_fim_transform",
     "q171_copurchase_kcore",
 ]
+# Third r6 wave — accelerated debt burn-down. Fourteen more r05-certified
+# members cede slots to fourteen never-driver-certified heads; after this
+# wave the window carries 34 first-time slots, cutting the remaining
+# backlog to two rotation rounds. Displaced → incoming with the family
+# sibling that keeps each displaced family represented:
+#   q96 gap fill        → q101 rolling / q114 OHLC (timeseries stays 2-deep)
+#   q13 argmax          → (nested family keeps q12 json/VARIANT)
+#   q144 BPE apply      → q99 BPE merge pairs (q166 fertility still
+#                         composes train→apply in-window)
+#   q157 DP release     → q152 k-anonymity (the privacy sibling)
+#   q151 Bloom join     → q141 Bloom admission (sketch family swap)
+#   q155 KL drift       → q84 token frequencies (token-distribution)
+#   q160 DSIR           → q103 bigram-LM quality scores (same family)
+#   q162 recall audit   → q62 embedding-dedup pipeline (ANN keeps
+#                         q87 PQ / q140 SQ8 / q165 admission)
+#   q38 BMP decode      → q67 frame features (multimodal keeps q153/q167)
+#   q17 ngram pairs     → q86 fingerprint dups (dedup keeps q64/q89/
+#                         q149/q156)
+#   q32 pipeline e2e    → q148 training shards (pipeline keeps q150)
+#   q14 as-of join      → q115 fuzzy name pairs (joins keep q48/q132)
+#   q26 stream upsert   → q119 sliding windows (streaming keeps q31/q164)
+#   q18 text stats      → q85 language id (text keeps q102/q156/q161/q166)
+_R6C_OUT = [
+    "q96_hourly_gap_fill",
+    "q13_argmax_maxby",
+    "q144_bpe_tokenize",
+    "q157_dp_release",
+    "q151_bloom_pruned_join",
+    "q155_source_kl_drift",
+    "q160_dsir_weights",
+    "q162_ann_recall_audit",
+    "q38_multimodal_decode",
+    "q17_near_dup_pairs",
+    "q32_pipeline_e2e",
+    "q14_asof_join",
+    "q26_stream_upsert",
+    "q18_text_stats",
+]
+_R6C_IN = [
+    "q101_rolling_activity",
+    "q114_daily_ohlc",
+    "q99_bpe_merge_pairs",
+    "q152_k_anonymity",
+    "q141_bloom_admission",
+    "q84_token_freq",
+    "q103_lm_quality_scores",
+    "q62_embedding_dedup",
+    "q67_frame_features",
+    "q86_fingerprint_dups",
+    "q148_training_shards",
+    "q115_fuzzy_name_pairs",
+    "q119_stream_sliding_windows",
+    "q85_language_id",
+]
 
 _ALL = list(QUERIES)
 # reconstruct the round-5 window exactly as shipped, then apply the
@@ -630,7 +684,8 @@ _IN5 = [q for q in _ROTATED_IN + _R5_IN if q not in _OUT5] + _R5B_IN
 _WINDOW5 = [q for q in _ALL[:50] if q not in _OUT5] + _IN5
 assert len(_WINDOW5) == 50
 _WINDOW6 = [q for q in _WINDOW5 if q not in _R6_OUT] + _R6_IN
-_WINDOW = [q for q in _WINDOW6 if q not in _R6B_OUT] + _R6B_IN
+_WINDOW6B = [q for q in _WINDOW6 if q not in _R6B_OUT] + _R6B_IN
+_WINDOW = [q for q in _WINDOW6B if q not in _R6C_OUT] + _R6C_IN
 GATE_ORDER = _WINDOW + [q for q in _ALL if q not in _WINDOW]
 assert len(GATE_ORDER) == len(_ALL) and set(GATE_ORDER) == set(_ALL)
 assert len(_WINDOW) == 50

@@ -68,12 +68,16 @@ def test_gate_window_composition():
         "q167_corrupt_payload_audit", "q168_repeat_weighting",
         "q169_hybrid_retrieval", "q170_fim_transform",
         "q171_copurchase_kcore",
+        # third r6 wave: fourteen more first-time certifications
+        "q101_rolling_activity", "q114_daily_ohlc", "q99_bpe_merge_pairs",
+        "q152_k_anonymity", "q141_bloom_admission", "q84_token_freq",
+        "q103_lm_quality_scores", "q62_embedding_dedup",
+        "q67_frame_features", "q86_fingerprint_dups",
+        "q148_training_shards", "q115_fuzzy_name_pairs",
+        "q119_stream_sliding_windows", "q85_language_id",
         # r5-certified family heads that keep their families represented
-        "q96_hourly_gap_fill",
-        "q144_bpe_tokenize", "q150_pretrain_pipeline_v2",
-        "q151_bloom_pruned_join", "q153_audio_fingerprint_dups",
-        "q157_dp_release", "q158_phrase_search",
-        "q162_ann_recall_audit", "q164_stream_admission",
+        "q150_pretrain_pipeline_v2", "q153_audio_fingerprint_dups",
+        "q158_phrase_search", "q164_stream_admission",
         "q165_incremental_embedding_dedup",
     ]
     missing = [q for q in must_be_in if q not in window]
@@ -95,10 +99,18 @@ def test_gate_window_composition():
         "q41_dup_clusters", "q45_incremental_dedup", "q46_stream_dedup",
         "q47_stream_enrich",
         # r6 second wave: slots for the four new operators (text family
-        # keeps q18/q155/q156/q160/q161/q166; sampling keeps q123; graph
-        # keeps q110 + the new q171)
+        # keeps q156/q161/q166 + the wave-3 incomers; sampling keeps
+        # q123; graph keeps q110 + the new q171)
         "q154_c4_line_clean", "q159_source_diversity",
         "q163_curriculum_schedule", "q139_nation_communities",
+        # r6 third wave: fourteen r05-certified members cede slots
+        # (family-sibling mapping in the gate comment)
+        "q96_hourly_gap_fill", "q13_argmax_maxby", "q144_bpe_tokenize",
+        "q157_dp_release", "q151_bloom_pruned_join",
+        "q155_source_kl_drift", "q160_dsir_weights",
+        "q162_ann_recall_audit", "q38_multimodal_decode",
+        "q17_near_dup_pairs", "q32_pipeline_e2e", "q14_asof_join",
+        "q26_stream_upsert", "q18_text_stats",
     ]
     assert all(q in QUERIES for q in displaced)
     assert all(q not in window for q in displaced)
