@@ -27,10 +27,17 @@ overlap via ``sequence``+``explode``; a document adds
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_token_offsets", "pack_spans", "pack_contiguous"]
+__all__ = [
+    "with_token_offsets",
+    "pack_spans",
+    "pack_contiguous",
+    "pack_cut_stats",
+]
 
 
 def with_token_offsets(
@@ -149,4 +156,64 @@ def pack_contiguous(
     offs = with_token_offsets(df, n_tokens_col, order_col)
     return offs.withColumn(
         "bin_id", (F.col("start_tok") / F.lit(int(budget))).cast("bigint")
+    )
+
+
+def pack_cut_stats(
+    df: DataFrame,
+    n_tokens_col: str,
+    order_col: str,
+    budgets: Sequence[int],
+) -> DataFrame:
+    """Window-budget sweep for GPT-style span packing: for each candidate
+    ``budget`` (max_seq_len), how many training windows the corpus yields
+    and how many documents get CUT by a window boundary — the
+    sample-quality cost of span packing that whole-doc binning avoids.
+    The choose-your-sequence-length table: larger budgets cut fewer docs
+    but yield fewer (longer) samples.
+
+    One row per budget: ``(budget, n_docs, n_packs, docs_cut, cut_rate,
+    n_spans, total_tokens)`` where ``docs_cut`` counts documents spanning
+    >1 window and ``n_spans`` is the total (document × window) overlap
+    count (what ``pack_spans`` would materialize).
+
+    100 TB design: the token-offset prefix sum runs ONCE
+    (budget-independent); each budget's first/last window ids are pure
+    integer division on the offsets, swept via one ``explode`` over the
+    (tiny) budget array, folded by a single map-side-combinable
+    aggregation. Cost = one range exchange + one agg, regardless of how
+    many budgets are swept.
+    """
+    if not budgets or any(int(b) < 1 for b in budgets):
+        raise ValueError("budgets must be non-empty positive ints")
+    offs = with_token_offsets(df, n_tokens_col, order_col).where(
+        F.col(n_tokens_col) > 0
+    )
+    swept = offs.select(
+        F.col(n_tokens_col).alias("__n"),
+        F.explode(
+            F.array(*[F.lit(int(x)).cast("long") for x in budgets])
+        ).alias("budget"),
+        "start_tok",
+        "end_tok",
+    ).select(
+        "budget",
+        "__n",
+        # integral `div`, not double `/`: exact over the full int64 range
+        F.expr("start_tok div budget").alias("__fp"),
+        F.expr("end_tok div budget").alias("__lp"),
+    )
+    return swept.groupBy("budget").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.max("__lp") + F.lit(1)).alias("n_packs"),
+        F.sum((F.col("__lp") > F.col("__fp")).cast("long")).alias(
+            "docs_cut"
+        ),
+        F.round(
+            F.sum((F.col("__lp") > F.col("__fp")).cast("long"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("cut_rate"),
+        F.sum(F.col("__lp") - F.col("__fp") + F.lit(1)).alias("n_spans"),
+        F.sum("__n").alias("total_tokens"),
     )

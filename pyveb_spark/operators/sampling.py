@@ -42,6 +42,8 @@ __all__ = [
     "epoch_repeat",
     "weighted_sample",
     "shard_assign",
+    "score_tiers",
+    "apportion_budget",
 ]
 
 _HEX_DIGITS = 12  # 48-bit prefix of the md5
@@ -475,4 +477,119 @@ def curriculum_phases(
         F.sum("n_tokens").over(wp).alias("cum_tokens"),
         "score_lo",
         "score_hi",
+    )
+
+
+def score_tiers(
+    df: DataFrame,
+    score_col: str,
+    n_tiers: int = 3,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Stamp every row with its nearest-rank score tier (1 = highest
+    scores) computed *within each group* — the per-language head/middle/
+    tail split of CCNet's perplexity bucketing (Wenzek 2020 §3.3) when
+    called with ``n_tiers=3, group_cols=("lang",)``.
+
+    Same determinism discipline as ``curriculum_phases``: tiering runs
+    over each group's DISTINCT 6-decimal-rounded score table, so docs
+    sharing a rounded score always share a tier — no row-position
+    tie-splitting, and the cumulative-rank arithmetic
+    (``ceil(cum·n/N)`` with one exact-integer product and one double
+    division) replays bit-identically in any ANSI engine.
+
+    100 TB design: one map-side-combined groupBy collapses data to the
+    per-group distinct-score table (bounded: scores are rounded), the
+    rank windows run over that tiny table only, and the tier stamp
+    broadcast-joins back into the scan stage. No global sort, no
+    data-sized window — NTILE's classic formulation is what this avoids.
+    """
+    if n_tiers < 1:
+        raise ValueError("n_tiers must be >= 1")
+    gcols = list(group_cols)
+    s = F.round(F.col(score_col), 6)
+    per_score = df.groupBy(*gcols, s.alias("__s")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_cum = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.desc("__s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*gcols)
+    tiers = per_score.select(
+        *gcols,
+        "__s",
+        F.least(
+            F.lit(int(n_tiers)),
+            F.ceil(
+                F.sum("__n").over(w_cum)
+                * F.lit(int(n_tiers))
+                / F.sum("__n").over(w_all).cast("double")
+            ).cast("int"),
+        ).alias("tier"),
+    )
+    return (
+        df.withColumn("__s", s)
+        .join(F.broadcast(tiers), [*gcols, "__s"])
+        .drop("__s")
+    )
+
+
+def apportion_budget(
+    counts: DataFrame,
+    group_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer token
+    budget across groups proportional to integer weights: the exact
+    "how many tokens does each source contribute to this training run"
+    allocation. Every group gets ``floor(budget·w/T)``; the
+    ``budget − Σfloor`` leftover units go one each to the groups with
+    the largest remainders (``(budget·w) mod T``, ties to the smaller
+    group key), so ``Σ alloc == budget`` exactly and no group deviates
+    from its ideal share by ≥ 1 token.
+
+    Everything is INTEGER arithmetic (``div``/``%`` on BIGINT) — no
+    float shares, so Spark and any ANSI oracle agree bit-for-bit with
+    no rounding contract. Overflow bound: ``budget · max(w)`` must fit
+    in int64 (switch to DECIMAL(38,0) beyond ~9.2e18 — at a 1e12-token
+    corpus that caps budget around 9e6 × mean weight, plenty for share
+    tables).
+
+    Scale notes: ``counts`` is the per-group weight table (≤ #groups
+    rows — languages/sources/domains: bounded small); every window here
+    runs single-partition over that tiny frame, never over data.
+    """
+    b = F.lit(int(budget)).cast("long")
+    w_all = Window.partitionBy()
+    total = F.sum(F.col(weight_col).cast("long")).over(w_all)
+    prod = b * F.col(weight_col).cast("long")
+    with_floor = counts.select(
+        group_col,
+        weight_col,
+        F.when(total > 0, prod).alias("__num"),
+        F.when(total > 0, prod % total).alias("__rem"),
+        total.alias("__tot"),
+    ).withColumn(
+        # integral `div`, not double `/`: exact over the full int64 range
+        "__floor",
+        F.expr("__num div __tot"),
+    )
+    w_rank = Window.partitionBy().orderBy(
+        F.desc("__rem"), F.asc(group_col)
+    )
+    leftover = b - F.sum("__floor").over(w_all)
+    return (
+        with_floor.withColumn("__rk", F.row_number().over(w_rank))
+        .select(
+            group_col,
+            weight_col,
+            (
+                F.col("__floor")
+                + (F.col("__rk") <= leftover).cast("long")
+            ).alias("alloc"),
+            (F.col("__rk") <= leftover).cast("int").alias("bonus"),
+        )
     )

@@ -704,13 +704,21 @@ def bigram_lm_score(
         docs.select(F.col(id_col), F.posexplode(bigrams).alias("__pos", "gram"))
         .withColumn("__w", F.split(F.col("gram"), " ")[0])
         .join(c2, "gram", "left")
-        .join(c1, "__w")
+        .join(c1, "__w", "left")
         .crossJoin(F.broadcast(vocab))
         .withColumn(
             "__lnp",
+            # LEFT join + coalesce(0): identical to the old inner join
+            # whenever the tables are trained on the scored corpus (every
+            # unigram present), and correct for REFERENCE-trained tables
+            # (CCNet shape, q175) where scored docs carry OOV unigrams —
+            # those back off to P = α / (α·V).
             F.log(
                 (F.coalesce(F.col("__c2"), F.lit(0)) + F.lit(float(alpha)))
-                / (F.col("__c1") + F.lit(float(alpha)) * F.col("__v"))
+                / (
+                    F.coalesce(F.col("__c1"), F.lit(0))
+                    + F.lit(float(alpha)) * F.col("__v")
+                )
             ),
         )
     )

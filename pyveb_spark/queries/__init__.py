@@ -238,6 +238,9 @@ QUERIES = {
     # (registered late round 6; least-certified by construction).
     "q173_temperature_mix": q173_temperature_mix,
     "q174_leakage_split": q174_leakage_split,
+    "q175_ccnet_perplexity_tiers": q175_ccnet_perplexity_tiers,
+    "q176_token_budget_allocation": q176_token_budget_allocation,
+    "q177_packing_budget_sweep": q177_packing_budget_sweep,
 }
 
 ORACLE_SQL = {
@@ -415,6 +418,9 @@ ORACLE_SQL = {
     "q172_fuzzy_decontamination": _Q172_SQL,
     "q173_temperature_mix": _Q173_SQL,
     "q174_leakage_split": _Q174_SQL,
+    "q175_ccnet_perplexity_tiers": _Q175_SQL,
+    "q176_token_budget_allocation": _Q176_SQL,
+    "q177_packing_budget_sweep": _Q177_SQL,
 }
 
 # ---------------------------------------------------------------------------

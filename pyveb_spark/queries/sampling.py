@@ -570,3 +570,104 @@ ORDER BY a.scheme, a.split
 
 
 _Q174_SQL = _q174_sql()
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: integer token-budget apportionment across sources
+# ---------------------------------------------------------------------------
+
+def q176_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder apportionment of a 1M-token training budget
+    across sources proportional to each source's token count
+    (``sampling.py::apportion_budget``) — the exact integer allocation a
+    mix config hands the sampler: Σ alloc == budget to the token, no
+    source off its ideal share by ≥ 1. The whole path is int64
+    ``div``/``%`` arithmetic — no float shares anywhere, so the oracle
+    match is definitionally bit-exact (contrast q173, whose α-shares
+    need the sqrt correct-rounding argument).
+
+    Scale: one scan to count tokens per source (map-side combined), then
+    windows over the ≤ #sources-row weight table. The allocation itself
+    never touches data.
+    """
+    from pyveb_spark.operators.sampling import apportion_budget
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("n")
+    )
+    counts = d.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens")
+    )
+    return apportion_budget(
+        counts, "source", "n_tokens", budget=1_000_000
+    ).orderBy("source")
+
+
+_Q176_SQL = """
+WITH d AS (SELECT source, len(string_split(text, ' ')) AS n FROM documents),
+c AS (SELECT source, SUM(n)::BIGINT AS n_tokens FROM d GROUP BY source),
+f AS (SELECT source, n_tokens,
+             (1000000 * n_tokens) // (SELECT SUM(n_tokens) FROM c) AS fl,
+             (1000000 * n_tokens) % (SELECT SUM(n_tokens) FROM c) AS rem
+      FROM c),
+r AS (SELECT source, n_tokens, fl,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk,
+             1000000 - (SELECT SUM(fl) FROM f) AS leftover
+      FROM f)
+SELECT source, n_tokens,
+       (fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc,
+       CASE WHEN rk <= leftover THEN 1 ELSE 0 END::INT AS bonus
+FROM r ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: sequence-length sweep — packing cut-rate audit
+# ---------------------------------------------------------------------------
+
+def q177_packing_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The choose-your-max_seq_len table: for budgets 128/256/512/1024,
+    how many GPT-style training windows the corpus packs into and what
+    fraction of documents a window boundary CUTS
+    (``packing.py::pack_cut_stats``). Larger windows cut fewer docs but
+    yield fewer samples — this audit is how a pipeline picks the
+    trade-off before committing a layout (q54 then materializes the
+    chosen one).
+
+    The token-offset prefix sum runs ONCE; each budget's window ids are
+    integer division over the same offsets, swept in a single plan via
+    one explode — adding budgets costs nothing but agg rows. The oracle
+    re-derives the offsets with a window cumsum and replays the integer
+    division per budget.
+    """
+    from pyveb_spark.operators.packing import pack_cut_stats
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return pack_cut_stats(
+        d, "n_tokens", "doc_id", budgets=[128, 256, 512, 1024]
+    ).orderBy("budget")
+
+
+_Q177_SQL = """
+WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+offs AS (SELECT doc_id, n,
+                SUM(n) OVER (ORDER BY doc_id) - n AS start_tok,
+                SUM(n) OVER (ORDER BY doc_id) - 1 AS end_tok
+         FROM d),
+b AS (SELECT unnest([128, 256, 512, 1024]) AS budget),
+sw AS (SELECT budget, n,
+              start_tok // budget AS fp,
+              end_tok // budget AS lp
+       FROM offs, b WHERE n > 0)
+SELECT budget::BIGINT AS budget,
+       COUNT(*)::BIGINT AS n_docs,
+       (MAX(lp) + 1)::BIGINT AS n_packs,
+       SUM(CASE WHEN lp > fp THEN 1 ELSE 0 END)::BIGINT AS docs_cut,
+       ROUND(SUM(CASE WHEN lp > fp THEN 1 ELSE 0 END)
+             / (COUNT(*) * 1.0), 6) AS cut_rate,
+       SUM(lp - fp + 1)::BIGINT AS n_spans,
+       SUM(n)::BIGINT AS total_tokens
+FROM sw GROUP BY budget ORDER BY budget
+"""

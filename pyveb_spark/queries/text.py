@@ -1311,3 +1311,107 @@ r AS (SELECT doc_id, fim,
 SELECT doc_id, fim, c1, c2, md5(ft) AS fim_md5, length(ft)::BIGINT AS fim_len
 FROM r ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: CCNet-style perplexity tiers against a reference LM
+# ---------------------------------------------------------------------------
+
+def q175_ccnet_perplexity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's quality-bucketing step (Wenzek 2020 §3.3): score the WHOLE
+    corpus under a count-LM trained on a REFERENCE subset only (src0 —
+    the Wikipedia stand-in), then split each language into head/middle/
+    tail perplexity terciles. This is the piece q103 (scores under the
+    corpus's own LM) and q163 (heuristic-quality curriculum) don't cover:
+    an external-reference fluency prior, bucketed per language so
+    low-resource languages aren't all branded "tail".
+
+    Scored docs may carry unigrams the reference never saw — they back
+    off to ``P = α/(α·V)`` (the ``bigram_lm_score`` OOV path this query
+    exercises). Tier assignment runs over each language's DISTINCT
+    rounded-score table (``score_tiers``): docs sharing a score share a
+    tier, deterministically. Scores compare at round(4): the fixture's
+    minimum distance to a rounding boundary is 1.5e-8 absolute across
+    SFs — five orders above the cross-libm ln() residue (~1e-13).
+
+    Scale: LM training = two reference-sized count aggs; scoring = two
+    gram-keyed joins + per-doc fold (q103's plan); tiering adds one
+    distinct-score groupBy and a broadcast stamp — nothing data-sized
+    shuffles beyond the scoring joins.
+    """
+    from pyveb_spark.operators.sampling import score_tiers
+    from pyveb_spark.operators.text import bigram_lm_score, ngram_count_table
+
+    d = read_table(spark, sf_dir, "documents")
+    ref = d.where(F.col("source") == "src0")
+    c2 = ngram_count_table(ref, "text", n=2, min_count=2)
+    c1 = ngram_count_table(ref, "text", n=1)
+    scored = bigram_lm_score(
+        d, "doc_id", "text", alpha=0.1, bigram_counts=c2, unigram_counts=c1
+    ).select("doc_id", F.round("avg_logp", 4).alias("s"))
+    labeled = scored.join(d.select("doc_id", "lang"), "doc_id")
+    tiered = score_tiers(labeled, "s", n_tiers=3, group_cols=["lang"])
+    bucket = (
+        F.when(F.col("tier") == 1, "head")
+        .when(F.col("tier") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        tiered.groupBy("lang", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("s").alias("score_lo"),
+            F.max("s").alias("score_hi"),
+        )
+        .select("lang", "tier", bucket.alias("bucket"), "n_docs",
+                "score_lo", "score_hi")
+        .orderBy("lang", "tier")
+    )
+
+
+_Q175_SQL = """
+WITH rt AS (SELECT string_split(text, ' ') AS t FROM documents
+            WHERE source = 'src0'),
+u AS (SELECT unnest(t) AS w FROM rt),
+c1 AS (SELECT w, COUNT(*) AS c FROM u GROUP BY w),
+v AS (SELECT COUNT(*) AS v FROM c1),
+bgall AS (SELECT unnest([t[i] || ' ' || t[i+1]
+                         FOR i IN range(1, len(t))]) AS g FROM rt),
+c2 AS (SELECT g, COUNT(*) AS c FROM bgall GROUP BY g HAVING COUNT(*) >= 2),
+toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+bg AS (SELECT doc_id, lang, generate_subscripts(gs, 1) AS pos,
+              unnest(gs) AS g, unnest(ws) AS w1
+       FROM (SELECT doc_id, lang,
+                    [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))] AS gs,
+                    [t[i] FOR i IN range(1, len(t))] AS ws
+             FROM toks)),
+terms AS (SELECT bg.doc_id, bg.lang, bg.pos,
+                 ln((COALESCE(c2.c, 0) + 0.1)
+                    / (COALESCE(c1.c, 0) + 0.1 * (SELECT v FROM v))) AS lnp
+          FROM bg LEFT JOIN c2 ON bg.g = c2.g LEFT JOIN c1 ON bg.w1 = c1.w),
+folded AS (SELECT doc_id, lang, COUNT(*) AS n,
+                  list_reduce(
+                    list_prepend(CAST(0 AS DOUBLE), list(lnp ORDER BY pos)),
+                    (acc, x) -> acc + x) AS ssum
+           FROM terms GROUP BY doc_id, lang),
+scored AS (SELECT doc_id, lang, ROUND(ssum / n, 4) AS s FROM folded),
+per_score AS (SELECT lang, s, COUNT(*) AS cnt FROM scored GROUP BY lang, s),
+tiers AS (
+  SELECT lang, s,
+         LEAST(3, CEIL(SUM(cnt) OVER (PARTITION BY lang ORDER BY s DESC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+                       * 3
+                       / (SUM(cnt) OVER (PARTITION BY lang) * 1.0))::INT)
+           AS tier
+  FROM per_score)
+SELECT sc.lang, t.tier,
+       CASE t.tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       COUNT(*)::BIGINT AS n_docs,
+       MIN(sc.s) AS score_lo,
+       MAX(sc.s) AS score_hi
+FROM scored sc JOIN tiers t ON sc.lang = t.lang AND sc.s = t.s
+GROUP BY sc.lang, t.tier
+ORDER BY sc.lang, t.tier
+"""

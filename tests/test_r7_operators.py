@@ -119,3 +119,94 @@ def test_group_keyed_split_has_zero_leakage(spark):
         .count()
     )
     assert spans_d > 0  # 7 groups x ~43 docs each: certain to scatter
+
+
+def test_score_tiers_distinct_scores_share_tier(spark):
+    """Nearest-rank tiering over the DISTINCT-score table: rows sharing a
+    rounded score always share a tier, tiers are per-group, and tier 1
+    holds the HIGHEST scores."""
+    from pyveb_spark.operators.sampling import score_tiers
+
+    rows = [("en", i, float(s)) for i, s in enumerate([9, 9, 7, 5, 3, 1])]
+    rows += [("nl", 100 + i, float(s)) for i, s in enumerate([2, 2, 2])]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, s double")
+    out = score_tiers(df, "s", n_tiers=3, group_cols=["lang"]).collect()
+    by_doc = {r["doc_id"]: r["tier"] for r in out}
+    assert by_doc[0] == by_doc[1] == 1       # the two 9.0s share tier 1
+    assert by_doc[4] == by_doc[5] == 3       # lowest scores -> tail
+    # nl has ONE distinct score: its cumulative mass is 100%, so the
+    # nearest-rank endpoint puts the whole group in the LAST tier —
+    # same convention as curriculum_phases (ceil(cum·n/N) with cum=N).
+    assert {by_doc[100], by_doc[101], by_doc[102]} == {3}
+
+
+def test_score_tiers_single_tier_is_identity(spark):
+    from pyveb_spark.operators.sampling import score_tiers
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9)], "doc_id long, s double"
+    )
+    out = score_tiers(df, "s", n_tiers=1).collect()
+    assert {r["tier"] for r in out} == {1}
+
+
+def test_apportion_budget_exact_and_fair(spark):
+    """Largest-remainder invariants: allocations sum to the budget
+    EXACTLY, and every group is within 1 token of its ideal share."""
+    from pyveb_spark.operators.sampling import apportion_budget
+
+    counts = spark.createDataFrame(
+        [("a", 7), ("b", 11), ("c", 3), ("d", 19)],
+        "source string, w long",
+    )
+    out = apportion_budget(counts, "source", "w", budget=100).collect()
+    total_w = 40
+    assert sum(r["alloc"] for r in out) == 100
+    for r in out:
+        ideal = 100 * {"a": 7, "b": 11, "c": 3, "d": 19}[r["source"]] / total_w
+        assert abs(r["alloc"] - ideal) < 1.0, (r, ideal)
+    # bonus flags mark exactly the leftover count
+    assert sum(r["bonus"] for r in out) == 100 - sum(
+        (100 * w) // total_w for w in (7, 11, 3, 19)
+    )
+
+
+def test_apportion_budget_exact_division_no_bonus(spark):
+    from pyveb_spark.operators.sampling import apportion_budget
+
+    counts = spark.createDataFrame(
+        [("a", 1), ("b", 3)], "source string, w long"
+    )
+    out = {r["source"]: r for r in
+           apportion_budget(counts, "source", "w", budget=8).collect()}
+    assert out["a"]["alloc"] == 2 and out["b"]["alloc"] == 6
+    assert out["a"]["bonus"] == 0 and out["b"]["bonus"] == 0
+
+
+def test_pack_cut_stats_hand_checked(spark):
+    """Docs of 3/4/5 tokens, budget 4: stream layout [0-2][3-6][7-11] ->
+    doc1 uncut in pack 0, doc2 spans packs 0-1, doc3 spans packs 1-2."""
+    from pyveb_spark.operators.packing import pack_cut_stats
+
+    df = spark.createDataFrame(
+        [(1, 3), (2, 4), (3, 5)], "doc_id long, n long"
+    )
+    out = {r["budget"]: r
+           for r in pack_cut_stats(df, "n", "doc_id", [4, 100]).collect()}
+    r4 = out[4]
+    assert r4["n_docs"] == 3 and r4["total_tokens"] == 12
+    assert r4["n_packs"] == 3 and r4["docs_cut"] == 2
+    assert r4["n_spans"] == 5  # 1 + 2 + 2
+    r100 = out[100]
+    assert r100["n_packs"] == 1 and r100["docs_cut"] == 0
+
+
+def test_pack_cut_stats_rejects_bad_budgets(spark):
+    from pyveb_spark.operators.packing import pack_cut_stats
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 3)], "doc_id long, n long")
+    with _pytest.raises(ValueError):
+        pack_cut_stats(df, "n", "doc_id", [])
+    with _pytest.raises(ValueError):
+        pack_cut_stats(df, "n", "doc_id", [0])
