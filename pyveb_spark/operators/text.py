@@ -23,6 +23,7 @@ __all__ = [
     "language_id",
     "normalized_text",
     "doc_fingerprint",
+    "t5_span_corrupt",
     "winnow_fingerprints",
     "winnow_pairs",
     "repetition_stats",
@@ -1416,4 +1417,132 @@ def fim_transform(
         F.when(eligible, c1).alias("c1"),
         F.when(eligible, c2).alias("c2"),
         F.when(eligible, psm).otherwise(F.col(text_col)).alias("fim_text"),
+    )
+
+
+def t5_span_corrupt(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 3,
+    tokens_per_span: int = 20,
+    min_tokens: int = 20,
+) -> DataFrame:
+    """T5-style span corruption (Raffel 2020 §3.1.4): drop ``k =
+    max(1, n // tokens_per_span)`` non-overlapping ``span_len``-token
+    spans and emit the sentinel-joined (input, target) pair —
+    ``input = kept text with <extra_id_j> at each hole``, ``target =
+    <extra_id_j> + dropped span ... + <extra_id_k>``. With the defaults
+    this corrupts ~15% of tokens in 3-token spans — the T5 recipe.
+    Completes the objective-transform triad next to deterministic MLM
+    masking (``mlm_mask``) and FIM PSM rewriting (``fim_transform``).
+
+    Span placement is CLOSED-FORM per row: the doc is cut into k equal
+    segments and span j starts at ``j·seg + 1 + (h_j mod (seg−span_len+1))``
+    with ``h_j = portable_hash48('t5-span|<id>|<j>')`` — disjoint by
+    construction (one span per segment), no sequential state, and a pure
+    function of the doc id: a retried partition re-emits byte-identical
+    rows (the q157/q147/q170 rule), and an ANSI oracle replays every
+    span exactly.
+
+    Docs under ``min_tokens`` pass through (``corrupted = false``,
+    input = original text, empty target). Returns the input columns plus
+    ``corrupted``, ``n_spans``, ``t5_input``, ``t5_target``.
+
+    100 TB shape: pure per-row codegen — sequence/transform/flatten/
+    slice/concat, zero shuffles, zero UDFs; composes scan-stage with
+    admission gates and packing.
+    """
+    from pyveb_spark.operators.dedup import portable_hash48
+
+    if span_len < 1 or tokens_per_span <= span_len:
+        raise ValueError("need span_len >= 1 and tokens_per_span > span_len")
+    if min_tokens < tokens_per_span:
+        raise ValueError(
+            "min_tokens < tokens_per_span would allow seg < span_len"
+        )
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    eligible = n >= F.lit(int(min_tokens))
+    k = F.greatest(F.lit(1), (n / F.lit(int(tokens_per_span))).cast("int"))
+    seg = (n / k).cast("int")
+    js = F.sequence(F.lit(1), k)  # 1-based span index
+
+    def h(j):
+        return portable_hash48(
+            F.concat_ws(
+                "|",
+                F.lit("t5-span"),
+                F.col(id_col).cast("string"),
+                (j - 1).cast("string"),
+            )
+        )
+
+    # start position (1-indexed) of span j, inside segment j-1
+    starts = F.transform(
+        js,
+        lambda j: (
+            (j - 1) * seg + 1 + h(j) % (seg - F.lit(int(span_len)) + 1)
+        ).cast("int"),
+    )
+
+    def sentinel(j):
+        # sentinel index is 0-based: span 1 -> <extra_id_0>
+        return F.concat(
+            F.lit("<extra_id_"), (j - 1).cast("string"), F.lit(">")
+        )
+
+    def start_of(j):
+        return F.element_at(starts, j)
+
+    def prev_end(j):
+        # end position of the previous span; 0 before the first span.
+        # when() keeps element_at(starts, 0) from ever evaluating (ANSI).
+        return F.when(j == 1, F.lit(0)).otherwise(
+            start_of(j - 1) + F.lit(int(span_len) - 1)
+        )
+
+    input_tokens = F.concat(
+        F.flatten(
+            F.transform(
+                js,
+                lambda j: F.concat(
+                    F.slice(
+                        toks, prev_end(j) + 1, start_of(j) - prev_end(j) - 1
+                    ),
+                    F.array(sentinel(j)),
+                ),
+            )
+        ),
+        # kept tail after the last span
+        F.slice(
+            toks,
+            F.element_at(starts, k) + F.lit(int(span_len)),
+            n - (F.element_at(starts, k) + F.lit(int(span_len))) + 1,
+        ),
+    )
+    target_tokens = F.concat(
+        F.flatten(
+            F.transform(
+                js,
+                lambda j: F.concat(
+                    F.array(sentinel(j)),
+                    F.slice(toks, start_of(j), span_len),
+                ),
+            )
+        ),
+        F.array(
+            F.concat(F.lit("<extra_id_"), k.cast("string"), F.lit(">"))
+        ),
+    )
+    return df.select(
+        "*",
+        eligible.alias("corrupted"),
+        F.when(eligible, k).otherwise(F.lit(0)).alias("n_spans"),
+        F.when(eligible, F.array_join(input_tokens, " "))
+        .otherwise(F.col(text_col))
+        .alias("t5_input"),
+        F.when(eligible, F.array_join(target_tokens, " "))
+        .otherwise(F.lit(""))
+        .alias("t5_target"),
     )

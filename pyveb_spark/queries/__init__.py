@@ -241,6 +241,7 @@ QUERIES = {
     "q175_ccnet_perplexity_tiers": q175_ccnet_perplexity_tiers,
     "q176_token_budget_allocation": q176_token_budget_allocation,
     "q177_packing_budget_sweep": q177_packing_budget_sweep,
+    "q178_t5_span_corruption": q178_t5_span_corruption,
 }
 
 ORACLE_SQL = {
@@ -421,6 +422,7 @@ ORACLE_SQL = {
     "q175_ccnet_perplexity_tiers": _Q175_SQL,
     "q176_token_budget_allocation": _Q176_SQL,
     "q177_packing_budget_sweep": _Q177_SQL,
+    "q178_t5_span_corruption": _Q178_SQL,
 }
 
 # ---------------------------------------------------------------------------

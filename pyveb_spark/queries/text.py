@@ -1415,3 +1415,77 @@ FROM scored sc JOIN tiers t ON sc.lang = t.lang AND sc.s = t.s
 GROUP BY sc.lang, t.tier
 ORDER BY sc.lang, t.tier
 """
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: T5 span corruption (the third objective transform)
+# ---------------------------------------------------------------------------
+
+def q178_t5_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (Raffel 2020 §3.1.4) over the corpus
+    (``text.t5_span_corrupt``): ~15% of tokens dropped in 3-token spans
+    (one per n/20-token segment), sentinel-joined input/target pair per
+    doc. Span placement is a pure md5 function of (doc_id, span index) —
+    the q157/q147/q170 retry-safety rule — so the oracle re-derives every
+    span start and the md5 of both rendered strings. Completes the
+    objective triad: MLM masking (q147), FIM (q170), span corruption.
+    Pure per-row codegen; the only exchange is the presentation sort."""
+    from pyveb_spark.operators.text import t5_span_corrupt
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = t5_span_corrupt(
+        d, "doc_id", "text", span_len=3, tokens_per_span=20, min_tokens=20
+    )
+    return out.select(
+        "doc_id",
+        "corrupted",
+        "n_spans",
+        F.md5(F.col("t5_input").cast("binary")).alias("input_md5"),
+        F.length("t5_input").cast("bigint").alias("input_len"),
+        F.md5(F.col("t5_target").cast("binary")).alias("target_md5"),
+        F.length("t5_target").cast("bigint").alias("target_len"),
+    ).orderBy("doc_id")
+
+
+_Q178_SQL = """
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk,
+                  len(string_split(text, ' ')) AS n
+           FROM documents),
+p AS (SELECT doc_id, text, tk, n,
+             GREATEST(1, n // 20) AS k,
+             n // GREATEST(1, n // 20) AS seg
+      FROM t),
+st AS (SELECT doc_id, tk, n, k,
+              [CAST((i - 1) * seg + 1
+                    + (('0x' || substr(md5('t5-span|' || doc_id || '|'
+                                           || (i - 1)), 1, 12))::BIGINT
+                       % (seg - 2)) AS INT)
+               FOR i IN range(1, k + 1)] AS s
+       FROM p WHERE n >= 20),
+built AS (
+  SELECT doc_id, k,
+         array_to_string(list_concat(
+           flatten([list_concat(
+                      COALESCE(tk[(CASE WHEN i = 1 THEN 0
+                                   ELSE s[i - 1] + 2 END) + 1 : s[i] - 1],
+                               []),
+                      ['<extra_id_' || (i - 1) || '>'])
+                    FOR i IN range(1, k + 1)]),
+           COALESCE(tk[s[k] + 3 : n], [])), ' ') AS t5_input,
+         array_to_string(list_concat(
+           flatten([list_concat(['<extra_id_' || (i - 1) || '>'],
+                                tk[s[i] : s[i] + 2])
+                    FOR i IN range(1, k + 1)]),
+           ['<extra_id_' || k || '>']), ' ') AS t5_target
+  FROM st)
+SELECT doc_id, TRUE AS corrupted, CAST(k AS INT) AS n_spans,
+       md5(t5_input) AS input_md5, length(t5_input)::BIGINT AS input_len,
+       md5(t5_target) AS target_md5, length(t5_target)::BIGINT AS target_len
+FROM built
+UNION ALL
+SELECT doc_id, FALSE AS corrupted, 0 AS n_spans,
+       md5(text) AS input_md5, length(text)::BIGINT AS input_len,
+       md5('') AS target_md5, 0::BIGINT AS target_len
+FROM t WHERE n < 20
+ORDER BY doc_id
+"""

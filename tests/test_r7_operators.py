@@ -210,3 +210,65 @@ def test_pack_cut_stats_rejects_bad_budgets(spark):
         pack_cut_stats(df, "n", "doc_id", [])
     with _pytest.raises(ValueError):
         pack_cut_stats(df, "n", "doc_id", [0])
+
+
+def _reassemble_t5(inp: str, tgt: str) -> str:
+    """Splice the target's spans back into the input's sentinel holes."""
+    import re
+
+    spans = {}
+    parts = re.split(r"<extra_id_(\d+)>", tgt)
+    # parts = ['', id0, span0, id1, span1, ..., idK, '']
+    for i in range(1, len(parts) - 1, 2):
+        spans[int(parts[i])] = parts[i + 1].strip()
+    out = inp
+    for j, span in spans.items():
+        if span:
+            out = out.replace(f"<extra_id_{j}>", span)
+    return out
+
+
+def test_t5_span_corrupt_reconstructs_original(spark):
+    """Round-trip property: input with target spans spliced back into the
+    sentinel holes equals the original text, for every corrupted doc."""
+    from pyveb_spark.operators.text import t5_span_corrupt
+
+    rows = [
+        (i, " ".join(f"w{i}t{j}" for j in range(20 + 7 * i)))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = t5_span_corrupt(df).collect()
+    for r in out:
+        assert r["corrupted"]
+        assert r["n_spans"] == len(r["text"].split()) // 20
+        assert _reassemble_t5(r["t5_input"], r["t5_target"]) == r["text"]
+        # ~15% corruption: k spans x 3 tokens dropped
+        n = len(r["text"].split())
+        kept = len([t for t in r["t5_input"].split()
+                    if not t.startswith("<extra_id_")])
+        assert kept == n - 3 * r["n_spans"]
+
+
+def test_t5_span_corrupt_short_doc_passthrough(spark):
+    from pyveb_spark.operators.text import t5_span_corrupt
+
+    df = spark.createDataFrame(
+        [(1, "too short to corrupt")], "doc_id long, text string"
+    )
+    r = t5_span_corrupt(df).collect()[0]
+    assert not r["corrupted"] and r["n_spans"] == 0
+    assert r["t5_input"] == r["text"] and r["t5_target"] == ""
+
+
+def test_t5_span_corrupt_rejects_bad_params(spark):
+    from pyveb_spark.operators.text import t5_span_corrupt
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        t5_span_corrupt(df, span_len=0)
+    with _pytest.raises(ValueError):
+        t5_span_corrupt(df, tokens_per_span=3, span_len=3)
+    with _pytest.raises(ValueError):
+        t5_span_corrupt(df, min_tokens=10, tokens_per_span=20)
