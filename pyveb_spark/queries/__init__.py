@@ -242,6 +242,7 @@ QUERIES = {
     "q176_token_budget_allocation": q176_token_budget_allocation,
     "q177_packing_budget_sweep": q177_packing_budget_sweep,
     "q178_t5_span_corruption": q178_t5_span_corruption,
+    "q179_cluster_balanced_sample": q179_cluster_balanced_sample,
 }
 
 ORACLE_SQL = {
@@ -423,6 +424,7 @@ ORACLE_SQL = {
     "q176_token_budget_allocation": _Q176_SQL,
     "q177_packing_budget_sweep": _Q177_SQL,
     "q178_t5_span_corruption": _Q178_SQL,
+    "q179_cluster_balanced_sample": _Q179_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -837,3 +837,120 @@ SELECT * FROM scored
 WHERE cosine_sim >= 0.3
 ORDER BY vec_id_new, vec_id_corpus
 """
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: cluster-balanced corpus sampling (sqrt-weighted quotas)
+# ---------------------------------------------------------------------------
+
+def q179_cluster_balanced_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-balanced subcorpus selection — the diversity-preserving
+    sampling step of embedding-curated pipelines (the DataComp/SemDeDup
+    family: cluster first, then sample ACROSS clusters so no single mode
+    dominates). A 200-vector budget is apportioned over the k=10 k-means
+    clusters with weights ``⌊√n_c⌋`` (the α=½ temperature idea applied to
+    cluster sizes: between proportional — head clusters dominate — and
+    equal — tiny clusters oversampled), via the same integer
+    largest-remainder machinery as q176; each cluster then keeps exactly
+    ``min(alloc, n_c)`` members by content-hash rank
+    (``ranked_quota_sample`` — reproducible on any partitioning).
+
+    Oracle: the shared unrolled-Lloyd CTE (q57/q91 lockstep) + the
+    integer apportionment + the md5 rank — every stage replayable.
+    ``⌊√n⌋`` is exact in both engines (correctly-rounded IEEE sqrt of an
+    integer, floored).
+
+    Scale: k-means as q57 (scan-stage argmin, k×dim updates); the quota
+    table is k rows; selection is one rank window per cluster — the
+    same shuffle the assignment already did.
+    """
+    from pyveb_spark.operators.sampling import (
+        apportion_budget,
+        ranked_quota_sample,
+    )
+    from pyveb_spark.operators.similarity import kmeans_assign, kmeans_fit
+
+    e = read_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(e, k=10, max_iter=6, tol=1e-4)
+    labeled = kmeans_assign(e, centroids).select("vec_id", "cluster")
+    sizes = labeled.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    weights = sizes.withColumn(
+        "w", F.floor(F.sqrt(F.col("n_vecs").cast("double"))).cast("long")
+    )
+    quotas = apportion_budget(weights, "cluster", "w", budget=200).join(
+        sizes, "cluster"
+    ).select(
+        "cluster",
+        "n_vecs",
+        "w",
+        F.least(F.col("alloc"), F.col("n_vecs")).alias("quota"),
+    )
+    kept = ranked_quota_sample(
+        labeled, "cluster", ["vec_id"], quotas.select("cluster", "quota"),
+        seed="cbs",
+    )
+    kept_stats = kept.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("vec_id").alias("kept_id_sum"),
+    )
+    # LEFT from quotas: a zero-quota cluster still gets its report row
+    # (n_kept 0, NULL checksum — the oracle's SUM-over-zero-rows shape)
+    return (
+        quotas.join(kept_stats, "cluster", "left")
+        .select(
+            "cluster",
+            "n_vecs",
+            "w",
+            "quota",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            "kept_id_sum",
+        )
+        .orderBy("cluster")
+    )
+
+
+def _q179_sql() -> str:
+    body = _kmeans_assign_ctes(10, 6)
+    return f"""
+WITH {body},
+sizes AS (SELECT cluster, COUNT(*) AS n_vecs FROM aF GROUP BY cluster),
+wts AS (SELECT cluster, n_vecs,
+               CAST(FLOOR(SQRT(CAST(n_vecs AS DOUBLE))) AS BIGINT) AS w
+        FROM sizes),
+f AS (SELECT cluster, n_vecs, w,
+             (200 * w) // (SELECT SUM(w) FROM wts) AS fl,
+             (200 * w) % (SELECT SUM(w) FROM wts) AS rem
+      FROM wts),
+q AS (SELECT cluster, n_vecs, w,
+             LEAST(fl + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC,
+                                                     cluster ASC)
+                             <= 200 - (SELECT SUM(fl) FROM f)
+                        THEN 1 ELSE 0 END,
+                   n_vecs) AS quota
+      FROM f),
+ranked AS (SELECT a.cluster, a.vec_id,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY a.cluster
+                    ORDER BY substr(md5('cbs|' || a.vec_id), 1, 12),
+                             a.vec_id) AS rk
+           FROM aF a),
+kept AS (SELECT r.cluster, r.vec_id
+         FROM ranked r JOIN q ON q.cluster = r.cluster
+         WHERE r.rk <= q.quota)
+SELECT q.cluster,
+       q.n_vecs::BIGINT AS n_vecs,
+       q.w::BIGINT AS w,
+       q.quota::BIGINT AS quota,
+       COUNT(k.vec_id)::BIGINT AS n_kept,
+       SUM(k.vec_id)::BIGINT AS kept_id_sum
+FROM q LEFT JOIN kept k ON k.cluster = q.cluster
+GROUP BY q.cluster, q.n_vecs, q.w, q.quota
+ORDER BY q.cluster
+"""
+
+
+_Q179_SQL = _q179_sql()
