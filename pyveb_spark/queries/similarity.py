@@ -857,10 +857,17 @@ def q179_cluster_balanced_sample(
     ``min(alloc, n_c)`` members by content-hash rank
     (``ranked_quota_sample`` — reproducible on any partitioning).
 
-    Oracle: the shared unrolled-Lloyd CTE (q57/q91 lockstep) + the
+    Oracle: the shared unrolled-Lloyd CTE (q57/q91's recurrence) + the
     integer apportionment + the md5 rank — every stage replayable.
     ``⌊√n⌋`` is exact in both engines (correctly-rounded IEEE sqrt of an
-    integer, floored).
+    integer, floored). The k-means here runs TWO Lloyd iterations (not
+    q57's six): q179 uniquely certifies the apportionment + ranked
+    selection stages — the clustering recurrence itself is already
+    certified by q57 at 6 iterations — and the assignment CTE is
+    referenced twice downstream (sizes + ranked), which DuckDB inlines
+    into two full Lloyd replays unless MATERIALIZED; 2 iterations + a
+    MATERIALIZED ``aF`` cut the oracle from ~428 s to seconds at sf0.01
+    with identical certification power (round-6 verdict, What's wrong #1).
 
     Scale: k-means as q57 (scan-stage argmin, k×dim updates); the quota
     table is k rows; selection is one rank window per cluster — the
@@ -873,7 +880,9 @@ def q179_cluster_balanced_sample(
     from pyveb_spark.operators.similarity import kmeans_assign, kmeans_fit
 
     e = read_table(spark, sf_dir, "embeddings")
-    centroids = kmeans_fit(e, k=10, max_iter=6, tol=1e-4)
+    # tol=0: run exactly max_iter iterations so the unrolled oracle's
+    # iteration count can never drift from an early convergence stop
+    centroids = kmeans_fit(e, k=10, max_iter=2, tol=0.0)
     labeled = kmeans_assign(e, centroids).select("vec_id", "cluster")
     sizes = labeled.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vecs")
@@ -914,10 +923,15 @@ def q179_cluster_balanced_sample(
 
 
 def _q179_sql() -> str:
-    body = _kmeans_assign_ctes(10, 6)
+    # 2 Lloyd iterations (see q179 docstring) + a MATERIALIZED assignment:
+    # aF is consumed by BOTH sizes and ranked, and DuckDB inlines plain
+    # CTEs, so without the materialization the whole unrolled Lloyd chain
+    # executes twice.
+    body = _kmeans_assign_ctes(10, 2)
     return f"""
 WITH {body},
-sizes AS (SELECT cluster, COUNT(*) AS n_vecs FROM aF GROUP BY cluster),
+aM AS MATERIALIZED (SELECT * FROM aF),
+sizes AS (SELECT cluster, COUNT(*) AS n_vecs FROM aM GROUP BY cluster),
 wts AS (SELECT cluster, n_vecs,
                CAST(FLOOR(SQRT(CAST(n_vecs AS DOUBLE))) AS BIGINT) AS w
         FROM sizes),
@@ -937,7 +951,7 @@ ranked AS (SELECT a.cluster, a.vec_id,
                     PARTITION BY a.cluster
                     ORDER BY substr(md5('cbs|' || a.vec_id), 1, 12),
                              a.vec_id) AS rk
-           FROM aF a),
+           FROM aM a),
 kept AS (SELECT r.cluster, r.vec_id
          FROM ranked r JOIN q ON q.cluster = r.cluster
          WHERE r.rk <= q.quota)
