@@ -243,6 +243,9 @@ QUERIES = {
     "q177_packing_budget_sweep": q177_packing_budget_sweep,
     "q178_t5_span_corruption": q178_t5_span_corruption,
     "q179_cluster_balanced_sample": q179_cluster_balanced_sample,
+    # the composed new-batch ingest recipe (round 7): quarantine ->
+    # dedup-admit -> decontaminate -> pack, one status per doc
+    "q180_ingest_recipe": q180_ingest_recipe,
 }
 
 ORACLE_SQL = {
@@ -425,6 +428,7 @@ ORACLE_SQL = {
     "q177_packing_budget_sweep": _Q177_SQL,
     "q178_t5_span_corruption": _Q178_SQL,
     "q179_cluster_balanced_sample": _Q179_SQL,
+    "q180_ingest_recipe": _Q180_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -518,3 +518,232 @@ SELECT CAST(('0x' || substr(md5('v2|' || doc_id), 1, 12))::BIGINT % 4
 FROM masked
 GROUP BY 1 ORDER BY shard
 """
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: the composed new-batch ingest recipe (quarantine -> dedup-admit
+# -> decontaminate -> pack) — the end-to-end shape a 100 TB ingest runs
+# ---------------------------------------------------------------------------
+
+def q180_ingest_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed "new-batch ingest at scale" recipe — every serving
+    shape the suite certifies separately, chained the way a production
+    corpus ingest actually runs them, with a terminal status per document
+    (first failing stage wins):
+
+    1. **quality quarantine** — the Gopher rule gate (q145/q150's
+       battery, scan-stage); rejects become ``quarantined`` — the text
+       corpus analog of q167's corrupt-payload routing: failures are
+       DATA, the batch never dies.
+    2. **dedup admission** — the q45 production shape: one
+       ``minhash_lsh_lookup`` of the survivors against the prebuilt
+       corpus index (persisted postings + precomputed hot-bucket
+       blacklist; cost ∝ batch, never corpus); exact-Jaccard ≥ 0.8
+       hits become ``duplicate``.
+    3. **fuzzy decontamination** — q172's sweep against the held-out
+       eval set (benchmark-sized index, broadcastable at any corpus
+       scale); bigram Jaccard ≥ 0.7 hits become ``contaminated``.
+    4. **packing** — admitted docs tile into 512-token training windows
+       (q54's distributed prefix-sum ``pack_spans``, no global window).
+
+    Output: the 4-row ingest audit (status, doc count, token count, and
+    for admitted docs the packed-window count) — always 4 rows, so a
+    batch where a stage rejects nothing still reports that stage.
+
+    Roles on the fixture: eval = ``doc_id % 10 == 0``, corpus =
+    ``doc_id >= 100`` (rest), batch = ``doc_id < 100`` (rest).
+
+    Oracle: the q150 Gopher SQL + the q45 band-join/cap/verify SQL (run
+    twice: corpus-side cap for dedup, eval-side cap for decontamination)
+    + the packing invariant (every window except the last holds exactly
+    512 tokens, so ``n_packs = ceil(tokens/512)``), composed over the
+    same role split.
+
+    Scale: stage 1 is scan-stage; stage 2 is the measured-flat q45
+    admission (BASELINE.md: ~flat across 30× corpus growth); stage 3
+    costs one lookup pass against a benchmark-sized index; stage 4 is
+    one range exchange. Nothing materializes between stages except the
+    two persisted index artifacts a production ingest would already
+    hold on disk."""
+    from pyveb_spark.operators.cache import cached_once
+    from pyveb_spark.operators.dedup import (
+        fuzzy_decontaminate,
+        minhash_hot_buckets,
+        minhash_lsh_index,
+        minhash_lsh_lookup,
+    )
+    from pyveb_spark.operators.packing import pack_spans
+    from pyveb_spark.operators.text import gopher_quality_filter
+
+    d = read_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 10 == 0
+    eval_docs = d.where(is_eval).select("doc_id", "text")
+    corpus = d.where((F.col("doc_id") >= 100) & ~is_eval).select(
+        "doc_id", "text"
+    )
+    batch = d.where((F.col("doc_id") < 100) & ~is_eval).select(
+        "doc_id",
+        "text",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+
+    gated = gopher_quality_filter(batch, text_col="text", min_words=30)
+    quarantined = gated.where(~F.col("keep"))
+    pass1 = gated.where(F.col("keep")).select("doc_id", "text", "n_tokens")
+
+    index = cached_once(
+        minhash_lsh_index(corpus, "doc_id", "text"), "q180_index"
+    )
+    hot = cached_once(minhash_hot_buckets(index), "q180_hot_buckets")
+    dup_ids = (
+        minhash_lsh_lookup(
+            pass1, index, "doc_id", "text", threshold=0.8, hot_buckets=hot
+        )
+        .select(F.col("doc_id_new").alias("doc_id"))
+        .distinct()
+    )
+    duplicate = pass1.join(dup_ids, "doc_id", "left_semi")
+    pass2 = pass1.join(dup_ids, "doc_id", "left_anti")
+
+    contam_ids = fuzzy_decontaminate(
+        pass2, eval_docs, "doc_id", "text", threshold=0.7
+    ).select("doc_id")
+    contaminated = pass2.join(contam_ids, "doc_id", "left_semi")
+    admitted = pass2.join(contam_ids, "doc_id", "left_anti")
+
+    def audit(df: DataFrame, status: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        ).select(F.lit(status).alias("status"), "n_docs", "n_tokens")
+
+    no_packs = F.lit(None).cast("bigint")
+    n_packs = pack_spans(
+        admitted.select("doc_id", "n_tokens"), "n_tokens", "doc_id",
+        budget=512,
+    ).agg(F.count_distinct("pack_id").alias("n_packs"))
+    return (
+        audit(admitted, "admitted")
+        .crossJoin(n_packs)
+        .unionByName(
+            audit(contaminated, "contaminated").withColumn(
+                "n_packs", no_packs
+            )
+        )
+        .unionByName(
+            audit(duplicate, "duplicate").withColumn("n_packs", no_packs)
+        )
+        .unionByName(
+            audit(quarantined, "quarantined").withColumn("n_packs", no_packs)
+        )
+        .orderBy("status")
+    )
+
+
+def _q180_sql() -> str:
+    from pyveb_spark.queries.dedup import (
+        _LSH_CAP,
+        _band_sql_exprs,
+        _minhash_sql_exprs,
+    )
+
+    jacc = (
+        "len(list_intersect(ga.gh, gb.gh)) * 1.0 "
+        "/ (ga.n + gb.n - len(list_intersect(ga.gh, gb.gh)))"
+    )
+    return f"""
+WITH roles AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         CASE WHEN doc_id % 10 = 0 THEN 'eval'
+              WHEN doc_id >= 100 THEN 'corpus'
+              ELSE 'batch' END AS role
+  FROM documents),
+gatein AS (
+  SELECT doc_id, n_tokens,
+         list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM roles WHERE role = 'batch'),
+gate AS (
+  SELECT doc_id, n_tokens,
+         (len(toks) >= 30 AND len(toks) <= 100000
+          AND CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+                / len(toks) BETWEEN 3.0 AND 10.0
+          AND CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+                   AS DOUBLE) / len(toks) >= 0.8
+          AND len(list_filter(toks, w -> list_contains(
+                  ['the','a','of','and','to','in','is','it'], lower(w)))) >= 2
+         ) AS keep
+  FROM gatein),
+mtoks AS (SELECT r.doc_id, string_split(r.text, ' ') AS t, r.role
+          FROM roles r LEFT JOIN gate g USING (doc_id)
+          WHERE r.role <> 'batch' OR g.keep),
+grams AS (SELECT doc_id, role,
+                 list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS gs
+          FROM mtoks),
+hashed AS (SELECT doc_id, role,
+                  list_transform(gs, g -> ('0x' || substr(md5(g), 1, 12))::BIGINT) AS gh,
+                  len(gs) AS n
+           FROM grams),
+sigs AS (SELECT doc_id, role, gh, n, [
+    {_minhash_sql_exprs(32)}
+  ] AS mh
+  FROM hashed WHERE n > 0),
+bandvals AS (SELECT doc_id, role, gh, n, [
+    {_band_sql_exprs(32, 8)}
+  ] AS bh
+  FROM sigs),
+banded AS (SELECT doc_id, role,
+                  generate_subscripts(bh, 1) AS band, unnest(bh) AS h
+           FROM bandvals),
+bszc AS (SELECT band, h, COUNT(*) AS m FROM banded
+         WHERE role = 'corpus' GROUP BY band, h),
+corpusb AS (SELECT banded.doc_id, banded.band, banded.h
+            FROM banded JOIN bszc USING (band, h)
+            WHERE banded.role = 'corpus' AND m <= {_LSH_CAP}),
+candc AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+          FROM banded a JOIN corpusb b ON a.band = b.band AND a.h = b.h
+          WHERE a.role = 'batch'),
+dup_ids AS (SELECT DISTINCT ida AS doc_id
+            FROM candc
+            JOIN hashed ga ON ga.doc_id = ida
+            JOIN hashed gb ON gb.doc_id = idb
+            WHERE {jacc} >= 0.8),
+bsze AS (SELECT band, h, COUNT(*) AS m FROM banded
+         WHERE role = 'eval' GROUP BY band, h),
+evalb AS (SELECT banded.doc_id, banded.band, banded.h
+          FROM banded JOIN bsze USING (band, h)
+          WHERE banded.role = 'eval' AND m <= {_LSH_CAP}),
+cande AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+          FROM banded a JOIN evalb b ON a.band = b.band AND a.h = b.h
+          WHERE a.role = 'batch'
+            AND a.doc_id NOT IN (SELECT doc_id FROM dup_ids)),
+contam_ids AS (SELECT DISTINCT ida AS doc_id
+               FROM cande
+               JOIN hashed ga ON ga.doc_id = ida
+               JOIN hashed gb ON gb.doc_id = idb
+               WHERE {jacc} >= 0.7),
+statuses AS (
+  SELECT g.doc_id, g.n_tokens,
+         CASE WHEN NOT g.keep THEN 'quarantined'
+              WHEN g.doc_id IN (SELECT doc_id FROM dup_ids) THEN 'duplicate'
+              WHEN g.doc_id IN (SELECT doc_id FROM contam_ids)
+                THEN 'contaminated'
+              ELSE 'admitted' END AS status
+  FROM gate g),
+agg AS (
+  SELECT status, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+  FROM statuses GROUP BY status)
+SELECT s.status,
+       COALESCE(a.n_docs, 0)::BIGINT AS n_docs,
+       a.n_tokens::BIGINT AS n_tokens,
+       CASE WHEN s.status = 'admitted'
+            THEN COALESCE((a.n_tokens + 511) // 512, 0)::BIGINT
+            ELSE NULL END AS n_packs
+FROM (VALUES ('admitted'), ('contaminated'), ('duplicate'),
+             ('quarantined')) s(status)
+LEFT JOIN agg a USING (status)
+ORDER BY s.status
+"""
+
+
+_Q180_SQL = _q180_sql()

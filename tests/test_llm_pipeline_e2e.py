@@ -186,3 +186,59 @@ def test_tar_to_image_dedup_e2e(spark, tmp_path):
         if a < b and a % 4 == b % 4
     }
     assert got >= expect  # every same-seed pair found (banding lossless)
+
+
+def test_ingest_recipe_e2e_conservation_and_sink(spark, sf_dir):
+    """q180 composed ingest: every batch doc gets exactly one terminal
+    status (conservation), the pack count obeys the pack_spans invariant
+    (ceil(tokens/512)), and re-admitting the same batch through the merge
+    sink is idempotent — the property a daily 100 TB ingest run relies on."""
+    from pyveb_spark.operators.dedup import (
+        fuzzy_decontaminate,
+        minhash_lsh_index,
+        minhash_lsh_lookup,
+    )
+    from pyveb_spark.operators.text import gopher_quality_filter
+    from pyveb_spark.queries import q180_ingest_recipe
+
+    rows = {r["status"]: r for r in q180_ingest_recipe(spark, sf_dir).collect()}
+    assert set(rows) == {"admitted", "contaminated", "duplicate", "quarantined"}
+
+    d = read_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 10 == 0
+    batch = d.where((F.col("doc_id") < 100) & ~is_eval)
+    n_batch = batch.count()
+    assert sum(r["n_docs"] for r in rows.values()) == n_batch
+
+    adm = rows["admitted"]
+    expected_packs = (adm["n_tokens"] + 511) // 512 if adm["n_docs"] else 0
+    assert adm["n_packs"] == expected_packs
+
+    # replay the stages to recover the admitted doc ids, then sink them
+    gated = gopher_quality_filter(batch, text_col="text", min_words=30)
+    pass1 = gated.where(F.col("keep")).select("doc_id", "text")
+    corpus = d.where((F.col("doc_id") >= 100) & ~is_eval).select("doc_id", "text")
+    index = minhash_lsh_index(corpus, "doc_id", "text")
+    dup_ids = (
+        minhash_lsh_lookup(pass1, index, "doc_id", "text", threshold=0.8)
+        .select(F.col("doc_id_new").alias("doc_id")).distinct()
+    )
+    pass2 = pass1.join(dup_ids, "doc_id", "left_anti")
+    eval_docs = d.where(is_eval).select("doc_id", "text")
+    contam = fuzzy_decontaminate(
+        pass2, eval_docs, "doc_id", "text", threshold=0.7
+    ).select("doc_id")
+    admitted = pass2.join(contam, "doc_id", "left_anti")
+    assert admitted.count() == adm["n_docs"]
+
+    path = tempfile.mkdtemp(prefix="ingest_recipe_")
+    try:
+        sink = ParquetMergeSink(spark, path)
+        sink.overwrite(admitted)
+        n1 = sink.read().count()
+        sink.upsert(admitted, keys=["doc_id"])  # same batch: must not grow
+        assert sink.read().count() == n1 == adm["n_docs"]
+    finally:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
