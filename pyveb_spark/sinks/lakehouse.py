@@ -108,7 +108,23 @@ MERGE_DIALECTS = {
     "ansi": "explicit",
     "iceberg": "explicit",
     "hudi": "explicit",
+    # Trino/Presto MERGE is ANSI with three real divergences from the
+    # Spark-side explicit form: identifiers quote with double quotes (not
+    # backticks), UPDATE SET targets must be UNQUALIFIED (Trino rejects
+    # ``t.col = ...``), and there is no ``<=>`` — the null-safe guard is
+    # ``IS NOT DISTINCT FROM``. Emitting it here is the contract twin
+    # that proves the generator isn't Delta-shaped in hidden ways.
+    "trino": "trino",
+    "presto": "trino",
 }
+
+
+def _ident_dq(name: str) -> str:
+    """Double-quote one identifier part (Trino/ANSI quoting); reject
+    embedded quotes rather than escaping them."""
+    if '"' in name or "`" in name:
+        raise ValueError(f"invalid identifier: {name!r}")
+    return f'"{name}"'
 
 
 def merge_into_sql(
@@ -135,14 +151,24 @@ def merge_into_sql(
             f"unknown MERGE dialect {dialect!r} "
             f"(expected one of {sorted(MERGE_DIALECTS)})"
         )
-    on = " AND ".join(
-        f"t.{_ident(k)} = s.{_ident(k)}" for k in spec.keys
+    q = _ident_dq if style == "trino" else _ident
+    qt = (
+        (lambda name: ".".join(q(p) for p in name.split(".")))
+        if style == "trino"
+        else _table_ident
     )
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in spec.keys)
     matched_guard = ""
     if spec.mode == "upsert_if_changed":
-        same = " AND ".join(
-            f"t.{_ident(c)} <=> s.{_ident(c)}" for c in spec.compare_cols
-        )
+        if style == "trino":
+            same = " AND ".join(
+                f"t.{q(c)} IS NOT DISTINCT FROM s.{q(c)}"
+                for c in spec.compare_cols
+            )
+        else:
+            same = " AND ".join(
+                f"t.{q(c)} <=> s.{q(c)}" for c in spec.compare_cols
+            )
         matched_guard = f" AND NOT ({same})"
     if style == "star":
         update_clause = "UPDATE SET *"
@@ -163,19 +189,24 @@ def merge_into_sql(
                 "explicit-dialect MERGE needs at least one non-key column "
                 "to assign in WHEN MATCHED"
             )
+        # Trino requires UNQUALIFIED assignment targets; Spark-side
+        # engines accept (and docs show) the t. prefix
+        set_lhs = (lambda c: q(c)) if style == "trino" else (
+            lambda c: f"t.{q(c)}"
+        )
         update_clause = "UPDATE SET " + ", ".join(
-            f"t.{_ident(c)} = s.{_ident(c)}" for c in non_keys
+            f"{set_lhs(c)} = s.{q(c)}" for c in non_keys
         )
         insert_clause = (
             "INSERT ("
-            + ", ".join(_ident(c) for c in cols)
+            + ", ".join(q(c) for c in cols)
             + ") VALUES ("
-            + ", ".join(f"s.{_ident(c)}" for c in cols)
+            + ", ".join(f"s.{q(c)}" for c in cols)
             + ")"
         )
     return (
-        f"MERGE INTO {_table_ident(spec.target)} t\n"
-        f"USING {_table_ident(spec.source)} s\n"
+        f"MERGE INTO {qt(spec.target)} t\n"
+        f"USING {qt(spec.source)} s\n"
         f"ON {on}\n"
         f"WHEN MATCHED{matched_guard} THEN {update_clause}\n"
         f"WHEN NOT MATCHED THEN {insert_clause}"

@@ -294,3 +294,49 @@ def test_upsert_auto_routes_to_fallback_when_no_provider(spark, tmp_path):
     assert {tuple(r) for r in sink.read().collect()} == {(1, "A"), (2, "b")}
     with pytest.raises(ValueError, match="no fallback_sink"):
         lake.upsert_auto(spark.createDataFrame([(1, "A")], schema), keys=["id"])
+
+
+def test_trino_dialect_contract():
+    """r6 verdict item 6: the Trino/Presto MERGE twin — proves the
+    generator isn't Spark-shaped in hidden ways. Three divergences from
+    the Spark-side explicit form, all load-bearing on a real Trino
+    cluster: double-quoted identifiers, UNQUALIFIED UPDATE SET targets
+    (Trino rejects ``t.col = ...``), and ``IS NOT DISTINCT FROM`` for
+    the null-safe change guard (no ``<=>`` in Trino)."""
+    spec = MergeSpec(
+        target="lake.sales", source="stage_batch", keys=["order_id"]
+    )
+    sql = merge_into_sql(
+        spec, dialect="trino", columns=["order_id", "amount", "status"]
+    )
+    assert sql == (
+        'MERGE INTO "lake"."sales" t\n'
+        'USING "stage_batch" s\n'
+        'ON t."order_id" = s."order_id"\n'
+        "WHEN MATCHED THEN UPDATE SET "
+        '"amount" = s."amount", "status" = s."status"\n'
+        'WHEN NOT MATCHED THEN INSERT ("order_id", "amount", "status") '
+        'VALUES (s."order_id", s."amount", s."status")'
+    )
+    assert "`" not in sql  # no backticks anywhere in Trino output
+
+    guarded = merge_into_sql(
+        MergeSpec(
+            target="t1", source="s1", keys=["k"],
+            mode="upsert_if_changed", compare_cols=["v"],
+        ),
+        dialect="presto",  # presto normalizes to the trino style
+        columns=["k", "v"],
+    )
+    assert (
+        'WHEN MATCHED AND NOT (t."v" IS NOT DISTINCT FROM s."v") '
+        'THEN UPDATE SET "v" = s."v"' in guarded
+    )
+    assert "<=>" not in guarded
+
+    # identifier hygiene: embedded quotes rejected, not escaped
+    with pytest.raises(ValueError, match="invalid identifier"):
+        merge_into_sql(
+            MergeSpec(target='ev"il', source="s", keys=["k"]),
+            dialect="trino", columns=["k", "v"],
+        )
