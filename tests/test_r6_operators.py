@@ -301,3 +301,41 @@ def test_fuzzy_decontamination_catches_paraphrase(spark):
         "doc_id", "text", "bench_id", "btext", n=8,
     )
     assert exact.count() == 0  # the paraphrase evades the exact check
+
+
+def test_stream_state_bounded_under_zipf_hot_key_skew(spark):
+    """The r6 probe measured UNIFORM key rates; a real 100 TB/day feed is
+    Zipf-distributed with a hot key (bot user / default tenant). Re-key
+    the replay with Zipf(1) + a 30% hot key and assert the same bounds:
+    state plateaus at ≈ one watermark horizon of DISTINCT keys (far below
+    input — duplicates collapse), eviction keeps pace with ingestion, and
+    the run survives the hammered state partition (VERDICT r6 item 7)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from stream_state_probe import run_probe, stage_time_ordered_drops
+
+    drops = tempfile.mkdtemp(prefix="skew_drops_")
+    schema, n_events = stage_time_ordered_drops(
+        spark, "/root/testdata/sf0.001", drops, 20, skew=0.3
+    )
+    assert "skew_key" in schema.fieldNames()
+    staged = spark.read.parquet(os.path.join(drops, "*.parquet"))
+    hot_share = staged.agg(
+        F.sum((F.col("skew_key") == 0).cast("long")) / F.count(F.lit(1))
+    ).first()[0]
+    assert hot_share >= 0.25, hot_share  # the hot key really is hot
+
+    rows = run_probe(
+        spark, drops, schema, "dedup", "2 hours", key_cols=["skew_key"]
+    )
+    assert len(rows) >= 20
+    assert sum(r["input_rows"] for r in rows) == n_events
+    peak = max(r["state_rows"] for r in rows)
+    # bounded DESPITE the hot key: dedup state holds distinct keys in the
+    # horizon, so skew shrinks it (duplicate keys collapse) rather than
+    # growing it — peak must stay a small fraction of input
+    assert peak < 0.15 * n_events, (peak, n_events)
+    # eviction runs: watermark removals happen across the replay
+    assert sum(r["evicted"] or 0 for r in rows) > 0
+    assert rows[-1]["state_rows"] <= peak

@@ -16,10 +16,19 @@ state-row curve tracks cumulative input; with the watermark it must
 plateau at ≈ one watermark-horizon of keys regardless of how many batches
 have passed — that plateau is the number SCALE.md records.
 
+``--skew H`` re-keys the feed the way a real 100 TB/day feed is keyed:
+a Zipf(≈1) key distribution (P(k) ∝ 1/k over [1, n_keys]) plus an
+explicit hot key taking fraction H of ALL events (the bot-user / default-
+tenant failure mode). Both probes then run on ``skew_key`` instead of the
+uniform ``event_id``/``event_type`` keys, so the per-batch metrics show
+what eviction and peak state do when one state partition is hammered.
+
 Usage::
 
     python tools/gen_twin.py --mult 100 --out /tmp/twin_sf1   # 1M events
     python tools/stream_state_probe.py --sf-dir /tmp/twin_sf1 --drops 25
+    python tools/stream_state_probe.py --sf-dir /tmp/twin_sf1 --drops 25 \\
+        --skew 0.2                      # Zipf keys, hot key = 20% of feed
 """
 from __future__ import annotations
 
@@ -35,13 +44,44 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 
-def stage_time_ordered_drops(spark, sf_dir: str, out: str, n_drops: int):
+def with_skewed_key(df, hot_frac: float, n_keys: int):
+    """Add a deterministic ``skew_key``: Zipf(≈1) over [1, n_keys]
+    (log-uniform ``floor(exp(u·ln n))`` gives P(k) ∝ 1/k), with an
+    explicit hot key 0 taking ``hot_frac`` of all rows on top. Stateless
+    md5-derived uniforms — reproducible on any partitioning, no RNG
+    state to break streaming retries."""
+    grid = float(1 << 20)
+
+    def _u(salt: str):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(salt), F.col("event_id"))),
+                1, 12,
+            ),
+            16, 10,
+        ).cast("long")
+        return (h % F.lit(1 << 20)) / F.lit(grid)
+
+    zipf = (
+        F.floor(F.exp(_u("zipf") * F.log(F.lit(float(n_keys)))))
+        .cast("long")
+    )
+    key = F.when(_u("hot") < F.lit(hot_frac), F.lit(0)).otherwise(zipf)
+    return df.withColumn("skew_key", key)
+
+
+def stage_time_ordered_drops(
+    spark, sf_dir: str, out: str, n_drops: int, skew: float = 0.0
+):
     """Split events into n_drops contiguous time ranges, one parquet file
     each, written (and mtime-stamped) in time order so the file stream
-    replays them as an in-order feed."""
+    replays them as an in-order feed. ``skew > 0`` adds the Zipf+hot
+    ``skew_key`` column (see :func:`with_skewed_key`)."""
     from pyveb_spark.sources.readers import read_table
 
     ev = read_table(spark, sf_dir, "events")
+    if skew > 0:
+        ev = with_skewed_key(ev, skew, max(int(ev.count()), 2))
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
     span = (hi - lo).total_seconds() + 1
     os.makedirs(out, exist_ok=True)
@@ -67,7 +107,10 @@ def stage_time_ordered_drops(spark, sf_dir: str, out: str, n_drops: int):
     return ev.schema, int(ev.count())
 
 
-def run_probe(spark, drops_path, schema, mode: str, watermark: str):
+def run_probe(
+    spark, drops_path, schema, mode: str, watermark: str,
+    key_cols: list[str] | None = None,
+):
     from pyveb_spark.streaming import (
         read_file_stream,
         run_available_now,
@@ -80,7 +123,8 @@ def run_probe(spark, drops_path, schema, mode: str, watermark: str):
     )
     if mode == "dedup":
         q_df = stateful_dedup(
-            stream, ["event_id"], ts_col="ts", watermark=watermark
+            stream, key_cols or ["event_id"], ts_col="ts",
+            watermark=watermark,
         )
         out_mode = "append"
     else:
@@ -89,7 +133,7 @@ def run_probe(spark, drops_path, schema, mode: str, watermark: str):
             ts_col="ts",
             window_duration="1 hour",
             aggs={"n": F.count(F.lit(1))},
-            group_by=["event_type"],
+            group_by=key_cols or ["event_type"],
             watermark=watermark,
         )
         out_mode = "append"
@@ -123,6 +167,11 @@ def main():
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--drops", type=int, default=25)
     ap.add_argument("--watermark", default="2 hours")
+    ap.add_argument(
+        "--skew", type=float, default=0.0,
+        help="hot-key fraction; >0 re-keys the feed Zipf(1)+hot and "
+             "runs both probes on skew_key",
+    )
     args = ap.parse_args()
 
     from pyveb_spark.session import get_spark
@@ -131,11 +180,26 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     drops = tempfile.mkdtemp(prefix="drops_")
     schema, n_events = stage_time_ordered_drops(
-        spark, args.sf_dir, drops, args.drops
+        spark, args.sf_dir, drops, args.drops, skew=args.skew
     )
+    key_cols = ["skew_key"] if args.skew > 0 else None
     print(f"staged {n_events} events into {args.drops} time-ordered drops")
+    if args.skew > 0:
+        staged = spark.read.parquet(os.path.join(drops, "*.parquet"))
+        key_stats = staged.agg(
+            F.countDistinct("skew_key").alias("n_keys"),
+            (F.sum((F.col("skew_key") == 0).cast("long"))
+             / F.count(F.lit(1))).alias("hot_share"),
+        ).first()
+        print(
+            f"skewed keys: {key_stats['n_keys']} distinct, hot key 0 = "
+            f"{key_stats['hot_share']:.1%} of all events "
+            f"(requested {args.skew:.0%} + Zipf mass)"
+        )
     for mode in ("dedup", "window"):
-        rows = run_probe(spark, drops, schema, mode, args.watermark)
+        rows = run_probe(
+            spark, drops, schema, mode, args.watermark, key_cols=key_cols
+        )
         peak = max((r["state_rows"] or 0) for r in rows)
         final = rows[-1]["state_rows"] if rows else None
         peak_mb = max((r["state_bytes"] or 0) for r in rows) / 1e6
@@ -151,6 +215,7 @@ def main():
             json.dumps(
                 {
                     "mode": mode,
+                    "skew": args.skew,
                     "n_events": n_events,
                     "n_batches": len(rows),
                     "peak_state_rows": peak,
