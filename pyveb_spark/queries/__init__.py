@@ -690,16 +690,123 @@ _R6C_IN = [
     "q85_language_id",
 ]
 
+# Round 7 carries the largest first-time wave yet — 30 slots — because
+# every member of the round-6 window earned its hard CORRECTNESS_r06 row,
+# so all 50 are rotation-eligible. Incoming, never driver-certified:
+# the nine round-7 heads (q172-q179 soaked under selfcheck + two
+# seed-varied twins since round 6; q180 is the new composed ingest
+# recipe), the ten analytics-residue queries with real algorithmic
+# content the r6 verdict named (q106 correlations, q111 AUC, q117 vocab
+# encode, q131 incremental rollup, q133 snapshot diff, q142 winsorize,
+# q143 expectations, q145 Gopher, q146 hard negatives, q147 MLM), and
+# eleven members of the q51-q104 block (packing, chunk dedup, CMS,
+# exact decontamination, temperature mix v1, epoch weighting, winnowing,
+# repetition, PII redaction, funnel, join-skew). Displaced → sibling:
+#   q153 audio dups      → q167 multimodal stays
+#   q156 span trim       → q89 exact-substring stays
+#   q158 phrase search   → q116 TF-IDF + q169 RRF stay
+#   q161 chat SFT        → q85/q103 text stay; q81/q82 incoming
+#   q164 stream admission→ q31 sessions stays
+#   q165 embed admission → q140 ANN stays; q180 carries admission
+#   q166 fertility       → q99 BPE pairs stays; q117 incoming
+#   q57 k-means          → q179 incoming composes the same fit
+#   q64 simhash          → q89/q86 stay; q55/q80 incoming
+#   q87 PQ ANN           → q140 SQ8 stays
+#   q102 trigrams        → q103 LM scores stays
+#   q110 triangles       → q171 k-core stays
+#   q112 CDC + q113 SCD2 → q131/q133 incoming (merge family)
+#   q123 weighted sample → q173/q176/q177/q179 incoming
+#   q126 retention       → q98 funnel incoming
+#   q130 PCA             → q106/q111/q142/q143 incoming (profile)
+#   q132 salted join     → q48 stays; q104 skew incoming
+#   q149 source overlap  → q86 fingerprints stays
+#   q168 repeat weight   → q86 stays; q78 epoch weighting incoming
+#   q170 FIM             → q147 MLM + q178 T5 incoming (transforms)
+#   q101 rolling         → q114 OHLC stays (timeseries)
+#   q152 k-anonymity     → q82 PII redaction incoming (privacy)
+#   q141 bloom admission → q56 CMS incoming (sketches)
+#   q84 token freq       → q103 stays; q66/q117 incoming
+#   q62 embedding dedup  → q140 stays; q179 incoming
+#   q67 frame features   → q167 multimodal stays
+#   q148 shards          → q150 stays; q54/q180 incoming
+#   q115 fuzzy names     → q48 stays (joins)
+#   q119 sliding windows → q31 stays (streaming)
+_R7_OUT = [
+    "q153_audio_fingerprint_dups",
+    "q156_span_trim",
+    "q158_phrase_search",
+    "q161_chat_sft_prep",
+    "q164_stream_admission",
+    "q165_incremental_embedding_dedup",
+    "q166_tokenizer_fertility",
+    "q57_kmeans_clusters",
+    "q64_simhash_pairs",
+    "q87_pq_ann",
+    "q102_trigram_counts",
+    "q110_copurchase_triangles",
+    "q112_cdc_apply",
+    "q113_asof_snapshot",
+    "q123_weighted_sample",
+    "q126_weekly_retention",
+    "q130_measure_pca",
+    "q132_salted_revenue",
+    "q149_source_overlap",
+    "q168_repeat_weighting",
+    "q170_fim_transform",
+    "q101_rolling_activity",
+    "q152_k_anonymity",
+    "q141_bloom_admission",
+    "q84_token_freq",
+    "q62_embedding_dedup",
+    "q67_frame_features",
+    "q148_training_shards",
+    "q115_fuzzy_name_pairs",
+    "q119_stream_sliding_windows",
+]
+_R7_IN = [
+    "q172_fuzzy_decontamination",
+    "q173_temperature_mix",
+    "q174_leakage_split",
+    "q175_ccnet_perplexity_tiers",
+    "q176_token_budget_allocation",
+    "q177_packing_budget_sweep",
+    "q178_t5_span_corruption",
+    "q179_cluster_balanced_sample",
+    "q180_ingest_recipe",
+    "q106_measure_correlations",
+    "q111_quality_score_auc",
+    "q117_vocab_encode",
+    "q131_incremental_rollup",
+    "q133_snapshot_diff",
+    "q142_winsorized_prices",
+    "q143_order_expectations",
+    "q145_gopher_rules",
+    "q146_hard_negatives",
+    "q147_mlm_masking",
+    "q54_sequence_packing",
+    "q55_chunk_dedup",
+    "q56_cms_heavy_hitters",
+    "q65_contamination",
+    "q66_temperature_mix",
+    "q78_epoch_weighting",
+    "q80_winnow_pairs",
+    "q81_repetition",
+    "q82_redact_pii",
+    "q98_funnel",
+    "q104_join_key_skew",
+]
+
 _ALL = list(QUERIES)
 # reconstruct the round-5 window exactly as shipped, then apply the
-# round-6 wave on top of it
+# round-6 and round-7 waves on top of it
 _OUT5 = _ROTATED_OUT + _R5_OUT + _R5B_OUT
 _IN5 = [q for q in _ROTATED_IN + _R5_IN if q not in _OUT5] + _R5B_IN
 _WINDOW5 = [q for q in _ALL[:50] if q not in _OUT5] + _IN5
 assert len(_WINDOW5) == 50
 _WINDOW6 = [q for q in _WINDOW5 if q not in _R6_OUT] + _R6_IN
 _WINDOW6B = [q for q in _WINDOW6 if q not in _R6B_OUT] + _R6B_IN
-_WINDOW = [q for q in _WINDOW6B if q not in _R6C_OUT] + _R6C_IN
+_WINDOW6C = [q for q in _WINDOW6B if q not in _R6C_OUT] + _R6C_IN
+_WINDOW = [q for q in _WINDOW6C if q not in _R7_OUT] + _R7_IN
 GATE_ORDER = _WINDOW + [q for q in _ALL if q not in _WINDOW]
 assert len(GATE_ORDER) == len(_ALL) and set(GATE_ORDER) == set(_ALL)
 assert len(_WINDOW) == 50
