@@ -36,6 +36,7 @@ __all__ = [
     "gopher_quality_filter",
     "mlm_mask",
     "fim_transform",
+    "preference_pairs",
 ]
 
 # see dedup.py::_PERSISTED_PREFIXES for the pattern: the returned plan is
@@ -1545,4 +1546,54 @@ def t5_span_corrupt(
         F.when(eligible, F.array_join(target_tokens, " "))
         .otherwise(F.lit(""))
         .alias("t5_target"),
+    )
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    score_col: str,
+    min_margin: float = 0.05,
+    min_candidates: int = 2,
+) -> DataFrame:
+    """DPO/RLHF preference-pair selection: within each ``group_cols``
+    bucket (a prompt id in real alignment data), pick the highest- and
+    lowest-``score_col`` rows as the (chosen, rejected) pair, keeping
+    only groups with ``min_candidates``+ rows and a score margin of at
+    least ``min_margin`` (near-tie pairs teach nothing and double
+    training noise). Ties break to the LOWEST id on both sides so the
+    pair is a pure function of the data — reproducible on any
+    partitioning, like every sampling decision in this engine.
+
+    Returns one row per surviving group: the group columns plus
+    ``n_candidates, chosen_id, rejected_id, chosen_score,
+    rejected_score, margin`` (scores/margin rounded to 4 — reported
+    values only; selection compares the raw score).
+
+    100 TB shape: ONE groupBy shuffle of (key, score, id) triples with
+    max_by/min_by struct aggregates — no window, no per-group sort, no
+    self-join; prompt-count output rows."""
+    gcols = list(group_cols)
+    s = F.col(score_col)
+    grp = df.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.max_by(
+            id_col, F.struct(s, (-F.col(id_col)).alias("neg"))
+        ).alias("chosen_id"),
+        F.min_by(id_col, F.struct(s, F.col(id_col))).alias("rejected_id"),
+        F.max(s).alias("__s_max"),
+        F.min(s).alias("__s_min"),
+    )
+    return grp.where(
+        (F.col("n_candidates") >= int(min_candidates))
+        & (F.col("__s_max") - F.col("__s_min") >= float(min_margin))
+    ).select(
+        *gcols,
+        "n_candidates",
+        "chosen_id",
+        "rejected_id",
+        F.round("__s_max", 4).alias("chosen_score"),
+        F.round("__s_min", 4).alias("rejected_score"),
+        F.round(F.col("__s_max") - F.col("__s_min"), 4).alias("margin"),
     )

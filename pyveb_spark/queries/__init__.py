@@ -246,6 +246,11 @@ QUERIES = {
     # the composed new-batch ingest recipe (round 7): quarantine ->
     # dedup-admit -> decontaminate -> pack, one status per doc
     "q180_ingest_recipe": q180_ingest_recipe,
+    # round-8 heads, registered OUTSIDE the window deliberately: round 7
+    # already carries 30 first-time certifications; these soak under
+    # selfcheck + the seed twins first (the q172 playbook)
+    "q181_dpo_pairs": q181_dpo_pairs,
+    "q182_ul2_denoiser_mix": q182_ul2_denoiser_mix,
 }
 
 ORACLE_SQL = {
@@ -429,6 +434,8 @@ ORACLE_SQL = {
     "q178_t5_span_corruption": _Q178_SQL,
     "q179_cluster_balanced_sample": _Q179_SQL,
     "q180_ingest_recipe": _Q180_SQL,
+    "q181_dpo_pairs": _Q181_SQL,
+    "q182_ul2_denoiser_mix": _Q182_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -1489,3 +1489,181 @@ SELECT doc_id, FALSE AS corrupted, 0 AS n_spans,
 FROM t WHERE n < 20
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: DPO preference-pair construction (round-8 head)
+# ---------------------------------------------------------------------------
+
+def q181_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair construction — the alignment-data prep
+    step: within each prompt group (stand-in: the (source, lang) bucket),
+    pick the highest- and lowest-reward responses (reward stand-in: the
+    q27 composite quality score) as the (chosen, rejected) pair, keeping
+    only groups with >= 2 candidates and a reward margin >= 0.05 (near-
+    tie pairs teach nothing and double training noise — standard DPO
+    hygiene). Ties break to the LOWEST doc_id on both sides, so the pair
+    is a pure function of the corpus.
+
+    Determinism: candidates are ranked on the RAW score double — both
+    engines compute bit-identical values because every term is a single
+    IEEE op on integer inputs in the same order (the q27 contract) — with
+    the doc_id tie-break; only the REPORTED score/margin round to 4.
+
+    Scale: one scan to score (stateless expressions), one groupBy on the
+    prompt key with max_by/min_by struct aggregates — a single shuffle of
+    (key, score, id) triples, no window, no self-join, no per-group sort.
+    At 100 TB of (prompt_id, response) rows this is the same plan with
+    prompt_id as the key."""
+    from pyveb_spark.operators.text import preference_pairs, quality_score
+
+    d = read_table(spark, sf_dir, "documents")
+    scored = quality_score(d, "text").select(
+        "source", "lang", "doc_id", "quality_score"
+    )
+    return preference_pairs(
+        scored, ["source", "lang"], "doc_id", "quality_score",
+        min_margin=0.05,
+    ).orderBy("source", "lang")
+
+
+_Q181_SQL = """
+WITH stats AS (
+    SELECT doc_id, source, lang,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
+           len(list_distinct(string_split(text, ' '))) AS n_unique
+    FROM documents),
+scored AS (
+    SELECT doc_id, source, lang,
+           least(n_tokens / 50.0, 1.0) * 0.4
+             + (CAST(n_unique AS DOUBLE) / n_tokens) * 0.4
+             + least((CAST(n_stop AS DOUBLE) / n_tokens) * 5.0, 1.0) * 0.2
+             AS s
+    FROM stats),
+ranked AS (
+    SELECT source, lang, doc_id, s,
+           ROW_NUMBER() OVER (PARTITION BY source, lang
+                              ORDER BY s DESC, doc_id ASC) AS rk_hi,
+           ROW_NUMBER() OVER (PARTITION BY source, lang
+                              ORDER BY s ASC, doc_id ASC) AS rk_lo
+    FROM scored),
+grp AS (
+    SELECT source, lang,
+           COUNT(*)::BIGINT AS n_candidates,
+           MAX(CASE WHEN rk_hi = 1 THEN doc_id END) AS chosen_id,
+           MAX(CASE WHEN rk_lo = 1 THEN doc_id END) AS rejected_id,
+           MAX(s) AS s_max, MIN(s) AS s_min
+    FROM ranked GROUP BY source, lang)
+SELECT source, lang, n_candidates,
+       chosen_id, rejected_id,
+       ROUND(s_max, 4) AS chosen_score,
+       ROUND(s_min, 4) AS rejected_score,
+       ROUND(s_max - s_min, 4) AS margin
+FROM grp
+WHERE n_candidates >= 2 AND s_max - s_min >= 0.05
+ORDER BY source, lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: UL2 mixture-of-denoisers budget audit (round-8 head)
+# ---------------------------------------------------------------------------
+
+def q182_ul2_denoiser_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UL2 mixture-of-denoisers planning audit (Tay et al. 2022): assign
+    every document one denoiser via the deterministic md5 split — R
+    (regular T5 spans: 3-token spans, one per 20 tokens; 50%), S
+    (sequential/prefix-LM: predict the suffix past a hash-chosen cut;
+    25%), X (extreme: 12-token spans, one per 24 tokens; 25%) — and
+    report, per denoiser, the document/token counts and the corrupted-
+    token budget its parameters imply. Docs under 24 tokens route to
+    'none' (too short for the X geometry). The corrupted-token math is
+    the same closed-form the certified transforms execute (q178's
+    ``k = max(1, n // tokens_per_span)`` spans × span_len; q170's hash
+    cut for the S suffix), so this certifies the MIXTURE layer on top of
+    the already-certified per-objective transforms.
+
+    All integer arithmetic except the final rate — oracle-exact. Pure
+    scan-stage assignment (stateless md5), one 4-row aggregation;
+    retry-safe by construction like every objective transform here."""
+    from pyveb_spark.operators.dedup import portable_hash48
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    h = portable_hash48(
+        F.concat_ws("|", F.lit("ul2"), F.col("doc_id").cast("string"))
+    ) % 100
+    hs = portable_hash48(
+        F.concat_ws("|", F.lit("ul2-s"), F.col("doc_id").cast("string"))
+    )
+    den = (
+        F.when(n < 24, F.lit("none"))
+        .when(h < 50, F.lit("R"))
+        .when(h < 75, F.lit("S"))
+        .otherwise(F.lit("X"))
+    )
+    k_r = F.greatest(F.lit(1), (n / F.lit(20)).cast("int"))
+    k_x = F.greatest(F.lit(1), (n / F.lit(24)).cast("int"))
+    cut_s = (hs % (n - 1) + 1).cast("int")  # 1 .. n-1 (n >= 24 here)
+    corrupted = (
+        F.when(den == "R", k_r * 3)
+        .when(den == "X", k_x * 12)
+        .when(den == "S", n - cut_s)
+        .otherwise(F.lit(0))
+    )
+    return (
+        d.select(
+            den.alias("denoiser"),
+            n.cast("bigint").alias("n"),
+            corrupted.cast("bigint").alias("c"),
+        )
+        .groupBy("denoiser")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("n_tokens"),
+            F.sum("c").alias("n_corrupted"),
+            F.round(
+                F.sum("c") / F.sum("n").cast("double"), 4
+            ).alias("corruption_rate"),
+        )
+        .orderBy("denoiser")
+    )
+
+
+_Q182_SQL = """
+WITH t AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n,
+           ('0x' || substr(md5('ul2|' || doc_id), 1, 12))::BIGINT % 100 AS h,
+           ('0x' || substr(md5('ul2-s|' || doc_id), 1, 12))::BIGINT AS hs
+    FROM documents),
+assigned AS (
+    SELECT n,
+           CASE WHEN n < 24 THEN 'none'
+                WHEN h < 50 THEN 'R'
+                WHEN h < 75 THEN 'S'
+                ELSE 'X' END AS denoiser,
+           hs % (n - 1) + 1 AS cut_s,
+           greatest(1, n // 20) AS k_r,
+           greatest(1, n // 24) AS k_x
+    FROM t),
+budget AS (
+    SELECT denoiser, n,
+           CASE denoiser
+                WHEN 'R' THEN k_r * 3
+                WHEN 'X' THEN k_x * 12
+                WHEN 'S' THEN n - cut_s
+                ELSE 0 END AS c
+    FROM assigned)
+SELECT denoiser,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(n)::BIGINT AS n_tokens,
+       SUM(c)::BIGINT AS n_corrupted,
+       ROUND(SUM(c) * 1.0 / SUM(n), 4) AS corruption_rate
+FROM budget
+GROUP BY denoiser
+ORDER BY denoiser
+"""

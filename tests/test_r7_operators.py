@@ -272,3 +272,61 @@ def test_t5_span_corrupt_rejects_bad_params(spark):
         t5_span_corrupt(df, tokens_per_span=3, span_len=3)
     with _pytest.raises(ValueError):
         t5_span_corrupt(df, min_tokens=10, tokens_per_span=20)
+
+
+def test_preference_pairs_selection_and_margin_gate(spark):
+    """DPO pair selection: argmax/argmin per group with lowest-id tie
+    break on both sides; groups below the margin or candidate floor are
+    dropped."""
+    from pyveb_spark.operators.text import preference_pairs
+
+    df = spark.createDataFrame(
+        [
+            # group a: clear winner/loser + a tie at the top (ids 3, 1)
+            ("a", 1, 0.9), ("a", 3, 0.9), ("a", 2, 0.1),
+            # group b: margin 0.01 < 0.05 -> dropped
+            ("b", 4, 0.50), ("b", 5, 0.51),
+            # group c: single candidate -> dropped
+            ("c", 6, 0.8),
+        ],
+        "g string, doc_id long, s double",
+    )
+    rows = preference_pairs(df, ["g"], "doc_id", "s").collect()
+    assert len(rows) == 1 and rows[0]["g"] == "a"
+    r = rows[0]
+    assert r["chosen_id"] == 1          # tie at 0.9 -> lowest id
+    assert r["rejected_id"] == 2
+    assert r["n_candidates"] == 3
+    assert abs(r["margin"] - 0.8) < 1e-9
+
+
+def test_preference_pairs_rejected_tie_breaks_low_id(spark):
+    from pyveb_spark.operators.text import preference_pairs
+
+    df = spark.createDataFrame(
+        [("g", 10, 0.2), ("g", 7, 0.2), ("g", 1, 0.9)],
+        "g string, doc_id long, s double",
+    )
+    r = preference_pairs(df, ["g"], "doc_id", "s").first()
+    assert r["rejected_id"] == 7        # tie at 0.2 -> lowest id
+    assert r["chosen_id"] == 1
+
+
+def test_ul2_mix_budget_math(spark, sf_dir):
+    """q182's corrupted-token budgets re-derived independently per
+    denoiser: R = max(1, n // 20) * 3, X = max(1, n // 24) * 12,
+    S = n - cut (cut in [1, n-1]); rates land near the UL2 paper's
+    targets (R ~15%, X ~50%)."""
+    from pyveb_spark.queries import q182_ul2_denoiser_mix
+
+    rows = {r["denoiser"]: r for r in
+            q182_ul2_denoiser_mix(spark, sf_dir).collect()}
+    assert set(rows) <= {"R", "S", "X", "none"}
+    if "R" in rows:
+        assert 0.10 <= rows["R"]["corruption_rate"] <= 0.16
+    if "X" in rows:
+        assert 0.40 <= rows["X"]["corruption_rate"] <= 0.62
+    if "S" in rows:
+        assert 0.0 < rows["S"]["corruption_rate"] < 1.0
+    if "none" in rows:
+        assert rows["none"]["n_corrupted"] == 0
