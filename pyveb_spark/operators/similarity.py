@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "cosine_sim_expr",
     "cosine_topk",
+    "mmr_select",
     "cosine_pairs",
     "knn_join",
     "lsh_bucket",
@@ -1223,3 +1224,54 @@ def lsh_cosine_lookup(
         .where(F.col("cosine_sim") >= F.lit(float(threshold)))
         .select(a_id, b_id, "cosine_sim")
     )
+
+
+def mmr_select(
+    candidates: Sequence[tuple],
+    k: int = 10,
+    lam: float = 0.7,
+    mu: float = 0.3,
+) -> list[tuple]:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)
+    over a BOUNDED candidate shortlist: greedily pick the candidate
+    maximizing ``lam*relevance - mu*max_cosine_to_already_selected`` —
+    the standard diversity re-rank a RAG/eval-curation serving layer runs
+    on its retrieval shortlist. ``candidates`` is a list of
+    ``(id, label, relevance, vector)``; returns ``(rank, id, label,
+    relevance, mmr_score)`` for the k picks.
+
+    Runs on the driver BY DESIGN: the distributed stage is producing the
+    shortlist (``cosine_topk`` / the ANN index); MMR is O(k·|shortlist|)
+    on that bounded set — model-sized work, like the k×dim k-means
+    centroids. Determinism contract: cosine accumulates left-to-right in
+    double (bit-identical to ``cosine_sim_expr`` and DuckDB's
+    ``list_dot_product``), ``lam``/``mu`` are EXPLICIT literals (never
+    derive mu as 1-lam: ``1-0.7`` is not the double ``0.3``), scores
+    compare exactly with ties to the lowest id — so an ANSI oracle can
+    replay every pick."""
+    import math
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    def cos(a, b):
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    remaining = list(candidates)
+    selected: list[tuple] = []
+    out: list[tuple] = []
+    for rank in range(1, min(int(k), len(remaining)) + 1):
+        best_key, best_c, best_score = None, None, None
+        for c in remaining:
+            ms = max((cos(c[3], s[3]) for s in selected), default=0.0)
+            score = lam * c[2] - mu * ms
+            key = (score, -c[0])
+            if best_key is None or key > best_key:
+                best_key, best_c, best_score = key, c, score
+        selected.append(best_c)
+        remaining.remove(best_c)
+        out.append((rank, best_c[0], best_c[1], best_c[2], best_score))
+    return out

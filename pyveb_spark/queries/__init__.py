@@ -251,6 +251,7 @@ QUERIES = {
     # selfcheck + the seed twins first (the q172 playbook)
     "q181_dpo_pairs": q181_dpo_pairs,
     "q182_ul2_denoiser_mix": q182_ul2_denoiser_mix,
+    "q183_mmr_diverse_topk": q183_mmr_diverse_topk,
 }
 
 ORACLE_SQL = {
@@ -436,6 +437,7 @@ ORACLE_SQL = {
     "q180_ingest_recipe": _Q180_SQL,
     "q181_dpo_pairs": _Q181_SQL,
     "q182_ul2_denoiser_mix": _Q182_SQL,
+    "q183_mmr_diverse_topk": _Q183_SQL,
 }
 
 # ---------------------------------------------------------------------------

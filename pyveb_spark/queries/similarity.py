@@ -968,3 +968,95 @@ ORDER BY q.cluster
 
 
 _Q179_SQL = _q179_sql()
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: MMR diverse top-k (round-8 head)
+# ---------------------------------------------------------------------------
+
+def q183_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diverse top-10 — the diversity re-rank
+    every RAG / eval-curation serving layer runs on its retrieval
+    shortlist (Carbonell & Goldstein 1998): the distributed stage
+    produces the 50-candidate cosine shortlist (``cosine_topk`` — a
+    TakeOrderedAndProject heap scan, no global sort; at 100 TB the ANN
+    index serves this), then ``mmr_select`` greedily picks 10 by
+    ``0.7·rel − 0.3·max_sim_to_selected`` on the driver — O(k·50) work on
+    a bounded, model-sized set.
+
+    Oracle: the shortlist replays via q19's exact-cosine contract
+    (left-to-right double accumulation ≡ ``list_dot_product``), and the
+    10 greedy picks unroll as 10 CTE steps with the same exact-double
+    score comparisons and lowest-id tie-breaks — every pick certified,
+    not just the final set."""
+    from pyveb_spark.operators.similarity import cosine_topk, mmr_select
+
+    e = read_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(e)
+    cand = cosine_topk(e, qv, k=50, exclude_ids=[0]).select(
+        "vec_id", "label", "embedding", "cosine_sim"
+    )
+    rows = cand.collect()  # 50 rows by construction — the shortlist
+    picks = mmr_select(
+        [
+            (r["vec_id"], r["label"], r["cosine_sim"],
+             [float(x) for x in r["embedding"]])
+            for r in rows
+        ],
+        k=10, lam=0.7, mu=0.3,
+    )
+    out = spark.createDataFrame(
+        picks, "rank int, vec_id long, label int, rel double, mmr double"
+    )
+    return out.select(
+        "rank", "vec_id", "label",
+        F.round("rel", 4).alias("rel"),
+        F.round("mmr", 4).alias("mmr"),
+    ).orderBy("rank")
+
+
+def _q183_sql(k: int = 10, pool: int = 50) -> str:
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    # every CTE is MATERIALIZED: sel{i} references ALL previous picks, so
+    # plain-CTE inlining re-expands the chain exponentially (the
+    # q171/q179 DuckDB lesson — here it exhausts file handles re-opening
+    # the parquet source before it exhausts time)
+    parts = [f"""
+q AS MATERIALIZED (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                   WHERE vec_id = 0),
+cand AS MATERIALIZED (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                {cos('embedding::DOUBLE[]', 'qv')} AS rel
+         FROM embeddings, q WHERE vec_id <> 0
+         ORDER BY rel DESC, vec_id ASC LIMIT {pool}),
+sel1 AS MATERIALIZED (SELECT vec_id, label, v, rel,
+                             0.7 * rel - 0.3 * 0.0 AS mmr
+         FROM cand ORDER BY mmr DESC, vec_id ASC LIMIT 1)"""]
+    for i in range(2, k + 1):
+        prev_ids = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{j}" for j in range(1, i)
+        )
+        prev_vs = " UNION ALL ".join(
+            f"SELECT v FROM sel{j}" for j in range(1, i)
+        )
+        parts.append(f""",
+sel{i} AS MATERIALIZED (SELECT vec_id, label, v, rel,
+                  0.7 * rel - 0.3 * (
+                    SELECT MAX({cos('c.v', 's.v')})
+                    FROM ({prev_vs}) s) AS mmr
+           FROM cand c
+           WHERE c.vec_id NOT IN ({prev_ids})
+           ORDER BY mmr DESC, vec_id ASC LIMIT 1)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id, label, ROUND(rel, 4) AS rel, "
+        f"ROUND(mmr, 4) AS mmr FROM sel{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + "".join(parts) + f"\n{union}\nORDER BY rank"
+
+
+_Q183_SQL = _q183_sql()

@@ -330,3 +330,38 @@ def test_ul2_mix_budget_math(spark, sf_dir):
         assert 0.0 < rows["S"]["corruption_rate"] < 1.0
     if "none" in rows:
         assert rows["none"]["n_corrupted"] == 0
+
+
+def test_mmr_select_prefers_diverse_over_redundant():
+    """Two near-identical high-relevance candidates: after the first is
+    picked, the redundancy penalty must push the second below a less
+    relevant but orthogonal candidate."""
+    from pyveb_spark.operators.similarity import mmr_select
+
+    cands = [
+        (1, 0, 0.99, [1.0, 0.0, 0.0]),   # picked first (top relevance)
+        (2, 0, 0.98, [1.0, 0.01, 0.0]),  # near-duplicate of 1
+        (3, 1, 0.80, [0.0, 1.0, 0.0]),   # orthogonal, lower relevance
+    ]
+    picks = mmr_select(cands, k=2, lam=0.7, mu=0.3)
+    assert [p[1] for p in picks] == [1, 3]
+    # rank-1 score is pure relevance (no selected set yet)
+    assert picks[0][4] == 0.7 * 0.99
+
+
+def test_mmr_select_tie_breaks_lowest_id():
+    from pyveb_spark.operators.similarity import mmr_select
+
+    cands = [
+        (9, 0, 0.5, [1.0, 0.0]),
+        (2, 0, 0.5, [0.0, 1.0]),
+    ]
+    picks = mmr_select(cands, k=1)
+    assert picks[0][1] == 2
+
+
+def test_mmr_select_k_capped_by_candidates():
+    from pyveb_spark.operators.similarity import mmr_select
+
+    cands = [(1, 0, 0.9, [1.0, 0.0]), (2, 0, 0.1, [0.0, 1.0])]
+    assert len(mmr_select(cands, k=10)) == 2
