@@ -252,6 +252,7 @@ QUERIES = {
     "q181_dpo_pairs": q181_dpo_pairs,
     "q182_ul2_denoiser_mix": q182_ul2_denoiser_mix,
     "q183_mmr_diverse_topk": q183_mmr_diverse_topk,
+    "q184_rag_context_assembly": q184_rag_context_assembly,
 }
 
 ORACLE_SQL = {
@@ -438,6 +439,7 @@ ORACLE_SQL = {
     "q181_dpo_pairs": _Q181_SQL,
     "q182_ul2_denoiser_mix": _Q182_SQL,
     "q183_mmr_diverse_topk": _Q183_SQL,
+    "q184_rag_context_assembly": _Q184_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -1667,3 +1667,120 @@ FROM budget
 GROUP BY denoiser
 ORDER BY denoiser
 """
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: RAG context assembly (round-8 head)
+# ---------------------------------------------------------------------------
+
+def q184_rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG context-window assembly — the serving step between retrieval
+    and the model call: take the hybrid top-10 (q169's BM25 + dense RRF
+    fusion, unchanged), fetch the documents, and fill a 512-token context
+    budget in fused-rank order — whole docs while they fit, the first
+    overflowing doc TRUNCATED to the remaining budget, everything after
+    it dropped (the standard greedy context packer). Output: one row per
+    doc that contributes tokens, with its fused rank, token counts, and
+    a ``truncated`` flag.
+
+    The budget arithmetic is a prefix sum over the k-row fused list — a
+    window over ≤10 rows, bounded by the retrieval k at any corpus size
+    (this is the one place a global window is CORRECT: the input is the
+    shortlist, not the corpus). Oracle: q169's full double-pipeline SQL
+    + the same prefix-sum CASE arithmetic — integer-exact past the
+    already-certified fusion scores."""
+    from pyveb_spark.operators.retrieval import (
+        bm25_search,
+        build_inverted_index,
+        rrf_fuse,
+    )
+    from pyveb_spark.operators.similarity import cosine_topk
+
+    d = read_table(spark, sf_dir, "documents")
+    e = read_table(spark, sf_dir, "embeddings")
+    postings, docstats = build_inverted_index(d, "doc_id", "text")
+    bm = bm25_search(
+        postings, docstats, ["hash", "merge", "scan", "window"], k=10
+    )
+    bm_ranked = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    qv = _query_vec(e)
+    knn = cosine_topk(e, qv, k=10, exclude_ids=[0]).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round("cosine_sim", 4).alias("sim"),
+    )
+    knn_ranked = knn.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("sim"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    fused = rrf_fuse([bm_ranked, knn_ranked], id_col="doc_id", k=10)
+    sized = fused.join(
+        d.select("doc_id", F.size(F.split("text", " ")).cast("bigint")
+                 .alias("n_tokens")),
+        "doc_id",
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    budget = F.lit(512)
+    ranked = sized.select(
+        F.row_number().over(w).alias("rank"),
+        "doc_id",
+        "rrf_score",
+        "n_tokens",
+        (F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ) - F.col("n_tokens")).alias("__before"),
+    )
+    included = F.when(
+        F.col("__before") < budget,
+        F.least(F.col("n_tokens"), budget - F.col("__before")),
+    ).otherwise(F.lit(0))
+    return (
+        ranked.withColumn("included_tokens", included.cast("bigint"))
+        .where(F.col("included_tokens") > 0)
+        .select(
+            "rank",
+            "doc_id",
+            "rrf_score",
+            "n_tokens",
+            "included_tokens",
+            (F.col("included_tokens") < F.col("n_tokens")).alias("truncated"),
+        )
+        .orderBy("rank")
+    )
+
+
+def _q184_sql() -> str:
+    # q169's full double-retrieval SQL, then the greedy budget fill
+    fused = _Q169_SQL.strip().rstrip()
+    assert fused.startswith("WITH ")
+    body = fused[len("WITH "):]
+    # strip q169's trailing SELECT into a CTE
+    head, tail = body.rsplit("SELECT doc_id, ROUND(SUM(c), 6) AS rrf_score", 1)
+    return f"""
+WITH {head.rstrip()},
+fused AS (SELECT doc_id, ROUND(SUM(c), 6) AS rrf_score{tail.replace("LIMIT 10", "LIMIT 10)")},
+sized AS (SELECT f.doc_id, f.rrf_score,
+                 len(string_split(d.text, ' '))::BIGINT AS n_tokens
+          FROM fused f JOIN documents d USING (doc_id)),
+ranked AS (SELECT ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rank,
+                  doc_id, rrf_score, n_tokens,
+                  SUM(n_tokens) OVER (ORDER BY rrf_score DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens
+                    AS before_tok
+           FROM sized)
+SELECT rank::INT AS rank, doc_id, rrf_score, n_tokens,
+       LEAST(n_tokens, 512 - before_tok)::BIGINT AS included_tokens,
+       (LEAST(n_tokens, 512 - before_tok) < n_tokens) AS truncated
+FROM ranked
+WHERE before_tok < 512
+ORDER BY rank
+"""
+
+
+_Q184_SQL = _q184_sql()
