@@ -253,6 +253,7 @@ QUERIES = {
     "q182_ul2_denoiser_mix": q182_ul2_denoiser_mix,
     "q183_mmr_diverse_topk": q183_mmr_diverse_topk,
     "q184_rag_context_assembly": q184_rag_context_assembly,
+    "q185_quality_survivorship": q185_quality_survivorship,
 }
 
 ORACLE_SQL = {
@@ -440,6 +441,7 @@ ORACLE_SQL = {
     "q182_ul2_denoiser_mix": _Q182_SQL,
     "q183_mmr_diverse_topk": _Q183_SQL,
     "q184_rag_context_assembly": _Q184_SQL,
+    "q185_quality_survivorship": _Q185_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -808,3 +808,126 @@ FROM pairs WHERE j >= 0.7
 GROUP BY ida
 ORDER BY doc_id
 """.replace("{cap}", str(_LSH_CAP))
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: quality-aware dup-cluster survivorship (round-8 head)
+# ---------------------------------------------------------------------------
+
+def q185_quality_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivorship over near-dup clusters — what a
+    production dedup actually emits: within each connected component of
+    near-dup pairs (q41's exact-Jaccard pairs + alternating-star CC,
+    unchanged), keep the HIGHEST-quality member (the q27 composite score;
+    ties to the lowest doc_id), not the longest or the first-seen — and
+    report per cluster what the policy dropped (member count, token
+    mass). q16/q41 certify keep-first/longest; this certifies the
+    score-driven policy, which is the one that changes downstream model
+    quality (the dedup papers' recommendation: dedup should delete the
+    WORSE copy).
+
+    Determinism: selection compares the RAW score double (bit-identical
+    across engines — every term a single IEEE op on integer inputs, the
+    q181 contract) with the doc_id tie-break; only the reported score
+    rounds. Cluster labels are the CC min-label fixpoint both engines
+    already agree on (q41). Scale: the pairs/CC cost IS q41 (measured
+    sf1 ~5x for 10x); the survivorship adds ONE groupBy of
+    (cluster, score, id, tokens) and one kept-id join back."""
+    from pyveb_spark.operators.dedup import (
+        duplicate_clusters,
+        ngram_jaccard_pairs,
+    )
+    from pyveb_spark.operators.text import quality_score
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, id_col="doc_id", text_col="text", n=2, threshold=0.8
+    )
+    clustered = duplicate_clusters(
+        pairs, "doc_id_a", "doc_id_b",
+        out_node="doc_id", out_cluster="cluster_id",
+    )
+    scored = quality_score(d, "text").select(
+        "doc_id",
+        F.col("quality_score").alias("s"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    m = clustered.join(scored, "doc_id")
+    grp = m.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max_by(
+            "doc_id", F.struct(F.col("s"), (-F.col("doc_id")).alias("neg"))
+        ).alias("kept_id"),
+        F.max("s").alias("s_max"),
+        F.sum("n_tokens").alias("tok_all"),
+    )
+    return (
+        grp.join(
+            scored.select(
+                F.col("doc_id").alias("kept_id"),
+                F.col("n_tokens").alias("kept_tokens"),
+            ),
+            "kept_id",
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            "kept_id",
+            F.round("s_max", 4).alias("kept_score"),
+            (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+            (F.col("tok_all") - F.col("kept_tokens"))
+            .cast("bigint")
+            .alias("tokens_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+_Q185_SQL = """
+WITH RECURSIVE
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS g
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) s),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+cand AS (SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS isect
+         FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+pairs AS (SELECT u, v FROM cand
+          JOIN sizes sa ON sa.doc_id = u JOIN sizes sb ON sb.doc_id = v
+          WHERE isect * 1.0 / (sa.n + sb.n - isect) >= 0.8),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(u, x) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+    UNION
+    SELECT e.u, r.x FROM edges e JOIN reach r ON r.u = e.v),
+comp AS (SELECT u AS doc_id, MIN(x) AS cluster_id FROM reach GROUP BY u),
+stats AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
+           len(list_distinct(string_split(text, ' '))) AS n_unique
+    FROM documents),
+scored AS (
+    SELECT doc_id, n_tokens,
+           least(n_tokens / 50.0, 1.0) * 0.4
+             + (CAST(n_unique AS DOUBLE) / n_tokens) * 0.4
+             + least((CAST(n_stop AS DOUBLE) / n_tokens) * 5.0, 1.0) * 0.2
+             AS s
+    FROM stats),
+m AS (SELECT c.cluster_id, c.doc_id, sc.s, sc.n_tokens
+      FROM comp c JOIN scored sc USING (doc_id)),
+rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                    ORDER BY s DESC, doc_id ASC) AS r
+       FROM m)
+SELECT cluster_id,
+       COUNT(*)::BIGINT AS n_members,
+       MAX(CASE WHEN r = 1 THEN doc_id END) AS kept_id,
+       ROUND(MAX(s), 4) AS kept_score,
+       (COUNT(*) - 1)::BIGINT AS n_dropped,
+       (SUM(n_tokens) - MAX(CASE WHEN r = 1 THEN n_tokens END))::BIGINT
+         AS tokens_dropped
+FROM rk
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
