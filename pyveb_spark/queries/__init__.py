@@ -254,6 +254,7 @@ QUERIES = {
     "q183_mmr_diverse_topk": q183_mmr_diverse_topk,
     "q184_rag_context_assembly": q184_rag_context_assembly,
     "q185_quality_survivorship": q185_quality_survivorship,
+    "q186_dedup_threshold_sweep": q186_dedup_threshold_sweep,
 }
 
 ORACLE_SQL = {
@@ -442,6 +443,7 @@ ORACLE_SQL = {
     "q183_mmr_diverse_topk": _Q183_SQL,
     "q184_rag_context_assembly": _Q184_SQL,
     "q185_quality_survivorship": _Q185_SQL,
+    "q186_dedup_threshold_sweep": _Q186_SQL,
 }
 
 # ---------------------------------------------------------------------------

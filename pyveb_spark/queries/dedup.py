@@ -931,3 +931,97 @@ FROM rk
 GROUP BY cluster_id
 ORDER BY cluster_id
 """
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: dedup threshold sweep (round-8 head)
+# ---------------------------------------------------------------------------
+
+def q186_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning audit for near-dup dedup: the pair/doc/token
+    impact of every candidate Jaccard threshold, from ONE pass of the
+    exact pair machinery (q17's prefix-filtered set-similarity join at
+    the loosest threshold 0.6) — never one re-run per threshold. For
+    each t ∈ {0.6, 0.7, 0.8, 0.9} it reports how many pairs survive, how
+    many distinct docs are flagged (the higher-id member of each pair —
+    keep-first convention), and the flagged docs' token mass — the table
+    an operator reads before committing a production threshold, where
+    each 0.1 step can swing the deleted volume by an order of magnitude.
+
+    Scale: the pair join runs ONCE at the loosest threshold (its cost is
+    q17's, measured); the sweep itself is an explode of a 4-element
+    literal array over the pair set + two grouped aggregations. Exact
+    integer outputs except the threshold key itself."""
+    from pyveb_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, id_col="doc_id", text_col="text", n=2, threshold=0.6
+    )
+    thresholds = F.array(*[F.lit(t) for t in (0.6, 0.7, 0.8, 0.9)])
+    swept = pairs.select(
+        "doc_id_a", "doc_id_b", "jaccard",
+        F.explode(thresholds).alias("threshold"),
+    ).where(F.col("jaccard") >= F.col("threshold"))
+    pair_counts = swept.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    ntok = F.size(F.split("text", " ")).cast("bigint")
+    flagged = (
+        swept.select("threshold", F.col("doc_id_b").alias("doc_id"))
+        .distinct()
+        .join(d.select("doc_id", ntok.alias("n_tokens")), "doc_id")
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_flagged"),
+            F.sum("n_tokens").alias("tokens_flagged"),
+        )
+    )
+    return (
+        pair_counts.join(flagged, "threshold", "left")
+        .select(
+            F.round("threshold", 1).alias("threshold"),
+            "n_pairs",
+            F.coalesce(F.col("n_docs_flagged"), F.lit(0)).alias(
+                "n_docs_flagged"
+            ),
+            "tokens_flagged",
+        )
+        .orderBy("threshold")
+    )
+
+
+_Q186_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS g
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) s),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+cand AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS isect
+         FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+pairs AS (SELECT doc_id_a, doc_id_b,
+                 isect * 1.0 / (sa.n + sb.n - isect) AS jaccard
+          FROM cand
+          JOIN sizes sa ON sa.doc_id = doc_id_a
+          JOIN sizes sb ON sb.doc_id = doc_id_b
+          WHERE isect * 1.0 / (sa.n + sb.n - isect) >= 0.6),
+swept AS (SELECT p.*, t.threshold
+          FROM pairs p
+          JOIN (VALUES (0.6), (0.7), (0.8), (0.9)) t(threshold)
+            ON p.jaccard >= t.threshold),
+pc AS (SELECT threshold, COUNT(*)::BIGINT AS n_pairs
+       FROM swept GROUP BY threshold),
+fl AS (SELECT threshold, doc_id_b AS doc_id
+       FROM swept GROUP BY threshold, doc_id_b),
+fd AS (SELECT f.threshold,
+              COUNT(*)::BIGINT AS n_docs_flagged,
+              SUM(len(string_split(d.text, ' ')))::BIGINT AS tokens_flagged
+       FROM fl f JOIN documents d USING (doc_id)
+       GROUP BY f.threshold)
+SELECT ROUND(CAST(pc.threshold AS DOUBLE), 1) AS threshold,
+       pc.n_pairs,
+       COALESCE(fd.n_docs_flagged, 0)::BIGINT AS n_docs_flagged,
+       fd.tokens_flagged
+FROM pc LEFT JOIN fd ON fd.threshold = pc.threshold
+ORDER BY threshold
+"""
