@@ -27,6 +27,7 @@ from pyveb_spark.queries import (  # noqa: E402
     etl,
     funnel,
     graph,
+    layout,
     multimodal,
     profile,
     relational,
@@ -45,6 +46,7 @@ from pyveb_spark.queries import (  # noqa: E402
 for _m in (
     _helpers, relational, streaming, etl, dedup, similarity, text,
     sampling, sketches, profile, timeseries, funnel, graph, multimodal,
+    layout,
 ):
     globals().update(
         {k: v for k, v in vars(_m).items() if not k.startswith("__")}
@@ -255,6 +257,7 @@ QUERIES = {
     "q184_rag_context_assembly": q184_rag_context_assembly,
     "q185_quality_survivorship": q185_quality_survivorship,
     "q186_dedup_threshold_sweep": q186_dedup_threshold_sweep,
+    "q187_zorder_pruning_audit": q187_zorder_pruning_audit,
 }
 
 ORACLE_SQL = {
@@ -444,6 +447,7 @@ ORACLE_SQL = {
     "q184_rag_context_assembly": _Q184_SQL,
     "q185_quality_survivorship": _Q185_SQL,
     "q186_dedup_threshold_sweep": _Q186_SQL,
+    "q187_zorder_pruning_audit": _Q187_SQL,
 }
 
 # ---------------------------------------------------------------------------
