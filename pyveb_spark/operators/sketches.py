@@ -38,7 +38,13 @@ __all__ = [
     "bloom_positions",
     "bloom_build",
     "bloom_probe",
+    "kmv_sketch",
+    "KMV_M",
 ]
+
+# KMV hash domain: 48-bit md5 prefix (``portable_hash48``), uniform on
+# [0, 2^48) — the same engine-portable hash the Bloom/MinHash stacks use.
+KMV_M = float(1 << 48)
 
 # lgConfigK=12 → 4 KB sketches with ~1.6% relative standard error — the
 # DataSketches default trade-off; raise for tighter bounds.
@@ -351,3 +357,53 @@ def bloom_probe(
     return df.join(
         hit.withColumnRenamed("__key", key_col), key_col, "left"
     ).withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0)))
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch — engine-portable distinct-count SET ALGEBRA
+# (Bar-Yossef 2002; Dasgupta et al. 2016 "theta sketch framework")
+# ---------------------------------------------------------------------------
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    k: int = 128,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Per-group KMV (k-minimum-values) sketch of ``key_col``'s distinct
+    count: the ``k`` smallest 48-bit md5 hashes of the key, one row per
+    retained hash. Mergeable set-algebra state: the union sketch of two
+    groups is the k smallest of their combined hash sets, and the k-th
+    smallest (theta) turns retained-hash counts into cardinality
+    estimates — |S| ≈ (k-1)·M/theta, intersections via
+    |{h < theta present in both}|·M/theta. Unlike the DataSketches HLL
+    wrappers above, every value here is REPLAYABLE BY ANY ENGINE
+    (md5 arithmetic + rank), so KMV queries run under the full value-hash
+    oracle gate, not rows-only.
+
+    Scale: one distinct-by-(group, hash) aggregation (map-side
+    combinable) + one per-group top-k window; the sketch is k rows per
+    group — broadcastable state, ~9% RSE at k=128, tighten with k.
+    Hash ties are impossible after the distinct (48-bit domain), so the
+    rank — and the sketch — is fully deterministic."""
+    from pyspark.sql import Window
+
+    from pyveb_spark.operators.dedup import portable_hash48
+
+    gcols = list(group_cols)
+    h = (
+        df.select(
+            *gcols,
+            portable_hash48(
+                F.concat(F.lit(f"{salt}|"), F.col(key_col).cast("string"))
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(*gcols).orderBy("h")
+    return (
+        h.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= int(k))
+        .drop("__rn")
+    )

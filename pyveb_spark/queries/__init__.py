@@ -258,6 +258,7 @@ QUERIES = {
     "q185_quality_survivorship": q185_quality_survivorship,
     "q186_dedup_threshold_sweep": q186_dedup_threshold_sweep,
     "q187_zorder_pruning_audit": q187_zorder_pruning_audit,
+    "q188_kmv_set_algebra": q188_kmv_set_algebra,
 }
 
 ORACLE_SQL = {
@@ -448,6 +449,7 @@ ORACLE_SQL = {
     "q185_quality_survivorship": _Q185_SQL,
     "q186_dedup_threshold_sweep": _Q186_SQL,
     "q187_zorder_pruning_audit": _Q187_SQL,
+    "q188_kmv_set_algebra": _Q188_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -311,3 +311,195 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '1-URGENT'
 GROUP BY 1 ORDER BY key_bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch set algebra (round-8 head)
+# ---------------------------------------------------------------------------
+
+_Q188_K = 256
+
+
+def q188_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count SET ALGEBRA from mergeable KMV (theta) sketches —
+    |A|, |A∪B|, |A∩B| for every pair of order-priority customer sets,
+    estimated from k=256-row sketches and audited against the exact
+    counts in the same result row. The sketch answers the question HLL
+    cannot: intersections (how many customers do two segments SHARE)
+    without ever joining the raw sets — at 100 TB the five per-priority
+    sketches are 256 rows each, built in one pass, and every pairwise
+    (or n-way) overlap comes from sketch-on-sketch arithmetic.
+
+    Estimators (Bar-Yossef 2002 / theta-sketch framework): union via the
+    k smallest of the combined hash sets with theta = the k-th smallest,
+    est = (k-1)·M/theta; intersection via |{h < theta retained by BOTH}|
+    ·M/theta; degenerate small unions (< k hashes) are exact by
+    construction. Every value is md5-rank arithmetic — the oracle
+    replays the sketches hash-for-hash, so the ESTIMATES themselves are
+    value-hash-checked, not just bounded.
+
+    Scale: sketch build = one distinct + one per-group top-k window over
+    (priority, hash); the pair stage touches only 5 x 256 sketch rows
+    (broadcast). The exact columns are the audit — the one full
+    self-join a production run would skip."""
+    from pyveb_spark.operators.sketches import KMV_M, kmv_sketch
+
+    o = read_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_custkey").alias("ck"),
+    ).distinct()
+    sk = kmv_sketch(d, ["prio"], "ck", k=_Q188_K)
+
+    prios = d.select("prio").distinct()
+    pairs = (
+        prios.select(F.col("prio").alias("pa"))
+        .join(
+            prios.select(F.col("prio").alias("pb")),
+            F.col("pa") < F.col("pb"),
+        )
+    )
+    side_a = pairs.join(
+        F.broadcast(sk.withColumnRenamed("prio", "pa")), "pa"
+    ).select("pa", "pb", "h", F.lit(1).alias("ina"), F.lit(0).alias("inb"))
+    side_b = pairs.join(
+        F.broadcast(sk.withColumnRenamed("prio", "pb")), "pb"
+    ).select("pa", "pb", "h", F.lit(0).alias("ina"), F.lit(1).alias("inb"))
+    ph = (
+        side_a.unionByName(side_b)
+        .groupBy("pa", "pb", "h")
+        .agg(F.max("ina").alias("ina"), F.max("inb").alias("inb"))
+    )
+    wp = Window.partitionBy("pa", "pb").orderBy("h")
+    ranked = ph.withColumn("rn", F.row_number().over(wp)).where(
+        F.col("rn") <= _Q188_K
+    )
+    both = (F.col("ina") == 1) & (F.col("inb") == 1)
+    est = ranked.groupBy("pa", "pb").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.max("h").alias("theta"),
+        F.sum(F.when(both, 1).otherwise(0)).alias("both_all"),
+        F.sum(F.when(both & (F.col("rn") < _Q188_K), 1).otherwise(0)).alias(
+            "both_lt"
+        ),
+    )
+    full = F.col("t") >= F.lit(_Q188_K)
+    est = est.select(
+        "pa",
+        "pb",
+        F.when(
+            full,
+            F.round(
+                F.lit(float(_Q188_K - 1))
+                * F.lit(KMV_M)
+                / F.col("theta").cast("double"),
+                1,
+            ),
+        )
+        .otherwise(F.col("t").cast("double"))
+        .alias("est_union"),
+        F.when(
+            full,
+            F.round(
+                F.col("both_lt").cast("double")
+                * F.lit(KMV_M)
+                / F.col("theta").cast("double"),
+                1,
+            ),
+        )
+        .otherwise(F.col("both_all").cast("double"))
+        .alias("est_intersect"),
+    )
+
+    sizes = d.groupBy("prio").agg(F.count(F.lit(1)).alias("n"))
+    ex_int = (
+        d.select(F.col("prio").alias("pa"), "ck")
+        .join(d.select(F.col("prio").alias("pb"), "ck"), "ck")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("exact_intersect"))
+    )
+    return (
+        est.join(sizes.withColumnRenamed("prio", "pa"), "pa")
+        .withColumnRenamed("n", "exact_a")
+        .join(sizes.withColumnRenamed("prio", "pb"), "pb")
+        .withColumnRenamed("n", "exact_b")
+        .join(ex_int, ["pa", "pb"], "left")
+        .select(
+            "pa",
+            "pb",
+            F.col("exact_a").cast("bigint").alias("exact_a"),
+            F.col("exact_b").cast("bigint").alias("exact_b"),
+            F.coalesce(F.col("exact_intersect"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_intersect"),
+            (
+                F.col("exact_a")
+                + F.col("exact_b")
+                - F.coalesce(F.col("exact_intersect"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("exact_union"),
+            "est_union",
+            "est_intersect",
+        )
+        .orderBy("pa", "pb")
+    )
+
+
+_Q188_SQL = """
+WITH d AS (SELECT DISTINCT o_orderpriority AS prio, o_custkey AS ck
+           FROM orders),
+h AS (SELECT DISTINCT prio,
+             ('0x' || substr(md5('kmv|' || ck), 1, 12))::BIGINT AS h
+      FROM d),
+sk AS (SELECT prio, h
+       FROM (SELECT prio, h,
+                    ROW_NUMBER() OVER (PARTITION BY prio ORDER BY h) AS rn
+             FROM h)
+       WHERE rn <= 256),
+prios AS (SELECT DISTINCT prio FROM d),
+pairs AS (SELECT a.prio AS pa, b.prio AS pb
+          FROM prios a JOIN prios b ON a.prio < b.prio),
+ph AS (SELECT pa, pb, h,
+              MAX(CASE WHEN s.prio = pa THEN 1 ELSE 0 END) AS ina,
+              MAX(CASE WHEN s.prio = pb THEN 1 ELSE 0 END) AS inb
+       FROM pairs JOIN sk s ON s.prio = pa OR s.prio = pb
+       GROUP BY pa, pb, h),
+ranked AS (SELECT *,
+                  ROW_NUMBER() OVER (PARTITION BY pa, pb ORDER BY h) AS rn
+           FROM ph),
+est0 AS (SELECT pa, pb, COUNT(*) AS t, MAX(h) AS theta,
+                SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+                  AS both_all,
+                SUM(CASE WHEN ina = 1 AND inb = 1 AND rn < 256
+                         THEN 1 ELSE 0 END) AS both_lt
+         FROM ranked WHERE rn <= 256 GROUP BY pa, pb),
+est AS (SELECT pa, pb,
+               CASE WHEN t >= 256
+                    THEN ROUND(CAST(255 AS DOUBLE)
+                               * CAST(281474976710656 AS DOUBLE)
+                               / CAST(theta AS DOUBLE), 1)
+                    ELSE CAST(t AS DOUBLE) END AS est_union,
+               CASE WHEN t >= 256
+                    THEN ROUND(CAST(both_lt AS DOUBLE)
+                               * CAST(281474976710656 AS DOUBLE)
+                               / CAST(theta AS DOUBLE), 1)
+                    ELSE CAST(both_all AS DOUBLE) END AS est_intersect
+        FROM est0),
+sizes AS (SELECT prio, COUNT(*) AS n FROM d GROUP BY prio),
+ex AS (SELECT a.prio AS pa, b.prio AS pb, COUNT(*) AS exact_intersect
+       FROM d a JOIN d b ON a.ck = b.ck AND a.prio < b.prio
+       GROUP BY 1, 2)
+SELECT e.pa, e.pb,
+       sa.n::BIGINT AS exact_a,
+       sb.n::BIGINT AS exact_b,
+       COALESCE(ex.exact_intersect, 0)::BIGINT AS exact_intersect,
+       (sa.n + sb.n - COALESCE(ex.exact_intersect, 0))::BIGINT AS exact_union,
+       e.est_union, e.est_intersect
+FROM est e
+JOIN sizes sa ON sa.prio = e.pa
+JOIN sizes sb ON sb.prio = e.pb
+LEFT JOIN ex ON ex.pa = e.pa AND ex.pb = e.pb
+ORDER BY e.pa, e.pb
+"""

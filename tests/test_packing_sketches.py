@@ -290,3 +290,35 @@ def test_merge_additive_equals_full_recompute(spark):
     )
     assert {(r.k, r.d): (r.n, float(r.s))
             for r in merged3.collect()} == f
+
+
+def test_kmv_sketch_merge_and_exact_below_k(spark):
+    from pyspark.sql import functions as F
+    from pyveb_spark.operators.sketches import KMV_M, kmv_sketch
+
+    rows = [("A", i) for i in range(400)] + [("B", i) for i in range(200, 600)]
+    df = spark.createDataFrame(rows, "grp string, key int")
+
+    # exact below k: a sketch with k >= n retains every distinct hash
+    small = kmv_sketch(df.where("grp = 'A' AND key < 50"), ["grp"], "key", k=128)
+    assert small.count() == 50
+
+    k = 64
+    sk = kmv_sketch(df, ["grp"], "key", k=k)
+    per_grp = {r.grp: r.n for r in sk.groupBy("grp").count().withColumnRenamed("count", "n").collect()}
+    assert per_grp == {"A": k, "B": k}
+
+    # merge property: k smallest of (sketch_A ∪ sketch_B) == the sketch
+    # of the raw union — the identity every set-algebra estimate rests on
+    union_of_sketches = (
+        sk.select("h").distinct().orderBy("h").limit(k).collect()
+    )
+    raw_union = kmv_sketch(
+        df.select(F.lit("u").alias("grp"), "key"), ["grp"], "key", k=k
+    ).orderBy("h").collect()
+    assert [r.h for r in union_of_sketches] == [r.h for r in raw_union]
+
+    # estimator sanity: (k-1)*M/theta within 4 RSE of the true 600
+    theta = raw_union[-1].h
+    est = (k - 1) * KMV_M / theta
+    assert abs(est - 600) / 600 < 4 / (k ** 0.5)
