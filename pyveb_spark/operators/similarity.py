@@ -51,6 +51,7 @@ __all__ = [
     "hard_negative_mining",
     "ann_recall_audit",
     "lsh_cosine_lookup",
+    "margin_bitext_mine",
 ]
 
 
@@ -1275,3 +1276,78 @@ def mmr_select(
         remaining.remove(best_c)
         out.append((rank, best_c[0], best_c[1], best_c[2], best_score))
     return out
+
+
+def margin_bitext_mine(
+    pairs: DataFrame,
+    k: int = 4,
+    src_col: str = "src_id",
+    tgt_col: str = "tgt_id",
+    score_col: str = "cosine_sim",
+) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+    CCMatrix/LASER criterion): re-score every candidate pair by
+    ``margin = cos(x,y) / ((avg_k(x) + avg_k(y)) / 2)`` where ``avg_k``
+    is the mean similarity to the node's k nearest cross-side
+    neighbours. Raw cosine retrieves hubs — vectors globally similar to
+    everything; the ratio margin normalizes by each node's neighbourhood
+    density, the difference between ~50% and ~95% mined-bitext precision
+    in the published benchmarks.
+
+    Input: a DIRECTED bipartite candidate frame (one row per src→tgt
+    candidate with a 4-decimal-rounded ``score_col``). Output: candidate
+    rows where either endpoint ranks the other in its top-k, with
+    ``margin`` attached (round 6).
+
+    Determinism: neighbourhood averages sum DECIMAL(8,4)-cast rounded
+    scores (exact, order-free) with a single final double division, so
+    any engine replays the margin bit-for-bit. Scale: two keyed windows
+    (by src, by tgt) + two k-row-per-node aggregates joined back —
+    cost ∝ candidate count, which the caller bounds (LSH/IVF candidate
+    generation at 100 TB; exact pairs as the audit baseline)."""
+    from pyspark.sql import Window
+
+    ws = Window.partitionBy(src_col).orderBy(
+        F.desc(score_col), F.col(tgt_col)
+    )
+    wt = Window.partitionBy(tgt_col).orderBy(
+        F.desc(score_col), F.col(src_col)
+    )
+    ranked = pairs.withColumn("rn_f", F.row_number().over(ws)).withColumn(
+        "rn_b", F.row_number().over(wt)
+    )
+    dec = F.col(score_col).cast("decimal(8,4)")
+    nf = (
+        ranked.where(F.col("rn_f") <= k)
+        .groupBy(src_col)
+        .agg(
+            (
+                F.sum(dec).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_src")
+        )
+    )
+    nb = (
+        ranked.where(F.col("rn_b") <= k)
+        .groupBy(tgt_col)
+        .agg(
+            (
+                F.sum(dec).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_tgt")
+        )
+    )
+    cand = ranked.where((F.col("rn_f") <= k) | (F.col("rn_b") <= k))
+    return (
+        cand.join(nf, src_col)
+        .join(nb, tgt_col)
+        .withColumn(
+            "margin",
+            F.round(
+                F.col(score_col)
+                / ((F.col("avg_src") + F.col("avg_tgt")) / F.lit(2.0)),
+                6,
+            ),
+        )
+        .drop("rn_f", "rn_b", "avg_src", "avg_tgt")
+    )

@@ -259,6 +259,7 @@ QUERIES = {
     "q186_dedup_threshold_sweep": q186_dedup_threshold_sweep,
     "q187_zorder_pruning_audit": q187_zorder_pruning_audit,
     "q188_kmv_set_algebra": q188_kmv_set_algebra,
+    "q189_bitext_margin_mining": q189_bitext_margin_mining,
 }
 
 ORACLE_SQL = {
@@ -450,6 +451,7 @@ ORACLE_SQL = {
     "q186_dedup_threshold_sweep": _Q186_SQL,
     "q187_zorder_pruning_audit": _Q187_SQL,
     "q188_kmv_set_algebra": _Q188_SQL,
+    "q189_bitext_margin_mining": _Q189_SQL,
 }
 
 # ---------------------------------------------------------------------------

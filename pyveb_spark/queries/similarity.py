@@ -1060,3 +1060,98 @@ sel{i} AS MATERIALIZED (SELECT vec_id, label, v, rel,
 
 
 _Q183_SQL = _q183_sql()
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext mining (round-8 head)
+# ---------------------------------------------------------------------------
+
+def q189_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019 — the
+    LASER/CCMatrix criterion behind the largest public bitext corpora):
+    treat even-label embeddings as the source side and odd-label as the
+    target side, score every cross-side pair, and re-rank candidates by
+    the ratio margin ``cos(x,y) / ((avg_k(x)+avg_k(y))/2)`` with k=4
+    nearest-neighbour normalization — the hubness correction that raw
+    cosine mining lacks. Emits the top-20 mined pairs by margin.
+
+    Scale: pair scoring reuses ``cosine_pairs`` (blocked numpy matmul,
+    no driver collect) as the exact baseline; at 100 TB the candidate
+    set comes from the LSH/IVF tier (``lsh_cosine_lookup``) and
+    ``margin_bitext_mine`` re-scores it unchanged — margin cost is two
+    keyed windows over candidates, not corpus-quadratic. Determinism:
+    4-decimal cosines, decimal-summed neighbourhood averages, single
+    double division, margin round(6)."""
+    from pyveb_spark.operators.similarity import (
+        cosine_pairs,
+        margin_bitext_mine,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    p = cosine_pairs(
+        e, threshold=-1.0, id_col="vec_id", vec_col="embedding",
+        extra_cols=["label"],
+    )
+    cross = p.where(
+        (F.col("label_a") % 2) != (F.col("label_b") % 2)
+    )
+    a_is_src = (F.col("label_a") % 2) == 0
+    directed = cross.select(
+        F.when(a_is_src, F.col("vec_id_a")).otherwise(F.col("vec_id_b"))
+        .alias("src_id"),
+        F.when(a_is_src, F.col("label_a")).otherwise(F.col("label_b"))
+        .alias("src_label"),
+        F.when(a_is_src, F.col("vec_id_b")).otherwise(F.col("vec_id_a"))
+        .alias("tgt_id"),
+        F.when(a_is_src, F.col("label_b")).otherwise(F.col("label_a"))
+        .alias("tgt_label"),
+        "cosine_sim",
+    )
+    mined = margin_bitext_mine(directed, k=4)
+    return (
+        mined.orderBy(F.desc("margin"), "src_id", "tgt_id")
+        .limit(20)
+        .select(
+            "src_id", "tgt_id", "src_label", "tgt_label",
+            "cosine_sim", "margin",
+        )
+    )
+
+
+_Q189_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+directed AS (
+  SELECT s.vec_id AS src_id, s.label AS src_label,
+         t.vec_id AS tgt_id, t.label AS tgt_label,
+         ROUND(list_dot_product(s.v, t.v)
+               / (sqrt(list_dot_product(s.v, s.v))
+                  * sqrt(list_dot_product(t.v, t.v))), 4) AS cosine_sim
+  FROM e s JOIN e t ON s.label % 2 = 0 AND t.label % 2 = 1),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY src_id
+                            ORDER BY cosine_sim DESC, tgt_id) AS rn_f,
+         ROW_NUMBER() OVER (PARTITION BY tgt_id
+                            ORDER BY cosine_sim DESC, src_id) AS rn_b
+  FROM directed),
+nf AS (SELECT src_id,
+              CAST(SUM(CAST(cosine_sim AS DECIMAL(8,4))) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS avg_src
+       FROM ranked WHERE rn_f <= 4 GROUP BY src_id),
+nb AS (SELECT tgt_id,
+              CAST(SUM(CAST(cosine_sim AS DECIMAL(8,4))) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS avg_tgt
+       FROM ranked WHERE rn_b <= 4 GROUP BY tgt_id),
+mined AS (
+  SELECT r.src_id, r.tgt_id, r.src_label, r.tgt_label, r.cosine_sim,
+         ROUND(r.cosine_sim / ((nf.avg_src + nb.avg_tgt)
+                               / CAST(2 AS DOUBLE)), 6) AS margin
+  FROM ranked r
+  JOIN nf ON nf.src_id = r.src_id
+  JOIN nb ON nb.tgt_id = r.tgt_id
+  WHERE r.rn_f <= 4 OR r.rn_b <= 4)
+SELECT src_id, tgt_id, src_label, tgt_label, cosine_sim, margin
+FROM mined
+ORDER BY margin DESC, src_id, tgt_id
+LIMIT 20
+"""
