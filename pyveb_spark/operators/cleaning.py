@@ -21,6 +21,7 @@ __all__ = [
     "ascii_sanitize",
     "parse_timestamp",
     "redact_pii",
+    "tombstone_cascade",
 ]
 
 # PII patterns shared by redact_pii and its oracle SQL. Deliberately
@@ -153,4 +154,51 @@ def redact_pii(
         if count:
             out = out.withColumn(f"{c}_pii_count", n)
         out = out.withColumn(c, red)
+    return out
+
+
+def tombstone_cascade(
+    tombstones: DataFrame,
+    tables: Sequence[tuple[str, DataFrame, str, str | None]],
+    flag_col: str = "__deleted",
+) -> list[tuple[str, DataFrame]]:
+    """Right-to-be-forgotten cascade (GDPR Art. 17): propagate a
+    tombstone key set down a foreign-key chain, flagging every affected
+    row in every derived table — the erasure step a lakehouse runs
+    before rewriting partitions, and the audit a DPO signs off on.
+
+    ``tombstones``: one-column DataFrame of root keys to erase.
+    ``tables``: ordered ``(name, df, fk_col, out_key_col)`` — each
+    table's ``fk_col`` is matched against the PREVIOUS level's deleted
+    keys; its ``out_key_col`` (may be None for leaves) becomes the key
+    set for the next level. Returns ``(name, df + flag_col)`` per table;
+    callers write retained rows (anti) and count deleted (semi) from the
+    same flag.
+
+    Scale: one left join per level against the running deleted-key set —
+    a hash semi-join shape AQE sizes freely (no forced broadcast: a bulk
+    erasure batch can be millions of keys). Flags are computed once and
+    shared by the audit and the rewrite, so the cascade costs one pass
+    per table. Deterministic — no sampling, no state."""
+    keys = tombstones.select(
+        F.col(tombstones.columns[0]).alias("__k")
+    ).distinct()
+    out: list[tuple[str, DataFrame]] = []
+    for name, df, fk, out_key in tables:
+        marked = keys.select(
+            F.col("__k").alias(fk), F.lit(1).alias("__m")
+        )
+        flagged = (
+            df.join(marked, fk, "left")
+            .withColumn(flag_col, (F.col("__m") == 1).alias(flag_col))
+            .withColumn(flag_col, F.coalesce(F.col(flag_col), F.lit(False)))
+            .drop("__m")
+        )
+        out.append((name, flagged))
+        if out_key is not None:
+            keys = (
+                flagged.where(F.col(flag_col))
+                .select(F.col(out_key).alias("__k"))
+                .distinct()
+            )
     return out

@@ -260,6 +260,7 @@ QUERIES = {
     "q187_zorder_pruning_audit": q187_zorder_pruning_audit,
     "q188_kmv_set_algebra": q188_kmv_set_algebra,
     "q189_bitext_margin_mining": q189_bitext_margin_mining,
+    "q190_gdpr_cascade_audit": q190_gdpr_cascade_audit,
 }
 
 ORACLE_SQL = {
@@ -452,6 +453,7 @@ ORACLE_SQL = {
     "q187_zorder_pruning_audit": _Q187_SQL,
     "q188_kmv_set_algebra": _Q188_SQL,
     "q189_bitext_margin_mining": _Q189_SQL,
+    "q190_gdpr_cascade_audit": _Q190_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -747,3 +747,111 @@ ORDER BY s.status
 
 
 _Q180_SQL = _q180_sql()
+
+
+# ---------------------------------------------------------------------------
+# GDPR tombstone cascade (round-8 head)
+# ---------------------------------------------------------------------------
+
+def q190_gdpr_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure audit
+    (``operators/cleaning.py::tombstone_cascade``): a 5% hash-keyed
+    erasure batch of customers propagates down the FK chain
+    customer → orders → lineitem, and the audit reports — per table —
+    total rows, rows erased, rows retained, and the monetary mass
+    leaving the table (acctbal / totalprice / extendedprice, exact
+    decimal sums). This is the signed-off artifact a deletion run
+    produces BEFORE the rewrite; the retained frames from the same flags
+    feed the §2.2 writers.
+
+    Scale: one hash semi-join-shaped flag join per level (AQE-sized, no
+    forced broadcast — erasure batches can be millions of keys), one
+    aggregation per table, flags computed once. The erasure set is
+    deterministic (md5-keyed sample), so retries rebuild the identical
+    cascade."""
+    from pyveb_spark.operators.cleaning import tombstone_cascade
+    from pyveb_spark.operators.sampling import sample_predicate
+
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    tomb = c.where(
+        sample_predicate(0.05, ["c_custkey"], seed="gdpr")
+    ).select("c_custkey")
+    flagged = tombstone_cascade(
+        tomb,
+        [
+            ("customer", c, "c_custkey", "c_custkey"),
+            ("orders", o, "o_custkey", "o_orderkey"),
+            ("lineitem", li, "l_orderkey", None),
+        ],
+    )
+    value_col = {
+        "customer": "c_acctbal",
+        "orders": "o_totalprice",
+        "lineitem": "l_extendedprice",
+    }
+    audits = []
+    for name, df in flagged:
+        d = F.col("__deleted")
+        audits.append(
+            df.agg(
+                F.lit(name).alias("table_name"),
+                F.count(F.lit(1)).cast("bigint").alias("rows_total"),
+                F.sum(F.when(d, 1).otherwise(0))
+                .cast("bigint")
+                .alias("rows_erased"),
+                F.sum(F.when(~d, 1).otherwise(0))
+                .cast("bigint")
+                .alias("rows_retained"),
+                F.sum(F.when(d, _dec(value_col[name])).otherwise(None))
+                .cast("double")
+                .alias("value_erased"),
+            )
+        )
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("table_name")
+
+
+_Q190_SQL = """
+WITH tomb AS (
+  SELECT c_custkey FROM customer
+  WHERE substr(md5('gdpr|' || c_custkey), 1, 12) < '0ccccccccccd'),
+del_o AS (SELECT o_orderkey FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM tomb)),
+a_c AS (
+  SELECT 'customer' AS table_name,
+         COUNT(*)::BIGINT AS rows_total,
+         SUM(CASE WHEN c_custkey IN (SELECT c_custkey FROM tomb)
+                  THEN 1 ELSE 0 END)::BIGINT AS rows_erased,
+         SUM(CASE WHEN c_custkey IN (SELECT c_custkey FROM tomb)
+                  THEN 0 ELSE 1 END)::BIGINT AS rows_retained,
+         CAST(SUM(CASE WHEN c_custkey IN (SELECT c_custkey FROM tomb)
+                       THEN CAST(c_acctbal AS DECIMAL(12,2)) END)
+              AS DOUBLE) AS value_erased
+  FROM customer),
+a_o AS (
+  SELECT 'orders', COUNT(*)::BIGINT,
+         SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM tomb)
+                  THEN 1 ELSE 0 END)::BIGINT,
+         SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM tomb)
+                  THEN 0 ELSE 1 END)::BIGINT,
+         CAST(SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM tomb)
+                       THEN CAST(o_totalprice AS DECIMAL(12,2)) END)
+              AS DOUBLE)
+  FROM orders),
+a_l AS (
+  SELECT 'lineitem', COUNT(*)::BIGINT,
+         SUM(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM del_o)
+                  THEN 1 ELSE 0 END)::BIGINT,
+         SUM(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM del_o)
+                  THEN 0 ELSE 1 END)::BIGINT,
+         CAST(SUM(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM del_o)
+                       THEN CAST(l_extendedprice AS DECIMAL(12,2)) END)
+              AS DOUBLE)
+  FROM lineitem)
+SELECT * FROM a_c UNION ALL SELECT * FROM a_o UNION ALL SELECT * FROM a_l
+ORDER BY table_name
+"""

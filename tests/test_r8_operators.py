@@ -52,3 +52,38 @@ def test_margin_mine_candidate_set_is_topk_union(spark):
         ("s0", "t0"), ("s1", "t0"), ("s2", "t0"),
         ("s2", "t1"), ("s2", "t2"), ("s2", "t3"), ("s2", "t4"),
     }
+
+
+def test_tombstone_cascade_flags_follow_fk_chain(spark):
+    from pyveb_spark.operators.cleaning import tombstone_cascade
+
+    cust = spark.createDataFrame([(1,), (2,), (3,)], "ck bigint")
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2), (13, 3)], "ok bigint, ck bigint"
+    )
+    items = spark.createDataFrame(
+        [(10, "a"), (10, "b"), (12, "c"), (13, "d")], "ok bigint, sku string"
+    )
+    tomb = spark.createDataFrame([(1,), (2,)], "ck bigint")
+    out = dict(
+        tombstone_cascade(
+            tomb,
+            [
+                ("customer", cust, "ck", "ck"),
+                ("orders", orders, "ck", "ok"),
+                ("items", items, "ok", None),
+            ],
+        )
+    )
+    del_c = {r.ck for r in out["customer"].where("__deleted").collect()}
+    del_o = {r.ok for r in out["orders"].where("__deleted").collect()}
+    del_i = {
+        (r.ok, r.sku) for r in out["items"].where("__deleted").collect()
+    }
+    assert del_c == {1, 2}
+    assert del_o == {10, 11, 12}
+    assert del_i == {(10, "a"), (10, "b"), (12, "c")}
+    # retained rows keep full fidelity
+    assert out["items"].where("NOT __deleted").count() == 1
+    # row counts are preserved (flagging never duplicates or drops)
+    assert out["orders"].count() == 4
