@@ -34,6 +34,7 @@ __all__ = [
     "zorder_rank_key",
     "zorder_layout",
     "compact_files",
+    "compaction_plan",
     "pin_width",
 ]
 
@@ -162,6 +163,42 @@ def zorder_layout(
         .repartitionByRange(int(n_files), "__z")
         .sortWithinPartitions("__z")
         .drop("__z")
+    )
+
+
+def compaction_plan(
+    files: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[str],
+    bytes_col: str,
+    target_bytes: int,
+    group_col: str = "compaction_group",
+) -> DataFrame:
+    """Small-files compaction PLAN: assign every file to a merge group
+    without moving a byte — the decision table Delta's ``OPTIMIZE``
+    planner computes before the rewrite. Files are ordered within their
+    partition (never across partition boundaries — a merge across them
+    would break partition pruning), prefix-summed by size, and grouped
+    by ``(running_bytes_before_file) DIV target_bytes``: consecutive
+    files pack into ~target-sized groups, a file larger than the target
+    lands alone, and a singleton group means "already right-sized, skip".
+
+    Scale: one keyed window per partition + pure integer arithmetic on
+    the FILE LISTING (metadata, not data) — planning a 10⁸-file table
+    costs a scan of 10⁸ tiny rows. The physical rewrite of each group is
+    ``compact_files``' repartition-and-swap, executable group-by-group
+    (resumable, throttleable). Deterministic given the listing."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    cum = F.sum(F.col(bytes_col)).over(w)
+    before = (cum - F.col(bytes_col)).cast("bigint")
+    return (
+        files.withColumn("__before", before)
+        .withColumn(
+            group_col, F.expr(f"__before div {int(target_bytes)}")
+        )
+        .drop("__before")
     )
 
 

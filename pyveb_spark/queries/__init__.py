@@ -261,6 +261,7 @@ QUERIES = {
     "q188_kmv_set_algebra": q188_kmv_set_algebra,
     "q189_bitext_margin_mining": q189_bitext_margin_mining,
     "q190_gdpr_cascade_audit": q190_gdpr_cascade_audit,
+    "q191_compaction_plan": q191_compaction_plan,
 }
 
 ORACLE_SQL = {
@@ -454,6 +455,7 @@ ORACLE_SQL = {
     "q188_kmv_set_algebra": _Q188_SQL,
     "q189_bitext_margin_mining": _Q189_SQL,
     "q190_gdpr_cascade_audit": _Q190_SQL,
+    "q191_compaction_plan": _Q191_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -186,3 +186,97 @@ FROM fs, box
 GROUP BY layout
 ORDER BY layout
 """
+
+
+# ---------------------------------------------------------------------------
+# Lakehouse ops: small-files compaction planner (round-8 head)
+# ---------------------------------------------------------------------------
+
+_Q191_TARGET = 2000
+
+
+def q191_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction plan summary
+    (``operators/layout.py::compaction_plan``): model the events table
+    as one file per (day, hour) — the listing a streaming ingest leaves
+    behind — with a deterministic byte size (payload octet length + row
+    overhead), pack hour-files into ~2 KB merge groups WITHOUT crossing
+    day partition boundaries, and report the per-day before/after file
+    counts and group-size spread. The plan is the decision artifact; the
+    rewrite executes group-by-group via ``compact_files``.
+
+    Scale: the planner touches only the file LISTING (metadata — here a
+    (day, hour) aggregate standing in for it): one groupBy + one keyed
+    prefix-sum window + integer division. A 10⁸-file table plans in a
+    metadata scan; no data moves until a group is actually rewritten."""
+    from pyveb_spark.operators.layout import compaction_plan
+
+    ev = read_table(spark, sf_dir, "events")
+    listing = (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(F.octet_length("props")) + 24 * F.count(F.lit(1))
+            ).cast("bigint").alias("bytes"),
+        )
+    )
+    planned = compaction_plan(
+        listing, ["day"], ["hour"], "bytes", _Q191_TARGET
+    )
+    grouped = planned.groupBy("day", "compaction_group").agg(
+        F.count(F.lit(1)).alias("files_in_group"),
+        F.sum("bytes").alias("group_bytes"),
+    )
+    return (
+        grouped.groupBy("day")
+        .agg(
+            F.sum("files_in_group").cast("bigint").alias("n_files_before"),
+            F.count(F.lit(1)).cast("bigint").alias("n_files_after"),
+            F.sum("group_bytes").cast("bigint").alias("bytes_total"),
+            F.max("group_bytes").cast("bigint").alias("largest_group_bytes"),
+            F.sum(F.when(F.col("files_in_group") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("groups_unmerged"),
+        )
+        .select(
+            F.unix_micros("day").alias("day_us"),
+            "n_files_before",
+            "n_files_after",
+            "bytes_total",
+            "largest_group_bytes",
+            "groups_unmerged",
+        )
+        .orderBy("day_us")
+    )
+
+
+_Q191_SQL = f"""
+WITH listing AS (
+  SELECT date_trunc('day', ts) AS day, hour(ts) AS hour,
+         COUNT(*) AS n_rows,
+         (SUM(strlen(props)) + 24 * COUNT(*))::BIGINT AS bytes
+  FROM events GROUP BY 1, 2),
+planned AS (
+  SELECT *,
+         (SUM(bytes) OVER (PARTITION BY day ORDER BY hour) - bytes)
+           // {_Q191_TARGET} AS compaction_group
+  FROM listing),
+grouped AS (
+  SELECT day, compaction_group,
+         COUNT(*) AS files_in_group, SUM(bytes) AS group_bytes
+  FROM planned GROUP BY 1, 2)
+SELECT epoch_us(day) AS day_us,
+       SUM(files_in_group)::BIGINT AS n_files_before,
+       COUNT(*)::BIGINT AS n_files_after,
+       SUM(group_bytes)::BIGINT AS bytes_total,
+       MAX(group_bytes)::BIGINT AS largest_group_bytes,
+       SUM(CASE WHEN files_in_group = 1 THEN 1 ELSE 0 END)::BIGINT
+         AS groups_unmerged
+FROM grouped
+GROUP BY day
+ORDER BY day_us
+"""

@@ -87,3 +87,30 @@ def test_tombstone_cascade_flags_follow_fk_chain(spark):
     assert out["items"].where("NOT __deleted").count() == 1
     # row counts are preserved (flagging never duplicates or drops)
     assert out["orders"].count() == 4
+
+
+def test_compaction_plan_packs_within_partitions(spark):
+    from pyveb_spark.operators.layout import compaction_plan
+
+    rows = [
+        # partition p1: files of 300 bytes each, target 1000 -> groups
+        # of 3,3,... (0..299,300..599,600..899 | 900.. -> grp 0 thrice,
+        # then 900//1000=0? no: before=900 -> grp 0; 4th file before=900
+        # is still grp 0 -> pack overflows by one file max, by design)
+        ("p1", 0, 300), ("p1", 1, 300), ("p1", 2, 300), ("p1", 3, 300),
+        ("p1", 4, 300),
+        # a jumbo file larger than target sits alone
+        ("p2", 0, 5000), ("p2", 1, 100),
+    ]
+    df = spark.createDataFrame(rows, "part string, seq int, bytes long")
+    out = {
+        (r.part, r.seq): r.compaction_group
+        for r in compaction_plan(
+            df, ["part"], ["seq"], "bytes", 1000
+        ).collect()
+    }
+    # p1: before = 0,300,600,900,1200 -> groups 0,0,0,0,1
+    assert [out[("p1", i)] for i in range(5)] == [0, 0, 0, 0, 1]
+    # p2: jumbo at before=0 -> grp 0; next file before=5000 -> grp 5
+    assert out[("p2", 0)] == 0 and out[("p2", 1)] == 5
+    # never crosses partitions: groups restart per partition
