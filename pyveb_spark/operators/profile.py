@@ -40,6 +40,7 @@ __all__ = [
     "winsorize",
     "validate_expectations",
     "k_anonymity",
+    "embedding_drift",
 ]
 
 
@@ -1182,3 +1183,74 @@ def dp_noisy_counts(
             F.round(F.col("exact_count") + lap, 4).alias("noisy_count"),
         )
     )
+
+
+def embedding_drift(
+    df: DataFrame,
+    snapshot_col: str,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    ref_value: str = "ref",
+    cur_value: str = "cur",
+) -> DataFrame:
+    """Embedding-space drift monitor between two corpus snapshots: per
+    label (cluster / domain / class), the population share in each
+    snapshot and the COSINE between the two snapshot centroids — the
+    table that catches a silently-swapped encoder version or a domain
+    mix shift before it poisons retrieval and dedup thresholds
+    downstream. Centroid cosine near 1.0 = the region is stable; share
+    deltas = the mix moved.
+
+    Scale: one ``posexplode`` pass → per-(label, dim) conditional means
+    (map-side combinable, output = labels x dims rows) → per-label
+    fold to a cosine. No pairwise anything, no driver collect; cost is
+    linear in corpus x dim. Float accumulation differences are buried
+    by round(4) per the suite's determinism contract."""
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.col(snapshot_col).alias("snap"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    is_ref = F.col("snap") == ref_value
+    is_cur = F.col("snap") == cur_value
+    dims = ex.groupBy("label", "pos").agg(
+        F.avg(F.when(is_ref, F.col("v"))).alias("mr"),
+        F.avg(F.when(is_cur, F.col("v"))).alias("mc"),
+    )
+    cent = dims.groupBy("label").agg(
+        F.round(
+            F.sum(F.col("mr") * F.col("mc"))
+            / (
+                F.sqrt(F.sum(F.col("mr") * F.col("mr")))
+                * F.sqrt(F.sum(F.col("mc") * F.col("mc")))
+            ),
+            4,
+        ).alias("centroid_cos")
+    )
+    counts = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.sum(F.when(F.col(snapshot_col) == ref_value, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ref"),
+        F.sum(F.when(F.col(snapshot_col) == cur_value, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cur"),
+    )
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    shares = counts.select(
+        "label",
+        "n_ref",
+        "n_cur",
+        F.round(
+            F.col("n_ref").cast("double")
+            / F.sum("n_ref").over(wall).cast("double"),
+            6,
+        ).alias("share_ref"),
+        F.round(
+            F.col("n_cur").cast("double")
+            / F.sum("n_cur").over(wall).cast("double"),
+            6,
+        ).alias("share_cur"),
+    )
+    return shares.join(cent, "label")

@@ -262,6 +262,7 @@ QUERIES = {
     "q189_bitext_margin_mining": q189_bitext_margin_mining,
     "q190_gdpr_cascade_audit": q190_gdpr_cascade_audit,
     "q191_compaction_plan": q191_compaction_plan,
+    "q192_embedding_drift": q192_embedding_drift,
 }
 
 ORACLE_SQL = {
@@ -456,6 +457,7 @@ ORACLE_SQL = {
     "q189_bitext_margin_mining": _Q189_SQL,
     "q190_gdpr_cascade_audit": _Q190_SQL,
     "q191_compaction_plan": _Q191_SQL,
+    "q192_embedding_drift": _Q192_SQL,
 }
 
 # ---------------------------------------------------------------------------

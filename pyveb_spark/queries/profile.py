@@ -1008,3 +1008,69 @@ SELECT o_orderpriority, exact_count,
 FROM noise
 ORDER BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space drift monitor (round-8 head)
+# ---------------------------------------------------------------------------
+
+def q192_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot embedding drift
+    (``operators/profile.py::embedding_drift``): hash-split the corpus
+    into a reference and a current snapshot (md5-keyed 50/50, so the
+    oracle replays membership), then per label report population shares
+    and the cosine between the snapshot centroids. On an honest split of
+    one corpus every centroid_cos sits near 1.0 — the monitor's null
+    case, which is exactly what makes it certifiable; a swapped encoder
+    or domain shift drives it down, and share deltas expose mix drift.
+
+    Scale: one posexplode pass, per-(label,dim) conditional means
+    (map-side combinable), per-label fold — linear in corpus x dim with
+    no pairwise stage and no driver collect."""
+    from pyveb_spark.operators.profile import embedding_drift
+    from pyveb_spark.operators.sampling import sample_predicate
+
+    e = read_table(spark, sf_dir, "embeddings").withColumn(
+        "snap",
+        F.when(
+            sample_predicate(0.5, ["vec_id"], seed="drift"), F.lit("ref")
+        ).otherwise(F.lit("cur")),
+    )
+    return embedding_drift(e, "snap").orderBy("label")
+
+
+_Q192_SQL = """
+WITH e AS (
+  SELECT label, embedding::DOUBLE[] AS v,
+         CASE WHEN substr(md5('drift|' || vec_id), 1, 12) < '800000000000'
+              THEN 'ref' ELSE 'cur' END AS snap
+  FROM embeddings),
+ex AS (
+  SELECT label, snap, i - 1 AS pos, v[i] AS val
+  FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) s),
+dims AS (
+  SELECT label, pos,
+         AVG(CASE WHEN snap = 'ref' THEN val END) AS mr,
+         AVG(CASE WHEN snap = 'cur' THEN val END) AS mc
+  FROM ex GROUP BY 1, 2),
+cent AS (
+  SELECT label,
+         ROUND(SUM(mr * mc) / (sqrt(SUM(mr * mr)) * sqrt(SUM(mc * mc))), 4)
+           AS centroid_cos
+  FROM dims GROUP BY label),
+counts AS (
+  SELECT label,
+         SUM(CASE WHEN snap = 'ref' THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+         SUM(CASE WHEN snap = 'cur' THEN 1 ELSE 0 END)::BIGINT AS n_cur
+  FROM e GROUP BY label),
+shares AS (
+  SELECT label, n_ref, n_cur,
+         ROUND(CAST(n_ref AS DOUBLE)
+               / CAST(SUM(n_ref) OVER () AS DOUBLE), 6) AS share_ref,
+         ROUND(CAST(n_cur AS DOUBLE)
+               / CAST(SUM(n_cur) OVER () AS DOUBLE), 6) AS share_cur
+  FROM counts)
+SELECT s.label, s.n_ref, s.n_cur, s.share_ref, s.share_cur, c.centroid_cos
+FROM shares s JOIN cent c USING (label)
+ORDER BY s.label
+"""

@@ -114,3 +114,26 @@ def test_compaction_plan_packs_within_partitions(spark):
     # p2: jumbo at before=0 -> grp 0; next file before=5000 -> grp 5
     assert out[("p2", 0)] == 0 and out[("p2", 1)] == 5
     # never crosses partitions: groups restart per partition
+
+
+def test_embedding_drift_detects_flipped_region(spark):
+    from pyveb_spark.operators.profile import embedding_drift
+
+    rows = []
+    # label 0: identical distribution in both snapshots -> cos ~ 1
+    for i in range(20):
+        rows.append((0, "ref", [1.0 + 0.01 * i, 2.0, 0.5]))
+        rows.append((0, "cur", [1.0 + 0.01 * i, 2.0, 0.5]))
+    # label 1: current snapshot flipped -> cos = -1
+    for i in range(20):
+        v = [0.5, -1.0, 3.0 + 0.01 * i]
+        rows.append((1, "ref", v))
+        rows.append((1, "cur", [-x for x in v]))
+    df = spark.createDataFrame(
+        rows, "label int, snap string, embedding array<double>"
+    )
+    out = {r.label: r for r in embedding_drift(df, "snap").collect()}
+    assert out[0].centroid_cos == 1.0
+    assert out[1].centroid_cos == -1.0
+    assert out[0].n_ref == 20 and out[0].n_cur == 20
+    assert abs(out[0].share_ref - 0.5) < 1e-9
