@@ -52,6 +52,7 @@ __all__ = [
     "ann_recall_audit",
     "lsh_cosine_lookup",
     "margin_bitext_mine",
+    "mahalanobis_outliers",
 ]
 
 
@@ -1351,3 +1352,52 @@ def margin_bitext_mine(
         )
         .drop("rn_f", "rn_b", "avg_src", "avg_tgt")
     )
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "maha_sq",
+    stats: list[tuple[float, float]] | None = None,
+) -> DataFrame:
+    """Embedding OOD scoring: squared Mahalanobis distance to the corpus
+    distribution under a DIAGONAL covariance — the vector-space
+    generalization of the scalar z-score screen, and the standard cheap
+    OOD detector for catching corrupt encoders, wrong-modality rows, and
+    truncated vectors before they enter an ANN index.
+
+    ``stats``: optional per-dim ``(mean, var_samp)`` list — pass the
+    TRAINING snapshot's stats to score a new batch against the old
+    distribution (the monitoring shape); default fits on ``df`` with one
+    tiny aggregate. Either way the model is dim-sized driver state
+    (64 doubles here — the k x dim precedent), and scoring is a pure
+    scan-stage ``zip_with``/``aggregate`` fold: no shuffle, no join, no
+    Python. Zero-variance dims are skipped (they carry no OOD signal and
+    would divide by zero)."""
+    if stats is None:
+        ex = df.select(
+            F.posexplode(F.col(vec_col)).alias("pos", "v")
+        ).withColumn("v", F.col("v").cast("double"))
+        rows = (
+            ex.groupBy("pos")
+            .agg(F.avg("v").alias("mu"), F.var_samp("v").alias("var"))
+            .orderBy("pos")
+            .collect()
+        )
+        stats = [(r["mu"], r["var"]) for r in rows]
+    mus = F.array(*[F.lit(float(m)) for m, _ in stats])
+    vars_ = F.array(*[F.lit(float(v)) for _, v in stats])
+    diffs = F.zip_with(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        mus,
+        lambda x, m: x - m,
+    )
+    terms = F.zip_with(
+        diffs,
+        vars_,
+        lambda d, v: F.when(v > 0, d * d / v).otherwise(F.lit(0.0)),
+    )
+    score = F.aggregate(
+        terms, F.lit(0.0), lambda acc, t: acc + t
+    )
+    return df.withColumn(out_col, score)

@@ -263,6 +263,7 @@ QUERIES = {
     "q190_gdpr_cascade_audit": q190_gdpr_cascade_audit,
     "q191_compaction_plan": q191_compaction_plan,
     "q192_embedding_drift": q192_embedding_drift,
+    "q193_embedding_ood": q193_embedding_ood,
 }
 
 ORACLE_SQL = {
@@ -458,6 +459,7 @@ ORACLE_SQL = {
     "q190_gdpr_cascade_audit": _Q190_SQL,
     "q191_compaction_plan": _Q191_SQL,
     "q192_embedding_drift": _Q192_SQL,
+    "q193_embedding_ood": _Q193_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -1155,3 +1155,49 @@ FROM mined
 ORDER BY margin DESC, src_id, tgt_id
 LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# Embedding OOD screen (round-8 head)
+# ---------------------------------------------------------------------------
+
+def q193_embedding_ood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-distribution screen for the embedding corpus
+    (``operators/similarity.py::mahalanobis_outliers``): squared
+    Mahalanobis distance to the corpus distribution under a diagonal
+    covariance — the vector-space z-score that catches corrupt encoder
+    output, wrong-modality rows, and truncated vectors before they enter
+    an ANN index. Emits the top-10 most-OOD vectors.
+
+    Scale: the model is dim-sized driver state (64 (mean, var) pairs —
+    one tiny aggregate, the k x dim precedent); scoring is a pure
+    scan-stage zip_with/aggregate fold — no shuffle, no join, no Python;
+    top-10 is a per-partition heap (TakeOrderedAndProject)."""
+    from pyveb_spark.operators.similarity import mahalanobis_outliers
+
+    e = read_table(spark, sf_dir, "embeddings")
+    scored = mahalanobis_outliers(e).select(
+        "vec_id", "label", F.round("maha_sq", 4).alias("maha_sq")
+    )
+    return scored.orderBy(F.desc("maha_sq"), "vec_id").limit(10)
+
+
+_Q193_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+ex AS (
+  SELECT vec_id, label, i AS pos, v[i] AS val
+  FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) s),
+st AS (
+  SELECT pos, AVG(val) AS mu, var_samp(val) AS var
+  FROM ex GROUP BY pos),
+sc AS (
+  SELECT vec_id, label,
+         SUM(CASE WHEN var > 0 THEN (val - mu) * (val - mu) / var
+                  ELSE 0 END) AS s
+  FROM ex JOIN st USING (pos)
+  GROUP BY vec_id, label)
+SELECT vec_id, label, ROUND(s, 4) AS maha_sq
+FROM sc
+ORDER BY maha_sq DESC, vec_id
+LIMIT 10
+"""

@@ -137,3 +137,27 @@ def test_embedding_drift_detects_flipped_region(spark):
     assert out[1].centroid_cos == -1.0
     assert out[0].n_ref == 20 and out[0].n_cur == 20
     assert abs(out[0].share_ref - 0.5) < 1e-9
+
+
+def test_mahalanobis_flags_planted_outlier(spark):
+    from pyveb_spark.operators.similarity import mahalanobis_outliers
+
+    import math
+    rows = [(i, [math.sin(i * 0.7), math.cos(i * 1.3), 1.0 + 0.01 * i])
+            for i in range(50)]
+    rows.append((99, [50.0, -50.0, 50.0]))  # planted OOD
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    top = (
+        mahalanobis_outliers(df)
+        .orderBy("maha_sq", ascending=False)
+        .first()
+    )
+    assert top.vec_id == 99
+
+    # frozen-stats mode: scoring a batch against EXTERNAL stats
+    scored = mahalanobis_outliers(
+        df, stats=[(0.0, 1.0), (0.0, 1.0), (0.0, 0.0)]  # dim 3 zero-var
+    ).collect()
+    by_id = {r.vec_id: r.maha_sq for r in scored}
+    # zero-variance dim contributes 0; others are plain squared values
+    assert abs(by_id[99] - (50.0 ** 2 + 50.0 ** 2)) < 1e-9
