@@ -264,6 +264,7 @@ QUERIES = {
     "q191_compaction_plan": q191_compaction_plan,
     "q192_embedding_drift": q192_embedding_drift,
     "q193_embedding_ood": q193_embedding_ood,
+    "q194_padding_waste_audit": q194_padding_waste_audit,
 }
 
 ORACLE_SQL = {
@@ -460,6 +461,7 @@ ORACLE_SQL = {
     "q191_compaction_plan": _Q191_SQL,
     "q192_embedding_drift": _Q192_SQL,
     "q193_embedding_ood": _Q193_SQL,
+    "q194_padding_waste_audit": _Q194_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -671,3 +671,114 @@ SELECT budget::BIGINT AS budget,
        SUM(n)::BIGINT AS total_tokens
 FROM sw GROUP BY budget ORDER BY budget
 """
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-batching padding-waste audit (round-8 head)
+# ---------------------------------------------------------------------------
+
+_Q194_BATCH = 8
+_Q194_BUDGET = 512
+
+
+def q194_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dynamic-batching decision table: tokens padded under three
+    batching strategies over the SAME corpus — (a) ``naive`` arrival-order
+    batches of 8 padded to the batch max, (b) ``bucketed``
+    length-sorted batches of 8 (the standard bucketing trick — sorting
+    by length makes batch members near-equal so padding collapses), and
+    (c) ``packed`` the sequence-packing floor ceil(total/512) from the
+    q54 machinery. Per strategy: batch count, real tokens, padded
+    tokens, waste fraction. The table every training pipeline reads
+    before choosing its collator; on this corpus bucketing removes most
+    of naive's padding and packing removes the rest.
+
+    Scale: two row_number windows (one per ordering) + two grouped
+    aggregations + integer arithmetic; token counting is scan-stage. The
+    length sort is the same single exchange the bucketed collator pays
+    in production. Fully integer — the only doubles are the final waste
+    ratios (single division, round 6)."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n")
+    )
+
+    def batch_stats(order_cols, strategy):
+        w = Window.orderBy(*order_cols)
+        batched = d.withColumn(
+            "batch",
+            ((F.row_number().over(w) - 1) / F.lit(_Q194_BATCH)).cast(
+                "bigint"
+            ),
+        )
+        per = batched.groupBy("batch").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("n").alias("mx"),
+            F.sum("n").alias("s"),
+        )
+        return per.agg(
+            F.lit(strategy).alias("strategy"),
+            F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+            F.sum("s").cast("bigint").alias("tokens_real"),
+            F.sum(F.col("cnt") * F.col("mx") - F.col("s"))
+            .cast("bigint")
+            .alias("tokens_padded"),
+        )
+
+    naive = batch_stats([F.col("doc_id")], "naive")
+    bucketed = batch_stats([F.col("n"), F.col("doc_id")], "bucketed")
+    packed = d.agg(
+        F.lit("packed").alias("strategy"),
+        F.ceil(F.sum("n") / F.lit(_Q194_BUDGET)).cast("bigint").alias(
+            "n_batches"
+        ),
+        F.sum("n").cast("bigint").alias("tokens_real"),
+        (
+            F.ceil(F.sum("n") / F.lit(_Q194_BUDGET)) * _Q194_BUDGET
+            - F.sum("n")
+        )
+        .cast("bigint")
+        .alias("tokens_padded"),
+    )
+    out = naive.unionByName(bucketed).unionByName(packed)
+    return out.select(
+        "strategy",
+        "n_batches",
+        "tokens_real",
+        "tokens_padded",
+        F.round(
+            F.col("tokens_padded").cast("double")
+            / (F.col("tokens_real") + F.col("tokens_padded")).cast("double"),
+            6,
+        ).alias("waste_frac"),
+    ).orderBy("strategy")
+
+
+_Q194_SQL = f"""
+WITH d AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n
+           FROM documents),
+nb AS (SELECT n, (ROW_NUMBER() OVER (ORDER BY doc_id) - 1)
+                 // {_Q194_BATCH} AS batch FROM d),
+bb AS (SELECT n, (ROW_NUMBER() OVER (ORDER BY n, doc_id) - 1)
+                 // {_Q194_BATCH} AS batch FROM d),
+na AS (SELECT 'naive' AS strategy, COUNT(*)::BIGINT AS n_batches,
+              SUM(s)::BIGINT AS tokens_real,
+              SUM(cnt * mx - s)::BIGINT AS tokens_padded
+       FROM (SELECT batch, COUNT(*) cnt, MAX(n) mx, SUM(n) s
+             FROM nb GROUP BY batch)),
+bu AS (SELECT 'bucketed', COUNT(*)::BIGINT, SUM(s)::BIGINT,
+              SUM(cnt * mx - s)::BIGINT
+       FROM (SELECT batch, COUNT(*) cnt, MAX(n) mx, SUM(n) s
+             FROM bb GROUP BY batch)),
+pk AS (SELECT 'packed',
+              CAST(ceil(SUM(n) / CAST({_Q194_BUDGET} AS DOUBLE)) AS BIGINT),
+              SUM(n)::BIGINT,
+              (CAST(ceil(SUM(n) / CAST({_Q194_BUDGET} AS DOUBLE)) AS BIGINT)
+               * {_Q194_BUDGET} - SUM(n))::BIGINT
+       FROM d),
+u AS (SELECT * FROM na UNION ALL SELECT * FROM bu UNION ALL
+      SELECT * FROM pk)
+SELECT strategy, n_batches, tokens_real, tokens_padded,
+       ROUND(CAST(tokens_padded AS DOUBLE)
+             / CAST(tokens_real + tokens_padded AS DOUBLE), 6) AS waste_frac
+FROM u ORDER BY strategy
+"""
