@@ -265,6 +265,7 @@ QUERIES = {
     "q192_embedding_drift": q192_embedding_drift,
     "q193_embedding_ood": q193_embedding_ood,
     "q194_padding_waste_audit": q194_padding_waste_audit,
+    "q195_dedup_signal_agreement": q195_dedup_signal_agreement,
 }
 
 ORACLE_SQL = {
@@ -462,6 +463,7 @@ ORACLE_SQL = {
     "q192_embedding_drift": _Q192_SQL,
     "q193_embedding_ood": _Q193_SQL,
     "q194_padding_waste_audit": _Q194_SQL,
+    "q195_dedup_signal_agreement": _Q195_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -1025,3 +1025,103 @@ SELECT ROUND(CAST(pc.threshold AS DOUBLE), 1) AS threshold,
 FROM pc LEFT JOIN fd ON fd.threshold = pc.threshold
 ORDER BY threshold
 """
+
+
+# ---------------------------------------------------------------------------
+# LLM ops: multi-signal dedup agreement matrix (round-8 head)
+# ---------------------------------------------------------------------------
+
+def q195_dedup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement matrix across the suite's three independent near-dup
+    SIGNALS at their production thresholds — bigram Jaccard ≥ 0.8,
+    SimHash Hamming ≤ 3 (60-bit, pigeonhole-banded), and ≥ 1 shared
+    exact 8-token window — as a combo histogram over the union of
+    flagged pairs. This is the governance table behind choosing (and
+    trusting) a dedup stack: pairs all three signals agree on are
+    deletable with confidence; single-signal pairs are where each
+    signal's bias lives (Jaccard: bag-of-ngrams, order-insensitive;
+    SimHash: global token distribution; ExactSubstr: verbatim runs).
+    Complements q186's threshold sweep (one signal, many thresholds)
+    with one threshold, many signals.
+
+    Scale: reuses the three pair generators unchanged — each is banded /
+    prefix-filtered / postings-capped (measured separately at sf1); the
+    agreement stage is two full-outer joins over PAIR sets (output-sized,
+    not corpus-sized) + one small groupBy."""
+    from pyveb_spark.operators.dedup import (
+        exact_substring_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    keys = ["doc_id_a", "doc_id_b"]
+    j = ngram_jaccard_pairs(
+        d, id_col="doc_id", text_col="text", n=2, threshold=0.8
+    ).select(*keys, F.lit(1).alias("in_j"))
+    s = simhash_pairs(
+        d, "doc_id", "text", max_hamming=3, bands=4
+    ).select(*keys, F.lit(1).alias("in_s"))
+    u = exact_substring_pairs(
+        d, id_col="doc_id", text_col="text", window=8
+    ).select(*keys, F.lit(1).alias("in_u"))
+    allp = j.join(s, keys, "full").join(u, keys, "full")
+    return (
+        allp.select(
+            F.coalesce("in_j", F.lit(0)).alias("in_jaccard"),
+            F.coalesce("in_s", F.lit(0)).alias("in_simhash"),
+            F.coalesce("in_u", F.lit(0)).alias("in_substring"),
+        )
+        .groupBy("in_jaccard", "in_simhash", "in_substring")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy(
+            F.desc("in_jaccard"), F.desc("in_simhash"), F.desc("in_substring")
+        )
+    )
+
+
+_Q195_SQL = f"""
+WITH {_SIMHASH_FP_SQL},
+tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS g
+          FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) s),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+jcand AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                 COUNT(*) AS isect
+          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+jp AS (SELECT doc_id_a, doc_id_b, 1 AS in_j
+       FROM jcand
+       JOIN sizes sa ON sa.doc_id = doc_id_a
+       JOIN sizes sb ON sb.doc_id = doc_id_b
+       WHERE isect * 1.0 / (sa.n + sb.n - isect) >= 0.8),
+banded AS (SELECT doc_id, simhash, band,
+                  (simhash >> (band * 15)) & 32767 AS v
+           FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+sp AS (SELECT ida AS doc_id_a, idb AS doc_id_b, 1 AS in_s
+       FROM (SELECT DISTINCT a.doc_id AS ida, a.simhash AS fa,
+                             b.doc_id AS idb, b.simhash AS fb
+             FROM banded a JOIN banded b
+               ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
+       WHERE bit_count(xor(fa, fb)) <= 3),
+wins AS (SELECT DISTINCT doc_id,
+                ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 12))::BIGINT AS h
+         FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) s),
+freq AS (SELECT h, COUNT(*) AS df FROM wins GROUP BY h),
+keep AS (SELECT w.doc_id, w.h FROM wins w JOIN freq f USING (h)
+         WHERE f.df <= 1000),
+up AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, 1 AS in_u
+       FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+allp AS (
+  SELECT COALESCE(in_j, 0) AS in_jaccard,
+         COALESCE(in_s, 0) AS in_simhash,
+         COALESCE(in_u, 0) AS in_substring
+  FROM jp
+  FULL JOIN sp USING (doc_id_a, doc_id_b)
+  FULL JOIN up USING (doc_id_a, doc_id_b))
+SELECT in_jaccard, in_simhash, in_substring, COUNT(*)::BIGINT AS n_pairs
+FROM allp
+GROUP BY 1, 2, 3
+ORDER BY in_jaccard DESC, in_simhash DESC, in_substring DESC
+"""
