@@ -229,6 +229,7 @@ _ARROW_PY_OK = {
     "q36_embedding_pairs",   # blocked-matmul applyInPandas cells
     "q38_multimodal_decode", # mapInPandas decode kernel
     "q62_embedding_dedup",   # composes through cosine_pairs
+    "q189_bitext_margin_mining",  # composes through cosine_pairs
     "q67_frame_features",    # mapInPandas feature kernel
     "q97_audio_stats",       # mapInPandas WAV header decode kernel
     "q135_image_dhash_dups", # mapInPandas dHash kernel over real BMP bytes
