@@ -1069,33 +1069,41 @@ _Q183_SQL = _q183_sql()
 def q189_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based parallel-pair mining (Artetxe & Schwenk 2019 — the
     LASER/CCMatrix criterion behind the largest public bitext corpora):
-    treat even-label embeddings as the source side and odd-label as the
-    target side, score every cross-side pair, and re-rank candidates by
+    treat even-vec_id embeddings as the source side and odd as the
+    target side (so every semantic region exists on both sides — the
+    bitext shape), score cross-side pairs, and re-rank candidates by
     the ratio margin ``cos(x,y) / ((avg_k(x)+avg_k(y))/2)`` with k=4
     nearest-neighbour normalization — the hubness correction that raw
-    cosine mining lacks. Emits the top-20 mined pairs by margin.
+    cosine mining lacks. Candidates are gated at cosine ≥ 0.3 FIRST
+    (the retrieval step — CCMatrix computes margins over retrieved
+    top-k sets, never all pairs; an ungated formulation materializes
+    n²/2 rows and was measured dying at 50 k vectors), and the
+    neighbourhood averages are taken over each node's retrieved set.
+    Emits the top-20 mined pairs by margin.
 
-    Scale: pair scoring reuses ``cosine_pairs`` (blocked numpy matmul,
-    no driver collect) as the exact baseline; at 100 TB the candidate
-    set comes from the LSH/IVF tier (``lsh_cosine_lookup``) and
-    ``margin_bitext_mine`` re-scores it unchanged — margin cost is two
-    keyed windows over candidates, not corpus-quadratic. Determinism:
-    4-decimal cosines, decimal-summed neighbourhood averages, single
-    double division, margin round(6)."""
+    Scale: candidate generation reuses ``cosine_pairs`` (blocked numpy
+    matmul, no driver collect, blocks sized to the corpus so each cell's
+    sim matrix stays ~100 MB) as the exact baseline; at 100 TB the
+    candidate set comes from the LSH/IVF tier (``lsh_cosine_lookup``)
+    and ``margin_bitext_mine`` re-scores it unchanged — margin cost is
+    two keyed windows over candidates, not corpus-quadratic.
+    Determinism: 4-decimal cosines, decimal-summed neighbourhood
+    averages, single double division, margin round(6)."""
     from pyveb_spark.operators.similarity import (
         cosine_pairs,
         margin_bitext_mine,
     )
 
     e = read_table(spark, sf_dir, "embeddings")
+    n = e.count()
     p = cosine_pairs(
-        e, threshold=-1.0, id_col="vec_id", vec_col="embedding",
-        extra_cols=["label"],
+        e, threshold=0.3, id_col="vec_id", vec_col="embedding",
+        extra_cols=["label"], n_blocks=max(8, -(-n // 3000)),
     )
     cross = p.where(
-        (F.col("label_a") % 2) != (F.col("label_b") % 2)
+        (F.col("vec_id_a") % 2) != (F.col("vec_id_b") % 2)
     )
-    a_is_src = (F.col("label_a") % 2) == 0
+    a_is_src = (F.col("vec_id_a") % 2) == 0
     directed = cross.select(
         F.when(a_is_src, F.col("vec_id_a")).otherwise(F.col("vec_id_b"))
         .alias("src_id"),
@@ -1121,12 +1129,14 @@ def q189_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q189_SQL = """
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 directed AS (
-  SELECT s.vec_id AS src_id, s.label AS src_label,
-         t.vec_id AS tgt_id, t.label AS tgt_label,
-         ROUND(list_dot_product(s.v, t.v)
-               / (sqrt(list_dot_product(s.v, s.v))
-                  * sqrt(list_dot_product(t.v, t.v))), 4) AS cosine_sim
-  FROM e s JOIN e t ON s.label % 2 = 0 AND t.label % 2 = 1),
+  SELECT * FROM (
+    SELECT s.vec_id AS src_id, s.label AS src_label,
+           t.vec_id AS tgt_id, t.label AS tgt_label,
+           ROUND(list_dot_product(s.v, t.v)
+                 / (sqrt(list_dot_product(s.v, s.v))
+                    * sqrt(list_dot_product(t.v, t.v))), 4) AS cosine_sim
+    FROM e s JOIN e t ON s.vec_id % 2 = 0 AND t.vec_id % 2 = 1)
+  WHERE cosine_sim >= 0.3),
 ranked AS (
   SELECT *,
          ROW_NUMBER() OVER (PARTITION BY src_id
