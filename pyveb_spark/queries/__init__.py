@@ -266,6 +266,9 @@ QUERIES = {
     "q193_embedding_ood": q193_embedding_ood,
     "q194_padding_waste_audit": q194_padding_waste_audit,
     "q195_dedup_signal_agreement": q195_dedup_signal_agreement,
+    "q196_jl_distortion_audit": q196_jl_distortion_audit,
+    "q197_batch_knn_join": q197_batch_knn_join,
+    "q198_prototype_assignment": q198_prototype_assignment,
 }
 
 ORACLE_SQL = {
@@ -464,6 +467,9 @@ ORACLE_SQL = {
     "q193_embedding_ood": _Q193_SQL,
     "q194_padding_waste_audit": _Q194_SQL,
     "q195_dedup_signal_agreement": _Q195_SQL,
+    "q196_jl_distortion_audit": _q196_sql(),
+    "q197_batch_knn_join": _Q197_SQL,
+    "q198_prototype_assignment": _Q198_SQL,
 }
 
 # ---------------------------------------------------------------------------

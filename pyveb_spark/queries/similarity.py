@@ -1211,3 +1211,238 @@ FROM sc
 ORDER BY maha_sq DESC, vec_id
 LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# JL projection distortion audit (round-8 head)
+# ---------------------------------------------------------------------------
+
+_Q196_DIM_OUT = 16
+_Q196_N = 40
+
+
+def q196_jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit for
+    ``operators/similarity.py::random_projection`` — the table an
+    operator reads before swapping wide embeddings for cheap projected
+    ones in the candidate tier: project 64 → 16 dims on the seeded
+    Gaussian planes, l2-normalize BOTH representations
+    (``l2_normalize`` — cosine becomes a plain dot product), and
+    histogram |cos_projected − cos_original| over all pairs of a
+    40-vector probe sample in 0.05-wide buckets. A mass pile-up in the
+    low buckets says the projection preserves ranking; the tail width
+    IS the JL error at this dim_out (≈ N(0, 1/√16) here — 16 dims is
+    deliberately coarse so the audit shows a real trade-off).
+
+    Determinism: cosines land on an integer 1e-4 grid before
+    differencing, so the bucket arithmetic is pure BIGINT — no float
+    boundary anywhere. The plane literals are generated by the same
+    seeded function on both sides (the minhash-coeff precedent).
+    Scale: projection + normalization are stateless scan expressions;
+    the probe pair set is bounded (40 vectors) by construction."""
+    from pyveb_spark.operators.similarity import (
+        _dot,
+        _as_double,
+        l2_normalize,
+        random_projection,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < _Q196_N
+    )
+    proj = random_projection(
+        e, dim_in=64, dim_out=_Q196_DIM_OUT, vec_col="embedding",
+        out_col="proj",
+    )
+    base = proj.select(
+        "vec_id",
+        l2_normalize(F.col("embedding")).alias("vo"),
+        l2_normalize(F.col("proj")).alias("vp"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b, F.col("a.vec_id") < F.col("b.vec_id")
+    ).select(
+        F.round(_dot(_as_double(F.col("a.vo")), _as_double(F.col("b.vo")))
+                * F.lit(10000.0), 0).cast("bigint").alias("io"),
+        F.round(_dot(_as_double(F.col("a.vp")), _as_double(F.col("b.vp")))
+                * F.lit(10000.0), 0).cast("bigint").alias("ip"),
+    )
+    return (
+        pairs.select(
+            (F.abs(F.col("ip") - F.col("io")) / F.lit(500))
+            .cast("bigint")
+            .alias("distortion_bucket")
+        )
+        .groupBy("distortion_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("distortion_bucket")
+    )
+
+
+def _q196_sql() -> str:
+    from pyveb_spark.operators.similarity import _random_hyperplanes
+
+    planes = _random_hyperplanes(64, _Q196_DIM_OUT, seed=42)
+    scale = 1.0 / (_Q196_DIM_OUT ** 0.5)
+    comps = ",\n          ".join(
+        f"list_dot_product(v, [{', '.join(repr(x) for x in p)}]) * {scale!r}"
+        for p in planes
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < {_Q196_N}),
+p AS (SELECT vec_id, v,
+        [{comps}] AS pr
+      FROM e),
+n AS (SELECT vec_id,
+        list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)),
+                                            1e-12)) AS vo,
+        list_transform(pr, x -> x / greatest(sqrt(list_dot_product(pr, pr)),
+                                             1e-12)) AS vp
+      FROM p),
+pairs AS (
+  SELECT CAST(ROUND(list_dot_product(a.vo, b.vo) * 10000.0, 0) AS BIGINT)
+           AS io,
+         CAST(ROUND(list_dot_product(a.vp, b.vp) * 10000.0, 0) AS BIGINT)
+           AS ip
+  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+SELECT abs(ip - io) // 500 AS distortion_bucket,
+       COUNT(*)::BIGINT AS n_pairs
+FROM pairs
+GROUP BY 1
+ORDER BY distortion_bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Batch exact k-NN join (round-8 head)
+# ---------------------------------------------------------------------------
+
+def q197_batch_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact batch k-NN join (``operators/similarity.py::knn_join``):
+    the 20-vector query batch against the full corpus, 3 nearest
+    neighbours each by cosine — the retrieval-evaluation prep step
+    (ground-truth neighbour lists for recall@k audits like q162, hard
+    negatives like q146). Broadcast query-batch shape: corpus scans
+    once, per-query top-k is a windowed heap.
+
+    Scale: exact batch kNN is the audit baseline; serving-path batch
+    lookup is ``lsh_cosine_lookup`` (q165) with this as its recall
+    reference."""
+    from pyveb_spark.operators.similarity import knn_join
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return (
+        knn_join(q, e, k=3, id_col="vec_id", vec_col="embedding")
+        .select(
+            "vec_id", "nn_id",
+            F.round("cosine_sim", 4).alias("cosine_sim"), "rank",
+        )
+        .orderBy("vec_id", "rank")
+    )
+
+
+_Q197_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+scored AS (
+  SELECT q.qid AS vec_id, c.vec_id AS nn_id,
+         list_dot_product(c.v, q.qv)
+           / (sqrt(list_dot_product(c.v, c.v))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+  FROM e c JOIN q ON c.vec_id <> q.qid),
+ranked AS (
+  SELECT vec_id, nn_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, nn_id) AS rank
+  FROM scored)
+SELECT vec_id, nn_id, ROUND(sim, 4) AS cosine_sim, rank::INT AS rank
+FROM ranked WHERE rank <= 3
+ORDER BY vec_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mean-pool prototype assignment audit (round-8 head)
+# ---------------------------------------------------------------------------
+
+def q198_prototype_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label prototype audit (``operators/similarity.py::mean_pool``
+    + ``nearest_centroid``): pool every label's vectors into a mean
+    prototype (the chunk→document / cluster-prototype pooling shape),
+    assign every vector to its nearest prototype by squared L2, and
+    report per label how many members come home (nearest prototype ==
+    own label) plus the mean distance to the own-label prototype. The
+    nearest-prototype classifier is the standard probe for whether a
+    labeling carries geometric signal; on this near-random fixture the
+    agreement fraction sits near chance — the honest null the oracle
+    certifies (a clustered corpus drives it toward 1).
+
+    Scale: mean_pool is one map-side-combinable shuffle; the prototype
+    model is labels × dims driver state (the k×dim precedent); scoring
+    is the scan-stage argmin fold shared with k-means."""
+    from pyveb_spark.operators.similarity import mean_pool, nearest_centroid
+
+    e = read_table(spark, sf_dir, "embeddings")
+    protos = mean_pool(e, ["label"], vec_col="embedding", out_col="proto")
+    model = [
+        (int(r["label"]), [float(x) for x in r["proto"]])
+        for r in protos.orderBy("label").collect()
+    ]
+    assigned = e.select(
+        "vec_id",
+        "label",
+        nearest_centroid(F.col("embedding"), model).alias("nc"),
+    ).select(
+        "label",
+        (F.col("nc.list_id") == F.col("label")).alias("own"),
+    )
+    return (
+        assigned.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(F.when(F.col("own"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_own"),
+            F.round(
+                F.sum(F.when(F.col("own"), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("frac_own"),
+        )
+        .orderBy("label")
+    )
+
+
+_Q198_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+ex AS (SELECT label, i AS pos, v[i] AS val
+       FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) s),
+proto AS (
+  SELECT label AS plabel, pos, AVG(val) AS pv
+  FROM ex GROUP BY 1, 2),
+dists AS (
+  SELECT a.vec_id, a.label, p.plabel,
+         SUM((a.val - p.pv) * (a.val - p.pv)) AS dist
+  FROM (SELECT vec_id, label, i AS pos, v[i] AS val
+        FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) s
+       ) a
+  JOIN proto p ON p.pos = a.pos
+  GROUP BY 1, 2, 3),
+nearest AS (
+  SELECT vec_id, label, plabel,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist, plabel) AS rk
+  FROM dists)
+SELECT label,
+       COUNT(*)::BIGINT AS n_vectors,
+       SUM(CASE WHEN plabel = label THEN 1 ELSE 0 END)::BIGINT AS n_own,
+       ROUND(SUM(CASE WHEN plabel = label THEN 1 ELSE 0 END)
+             / (COUNT(*) * 1.0), 6) AS frac_own
+FROM nearest
+WHERE rk = 1
+GROUP BY label
+ORDER BY label
+"""
