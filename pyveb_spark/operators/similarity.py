@@ -101,22 +101,44 @@ def knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_same_id: bool = True,
+    broadcast_side: str = "right",
 ) -> DataFrame:
     """Exact k-NN join: for every left vector, its k nearest right vectors
-    by cosine. Brute force (broadcast right, rank per left id) — correct
-    baseline; use ``cosine_topk_lsh`` when |right| stops being
+    by cosine. Brute force (broadcast one side, rank per left id) —
+    correct baseline; use ``cosine_topk_lsh`` when neither side is
     broadcast-able.
+
+    ``broadcast_side`` picks which frame ships to every task — broadcast
+    the SMALLER one: ``"right"`` (default) for the big-left ⋈ small-dim
+    shape; ``"left"`` when a small query batch probes a large corpus
+    (the q197 shape). Getting this wrong doesn't just waste memory — a
+    20-row broadcast-right probe runs the whole n×m score space inside
+    the batch's single partition (measured 29 s for 20 × 50 k at sf1;
+    broadcast-left distributes it across the corpus scan).
 
     ``exclude_same_id`` drops matches where the two ids are equal — the
     self-match guard for the common self-join case. Pass ``False`` when
     left and right are DIFFERENT tables whose id spaces coincide, or
     coincidentally-equal ids silently lose a legitimate neighbor."""
-    r = F.broadcast(
-        right.select(
-            F.col(id_col).alias("nn_id"), F.col(vec_col).alias("__rv")
-        )
+    if broadcast_side not in ("left", "right"):
+        raise ValueError(f"broadcast_side must be left/right, got {broadcast_side!r}")
+    r = right.select(
+        F.col(id_col).alias("nn_id"), F.col(vec_col).alias("__rv")
     )
     l = left.select(F.col(id_col), F.col(vec_col).alias("__lv"))
+    if broadcast_side == "right":
+        r = F.broadcast(r)
+    else:
+        l = F.broadcast(l)
+        # the scoring stage inherits the corpus scan's partitioning, and
+        # a small parquet (50 k × 64-dim floats ≈ 13 MB → 1-4 splits)
+        # starves the O(|batch|·|corpus|) CPU; one cheap exchange of the
+        # corpus restores full parallelism (the pin_width rule — input
+        # bytes understate output CPU)
+        n = int(
+            right.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        r = r.repartition(n)
     lv, rv = _as_double(F.col("__lv")), _as_double(F.col("__rv"))
     sim = _dot(lv, rv) / (F.sqrt(_dot(lv, lv)) * F.sqrt(_dot(rv, rv)))
     cond = (

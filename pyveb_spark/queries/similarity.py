@@ -1335,7 +1335,10 @@ def q197_batch_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 20)
     return (
-        knn_join(q, e, k=3, id_col="vec_id", vec_col="embedding")
+        knn_join(
+            q, e, k=3, id_col="vec_id", vec_col="embedding",
+            broadcast_side="left",
+        )
         .select(
             "vec_id", "nn_id",
             F.round("cosine_sim", 4).alias("cosine_sim"), "rank",
