@@ -626,3 +626,108 @@ def test_fim_reassembly_property(spark, n_tokens, rate):
             + suf.split(" ")
         )
         assert reassembled == toks
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys_a=st.lists(st.integers(0, 400), min_size=1, max_size=120),
+    keys_b=st.lists(st.integers(200, 600), min_size=1, max_size=120),
+    k=st.sampled_from([8, 16, 32]),
+)
+def test_kmv_merge_identity_property(spark, keys_a, keys_b, k):
+    """k smallest of (sketch_A ∪ sketch_B) == sketch of the raw union —
+    the identity every KMV set-algebra estimate rests on — for arbitrary
+    overlapping key sets and k, plus below-k exactness."""
+    from pyveb_spark.operators.sketches import kmv_sketch
+
+    rows = [("A", x) for x in keys_a] + [("B", x) for x in keys_b]
+    df = spark.createDataFrame(rows, "grp string, key int")
+    sk = kmv_sketch(df, ["grp"], "key", k=k)
+    union_of_sketches = [
+        r.h for r in sk.select("h").distinct().orderBy("h").limit(k).collect()
+    ]
+    raw = kmv_sketch(
+        df.selectExpr("'u' AS grp", "key"), ["grp"], "key", k=k
+    )
+    assert union_of_sketches == [r.h for r in raw.orderBy("h").collect()]
+    n_a = len(set(keys_a))
+    if n_a < k:
+        got = kmv_sketch(
+            df.where("grp = 'A'"), ["grp"], "key", k=k
+        ).count()
+        assert got == n_a
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(1, 3000), min_size=1, max_size=25),
+    target=st.sampled_from([500, 1000, 4096]),
+    n_parts=st.integers(1, 3),
+)
+def test_compaction_plan_properties(spark, sizes, target, n_parts):
+    """Groups never cross partitions, every file is assigned exactly one
+    group, bytes are conserved, and no group except possibly the one a
+    jumbo file lands in exceeds target + max_file."""
+    from pyveb_spark.operators.layout import compaction_plan
+
+    rows = [
+        (f"p{i % n_parts}", i, b) for i, b in enumerate(sizes)
+    ]
+    df = spark.createDataFrame(rows, "part string, seq int, bytes long")
+    out = compaction_plan(df, ["part"], ["seq"], "bytes", target).collect()
+    assert len(out) == len(rows)  # one group per file, nothing dropped
+    assert sum(r.bytes for r in out) == sum(sizes)
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in out:
+        groups[(r.part, r.compaction_group)].append(r.bytes)
+    for (_, _), bs in groups.items():
+        # prefix-sum packing bound: group total < target + its last file
+        assert sum(bs) < target + max(bs)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    custs=st.lists(st.integers(1, 30), min_size=1, max_size=20),
+    tomb=st.lists(st.integers(1, 30), max_size=10),
+)
+def test_tombstone_cascade_conservation(spark, custs, tomb):
+    """Flagging is a partition of every table (erased + retained == all),
+    and a child row is erased iff its parent key is."""
+    from pyveb_spark.operators.cleaning import tombstone_cascade
+
+    cust = spark.createDataFrame([(c,) for c in set(custs)], "ck bigint")
+    orders = spark.createDataFrame(
+        [(100 + i, c) for i, c in enumerate(custs)], "ok bigint, ck bigint"
+    )
+    tomb_df = spark.createDataFrame(
+        [(t,) for t in tomb] or [(None,)], "ck bigint"
+    ).where("ck IS NOT NULL")
+    out = dict(
+        tombstone_cascade(
+            tomb_df,
+            [("customer", cust, "ck", "ck"), ("orders", orders, "ck", "ok")],
+        )
+    )
+    for name, df in out.items():
+        rows = df.collect()
+        base = cust if name == "customer" else orders
+        assert len(rows) == base.count()
+    erased_orders = {
+        r.ok for r in out["orders"].where("__deleted").collect()
+    }
+    expected = {100 + i for i, c in enumerate(custs) if c in set(tomb)}
+    assert erased_orders == expected
