@@ -269,6 +269,7 @@ QUERIES = {
     "q196_jl_distortion_audit": q196_jl_distortion_audit,
     "q197_batch_knn_join": q197_batch_knn_join,
     "q198_prototype_assignment": q198_prototype_assignment,
+    "q199_prefix_cache_grouping": q199_prefix_cache_grouping,
 }
 
 ORACLE_SQL = {
@@ -470,6 +471,7 @@ ORACLE_SQL = {
     "q196_jl_distortion_audit": _q196_sql(),
     "q197_batch_knn_join": _Q197_SQL,
     "q198_prototype_assignment": _Q198_SQL,
+    "q199_prefix_cache_grouping": _Q199_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -1784,3 +1784,99 @@ ORDER BY rank
 
 
 _Q184_SQL = _q184_sql()
+
+
+# ---------------------------------------------------------------------------
+# Prefix-cache-aware request grouping (round-8 head)
+# ---------------------------------------------------------------------------
+
+_Q199_KEY = 4
+_Q199_CAP = 16
+
+
+def q199_prefix_cache_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-cache (KV-cache reuse) grouping audit — the serving-side
+    twin of the dedup stack: group requests by their leading 4-token
+    key, compute each group's EXACT shared token prefix, and rank groups
+    by the tokens a prefix-cache-aware scheduler would avoid recomputing
+    (``(n_docs − 1) × lcp``). vLLM-style engines get their largest
+    batching wins from exactly this routing decision; on a corpus with
+    planted near-dups the top groups are the dup clusters — the audit
+    quantifies how much serving compute duplication costs even AFTER
+    training-side dedup decisions are made.
+
+    The group LCP is computed distributively and exactly: explode the
+    first 16 token positions, and a position is "shared" iff every
+    member reaches it AND carries one distinct token there; the LCP is
+    the first non-shared position (capped at 16 — prefix caches bill in
+    pages, not unbounded prefixes). Pure integer/string arithmetic.
+
+    Scale: one scan + one (key, position) aggregation (map-side
+    combinable, ≤ 16 rows per doc) + one key-level join — no pairwise
+    stage, cost linear in corpus; the cap bounds per-key state."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    g0 = d.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, _Q199_KEY), " ").alias("prefix_key"),
+        F.slice(toks, 1, _Q199_CAP).alias("head"),
+    ).where(F.size(toks) >= _Q199_KEY)
+    counts = (
+        g0.groupBy("prefix_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+    ex = g0.join(counts, "prefix_key").select(
+        "prefix_key",
+        "n_docs",
+        F.posexplode("head").alias("pos", "tok"),
+    )
+    per_pos = ex.groupBy("prefix_key", "n_docs", "pos").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct("tok").alias("nd"),
+    )
+    shared = (F.col("cnt") == F.col("n_docs")) & (F.col("nd") == 1)
+    lcp = per_pos.groupBy("prefix_key", "n_docs").agg(
+        F.coalesce(
+            F.min(F.when(~shared, F.col("pos"))), F.lit(_Q199_CAP)
+        ).alias("lcp_tokens")
+    )
+    return (
+        lcp.select(
+            "prefix_key",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("lcp_tokens").cast("bigint").alias("lcp_tokens"),
+            ((F.col("n_docs") - 1) * F.col("lcp_tokens"))
+            .cast("bigint")
+            .alias("cached_tokens_saved"),
+        )
+        .orderBy(F.desc("cached_tokens_saved"), "prefix_key")
+        .limit(15)
+    )
+
+
+_Q199_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g0 AS (SELECT doc_id,
+              array_to_string(toks[1:{_Q199_KEY}], ' ') AS prefix_key,
+              toks[1:{_Q199_CAP}] AS head
+       FROM t WHERE len(toks) >= {_Q199_KEY}),
+counts AS (SELECT prefix_key, COUNT(*) AS n_docs
+           FROM g0 GROUP BY prefix_key HAVING COUNT(*) >= 2),
+ex AS (SELECT g.prefix_key, c.n_docs, i - 1 AS pos, g.head[i] AS tok
+       FROM g0 g JOIN counts c USING (prefix_key),
+            LATERAL (SELECT unnest(generate_series(1, len(g.head))) AS i) s),
+per_pos AS (SELECT prefix_key, n_docs, pos,
+                   COUNT(*) AS cnt, COUNT(DISTINCT tok) AS nd
+            FROM ex GROUP BY 1, 2, 3),
+lcp AS (SELECT prefix_key, n_docs,
+               COALESCE(MIN(CASE WHEN NOT (cnt = n_docs AND nd = 1)
+                                 THEN pos END), {_Q199_CAP}) AS lcp_tokens
+        FROM per_pos GROUP BY 1, 2)
+SELECT prefix_key, n_docs::BIGINT AS n_docs,
+       lcp_tokens::BIGINT AS lcp_tokens,
+       ((n_docs - 1) * lcp_tokens)::BIGINT AS cached_tokens_saved
+FROM lcp
+ORDER BY cached_tokens_saved DESC, prefix_key
+LIMIT 15
+"""

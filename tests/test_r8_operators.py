@@ -161,3 +161,43 @@ def test_mahalanobis_flags_planted_outlier(spark):
     by_id = {r.vec_id: r.maha_sq for r in scored}
     # zero-variance dim contributes 0; others are plain squared values
     assert abs(by_id[99] - (50.0 ** 2 + 50.0 ** 2)) < 1e-9
+
+
+def test_q199_group_lcp_is_exact(spark, monkeypatch, tmp_path):
+    """The distributed group-LCP must equal the true longest common
+    token prefix — including the all-shared cap and a member that is a
+    strict prefix of the others."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyveb_spark.queries import QUERIES
+
+    docs = [
+        # group 'a b c d': LCP 5 ('a b c d e'), one doc diverges at pos 5
+        (1, "a b c d e f g"),
+        (2, "a b c d e f g"),
+        (3, "a b c d e x y"),
+        # group 'k l m n': one member IS the 4-token prefix -> LCP 4
+        (4, "k l m n"),
+        (5, "k l m n o p"),
+        # singleton group: excluded
+        (6, "q r s t u"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs]),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array(["s"] * len(docs)),
+            "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = {
+        r.prefix_key: (r.n_docs, r.lcp_tokens, r.cached_tokens_saved)
+        for r in QUERIES["q199_prefix_cache_grouping"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out["a b c d"] == (3, 5, 10)
+    assert out["k l m n"] == (2, 4, 4)
+    assert "q r s t" not in out
