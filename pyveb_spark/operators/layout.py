@@ -187,10 +187,18 @@ def compaction_plan(
     the FILE LISTING (metadata, not data) — planning a 10⁸-file table
     costs a scan of 10⁸ tiny rows. The physical rewrite of each group is
     ``compact_files``' repartition-and-swap, executable group-by-group
-    (resumable, throttleable). Deterministic given the listing."""
+    (resumable, throttleable). Deterministic given the listing, provided
+    ``order_cols`` is unique within each partition (a file path is); ties
+    are broken by ``bytes_col`` so the frame is explicit ROWS, never the
+    default RANGE frame that would pool tied files' sizes into one
+    cumulative sum and overflow the target+max_file packing bound."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols, bytes_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum = F.sum(F.col(bytes_col)).over(w)
     before = (cum - F.col(bytes_col)).cast("bigint")
     return (

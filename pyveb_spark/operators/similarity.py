@@ -1403,10 +1403,21 @@ def mahalanobis_outliers(
         rows = (
             ex.groupBy("pos")
             .agg(F.avg("v").alias("mu"), F.var_samp("v").alias("var"))
-            .orderBy("pos")
             .collect()
         )
-        stats = [(r["mu"], r["var"]) for r in rows]
+        # index by position, not by collect order: ragged vector lengths
+        # leave gaps that a positional zip would misalign; var_samp is
+        # NULL on a single sample — coalesce to 0.0 (the v > 0 guard
+        # below already skips zero-variance dims)
+        by_pos = {r["pos"]: r for r in rows}
+        n_dims = max(by_pos) + 1 if by_pos else 0
+        stats = [
+            (
+                float(by_pos[p]["mu"] or 0.0) if p in by_pos else 0.0,
+                float(by_pos[p]["var"] or 0.0) if p in by_pos else 0.0,
+            )
+            for p in range(n_dims)
+        ]
     mus = F.array(*[F.lit(float(m)) for m, _ in stats])
     vars_ = F.array(*[F.lit(float(v)) for _, v in stats])
     diffs = F.zip_with(
@@ -1417,7 +1428,11 @@ def mahalanobis_outliers(
     terms = F.zip_with(
         diffs,
         vars_,
-        lambda d, v: F.when(v > 0, d * d / v).otherwise(F.lit(0.0)),
+        # d is NULL where a short (ragged) vector was NULL-padded by
+        # zip_with — skip those dims instead of poisoning the fold
+        lambda d, v: F.when(
+            (v > 0) & d.isNotNull(), d * d / v
+        ).otherwise(F.lit(0.0)),
     )
     score = F.aggregate(
         terms, F.lit(0.0), lambda acc, t: acc + t

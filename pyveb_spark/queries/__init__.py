@@ -839,6 +839,127 @@ _R7_IN = [
     "q104_join_key_skew",
 ]
 
+# Round 8 is the certification-debt payoff round: every round-7 window
+# member except q117 earned its hard CORRECTNESS_r07 row, so 41 slots are
+# rotation-eligible. The window keeps ONLY the eight ever-standing heads
+# (q01/q03/q06/q08/q10/q12/q31/q48 — certified every round since r01/r03,
+# the cross-round regression anchors for scan/join/agg/window/set/nested/
+# streaming) plus q117 (round-7's one red, now emitting driver-canonical
+# scalar ids — the retry). All 41 incoming slots are never-certified:
+# the 19 round-8 heads q181–q199 (soaked under selfcheck + three
+# seed-varied twins since round 7) and 22 of the 37 pre-r7 residue
+# queries, preferring distinct algorithmic content (percentile/forecast/
+# MI/AB-test/PR-curve/EWMA/chunking/signatures) over TPC-H join-agg
+# variants whose families keep in-window siblings. Displaced → sibling:
+#   q150/q180 pipelines   → certified r05–r07 twice over; q128 split audit
+#                           + q136 reconciliation carry the audit family
+#   q89/q86/q55/q80/q65/q172 dedup → q185/q186/q195 incoming (dedup)
+#   q140/q116/q169 ANN/retrieval   → q183/q184/q189/q196/q197 incoming
+#   q167 multimodal       → q97 audio stats incoming (multimodal)
+#   q171 k-core           → q121 event transitions incoming (graph-ish);
+#                           k-core certified r06+r07
+#   q114 OHLC             → q118 EWMA + q129 daily trend incoming
+#   q99/q85/q103 text     → q117 stays; q124/q125/q134/q199 incoming
+#   q147/q178 transforms  → q181/q182 incoming (DPO, UL2)
+#   q173–q177/q179 mix/sample → q194 padding audit incoming; all have r07
+#   q106/q111/q142/q143/q145/q146 profile → q100/q105/q122/q127/q137 in
+#   q131/q133 merge/diff  → q136 system reconciliation incoming
+#   q56 CMS sketch        → q188 KMV incoming (sketches)
+#   q82 PII privacy       → q190 GDPR cascade incoming
+#   q54 packing           → q194 incoming (packing)
+#   q104 skew join        → q48 stays (joins)
+#   q98/q66/q78/q81       → families keep q08 rollup / q173-class mixes
+#                           outside-window soak; all r07-certified
+# Deferred residue (15, next round's window): q51/q52/q53/q58/q59/q60/
+# q68/q69/q70/q71/q72/q73/q77/q79/q83 — TPC-H join-agg variants whose
+# shapes q01/q03/q48/q74 cover in-window this round.
+_R8_OUT = [
+    "q150_pretrain_pipeline_v2",
+    "q89_exact_substring_pairs",
+    "q116_tfidf_search",
+    "q140_sq8_ann",
+    "q167_corrupt_payload_audit",
+    "q169_hybrid_retrieval",
+    "q171_copurchase_kcore",
+    "q114_daily_ohlc",
+    "q99_bpe_merge_pairs",
+    "q103_lm_quality_scores",
+    "q86_fingerprint_dups",
+    "q85_language_id",
+    "q172_fuzzy_decontamination",
+    "q173_temperature_mix",
+    "q174_leakage_split",
+    "q175_ccnet_perplexity_tiers",
+    "q176_token_budget_allocation",
+    "q177_packing_budget_sweep",
+    "q178_t5_span_corruption",
+    "q179_cluster_balanced_sample",
+    "q180_ingest_recipe",
+    "q106_measure_correlations",
+    "q111_quality_score_auc",
+    "q131_incremental_rollup",
+    "q133_snapshot_diff",
+    "q142_winsorized_prices",
+    "q143_order_expectations",
+    "q145_gopher_rules",
+    "q146_hard_negatives",
+    "q147_mlm_masking",
+    "q54_sequence_packing",
+    "q55_chunk_dedup",
+    "q56_cms_heavy_hitters",
+    "q65_contamination",
+    "q66_temperature_mix",
+    "q78_epoch_weighting",
+    "q80_winnow_pairs",
+    "q81_repetition",
+    "q82_redact_pii",
+    "q98_funnel",
+    "q104_join_key_skew",
+]
+_R8_IN = [
+    "q181_dpo_pairs",
+    "q182_ul2_denoiser_mix",
+    "q183_mmr_diverse_topk",
+    "q184_rag_context_assembly",
+    "q185_quality_survivorship",
+    "q186_dedup_threshold_sweep",
+    "q187_zorder_pruning_audit",
+    "q188_kmv_set_algebra",
+    "q189_bitext_margin_mining",
+    "q190_gdpr_cascade_audit",
+    "q191_compaction_plan",
+    "q192_embedding_drift",
+    "q193_embedding_ood",
+    "q194_padding_waste_audit",
+    "q195_dedup_signal_agreement",
+    "q196_jl_distortion_audit",
+    "q197_batch_knn_join",
+    "q198_prototype_assignment",
+    "q199_prefix_cache_grouping",
+    "q74_market_share",
+    "q61_classifier_scores",
+    "q63_variant_props",
+    "q75_percentiles",
+    "q76_forecast_revenue",
+    "q97_audio_stats",
+    "q100_iqr_outliers",
+    "q105_price_deciles",
+    "q107_document_chunks",
+    "q108_join_size_estimate",
+    "q118_ewma_baseline",
+    "q120_brand_affinity",
+    "q121_event_transitions",
+    "q122_fk_integrity",
+    "q124_length_calibration",
+    "q125_source_signatures",
+    "q127_type_weekday_mi",
+    "q128_split_audit",
+    "q129_daily_trend",
+    "q134_length_pr_curve",
+    "q136_system_reconciliation",
+    "q137_ab_conversion_test",
+]
+
 _ALL = list(QUERIES)
 # reconstruct the round-5 window exactly as shipped, then apply the
 # round-6 and round-7 waves on top of it
@@ -849,7 +970,8 @@ assert len(_WINDOW5) == 50
 _WINDOW6 = [q for q in _WINDOW5 if q not in _R6_OUT] + _R6_IN
 _WINDOW6B = [q for q in _WINDOW6 if q not in _R6B_OUT] + _R6B_IN
 _WINDOW6C = [q for q in _WINDOW6B if q not in _R6C_OUT] + _R6C_IN
-_WINDOW = [q for q in _WINDOW6C if q not in _R7_OUT] + _R7_IN
+_WINDOW7 = [q for q in _WINDOW6C if q not in _R7_OUT] + _R7_IN
+_WINDOW = [q for q in _WINDOW7 if q not in _R8_OUT] + _R8_IN
 GATE_ORDER = _WINDOW + [q for q in _ALL if q not in _WINDOW]
 assert len(GATE_ORDER) == len(_ALL) and set(GATE_ORDER) == set(_ALL)
 assert len(_WINDOW) == 50

@@ -1377,7 +1377,7 @@ def q198_prototype_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     prototype (the chunk→document / cluster-prototype pooling shape),
     assign every vector to its nearest prototype by squared L2, and
     report per label how many members come home (nearest prototype ==
-    own label) plus the mean distance to the own-label prototype. The
+    own label) and the agreement fraction. The
     nearest-prototype classifier is the standard probe for whether a
     labeling carries geometric signal; on this near-random fixture the
     agreement fraction sits near chance — the honest null the oracle
@@ -1385,13 +1385,18 @@ def q198_prototype_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: mean_pool is one map-side-combinable shuffle; the prototype
     model is labels × dims driver state (the k×dim precedent); scoring
-    is the scan-stage argmin fold shared with k-means."""
+    is the scan-stage argmin fold shared with k-means. Prototype
+    components are rounded to 6 decimals before entering the model (and
+    the oracle's proto CTE mirrors the rounding) so both engines argmin
+    over IDENTICAL values — Spark's distributed mean and DuckDB's
+    sequential mean differ in the last float ulps, and an unrounded
+    near-tie between two prototypes could flip an assignment."""
     from pyveb_spark.operators.similarity import mean_pool, nearest_centroid
 
     e = read_table(spark, sf_dir, "embeddings")
     protos = mean_pool(e, ["label"], vec_col="embedding", out_col="proto")
     model = [
-        (int(r["label"]), [float(x) for x in r["proto"]])
+        (int(r["label"]), [round(float(x), 6) for x in r["proto"]])
         for r in protos.orderBy("label").collect()
     ]
     assigned = e.select(
@@ -1424,7 +1429,7 @@ WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 ex AS (SELECT label, i AS pos, v[i] AS val
        FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) s),
 proto AS (
-  SELECT label AS plabel, pos, AVG(val) AS pv
+  SELECT label AS plabel, pos, ROUND(AVG(val), 6) AS pv
   FROM ex GROUP BY 1, 2),
 dists AS (
   SELECT a.vec_id, a.label, p.plabel,

@@ -539,12 +539,22 @@ def q117_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count, token) total order, documents encoded to 0-based id arrays
     with OOV → -1, per-doc OOV rate. The corpus→tensors admission step;
     ids are rebuilt from (pos, id) structs via array_sort, so order
-    never depends on shuffle stability."""
+    never depends on shuffle stability. The id array is emitted as a
+    space-joined scalar string: the certification harness canonicalizes
+    rows via pandas hashing, which cannot hash list cells, so every
+    registered query's output schema must be scalar-only (the
+    registration-time gate in tests/test_oracle.py enforces this)."""
     from pyveb_spark.operators.text import build_vocab, encode_with_vocab
 
     d = read_table(spark, sf_dir, "documents")
     vocab = build_vocab(d, vocab_size=64)
-    return encode_with_vocab(d, vocab).orderBy("doc_id")
+    enc = encode_with_vocab(d, vocab)
+    return enc.select(
+        "doc_id",
+        F.array_join(F.col("ids").cast("array<string>"), " ").alias("ids"),
+        "n_tokens",
+        "oov_rate",
+    ).orderBy("doc_id")
 
 
 _Q117_SQL = """
@@ -559,7 +569,7 @@ enc AS (SELECT p.doc_id, p.pos,
                CAST(COALESCE(v.token_id, -1) AS INTEGER) AS tid
         FROM pos p LEFT JOIN vocab v USING (token))
 SELECT doc_id,
-       list(tid ORDER BY pos) AS ids,
+       array_to_string(list(tid ORDER BY pos), ' ') AS ids,
        COUNT(*) AS n_tokens,
        CAST(COUNT(CASE WHEN tid = -1 THEN 1 END) AS DOUBLE) / COUNT(*)
          AS oov_rate
@@ -1823,22 +1833,32 @@ def q199_prefix_cache_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.size(toks) >= _Q199_KEY)
     counts = (
         g0.groupBy("prefix_key")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # shortest member head: positions past it produce no per-pos
+            # rows, so without this cap a group of identical short docs
+            # would report lcp = CAP > its members' actual length
+            F.min(F.size("head")).alias("min_len"),
+        )
         .where(F.col("n_docs") >= 2)
     )
     ex = g0.join(counts, "prefix_key").select(
         "prefix_key",
         "n_docs",
+        "min_len",
         F.posexplode("head").alias("pos", "tok"),
     )
-    per_pos = ex.groupBy("prefix_key", "n_docs", "pos").agg(
+    per_pos = ex.groupBy("prefix_key", "n_docs", "min_len", "pos").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.count_distinct("tok").alias("nd"),
     )
     shared = (F.col("cnt") == F.col("n_docs")) & (F.col("nd") == 1)
     lcp = per_pos.groupBy("prefix_key", "n_docs").agg(
-        F.coalesce(
-            F.min(F.when(~shared, F.col("pos"))), F.lit(_Q199_CAP)
+        F.least(
+            F.coalesce(
+                F.min(F.when(~shared, F.col("pos"))), F.lit(_Q199_CAP)
+            ),
+            F.min("min_len"),
         ).alias("lcp_tokens")
     )
     return (
@@ -1861,17 +1881,19 @@ g0 AS (SELECT doc_id,
               array_to_string(toks[1:{_Q199_KEY}], ' ') AS prefix_key,
               toks[1:{_Q199_CAP}] AS head
        FROM t WHERE len(toks) >= {_Q199_KEY}),
-counts AS (SELECT prefix_key, COUNT(*) AS n_docs
+counts AS (SELECT prefix_key, COUNT(*) AS n_docs, MIN(len(head)) AS min_len
            FROM g0 GROUP BY prefix_key HAVING COUNT(*) >= 2),
-ex AS (SELECT g.prefix_key, c.n_docs, i - 1 AS pos, g.head[i] AS tok
+ex AS (SELECT g.prefix_key, c.n_docs, c.min_len, i - 1 AS pos,
+              g.head[i] AS tok
        FROM g0 g JOIN counts c USING (prefix_key),
             LATERAL (SELECT unnest(generate_series(1, len(g.head))) AS i) s),
-per_pos AS (SELECT prefix_key, n_docs, pos,
+per_pos AS (SELECT prefix_key, n_docs, min_len, pos,
                    COUNT(*) AS cnt, COUNT(DISTINCT tok) AS nd
-            FROM ex GROUP BY 1, 2, 3),
+            FROM ex GROUP BY 1, 2, 3, 4),
 lcp AS (SELECT prefix_key, n_docs,
-               COALESCE(MIN(CASE WHEN NOT (cnt = n_docs AND nd = 1)
-                                 THEN pos END), {_Q199_CAP}) AS lcp_tokens
+               LEAST(COALESCE(MIN(CASE WHEN NOT (cnt = n_docs AND nd = 1)
+                                       THEN pos END), {_Q199_CAP}),
+                     MIN(min_len)) AS lcp_tokens
         FROM per_pos GROUP BY 1, 2)
 SELECT prefix_key, n_docs::BIGINT AS n_docs,
        lcp_tokens::BIGINT AS lcp_tokens,

@@ -147,6 +147,25 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf_dir)
+            # driver-canon contract: the DRIVER's pandas canonicalizer
+            # cannot hash list/dict cells (q117's round-7 red), so a
+            # complex output column is a hard red here even though the
+            # tuple-canon below could tolerate it
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            bad = [
+                f.name
+                for f in sdf.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            if bad:
+                results[name] = {
+                    "err": f"non-scalar output columns {bad} violate the "
+                    "driver canon contract (array_join to a string)"
+                }
+                n_red += 1
+                print(f"RED   {name}: non-scalar columns {bad}")
+                continue
             spark_pdf = sdf.toPandas()
         except Exception:
             results[name] = {"err": traceback.format_exc(limit=5)}

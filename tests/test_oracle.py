@@ -45,6 +45,27 @@ def _rows_to_comparable(columns, rows):
 @pytest.mark.parametrize("name", sorted(ORACLE_SQL))
 def test_query_matches_oracle(name, spark, sf_dir, oracle):
     sdf = QUERIES[name](spark, sf_dir)
+
+    # DRIVER-CANON CONTRACT: the certification harness canonicalizes
+    # result rows with pandas hashing, which cannot hash list/dict
+    # cells — a registered query whose output schema carries an
+    # array/map/struct column errors in the DRIVER's canonicalizer even
+    # when its values are oracle-identical (q117's round-7 red). Scalar
+    # columns only; join arrays into strings (array_join / DuckDB
+    # array_to_string) before returning.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name} emits non-scalar output columns {complex_cols}; the "
+        "driver's pandas canonicalizer cannot hash them — array_join to "
+        "a scalar string in BOTH the Spark query and the oracle SQL"
+    )
+
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 

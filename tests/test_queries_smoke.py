@@ -48,87 +48,41 @@ def test_every_query_has_an_oracle():
 def test_gate_window_composition():
     """The driver certifies only the first 50 registry entries; the
     rotation contract (gate-window comment in
-    pyveb_spark/queries/__init__.py). Round 7 carries the largest
-    first-time wave yet — 30 slots — because every round-6 window member
-    earned its hard CORRECTNESS_r06 row, making all 50 rotation-eligible.
-    Incoming: the nine round-7 heads (q172-q180), the ten analytics-
-    residue queries the r6 verdict named, and eleven q51-q104 block
-    members; each displaced query keeps an in-window (or incoming)
-    family sibling — mapping in the gate comment. Every displaced query
-    must still exist (selfcheck covers it outside the window)."""
+    pyveb_spark/queries/__init__.py). Round 8 is the certification-debt
+    payoff: every round-7 window member except q117 earned its hard
+    CORRECTNESS_r07 row, so the window keeps only the eight ever-standing
+    heads plus the q117 retry, and all 41 incoming slots are
+    never-certified — the 19 round-8 heads q181–q199 and 22 pre-r7
+    residue queries. Every displaced query must still exist (selfcheck
+    covers it outside the window)."""
+    from pyveb_spark.queries import _R8_IN, _R8_OUT
+
     window = list(QUERIES)[:50]
-    must_be_in = [
-        # round-7 heads: first driver certification for each
-        "q172_fuzzy_decontamination", "q173_temperature_mix",
-        "q174_leakage_split", "q175_ccnet_perplexity_tiers",
-        "q176_token_budget_allocation", "q177_packing_budget_sweep",
-        "q178_t5_span_corruption", "q179_cluster_balanced_sample",
-        "q180_ingest_recipe",
-        # analytics residue with real algorithmic content (r6 verdict)
-        "q106_measure_correlations", "q111_quality_score_auc",
-        "q117_vocab_encode", "q131_incremental_rollup",
-        "q133_snapshot_diff", "q142_winsorized_prices",
-        "q143_order_expectations", "q145_gopher_rules",
-        "q146_hard_negatives", "q147_mlm_masking",
-        # q51-q104 block members
-        "q54_sequence_packing", "q55_chunk_dedup",
-        "q56_cms_heavy_hitters", "q65_contamination",
-        "q66_temperature_mix", "q78_epoch_weighting", "q80_winnow_pairs",
-        "q81_repetition", "q82_redact_pii", "q98_funnel",
-        "q104_join_key_skew",
-        # staying family anchors (certified; keep every displaced
-        # family represented)
-        "q89_exact_substring_pairs", "q116_tfidf_search", "q140_sq8_ann",
-        "q167_corrupt_payload_audit", "q169_hybrid_retrieval",
-        "q171_copurchase_kcore", "q114_daily_ohlc",
-        "q99_bpe_merge_pairs", "q103_lm_quality_scores",
-        "q86_fingerprint_dups", "q85_language_id",
-        "q150_pretrain_pipeline_v2", "q31_session_windows",
-        "q48_last_shipper",
+    standing = [
+        "q01_pricing_summary", "q03_revenue_by_nation", "q06_window_topn",
+        "q08_rollup", "q10_set_ops", "q12_json_props",
+        "q31_session_windows", "q48_last_shipper",
     ]
+    must_be_in = standing + ["q117_vocab_encode"] + list(_R8_IN)
     missing = [q for q in must_be_in if q not in window]
-    assert missing == [], f"family heads outside the gate window: {missing}"
-    displaced = [
-        # r4/r5 displacements still outside
-        "q37_ivf_ann", "q90_substring_coverage", "q91_semdedup",
-        "q93_value_histogram", "q94_llm_data_pipeline",
-        "q95_value_outliers", "q88_ivfpq_ann", "q92_profile_orders",
-        "q109_trade_pagerank", "q135_image_dhash_dups", "q138_bpe_merges",
-        "q36_embedding_pairs", "q44_bm25_search", "q29_simhash",
-        "q30_lsh_ann", "q42_hash_sample", "q15_tumbling_window",
-        "q19_knn_cosine", "q50_hll_rollup",
-        # r6 displacements (every one certified green in CORRECTNESS_r05)
-        "q02_shipping_priority", "q04_anti_join", "q09_sort_topk",
-        "q16_dedup_keep_first", "q20_clean_old_dates", "q21_upsert_merge",
-        "q24_string_funcs", "q27_quality_score", "q28_minhash_pairs",
-        "q33_pivot", "q34_product_profit", "q35_range_join",
-        "q41_dup_clusters", "q45_incremental_dedup", "q46_stream_dedup",
-        "q47_stream_enrich",
-        "q154_c4_line_clean", "q159_source_diversity",
-        "q163_curriculum_schedule", "q139_nation_communities",
-        "q96_hourly_gap_fill", "q13_argmax_maxby", "q144_bpe_tokenize",
-        "q157_dp_release", "q151_bloom_pruned_join",
-        "q155_source_kl_drift", "q160_dsir_weights",
-        "q162_ann_recall_audit", "q38_multimodal_decode",
-        "q17_near_dup_pairs", "q32_pipeline_e2e", "q14_asof_join",
-        "q26_stream_upsert", "q18_text_stats",
-        # r7 displacements (every one certified green in CORRECTNESS_r06;
-        # family-sibling mapping in the gate comment)
-        "q153_audio_fingerprint_dups", "q156_span_trim",
-        "q158_phrase_search", "q161_chat_sft_prep",
-        "q164_stream_admission", "q165_incremental_embedding_dedup",
-        "q166_tokenizer_fertility", "q57_kmeans_clusters",
-        "q64_simhash_pairs", "q87_pq_ann", "q102_trigram_counts",
-        "q110_copurchase_triangles", "q112_cdc_apply",
-        "q113_asof_snapshot", "q123_weighted_sample",
-        "q126_weekly_retention", "q130_measure_pca",
-        "q132_salted_revenue", "q149_source_overlap",
-        "q168_repeat_weighting", "q170_fim_transform",
-        "q101_rolling_activity", "q152_k_anonymity",
-        "q141_bloom_admission", "q84_token_freq", "q62_embedding_dedup",
-        "q67_frame_features", "q148_training_shards",
-        "q115_fuzzy_name_pairs", "q119_stream_sliding_windows",
+    assert missing == [], f"expected in the gate window: {missing}"
+    # the round-8 heads and the residue wave fill every non-standing slot
+    assert len(_R8_IN) == 41 and len(_R8_OUT) == 41
+    assert set(window) == set(must_be_in)
+    # every displaced query is still registered (soaks under selfcheck)
+    for q in _R8_OUT:
+        assert q in QUERIES and q not in window, q
+    # deferred residue (next round's window) is still registered too
+    deferred = [
+        "q51_part_value_concentration", "q52_top_supplier",
+        "q53_idle_rich_customers", "q58_order_count_distribution",
+        "q59_disjunctive_revenue", "q60_large_orders",
+        "q68_promo_revenue_share", "q69_supplier_part_counts",
+        "q70_bilateral_volume", "q71_shipmode_priority",
+        "q72_local_supplier_volume", "q73_returned_item_customers",
+        "q77_cheapest_supplier", "q79_excess_stock",
+        "q83_small_qty_revenue",
     ]
-    assert all(q in QUERIES for q in displaced)
-    assert all(q not in window for q in displaced)
+    for q in deferred:
+        assert q in QUERIES and q not in window, q
     assert len(window) == 50

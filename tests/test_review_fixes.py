@@ -220,3 +220,62 @@ def test_sq8_ann_final_cut_uses_rounded_key(spark):
     ids = sorted(r.vec_id for r in out)
     # ids 1..3 all have identical cosine (0.7071...): the id tie-break keeps 1,2
     assert ids == [1, 2]
+
+
+def test_compaction_plan_tied_order_values_use_rows_frame(spark):
+    # r7 advice: duplicate order_cols values under the default RANGE frame
+    # pooled tied files' sizes into one cumulative sum, so tied files could
+    # pack into a group exceeding target + max_file
+    from pyveb_spark.operators.layout import compaction_plan
+
+    files = spark.createDataFrame(
+        [("p", 0, 60), ("p", 0, 60), ("p", 0, 60)],
+        "part string, mtime int, bytes bigint",
+    )
+    out = compaction_plan(
+        files, ["part"], ["mtime"], "bytes", target_bytes=100
+    ).collect()
+    sizes = {}
+    for r in out:
+        sizes[r.compaction_group] = sizes.get(r.compaction_group, 0) + r.bytes
+    # ROWS frame: before = 0,60,120 -> groups 0,0,1; RANGE frame would have
+    # put all three at before=120 -> one 180-byte group
+    assert max(sizes.values()) <= 100 + 60, sizes
+    assert len(sizes) == 2
+
+
+def test_mahalanobis_single_row_and_ragged_vectors(spark):
+    # r7 advice: var_samp is NULL on a single sample (float(None) crash) and
+    # ragged vector lengths leave position gaps that misaligned mus/vars
+    from pyveb_spark.operators.similarity import mahalanobis_outliers
+
+    one = spark.createDataFrame([(1, [1.0, 2.0])], "id int, embedding array<double>")
+    row = mahalanobis_outliers(one).first()
+    assert row.maha_sq == 0.0  # zero-variance dims are skipped
+
+    ragged = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [2.0, 2.0]), (3, [4.0, 4.0, 8.0])],
+        "id int, embedding array<double>",
+    )
+    rows = {r.id: r.maha_sq for r in mahalanobis_outliers(ragged).collect()}
+    # dim0: mu=2 var=4; dim1: mu=2 var=4; dim2 (ids 1,3 only): mu=4 var=32
+    assert rows[1] == pytest.approx(1.0 + 1.0 + 0.5)
+    assert rows[2] == pytest.approx(0.0 + 0.0)  # short vector: fold stops at len 2
+    assert rows[3] == pytest.approx(1.0 + 1.0 + 0.5)
+
+
+def test_prefix_cache_lcp_capped_at_shortest_member(spark, tmp_path):
+    # r7 advice: a group of identical docs shorter than the 16-token cap
+    # produced no per-pos rows past their length, so lcp reported the CAP
+    from pyveb_spark.queries.text import q199_prefix_cache_grouping
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "a b c d e f")],
+        "doc_id bigint, text string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = q199_prefix_cache_grouping(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.lcp_tokens == 6  # the docs' actual length, not the 16 cap
+    assert r.cached_tokens_saved == (3 - 1) * 6
