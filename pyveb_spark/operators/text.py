@@ -1597,3 +1597,96 @@ def preference_pairs(
         F.round("__s_min", 4).alias("rejected_score"),
         F.round(F.col("__s_max") - F.col("__s_min"), 4).alias("margin"),
     )
+
+
+def preference_matches(
+    df: DataFrame,
+    block_col: str,
+    id_col: str,
+    score_col: str,
+    side_col: str,
+) -> DataFrame:
+    """Head-to-head preference matches from a scored corpus — the
+    Chatbot-Arena-shaped input for rating fits (``bradley_terry``) and
+    reward-bias audits: within each ``block_col`` bucket, pair every row
+    with its ``id_col``-successor (a deterministic linear pairing — one
+    lag window, never the O(n²) all-pairs tournament) and call the
+    higher-``score_col`` row the winner. Exact score ties and
+    same-``side_col`` pairings are dropped (a side never plays itself;
+    ties carry no preference signal). Returns one row per match:
+    ``(winner_id, loser_id, winner_side, loser_side, winner_score,
+    loser_score)`` with raw (unrounded) scores, so the winner decision is
+    a pure function of the corpus wherever ``score_col`` follows the
+    deterministic-score contract (q27/q181).
+
+    Scale: one keyed window (lead) over the block — cost linear in rows,
+    one shuffle; at 100 TB with real A/B judgments the lag pairing is
+    replaced by the judgment table and everything downstream is
+    unchanged."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(block_col).orderBy(id_col)
+    nxt = (
+        df.select(block_col, id_col, score_col, side_col)
+        .withColumn("__id_b", F.lead(id_col).over(w))
+        .withColumn("__s_b", F.lead(score_col).over(w))
+        .withColumn("__side_b", F.lead(side_col).over(w))
+        .where(F.col("__id_b").isNotNull())
+        .where(F.col(score_col) != F.col("__s_b"))
+        .where(F.col(side_col) != F.col("__side_b"))
+    )
+    a_wins = F.col(score_col) > F.col("__s_b")
+    return nxt.select(
+        F.when(a_wins, F.col(id_col)).otherwise(F.col("__id_b"))
+        .alias("winner_id"),
+        F.when(a_wins, F.col("__id_b")).otherwise(F.col(id_col))
+        .alias("loser_id"),
+        F.when(a_wins, F.col(side_col)).otherwise(F.col("__side_b"))
+        .alias("winner_side"),
+        F.when(a_wins, F.col("__side_b")).otherwise(F.col(side_col))
+        .alias("loser_side"),
+        F.when(a_wins, F.col(score_col)).otherwise(F.col("__s_b"))
+        .alias("winner_score"),
+        F.when(a_wins, F.col("__s_b")).otherwise(F.col(score_col))
+        .alias("loser_score"),
+    )
+
+
+def bradley_terry(
+    wins: dict[tuple[str, str], int],
+    iters: int = 10,
+    round_to: int = 9,
+) -> dict[str, float]:
+    """Bradley-Terry strength fit via the classic MM update (Hunter 2004
+    — the model behind Elo-style arena leaderboards):
+    ``p_i ← W_i / Σ_j n_ij / (p_i + p_j)``, renormalized to mean 1 each
+    iteration. ``wins[(i, j)]`` is i's win count over j (the side-pair
+    matrix an aggregation produces — model-sized driver state, the
+    k×dim precedent: #sides², NOT #matches).
+
+    Determinism contract: each iteration's strengths are rounded to
+    ``round_to`` decimals AFTER renormalization, and the per-side
+    denominators sum in sorted-side order — so a SQL oracle that unrolls
+    the same ``iters`` updates over the same integer win matrix replays
+    the fit bit-for-bit (float sum-order noise ~1e-16 is absorbed by the
+    1e-9 rounding grid)."""
+    sides = sorted({s for pair in wins for s in pair})
+    n_tot: dict[tuple[str, str], int] = {}
+    w_tot: dict[str, int] = {s: 0 for s in sides}
+    for (i, j), w in wins.items():
+        n_tot[(i, j)] = n_tot.get((i, j), 0) + w
+        n_tot[(j, i)] = n_tot.get((j, i), 0) + w
+        w_tot[i] += w
+    p = {s: 1.0 for s in sides}
+    for _ in range(int(iters)):
+        raw = {}
+        for i in sides:
+            denom = 0.0
+            for j in sides:
+                nij = n_tot.get((i, j), 0)
+                if j != i and nij:
+                    denom += nij / (p[i] + p[j])
+            raw[i] = (w_tot[i] / denom) if denom > 0 else p[i]
+        mean = sum(raw[s] for s in sides) / len(sides)
+        p = {s: round(raw[s] / mean, int(round_to)) for s in sides}
+    return p

@@ -270,6 +270,22 @@ QUERIES = {
     "q197_batch_knn_join": q197_batch_knn_join,
     "q198_prototype_assignment": q198_prototype_assignment,
     "q199_prefix_cache_grouping": q199_prefix_cache_grouping,
+    # round-9 head (built round 8), registered OUTSIDE the window to soak
+    # under selfcheck + seed twins first (the q172/q181 playbook):
+    # q189's production shape — margin mining over the LSH candidate tier
+    "q200_bitext_lsh_mining": q200_bitext_lsh_mining,
+    # preference-data analytics: Bradley-Terry source leaderboard + the
+    # reward length-bias audit over the same match stream
+    "q201_bradley_terry_sources": q201_bradley_terry_sources,
+    "q202_preference_length_bias": q202_preference_length_bias,
+    # GRPO-style group-relative reward normalization over the rollout
+    # stream (events as rollouts, user_id as the prompt group)
+    "q203_group_advantage": q203_group_advantage,
+    # mergeable KMV quantile estimation with built-in exact-error audit
+    "q204_kmv_quantiles": q204_kmv_quantiles,
+    # q186's production shape: the threshold sweep over banded-LSH
+    # candidates (exact prefix-join kernel kept as the recall yardstick)
+    "q205_threshold_sweep_lsh": q205_threshold_sweep_lsh,
 }
 
 ORACLE_SQL = {
@@ -472,6 +488,12 @@ ORACLE_SQL = {
     "q197_batch_knn_join": _Q197_SQL,
     "q198_prototype_assignment": _Q198_SQL,
     "q199_prefix_cache_grouping": _Q199_SQL,
+    "q200_bitext_lsh_mining": _Q200_SQL,
+    "q201_bradley_terry_sources": _q201_sql(),
+    "q202_preference_length_bias": _Q202_SQL,
+    "q203_group_advantage": _Q203_SQL,
+    "q204_kmv_quantiles": _Q204_SQL,
+    "q205_threshold_sweep_lsh": _Q205_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -958,6 +958,14 @@ def q186_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         d, id_col="doc_id", text_col="text", n=2, threshold=0.6
     )
+    return _sweep_pair_thresholds(d, pairs)
+
+
+def _sweep_pair_thresholds(d: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Shared sweep tail of q186/q205: explode a 4-element threshold
+    array over a verified ``(doc_id_a, doc_id_b, jaccard)`` pair set and
+    report per-threshold pair/doc/token impact (keep-first convention:
+    the higher id of each pair is the flagged copy)."""
     thresholds = F.array(*[F.lit(t) for t in (0.6, 0.7, 0.8, 0.9)])
     swept = pairs.select(
         "doc_id_a", "doc_id_b", "jaccard",
@@ -991,20 +999,7 @@ def q186_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q186_SQL = """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-grams AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS g
-          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) s),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
-cand AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS isect
-         FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-         GROUP BY 1, 2),
-pairs AS (SELECT doc_id_a, doc_id_b,
-                 isect * 1.0 / (sa.n + sb.n - isect) AS jaccard
-          FROM cand
-          JOIN sizes sa ON sa.doc_id = doc_id_a
-          JOIN sizes sb ON sb.doc_id = doc_id_b
-          WHERE isect * 1.0 / (sa.n + sb.n - isect) >= 0.6),
+_SWEEP_TAIL_SQL = """
 swept AS (SELECT p.*, t.threshold
           FROM pairs p
           JOIN (VALUES (0.6), (0.7), (0.8), (0.9)) t(threshold)
@@ -1025,6 +1020,21 @@ SELECT ROUND(CAST(pc.threshold AS DOUBLE), 1) AS threshold,
 FROM pc LEFT JOIN fd ON fd.threshold = pc.threshold
 ORDER BY threshold
 """
+
+_Q186_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS g
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) s),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+cand AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS isect
+         FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+pairs AS (SELECT doc_id_a, doc_id_b,
+                 isect * 1.0 / (sa.n + sb.n - isect) AS jaccard
+          FROM cand
+          JOIN sizes sa ON sa.doc_id = doc_id_a
+          JOIN sizes sb ON sb.doc_id = doc_id_b
+          WHERE isect * 1.0 / (sa.n + sb.n - isect) >= 0.6),""" + _SWEEP_TAIL_SQL
 
 
 # ---------------------------------------------------------------------------
@@ -1125,3 +1135,71 @@ FROM allp
 GROUP BY 1, 2, 3
 ORDER BY in_jaccard DESC, in_simhash DESC, in_substring DESC
 """
+
+
+# ---------------------------------------------------------------------------
+# LSH-tier dedup threshold sweep (round-9 head) — q186's production shape
+# ---------------------------------------------------------------------------
+
+def q205_threshold_sweep_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold sweep over the MinHash-LSH candidate tier — the
+    production shape of q186, composed the way q200 pairs with q189:
+    candidates come from ONE banded-LSH pass (32 hashes / 8 bands, whose
+    s-curve midpoint (1/b)^(1/r) ≈ 0.59 sits exactly at the sweep's
+    loosest threshold 0.6 — the banding IS the 0.6 retrieval step, not a
+    coincidence), are exactly Jaccard-verified, and the per-threshold
+    pair/doc/token impact derives from that single verified pair set.
+    q186's exact prefix-join kernel stays registered as the recall
+    yardstick: its candidate stage is Σ prefix_df² — quadratic in corpus
+    under heavy-hitter shingles (measured 23× runtime at 10× corpus on
+    12× output pairs) — while this path is bands × hash-join with the
+    hot-bucket cap, the only viable 100 TB plan; missing pairs follow
+    the LSH recall curve at 0.6 and tighten with bands.
+
+    Determinism: the whole candidate construction is the portable
+    md5/minhash scheme the oracle replays hash-for-hash (q28), and the
+    sweep tail is exact integers (q186)."""
+    from pyveb_spark.operators.dedup import minhash_lsh_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=32, bands=8, threshold=0.6
+    )
+    return _sweep_pair_thresholds(d, pairs)
+
+
+_Q205_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (SELECT doc_id,
+                 list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS gs
+          FROM toks),
+hashed AS (SELECT doc_id,
+                  list_transform(gs, g -> ('0x' || substr(md5(g), 1, 12))::BIGINT) AS gh,
+                  len(gs) AS n
+           FROM grams),
+sigs AS (SELECT doc_id, gh, n, [
+    {_minhash_sql_exprs(32)}
+  ] AS mh
+  FROM hashed WHERE n > 0),
+bandvals AS (SELECT doc_id, [
+    {_band_sql_exprs(32, 8)}
+  ] AS bh
+  FROM sigs),
+banded AS (SELECT doc_id, generate_subscripts(bh, 1) AS band, unnest(bh) AS h
+           FROM bandvals),
+bsz AS (SELECT band, h, COUNT(*) AS m FROM banded GROUP BY band, h),
+bandedc AS (SELECT banded.doc_id, banded.band, banded.h
+            FROM banded JOIN bsz USING (band, h)
+            WHERE m <= {_LSH_CAP}),
+cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         FROM bandedc a JOIN bandedc b
+           ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+pairs AS (
+  SELECT ida AS doc_id_a, idb AS doc_id_b,
+         len(list_intersect(ga.gh, gb.gh)) * 1.0
+           / (ga.n + gb.n - len(list_intersect(ga.gh, gb.gh))) AS jaccard
+  FROM cand
+  JOIN hashed ga ON ga.doc_id = ida
+  JOIN hashed gb ON gb.doc_id = idb
+  WHERE len(list_intersect(ga.gh, gb.gh)) * 1.0
+          / (ga.n + gb.n - len(list_intersect(ga.gh, gb.gh))) >= 0.6),""" + _SWEEP_TAIL_SQL

@@ -1074,3 +1074,89 @@ SELECT s.label, s.n_ref, s.n_cur, s.share_ref, s.share_cur, c.centroid_cos
 FROM shares s JOIN cent c USING (label)
 ORDER BY s.label
 """
+
+
+# ---------------------------------------------------------------------------
+# Group-relative reward normalization (round-9 head)
+# ---------------------------------------------------------------------------
+
+def q203_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-relative advantage normalization — the GRPO-style batch
+    statistic (Shao et al. 2024's group-normalized advantage
+    ``(r - mean_group) / std_group``, the critic-free baseline every
+    group-sampled RL recipe computes per prompt group): events are the
+    rollout stream, ``user_id`` the prompt group, ``value`` the scalar
+    reward. Per group: rollout count, mean/std of reward, the group's
+    max advantage, and how many rollouts a ±2 clip would touch — the
+    monitoring table that catches degenerate groups (zero variance =
+    no learning signal) and reward-scale drift before a training run.
+    Emits the 25 groups with the highest max advantage among groups of
+    ≥ 5 rollouts.
+
+    Scale: ONE groupBy with decimal-exact sum/sum-of-squares (map-side
+    combinable) + a same-key window to count clipped rollouts — no
+    self-join, cost linear in rollouts; the per-group state is two
+    numbers. Determinism: rewards are 2-decimal money-like → DECIMAL
+    sums are exact and order-free; mean/std/advantage are single double
+    expressions over those exact sums, so both engines compare the
+    identical clip threshold bit-for-bit."""
+    e = read_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(14,2)")
+    dec2 = (dec * dec).cast("decimal(28,4)")
+    w = Window.partitionBy("user_id")
+    enriched = (
+        e.select("user_id", "value")
+        .withColumn("__n", F.count(F.lit(1)).over(w))
+        .withColumn("__s", F.sum(dec).over(w).cast("double"))
+        .withColumn("__ss", F.sum(dec2).over(w).cast("double"))
+        .where(F.col("__n") >= 5)
+    )
+    n = F.col("__n").cast("double")
+    mean = F.col("__s") / n
+    var = (F.col("__ss") - F.col("__s") * F.col("__s") / n) / (n - 1)
+    std = F.sqrt(var)
+    adv = (F.col("value") - mean) / std
+    return (
+        enriched.withColumn("__adv", adv)
+        .groupBy("user_id")
+        .agg(
+            F.max("__n").cast("bigint").alias("n_rollouts"),
+            F.round(F.max(mean), 4).alias("mean_reward"),
+            F.round(F.max(std), 4).alias("std_reward"),
+            F.round(F.max("__adv"), 4).alias("max_advantage"),
+            F.sum(
+                F.when(F.abs(F.col("__adv")) > 2.0, 1).otherwise(0)
+            ).cast("bigint").alias("n_clipped"),
+        )
+        .orderBy(F.desc("max_advantage"), "user_id")
+        .limit(25)
+    )
+
+
+_Q203_SQL = """
+WITH g AS (
+    SELECT user_id,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS s,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(14,2))
+                         * CAST(value AS DECIMAL(14,2))
+                         AS DECIMAL(28,4))) AS DOUBLE) AS ss
+    FROM events GROUP BY user_id HAVING COUNT(*) >= 5),
+scored AS (
+    SELECT e.user_id, g.n,
+           g.s / g.n AS mean,
+           sqrt((g.ss - g.s * g.s / g.n) / (g.n - 1)) AS std,
+           (e.value - g.s / g.n)
+             / sqrt((g.ss - g.s * g.s / g.n) / (g.n - 1)) AS adv
+    FROM events e JOIN g USING (user_id))
+SELECT user_id,
+       CAST(MAX(n) AS BIGINT) AS n_rollouts,
+       ROUND(MAX(mean), 4) AS mean_reward,
+       ROUND(MAX(std), 4) AS std_reward,
+       ROUND(MAX(adv), 4) AS max_advantage,
+       SUM(CASE WHEN ABS(adv) > 2.0 THEN 1 ELSE 0 END)::BIGINT AS n_clipped
+FROM scored
+GROUP BY user_id
+ORDER BY max_advantage DESC, user_id
+LIMIT 25
+"""

@@ -1168,6 +1168,127 @@ LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# LSH-tier margin bitext mining (round-9 head) — q189's production shape
+# ---------------------------------------------------------------------------
+
+def q200_bitext_lsh_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining over the LSH candidate tier — the
+    production shape of q189 (Artetxe & Schwenk 2019), composed the way
+    q45/q172 pair exact machinery with q17: candidates come from the
+    bucketed ``lsh_cosine_lookup`` (even vec_ids = source side probing
+    the odd-id target side through the shared md5-derived hyperplanes,
+    exact rescoring, round(cosine,4) ≥ 0.3), and
+    ``margin_bitext_mine`` re-scores that bounded set unchanged with
+    k=4 hubness normalization. q189's exact O(n²) kernel stays
+    registered as this path's recall yardstick (the q162-style audit:
+    every pair mined here is scored identically there; only recall
+    differs, by the single-probe LSH curve).
+
+    Scale: this is the shape that survives 100 TB — the bucket equijoin
+    touches ~|src|·E[bucket] rows instead of |src|·|tgt|, the margin
+    stage is two keyed windows over candidates, and with the target side
+    persisted as a bucketed index the whole mine is an incremental batch
+    admission. Determinism: 4-decimal cosines, decimal-summed
+    neighbourhood averages, single double division, margin round(6) —
+    the q189 contract verbatim."""
+    from pyveb_spark.operators.similarity import (
+        lsh_cosine_lookup,
+        margin_bitext_mine,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    src = e.where(F.col("vec_id") % 2 == 0)
+    tgt = e.where(F.col("vec_id") % 2 == 1)
+    cand = lsh_cosine_lookup(src, tgt, threshold=0.3, n_planes=6, seed=42)
+    labels = e.select("vec_id", "label")
+    directed = (
+        cand.select(
+            F.col("vec_id_new").alias("src_id"),
+            F.col("vec_id_corpus").alias("tgt_id"),
+            "cosine_sim",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("src_id"),
+                F.col("label").alias("src_label"),
+            ),
+            "src_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("tgt_id"),
+                F.col("label").alias("tgt_label"),
+            ),
+            "tgt_id",
+        )
+    )
+    mined = margin_bitext_mine(directed, k=4)
+    return (
+        mined.orderBy(F.desc("margin"), "src_id", "tgt_id")
+        .limit(20)
+        .select(
+            "src_id", "tgt_id", "src_label", "tgt_label",
+            "cosine_sim", "margin",
+        )
+    )
+
+
+_Q200_SQL = """
+WITH vecd AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                     unnest(embedding::DOUBLE[]) AS v
+              FROM embeddings),
+bits AS (SELECT vec_id, j,
+                CASE WHEN SUM(v * (CASE WHEN (('0x' || substr(md5('plane|42|' || j || '|' || d), 1, 12))::BIGINT % 2) = 1
+                                        THEN 1.0 ELSE -1.0 END)) >= 0
+                     THEN 1 ELSE 0 END AS bit
+         FROM vecd CROSS JOIN (SELECT unnest(range(0, 6)) AS j) jj
+         GROUP BY vec_id, j),
+bkt AS (SELECT vec_id, CAST(SUM(bit * (1::BIGINT << j)) AS BIGINT) AS bucket
+        FROM bits GROUP BY vec_id),
+directed AS (
+  SELECT * FROM (
+    SELECT s.vec_id AS src_id, s.label AS src_label,
+           t.vec_id AS tgt_id, t.label AS tgt_label,
+           ROUND(list_dot_product(s.embedding::DOUBLE[], t.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(t.embedding::DOUBLE[], t.embedding::DOUBLE[]))),
+                 4) AS cosine_sim
+    FROM bkt a JOIN bkt b ON a.bucket = b.bucket
+    JOIN embeddings s ON s.vec_id = a.vec_id
+    JOIN embeddings t ON t.vec_id = b.vec_id
+    WHERE s.vec_id % 2 = 0 AND t.vec_id % 2 = 1)
+  WHERE cosine_sim >= 0.3),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY src_id
+                            ORDER BY cosine_sim DESC, tgt_id) AS rn_f,
+         ROW_NUMBER() OVER (PARTITION BY tgt_id
+                            ORDER BY cosine_sim DESC, src_id) AS rn_b
+  FROM directed),
+nf AS (SELECT src_id,
+              CAST(SUM(CAST(cosine_sim AS DECIMAL(8,4))) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS avg_src
+       FROM ranked WHERE rn_f <= 4 GROUP BY src_id),
+nb AS (SELECT tgt_id,
+              CAST(SUM(CAST(cosine_sim AS DECIMAL(8,4))) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS avg_tgt
+       FROM ranked WHERE rn_b <= 4 GROUP BY tgt_id),
+mined AS (
+  SELECT r.src_id, r.tgt_id, r.src_label, r.tgt_label, r.cosine_sim,
+         ROUND(r.cosine_sim / ((nf.avg_src + nb.avg_tgt)
+                               / CAST(2 AS DOUBLE)), 6) AS margin
+  FROM ranked r
+  JOIN nf ON nf.src_id = r.src_id
+  JOIN nb ON nb.tgt_id = r.tgt_id
+  WHERE r.rn_f <= 4 OR r.rn_b <= 4)
+SELECT src_id, tgt_id, src_label, tgt_label, cosine_sim, margin
+FROM mined
+ORDER BY margin DESC, src_id, tgt_id
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # Embedding OOD screen (round-8 head)
 # ---------------------------------------------------------------------------
 

@@ -503,3 +503,136 @@ JOIN sizes sb ON sb.prio = e.pb
 LEFT JOIN ex ON ex.pa = e.pa AND ex.pb = e.pb
 ORDER BY e.pa, e.pb
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV quantile sketch + self-audit (round-9 head)
+# ---------------------------------------------------------------------------
+
+_Q204_K = 32
+
+
+def q204_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KMV quantile estimation with a built-in accuracy audit
+    (Bar-Yossef 2002's k-minimum-values as a UNIFORM SAMPLER: the rows
+    holding the k smallest md5 hashes of their key are a uniform random
+    subset, so order statistics over their values estimate the
+    population quantiles — the same hash-sample duality DataSketches'
+    sampling sketches exploit, here fully engine-replayable): per
+    source, estimate the p50/p90 of document length from the k=32
+    smallest-hash sample AND compute the exact percentiles next to them
+    with the absolute error — the sketch that audits itself, the table
+    a 100 TB profiler consults before trusting sampled statistics.
+
+    Scale: the sample set is associative/mergeable state (k smallest
+    hashes — the window computes the same result one partial-combine
+    would); exact percentiles here are the AUDIT column — at 100 TB you
+    keep only the sketch path (k rows per group, broadcastable).
+    Determinism: 48-bit md5 hash order (ties impossible after distinct
+    ids), integer values, rank = ceil(p·n) over (value, doc_id) order —
+    every output cell is an exact integer in both engines."""
+    from pyveb_spark.operators.dedup import portable_hash48
+
+    d = read_table(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        portable_hash48(
+            F.concat(F.lit("kmvq|"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+
+    def quantile_cols(df: DataFrame, prefix: str) -> DataFrame:
+        wv = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+        wn = Window.partitionBy("source")
+        ranked = df.withColumn("__vr", F.row_number().over(wv)).withColumn(
+            "__n", F.count(F.lit(1)).over(wn)
+        )
+        pick = lambda p: F.max(  # noqa: E731
+            F.when(
+                F.col("__vr")
+                == F.ceil(F.lit(p) * F.col("__n")).cast("bigint"),
+                F.col("n_chars"),
+            )
+        ).cast("bigint")
+        return ranked.groupBy("source").agg(
+            F.max("__n").cast("bigint").alias(f"{prefix}_n"),
+            pick(0.5).alias(f"{prefix}_p50"),
+            pick(0.9).alias(f"{prefix}_p90"),
+        )
+
+    wH = Window.partitionBy("source").orderBy("h")
+    sample = (
+        base.withColumn("__hr", F.row_number().over(wH))
+        .where(F.col("__hr") <= _Q204_K)
+        .drop("__hr")
+    )
+    est = quantile_cols(sample, "est")
+    exact = quantile_cols(base, "exact")
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            F.col("exact_n").alias("n_docs"),
+            F.col("est_p50"),
+            F.col("exact_p50"),
+            F.abs(F.col("est_p50") - F.col("exact_p50"))
+            .cast("bigint")
+            .alias("err_p50"),
+            F.col("est_p90"),
+            F.col("exact_p90"),
+            F.abs(F.col("est_p90") - F.col("exact_p90"))
+            .cast("bigint")
+            .alias("err_p90"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q204_SQL = f"""
+WITH base AS (
+    SELECT source, doc_id, n_chars,
+           ('0x' || substr(md5('kmvq|' || doc_id), 1, 12))::BIGINT AS h
+    FROM documents),
+samp AS (
+    SELECT * FROM (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS hr
+        FROM base)
+    WHERE hr <= {_Q204_K}),
+est_r AS (
+    SELECT source, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS vr,
+           COUNT(*) OVER (PARTITION BY source) AS n
+    FROM samp),
+est AS (
+    SELECT source,
+           CAST(MAX(CASE WHEN vr = CAST(CEIL(0.5 * n) AS BIGINT)
+                         THEN n_chars END) AS BIGINT) AS est_p50,
+           CAST(MAX(CASE WHEN vr = CAST(CEIL(0.9 * n) AS BIGINT)
+                         THEN n_chars END) AS BIGINT) AS est_p90
+    FROM est_r GROUP BY source),
+ex_r AS (
+    SELECT source, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS vr,
+           COUNT(*) OVER (PARTITION BY source) AS n
+    FROM base),
+ex AS (
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MAX(CASE WHEN vr = CAST(CEIL(0.5 * n) AS BIGINT)
+                         THEN n_chars END) AS BIGINT) AS exact_p50,
+           CAST(MAX(CASE WHEN vr = CAST(CEIL(0.9 * n) AS BIGINT)
+                         THEN n_chars END) AS BIGINT) AS exact_p90
+    FROM ex_r GROUP BY source)
+SELECT e.source, x.n_docs,
+       e.est_p50, x.exact_p50,
+       CAST(ABS(e.est_p50 - x.exact_p50) AS BIGINT) AS err_p50,
+       e.est_p90, x.exact_p90,
+       CAST(ABS(e.est_p90 - x.exact_p90) AS BIGINT) AS err_p90
+FROM est e JOIN ex x USING (source)
+ORDER BY e.source
+"""

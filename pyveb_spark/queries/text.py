@@ -1902,3 +1902,269 @@ FROM lcp
 ORDER BY cached_tokens_saved DESC, prefix_key
 LIMIT 15
 """
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry source-strength leaderboard (round-9 head)
+# ---------------------------------------------------------------------------
+
+_Q201_ITERS = 10
+
+
+def q201_bradley_terry_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bradley-Terry strength leaderboard over data sources
+    (``operators/text.py::preference_matches + bradley_terry`` — Hunter
+    2004's MM updates, the model behind Chatbot-Arena-style Elo
+    leaderboards): within each language, documents meet their
+    doc_id-successor head-to-head and the higher q27 quality score wins;
+    per-(winner_source, loser_source) win counts feed a 10-iteration BT
+    fit whose strengths say which SOURCE wins quality comparisons after
+    controlling for who it was compared against — the preference-data
+    analogue of the per-source quality ranking, robust to unbalanced
+    pairings where raw win-rate is not.
+
+    Scale: matches are ONE lag window (linear, never the n² tournament);
+    the win matrix is #sources² driver state (the k×dim precedent), and
+    the fit runs on that matrix, never on match rows. Determinism: the
+    winner decision compares raw q27 doubles (bit-identical by the q27
+    contract); each MM iteration renormalizes to mean 1 and rounds to
+    9 decimals — the oracle unrolls the identical 10 updates over the
+    identical integer win matrix."""
+    from pyveb_spark.operators.text import (
+        bradley_terry,
+        preference_matches,
+        quality_score,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    scored = quality_score(d, "text").select(
+        "lang", "doc_id", "source", "quality_score"
+    )
+    matches = preference_matches(
+        scored, "lang", "doc_id", "quality_score", "source"
+    )
+    counts = matches.groupBy("winner_side", "loser_side").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    wins = {
+        (r["winner_side"], r["loser_side"]): int(r["w"])
+        for r in counts.collect()
+    }
+    strengths = bradley_terry(wins, iters=_Q201_ITERS)
+    smap = F.create_map(
+        *[F.lit(x) for kv in strengths.items() for x in kv]
+    )
+    plays = matches.select(
+        F.col("winner_side").alias("source"), F.lit(1).alias("win")
+    ).unionAll(
+        matches.select(
+            F.col("loser_side").alias("source"), F.lit(0).alias("win")
+        )
+    )
+    per_side = plays.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.sum("win").cast("bigint").alias("n_wins"),
+    )
+    w = Window.orderBy(F.desc("strength"), "source")
+    return (
+        per_side.withColumn(
+            "strength", F.round(smap[F.col("source")], 6)
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "source", "n_matches", "n_wins", "strength")
+        .orderBy("rank")
+    )
+
+
+def _q201_sql() -> str:
+    """Unrolled 10-iteration Bradley-Terry MM fit (mirrors
+    ``bradley_terry``'s determinism contract: renormalize to mean 1,
+    round(9) per iteration)."""
+    heads = """
+WITH stats AS (
+    SELECT doc_id, source, lang,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
+           len(list_distinct(string_split(text, ' '))) AS n_unique
+    FROM documents),
+scored AS (
+    SELECT doc_id, source, lang,
+           least(n_tokens / 50.0, 1.0) * 0.4
+             + (CAST(n_unique AS DOUBLE) / n_tokens) * 0.4
+             + least((CAST(n_stop AS DOUBLE) / n_tokens) * 5.0, 1.0) * 0.2
+             AS s
+    FROM scored_src),
+m0 AS MATERIALIZED (
+    SELECT lang, doc_id, source, s,
+           LEAD(doc_id) OVER w AS id_b,
+           LEAD(source) OVER w AS side_b,
+           LEAD(s) OVER w AS s_b
+    FROM scored WINDOW w AS (PARTITION BY lang ORDER BY doc_id)),
+matches AS MATERIALIZED (
+    SELECT CASE WHEN s > s_b THEN source ELSE side_b END AS wside,
+           CASE WHEN s > s_b THEN side_b ELSE source END AS lside
+    FROM m0
+    WHERE id_b IS NOT NULL AND s <> s_b AND source <> side_b),
+wins AS MATERIALIZED (SELECT wside AS i, lside AS j, COUNT(*) AS w
+         FROM matches GROUP BY 1, 2),
+ntot AS MATERIALIZED (SELECT i, j, SUM(w) AS n FROM (
+             SELECT i, j, w FROM wins
+             UNION ALL SELECT j AS i, i AS j, w FROM wins)
+         GROUP BY 1, 2),
+wtot AS MATERIALIZED (SELECT i, SUM(w) AS wi FROM wins GROUP BY 1),
+p0 AS MATERIALIZED (SELECT DISTINCT i AS s, 1.0 AS p FROM ntot)"""
+    # the quality-score CTE reads documents directly (scored_src alias
+    # keeps the SQL readable above)
+    heads = heads.replace("FROM scored_src", "FROM stats")
+    iters = []
+    prev = "p0"
+    for k in range(1, _Q201_ITERS + 1):
+        iters.append(f"""
+r{k} AS MATERIALIZED (SELECT n.i AS s,
+              COALESCE(ANY_VALUE(w.wi), 0)
+                / SUM(n.n / (pi.p + pj.p)) AS praw
+       FROM ntot n
+       JOIN {prev} pi ON pi.s = n.i
+       JOIN {prev} pj ON pj.s = n.j
+       LEFT JOIN wtot w ON w.i = n.i
+       GROUP BY n.i),
+p{k} AS MATERIALIZED (SELECT s,
+              ROUND(praw / (SELECT SUM(praw) / COUNT(*) FROM r{k}), 9)
+                AS p
+       FROM r{k})""")
+        prev = f"p{k}"
+    tail = f"""
+plays AS (SELECT wside AS source, 1 AS win FROM matches
+          UNION ALL SELECT lside AS source, 0 AS win FROM matches),
+per_side AS (SELECT source, COUNT(*)::BIGINT AS n_matches,
+                    SUM(win)::BIGINT AS n_wins
+             FROM plays GROUP BY source),
+final AS (SELECT ps.source, ps.n_matches, ps.n_wins,
+                 ROUND(p.p, 6) AS strength
+          FROM per_side ps JOIN {prev} p ON p.s = ps.source)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY strength DESC, source) AS INT)
+         AS rank,
+       source, n_matches, n_wins, strength
+FROM final
+ORDER BY rank"""
+    return heads + "," + ",".join(iters) + "," + tail
+
+
+# ---------------------------------------------------------------------------
+# Preference-pair length-bias audit (round-9 head)
+# ---------------------------------------------------------------------------
+
+def q202_preference_length_bias(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Length-bias audit of a preference signal — the standard
+    reward-model sanity check (verbosity bias is the best-documented
+    failure of learned and heuristic reward signals alike): over the
+    same head-to-head match stream as q201, measure per language how
+    often the WINNER is also the LONGER document and the mean length
+    delta (winner − loser chars). A frac_winner_longer far above 0.5
+    means the quality signal is substantially a length proxy — exactly
+    what q27's 50-token length-term saturation is supposed to bound.
+
+    Scale: the q201 lag-window match stream + two doc_id-keyed joins to
+    fetch lengths + one groupBy — all linear. Determinism: winner choice
+    on raw q27 doubles (q181 contract); counts and char sums are exact
+    integers; the two reported ratios are single final double
+    divisions."""
+    from pyveb_spark.operators.text import preference_matches, quality_score
+
+    d = read_table(spark, sf_dir, "documents")
+    scored = quality_score(d, "text").select(
+        "lang", "doc_id", "source", "quality_score"
+    )
+    matches = preference_matches(
+        scored, "lang", "doc_id", "quality_score", "source"
+    ).join(
+        d.select(F.col("doc_id").alias("winner_id"),
+                 F.col("n_chars").alias("winner_chars"),
+                 F.col("lang")),
+        "winner_id",
+    ).join(
+        d.select(F.col("doc_id").alias("loser_id"),
+                 F.col("n_chars").alias("loser_chars")),
+        "loser_id",
+    )
+    return (
+        matches.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.when(
+                    F.col("winner_chars") > F.col("loser_chars"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_winner_longer"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("winner_chars") > F.col("loser_chars"), 1
+                    ).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("__frac"),
+            (
+                F.sum(
+                    F.col("winner_chars") - F.col("loser_chars")
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("__delta"),
+        )
+        .select(
+            "lang",
+            "n_pairs",
+            "n_winner_longer",
+            F.round("__frac", 6).alias("frac_winner_longer"),
+            F.round("__delta", 2).alias("mean_char_delta"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q202_SQL = """
+WITH stats AS (
+    SELECT doc_id, source, lang, n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
+           len(list_distinct(string_split(text, ' '))) AS n_unique
+    FROM documents),
+scored AS (
+    SELECT doc_id, source, lang, n_chars,
+           least(n_tokens / 50.0, 1.0) * 0.4
+             + (CAST(n_unique AS DOUBLE) / n_tokens) * 0.4
+             + least((CAST(n_stop AS DOUBLE) / n_tokens) * 5.0, 1.0) * 0.2
+             AS s
+    FROM stats),
+m0 AS (
+    SELECT lang, doc_id, source, s, n_chars,
+           LEAD(doc_id) OVER w AS id_b,
+           LEAD(source) OVER w AS side_b,
+           LEAD(s) OVER w AS s_b,
+           LEAD(n_chars) OVER w AS chars_b
+    FROM scored WINDOW w AS (PARTITION BY lang ORDER BY doc_id)),
+matches AS (
+    SELECT lang,
+           CASE WHEN s > s_b THEN n_chars ELSE chars_b END AS winner_chars,
+           CASE WHEN s > s_b THEN chars_b ELSE n_chars END AS loser_chars
+    FROM m0
+    WHERE id_b IS NOT NULL AND s <> s_b AND source <> side_b)
+SELECT lang,
+       COUNT(*)::BIGINT AS n_pairs,
+       SUM(CASE WHEN winner_chars > loser_chars THEN 1 ELSE 0 END)::BIGINT
+         AS n_winner_longer,
+       ROUND(CAST(SUM(CASE WHEN winner_chars > loser_chars
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS frac_winner_longer,
+       ROUND(CAST(SUM(winner_chars - loser_chars) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 2) AS mean_char_delta
+FROM matches
+GROUP BY lang
+ORDER BY lang
+"""

@@ -201,3 +201,39 @@ def test_q199_group_lcp_is_exact(spark, monkeypatch, tmp_path):
     assert out["a b c d"] == (3, 5, 10)
     assert out["k l m n"] == (2, 4, 4)
     assert "q r s t" not in out
+
+
+def test_lsh_tier_bitext_recall_vs_exact(spark, sf_dir):
+    """q200 (LSH candidate tier) vs q189 (exact O(n²) kernel, its recall
+    yardstick): every pair the LSH tier mines must exist in the exact
+    tier's candidate universe with the IDENTICAL rounded cosine — the LSH
+    tier can only lose candidates (single-probe recall curve), never
+    invent or re-score them."""
+    from pyveb_spark.queries.similarity import (
+        q189_bitext_margin_mining,
+        q200_bitext_lsh_mining,
+    )
+    from pyveb_spark.operators.similarity import cosine_pairs
+    from pyveb_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    lsh_pairs = {
+        (r.src_id, r.tgt_id): r.cosine_sim
+        for r in q200_bitext_lsh_mining(spark, sf_dir).collect()
+    }
+    assert lsh_pairs, "LSH tier mined nothing on the fixture"
+
+    e = read_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    exact = cosine_pairs(
+        e, threshold=0.3, id_col="vec_id", vec_col="embedding",
+        n_blocks=max(8, -(-n // 3000)),
+    ).collect()
+    exact_sims = {}
+    for r in exact:
+        exact_sims[(r.vec_id_a, r.vec_id_b)] = r.cosine_sim
+        exact_sims[(r.vec_id_b, r.vec_id_a)] = r.cosine_sim
+    for (s, t), sim in lsh_pairs.items():
+        assert s % 2 == 0 and t % 2 == 1  # directed bitext sides
+        assert (s, t) in exact_sims, f"LSH invented pair {(s, t)}"
+        assert exact_sims[(s, t)] == sim, f"re-scored pair {(s, t)}"

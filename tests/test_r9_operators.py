@@ -1,0 +1,129 @@
+"""Unit tests for the round-9 heads built in round 8: Bradley-Terry
+source strength (q201), preference length-bias audit (q202), GRPO-style
+group advantage (q203), KMV quantile sketch audit (q204), and the
+LSH-tier bitext miner's operators (q200's pieces are covered in
+test_r8_operators)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_bradley_terry_dominant_side_ranks_first():
+    from pyveb_spark.operators.text import bradley_terry
+
+    # a beats everyone, c loses to everyone
+    p = bradley_terry({("a", "b"): 8, ("a", "c"): 8, ("b", "c"): 5,
+                       ("b", "a"): 2, ("c", "b"): 1})
+    assert p["a"] > p["b"] > p["c"]
+    # renormalized to mean 1 each iteration
+    assert math.isclose(sum(p.values()) / 3, 1.0, rel_tol=1e-6)
+
+
+def test_bradley_terry_symmetric_wins_are_even():
+    from pyveb_spark.operators.text import bradley_terry
+
+    p = bradley_terry({("a", "b"): 5, ("b", "a"): 5})
+    assert p["a"] == p["b"] == pytest.approx(1.0)
+
+
+def test_preference_matches_drops_ties_and_same_side(spark):
+    from pyveb_spark.operators.text import preference_matches
+
+    df = spark.createDataFrame(
+        [
+            # block 1: (1,2) same side -> dropped; (2,3) tie -> dropped;
+            # (3,4) valid, 4 wins
+            (1, "en", "s1", 0.5),
+            (2, "en", "s1", 0.7),
+            (3, "en", "s2", 0.7),
+            (4, "en", "s3", 0.9),
+        ],
+        "doc_id int, lang string, source string, score double",
+    )
+    out = preference_matches(df, "lang", "doc_id", "score", "source").collect()
+    assert len(out) == 1
+    m = out[0]
+    assert (m.winner_id, m.loser_id) == (4, 3)
+    assert (m.winner_side, m.loser_side) == ("s3", "s2")
+    assert m.winner_score > m.loser_score
+
+
+def test_group_advantage_stats_match_hand_calc(spark, tmp_path):
+    from pyveb_spark.queries.profile import q203_group_advantage
+
+    # n=7 so the outlier's advantage can exceed 2 (the max possible
+    # advantage is (n-1)/sqrt(n), only 1.79 at n=5)
+    vals = [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 100.0]
+    rows = [(i, "2024-01-01 00:00:00", 7, "view", v, "{}")
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = q203_group_advantage(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum((v - mean) ** 2 for v in vals) / (n - 1)
+    std = math.sqrt(var)
+    assert r.n_rollouts == n
+    assert r.mean_reward == pytest.approx(round(mean, 4))
+    assert r.std_reward == pytest.approx(round(std, 4))
+    assert r.max_advantage == pytest.approx(round((100.0 - mean) / std, 4))
+    # only the 100.0 outlier crosses |adv| > 2
+    assert r.n_clipped == 1
+
+
+def test_kmv_quantiles_exact_when_sample_covers_source(spark, tmp_path):
+    from pyveb_spark.queries.sketches import _Q204_K, q204_kmv_quantiles
+
+    # 20 docs per source (< k=32): the KMV sample IS the population, so
+    # estimated percentiles must equal the exact ones with zero error
+    rows = []
+    for s in ("alpha", "beta"):
+        for i in range(20):
+            did = i if s == "alpha" else 100 + i
+            rows.append((did, "x", "en", s, (i + 1) * 10))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    assert df.count() < 2 * _Q204_K
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in q204_kmv_quantiles(spark, str(tmp_path)).collect()}
+    for s in ("alpha", "beta"):
+        r = out[s]
+        assert r.err_p50 == 0 and r.err_p90 == 0
+        assert r.exact_p50 == 100  # ceil(0.5*20)=10th value = 100
+        assert r.exact_p90 == 180  # ceil(0.9*20)=18th value = 180
+
+
+def test_lsh_tier_sweep_is_subset_of_exact(spark, sf_dir):
+    """q205 (LSH candidate tier) vs q186 (exact prefix-join kernel, its
+    recall yardstick): per threshold, the LSH tier can only LOSE pairs
+    (single-pass banding recall), never invent them — so every impact
+    figure is bounded by the exact sweep's."""
+    from pyveb_spark.queries.dedup import (
+        q186_dedup_threshold_sweep,
+        q205_threshold_sweep_lsh,
+    )
+
+    exact = {r.threshold: r for r in
+             q186_dedup_threshold_sweep(spark, sf_dir).collect()}
+    lsh = {r.threshold: r for r in
+           q205_threshold_sweep_lsh(spark, sf_dir).collect()}
+    assert set(lsh) == set(exact) == {0.6, 0.7, 0.8, 0.9}
+    for t, r in lsh.items():
+        e = exact[t]
+        assert r.n_pairs <= e.n_pairs
+        assert r.n_docs_flagged <= e.n_docs_flagged
+        assert (r.tokens_flagged or 0) <= (e.tokens_flagged or 0)
+    # and on the planted-dup fixture the 0.9 tier must actually find dups
+    assert lsh[0.9].n_pairs > 0
