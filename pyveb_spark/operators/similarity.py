@@ -1250,6 +1250,124 @@ def lsh_cosine_lookup(
     )
 
 
+def lsh_cosine_cross_pairs(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    threshold: float,
+    n_planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int = 4000,
+) -> DataFrame:
+    """Cross-side cosine candidate pairs through the LSH bucket
+    structure — the MINING shape (both sides corpus-sized), as
+    ``lsh_cosine_lookup`` is the ADMISSION shape (tiny batch vs corpus).
+    The distinction matters at scale and was measured, not guessed: a
+    corpus×corpus bucket equijoin that evaluates the cosine as an
+    interpreted ``zip_with`` join predicate runs per-candidate on the
+    JVM's slow higher-order-function path AND inherits the bucket key's
+    skew (a handful of hot-bucket tasks own nearly all candidates) — at
+    50 k vectors that shape ran 10+ minutes where this one takes
+    seconds. Three rules fix it:
+
+    1. **Join ids, not vectors**: both sides hash with the shared
+       md5-derived hyperplanes; the bucket equijoin carries only
+       (id, bucket) rows, so the shuffle is corpus-thin.
+    2. **Cap hot buckets BEFORE the join** (``max_bucket_size`` on the
+       UNION membership — the minhash-LSH skew rule, SCALE.md): a
+       bucket with m members is m_a×m_b candidate pairs in one join
+       key. For sign-LSH the hot buckets are the HUB regions — vectors
+       similar to everything — which margin-based consumers (q200)
+       demote anyway; resolution (``n_planes``) is the production knob
+       that splits them as the corpus grows.
+    3. **Rescore vectorized off the bucket key**: candidates are
+       ``repartition``ed (skew-free), joined back to their vectors, and
+       exactly rescored in numpy over Arrow batches (``mapInPandas``) —
+       the ``cosine_pairs`` discipline, never the per-pair interpreted
+       fold (~50× slower).
+
+    Returns ``(<id>_a, <id>_b, cosine_sim)`` with ``round(cosine, 4) ≥
+    threshold``; pairs are distinct, sides keep their origin (a-side id
+    in ``_a``). The whole construction — planes, buckets, cap, rounded
+    rescore — replays under the SQL oracle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    a, b = f"{id_col}_a", f"{id_col}_b"
+    dim_row = a_df.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        return a_df.sparkSession.createDataFrame(
+            [], f"{a} bigint, {b} bigint, cosine_sim double"
+        )
+    dim = int(dim_row["d"])
+    ab = lsh_bucket(
+        a_df.select(id_col, vec_col), dim, n_planes, vec_col=vec_col,
+        seed=seed, bucket_col="__b",
+    ).select(F.col(id_col).alias(a), "__b")
+    bb = lsh_bucket(
+        b_df.select(id_col, vec_col), dim, n_planes, vec_col=vec_col,
+        seed=seed, bucket_col="__b",
+    ).select(F.col(id_col).alias(b), "__b")
+    ok = (
+        ab.select("__b")
+        .unionAll(bb.select("__b"))
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__m"))
+        .where(F.col("__m") <= int(max_bucket_size))
+        .select("__b")
+    )
+    from pyveb_spark.operators.joins import broadcast_if_bounded
+
+    ok = broadcast_if_bounded(ok)
+    n_shuf = int(
+        a_df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    cand = (
+        ab.join(ok, "__b")
+        .join(bb, "__b")
+        .select(a, b)
+        .distinct()
+        .repartition(n_shuf, a, b)
+    )
+    av = a_df.select(F.col(id_col).alias(a), F.col(vec_col).alias("__va"))
+    bv = b_df.select(F.col(id_col).alias(b), F.col(vec_col).alias("__vb"))
+    joined = cand.join(av, a).join(bv, b)
+    out_schema = StructType(
+        [
+            StructField(a, joined.schema[a].dataType),
+            StructField(b, joined.schema[b].dataType),
+            StructField("cosine_sim", DoubleType()),
+        ]
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va = np.array(list(pdf["__va"]), dtype=np.float64)
+            vb = np.array(list(pdf["__vb"]), dtype=np.float64)
+            cos = np.round(
+                (va * vb).sum(axis=1)
+                / (
+                    np.sqrt((va * va).sum(axis=1))
+                    * np.sqrt((vb * vb).sum(axis=1))
+                ),
+                4,
+            )
+            m = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    a: pdf[a].to_numpy()[m],
+                    b: pdf[b].to_numpy()[m],
+                    "cosine_sim": cos[m],
+                }
+            )
+
+    return joined.mapInPandas(_score, schema=out_schema)
+
+
 def mmr_select(
     candidates: Sequence[tuple],
     k: int = 10,

@@ -1174,37 +1174,43 @@ LIMIT 20
 def q200_bitext_lsh_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext mining over the LSH candidate tier — the
     production shape of q189 (Artetxe & Schwenk 2019), composed the way
-    q45/q172 pair exact machinery with q17: candidates come from the
-    bucketed ``lsh_cosine_lookup`` (even vec_ids = source side probing
-    the odd-id target side through the shared md5-derived hyperplanes,
-    exact rescoring, round(cosine,4) ≥ 0.3), and
+    q45/q172 pair exact machinery with q17: candidates come from
+    ``lsh_cosine_cross_pairs`` (even vec_ids = source side, odd = target
+    side, hashed with the shared md5-derived hyperplanes; hot buckets
+    capped; candidates vectorized-rescored, round(cosine,4) ≥ 0.3), and
     ``margin_bitext_mine`` re-scores that bounded set unchanged with
     k=4 hubness normalization. q189's exact O(n²) kernel stays
     registered as this path's recall yardstick (the q162-style audit:
     every pair mined here is scored identically there; only recall
-    differs, by the single-probe LSH curve).
+    differs, by the single-probe LSH curve). The capped hot buckets are
+    the hub regions — exactly what the margin criterion exists to
+    demote.
 
     Scale: this is the shape that survives 100 TB — the bucket equijoin
-    touches ~|src|·E[bucket] rows instead of |src|·|tgt|, the margin
-    stage is two keyed windows over candidates, and with the target side
-    persisted as a bucketed index the whole mine is an incremental batch
-    admission. Determinism: 4-decimal cosines, decimal-summed
-    neighbourhood averages, single double division, margin round(6) —
-    the q189 contract verbatim."""
+    carries (id, bucket) rows only, the rescore is numpy over
+    repartitioned Arrow batches (never the interpreted per-pair fold —
+    a measured 10-minutes→seconds difference at 50 k vectors, see
+    ``lsh_cosine_cross_pairs``), the margin stage is two keyed windows
+    over candidates, and resolution (n_planes) is the knob that holds
+    per-bucket density as the corpus grows. Determinism: 4-decimal
+    cosines, decimal-summed neighbourhood averages, single double
+    division, margin round(6) — the q189 contract verbatim."""
     from pyveb_spark.operators.similarity import (
-        lsh_cosine_lookup,
+        lsh_cosine_cross_pairs,
         margin_bitext_mine,
     )
 
     e = read_table(spark, sf_dir, "embeddings")
     src = e.where(F.col("vec_id") % 2 == 0)
     tgt = e.where(F.col("vec_id") % 2 == 1)
-    cand = lsh_cosine_lookup(src, tgt, threshold=0.3, n_planes=6, seed=42)
+    cand = lsh_cosine_cross_pairs(
+        src, tgt, threshold=0.3, n_planes=6, seed=42, max_bucket_size=4000
+    )
     labels = e.select("vec_id", "label")
     directed = (
         cand.select(
-            F.col("vec_id_new").alias("src_id"),
-            F.col("vec_id_corpus").alias("tgt_id"),
+            F.col("vec_id_a").alias("src_id"),
+            F.col("vec_id_b").alias("tgt_id"),
             "cosine_sim",
         )
         .join(
@@ -1245,6 +1251,7 @@ bits AS (SELECT vec_id, j,
          GROUP BY vec_id, j),
 bkt AS (SELECT vec_id, CAST(SUM(bit * (1::BIGINT << j)) AS BIGINT) AS bucket
         FROM bits GROUP BY vec_id),
+okb AS (SELECT bucket FROM bkt GROUP BY bucket HAVING COUNT(*) <= 4000),
 directed AS (
   SELECT * FROM (
     SELECT s.vec_id AS src_id, s.label AS src_label,
@@ -1253,7 +1260,7 @@ directed AS (
                  / (sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[]))
                     * sqrt(list_dot_product(t.embedding::DOUBLE[], t.embedding::DOUBLE[]))),
                  4) AS cosine_sim
-    FROM bkt a JOIN bkt b ON a.bucket = b.bucket
+    FROM bkt a JOIN okb USING (bucket) JOIN bkt b ON a.bucket = b.bucket
     JOIN embeddings s ON s.vec_id = a.vec_id
     JOIN embeddings t ON t.vec_id = b.vec_id
     WHERE s.vec_id % 2 = 0 AND t.vec_id % 2 = 1)

@@ -127,3 +127,33 @@ def test_lsh_tier_sweep_is_subset_of_exact(spark, sf_dir):
         assert (r.tokens_flagged or 0) <= (e.tokens_flagged or 0)
     # and on the planted-dup fixture the 0.9 tier must actually find dups
     assert lsh[0.9].n_pairs > 0
+
+
+def test_lsh_cross_pairs_caps_hot_buckets_and_keeps_sides(spark):
+    from pyveb_spark.operators.similarity import lsh_cosine_cross_pairs
+
+    # two tight clusters; ids 0-9 on the a side, 100-109 on the b side.
+    # cluster A vectors collide in one bucket; with a cap below the
+    # bucket's union size the A-A' pairs vanish, with a high cap they
+    # survive — the hub-region semantics the docstring promises.
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0]))
+        rows.append((100 + i, [1.0, 0.01 * i + 0.005, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    a = df.where("vec_id < 100")
+    b = df.where("vec_id >= 100")
+
+    wide = lsh_cosine_cross_pairs(
+        a, b, threshold=0.9, n_planes=4, max_bucket_size=1000
+    ).collect()
+    assert wide, "high cap must keep the cluster's cross pairs"
+    for r in wide:
+        assert r.vec_id_a < 100 <= r.vec_id_b  # sides preserved
+        assert r.cosine_sim >= 0.9
+
+    capped = lsh_cosine_cross_pairs(
+        a, b, threshold=0.9, n_planes=4, max_bucket_size=5
+    ).collect()
+    # the single 20-member bucket exceeds the cap of 5 -> dropped
+    assert len(capped) < len(wide)
