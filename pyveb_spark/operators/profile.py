@@ -455,9 +455,14 @@ def binary_auc(
         F.sum("__below").alias("__b"),
         F.sum("__tie").alias("__t"),
     )
-    auc = (
-        F.col("__b").cast("double") + F.col("__t").cast("double") / 2
-    ) / (F.col("n_pos") * F.col("n_neg")).cast("double")
+    # AUC is undefined for a single-class group (n_pos or n_neg = 0):
+    # emit NULL instead of dividing by zero (ANSI mode raises; found by
+    # the half-size seed twin, where a small source can be all-English)
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        (F.col("__b").cast("double") + F.col("__t").cast("double") / 2)
+        / (F.col("n_pos") * F.col("n_neg")).cast("double"),
+    )
     return agg.select(*groups, "n_pos", "n_neg", auc.alias("auc"))
 
 
@@ -906,14 +911,25 @@ def ab_proportion_test(
     )
     na, xa = F.col("n_a").cast("double"), F.col("x_a").cast("double")
     nb, xb = F.col("n_b").cast("double"), F.col("x_b").cast("double")
-    pa, pb = xa / na, xb / nb
+    # guarded: an empty variant makes the rate undefined, and a pooled
+    # rate of exactly 0 or 1 makes se = 0 — both are NULL, not a
+    # divide-by-zero (ANSI mode raises; found by the half-size seed
+    # twin, where nobody reaches the conversion threshold)
+    pa = F.when(F.col("n_a") > 0, xa / na)
+    pb = F.when(F.col("n_b") > 0, xb / nb)
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    informative = both & (
+        F.col("x_a") + F.col("x_b") > 0
+    ) & (F.col("x_a") + F.col("x_b") < F.col("n_a") + F.col("n_b"))
     pooled = (xa + xb) / (na + nb)
-    se = F.sqrt(pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / na + F.lit(1.0) / nb))
-    z = (pb - pa) / se
+    se = F.sqrt(
+        pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    z = F.when(informative, (pb - pa) / se)
     return agg.select(
         *groups, "n_a", "x_a", "n_b", "x_b",
         pa.alias("rate_a"), pb.alias("rate_b"),
-        (pb - pa).alias("diff"), z.alias("z"),
+        F.when(both, pb - pa).alias("diff"), z.alias("z"),
     )
 
 

@@ -345,8 +345,10 @@ a AS (SELECT source,
              CAST(SUM(tie) AS BIGINT) AS t
       FROM c GROUP BY 1)
 SELECT source, n_pos, n_neg,
-       (CAST(b AS DOUBLE) + CAST(t AS DOUBLE) / 2)
-         / CAST(n_pos * n_neg AS DOUBLE) AS auc
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN (CAST(b AS DOUBLE) + CAST(t AS DOUBLE) / 2)
+                   / CAST(n_pos * n_neg AS DOUBLE)
+       END AS auc
 FROM a ORDER BY source
 """
 
@@ -765,18 +767,27 @@ a AS (SELECT
              AS BIGINT) AS x_b
       FROM assigned)
 SELECT n_a, x_a, n_b, x_b,
-       ROUND(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
-       ROUND(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
-       ROUND(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)
-             - CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS diff,
-       ROUND((CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+       CASE WHEN n_a > 0
+            THEN ROUND(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+       END AS rate_a,
+       CASE WHEN n_b > 0
+            THEN ROUND(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+       END AS rate_b,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN ROUND(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                       - CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+       END AS diff,
+       CASE WHEN n_a > 0 AND n_b > 0
+                 AND x_a + x_b > 0 AND x_a + x_b < n_a + n_b
+            THEN ROUND((CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)
               - CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE))
              / sqrt((CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
                     / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
                     * (1.0 - (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
                              / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
                     * (1.0 / CAST(n_a AS DOUBLE)
-                       + 1.0 / CAST(n_b AS DOUBLE))), 6) AS z
+                       + 1.0 / CAST(n_b AS DOUBLE))), 6)
+       END AS z
 FROM a
 """
 

@@ -235,6 +235,8 @@ _ARROW_PY_OK = {
     "q135_image_dhash_dups", # mapInPandas dHash kernel over real BMP bytes
     "q153_audio_fingerprint_dups",  # mapInPandas energy-delta kernel over real WAV bytes
     "q167_corrupt_payload_audit",   # mapInPandas safe-decode routing kernel
+    "q200_bitext_lsh_mining",  # lsh_cosine_cross_pairs' vectorized numpy
+                               # rescore over Arrow batches (mapInPandas)
 }
 
 # streaming replays execute a stream inside the query fn; their final

@@ -279,3 +279,40 @@ def test_prefix_cache_lcp_capped_at_shortest_member(spark, tmp_path):
     r = out[0]
     assert r.lcp_tokens == 6  # the docs' actual length, not the 16 cap
     assert r.cached_tokens_saved == (3 - 1) * 6
+
+
+def test_binary_auc_single_class_group_is_null(spark):
+    # found by the half-size seed twin: a group with one class has no
+    # defined AUC; ANSI mode raised DIVIDE_BY_ZERO instead of NULL
+    from pyveb_spark.operators.profile import binary_auc
+
+    df = spark.createDataFrame(
+        [("g1", 7, True), ("g1", 5, False), ("g2", 3, True), ("g2", 9, True)],
+        "grp string, score int, label boolean",
+    )
+    rows = {r.grp: r for r in
+            binary_auc(df, "score", F.col("label"), ["grp"]).collect()}
+    assert rows["g1"].auc == 1.0  # positive outranks negative
+    assert rows["g2"].auc is None  # no negatives: undefined, not a crash
+    assert rows["g2"].n_neg == 0
+
+
+def test_ab_proportion_test_degenerate_pool_is_null(spark):
+    # found by the half-size seed twin: zero conversions on both sides
+    # make the pooled se 0; z must be NULL, not DIVIDE_BY_ZERO
+    from pyveb_spark.operators.profile import ab_proportion_test
+
+    none_convert = spark.createDataFrame(
+        [("a", 0), ("a", 0), ("b", 0), ("b", 0)],
+        "variant string, converted int",
+    )
+    r = ab_proportion_test(none_convert, "variant",
+                           F.col("converted") == 1).first()
+    assert r.z is None and r.rate_a == 0.0 and r.rate_b == 0.0
+
+    one_sided = spark.createDataFrame(
+        [("a", 1), ("a", 0)], "variant string, converted int"
+    )
+    r = ab_proportion_test(one_sided, "variant",
+                           F.col("converted") == 1).first()
+    assert r.n_b == 0 and r.rate_b is None and r.z is None and r.diff is None
