@@ -1670,6 +1670,8 @@ def bradley_terry(
     the same ``iters`` updates over the same integer win matrix replays
     the fit bit-for-bit (float sum-order noise ~1e-16 is absorbed by the
     1e-9 rounding grid)."""
+    if not wins:  # no matches at all -> no model, not a ZeroDivisionError
+        return {}
     sides = sorted({s for pair in wins for s in pair})
     n_tot: dict[tuple[str, str], int] = {}
     w_tot: dict[str, int] = {s: 0 for s in sides}

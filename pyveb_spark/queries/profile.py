@@ -1125,7 +1125,11 @@ def q203_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("__n").cast("double")
     mean = F.col("__s") / n
     var = (F.col("__ss") - F.col("__s") * F.col("__s") / n) / (n - 1)
-    std = F.sqrt(var)
+    # zero-variance groups (all rewards identical — no learning signal)
+    # have no defined advantage: NULL, never a divide-by-zero or a
+    # sqrt(-epsilon) NaN from float cancellation (the q111/q137 ANSI
+    # guard class; mirrored as CASE WHEN var > 0 in the oracle)
+    std = F.when(var > 0, F.sqrt(var))
     adv = (F.col("value") - mean) / std
     return (
         enriched.withColumn("__adv", adv)
@@ -1139,7 +1143,7 @@ def q203_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.abs(F.col("__adv")) > 2.0, 1).otherwise(0)
             ).cast("bigint").alias("n_clipped"),
         )
-        .orderBy(F.desc("max_advantage"), "user_id")
+        .orderBy(F.desc_nulls_last("max_advantage"), "user_id")
         .limit(25)
     )
 
@@ -1156,9 +1160,13 @@ WITH g AS (
 scored AS (
     SELECT e.user_id, g.n,
            g.s / g.n AS mean,
-           sqrt((g.ss - g.s * g.s / g.n) / (g.n - 1)) AS std,
+           CASE WHEN (g.ss - g.s * g.s / g.n) / (g.n - 1) > 0
+                THEN sqrt((g.ss - g.s * g.s / g.n) / (g.n - 1))
+           END AS std,
            (e.value - g.s / g.n)
-             / sqrt((g.ss - g.s * g.s / g.n) / (g.n - 1)) AS adv
+             / (CASE WHEN (g.ss - g.s * g.s / g.n) / (g.n - 1) > 0
+                     THEN sqrt((g.ss - g.s * g.s / g.n) / (g.n - 1))
+                END) AS adv
     FROM events e JOIN g USING (user_id))
 SELECT user_id,
        CAST(MAX(n) AS BIGINT) AS n_rollouts,
@@ -1168,6 +1176,6 @@ SELECT user_id,
        SUM(CASE WHEN ABS(adv) > 2.0 THEN 1 ELSE 0 END)::BIGINT AS n_clipped
 FROM scored
 GROUP BY user_id
-ORDER BY max_advantage DESC, user_id
+ORDER BY max_advantage DESC NULLS LAST, user_id
 LIMIT 25
 """

@@ -1953,8 +1953,14 @@ def q201_bradley_terry_sources(
         for r in counts.collect()
     }
     strengths = bradley_terry(wins, iters=_Q201_ITERS)
-    smap = F.create_map(
-        *[F.lit(x) for kv in strengths.items() for x in kv]
+    # degenerate corpus (no decidable matches): empty model, empty output
+    # — F.create_map() with zero args is invalid, so use a typed NULL
+    smap_lookup = (
+        F.create_map(*[F.lit(x) for kv in strengths.items() for x in kv])[
+            F.col("source")
+        ]
+        if strengths
+        else F.lit(None).cast("double")
     )
     plays = matches.select(
         F.col("winner_side").alias("source"), F.lit(1).alias("win")
@@ -1969,9 +1975,7 @@ def q201_bradley_terry_sources(
     )
     w = Window.orderBy(F.desc("strength"), "source")
     return (
-        per_side.withColumn(
-            "strength", F.round(smap[F.col("source")], 6)
-        )
+        per_side.withColumn("strength", F.round(smap_lookup, 6))
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .select("rank", "source", "n_matches", "n_wins", "strength")
         .orderBy("rank")

@@ -157,3 +157,30 @@ def test_lsh_cross_pairs_caps_hot_buckets_and_keeps_sides(spark):
     ).collect()
     # the single 20-member bucket exceeds the cap of 5 -> dropped
     assert len(capped) < len(wide)
+
+
+def test_bradley_terry_empty_and_zero_variance_guards(spark, tmp_path):
+    from pyveb_spark.operators.text import bradley_terry
+    from pyveb_spark.queries.profile import q203_group_advantage
+
+    # no matches -> empty model, not ZeroDivisionError
+    assert bradley_terry({}) == {}
+
+    # a zero-variance reward group (all identical) has no defined
+    # advantage: NULL stats, zero clipped, sorted NULLS LAST
+    rows = [(i, "2024-01-01 00:00:00", u, "view", v, "{}")
+            for i, (u, v) in enumerate(
+                [(1, 5.0)] * 6 + [(2, 1.0), (2, 2.0), (2, 3.0),
+                                  (2, 4.0), (2, 5.0), (2, 60.0)])]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = q203_group_advantage(spark, str(tmp_path)).collect()
+    assert [r.user_id for r in out] == [2, 1]  # NULL max_advantage last
+    flat = {r.user_id: r for r in out}
+    assert flat[1].std_reward is None and flat[1].max_advantage is None
+    assert flat[1].n_clipped == 0
+    assert flat[2].max_advantage is not None
