@@ -184,3 +184,29 @@ def test_bradley_terry_empty_and_zero_variance_guards(spark, tmp_path):
     assert flat[1].std_reward is None and flat[1].max_advantage is None
     assert flat[1].n_clipped == 0
     assert flat[2].max_advantage is not None
+
+
+def test_kmv_quantile_sample_is_mergeable():
+    """k-minimum-values is associative state: the k smallest hashes of
+    A∪B equal the k smallest of (top-k(A) ∪ top-k(B)). This is what
+    makes q204's per-source sample a SKETCH (partial-combinable, the
+    window computes what a partial-combine would) rather than a sort —
+    the same md5-prefix construction as operators.dedup.portable_hash48
+    with q204's 'kmvq|' salt."""
+    import hashlib
+
+    k = 8
+
+    def h(i):
+        return int(hashlib.md5(f"kmvq|{i}".encode()).hexdigest()[:12], 16)
+
+    ids = list(range(100))
+    full = sorted(ids, key=h)[:k]
+    a, b = ids[::2], ids[1::2]
+    sa, sb = sorted(a, key=h)[:k], sorted(b, key=h)[:k]
+    merged = sorted(sa + sb, key=h)[:k]
+    assert merged == full
+    # and a three-way split merges the same way (associativity)
+    parts = [ids[0::3], ids[1::3], ids[2::3]]
+    samples = [x for p in parts for x in sorted(p, key=h)[:k]]
+    assert sorted(samples, key=h)[:k] == full
