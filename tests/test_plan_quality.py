@@ -772,3 +772,48 @@ def test_q162_recall_audit_join_shapes(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_q200_lsh_mining_plan_shape(spark, sf_dir):
+    """The mining tier's three rules, pinned (see BASELINE.md round-8:
+    the violated form ran 10+ minutes at 50 k vectors): the exact
+    rescore is the vectorized Arrow MapInPandas stage (never an
+    interpreted join predicate), candidates are repartitioned off the
+    bucket key before it, and no join degrades to a nested loop."""
+    plan = _executed_plan(QUERIES["q200_bitext_lsh_mining"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "Exchange hashpartitioning(vec_id_a" in plan  # skew-free rescore
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q203_group_advantage_no_join(spark, sf_dir):
+    """The GRPO advantage table is ONE same-key window + a groupBy — a
+    join anywhere means the stats were joined back instead of windowed
+    (an extra corpus-sized shuffle)."""
+    plan = _executed_plan(QUERIES["q203_group_advantage"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-25 is a heap
+
+
+def test_q205_lsh_sweep_no_cartesian(spark, sf_dir):
+    """The LSH-tier sweep must stay bands × key-partitioned hash joins —
+    the whole point of replacing q186's quadratic prefix join."""
+    plan = _executed_plan(QUERIES["q205_threshold_sweep_lsh"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q201_bradley_terry_model_is_literal(spark, sf_dir):
+    """The BT strengths enter the output plan as a LITERAL map over the
+    per-side aggregate — a join against a strengths table would mean the
+    fit escaped the driver-model discipline (k×dim precedent)."""
+    plan = _executed_plan(
+        QUERIES["q201_bradley_terry_sources"](spark, sf_dir)
+    )
+    # strengths attach as a literal-map projection, so the WHOLE output
+    # plan is join-free: matches (one lag window) -> union -> groupBy
+    assert "Join" not in plan
+    assert "Window" in plan
