@@ -731,3 +731,63 @@ def test_tombstone_cascade_conservation(spark, custs, tomb):
     }
     expected = {100 + i for i, c in enumerate(custs) if c in set(tomb)}
     assert erased_orders == expected
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry MM-fit invariants (pure driver — many examples)
+# ---------------------------------------------------------------------------
+
+_bt_wins = st.dictionaries(
+    st.tuples(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.sampled_from(["a", "b", "c", "d"]),
+    ).filter(lambda p: p[0] != p[1]),
+    st.integers(min_value=1, max_value=50),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(wins=_bt_wins, c=st.integers(min_value=2, max_value=7))
+def test_bradley_terry_count_scale_invariance(wins, c):
+    """The MM update p_i <- W_i / sum_j n_ij/(p_i+p_j) is homogeneous of
+    degree 0 in the win counts: multiplying EVERY count by a constant
+    changes nothing — strengths measure ratios, not volumes. (The
+    renorm+round determinism contract preserves this exactly.)"""
+    from pyveb_spark.operators.text import bradley_terry
+
+    base = bradley_terry(wins)
+    scaled = bradley_terry({k: v * c for k, v in wins.items()})
+    assert base == scaled
+
+
+@given(wins=_bt_wins)
+def test_bradley_terry_relabeling_equivariance(wins):
+    """Renaming the sides permutes the strengths and changes no value —
+    the fit must not depend on lexical side order beyond the documented
+    sorted-side summation (whose float noise the round(9) grid absorbs)."""
+    from pyveb_spark.operators.text import bradley_terry
+
+    ren = {"a": "z9", "b": "m5", "c": "q7", "d": "b1"}
+    base = bradley_terry(wins)
+    relab = bradley_terry(
+        {(ren[i], ren[j]): v for (i, j), v in wins.items()}
+    )
+    assert {ren[s]: p for s, p in base.items()} == relab
+
+
+@given(wins=_bt_wins, extra=st.integers(min_value=1, max_value=30))
+def test_bradley_terry_winning_more_never_hurts(wins, extra):
+    """Adding wins for one side against one opponent must not LOWER its
+    strength RATIO against that opponent (renormalization shifts
+    absolute values, so the pairwise ratio is the sound invariant)."""
+    from pyveb_spark.operators.text import bradley_terry
+
+    (i, j), _ = sorted(wins.items())[0]
+    base = bradley_terry(wins)
+    boosted_wins = dict(wins)
+    boosted_wins[(i, j)] = boosted_wins[(i, j)] + extra
+    boosted = bradley_terry(boosted_wins)
+    if base[j] > 0 and boosted[j] > 0:
+        # tolerance: the per-iteration round(9) grid
+        assert boosted[i] / boosted[j] >= base[i] / base[j] - 1e-6
