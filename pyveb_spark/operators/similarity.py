@@ -60,6 +60,22 @@ def _as_double(vec_col) -> Column:
     return F.transform(vec_col, lambda x: x.cast("double"))
 
 
+def _round_half_away(arr, decimals: int = 4):
+    """Round a float ndarray half-AWAY-from-zero — the repo's single
+    rounding convention for vectorized (numpy) rescores.
+
+    ``np.round`` is half-to-even while DuckDB ``ROUND`` (``std::round``)
+    and Spark ``F.round`` (``HALF_UP``) are half-away-from-zero; a cosine
+    landing exactly on a ``.00005`` grid boundary would diverge between
+    engine and oracle. Practically unreachable with binary doubles, but
+    normalizing every numpy rescore to ``sign(x)·floor(|x|·10^d + 0.5)``
+    removes the class outright instead of arguing probability."""
+    import numpy as np
+
+    scale = 10.0 ** decimals
+    return np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
+
+
 def _dot(a, b) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -231,7 +247,7 @@ def cosine_pairs(
             return pd.DataFrame({c: [] for c in out_cols})
         norms = np.sqrt((mat * mat).sum(axis=1))
         if i == j:
-            sims = np.round((mat @ mat.T) / np.outer(norms, norms), 4)
+            sims = _round_half_away((mat @ mat.T) / np.outer(norms, norms), 4)
             ai, bi = np.nonzero(
                 (sims >= threshold) & (ids[:, None] < ids[None, :])
             )
@@ -242,7 +258,7 @@ def cosine_pairs(
             ri = np.nonzero(blk == j)[0]
             if li.size == 0 or ri.size == 0:
                 return pd.DataFrame({c: [] for c in out_cols})
-            sims = np.round(
+            sims = _round_half_away(
                 (mat[li] @ mat[ri].T) / np.outer(norms[li], norms[ri]), 4
             )
             ai_, bi_ = np.nonzero(sims >= threshold)
@@ -1296,10 +1312,19 @@ def lsh_cosine_cross_pairs(
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     a, b = f"{id_col}_a", f"{id_col}_b"
-    dim_row = a_df.select(F.size(vec_col).alias("d")).first()
-    if dim_row is None:
+    # Probe the dim from the first NON-NULL embedding (a NULL in row 1
+    # must not crash the probe), and derive the empty-frame schema from
+    # the ACTUAL id column type so the empty path and the populated path
+    # return the same schema for non-bigint ids (ADVICE r8).
+    dim_row = (
+        a_df.where(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .first()
+    )
+    if dim_row is None or dim_row["d"] is None:
+        id_type = a_df.schema[id_col].dataType.simpleString()
         return a_df.sparkSession.createDataFrame(
-            [], f"{a} bigint, {b} bigint, cosine_sim double"
+            [], f"{a} {id_type}, {b} {id_type}, cosine_sim double"
         )
     dim = int(dim_row["d"])
     ab = lsh_bucket(
@@ -1348,7 +1373,7 @@ def lsh_cosine_cross_pairs(
                 continue
             va = np.array(list(pdf["__va"]), dtype=np.float64)
             vb = np.array(list(pdf["__vb"]), dtype=np.float64)
-            cos = np.round(
+            cos = _round_half_away(
                 (va * vb).sum(axis=1)
                 / (
                     np.sqrt((va * va).sum(axis=1))

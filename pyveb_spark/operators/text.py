@@ -1687,7 +1687,12 @@ def bradley_terry(
             for j in sides:
                 nij = n_tot.get((i, j), 0)
                 if j != i and nij:
-                    denom += nij / (p[i] + p[j])
+                    # the round(9) grid can underflow a weak side's
+                    # strength to exactly 0.0; clamp the pairwise
+                    # denominator so two zero-strength opponents never
+                    # divide by zero (ADVICE r8 — mirrored in the SQL
+                    # oracle's GREATEST clamp)
+                    denom += nij / max(p[i] + p[j], 1e-12)
             raw[i] = (w_tot[i] / denom) if denom > 0 else p[i]
         mean = sum(raw[s] for s in sides) / len(sides)
         p = {s: round(raw[s] / mean, int(round_to)) for s in sides}

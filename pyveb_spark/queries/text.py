@@ -2029,7 +2029,7 @@ p0 AS MATERIALIZED (SELECT DISTINCT i AS s, 1.0 AS p FROM ntot)"""
         iters.append(f"""
 r{k} AS MATERIALIZED (SELECT n.i AS s,
               COALESCE(ANY_VALUE(w.wi), 0)
-                / SUM(n.n / (pi.p + pj.p)) AS praw
+                / SUM(n.n / GREATEST(pi.p + pj.p, 1e-12)) AS praw
        FROM ntot n
        JOIN {prev} pi ON pi.s = n.i
        JOIN {prev} pj ON pj.s = n.j

@@ -316,3 +316,65 @@ def test_ab_proportion_test_degenerate_pool_is_null(spark):
     r = ab_proportion_test(one_sided, "variant",
                            F.col("converted") == 1).first()
     assert r.n_b == 0 and r.rate_b is None and r.z is None and r.diff is None
+
+
+def test_bradley_terry_zero_strength_pair_does_not_divide_by_zero():
+    # ADVICE r8: round(9) can underflow a weak side's strength to exactly
+    # 0.0; if two zero-strength sides share a match the MM denominator
+    # divided by zero. The clamp keeps the fit finite.
+    from pyveb_spark.operators.text import bradley_terry
+
+    # a crushes b and c; b and c only ever play each other evenly, so
+    # after a few renormalized iterations their strengths can underflow
+    wins = {("a", "b"): 10**6, ("a", "c"): 10**6, ("b", "c"): 1,
+            ("c", "b"): 1}
+    p = bradley_terry(wins, iters=50)
+    assert all(v >= 0.0 and v == v for v in p.values())  # finite, no NaN
+    assert p["a"] > p["b"] and p["a"] > p["c"]
+
+
+def test_lsh_cross_pairs_empty_input_keeps_id_schema(spark):
+    # ADVICE r8: the empty-input early return hardcoded bigint ids, so a
+    # string-id frame got a different schema on the empty path than the
+    # populated path; a NULL embedding in row 1 also crashed the dim probe
+    from pyveb_spark.operators.similarity import lsh_cosine_cross_pairs
+
+    empty = spark.createDataFrame(
+        [], "vec_id string, embedding array<double>"
+    )
+    out = empty.sparkSession.createDataFrame(
+        [("x", [1.0, 0.0])], "vec_id string, embedding array<double>"
+    )
+    res = lsh_cosine_cross_pairs(empty, out, threshold=0.9)
+    assert res.schema["vec_id_a"].dataType.simpleString() == "string"
+    assert res.schema["vec_id_b"].dataType.simpleString() == "string"
+    assert res.count() == 0
+
+    # NULL embedding in the first row: probe must skip it, not crash
+    nullfirst = spark.createDataFrame(
+        [(1, None), (2, [1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    pairs = lsh_cosine_cross_pairs(
+        nullfirst, nullfirst.where("vec_id = 2"), threshold=0.9,
+        n_planes=2,
+    )
+    assert {r.vec_id_a for r in pairs.collect()} <= {1, 2}
+
+
+def test_round_half_away_matches_duckdb_round():
+    # ADVICE r8: numpy rescores now share ONE rounding rule
+    # (half-away-from-zero) with DuckDB ROUND and F.round
+    import duckdb
+    import numpy as np
+
+    from pyveb_spark.operators.similarity import _round_half_away
+
+    vals = np.array([0.12345, -0.12345, 0.00005, -0.00005, 0.99995,
+                     0.12344999, 0.1234501, 0.0, 1.0, -1.0])
+    got = _round_half_away(vals, 4)
+    want = [
+        duckdb.sql(f"SELECT ROUND(CAST({v!r} AS DOUBLE), 4)").fetchone()[0]
+        for v in vals
+    ]
+    assert got.tolist() == pytest.approx(want, abs=0.0)
