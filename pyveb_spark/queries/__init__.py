@@ -982,6 +982,75 @@ _R8_IN = [
     "q137_ab_conversion_test",
 ]
 
+# Round 9 drives never-certified to ZERO: the only 21 registered queries
+# without a hard CORRECTNESS row anywhere in r01–r08 are the six round-9
+# heads q200–q205 (soaked under selfcheck + FOUR seed/size-varied twins
+# since round 8) and the 15-query q51–q83 TPC-H join-agg residue the r8
+# rotation deferred. All 21 rotate in. The window keeps the eight
+# ever-standing heads (q01/q03/q06/q08/q10/q12/q31/q48), q117 (the
+# former red, now twice green), the 19 round-8 heads q181–q199 (their
+# second consecutive certification round — the soak-then-anchor
+# pattern), and q74 market share (the in-window TPC-H join-agg anchor
+# for the incoming residue's family). Displaced — every one earned its
+# first hard row in r08 and keeps a family sibling in-window:
+#   q61/q100/q105/q75/q76 profile/percentile → q08 rollup + q105's
+#       decile shape lives on in incoming q58's distribution
+#   q97 audio stats        → multimodal family certified r06–r08
+#   q107 chunks, q124/q125/q134 text calib → q199 prefix-cache stays
+#   q108 join estimate     → q48 joins stay; q70/q72 joins incoming
+#   q118 EWMA / q129 trend → q06 window family stays
+#   q120/q121/q127 affinity/transitions/MI → q03/q74 join-agg stay
+#   q122 FK integrity      → q48 anti-join stays; q73 incoming
+#   q128 split audit / q136 reconciliation / q137 AB test →
+#       q194 padding audit + q195 agreement matrix stay (audit family)
+#   q63 variant props      → q12 JSON/VARIANT stays
+_R9_OUT = [
+    "q61_classifier_scores",
+    "q63_variant_props",
+    "q75_percentiles",
+    "q76_forecast_revenue",
+    "q97_audio_stats",
+    "q100_iqr_outliers",
+    "q105_price_deciles",
+    "q107_document_chunks",
+    "q108_join_size_estimate",
+    "q118_ewma_baseline",
+    "q120_brand_affinity",
+    "q121_event_transitions",
+    "q122_fk_integrity",
+    "q124_length_calibration",
+    "q125_source_signatures",
+    "q127_type_weekday_mi",
+    "q128_split_audit",
+    "q129_daily_trend",
+    "q134_length_pr_curve",
+    "q136_system_reconciliation",
+    "q137_ab_conversion_test",
+]
+_R9_IN = [
+    "q200_bitext_lsh_mining",
+    "q201_bradley_terry_sources",
+    "q202_preference_length_bias",
+    "q203_group_advantage",
+    "q204_kmv_quantiles",
+    "q205_threshold_sweep_lsh",
+    "q51_part_value_concentration",
+    "q52_top_supplier",
+    "q53_idle_rich_customers",
+    "q58_order_count_distribution",
+    "q59_disjunctive_revenue",
+    "q60_large_orders",
+    "q68_promo_revenue_share",
+    "q69_supplier_part_counts",
+    "q70_bilateral_volume",
+    "q71_shipmode_priority",
+    "q72_local_supplier_volume",
+    "q73_returned_item_customers",
+    "q77_cheapest_supplier",
+    "q79_excess_stock",
+    "q83_small_qty_revenue",
+]
+
 _ALL = list(QUERIES)
 # reconstruct the round-5 window exactly as shipped, then apply the
 # round-6 and round-7 waves on top of it
@@ -993,7 +1062,8 @@ _WINDOW6 = [q for q in _WINDOW5 if q not in _R6_OUT] + _R6_IN
 _WINDOW6B = [q for q in _WINDOW6 if q not in _R6B_OUT] + _R6B_IN
 _WINDOW6C = [q for q in _WINDOW6B if q not in _R6C_OUT] + _R6C_IN
 _WINDOW7 = [q for q in _WINDOW6C if q not in _R7_OUT] + _R7_IN
-_WINDOW = [q for q in _WINDOW7 if q not in _R8_OUT] + _R8_IN
+_WINDOW8 = [q for q in _WINDOW7 if q not in _R8_OUT] + _R8_IN
+_WINDOW = [q for q in _WINDOW8 if q not in _R9_OUT] + _R9_IN
 GATE_ORDER = _WINDOW + [q for q in _ALL if q not in _WINDOW]
 assert len(GATE_ORDER) == len(_ALL) and set(GATE_ORDER) == set(_ALL)
 assert len(_WINDOW) == 50
