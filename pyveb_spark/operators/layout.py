@@ -118,31 +118,46 @@ def zorder_key(
 
 
 def zorder_rank_key(
-    cols: Sequence[str], bits: int = 8, tiebreak: str | None = None
-) -> Column:
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 8,
+    tiebreak: str | None = None,
+    out_col: str = "zkey",
+) -> DataFrame:
     """Equi-depth Z-order key: each column is bucketed by RANK
-    (``ntile(2**bits)``) before interleaving, so every bucket holds the
-    same row count regardless of the value distribution — Delta's
-    ``OPTIMIZE ZORDER BY`` interleaves range-partition ids for exactly
-    this reason (equi-width grids collapse under skew: a lognormal money
-    column puts most rows in a handful of cells and the curve locality is
-    lost). ``tiebreak`` (a unique id column) makes the rank — and thus
-    the key — deterministic under ties.
+    (exact ``ntile(2**bits)`` semantics) before interleaving, so every
+    bucket holds the same row count regardless of the value distribution
+    — Delta's ``OPTIMIZE ZORDER BY`` interleaves range-partition ids for
+    exactly this reason (equi-width grids collapse under skew: a
+    lognormal money column puts most rows in a handful of cells and the
+    curve locality is lost). ``tiebreak`` (a unique id column) makes the
+    rank — and thus the key — deterministic under ties. Returns ``df``
+    with the interleaved key added as ``out_col``.
 
-    Scale note: each ``ntile`` here is a global sort window — exact and
-    oracle-replayable, right for audits and single-table rewrites. At
-    100 TB use ``zorder_layout`` for the physical rewrite: its
-    ``repartitionByRange`` computes the same equi-depth boundaries by
-    reservoir sampling instead of a global per-column sort."""
-    from pyspark.sql import Window
+    Scale note: each per-column bucketing is
+    ``packing.distributed_ntile`` — the ``repartitionByRange`` + prefix
+    count formulation, NOT a global ``Window.orderBy`` ntile (a
+    single-task sort at any scale; SCALE.md's no-unpartitioned-window
+    rule) — while staying bit-identical to ntile, so the key is exact
+    and oracle-replayable. One range exchange per clustered column, the
+    same count of exchanges the window form pays, with no serial
+    bottleneck. For the physical rewrite itself ``zorder_layout``'s
+    single ``repartitionByRange`` over the interleaved key computes
+    equi-depth boundaries by reservoir sampling instead."""
+    from pyveb_spark.operators.packing import distributed_ntile
 
     n = 1 << bits
-    buckets = []
+    out = df
+    bucket_cols = []
     for c in cols:
-        order = [F.col(c)] + ([F.col(tiebreak)] if tiebreak else [])
-        w = Window.orderBy(*order)
-        buckets.append((F.ntile(n).over(w) - F.lit(1)).cast("bigint"))
-    return morton_interleave(buckets, bits)
+        order = [c] + ([tiebreak] if tiebreak else [])
+        bcol = f"__zb_{c}"
+        out = distributed_ntile(out, n, order, out_col=bcol)
+        bucket_cols.append(bcol)
+    key = morton_interleave(
+        [(F.col(b) - F.lit(1)).cast("bigint") for b in bucket_cols], bits
+    )
+    return out.withColumn(out_col, key).drop(*bucket_cols)
 
 
 def zorder_layout(

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "with_token_offsets",
+    "distributed_ntile",
     "pack_spans",
     "pack_contiguous",
     "pack_cut_stats",
@@ -41,13 +42,20 @@ __all__ = [
 
 
 def with_token_offsets(
-    df: DataFrame, n_tokens_col: str, order_col: str
+    df: DataFrame, n_tokens_col: str, order_col: str | Sequence[str]
 ) -> DataFrame:
     """Add ``start_tok`` (exclusive prefix sum) and ``end_tok`` (inclusive,
     = start + n - 1) giving each document its half-open slice
     [start_tok, end_tok] of the concatenated corpus token stream, ordered
-    by ``order_col`` (must be a total order — use a unique id or a content
-    hash for a reproducible shuffle-once layout).
+    by ``order_col`` (a column name or a sequence of names forming a
+    composite ordering; must be a total order — use a unique id or a
+    content hash for a reproducible shuffle-once layout).
+
+    With ``n_tokens_col`` a literal-1 column this IS a distributed
+    ``row_number`` (``end_tok + 1`` = the 1-based rank under the
+    ordering) — the replacement for any corpus-sized global
+    ``Window.orderBy`` row numbering (SCALE.md's no-unpartitioned-window
+    rule; q194 uses exactly this form).
 
     Distributed prefix sum, NOT a global single-partition window: the data
     is range-partitioned on ``order_col``, each partition computes its
@@ -68,9 +76,12 @@ def with_token_offsets(
     a reliable ``checkpoint`` dir if executor loss matters.
     """
     spark = df.sparkSession
+    order_cols = (
+        [order_col] if isinstance(order_col, str) else list(order_col)
+    )
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     parted = (
-        df.repartitionByRange(n_parts, F.col(order_col))
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -89,7 +100,7 @@ def with_token_offsets(
     )
     w = (
         Window.partitionBy("__pid")
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local_cum = F.sum(n_tokens_col).over(w)
@@ -99,6 +110,54 @@ def with_token_offsets(
         .withColumn("start_tok", (F.col("__cum") - F.col(n_tokens_col)))
         .withColumn("end_tok", F.col("__cum") - F.lit(1))
         .drop("__cum", "__off", "__pid")
+    )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n_bins: int,
+    order_cols: Sequence[str],
+    out_col: str = "bin",
+) -> DataFrame:
+    """Exact ``ntile(n_bins)`` over the total order ``order_cols`` —
+    bit-identical bucket assignment to ``F.ntile(n).over(Window.orderBy(
+    ...))`` (even split, remainder to the leading buckets; ANSI/DuckDB
+    semantics) — WITHOUT the unpartitioned window that pulls every row
+    through one task. The 0-based global rank comes from
+    :func:`with_token_offsets` over a literal-1 column (range-partitioned
+    prefix count), the total row count is one scalar aggregate, and the
+    bucket is the closed form
+
+      ``rank // (q+1)           if rank < r*(q+1)   (the r big buckets)``
+      ``r + (rank - r*(q+1))//q otherwise``          (q = n//bins floor)
+
+    Cost: one range exchange + a tiny per-partition-totals aggregate +
+    one scalar count — the same exchange a partitioned window pays, with
+    no single-task stage at any scale (SCALE.md's no-unpartitioned-window
+    rule). Oracle-replayable: DuckDB's ``NTILE`` reproduces it exactly on
+    the same total order."""
+    numbered = with_token_offsets(
+        df.withColumn("__one", F.lit(1)), "__one", order_cols
+    )
+    total_row = numbered.agg(F.max("end_tok").alias("m")).first()
+    total = int(total_row["m"]) + 1 if total_row["m"] is not None else 0
+    q, r = divmod(total, int(n_bins))
+    cut = r * (q + 1)
+    bucket = (
+        F.when(
+            F.col("end_tok") < F.lit(cut),
+            F.expr(f"end_tok div {q + 1}"),
+        )
+        # the otherwise branch is unreachable when q == 0 (every row sits
+        # in the first r singleton buckets); max(q,1) keeps the unused
+        # expression well-defined under ANSI
+        .otherwise(
+            F.lit(r) + F.expr(f"(end_tok - {cut}) div {max(q, 1)}")
+        )
+        + F.lit(1)
+    )
+    return numbered.withColumn(out_col, bucket.cast("int")).drop(
+        "__one", "start_tok", "end_tok"
     )
 
 

@@ -334,17 +334,21 @@ def quantile_bins(
     total order (even split, remainder to the leading buckets), so the
     assignment is engine-portable.
 
-    100 TB design: one global sort — the honest cost of exact
-    equal-frequency bins (same bound as any exact quantile); for
-    approximate bins at extreme scale, bucket by `approx_percentile`
-    edges with :func:`column_histogram`-style scan expressions instead.
+    100 TB design: the assignment is ``packing.distributed_ntile`` — a
+    range-partitioned prefix count + the closed-form ntile bucket, NOT a
+    global ``Window.orderBy`` ntile (a single-task sort at any scale;
+    SCALE.md's no-unpartitioned-window rule). Bit-identical buckets to
+    the window form on the same total order. For approximate bins at
+    extreme scale, bucket by `approx_percentile` edges with
+    :func:`column_histogram`-style scan expressions instead.
     """
-    from pyspark.sql import Window
+    from pyveb_spark.operators.packing import distributed_ntile
 
-    order = [F.col(value_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]]
-    w = Window.partitionBy().orderBy(*order)
-    return df.where(F.col(value_col).isNotNull()).withColumn(
-        "bin", F.ntile(n_bins).over(w)
+    return distributed_ntile(
+        df.where(F.col(value_col).isNotNull()),
+        n_bins,
+        [value_col, *tiebreak_cols],
+        out_col="bin",
     )
 
 

@@ -69,11 +69,14 @@ def q187_zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     loy = row["mny"] + 0.1 * (row["mxy"] - row["mny"])
     hiy = row["mny"] + 0.35 * (row["mxy"] - row["mny"])
 
-    z = zorder_rank_key(
-        ["user_id", "value"], bits=_Q187_BITS, tiebreak="event_id"
+    keyed = zorder_rank_key(
+        ev.select("event_id", "user_id", "value"),
+        ["user_id", "value"],
+        bits=_Q187_BITS,
+        tiebreak="event_id",
     )
     laid = (
-        ev.select("event_id", "user_id", "value", z.alias("zkey"))
+        keyed
         .select(
             "event_id",
             "user_id",

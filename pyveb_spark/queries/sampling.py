@@ -693,22 +693,30 @@ def q194_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     before choosing its collator; on this corpus bucketing removes most
     of naive's padding and packing removes the rest.
 
-    Scale: two row_number windows (one per ordering) + two grouped
-    aggregations + integer arithmetic; token counting is scan-stage. The
-    length sort is the same single exchange the bucketed collator pays
-    in production. Fully integer — the only doubles are the final waste
-    ratios (single division, round 6)."""
+    Scale: two DISTRIBUTED row numberings (one per ordering) + two
+    grouped aggregations + integer arithmetic; token counting is
+    scan-stage. Row numbers come from ``with_token_offsets`` over a
+    literal-1 column — the range-partition + per-partition-offset prefix
+    sum (``operators/packing.py``), NOT a global ``Window.orderBy``
+    row_number that would pull every document through one task at 10⁹
+    docs (SCALE.md's no-unpartitioned-window rule; plan-gated). The
+    length sort is the same single range exchange the bucketed collator
+    pays in production. Fully integer — the only doubles are the final
+    waste ratios (single division, round 6)."""
+    from pyveb_spark.operators.packing import with_token_offsets
+
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n")
     )
 
     def batch_stats(order_cols, strategy):
-        w = Window.orderBy(*order_cols)
-        batched = d.withColumn(
+        # end_tok of a 1-token stream == the 0-based row index under the
+        # ordering, so batch = end_tok // BATCH without any global window
+        batched = with_token_offsets(
+            d.withColumn("__one", F.lit(1)), "__one", order_cols
+        ).withColumn(
             "batch",
-            ((F.row_number().over(w) - 1) / F.lit(_Q194_BATCH)).cast(
-                "bigint"
-            ),
+            (F.col("end_tok") / F.lit(_Q194_BATCH)).cast("bigint"),
         )
         per = batched.groupBy("batch").agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -724,8 +732,8 @@ def q194_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tokens_padded"),
         )
 
-    naive = batch_stats([F.col("doc_id")], "naive")
-    bucketed = batch_stats([F.col("n"), F.col("doc_id")], "bucketed")
+    naive = batch_stats(["doc_id"], "naive")
+    bucketed = batch_stats(["n", "doc_id"], "bucketed")
     packed = d.agg(
         F.lit("packed").alias("strategy"),
         F.ceil(F.sum("n") / F.lit(_Q194_BUDGET)).cast("bigint").alias(

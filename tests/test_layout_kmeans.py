@@ -64,10 +64,15 @@ def test_zorder_rank_key_is_equidepth_and_deterministic(spark):
     # cells; rank bucketing must spread them evenly by construction
     rows = [(i, i % 7, float(2 ** (i % 16))) for i in range(256)]
     df = spark.createDataFrame(rows, "id int, x int, y double")
-    key = zorder_rank_key(["x", "y"], bits=4, tiebreak="id")
-    got = df.select("id", key.alias("z")).collect()
+    keyed = zorder_rank_key(df, ["x", "y"], bits=4, tiebreak="id")
+    got = keyed.select("id", F.col("zkey").alias("z")).collect()
     # deterministic under ties: a second evaluation yields identical keys
-    again = {r.id: r.z for r in df.select("id", key.alias("z")).collect()}
+    again = {
+        r.id: r.z
+        for r in zorder_rank_key(df, ["x", "y"], bits=4, tiebreak="id")
+        .select("id", F.col("zkey").alias("z"))
+        .collect()
+    }
     assert {r.id: r.z for r in got} == again
     # equi-depth: de-interleave each dim's bucket; every bucket holds
     # exactly rows/2**bits rows

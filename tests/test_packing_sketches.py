@@ -322,3 +322,34 @@ def test_kmv_sketch_merge_and_exact_below_k(spark):
     theta = raw_union[-1].h
     est = (k - 1) * KMV_M / theta
     assert abs(est - 600) / 600 < 4 / (k ** 0.5)
+
+
+def test_distributed_ntile_matches_window_ntile_exactly(spark):
+    """distributed_ntile must be BIT-IDENTICAL to F.ntile over the same
+    total order — even split, remainder to the leading buckets — for
+    bucket counts that divide evenly, leave remainders, and exceed the
+    row count (singleton buckets)."""
+    from pyspark.sql import Window
+
+    from pyveb_spark.operators.packing import distributed_ntile
+
+    rows = [(i, (i * 37) % 101) for i in range(97)]  # 97 rows, shuffled vals
+    df = spark.createDataFrame(rows, "id int, v int")
+    for n in (1, 4, 10, 96, 97, 150):
+        got = {
+            r.id: r.bin
+            for r in distributed_ntile(df, n, ["v", "id"]).collect()
+        }
+        w = Window.orderBy("v", "id")
+        want = {
+            r.id: r.bin
+            for r in df.withColumn("bin", F.ntile(n).over(w)).collect()
+        }
+        assert got == want, f"n_bins={n}"
+
+
+def test_distributed_ntile_empty_input(spark):
+    from pyveb_spark.operators.packing import distributed_ntile
+
+    df = spark.createDataFrame([], "id int, v int")
+    assert distributed_ntile(df, 5, ["v", "id"]).count() == 0

@@ -253,6 +253,59 @@ _STREAM_REPLAYS = {
 }
 
 
+# Unpartitioned windows allowed ONLY over provably bounded inputs — each
+# entry names the bound. Anything new that global-sorts corpus-sized input
+# (the q194 class, fixed round 9 via packing.distributed_ntile) fails.
+_GLOBAL_WINDOW_BOUNDED_OK = {
+    "q117_vocab_encode",        # rank over the 500-entry vocab table
+    "q184_rag_context_assembly",  # RRF/greedy fill over k<=50 shortlists
+    "q201_bradley_terry_sources",  # leaderboard rank over #sources rows
+    "q104_join_key_skew",       # rank over the per-key COUNT aggregate
+                                # (one row per distinct join key; exact
+                                # discrete percentiles are the point —
+                                # key_skew_profile's docstring names the
+                                # approx_percentile substitute for
+                                # extreme key cardinality)
+    "q134_length_pr_curve",     # sweep over DISTINCT rounded thresholds
+    "q163_curriculum_schedule", # phase table (constant #phases rows)
+    "q169_hybrid_retrieval",    # RRF over k<=10 retrieval shortlists
+    "q176_token_budget_allocation",  # largest-remainder over #sources
+    "q179_cluster_balanced_sample",  # largest-remainder over k clusters
+}
+
+
+def test_no_unpartitioned_window_over_corpus(spark):
+    """Global gate for SCALE.md's window rule: an unpartitioned window is
+    a single-task sort at any scale, so a registered plan may only carry
+    one over an input that is provably bounded (an aggregate, a top-k
+    shortlist, a constant-size table) — never the raw corpus. Corpus-wide
+    orderings must go through ``packing.with_token_offsets`` /
+    ``distributed_ntile`` (range-partitioned prefix sums; q194, q187,
+    quantile_bins). Detection: in the optimized plan, a
+    ``windowspecdefinition`` whose FIRST argument is an ordering
+    expression (carries ASC/DESC) has an empty partition spec."""
+    import re
+
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if name in _STREAM_REPLAYS or name in _GLOBAL_WINDOW_BOUNDED_OK:
+            continue
+        plan = (
+            fn(spark, sf)._jdf.queryExecution().optimizedPlan().toString()
+        )
+        hits = []
+        for m in re.finditer(r"windowspecdefinition\(", plan):
+            first = plan[m.end():m.end() + 200].split(",")[0]
+            if " ASC" in first or " DESC" in first:
+                hits.append(first.strip()[:60])
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        f"unpartitioned window over non-allowlisted input: {offenders}"
+    )
+
+
 def test_no_row_python_udf_anywhere(spark):
     """Global gate: NO query's plan may contain a row-at-a-time Python UDF
     (BatchEvalPython) — the engine rule since SURVEY §4. Arrow-batched
