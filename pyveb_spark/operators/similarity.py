@@ -53,7 +53,50 @@ __all__ = [
     "lsh_cosine_lookup",
     "margin_bitext_mine",
     "mahalanobis_outliers",
+    "suggest_lsh_planes",
 ]
+
+# Measured sign-LSH candidate-volume model (BASELINE.md round-8/9 rows,
+# mult-100 / mult-300 twins): candidates-per-vector ≈ C0 · N^ALPHA · R^n
+# for corpus size N and n hyperplanes. Log-space least squares over the
+# four measured (N, n_planes, candidates) points —
+#   (50 k, 6, 19.0 M), (50 k, 10, 10.3 M),
+#   (150 k, 10, 38.8 M), (150 k, 12, 24.2 M)
+# — reproduces each within ±7% (pinned by test). R < 1 is the banding
+# s-curve: every extra plane multiplies expected candidates by ~0.84,
+# which is why the production response to corpus growth is LOGARITHMIC
+# in planes (6 → 10 → 12 across two measured decades).
+_LSH_FIT_C0 = 160.13
+_LSH_FIT_ALPHA = 0.17702
+_LSH_FIT_R = 0.84395
+
+
+def suggest_lsh_planes(
+    n_vectors: int,
+    target_candidates_per_vector: float = 200.0,
+    min_planes: int = 4,
+    max_planes: int = 24,
+) -> int:
+    """The ``n_planes`` resolution knob for ``lsh_cosine_cross_pairs`` /
+    ``lsh_bucket``, derived from the measured two-decade response in
+    BASELINE.md instead of guesswork: the smallest plane count whose
+    predicted candidate volume per vector stays at or under the target.
+
+    The model ``cpv(N, n) = C0·N^α·R^n`` reproduces the four measured
+    operator probes within ±7% and its integer picks match the recorded
+    production choices (10 planes at the 50 k-vector twin, 12 at 150 k,
+    target 200/vector). Outside the measured decades (≲10 k or ≳10⁶
+    vectors) it extrapolates — clamp via ``min_planes``/``max_planes``
+    and re-probe with a count-only run before committing a 100 TB job
+    (the BASELINE.md protocol)."""
+    if n_vectors <= 0:
+        return int(min_planes)
+    need = (
+        math.log(_LSH_FIT_C0)
+        + _LSH_FIT_ALPHA * math.log(n_vectors)
+        - math.log(float(target_candidates_per_vector))
+    ) / -math.log(_LSH_FIT_R)
+    return max(int(min_planes), min(int(max_planes), math.ceil(need)))
 
 
 def _as_double(vec_col) -> Column:

@@ -1192,7 +1192,11 @@ def q200_bitext_lsh_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     a measured 10-minutes→seconds difference at 50 k vectors, see
     ``lsh_cosine_cross_pairs``), the margin stage is two keyed windows
     over candidates, and resolution (n_planes) is the knob that holds
-    per-bucket density as the corpus grows. Determinism: 4-decimal
+    per-bucket density as the corpus grows —
+    ``similarity.suggest_lsh_planes(n_vectors)`` picks it from the
+    measured BASELINE.md response (6 planes fits this fixture's ~3 k
+    vectors/side; the 50 k twin wants 10, the 150 k twin 12).
+    Determinism: 4-decimal
     cosines, decimal-summed neighbourhood averages, single double
     division, margin round(6) — the q189 contract verbatim."""
     from pyveb_spark.operators.similarity import (

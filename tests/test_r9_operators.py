@@ -210,3 +210,37 @@ def test_kmv_quantile_sample_is_mergeable():
     parts = [ids[0::3], ids[1::3], ids[2::3]]
     samples = [x for p in parts for x in sorted(p, key=h)[:k]]
     assert sorted(samples, key=h)[:k] == full
+
+
+def test_suggest_lsh_planes_reproduces_measured_points():
+    """The fit behind suggest_lsh_planes must reproduce the four measured
+    BASELINE.md operator probes within ±10%, and its integer picks must
+    match the recorded production choices (10 planes at the 50 k twin,
+    12 at the 150 k twin, target 200 candidates/vector)."""
+    import math
+
+    from pyveb_spark.operators.similarity import (
+        _LSH_FIT_ALPHA,
+        _LSH_FIT_C0,
+        _LSH_FIT_R,
+        suggest_lsh_planes,
+    )
+
+    measured = [  # (n_vectors, n_planes, candidates_per_vector)
+        (50_000, 6, 19.0e6 / 50_000),
+        (50_000, 10, 10.3e6 / 50_000),
+        (150_000, 10, 38.8e6 / 150_000),
+        (150_000, 12, 24.2e6 / 150_000),
+    ]
+    for n, planes, cpv in measured:
+        pred = _LSH_FIT_C0 * n**_LSH_FIT_ALPHA * _LSH_FIT_R**planes
+        assert abs(pred / cpv - 1.0) < 0.10, (n, planes, pred, cpv)
+
+    assert suggest_lsh_planes(50_000, 200.0) == 10
+    assert suggest_lsh_planes(150_000, 200.0) == 12
+    # monotone in corpus size, clamped at the extrapolation bounds
+    picks = [suggest_lsh_planes(n) for n in
+             (1, 3_000, 50_000, 150_000, 10**7, 10**12)]
+    assert picks == sorted(picks)
+    assert picks[0] >= 4 and picks[-1] <= 24
+    assert suggest_lsh_planes(3_000, 200.0) <= 8  # the sf0.01 fixture zone
