@@ -286,6 +286,15 @@ QUERIES = {
     # q186's production shape: the threshold sweep over banded-LSH
     # candidates (exact prefix-join kernel kept as the recall yardstick)
     "q205_threshold_sweep_lsh": q205_threshold_sweep_lsh,
+    # round-10 heads (built round 9), registered OUTSIDE the window to
+    # soak under selfcheck + seed twins first (the standing playbook):
+    # durable-index tranche — streaming admission against a PERSISTED
+    # LSH index, IVF search over a saved/reloaded partition-pruned
+    # index, and MinHash admission from a bucketed catalog table + its
+    # persisted skew blacklist
+    "q206_stream_lsh_admission": q206_stream_lsh_admission,
+    "q207_ivf_persisted_search": q207_ivf_persisted_search,
+    "q208_minhash_persisted_admission": q208_minhash_persisted_admission,
 }
 
 ORACLE_SQL = {
@@ -494,6 +503,9 @@ ORACLE_SQL = {
     "q203_group_advantage": _Q203_SQL,
     "q204_kmv_quantiles": _Q204_SQL,
     "q205_threshold_sweep_lsh": _Q205_SQL,
+    "q206_stream_lsh_admission": _Q206_SQL,
+    "q207_ivf_persisted_search": _Q207_SQL,
+    "q208_minhash_persisted_admission": _Q208_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -1203,3 +1203,134 @@ pairs AS (
   JOIN hashed gb ON gb.doc_id = idb
   WHERE len(list_intersect(ga.gh, gb.gh)) * 1.0
           / (ga.n + gb.n - len(list_intersect(ga.gh, gb.gh))) >= 0.6),""" + _SWEEP_TAIL_SQL
+
+
+# ---------------------------------------------------------------------------
+# MinHash admission from a PERSISTED bucketed index — round-10 head
+# ---------------------------------------------------------------------------
+
+def q208_minhash_persisted_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q45's incremental near-dup admission served from a DURABLE index
+    (``sinks/index_store.py``): the corpus postings (doc_id ≥ 100) are
+    saved as a catalog table BUCKETED on ``(__band, __h)`` — the lookup
+    join's key, so the index side joins with ZERO shuffle (bucket scan,
+    plan-gated) — together with the ``minhash_hot_buckets`` skew
+    blacklist, persisted once instead of recomputed per batch. The
+    reloaded pair feeds ``minhash_lsh_lookup`` unchanged, and the output
+    is the per-document ADMISSION TABLE (match count, best Jaccard,
+    admit flag at 0.8) rather than q45's raw pair list — what an ingest
+    controller actually consumes.
+
+    The candidate/verify pipeline is byte-identical to q45's certified
+    path (same hashes, same cap), so the oracle replays it and folds the
+    same aggregation + no-match left join on top.
+
+    100 TB design: per-ingest cost is |batch| hashing + a bucket-local
+    join against postings that are never reshuffled or rebuilt — the
+    warm-index property durable across sessions; appends go to the same
+    bucketed table, blacklist refresh rides compaction (staleness only
+    loosens the skew guard)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyveb_spark.operators.dedup import (
+        minhash_lsh_index,
+        minhash_lsh_lookup,
+    )
+    from pyveb_spark.sinks.index_store import (
+        load_minhash_index,
+        save_minhash_index,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") >= 100)
+    batch = d.where(F.col("doc_id") < 100)
+
+    table = f"q208_minhash_idx_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="q208_")
+    try:
+        save_minhash_index(
+            minhash_lsh_index(corpus, "doc_id", "text"),
+            table,
+            f"{tmp}/hot",
+            path=f"{tmp}/postings",
+        )
+        idx, hot = load_minhash_index(spark, table, f"{tmp}/hot")
+        matches = minhash_lsh_lookup(
+            batch, idx, "doc_id", "text", threshold=0.8, hot_buckets=hot
+        )
+        per = matches.groupBy("doc_id_new").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+        return (
+            batch.select("doc_id")
+            .join(per, F.col("doc_id") == F.col("doc_id_new"), "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_matches", F.lit(0).cast("bigint"))
+                .alias("n_matches"),
+                "best_jaccard",
+                F.col("doc_id_new").isNull().cast("int").alias("admitted"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_Q208_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (SELECT doc_id,
+                 list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS gs
+          FROM toks),
+hashed AS (SELECT doc_id,
+                  list_transform(gs, g -> ('0x' || substr(md5(g), 1, 12))::BIGINT) AS gh,
+                  len(gs) AS n
+           FROM grams),
+sigs AS (SELECT doc_id, gh, n, [
+    {_minhash_sql_exprs(32)}
+  ] AS mh
+  FROM hashed WHERE n > 0),
+bandvals AS (SELECT doc_id, gh, n, [
+    {_band_sql_exprs(32, 8)}
+  ] AS bh
+  FROM sigs),
+banded AS (SELECT doc_id, gh, n,
+                  generate_subscripts(bh, 1) AS band, unnest(bh) AS h
+           FROM bandvals),
+bsz AS (SELECT band, h, COUNT(*) AS m FROM banded
+        WHERE doc_id >= 100 GROUP BY band, h),
+corpusb AS (SELECT banded.doc_id, banded.band, banded.h
+            FROM banded JOIN bsz USING (band, h)
+            WHERE banded.doc_id >= 100 AND m <= {_LSH_CAP}),
+cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         FROM banded a JOIN corpusb b ON a.band = b.band AND a.h = b.h
+         WHERE a.doc_id < 100),
+hits AS (
+  SELECT ida AS doc_id_new,
+         len(list_intersect(ga.gh, gb.gh)) * 1.0
+           / (ga.n + gb.n - len(list_intersect(ga.gh, gb.gh))) AS jaccard
+  FROM cand
+  JOIN hashed ga ON ga.doc_id = ida
+  JOIN hashed gb ON gb.doc_id = idb
+  WHERE len(list_intersect(ga.gh, gb.gh)) * 1.0
+          / (ga.n + gb.n - len(list_intersect(ga.gh, gb.gh))) >= 0.8),
+per AS (SELECT doc_id_new,
+               COUNT(*)::BIGINT AS n_matches,
+               MAX(jaccard) AS best_jaccard
+        FROM hits GROUP BY doc_id_new)
+SELECT d.doc_id,
+       COALESCE(per.n_matches, 0)::BIGINT AS n_matches,
+       per.best_jaccard,
+       CASE WHEN per.doc_id_new IS NULL THEN 1 ELSE 0 END::INT AS admitted
+FROM documents d
+LEFT JOIN per ON per.doc_id_new = d.doc_id
+WHERE d.doc_id < 100
+ORDER BY d.doc_id
+"""

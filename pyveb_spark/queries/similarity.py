@@ -1586,3 +1586,86 @@ WHERE rk = 1
 GROUP BY label
 ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF search over a PERSISTED (save → load) index — round-10 head
+# ---------------------------------------------------------------------------
+
+def q207_ivf_persisted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index persistence made first-class (``sinks/index_store.py``):
+    build the q37 IVF-Flat index, SAVE it (postings partitioned by
+    ``ivf_list``, centroids as a k×dim side table), RELOAD it in what
+    could be a different session, and serve ``ivf_search`` from the
+    reloaded frame. The search must return exactly what a fresh index
+    returns — persistence is a layout change, never a semantic one — so
+    the oracle is the same IVF replay as q37 (seed-centroid md5 ranks,
+    argmin assignment, probe-3 shortlist) at this query's own
+    k=8/nprobe=3 point.
+
+    100 TB design: the probe over the reloaded index is PARTITION
+    PRUNING at the scan (``PartitionFilters`` on ``ivf_list``,
+    plan-gated in tests/test_plan_quality.py) — ~nprobe/n_lists of the
+    corpus bytes read, the durable form of the warm-index property. The
+    centroid reload is k×dim driver state (the coarse-quantizer
+    convention)."""
+    import shutil
+    import tempfile
+
+    from pyveb_spark.operators.similarity import ivf_index, ivf_search
+    from pyveb_spark.sinks.index_store import load_ivf_index, save_ivf_index
+
+    e = read_table(spark, sf_dir, "embeddings")
+    query_vec = _query_vec(e)
+    indexed, centroids = ivf_index(e, n_lists=16)
+    tmp = tempfile.mkdtemp(prefix="q207_")
+    try:
+        save_ivf_index(indexed, centroids, tmp)
+        postings, cents = load_ivf_index(spark, tmp)
+        return (
+            ivf_search(
+                postings, cents, query_vec, k=8, nprobe=3,
+                exclude_ids=[0],
+            )
+            .select(
+                "vec_id", "label",
+                F.round("cosine_sim", 4).alias("cosine_sim"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_Q207_SQL = """
+WITH ch AS (SELECT vec_id, embedding,
+                   ('0x' || substr(md5('ivf|' || vec_id), 1, 12))::BIGINT AS h
+            FROM embeddings),
+cent AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS list_id,
+                embedding::DOUBLE[] AS cv
+         FROM ch
+         QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 16),
+assign AS (SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.embedding::DOUBLE[], c.cv),
+                                       c.list_id) AS rk
+    FROM embeddings e CROSS JOIN cent c) t
+  WHERE rk = 1),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (SELECT c.list_id FROM cent c, q
+          ORDER BY list_distance(c.cv, q.qv), c.list_id
+          LIMIT 3),
+scored AS (SELECT e.vec_id, e.label,
+                  list_dot_product(e.embedding::DOUBLE[], q.qv)
+                    / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+           FROM embeddings e
+           JOIN assign a ON a.vec_id = e.vec_id
+           CROSS JOIN q
+           WHERE a.list_id IN (SELECT list_id FROM probe) AND e.vec_id <> 0)
+SELECT vec_id, label, ROUND(sim, 4) AS cosine_sim
+FROM scored
+ORDER BY sim DESC, vec_id ASC
+LIMIT 8
+"""

@@ -720,3 +720,151 @@ FROM gated
 GROUP BY source
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming LSH embedding admission against a PERSISTED warm index
+# (round-10 head, built round 9)
+# ---------------------------------------------------------------------------
+
+_Q206_THRESHOLD = 0.3
+_Q206_PLANES = 6
+
+
+def q206_stream_lsh_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING embedding near-dup admission — q165's warm-index lookup
+    married to the q164/q26 streaming machinery, against an index that
+    SURVIVES sessions (``sinks/index_store.py``): the corpus (vec_id %
+    17 != 0) is sign-LSH bucketed once and persisted partitioned by
+    bucket; the arriving vectors (vec_id % 17 == 0) replay as a file
+    stream (``maxFilesPerTrigger=1`` → real multi-batch execution), and
+    each micro-batch probes the RELOADED index via
+    ``lsh_cosine_lookup(index=...)``, upserting per-vector admission
+    decisions through a ``ParquetMergeSink`` (restart-idempotent — a
+    replayed batch merges to the same state, the q26 contract). A vector
+    is admitted when no corpus match reaches cosine 0.3 (q165's fixture
+    threshold).
+
+    The streaming-vs-batch equivalence IS the correctness claim: the
+    index is static and batches are disjoint, so the admission table is
+    independent of micro-batch boundaries and the oracle is the batch
+    replay of the same md5-derived plane construction (q165's SQL, plus
+    the per-vector aggregation and the no-match left join).
+
+    100 TB design: per-batch cost is |batch| hashing + a bucket equijoin
+    against the persisted index + an id-keyed merge — the corpus is
+    never rescanned (the q45/q165 warm-index property, now durable
+    across sessions AND across stream restarts). Returns ``(vec_id,
+    n_matches, best_cosine, admitted)`` for every streamed vector."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyveb_spark.operators.similarity import lsh_bucket, lsh_cosine_lookup
+    from pyveb_spark.sinks.index_store import load_lsh_index, save_lsh_index
+    from pyveb_spark.sinks.merge import ParquetMergeSink
+    from pyveb_spark.streaming.stream import (
+        read_file_stream,
+        run_available_now,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    arriving = e.where(F.col("vec_id") % 17 == 0)
+    corpus = e.where(F.col("vec_id") % 17 != 0)
+    dim = int(
+        corpus.select(F.size("embedding").alias("d")).first()["d"]
+    )
+
+    tmp = tempfile.mkdtemp(prefix="q206_")
+    try:
+        save_lsh_index(
+            lsh_bucket(
+                corpus, dim, _Q206_PLANES, vec_col="embedding",
+                seed=42, bucket_col="__b",
+            ),
+            os.path.join(tmp, "index"),
+        )
+        warm = load_lsh_index(spark, os.path.join(tmp, "index"))
+
+        drops = os.path.join(tmp, "drops")
+        arriving.repartition(3).write.mode("overwrite").parquet(drops)
+        stream = read_file_stream(
+            spark, drops, arriving.schema, max_files_per_trigger=1
+        )
+        sink = ParquetMergeSink(spark, os.path.join(tmp, "admitted"))
+
+        def _admit(batch_df: DataFrame, batch_id: int) -> None:
+            matches = lsh_cosine_lookup(
+                batch_df, corpus, threshold=_Q206_THRESHOLD,
+                n_planes=_Q206_PLANES, seed=42, index=warm,
+            )
+            per = matches.groupBy("vec_id_new").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+                F.max("cosine_sim").alias("best_cosine"),
+            )
+            decided = (
+                batch_df.select("vec_id")
+                .join(per, F.col("vec_id") == F.col("vec_id_new"), "left")
+                .select(
+                    "vec_id",
+                    F.coalesce("n_matches", F.lit(0).cast("bigint"))
+                    .alias("n_matches"),
+                    "best_cosine",
+                    F.col("vec_id_new").isNull().cast("int")
+                    .alias("admitted"),
+                )
+            )
+            sink.upsert(decided, keys=["vec_id"])
+
+        q = run_available_now(
+            stream, os.path.join(tmp, "ck"), foreach_batch=_admit
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q206 streaming admission did not finish")
+        return (
+            sink.read()
+            .select("vec_id", "n_matches", "best_cosine", "admitted")
+            .orderBy("vec_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_Q206_SQL = """
+WITH vecd AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                     unnest(embedding::DOUBLE[]) AS v
+              FROM embeddings),
+bits AS (SELECT vec_id, j,
+                CASE WHEN SUM(v * (CASE WHEN (('0x' || substr(md5('plane|42|' || j || '|' || d), 1, 12))::BIGINT % 2) = 1
+                                        THEN 1.0 ELSE -1.0 END)) >= 0
+                     THEN 1 ELSE 0 END AS bit
+         FROM vecd CROSS JOIN (SELECT unnest(range(0, 6)) AS j) jj
+         GROUP BY vec_id, j),
+bkt AS (SELECT vec_id, CAST(SUM(bit * (1::BIGINT << j)) AS BIGINT) AS bucket
+        FROM bits GROUP BY vec_id),
+scored AS (
+  SELECT a.vec_id AS vec_id_new, b.vec_id AS vec_id_corpus,
+         ROUND(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))),
+               4) AS cosine_sim
+  FROM bkt a JOIN bkt b ON a.bucket = b.bucket
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE a.vec_id % 17 = 0 AND b.vec_id % 17 <> 0),
+hits AS (SELECT * FROM scored WHERE cosine_sim >= 0.3),
+per AS (SELECT vec_id_new,
+               COUNT(*)::BIGINT AS n_matches,
+               MAX(cosine_sim) AS best_cosine
+        FROM hits GROUP BY vec_id_new)
+SELECT e.vec_id,
+       COALESCE(per.n_matches, 0)::BIGINT AS n_matches,
+       per.best_cosine,
+       CASE WHEN per.vec_id_new IS NULL THEN 1 ELSE 0 END::INT AS admitted
+FROM embeddings e
+LEFT JOIN per ON per.vec_id_new = e.vec_id
+WHERE e.vec_id % 17 = 0
+ORDER BY e.vec_id
+"""

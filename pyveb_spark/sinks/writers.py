@@ -98,6 +98,7 @@ def write_bucketed_table(
     sort_cols: Sequence[str] | None = None,
     mode: str = "overwrite",
     fmt: str = "parquet",
+    path: str | None = None,
 ) -> None:
     """Save as a hash-bucketed (and optionally sort-ordered) catalog table.
 
@@ -107,10 +108,13 @@ def write_bucketed_table(
     100 TB, pre-bucketing fact tables on their join key converts every
     downstream join/agg on that key from a full shuffle into a local merge.
     Bucket pruning also serves point lookups. Requires ``saveAsTable``
-    (bucket metadata lives in the catalog, not the files)."""
+    (bucket metadata lives in the catalog, not the files). ``path`` makes
+    it an EXTERNAL table at that location (index artifacts, tests)."""
     w = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
     w.saveAsTable(table)
 
 

@@ -1,0 +1,201 @@
+"""Durable index persistence (sinks/index_store.py): save → load round
+trips must be semantically invisible (identical search/lookup results)
+while buying the physical property each layout exists for — partition
+pruning for IVF probes, zero index-side shuffle for MinHash lookups."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from pyveb_spark.sources.readers import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ivf_round_trip_identical_search_and_partition_pruning(
+    spark, tmp_path
+):
+    from pyveb_spark.operators.similarity import ivf_index, ivf_search
+    from pyveb_spark.queries._helpers import _query_vec
+    from pyveb_spark.sinks.index_store import (
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    e = read_table(spark, SF, "embeddings")
+    qv = _query_vec(e)
+    indexed, centroids = ivf_index(e, n_lists=8)
+    save_ivf_index(indexed, centroids, str(tmp_path / "ivf"))
+    postings, cents = load_ivf_index(spark, str(tmp_path / "ivf"))
+
+    assert cents == centroids  # centroid table survives bit-for-bit
+    assert postings.count() == indexed.count()
+
+    fresh = ivf_search(indexed, centroids, qv, k=5, nprobe=2).collect()
+    warm = ivf_search(postings, cents, qv, k=5, nprobe=2).collect()
+    assert [(r.vec_id, r.cosine_sim) for r in warm] == [
+        (r.vec_id, r.cosine_sim) for r in fresh
+    ]
+
+    # the probe over the RELOADED index is partition pruning at the scan
+    probe_plan = postings.where(
+        F.col("ivf_list").isin([0, 1])
+    )._jdf.queryExecution().executedPlan().toString()
+    pf = next(
+        (ln for ln in probe_plan.splitlines() if "PartitionFilters" in ln),
+        "",
+    )
+    assert "ivf_list" in pf, probe_plan
+
+
+def test_lsh_round_trip_identical_lookup(spark, tmp_path):
+    from pyveb_spark.operators.similarity import (
+        lsh_bucket,
+        lsh_cosine_lookup,
+    )
+    from pyveb_spark.sinks.index_store import (
+        load_lsh_index,
+        save_lsh_index,
+    )
+
+    e = read_table(spark, SF, "embeddings")
+    corpus = e.where(F.col("vec_id") >= 20)
+    batch = e.where(F.col("vec_id") < 20)
+    dim = len(corpus.select("embedding").first()[0])
+    idx = lsh_bucket(corpus, dim, 6, seed=42, bucket_col="__b")
+    save_lsh_index(idx, str(tmp_path / "lsh"))
+    warm = load_lsh_index(spark, str(tmp_path / "lsh"))
+    assert warm.schema["__b"].dataType.simpleString() == "bigint"
+
+    fresh = sorted(
+        (r.vec_id_new, r.vec_id_corpus, r.cosine_sim)
+        for r in lsh_cosine_lookup(
+            batch, corpus, threshold=0.3, n_planes=6, seed=42
+        ).collect()
+    )
+    reloaded = sorted(
+        (r.vec_id_new, r.vec_id_corpus, r.cosine_sim)
+        for r in lsh_cosine_lookup(
+            batch, corpus, threshold=0.3, n_planes=6, seed=42, index=warm
+        ).collect()
+    )
+    assert reloaded == fresh
+
+
+def test_minhash_round_trip_identical_and_no_index_side_shuffle(
+    spark, tmp_path
+):
+    from pyveb_spark.operators.dedup import (
+        minhash_lsh_index,
+        minhash_lsh_lookup,
+    )
+    from pyveb_spark.sinks.index_store import (
+        load_minhash_index,
+        save_minhash_index,
+    )
+
+    d = read_table(spark, SF, "documents")
+    corpus = d.where(F.col("doc_id") >= 100)
+    batch = d.where(F.col("doc_id") < 100)
+    table = f"t_idx_{uuid.uuid4().hex[:8]}"
+    try:
+        save_minhash_index(
+            minhash_lsh_index(corpus, "doc_id", "text"),
+            table,
+            str(tmp_path / "hot"),
+            path=str(tmp_path / "postings"),
+        )
+        idx, hot = load_minhash_index(spark, table, str(tmp_path / "hot"))
+
+        fresh = sorted(
+            (r.doc_id_new, r.doc_id_corpus, round(r.jaccard, 9))
+            for r in minhash_lsh_lookup(
+                batch, minhash_lsh_index(corpus, "doc_id", "text"),
+                "doc_id", "text", threshold=0.8,
+            ).collect()
+        )
+        warm = sorted(
+            (r.doc_id_new, r.doc_id_corpus, round(r.jaccard, 9))
+            for r in minhash_lsh_lookup(
+                batch, idx, "doc_id", "text", threshold=0.8,
+                hot_buckets=hot,
+            ).collect()
+        )
+        assert warm == fresh
+
+        # zero INDEX-side shuffle: against the bucketed table the
+        # candidate join reads matching buckets directly, so the plan
+        # carries exactly one fewer band-key exchange than the same
+        # lookup against a plain-parquet copy of the index (the
+        # remaining exchanges are the probe side and — with broadcast
+        # disabled to keep the sort-merge shape — the tiny blacklist)
+        plain_path = str(tmp_path / "plain_idx")
+        spark.table(table).write.mode("overwrite").parquet(plain_path)
+        plain_idx = spark.read.parquet(plain_path)
+
+        def band_exchanges(frame):
+            plan = frame._jdf.queryExecution().executedPlan().toString()
+            return sum(
+                1
+                for ln in plan.splitlines()
+                if "Exchange hashpartitioning" in ln and "__band" in ln
+            )
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            n_bucketed = band_exchanges(
+                minhash_lsh_lookup(
+                    batch, idx, "doc_id", "text", threshold=0.8,
+                    hot_buckets=hot,
+                )
+            )
+            n_plain = band_exchanges(
+                minhash_lsh_lookup(
+                    batch, plain_idx, "doc_id", "text", threshold=0.8,
+                    hot_buckets=hot,
+                )
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert n_bucketed == n_plain - 1, (n_bucketed, n_plain)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_q206_stream_matches_batch_admission(spark):
+    """Streaming-vs-batch equivalence: the q206 micro-batched admission
+    table equals the one-shot batch computation (static index + disjoint
+    batches => batch boundaries are invisible)."""
+    from pyveb_spark.operators.similarity import lsh_cosine_lookup
+    from pyveb_spark.queries import QUERIES
+
+    got = {
+        r.vec_id: (r.n_matches, r.best_cosine, r.admitted)
+        for r in QUERIES["q206_stream_lsh_admission"](spark, SF).collect()
+    }
+
+    e = read_table(spark, SF, "embeddings")
+    arriving = e.where(F.col("vec_id") % 17 == 0)
+    corpus = e.where(F.col("vec_id") % 17 != 0)
+    matches = lsh_cosine_lookup(
+        arriving, corpus, threshold=0.3, n_planes=6, seed=42
+    )
+    per = {
+        r.vec_id_new: r
+        for r in matches.groupBy("vec_id_new")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("cosine_sim").alias("best"),
+        )
+        .collect()
+    }
+    want = {}
+    for r in arriving.select("vec_id").collect():
+        m = per.get(r.vec_id)
+        want[r.vec_id] = (
+            (m.n, m.best, 0) if m is not None else (0, None, 1)
+        )
+    assert got == want and got  # non-empty at sf0.001

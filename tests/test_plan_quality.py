@@ -250,6 +250,10 @@ _STREAM_REPLAYS = {
     "q47_stream_enrich",
     "q26_stream_upsert",
     "q119_stream_sliding_windows",
+    # q206 executes a stream + foreachBatch merge inside the query fn;
+    # its physical properties are pinned in tests/test_index_store.py
+    # (batch-equivalence + the persisted-index lookup shape)
+    "q206_stream_lsh_admission",
 }
 
 
