@@ -776,18 +776,45 @@ def test_bradley_terry_relabeling_equivariance(wins):
     assert {ren[s]: p for s, p in base.items()} == relab
 
 
+def _ford_connected(wins: dict) -> bool:
+    """Ford (1957) existence condition for the BT MLE: the directed
+    win graph is strongly connected. Outside it (e.g. an undefeated
+    side) the MLE diverges and a truncated MM snapshot is not required
+    to be monotone — Hypothesis found exactly such a case."""
+    sides = sorted({s for p in wins for s in p})
+    edges = {(i, j) for (i, j), w in wins.items() if w > 0}
+
+    def reaches(src):
+        seen, todo = {src}, [src]
+        while todo:
+            u = todo.pop()
+            for (a, b) in edges:
+                if a == u and b not in seen:
+                    seen.add(b)
+                    todo.append(b)
+        return seen
+
+    return all(reaches(s) == set(sides) for s in sides)
+
+
 @given(wins=_bt_wins, extra=st.integers(min_value=1, max_value=30))
 def test_bradley_terry_winning_more_never_hurts(wins, extra):
     """Adding wins for one side against one opponent must not LOWER its
     strength RATIO against that opponent (renormalization shifts
-    absolute values, so the pairwise ratio is the sound invariant)."""
+    absolute values, so the pairwise ratio is the sound invariant).
+    Scoped to Ford-connected win graphs — where the BT MLE exists and
+    the MM iteration converges to it — and fitted past the default 10
+    iterations so the snapshot IS the fixed point."""
+    from hypothesis import assume
+
     from pyveb_spark.operators.text import bradley_terry
 
+    assume(_ford_connected(wins))
     (i, j), _ = sorted(wins.items())[0]
-    base = bradley_terry(wins)
+    base = bradley_terry(wins, iters=80)
     boosted_wins = dict(wins)
     boosted_wins[(i, j)] = boosted_wins[(i, j)] + extra
-    boosted = bradley_terry(boosted_wins)
+    boosted = bradley_terry(boosted_wins, iters=80)
     if base[j] > 0 and boosted[j] > 0:
         # tolerance: the per-iteration round(9) grid
         assert boosted[i] / boosted[j] >= base[i] / base[j] - 1e-6

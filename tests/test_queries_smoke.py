@@ -48,14 +48,14 @@ def test_every_query_has_an_oracle():
 def test_gate_window_composition():
     """The driver certifies only the first 50 registry entries; the
     rotation contract (gate-window comment in
-    pyveb_spark/queries/__init__.py). Round 8 is the certification-debt
-    payoff: every round-7 window member except q117 earned its hard
-    CORRECTNESS_r07 row, so the window keeps only the eight ever-standing
-    heads plus the q117 retry, and all 41 incoming slots are
-    never-certified — the 19 round-8 heads q181–q199 and 22 pre-r7
-    residue queries. Every displaced query must still exist (selfcheck
-    covers it outside the window)."""
-    from pyveb_spark.queries import _R8_IN, _R8_OUT
+    pyveb_spark/queries/__init__.py). Round 9 drives never-certified to
+    zero: the window keeps the eight ever-standing heads, q117, the 19
+    round-8 heads (second consecutive certification), and q74 as the
+    TPC-H join-agg anchor; all 21 incoming slots are the never-certified
+    queries — the six round-9 heads q200–q205 and the 15-query q51–q83
+    residue. Every displaced query must still exist (selfcheck covers it
+    outside the window)."""
+    from pyveb_spark.queries import _R8_IN, _R9_IN, _R9_OUT
 
     window = list(QUERIES)[:50]
     standing = [
@@ -63,26 +63,26 @@ def test_gate_window_composition():
         "q08_rollup", "q10_set_ops", "q12_json_props",
         "q31_session_windows", "q48_last_shipper",
     ]
-    must_be_in = standing + ["q117_vocab_encode"] + list(_R8_IN)
+    r8_heads = [q for q in _R8_IN if q.startswith(
+        ("q181", "q182", "q183", "q184", "q185", "q186", "q187", "q188",
+         "q189", "q190", "q191", "q192", "q193", "q194", "q195", "q196",
+         "q197", "q198", "q199"))]
+    must_be_in = (
+        standing + ["q117_vocab_encode", "q74_market_share"]
+        + r8_heads + list(_R9_IN)
+    )
     missing = [q for q in must_be_in if q not in window]
     assert missing == [], f"expected in the gate window: {missing}"
-    # the round-8 heads and the residue wave fill every non-standing slot
-    assert len(_R8_IN) == 41 and len(_R8_OUT) == 41
+    assert len(_R9_IN) == 21 and len(_R9_OUT) == 21
     assert set(window) == set(must_be_in)
     # every displaced query is still registered (soaks under selfcheck)
-    for q in _R8_OUT:
+    for q in _R9_OUT:
         assert q in QUERIES and q not in window, q
-    # deferred residue (next round's window) is still registered too
-    deferred = [
-        "q51_part_value_concentration", "q52_top_supplier",
-        "q53_idle_rich_customers", "q58_order_count_distribution",
-        "q59_disjunctive_revenue", "q60_large_orders",
-        "q68_promo_revenue_share", "q69_supplier_part_counts",
-        "q70_bilateral_volume", "q71_shipmode_priority",
-        "q72_local_supplier_volume", "q73_returned_item_customers",
-        "q77_cheapest_supplier", "q79_excess_stock",
-        "q83_small_qty_revenue",
-    ]
-    for q in deferred:
+    # the round-10 heads built this round soak OUTSIDE the window
+    for q in (
+        "q206_stream_lsh_admission",
+        "q207_ivf_persisted_search",
+        "q208_minhash_persisted_admission",
+    ):
         assert q in QUERIES and q not in window, q
     assert len(window) == 50
