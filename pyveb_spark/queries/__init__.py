@@ -295,6 +295,12 @@ QUERIES = {
     "q206_stream_lsh_admission": q206_stream_lsh_admission,
     "q207_ivf_persisted_search": q207_ivf_persisted_search,
     "q208_minhash_persisted_admission": q208_minhash_persisted_admission,
+    # the index LIFECYCLE halves: admit→append→re-admit over the bucketed
+    # MinHash table (the evolving-index ingest cycle) and frozen-quantizer
+    # IVF admission (assign against existing centroids, append postings,
+    # search the union)
+    "q209_minhash_index_evolution": q209_minhash_index_evolution,
+    "q210_ivf_incremental_admission": q210_ivf_incremental_admission,
 }
 
 ORACLE_SQL = {
@@ -506,6 +512,8 @@ ORACLE_SQL = {
     "q206_stream_lsh_admission": _Q206_SQL,
     "q207_ivf_persisted_search": _Q207_SQL,
     "q208_minhash_persisted_admission": _Q208_SQL,
+    "q209_minhash_index_evolution": _Q209_SQL,
+    "q210_ivf_incremental_admission": _Q210_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -1334,3 +1334,186 @@ LEFT JOIN per ON per.doc_id_new = d.doc_id
 WHERE d.doc_id < 100
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Sequential ingest: the MinHash index EVOLVES between waves — round-10 head
+# ---------------------------------------------------------------------------
+
+def q209_minhash_index_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full production ingest CYCLE over the durable MinHash index —
+    q208 certified the save→load half; this certifies admit→APPEND→
+    re-admit: wave 1 (100 ≤ doc_id < 200) is checked against the
+    persisted corpus index (doc_id ≥ 200), its admitted documents'
+    postings are APPENDED into the same bucketed table
+    (``index_store.append_minhash_index`` — same bucket spec, the
+    zero-shuffle join property survives the append), the skew blacklist
+    is refreshed from the grown table (the compaction-time step), and
+    wave 2 (doc_id < 100) is then admitted against the EVOLVED index —
+    its duplicates of wave-1 admits are caught without any rebuild.
+    Output per wave-2 document: total matches, matches specifically
+    against wave-1 admits (``n_vs_admitted`` — the column that proves
+    the index grew), best Jaccard, admit flag.
+
+    Determinism: admission is a pure function of the certified q45
+    candidate/verify pipeline, so wave 1's admitted set — and therefore
+    wave 2's candidate universe — replays exactly in the oracle (two
+    unrolled generations of the same CTEs).
+
+    100 TB design: each wave costs |wave| hashing + one bucket-local
+    join; the corpus postings are written once and never reshuffled —
+    appends are new files in existing buckets. This is the shape a
+    continuous ingest runs forever."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyveb_spark.operators.dedup import (
+        minhash_lsh_index,
+        minhash_lsh_lookup,
+    )
+    from pyveb_spark.sinks.index_store import (
+        append_minhash_index,
+        load_minhash_index,
+        save_minhash_index,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    corpus0 = d.where(F.col("doc_id") >= 200)
+    wave1 = d.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    wave2 = d.where(F.col("doc_id") < 100)
+
+    table = f"q209_minhash_idx_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="q209_")
+    try:
+        save_minhash_index(
+            minhash_lsh_index(corpus0, "doc_id", "text"),
+            table,
+            f"{tmp}/hot",
+            path=f"{tmp}/postings",
+        )
+        idx, hot = load_minhash_index(spark, table, f"{tmp}/hot")
+        w1_matched = (
+            minhash_lsh_lookup(
+                wave1, idx, "doc_id", "text", threshold=0.8,
+                hot_buckets=hot,
+            )
+            .select(F.col("doc_id_new").alias("doc_id"))
+            .distinct()
+        )
+        admitted1 = wave1.join(w1_matched, "doc_id", "left_anti")
+        append_minhash_index(
+            minhash_lsh_index(admitted1, "doc_id", "text"),
+            table,
+            hot_path=f"{tmp}/hot",
+        )
+        idx2, hot2 = load_minhash_index(spark, table, f"{tmp}/hot")
+        matches2 = minhash_lsh_lookup(
+            wave2, idx2, "doc_id", "text", threshold=0.8,
+            hot_buckets=hot2,
+        )
+        per = matches2.groupBy("doc_id_new").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+            F.sum(
+                (
+                    (F.col("doc_id_corpus") >= 100)
+                    & (F.col("doc_id_corpus") < 200)
+                ).cast("bigint")
+            ).alias("n_vs_admitted"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+        return (
+            wave2.select("doc_id")
+            .join(per, F.col("doc_id") == F.col("doc_id_new"), "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_matches", F.lit(0).cast("bigint"))
+                .alias("n_matches"),
+                F.coalesce("n_vs_admitted", F.lit(0).cast("bigint"))
+                .alias("n_vs_admitted"),
+                "best_jaccard",
+                F.col("doc_id_new").isNull().cast("int").alias("admitted"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_Q209_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (SELECT doc_id,
+                 list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS gs
+          FROM toks),
+hashed AS (SELECT doc_id,
+                  list_transform(gs, g -> ('0x' || substr(md5(g), 1, 12))::BIGINT) AS gh,
+                  len(gs) AS n
+           FROM grams),
+sigs AS (SELECT doc_id, gh, n, [
+    {_minhash_sql_exprs(32)}
+  ] AS mh
+  FROM hashed WHERE n > 0),
+bandvals AS (SELECT doc_id, gh, n, [
+    {_band_sql_exprs(32, 8)}
+  ] AS bh
+  FROM sigs),
+banded AS MATERIALIZED (SELECT doc_id, gh, n,
+                  generate_subscripts(bh, 1) AS band, unnest(bh) AS h
+           FROM bandvals),
+bsz0 AS (SELECT band, h, COUNT(*) AS m FROM banded
+         WHERE doc_id >= 200 GROUP BY band, h),
+corpusb0 AS (SELECT banded.doc_id, banded.band, banded.h
+             FROM banded JOIN bsz0 USING (band, h)
+             WHERE banded.doc_id >= 200 AND m <= {_LSH_CAP}),
+cand1 AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+          FROM banded a JOIN corpusb0 b ON a.band = b.band AND a.h = b.h
+          WHERE a.doc_id >= 100 AND a.doc_id < 200),
+hit1 AS (SELECT DISTINCT ida FROM cand1
+         JOIN hashed ga ON ga.doc_id = ida
+         JOIN hashed gb ON gb.doc_id = idb
+         WHERE len(list_intersect(ga.gh, gb.gh)) * 1.0
+                 / (ga.n + gb.n - len(list_intersect(ga.gh, gb.gh))) >= 0.8),
+members1 AS MATERIALIZED (
+  SELECT doc_id FROM documents WHERE doc_id >= 200
+  UNION ALL
+  SELECT doc_id FROM documents
+  WHERE doc_id >= 100 AND doc_id < 200
+    AND doc_id NOT IN (SELECT ida FROM hit1)),
+bsz1 AS (SELECT band, h, COUNT(*) AS m
+         FROM banded JOIN members1 USING (doc_id) GROUP BY band, h),
+corpusb1 AS (SELECT banded.doc_id, banded.band, banded.h
+             FROM banded JOIN members1 USING (doc_id)
+             JOIN bsz1 USING (band, h)
+             WHERE m <= {_LSH_CAP}),
+cand2 AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+          FROM banded a JOIN corpusb1 b ON a.band = b.band AND a.h = b.h
+          WHERE a.doc_id < 100),
+hits2 AS (
+  SELECT ida AS doc_id_new, idb AS doc_id_corpus,
+         len(list_intersect(ga.gh, gb.gh)) * 1.0
+           / (ga.n + gb.n - len(list_intersect(ga.gh, gb.gh))) AS jaccard
+  FROM cand2
+  JOIN hashed ga ON ga.doc_id = ida
+  JOIN hashed gb ON gb.doc_id = idb
+  WHERE len(list_intersect(ga.gh, gb.gh)) * 1.0
+          / (ga.n + gb.n - len(list_intersect(ga.gh, gb.gh))) >= 0.8),
+per AS (SELECT doc_id_new,
+               COUNT(*)::BIGINT AS n_matches,
+               SUM(CASE WHEN doc_id_corpus >= 100 AND doc_id_corpus < 200
+                        THEN 1 ELSE 0 END)::BIGINT AS n_vs_admitted,
+               MAX(jaccard) AS best_jaccard
+        FROM hits2 GROUP BY doc_id_new)
+SELECT d.doc_id,
+       COALESCE(per.n_matches, 0)::BIGINT AS n_matches,
+       COALESCE(per.n_vs_admitted, 0)::BIGINT AS n_vs_admitted,
+       per.best_jaccard,
+       CASE WHEN per.doc_id_new IS NULL THEN 1 ELSE 0 END::INT AS admitted
+FROM documents d
+LEFT JOIN per ON per.doc_id_new = d.doc_id
+WHERE d.doc_id < 100
+ORDER BY d.doc_id
+"""

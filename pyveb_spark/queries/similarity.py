@@ -1669,3 +1669,111 @@ FROM scored
 ORDER BY sim DESC, vec_id ASC
 LIMIT 8
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF admission: frozen quantizer + appended postings
+# (round-10 head)
+# ---------------------------------------------------------------------------
+
+def q210_ivf_incremental_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The IVF serving lifecycle q207 left open: ADMIT new vectors into
+    a persisted index without a rebuild. The coarse quantizer is trained
+    on the original corpus only (vec_id ≥ 100) and FROZEN — the standard
+    IVF serving contract (re-clustering is the rebuild path) — then the
+    arriving batch (vec_id < 100) is assigned to its nearest existing
+    centroid in one scan (``nearest_centroid`` — literal expressions, no
+    shuffle) and appended into the postings' list partitions
+    (``index_store.append_ivf_postings``: new files in existing
+    directories, searchable immediately). The probe that follows reads
+    the union — appended vectors rank in the top-k exactly as if the
+    index had been built over everything with those centroids.
+
+    The oracle replays centroid selection RESTRICTED to the original
+    corpus (the frozen-quantizer semantics made SQL-visible), assignment
+    over all vectors, and the nprobe-4 search — so "append then search"
+    is certified equal to "assign-all then search", which is the whole
+    claim.
+
+    100 TB design: admission is a stateless scan of the batch (k×dim
+    literal argmin) + a partitioned append — no corpus reads, no
+    shuffle; searches keep paying only ~nprobe/n_lists of the (grown)
+    corpus via partition pruning."""
+    import shutil
+    import tempfile
+
+    from pyveb_spark.operators.similarity import (
+        ivf_index,
+        ivf_search,
+        nearest_centroid,
+    )
+    from pyveb_spark.sinks.index_store import (
+        append_ivf_postings,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    corpus0 = e.where(F.col("vec_id") >= 100)
+    batch = e.where(F.col("vec_id") < 100)
+    query_vec = _query_vec(e)
+
+    indexed0, centroids = ivf_index(corpus0, n_lists=16)
+    tmp = tempfile.mkdtemp(prefix="q210_")
+    try:
+        save_ivf_index(indexed0, centroids, tmp)
+        postings, cents = load_ivf_index(spark, tmp)
+        assigned = batch.withColumn(
+            "ivf_list", nearest_centroid(F.col("embedding"), cents)["list_id"]
+        )
+        append_ivf_postings(assigned, tmp)
+        grown, cents2 = load_ivf_index(spark, tmp)
+        return (
+            ivf_search(
+                grown, cents2, query_vec, k=10, nprobe=4,
+                exclude_ids=[0],
+            )
+            .select(
+                "vec_id", "label",
+                F.round("cosine_sim", 4).alias("cosine_sim"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_Q210_SQL = """
+WITH ch AS (SELECT vec_id, embedding,
+                   ('0x' || substr(md5('ivf|' || vec_id), 1, 12))::BIGINT AS h
+            FROM embeddings WHERE vec_id >= 100),
+cent AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS list_id,
+                embedding::DOUBLE[] AS cv
+         FROM ch
+         QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 16),
+assign AS (SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.embedding::DOUBLE[], c.cv),
+                                       c.list_id) AS rk
+    FROM embeddings e CROSS JOIN cent c) t
+  WHERE rk = 1),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (SELECT c.list_id FROM cent c, q
+          ORDER BY list_distance(c.cv, q.qv), c.list_id
+          LIMIT 4),
+scored AS (SELECT e.vec_id, e.label,
+                  list_dot_product(e.embedding::DOUBLE[], q.qv)
+                    / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+           FROM embeddings e
+           JOIN assign a ON a.vec_id = e.vec_id
+           CROSS JOIN q
+           WHERE a.list_id IN (SELECT list_id FROM probe) AND e.vec_id <> 0)
+SELECT vec_id, label, ROUND(sim, 4) AS cosine_sim
+FROM scored
+ORDER BY sim DESC, vec_id ASC
+LIMIT 10
+"""

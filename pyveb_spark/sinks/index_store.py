@@ -41,10 +41,12 @@ from pyspark.sql import functions as F
 __all__ = [
     "save_ivf_index",
     "load_ivf_index",
+    "append_ivf_postings",
     "save_lsh_index",
     "load_lsh_index",
     "save_minhash_index",
     "load_minhash_index",
+    "append_minhash_index",
 ]
 
 _IVF_POSTINGS = "postings"
@@ -94,6 +96,21 @@ def load_ivf_index(
         (int(r["list_id"]), [float(x) for x in r["centroid"]])
         for r in cents
     ]
+
+
+def append_ivf_postings(
+    assigned: DataFrame, path: str, list_col: str = "ivf_list"
+) -> None:
+    """Incremental IVF admission: append newly-assigned vectors (rows
+    already carrying ``list_col`` from ``nearest_centroid`` against the
+    EXISTING centroids) into the persisted postings — each batch lands
+    in its list's partition directories, searchable immediately, no
+    rebuild. The coarse quantizer stays frozen between rebuilds (the
+    standard IVF serving contract; re-clustering is the rebuild path,
+    ``save_ivf_index``)."""
+    assigned.write.mode("append").partitionBy(list_col).parquet(
+        os.path.join(path, _IVF_POSTINGS)
+    )
 
 
 def save_lsh_index(
@@ -155,3 +172,36 @@ def load_minhash_index(
     ``minhash_lsh_lookup(index=..., hot_buckets=...)`` (the q45
     production shape with zero per-batch index work)."""
     return spark.table(table), spark.read.parquet(hot_path)
+
+
+def append_minhash_index(
+    postings: DataFrame,
+    table: str,
+    hot_path: str | None = None,
+    max_bucket_size: int | None = None,
+    num_buckets: int = 8,
+) -> None:
+    """Append an admitted batch's postings into the persisted bucketed
+    index (same bucket spec — Spark keeps the table's zero-shuffle join
+    property across appends, pinned by test). Pass ``hot_path`` to also
+    REFRESH the skew blacklist from the grown table (the compaction-time
+    step); omit it to defer — staleness only loosens the skew guard,
+    never correctness (the ``minhash_lsh_index`` contract)."""
+    from pyveb_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET_SIZE,
+        minhash_hot_buckets,
+    )
+
+    postings.write.format("parquet").mode("append").bucketBy(
+        num_buckets, "__band", "__h"
+    ).saveAsTable(table)
+    if hot_path is not None:
+        cap = (
+            DEFAULT_MAX_BUCKET_SIZE
+            if max_bucket_size is None
+            else int(max_bucket_size)
+        )
+        spark = postings.sparkSession
+        minhash_hot_buckets(spark.table(table), cap).coalesce(
+            1
+        ).write.mode("overwrite").parquet(hot_path)

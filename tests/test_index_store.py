@@ -199,3 +199,132 @@ def test_q206_stream_matches_batch_admission(spark):
             (m.n, m.best, 0) if m is not None else (0, None, 1)
         )
     assert got == want and got  # non-empty at sf0.001
+
+
+def test_minhash_append_grows_index_and_keeps_bucketed_join(
+    spark, tmp_path
+):
+    from pyveb_spark.operators.dedup import minhash_lsh_index
+    from pyveb_spark.sinks.index_store import (
+        append_minhash_index,
+        load_minhash_index,
+        save_minhash_index,
+    )
+
+    d = read_table(spark, SF, "documents")
+    table = f"t_evo_{uuid.uuid4().hex[:8]}"
+    try:
+        save_minhash_index(
+            minhash_lsh_index(d.where("doc_id >= 200"), "doc_id", "text"),
+            table,
+            str(tmp_path / "hot"),
+            path=str(tmp_path / "postings"),
+        )
+        before = spark.table(table).count()
+        append_minhash_index(
+            minhash_lsh_index(
+                d.where("doc_id >= 100 AND doc_id < 200"),
+                "doc_id", "text",
+            ),
+            table,
+            hot_path=str(tmp_path / "hot"),
+        )
+        idx, hot = load_minhash_index(spark, table, str(tmp_path / "hot"))
+        assert idx.count() > before
+        # the append must not break the bucketed layout: a band-key
+        # aggregation over the grown table still needs no Exchange
+        plan = (
+            idx.groupBy("__band", "__h")
+            .count()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_q209_evolved_index_catches_wave1_duplicates(spark, tmp_path):
+    """A wave-2 near-dup of an ADMITTED wave-1 document must be rejected
+    with n_vs_admitted >= 1 — only possible if the index actually grew
+    between the waves."""
+    from pyveb_spark.queries import QUERIES
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from every hunter"
+    )
+    uniq = (
+        "completely different words describing a database engine that "
+        "shuffles partitions and aggregates columnar batches with vectors"
+    )
+    rows = [
+        # corpus (>= 200): one unrelated doc
+        (200, uniq, "en", "web", len(uniq)),
+        # wave 1 (100-199): a NEW doc (admitted — no corpus match)
+        (100, base, "en", "web", len(base)),
+        # wave 2 (< 100): a near-identical copy of the wave-1 doc
+        (1, base + " extra", "en", "web", len(base) + 6),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in QUERIES["q209_minhash_index_evolution"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[1].admitted == 0
+    assert out[1].n_vs_admitted >= 1
+    assert out[1].best_jaccard >= 0.8
+
+
+def test_q210_append_search_equals_assign_all_search(spark, tmp_path):
+    from pyveb_spark.operators.similarity import (
+        ivf_index,
+        ivf_search,
+        nearest_centroid,
+    )
+    from pyveb_spark.queries._helpers import _query_vec
+    from pyveb_spark.sinks.index_store import (
+        append_ivf_postings,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    e = read_table(spark, SF, "embeddings")
+    qv = _query_vec(e)
+    corpus0 = e.where(F.col("vec_id") >= 100)
+    batch = e.where(F.col("vec_id") < 100)
+    indexed0, cents = ivf_index(corpus0, n_lists=8)
+    save_ivf_index(indexed0, cents, str(tmp_path / "ivf"))
+    postings, loaded = load_ivf_index(spark, str(tmp_path / "ivf"))
+    assigned = batch.withColumn(
+        "ivf_list", nearest_centroid(F.col("embedding"), loaded)["list_id"]
+    )
+    append_ivf_postings(assigned, str(tmp_path / "ivf"))
+    grown, _ = load_ivf_index(spark, str(tmp_path / "ivf"))
+    assert grown.count() == e.count()
+
+    # frozen-quantizer equivalence: search over the appended postings ==
+    # search over an in-memory assign-all frame with the SAME centroids
+    union_assigned = e.withColumn(
+        "ivf_list", nearest_centroid(F.col("embedding"), loaded)["list_id"]
+    )
+    got = [
+        (r.vec_id, r.cosine_sim)
+        for r in ivf_search(grown, loaded, qv, k=10, nprobe=3,
+                            exclude_ids=[0]).collect()
+    ]
+    want = [
+        (r.vec_id, r.cosine_sim)
+        for r in ivf_search(union_assigned, loaded, qv, k=10, nprobe=3,
+                            exclude_ids=[0]).collect()
+    ]
+    assert got == want
+    assert any(v < 100 for v, _ in got) or all(
+        v >= 100 for v, _ in want
+    )  # appended vectors are searchable (present when they rank)

@@ -83,6 +83,8 @@ def test_gate_window_composition():
         "q206_stream_lsh_admission",
         "q207_ivf_persisted_search",
         "q208_minhash_persisted_admission",
+        "q209_minhash_index_evolution",
+        "q210_ivf_incremental_admission",
     ):
         assert q in QUERIES and q not in window, q
     assert len(window) == 50
