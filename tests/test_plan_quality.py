@@ -237,6 +237,8 @@ _ARROW_PY_OK = {
     "q167_corrupt_payload_audit",   # mapInPandas safe-decode routing kernel
     "q200_bitext_lsh_mining",  # lsh_cosine_cross_pairs' vectorized numpy
                                # rescore over Arrow batches (mapInPandas)
+    "q165_incremental_embedding_dedup",  # lsh_cosine_lookup's rescore is
+                               # the same vectorized Arrow kernel (r9 fix)
 }
 
 # streaming replays execute a stream inside the query fn; their final
