@@ -301,6 +301,10 @@ QUERIES = {
     # search the union)
     "q209_minhash_index_evolution": q209_minhash_index_evolution,
     "q210_ivf_incremental_admission": q210_ivf_incremental_admission,
+    # the monitoring half of the frozen-quantizer contract: per-list
+    # drift audit over the grown persisted postings (the re-cluster
+    # decision table)
+    "q211_ivf_index_health": q211_ivf_index_health,
 }
 
 ORACLE_SQL = {
@@ -514,6 +518,7 @@ ORACLE_SQL = {
     "q208_minhash_persisted_admission": _Q208_SQL,
     "q209_minhash_index_evolution": _Q209_SQL,
     "q210_ivf_incremental_admission": _Q210_SQL,
+    "q211_ivf_index_health": _Q211_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -1777,3 +1777,124 @@ FROM scored
 ORDER BY sim DESC, vec_id ASC
 LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# Post-append IVF index health audit — round-10 head
+# ---------------------------------------------------------------------------
+
+def q211_ivf_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monitoring half of the frozen-quantizer contract (q210): as
+    batches append under centroids trained on the ORIGINAL corpus, list
+    populations drift — hot regions of the new data pile into a few
+    lists, probe cost per list grows unevenly, and at some imbalance the
+    operator schedules the re-cluster/rebuild. This is the per-list
+    decision table that drives that call, computed from the GROWN
+    persisted postings: original vs appended membership, total, share of
+    the corpus, and the appended-to-original ratio per list (NULL for a
+    list the original corpus never populated — the strongest rebuild
+    signal of all).
+
+    Every IVF serving stack runs exactly this audit at compaction time;
+    q162's recall audit is its quality-side companion. Scale: one scan
+    of the postings (metadata-thin: id + list only, column-pruned from
+    the partitioned layout) + one 16-group aggregation.
+
+    Oracle: centroid selection restricted to vec_id ≥ 100 (the frozen
+    quantizer), assignment argmin over all vectors, grouped split
+    counts — the q210 CTEs plus integer arithmetic."""
+    import shutil
+    import tempfile
+
+    from pyveb_spark.operators.similarity import (
+        ivf_index,
+        nearest_centroid,
+    )
+    from pyveb_spark.sinks.index_store import (
+        append_ivf_postings,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    corpus0 = e.where(F.col("vec_id") >= 100)
+    batch = e.where(F.col("vec_id") < 100)
+    indexed0, centroids = ivf_index(corpus0, n_lists=16)
+    tmp = tempfile.mkdtemp(prefix="q211_")
+    try:
+        save_ivf_index(indexed0, centroids, tmp)
+        postings, cents = load_ivf_index(spark, tmp)
+        append_ivf_postings(
+            batch.withColumn(
+                "ivf_list",
+                nearest_centroid(F.col("embedding"), cents)["list_id"],
+            ),
+            tmp,
+        )
+        grown, _ = load_ivf_index(spark, tmp)
+        total_row = grown.count()
+        per = (
+            grown.select("vec_id", "ivf_list")
+            .groupBy("ivf_list")
+            .agg(
+                F.sum((F.col("vec_id") >= 100).cast("bigint"))
+                .alias("n_original"),
+                F.sum((F.col("vec_id") < 100).cast("bigint"))
+                .alias("n_appended"),
+                F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            )
+            .select(
+                F.col("ivf_list").alias("list_id"),
+                "n_original",
+                "n_appended",
+                "n_total",
+                F.round(
+                    F.col("n_total").cast("double") / F.lit(float(total_row)),
+                    6,
+                ).alias("corpus_share"),
+                F.when(
+                    F.col("n_original") > 0,
+                    F.round(
+                        F.col("n_appended").cast("double")
+                        / F.col("n_original").cast("double"),
+                        6,
+                    ),
+                ).alias("growth_ratio"),
+            )
+            .orderBy("list_id")
+            .localCheckpoint(eager=True)
+        )
+        return per
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_Q211_SQL = """
+WITH ch AS (SELECT vec_id, embedding,
+                   ('0x' || substr(md5('ivf|' || vec_id), 1, 12))::BIGINT AS h
+            FROM embeddings WHERE vec_id >= 100),
+cent AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS list_id,
+                embedding::DOUBLE[] AS cv
+         FROM ch
+         QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 16),
+assign AS (SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.embedding::DOUBLE[], c.cv),
+                                       c.list_id) AS rk
+    FROM embeddings e CROSS JOIN cent c) t
+  WHERE rk = 1),
+tot AS (SELECT COUNT(*)::DOUBLE AS n FROM assign)
+SELECT list_id,
+       SUM(CASE WHEN vec_id >= 100 THEN 1 ELSE 0 END)::BIGINT AS n_original,
+       SUM(CASE WHEN vec_id < 100 THEN 1 ELSE 0 END)::BIGINT AS n_appended,
+       COUNT(*)::BIGINT AS n_total,
+       ROUND(COUNT(*) / (SELECT n FROM tot), 6) AS corpus_share,
+       CASE WHEN SUM(CASE WHEN vec_id >= 100 THEN 1 ELSE 0 END) > 0
+            THEN ROUND(SUM(CASE WHEN vec_id < 100 THEN 1 ELSE 0 END)::DOUBLE
+                       / SUM(CASE WHEN vec_id >= 100 THEN 1 ELSE 0 END), 6)
+       END AS growth_ratio
+FROM assign
+GROUP BY list_id
+ORDER BY list_id
+"""
