@@ -1721,6 +1721,13 @@ def q210_ivf_incremental_admission(
     query_vec = _query_vec(e)
 
     indexed0, centroids = ivf_index(corpus0, n_lists=16)
+    if not centroids:
+        # degenerate split (original corpus empty — the 0.15× size twin):
+        # no quantizer means no lists and no searchable index; the oracle's
+        # empty assign CTE yields the same zero rows
+        return spark.createDataFrame(
+            [], "vec_id bigint, label int, cosine_sim double"
+        )
     tmp = tempfile.mkdtemp(prefix="q210_")
     try:
         save_ivf_index(indexed0, centroids, tmp)
@@ -1820,6 +1827,14 @@ def q211_ivf_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus0 = e.where(F.col("vec_id") >= 100)
     batch = e.where(F.col("vec_id") < 100)
     indexed0, centroids = ivf_index(corpus0, n_lists=16)
+    if not centroids:
+        # degenerate split: an empty quantizer has no lists to audit
+        # (oracle: empty assign CTE -> zero groups)
+        return spark.createDataFrame(
+            [],
+            "list_id int, n_original bigint, n_appended bigint,"
+            " n_total bigint, corpus_share double, growth_ratio double",
+        )
     tmp = tempfile.mkdtemp(prefix="q211_")
     try:
         save_ivf_index(indexed0, centroids, tmp)

@@ -328,3 +328,42 @@ def test_q210_append_search_equals_assign_all_search(spark, tmp_path):
     assert any(v < 100 for v, _ in got) or all(
         v >= 100 for v, _ in want
     )  # appended vectors are searchable (present when they rank)
+
+
+def test_ivf_empty_corpus_split_degenerates_to_empty(spark, tmp_path):
+    """Found by the 0.15x size twin: a corpus split that is EMPTY (all
+    vec_ids below the split point) must yield an empty search/audit, not
+    a VOID-typed F.array() crash in nearest_centroid."""
+    from pyveb_spark.operators.similarity import nearest_centroid
+    from pyveb_spark.queries import QUERIES
+
+    # operator-level: empty centroid list -> argmin identity struct
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    row = df.select(
+        nearest_centroid(F.col("embedding"), [])["list_id"].alias("l")
+    ).first()
+    assert row.l == -1
+
+    # query-level: write a tiny embeddings fixture whose ids never reach
+    # the corpus split (>= 100); both queries must return zero rows with
+    # their full schemas (matching the oracle's empty assign CTE)
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 3) for i in range(40)],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    emb.write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    search = QUERIES["q210_ivf_incremental_admission"](
+        spark, str(tmp_path)
+    )
+    assert search.count() == 0
+    assert search.columns == ["vec_id", "label", "cosine_sim"]
+    audit = QUERIES["q211_ivf_index_health"](spark, str(tmp_path))
+    assert audit.count() == 0
+    assert audit.columns == [
+        "list_id", "n_original", "n_appended", "n_total",
+        "corpus_share", "growth_ratio",
+    ]
