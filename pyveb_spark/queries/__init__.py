@@ -305,6 +305,9 @@ QUERIES = {
     # drift audit over the grown persisted postings (the re-cluster
     # decision table)
     "q211_ivf_index_health": q211_ivf_index_health,
+    # the per-source "datasheet for datasets" release summary: volumes,
+    # language spread, modal language, Gopher pass rate in one scan
+    "q212_dataset_datasheet": q212_dataset_datasheet,
 }
 
 ORACLE_SQL = {
@@ -519,6 +522,7 @@ ORACLE_SQL = {
     "q209_minhash_index_evolution": _Q209_SQL,
     "q210_ivf_incremental_admission": _Q210_SQL,
     "q211_ivf_index_health": _Q211_SQL,
+    "q212_dataset_datasheet": _Q212_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -1179,3 +1179,108 @@ GROUP BY user_id
 ORDER BY max_advantage DESC NULLS LAST, user_id
 LIMIT 25
 """
+
+
+# ---------------------------------------------------------------------------
+# Dataset datasheet: the one-table corpus release summary — round-10 head
+# ---------------------------------------------------------------------------
+
+def q212_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source "datasheet for datasets" summary table (Gebru et
+    al. 2021's documentation practice, as a query): every corpus release
+    ships one — document and token volumes, language spread, the modal
+    language, and the Gopher quality pass rate, per source, in ONE scan
+    plus two keyed aggregations. Composes the certified q164 gate battery
+    (same ``gopher_quality_filter(min_words=30)``, whose SQL replay is
+    q164's oracle CTE) with the certified grouping surface; the modal
+    language ties break lexicographically (deterministic, both engines).
+
+    100 TB design: the datasheet is a scan-stage expression battery +
+    a (source)-keyed and a (source, lang)-keyed aggregation — no joins
+    beyond the broadcast-sized per-source tables, no window over
+    corpus-sized input (the lang-mode window ranks the (source, lang)
+    AGGREGATE, bounded by #sources × #langs)."""
+    from pyveb_spark.operators.text import gopher_quality_filter
+
+    d = read_table(spark, sf_dir, "documents")
+    gated = gopher_quality_filter(d, min_words=30)
+    per = gated.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum(F.col("keep").cast("bigint")).alias("n_pass"),
+    )
+    lc = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("__c"), F.asc("lang")
+    )
+    top = (
+        lc.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return (
+        per.join(top, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double")
+                / F.col("n_docs").cast("double"),
+                4,
+            ).alias("mean_tokens"),
+            "n_langs",
+            "top_lang",
+            F.round(
+                F.col("n_pass").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("gopher_pass_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q212_SQL = """
+WITH t AS (
+  SELECT source, lang,
+         list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents),
+s AS (
+  SELECT source, lang,
+         len(toks) AS n_words,
+         CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+           / len(toks) AS mean_len,
+         CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+              AS DOUBLE) / len(toks) AS alpha_frac,
+         len(list_filter(toks, w -> list_contains(
+             ['the','a','of','and','to','in','is','it'], lower(w))))
+           AS n_stop
+  FROM t),
+gated AS (
+  SELECT source, lang, n_words,
+         ((n_words >= 30 AND n_words <= 100000)
+          AND (mean_len >= 3.0 AND mean_len <= 10.0)
+          AND (alpha_frac >= 0.8) AND (n_stop >= 2)) AS keep
+  FROM s),
+per AS (
+  SELECT source,
+         COUNT(*)::BIGINT AS n_docs,
+         SUM(n_words)::BIGINT AS n_tokens,
+         COUNT(DISTINCT lang)::BIGINT AS n_langs,
+         SUM(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_pass
+  FROM gated GROUP BY source),
+lc AS (SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+top AS (SELECT source, lang AS top_lang FROM lc
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY c DESC, lang) = 1)
+SELECT per.source, n_docs, n_tokens,
+       ROUND(n_tokens / (n_docs * 1.0), 4) AS mean_tokens,
+       n_langs, top.top_lang,
+       ROUND(n_pass / (n_docs * 1.0), 6) AS gopher_pass_rate
+FROM per JOIN top ON top.source = per.source
+ORDER BY per.source
+"""

@@ -86,6 +86,7 @@ def test_gate_window_composition():
         "q209_minhash_index_evolution",
         "q210_ivf_incremental_admission",
         "q211_ivf_index_health",
+        "q212_dataset_datasheet",
     ):
         assert q in QUERIES and q not in window, q
     assert len(window) == 50
