@@ -811,10 +811,20 @@ def test_bradley_terry_winning_more_never_hurts(wins, extra):
 
     assume(_ford_connected(wins))
     (i, j), _ = sorted(wins.items())[0]
-    base = bradley_terry(wins, iters=80)
+    # 500 iterations: these 4-side graphs reach their round(9) fixed
+    # point by ~200 (verified on Hypothesis's counterexamples — at 80
+    # the residual convergence drift exceeded the true ratio increase)
+    base = bradley_terry(wins, iters=500)
     boosted_wins = dict(wins)
     boosted_wins[(i, j)] = boosted_wins[(i, j)] + extra
-    boosted = bradley_terry(boosted_wins, iters=80)
+    boosted = bradley_terry(boosted_wins, iters=500)
     if base[j] > 0 and boosted[j] > 0:
-        # tolerance: the per-iteration round(9) grid
-        assert boosted[i] / boosted[j] >= base[i] / base[j] - 1e-6
+        # RELATIVE tolerance: the per-iteration round(9) grid quantizes
+        # each strength, so ratio noise scales WITH the ratio (a ~700:1
+        # ratio of ~5e-3 strengths carries ~1e-4 relative grid noise —
+        # Hypothesis found exactly that); a genuine monotonicity
+        # violation would be far above 1e-3 relative
+        assert (
+            boosted[i] / boosted[j]
+            >= (base[i] / base[j]) * (1.0 - 1e-3)
+        )
