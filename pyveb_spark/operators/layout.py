@@ -141,9 +141,14 @@ def zorder_rank_key(
     rule) — while staying bit-identical to ntile, so the key is exact
     and oracle-replayable. One range exchange per clustered column, the
     same count of exchanges the window form pays, with no serial
-    bottleneck. For the physical rewrite itself ``zorder_layout``'s
-    single ``repartitionByRange`` over the interleaved key computes
-    equi-depth boundaries by reservoir sampling instead."""
+    bottleneck. EAGER, not lazy: each ``distributed_ntile`` call runs a
+    ``localCheckpoint`` + a per-partition-totals collect + a scalar
+    count, so calling this triggers k sequential Spark jobs up front —
+    callers composing layouts lazily should compute the key once and
+    reuse the returned frame, not re-invoke per consumer (ADVICE r9).
+    For the physical rewrite itself ``zorder_layout``'s single
+    ``repartitionByRange`` over the interleaved key computes equi-depth
+    boundaries by reservoir sampling instead."""
     from pyveb_spark.operators.packing import distributed_ntile
 
     n = 1 << bits

@@ -42,9 +42,13 @@ __all__ = [
 
 
 def with_token_offsets(
-    df: DataFrame, n_tokens_col: str, order_col: str | Sequence[str]
+    df: DataFrame,
+    n_tokens_col: str,
+    order_col: str | Sequence[str],
+    start_col: str = "start_tok",
+    end_col: str = "end_tok",
 ) -> DataFrame:
-    """Add ``start_tok`` (exclusive prefix sum) and ``end_tok`` (inclusive,
+    """Add ``start_col`` (exclusive prefix sum) and ``end_col`` (inclusive,
     = start + n - 1) giving each document its half-open slice
     [start_tok, end_tok] of the concatenated corpus token stream, ordered
     by ``order_col`` (a column name or a sequence of names forming a
@@ -74,42 +78,57 @@ def with_token_offsets(
     perf detail. Checkpoint blocks are owned by the returned plan's
     lineage and garbage-collect with it. On a multi-node cluster swap for
     a reliable ``checkpoint`` dir if executor loss matters.
+
+    Output/temp columns never silently clobber input: the call fails
+    loudly if ``df`` already carries ``start_col``/``end_col`` (pass
+    explicit alternative names — e.g. ``distributed_ntile`` uses
+    collision-proof ``__dnt_``-prefixed names so an input that already
+    went through a packing pipeline keeps its ``start_tok``/``end_tok``)
+    or any of the ``__wto_*`` internals.
     """
     spark = df.sparkSession
     order_cols = (
         [order_col] if isinstance(order_col, str) else list(order_col)
     )
+    reserved = {start_col, end_col, "__wto_pid", "__wto_cum", "__wto_off"}
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"with_token_offsets would overwrite existing column(s) "
+            f"{sorted(clash)}; pass start_col/end_col overrides or "
+            f"rename the input columns"
+        )
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     parted = (
         df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
-        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__wto_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
     totals = sorted(
-        parted.groupBy("__pid").agg(
+        parted.groupBy("__wto_pid").agg(
             F.sum(n_tokens_col).alias("__t")
         ).collect(),
-        key=lambda r: r["__pid"],
+        key=lambda r: r["__wto_pid"],
     )
     offsets, run = [], 0
     for r in totals:
-        offsets.append((r["__pid"], run))
+        offsets.append((r["__wto_pid"], run))
         run += int(r["__t"] or 0)
     off_df = spark.createDataFrame(
-        offsets or [(0, 0)], "__pid int, __off bigint"
+        offsets or [(0, 0)], "__wto_pid int, __wto_off bigint"
     )
     w = (
-        Window.partitionBy("__pid")
+        Window.partitionBy("__wto_pid")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local_cum = F.sum(n_tokens_col).over(w)
     return (
-        parted.join(F.broadcast(off_df), "__pid")
-        .withColumn("__cum", local_cum + F.col("__off"))
-        .withColumn("start_tok", (F.col("__cum") - F.col(n_tokens_col)))
-        .withColumn("end_tok", F.col("__cum") - F.lit(1))
-        .drop("__cum", "__off", "__pid")
+        parted.join(F.broadcast(off_df), "__wto_pid")
+        .withColumn("__wto_cum", local_cum + F.col("__wto_off"))
+        .withColumn(start_col, (F.col("__wto_cum") - F.col(n_tokens_col)))
+        .withColumn(end_col, F.col("__wto_cum") - F.lit(1))
+        .drop("__wto_cum", "__wto_off", "__wto_pid")
     )
 
 
@@ -135,29 +154,38 @@ def distributed_ntile(
     one scalar count — the same exchange a partitioned window pays, with
     no single-task stage at any scale (SCALE.md's no-unpartitioned-window
     rule). Oracle-replayable: DuckDB's ``NTILE`` reproduces it exactly on
-    the same total order."""
+    the same total order.
+
+    Temp columns are collision-proof (``__dnt_``-prefixed, passed to
+    ``with_token_offsets`` as explicit out names): an input that already
+    carries ``start_tok``/``end_tok`` — a normal output of the packing
+    pipeline — passes through untouched (ADVICE r9)."""
     numbered = with_token_offsets(
-        df.withColumn("__one", F.lit(1)), "__one", order_cols
+        df.withColumn("__dnt_one", F.lit(1)),
+        "__dnt_one",
+        order_cols,
+        start_col="__dnt_start",
+        end_col="__dnt_end",
     )
-    total_row = numbered.agg(F.max("end_tok").alias("m")).first()
+    total_row = numbered.agg(F.max("__dnt_end").alias("m")).first()
     total = int(total_row["m"]) + 1 if total_row["m"] is not None else 0
     q, r = divmod(total, int(n_bins))
     cut = r * (q + 1)
     bucket = (
         F.when(
-            F.col("end_tok") < F.lit(cut),
-            F.expr(f"end_tok div {q + 1}"),
+            F.col("__dnt_end") < F.lit(cut),
+            F.expr(f"__dnt_end div {q + 1}"),
         )
         # the otherwise branch is unreachable when q == 0 (every row sits
         # in the first r singleton buckets); max(q,1) keeps the unused
         # expression well-defined under ANSI
         .otherwise(
-            F.lit(r) + F.expr(f"(end_tok - {cut}) div {max(q, 1)}")
+            F.lit(r) + F.expr(f"(__dnt_end - {cut}) div {max(q, 1)}")
         )
         + F.lit(1)
     )
     return numbered.withColumn(out_col, bucket.cast("int")).drop(
-        "__one", "start_tok", "end_tok"
+        "__dnt_one", "__dnt_start", "__dnt_end"
     )
 
 

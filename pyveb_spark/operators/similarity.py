@@ -1256,7 +1256,7 @@ def lsh_cosine_lookup(
     batch: DataFrame,
     corpus: DataFrame,
     threshold: float = 0.5,
-    n_planes: int = 6,
+    n_planes: int | str = 6,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1274,7 +1274,13 @@ def lsh_cosine_lookup(
     Pass the persisted/bucketed corpus index as ``index`` (a frame
     already carrying ``lsh_bucket``) in production so admission cost
     scales with the BATCH; the default buckets ``corpus`` on the fly.
-    Recall follows the single-probe LSH curve — tune n_planes/probes
+    When the index carries the vector column (every ``lsh_bucket`` /
+    ``save_lsh_index`` artifact does), rescore vectors come from the
+    INDEX, not ``corpus`` — a grown persisted index stays the admission
+    ground truth even when the caller's corpus frame is stale (ADVICE
+    r9). Recall follows the single-probe LSH curve — tune
+    ``n_planes="auto"`` (``suggest_lsh_planes`` on the corpus count —
+    the production default for growing corpora) or an explicit integer
     against q162's recall audit, which is the monitoring loop for
     exactly this path.
 
@@ -1310,6 +1316,19 @@ def lsh_cosine_lookup(
             [], f"{a_id} {id_type}, {b_id} {id_type}, cosine_sim double"
         )
     dim = int(dim_row["d"])
+    if n_planes == "auto":
+        # the production resolution knob: pick the plane count from the
+        # measured candidate-volume model on the CORPUS size, so bucket
+        # density stays ~flat as the corpus grows (BASELINE.md's sf3
+        # densification row is exactly the failure this removes). One
+        # count over the id column — metadata-cheap next to the lookup.
+        if index is not None:
+            raise ValueError(
+                "n_planes='auto' cannot re-derive the plane count a "
+                "persisted index was BUILT with — pass the integer used "
+                "at build time (suggest_lsh_planes at save time)"
+            )
+        n_planes = suggest_lsh_planes(corpus.select(id_col).count())
     if index is None:
         index = lsh_bucket(
             corpus, dim, n_planes, vec_col=vec_col, seed=seed,
@@ -1340,8 +1359,17 @@ def lsh_cosine_lookup(
         batch.where(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias(a_id), F.col(vec_col).alias("__va"))
     )
+    # b-side vectors come from the INDEX when it carries them (ADVICE
+    # r9): with a persisted index that has grown past the caller's
+    # corpus frame (or vice versa), joining the corpus would silently
+    # drop candidates / rescore against drifted vectors — the index's
+    # own vectors are the admission ground truth. The corpus frame is
+    # only consulted when the index is bucket-metadata-only.
+    b_vec_src = (
+        index if index is not None and vec_col in index.columns else corpus
+    )
     bvs = (
-        (index if corpus is None else corpus)
+        b_vec_src
         .where(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias(b_id), F.col(vec_col).alias("__vb"))
     )
@@ -1384,7 +1412,7 @@ def lsh_cosine_cross_pairs(
     a_df: DataFrame,
     b_df: DataFrame,
     threshold: float,
-    n_planes: int = 6,
+    n_planes: int | str = 6,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1441,6 +1469,13 @@ def lsh_cosine_cross_pairs(
             [], f"{a} {id_type}, {b} {id_type}, cosine_sim double"
         )
     dim = int(dim_row["d"])
+    if n_planes == "auto":
+        # resolution follows the TOTAL hashed population (both sides
+        # land in the same bucket space) — the suggest_lsh_planes knob
+        # as the default instead of a hand-picked constant
+        n_planes = suggest_lsh_planes(
+            a_df.select(id_col).count() + b_df.select(id_col).count()
+        )
     ab = lsh_bucket(
         a_df.select(id_col, vec_col), dim, n_planes, vec_col=vec_col,
         seed=seed, bucket_col="__b",

@@ -1231,11 +1231,27 @@ def q208_minhash_persisted_admission(
     join against postings that are never reshuffled or rebuilt — the
     warm-index property durable across sessions; appends go to the same
     bucketed table, blacklist refresh rides compaction (staleness only
-    loosens the skew guard)."""
+    loosens the skew guard). Pre-checkpoint plan gated via
+    :func:`_q208_frame` (test_index_store.py)."""
     import shutil
     import tempfile
     import uuid
 
+    table = f"q208_minhash_idx_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="q208_")
+    try:
+        return _q208_frame(spark, sf_dir, tmp, table).localCheckpoint(
+            eager=True
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q208_frame(
+    spark: SparkSession, sf_dir: str, tmp: str, table: str
+) -> DataFrame:
+    """q208's pre-checkpoint frame over a caller-owned table + dir."""
     from pyveb_spark.operators.dedup import (
         minhash_lsh_index,
         minhash_lsh_lookup,
@@ -1249,39 +1265,32 @@ def q208_minhash_persisted_admission(
     corpus = d.where(F.col("doc_id") >= 100)
     batch = d.where(F.col("doc_id") < 100)
 
-    table = f"q208_minhash_idx_{uuid.uuid4().hex[:8]}"
-    tmp = tempfile.mkdtemp(prefix="q208_")
-    try:
-        save_minhash_index(
-            minhash_lsh_index(corpus, "doc_id", "text"),
-            table,
-            f"{tmp}/hot",
-            path=f"{tmp}/postings",
+    save_minhash_index(
+        minhash_lsh_index(corpus, "doc_id", "text"),
+        table,
+        f"{tmp}/hot",
+        path=f"{tmp}/postings",
+    )
+    idx, hot = load_minhash_index(spark, table, f"{tmp}/hot")
+    matches = minhash_lsh_lookup(
+        batch, idx, "doc_id", "text", threshold=0.8, hot_buckets=hot
+    )
+    per = matches.groupBy("doc_id_new").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.max("jaccard").alias("best_jaccard"),
+    )
+    return (
+        batch.select("doc_id")
+        .join(per, F.col("doc_id") == F.col("doc_id_new"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_matches", F.lit(0).cast("bigint"))
+            .alias("n_matches"),
+            "best_jaccard",
+            F.col("doc_id_new").isNull().cast("int").alias("admitted"),
         )
-        idx, hot = load_minhash_index(spark, table, f"{tmp}/hot")
-        matches = minhash_lsh_lookup(
-            batch, idx, "doc_id", "text", threshold=0.8, hot_buckets=hot
-        )
-        per = matches.groupBy("doc_id_new").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_matches"),
-            F.max("jaccard").alias("best_jaccard"),
-        )
-        return (
-            batch.select("doc_id")
-            .join(per, F.col("doc_id") == F.col("doc_id_new"), "left")
-            .select(
-                "doc_id",
-                F.coalesce("n_matches", F.lit(0).cast("bigint"))
-                .alias("n_matches"),
-                "best_jaccard",
-                F.col("doc_id_new").isNull().cast("int").alias("admitted"),
-            )
-            .orderBy("doc_id")
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        shutil.rmtree(tmp, ignore_errors=True)
+        .orderBy("doc_id")
+    )
 
 
 _Q208_SQL = f"""
@@ -1365,11 +1374,32 @@ def q209_minhash_index_evolution(
     100 TB design: each wave costs |wave| hashing + one bucket-local
     join; the corpus postings are written once and never reshuffled —
     appends are new files in existing buckets. This is the shape a
-    continuous ingest runs forever."""
+    continuous ingest runs forever. Pre-checkpoint plan gated via
+    :func:`_q209_frame` (test_index_store.py)."""
     import shutil
     import tempfile
     import uuid
 
+    table = f"q209_minhash_idx_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="q209_")
+    try:
+        return _q209_frame(spark, sf_dir, tmp, table).localCheckpoint(
+            eager=True
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q209_frame(
+    spark: SparkSession, sf_dir: str, tmp: str, table: str,
+    compact: bool = False,
+) -> DataFrame:
+    """q209's pre-checkpoint frame over a caller-owned table + dir.
+
+    ``compact=True`` inserts ``index_store.compact_minhash_index``
+    between the append and the wave-2 admission — the q216 lifecycle
+    variant: compaction must be semantically invisible (same oracle)."""
     from pyveb_spark.operators.dedup import (
         minhash_lsh_index,
         minhash_lsh_lookup,
@@ -1385,63 +1415,60 @@ def q209_minhash_index_evolution(
     wave1 = d.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
     wave2 = d.where(F.col("doc_id") < 100)
 
-    table = f"q209_minhash_idx_{uuid.uuid4().hex[:8]}"
-    tmp = tempfile.mkdtemp(prefix="q209_")
-    try:
-        save_minhash_index(
-            minhash_lsh_index(corpus0, "doc_id", "text"),
-            table,
-            f"{tmp}/hot",
-            path=f"{tmp}/postings",
+    save_minhash_index(
+        minhash_lsh_index(corpus0, "doc_id", "text"),
+        table,
+        f"{tmp}/hot",
+        path=f"{tmp}/postings",
+    )
+    idx, hot = load_minhash_index(spark, table, f"{tmp}/hot")
+    w1_matched = (
+        minhash_lsh_lookup(
+            wave1, idx, "doc_id", "text", threshold=0.8,
+            hot_buckets=hot,
         )
-        idx, hot = load_minhash_index(spark, table, f"{tmp}/hot")
-        w1_matched = (
-            minhash_lsh_lookup(
-                wave1, idx, "doc_id", "text", threshold=0.8,
-                hot_buckets=hot,
-            )
-            .select(F.col("doc_id_new").alias("doc_id"))
-            .distinct()
+        .select(F.col("doc_id_new").alias("doc_id"))
+        .distinct()
+    )
+    admitted1 = wave1.join(w1_matched, "doc_id", "left_anti")
+    append_minhash_index(
+        minhash_lsh_index(admitted1, "doc_id", "text"),
+        table,
+        hot_path=f"{tmp}/hot",
+    )
+    if compact:
+        from pyveb_spark.sinks.index_store import compact_minhash_index
+
+        compact_minhash_index(spark, table, hot_path=f"{tmp}/hot")
+    idx2, hot2 = load_minhash_index(spark, table, f"{tmp}/hot")
+    matches2 = minhash_lsh_lookup(
+        wave2, idx2, "doc_id", "text", threshold=0.8,
+        hot_buckets=hot2,
+    )
+    per = matches2.groupBy("doc_id_new").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.sum(
+            (
+                (F.col("doc_id_corpus") >= 100)
+                & (F.col("doc_id_corpus") < 200)
+            ).cast("bigint")
+        ).alias("n_vs_admitted"),
+        F.max("jaccard").alias("best_jaccard"),
+    )
+    return (
+        wave2.select("doc_id")
+        .join(per, F.col("doc_id") == F.col("doc_id_new"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_matches", F.lit(0).cast("bigint"))
+            .alias("n_matches"),
+            F.coalesce("n_vs_admitted", F.lit(0).cast("bigint"))
+            .alias("n_vs_admitted"),
+            "best_jaccard",
+            F.col("doc_id_new").isNull().cast("int").alias("admitted"),
         )
-        admitted1 = wave1.join(w1_matched, "doc_id", "left_anti")
-        append_minhash_index(
-            minhash_lsh_index(admitted1, "doc_id", "text"),
-            table,
-            hot_path=f"{tmp}/hot",
-        )
-        idx2, hot2 = load_minhash_index(spark, table, f"{tmp}/hot")
-        matches2 = minhash_lsh_lookup(
-            wave2, idx2, "doc_id", "text", threshold=0.8,
-            hot_buckets=hot2,
-        )
-        per = matches2.groupBy("doc_id_new").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_matches"),
-            F.sum(
-                (
-                    (F.col("doc_id_corpus") >= 100)
-                    & (F.col("doc_id_corpus") < 200)
-                ).cast("bigint")
-            ).alias("n_vs_admitted"),
-            F.max("jaccard").alias("best_jaccard"),
-        )
-        return (
-            wave2.select("doc_id")
-            .join(per, F.col("doc_id") == F.col("doc_id_new"), "left")
-            .select(
-                "doc_id",
-                F.coalesce("n_matches", F.lit(0).cast("bigint"))
-                .alias("n_matches"),
-                F.coalesce("n_vs_admitted", F.lit(0).cast("bigint"))
-                .alias("n_vs_admitted"),
-                "best_jaccard",
-                F.col("doc_id_new").isNull().cast("int").alias("admitted"),
-            )
-            .orderBy("doc_id")
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        shutil.rmtree(tmp, ignore_errors=True)
+        .orderBy("doc_id")
+    )
 
 
 _Q209_SQL = f"""

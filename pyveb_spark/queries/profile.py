@@ -1213,8 +1213,12 @@ def q212_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     lc = d.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("__c")
     )
+    # NULLS LAST pinned on BOTH engines: Spark's asc sorts NULL first
+    # while DuckDB's ORDER BY defaults to NULLS LAST, so a source whose
+    # modal-count tie includes NULL lang would pick different top_langs
+    # (ADVICE r9) — the explicit pin makes the tiebreak engine-identical
     w = Window.partitionBy("source").orderBy(
-        F.desc("__c"), F.asc("lang")
+        F.desc("__c"), F.asc_nulls_last("lang")
     )
     top = (
         lc.withColumn("__rn", F.row_number().over(w))
@@ -1276,7 +1280,7 @@ per AS (
 lc AS (SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
 top AS (SELECT source, lang AS top_lang FROM lc
         QUALIFY ROW_NUMBER() OVER (PARTITION BY source
-                                   ORDER BY c DESC, lang) = 1)
+                                   ORDER BY c DESC, lang NULLS LAST) = 1)
 SELECT per.source, n_docs, n_tokens,
        ROUND(n_tokens / (n_docs * 1.0), 4) AS mean_tokens,
        n_langs, top.top_lang,

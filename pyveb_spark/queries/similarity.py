@@ -1608,33 +1608,44 @@ def q207_ivf_persisted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-gated in tests/test_plan_quality.py) — ~nprobe/n_lists of the
     corpus bytes read, the durable form of the warm-index property. The
     centroid reload is k×dim driver state (the coarse-quantizer
-    convention)."""
+    convention).
+
+    The eager ``localCheckpoint`` exists because the temp index dir is
+    deleted on exit; the PRE-checkpoint plan (what the global gates
+    can't see through the checkpoint scan) is gated by
+    ``tests/test_index_store.py::test_lifecycle_pre_checkpoint_plans``
+    via :func:`_q207_frame`."""
     import shutil
     import tempfile
 
+    tmp = tempfile.mkdtemp(prefix="q207_")
+    try:
+        return _q207_frame(spark, sf_dir, tmp).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q207_frame(spark: SparkSession, sf_dir: str, tmp: str) -> DataFrame:
+    """q207's pre-checkpoint frame against an index persisted under the
+    CALLER-owned ``tmp`` (the gate-inspectable form)."""
     from pyveb_spark.operators.similarity import ivf_index, ivf_search
     from pyveb_spark.sinks.index_store import load_ivf_index, save_ivf_index
 
     e = read_table(spark, sf_dir, "embeddings")
     query_vec = _query_vec(e)
     indexed, centroids = ivf_index(e, n_lists=16)
-    tmp = tempfile.mkdtemp(prefix="q207_")
-    try:
-        save_ivf_index(indexed, centroids, tmp)
-        postings, cents = load_ivf_index(spark, tmp)
-        return (
-            ivf_search(
-                postings, cents, query_vec, k=8, nprobe=3,
-                exclude_ids=[0],
-            )
-            .select(
-                "vec_id", "label",
-                F.round("cosine_sim", 4).alias("cosine_sim"),
-            )
-            .localCheckpoint(eager=True)
+    save_ivf_index(indexed, centroids, tmp)
+    postings, cents = load_ivf_index(spark, tmp)
+    return (
+        ivf_search(
+            postings, cents, query_vec, k=8, nprobe=3,
+            exclude_ids=[0],
         )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        .select(
+            "vec_id", "label",
+            F.round("cosine_sim", 4).alias("cosine_sim"),
+        )
+    )
 
 
 _Q207_SQL = """
@@ -1700,10 +1711,21 @@ def q210_ivf_incremental_admission(
     100 TB design: admission is a stateless scan of the batch (k×dim
     literal argmin) + a partitioned append — no corpus reads, no
     shuffle; searches keep paying only ~nprobe/n_lists of the (grown)
-    corpus via partition pruning."""
+    corpus via partition pruning. Pre-checkpoint plan gated via
+    :func:`_q210_frame` (test_index_store.py)."""
     import shutil
     import tempfile
 
+    tmp = tempfile.mkdtemp(prefix="q210_")
+    try:
+        frame = _q210_frame(spark, sf_dir, tmp)
+        return frame.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q210_frame(spark: SparkSession, sf_dir: str, tmp: str) -> DataFrame:
+    """q210's pre-checkpoint frame over a caller-owned index dir."""
     from pyveb_spark.operators.similarity import (
         ivf_index,
         ivf_search,
@@ -1728,28 +1750,23 @@ def q210_ivf_incremental_admission(
         return spark.createDataFrame(
             [], "vec_id bigint, label int, cosine_sim double"
         )
-    tmp = tempfile.mkdtemp(prefix="q210_")
-    try:
-        save_ivf_index(indexed0, centroids, tmp)
-        postings, cents = load_ivf_index(spark, tmp)
-        assigned = batch.withColumn(
-            "ivf_list", nearest_centroid(F.col("embedding"), cents)["list_id"]
+    save_ivf_index(indexed0, centroids, tmp)
+    postings, cents = load_ivf_index(spark, tmp)
+    assigned = batch.withColumn(
+        "ivf_list", nearest_centroid(F.col("embedding"), cents)["list_id"]
+    )
+    append_ivf_postings(assigned, tmp)
+    grown, cents2 = load_ivf_index(spark, tmp)
+    return (
+        ivf_search(
+            grown, cents2, query_vec, k=10, nprobe=4,
+            exclude_ids=[0],
         )
-        append_ivf_postings(assigned, tmp)
-        grown, cents2 = load_ivf_index(spark, tmp)
-        return (
-            ivf_search(
-                grown, cents2, query_vec, k=10, nprobe=4,
-                exclude_ids=[0],
-            )
-            .select(
-                "vec_id", "label",
-                F.round("cosine_sim", 4).alias("cosine_sim"),
-            )
-            .localCheckpoint(eager=True)
+        .select(
+            "vec_id", "label",
+            F.round("cosine_sim", 4).alias("cosine_sim"),
         )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    )
 
 
 _Q210_SQL = """
@@ -1809,10 +1826,20 @@ def q211_ivf_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: centroid selection restricted to vec_id ≥ 100 (the frozen
     quantizer), assignment argmin over all vectors, grouped split
-    counts — the q210 CTEs plus integer arithmetic."""
+    counts — the q210 CTEs plus integer arithmetic. Pre-checkpoint plan
+    gated via :func:`_q211_frame` (test_index_store.py)."""
     import shutil
     import tempfile
 
+    tmp = tempfile.mkdtemp(prefix="q211_")
+    try:
+        return _q211_frame(spark, sf_dir, tmp).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q211_frame(spark: SparkSession, sf_dir: str, tmp: str) -> DataFrame:
+    """q211's pre-checkpoint frame over a caller-owned index dir."""
     from pyveb_spark.operators.similarity import (
         ivf_index,
         nearest_centroid,
@@ -1835,53 +1862,47 @@ def q211_ivf_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             "list_id int, n_original bigint, n_appended bigint,"
             " n_total bigint, corpus_share double, growth_ratio double",
         )
-    tmp = tempfile.mkdtemp(prefix="q211_")
-    try:
-        save_ivf_index(indexed0, centroids, tmp)
-        postings, cents = load_ivf_index(spark, tmp)
-        append_ivf_postings(
-            batch.withColumn(
-                "ivf_list",
-                nearest_centroid(F.col("embedding"), cents)["list_id"],
-            ),
-            tmp,
+    save_ivf_index(indexed0, centroids, tmp)
+    postings, cents = load_ivf_index(spark, tmp)
+    append_ivf_postings(
+        batch.withColumn(
+            "ivf_list",
+            nearest_centroid(F.col("embedding"), cents)["list_id"],
+        ),
+        tmp,
+    )
+    grown, _ = load_ivf_index(spark, tmp)
+    total_row = grown.count()
+    return (
+        grown.select("vec_id", "ivf_list")
+        .groupBy("ivf_list")
+        .agg(
+            F.sum((F.col("vec_id") >= 100).cast("bigint"))
+            .alias("n_original"),
+            F.sum((F.col("vec_id") < 100).cast("bigint"))
+            .alias("n_appended"),
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
         )
-        grown, _ = load_ivf_index(spark, tmp)
-        total_row = grown.count()
-        per = (
-            grown.select("vec_id", "ivf_list")
-            .groupBy("ivf_list")
-            .agg(
-                F.sum((F.col("vec_id") >= 100).cast("bigint"))
-                .alias("n_original"),
-                F.sum((F.col("vec_id") < 100).cast("bigint"))
-                .alias("n_appended"),
-                F.count(F.lit(1)).cast("bigint").alias("n_total"),
-            )
-            .select(
-                F.col("ivf_list").alias("list_id"),
-                "n_original",
-                "n_appended",
-                "n_total",
+        .select(
+            F.col("ivf_list").alias("list_id"),
+            "n_original",
+            "n_appended",
+            "n_total",
+            F.round(
+                F.col("n_total").cast("double") / F.lit(float(total_row)),
+                6,
+            ).alias("corpus_share"),
+            F.when(
+                F.col("n_original") > 0,
                 F.round(
-                    F.col("n_total").cast("double") / F.lit(float(total_row)),
+                    F.col("n_appended").cast("double")
+                    / F.col("n_original").cast("double"),
                     6,
-                ).alias("corpus_share"),
-                F.when(
-                    F.col("n_original") > 0,
-                    F.round(
-                        F.col("n_appended").cast("double")
-                        / F.col("n_original").cast("double"),
-                        6,
-                    ),
-                ).alias("growth_ratio"),
-            )
-            .orderBy("list_id")
-            .localCheckpoint(eager=True)
+                ),
+            ).alias("growth_ratio"),
         )
-        return per
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        .orderBy("list_id")
+    )
 
 
 _Q211_SQL = """

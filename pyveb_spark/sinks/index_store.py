@@ -26,7 +26,8 @@ piece between "build the index once" and "run admission forever".
   (the q45 production shape, now durable).
 
 Reference parity: the reference stages corpus artifacts to files between
-pipeline phases (``src/pyveb/aws_client.py`` upload/download staging);
+pipeline phases (``src/pyveb/s3_client.py:188-231`` upload/download
+staging);
 this is the Spark-first equivalent for index artifacts — the LAYOUT is
 the index, and reading it back costs a metadata listing, not a rebuild.
 """
@@ -42,11 +43,17 @@ __all__ = [
     "save_ivf_index",
     "load_ivf_index",
     "append_ivf_postings",
+    "compact_ivf_postings",
     "save_lsh_index",
     "load_lsh_index",
     "save_minhash_index",
     "load_minhash_index",
     "append_minhash_index",
+    "compact_minhash_index",
+    "save_pq_codebooks",
+    "load_pq_codebooks",
+    "save_sq8_stats",
+    "load_sq8_stats",
 ]
 
 _IVF_POSTINGS = "postings"
@@ -110,6 +117,31 @@ def append_ivf_postings(
     ``save_ivf_index``)."""
     assigned.write.mode("append").partitionBy(list_col).parquet(
         os.path.join(path, _IVF_POSTINGS)
+    )
+
+
+def compact_ivf_postings(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 256,
+    list_col: str = "ivf_list",
+) -> None:
+    """Index-lifecycle compaction for the IVF postings (the step
+    ``append_ivf_postings`` defers): every append lands new small files
+    in the grown lists' partition directories, and after N batches a
+    probe pays N file opens per pruned list. This rewrites the postings
+    layout via ``layout.compact_files`` with ``partition_cols`` set to
+    the list id — one right-sized file per list partition, directory
+    swapped atomically — so the ``PartitionFilters`` pruning property is
+    untouched (pinned by test: search identical, file count drops).
+    Centroids are k×dim and never fragment; they are left alone."""
+    from pyveb_spark.operators.layout import compact_files
+
+    compact_files(
+        spark,
+        os.path.join(path, _IVF_POSTINGS),
+        target_mb=target_mb,
+        partition_cols=[list_col],
     )
 
 
@@ -205,3 +237,147 @@ def append_minhash_index(
         minhash_hot_buckets(spark.table(table), cap).coalesce(
             1
         ).write.mode("overwrite").parquet(hot_path)
+
+
+def _table_meta(spark: SparkSession, table: str) -> dict[str, str]:
+    """DESCRIBE FORMATTED as a dict (bucket count, location, type)."""
+    return {
+        r.col_name.strip(): (r.data_type or "").strip()
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+        if r.col_name and r.col_name.strip()
+    }
+
+
+def compact_minhash_index(
+    spark: SparkSession,
+    table: str,
+    hot_path: str | None = None,
+    max_bucket_size: int | None = None,
+) -> None:
+    """Index-lifecycle compaction for the bucketed MinHash postings —
+    the step ``append_minhash_index``'s docstring defers to "compaction
+    time". Each append's ``saveAsTable`` lands one file per (task ×
+    bucket); after N ingest waves a lookup opens ~N files per bucket.
+    This rewrites the table through a staging copy with the rows
+    ``repartition(num_buckets, __band, __h)``-aligned to the bucket
+    hash (Spark's bucket id and HashPartitioning share the same
+    pmod-Murmur3, so every task holds exactly one bucket → ONE file per
+    bucket), preserving the catalog bucket spec — the zero-index-side-
+    shuffle join property survives, pinned by test — and refreshes the
+    ``minhash_hot_buckets`` skew blacklist from the compacted table in
+    the same pass when ``hot_path`` is given.
+
+    The bucket count and (managed vs external) location are read from
+    the catalog, so the compacted table is a drop-in replacement at the
+    same identity and path. The staging copy is a plain managed parquet
+    table (not a second read of the original during its own overwrite);
+    it is dropped on exit."""
+    from pyveb_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET_SIZE,
+        minhash_hot_buckets,
+    )
+    from pyveb_spark.sinks.writers import write_bucketed_table
+
+    meta = _table_meta(spark, table)
+    num_buckets = int(meta.get("Num Buckets", "8"))
+    loc = meta.get("Location") or None
+    is_external = meta.get("Type", "").upper() == "EXTERNAL"
+    stage = f"{table}__compact_stage"
+    spark.table(table).write.mode("overwrite").format(
+        "parquet"
+    ).saveAsTable(stage)
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        write_bucketed_table(
+            spark.table(stage).repartition(num_buckets, "__band", "__h"),
+            table,
+            ["__band", "__h"],
+            num_buckets=num_buckets,
+            path=(loc if is_external else None),
+        )
+        if hot_path is not None:
+            cap = (
+                DEFAULT_MAX_BUCKET_SIZE
+                if max_bucket_size is None
+                else int(max_bucket_size)
+            )
+            minhash_hot_buckets(spark.table(table), cap).coalesce(
+                1
+            ).write.mode("overwrite").parquet(hot_path)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {stage}")
+
+
+# ---------------------------------------------------------------------------
+# PQ / SQ8 quantizer models — the remaining ANN tiers' durable artifacts
+# ---------------------------------------------------------------------------
+
+
+def save_pq_codebooks(
+    spark: SparkSession,
+    codebooks: list[list[tuple[int, list[float]]]],
+    path: str,
+) -> None:
+    """Persist trained PQ codebooks (``similarity.pq_train`` output) as
+    one tiny parquet table ``(subspace, code, centroid)`` — m×k rows of
+    dim/m doubles, the whole model. Doubles round-trip parquet exactly,
+    so a reloaded codebook encodes and scores BIT-IDENTICALLY to the
+    fresh one (pinned by test). With this + ``save_ivf_index`` over a
+    ``pq_encode``d postings frame, the IVF-PQ serving composition (q88)
+    is fully durable: coarse lists prune partitions, codes stream from
+    the pruned scan, and the only session state is two model-sized
+    reloads."""
+    rows = [
+        (j, int(code), [float(x) for x in cent])
+        for j, cb in enumerate(codebooks)
+        for code, cent in cb
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_pq_codebooks(
+    spark: SparkSession, path: str
+) -> list[list[tuple[int, list[float]]]]:
+    """Reload persisted PQ codebooks in ``pq_train``'s return shape
+    (``codebooks[j] = [(code, sub_centroid), ...]`` sorted by code).
+    The collect is m×k rows — model-sized by construction."""
+    by: dict[int, dict[int, list[float]]] = {}
+    for r in spark.read.parquet(path).collect():
+        by.setdefault(int(r["subspace"]), {})[int(r["code"])] = [
+            float(x) for x in r["centroid"]
+        ]
+    return [
+        [(code, by[j][code]) for code in sorted(by[j])]
+        for j in sorted(by)
+    ]
+
+
+def save_sq8_stats(
+    spark: SparkSession,
+    stats: list[tuple[float, float]],
+    path: str,
+) -> None:
+    """Persist the scalar-quantizer per-dimension (lo, hi) stats
+    (``similarity.sq8_stats`` output) as a dim-row parquet table — the
+    SQ8 "codebook". Exact double round trip: the reloaded stats encode
+    and dequantize bit-identically (pinned by test)."""
+    spark.createDataFrame(
+        [
+            (i, float(lo), float(hi))
+            for i, (lo, hi) in enumerate(stats)
+        ],
+        "dim int, lo double, hi double",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_sq8_stats(
+    spark: SparkSession, path: str
+) -> list[tuple[float, float]]:
+    """Reload persisted SQ8 stats in ``sq8_stats``'s return shape
+    (``[(lo_0, hi_0), ...]`` ordered by dimension)."""
+    rows = sorted(
+        spark.read.parquet(path).collect(), key=lambda r: r["dim"]
+    )
+    return [(float(r["lo"]), float(r["hi"])) for r in rows]

@@ -330,6 +330,69 @@ def test_q210_append_search_equals_assign_all_search(spark, tmp_path):
     )  # appended vectors are searchable (present when they rank)
 
 
+def test_lifecycle_pre_checkpoint_plans(spark, tmp_path):
+    """The global plan gates (test_plan_quality.py) cannot see through
+    the eager localCheckpoint the index-lifecycle queries end with (the
+    temp index dir is deleted on return, so materialization is
+    mandatory) — ADVICE r9. This applies the SAME two checks to the
+    PRE-checkpoint plans via the _q2NN_frame builders the public
+    queries wrap: (1) no unpartitioned window over corpus-sized input,
+    (2) no row-at-a-time Python UDF, and no Arrow stage except the
+    lsh_cosine_lookup rescore kernel (none of these five use it)."""
+    import re
+    import uuid
+
+    from pyveb_spark.queries.dedup import _q208_frame, _q209_frame
+    from pyveb_spark.queries.similarity import (
+        _q207_frame,
+        _q210_frame,
+        _q211_frame,
+    )
+
+    frames = {}
+    t208 = f"t_gate208_{uuid.uuid4().hex[:8]}"
+    t209 = f"t_gate209_{uuid.uuid4().hex[:8]}"
+    try:
+        frames["q207"] = _q207_frame(spark, SF, str(tmp_path / "i207"))
+        frames["q208"] = _q208_frame(
+            spark, SF, str(tmp_path / "i208"), t208
+        )
+        frames["q209"] = _q209_frame(
+            spark, SF, str(tmp_path / "i209"), t209
+        )
+        frames["q210"] = _q210_frame(spark, SF, str(tmp_path / "i210"))
+        frames["q211"] = _q211_frame(spark, SF, str(tmp_path / "i211"))
+
+        window_offenders, py_offenders = {}, []
+        for name, frame in frames.items():
+            opt = (
+                frame._jdf.queryExecution().optimizedPlan().toString()
+            )
+            hits = []
+            for m in re.finditer(r"windowspecdefinition\(", opt):
+                first = opt[m.end():m.end() + 200].split(",")[0]
+                if " ASC" in first or " DESC" in first:
+                    hits.append(first.strip()[:60])
+            if hits:
+                window_offenders[name] = hits
+            phys = (
+                frame._jdf.queryExecution().executedPlan().toString()
+            )
+            if any(
+                t in phys
+                for t in (
+                    "BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                    "FlatMapGroupsInPandas", "MapInArrow",
+                )
+            ):
+                py_offenders.append(name)
+        assert not window_offenders, window_offenders
+        assert not py_offenders, py_offenders
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t208}")
+        spark.sql(f"DROP TABLE IF EXISTS {t209}")
+
+
 def test_ivf_empty_corpus_split_degenerates_to_empty(spark, tmp_path):
     """Found by the 0.15x size twin: a corpus split that is EMPTY (all
     vec_ids below the split point) must yield an empty search/audit, not

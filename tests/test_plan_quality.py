@@ -258,6 +258,22 @@ _STREAM_REPLAYS = {
     "q206_stream_lsh_admission",
 }
 
+# Index-lifecycle queries end in an eager localCheckpoint (the temp
+# index dir is deleted before return, so the returned plan MUST be
+# materialized) — the global gates would only see the checkpoint scan
+# (de facto exempt, ADVICE r9) while executing each full side-effecting
+# index build per sweep. Explicitly exempt here; their PRE-checkpoint
+# plans get the SAME two gate checks (window regex + Python-stage scan)
+# in tests/test_index_store.py::test_lifecycle_pre_checkpoint_plans via
+# the _q2NN_frame builders the public queries wrap.
+_CHECKPOINTED_INDEX_LIFECYCLE = {
+    "q207_ivf_persisted_search",
+    "q208_minhash_persisted_admission",
+    "q209_minhash_index_evolution",
+    "q210_ivf_incremental_admission",
+    "q211_ivf_index_health",
+}
+
 
 # Unpartitioned windows allowed ONLY over provably bounded inputs — each
 # entry names the bound. Anything new that global-sorts corpus-sized input
@@ -295,7 +311,11 @@ def test_no_unpartitioned_window_over_corpus(spark):
     sf = "/root/testdata/sf0.001"
     offenders = {}
     for name, fn in QUERIES.items():
-        if name in _STREAM_REPLAYS or name in _GLOBAL_WINDOW_BOUNDED_OK:
+        if (
+            name in _STREAM_REPLAYS
+            or name in _GLOBAL_WINDOW_BOUNDED_OK
+            or name in _CHECKPOINTED_INDEX_LIFECYCLE
+        ):
             continue
         plan = (
             fn(spark, sf)._jdf.queryExecution().optimizedPlan().toString()
@@ -320,7 +340,7 @@ def test_no_row_python_udf_anywhere(spark):
     sf = "/root/testdata/sf0.001"
     offenders, arrow_unexpected = [], []
     for name, fn in QUERIES.items():
-        if name in _STREAM_REPLAYS:
+        if name in _STREAM_REPLAYS or name in _CHECKPOINTED_INDEX_LIFECYCLE:
             continue
         plan = _formatted_plan(fn(spark, sf))
         if "BatchEvalPython" in plan:
