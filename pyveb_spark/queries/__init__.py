@@ -1080,6 +1080,46 @@ _R9_IN = [
     "q83_small_qty_revenue",
 ]
 
+# Round 10 takes never-certified to ZERO for the first time: the only
+# registered queries without a hard CORRECTNESS row anywhere in r01–r09
+# are the seven round-10 heads q206–q212 (the durable-index tranche +
+# the dataset datasheet, soaked under selfcheck + FOUR seed/size/dup
+# twins since round 9). All seven rotate in. The window keeps the eight
+# ever-standing heads (q01/q03/q06/q08/q10/q12/q31/q48), q117, the 19
+# round-8 heads q181–q199 (third consecutive certification), q74, the
+# six round-9 heads q200–q205 (second consecutive — the soak-then-
+# anchor pattern), and 8 of the 15 TPC-H residue queries. Displaced —
+# every one earned its first hard row in r09 and keeps a family
+# sibling in-window:
+#   q51 value concentration → q01 pricing agg + q58 distribution stay
+#   q52 top supplier        → q77 cheapest supplier stays (same
+#                             correlated-min shape)
+#   q59 disjunctive revenue → q68 promo share stays (OR-filter agg)
+#   q60 large orders        → q53 idle-rich stays (HAVING-agg gate)
+#   q70 bilateral volume    → q72 local supplier volume stays (same
+#                             multi-join volume shape)
+#   q71 shipmode priority   → q08 rollup + q73 returned-items stay
+#   q83 small-qty revenue   → q79 excess stock stays (nested-agg
+#                             threshold filter)
+_R10_OUT = [
+    "q51_part_value_concentration",
+    "q52_top_supplier",
+    "q59_disjunctive_revenue",
+    "q60_large_orders",
+    "q70_bilateral_volume",
+    "q71_shipmode_priority",
+    "q83_small_qty_revenue",
+]
+_R10_IN = [
+    "q206_stream_lsh_admission",
+    "q207_ivf_persisted_search",
+    "q208_minhash_persisted_admission",
+    "q209_minhash_index_evolution",
+    "q210_ivf_incremental_admission",
+    "q211_ivf_index_health",
+    "q212_dataset_datasheet",
+]
+
 _ALL = list(QUERIES)
 # reconstruct the round-5 window exactly as shipped, then apply the
 # round-6 and round-7 waves on top of it
@@ -1092,7 +1132,8 @@ _WINDOW6B = [q for q in _WINDOW6 if q not in _R6B_OUT] + _R6B_IN
 _WINDOW6C = [q for q in _WINDOW6B if q not in _R6C_OUT] + _R6C_IN
 _WINDOW7 = [q for q in _WINDOW6C if q not in _R7_OUT] + _R7_IN
 _WINDOW8 = [q for q in _WINDOW7 if q not in _R8_OUT] + _R8_IN
-_WINDOW = [q for q in _WINDOW8 if q not in _R9_OUT] + _R9_IN
+_WINDOW9 = [q for q in _WINDOW8 if q not in _R9_OUT] + _R9_IN
+_WINDOW = [q for q in _WINDOW9 if q not in _R10_OUT] + _R10_IN
 GATE_ORDER = _WINDOW + [q for q in _ALL if q not in _WINDOW]
 assert len(GATE_ORDER) == len(_ALL) and set(GATE_ORDER) == set(_ALL)
 assert len(_WINDOW) == 50
