@@ -308,6 +308,21 @@ QUERIES = {
     # the per-source "datasheet for datasets" release summary: volumes,
     # language spread, modal language, Gopher pass rate in one scan
     "q212_dataset_datasheet": q212_dataset_datasheet,
+    # round-11 heads (built round 10), registered OUTSIDE the window to
+    # soak under selfcheck + seed twins first (the standing playbook):
+    # the index_store durability story extended to the remaining ANN
+    # quantizer tiers — persisted PQ codebooks + codes table, persisted
+    # SQ8 stats, and the fully durable IVF-PQ composition (persisted
+    # coarse lists × persisted codebooks)
+    "q213_pq_persisted_search": q213_pq_persisted_search,
+    "q214_sq8_persisted_ann": q214_sq8_persisted_ann,
+    "q215_ivfpq_persisted_serving": q215_ivfpq_persisted_serving,
+    # the index-lifecycle COMPACTION halves: the q209 MinHash cycle and
+    # the q210 IVF cycle with compaction inserted — certified against
+    # the UNCOMPACTED oracles (compaction must be semantically
+    # invisible; file-count/layout properties pinned in tests)
+    "q216_minhash_compacted_evolution": q216_minhash_compacted_evolution,
+    "q217_ivf_compacted_search": q217_ivf_compacted_search,
 }
 
 ORACLE_SQL = {
@@ -523,6 +538,11 @@ ORACLE_SQL = {
     "q210_ivf_incremental_admission": _Q210_SQL,
     "q211_ivf_index_health": _Q211_SQL,
     "q212_dataset_datasheet": _Q212_SQL,
+    "q213_pq_persisted_search": _Q213_SQL,
+    "q214_sq8_persisted_ann": _Q214_SQL,
+    "q215_ivfpq_persisted_serving": _Q215_SQL,
+    "q216_minhash_compacted_evolution": _Q216_SQL,
+    "q217_ivf_compacted_search": _Q217_SQL,
 }
 
 # ---------------------------------------------------------------------------

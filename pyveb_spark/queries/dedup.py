@@ -1544,3 +1544,48 @@ LEFT JOIN per ON per.doc_id_new = d.doc_id
 WHERE d.doc_id < 100
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# MinHash index compaction in the lifecycle — round-11 head (built r10)
+# ---------------------------------------------------------------------------
+
+def q216_minhash_compacted_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The compaction step of the MinHash index lifecycle — the gap
+    q209 left open: every ``append_minhash_index`` lands one file per
+    (task × bucket), so a long-running ingest accretes small files per
+    bucket. ``index_store.compact_minhash_index`` rewrites the bucketed
+    table with its rows repartition-aligned to the bucket hash (one
+    file per bucket), preserves the catalog bucket spec, and refreshes
+    the hot-bucket skew blacklist in the same pass — and must be
+    SEMANTICALLY INVISIBLE, which this query certifies: the q209
+    admit→append→re-admit cycle with compaction inserted between the
+    append and wave 2, against q209's own oracle (identical CTEs — a
+    compaction that changed or dropped a posting would go red). The
+    file-count drop and the preserved zero-index-side-shuffle join are
+    pinned separately in test_index_store.py.
+
+    100 TB design: compaction is one read + one bucket-aligned write of
+    the postings (the repartition IS the bucket hash, so the write
+    needs no extra shuffle beyond it), schedulable off the ingest path;
+    lookups before and after read identical postings through fewer
+    opens. Pre-checkpoint plan covered by the q209 gate row
+    (test_index_store.py — same builder, ``compact=True``)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    table = f"q216_minhash_idx_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="q216_")
+    try:
+        return _q209_frame(
+            spark, sf_dir, tmp, table, compact=True
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_Q216_SQL = _Q209_SQL

@@ -347,6 +347,9 @@ def test_lifecycle_pre_checkpoint_plans(spark, tmp_path):
         _q207_frame,
         _q210_frame,
         _q211_frame,
+        _q213_frame,
+        _q214_frame,
+        _q215_frame,
     )
 
     frames = {}
@@ -362,6 +365,11 @@ def test_lifecycle_pre_checkpoint_plans(spark, tmp_path):
         )
         frames["q210"] = _q210_frame(spark, SF, str(tmp_path / "i210"))
         frames["q211"] = _q211_frame(spark, SF, str(tmp_path / "i211"))
+        # q216/q217 are the same builders with compact=True (the plan
+        # shape downstream of the compacted artifact is identical)
+        frames["q213"] = _q213_frame(spark, SF, str(tmp_path / "i213"))
+        frames["q214"] = _q214_frame(spark, SF, str(tmp_path / "i214"))
+        frames["q215"] = _q215_frame(spark, SF, str(tmp_path / "i215"))
 
         window_offenders, py_offenders = {}, []
         for name, frame in frames.items():

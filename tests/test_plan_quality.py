@@ -272,6 +272,11 @@ _CHECKPOINTED_INDEX_LIFECYCLE = {
     "q209_minhash_index_evolution",
     "q210_ivf_incremental_admission",
     "q211_ivf_index_health",
+    "q213_pq_persisted_search",
+    "q214_sq8_persisted_ann",
+    "q215_ivfpq_persisted_serving",
+    "q216_minhash_compacted_evolution",   # q209's builder, compact=True
+    "q217_ivf_compacted_search",          # q210's builder, compact=True
 }
 
 

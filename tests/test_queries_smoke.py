@@ -48,14 +48,20 @@ def test_every_query_has_an_oracle():
 def test_gate_window_composition():
     """The driver certifies only the first 50 registry entries; the
     rotation contract (gate-window comment in
-    pyveb_spark/queries/__init__.py). Round 9 drives never-certified to
-    zero: the window keeps the eight ever-standing heads, q117, the 19
-    round-8 heads (second consecutive certification), and q74 as the
-    TPC-H join-agg anchor; all 21 incoming slots are the never-certified
-    queries — the six round-9 heads q200–q205 and the 15-query q51–q83
-    residue. Every displaced query must still exist (selfcheck covers it
-    outside the window)."""
-    from pyveb_spark.queries import _R8_IN, _R9_IN, _R9_OUT
+    pyveb_spark/queries/__init__.py). Round 10 takes never-certified to
+    ZERO: the window keeps the eight ever-standing heads, q117, the 19
+    round-8 heads (third consecutive certification), q74, the six
+    round-9 heads q200–q205 (second consecutive), and 8 of the 15 TPC-H
+    residue queries; the seven incoming slots are the round-10 heads
+    q206–q212 — the only queries without a hard CORRECTNESS row. Every
+    displaced query must still exist (selfcheck covers it outside the
+    window)."""
+    from pyveb_spark.queries import (
+        _R8_IN,
+        _R9_IN,
+        _R10_IN,
+        _R10_OUT,
+    )
 
     window = list(QUERIES)[:50]
     standing = [
@@ -69,24 +75,24 @@ def test_gate_window_composition():
          "q197", "q198", "q199"))]
     must_be_in = (
         standing + ["q117_vocab_encode", "q74_market_share"]
-        + r8_heads + list(_R9_IN)
+        + r8_heads
+        + [q for q in _R9_IN if q not in _R10_OUT]
+        + list(_R10_IN)
     )
     missing = [q for q in must_be_in if q not in window]
     assert missing == [], f"expected in the gate window: {missing}"
-    assert len(_R9_IN) == 21 and len(_R9_OUT) == 21
+    assert len(_R10_IN) == 7 and len(_R10_OUT) == 7
     assert set(window) == set(must_be_in)
     # every displaced query is still registered (soaks under selfcheck)
-    for q in _R9_OUT:
+    for q in _R10_OUT:
         assert q in QUERIES and q not in window, q
-    # the round-10 heads built this round soak OUTSIDE the window
+    # the round-11 heads built this round soak OUTSIDE the window
     for q in (
-        "q206_stream_lsh_admission",
-        "q207_ivf_persisted_search",
-        "q208_minhash_persisted_admission",
-        "q209_minhash_index_evolution",
-        "q210_ivf_incremental_admission",
-        "q211_ivf_index_health",
-        "q212_dataset_datasheet",
+        "q213_pq_persisted_search",
+        "q214_sq8_persisted_ann",
+        "q215_ivfpq_persisted_serving",
+        "q216_minhash_compacted_evolution",
+        "q217_ivf_compacted_search",
     ):
         assert q in QUERIES and q not in window, q
     assert len(window) == 50
