@@ -754,7 +754,13 @@ def q206_stream_lsh_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB design: per-batch cost is |batch| hashing + a bucket equijoin
     against the persisted index + an id-keyed merge — the corpus is
     never rescanned (the q45/q165 warm-index property, now durable
-    across sessions AND across stream restarts). Returns ``(vec_id,
+    across sessions AND across stream restarts). The fixture pins
+    ``n_planes=6`` so the oracle replays the exact plane construction;
+    the PRODUCTION configuration is ``suggest_lsh_planes(corpus_count)``
+    at index-BUILD time (``n_planes="auto"`` on the batch path) — the
+    measured response to bucket densification as the corpus grows
+    (BASELINE.md sf3 row: 6 planes → 11 at the 141 k-vector twin cuts
+    the candidate stage back to its sf1 density). Returns ``(vec_id,
     n_matches, best_cosine, admitted)`` for every streamed vector."""
     import os
     import shutil
