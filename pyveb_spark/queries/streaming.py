@@ -783,14 +783,21 @@ def q206_stream_lsh_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = tempfile.mkdtemp(prefix="q206_")
     try:
+        # build parameters travel WITH the artifact (the manifest): the
+        # admission side below hashes with the reloaded n_planes/seed,
+        # never a remembered constant — the pattern that makes
+        # suggest_lsh_planes-at-build-time safe across sessions
         save_lsh_index(
             lsh_bucket(
                 corpus, dim, _Q206_PLANES, vec_col="embedding",
                 seed=42, bucket_col="__b",
             ),
             os.path.join(tmp, "index"),
+            meta={"n_planes": _Q206_PLANES, "seed": 42, "dim": dim},
         )
-        warm = load_lsh_index(spark, os.path.join(tmp, "index"))
+        warm, idx_meta = load_lsh_index(
+            spark, os.path.join(tmp, "index"), with_meta=True
+        )
 
         drops = os.path.join(tmp, "drops")
         arriving.repartition(3).write.mode("overwrite").parquet(drops)
@@ -802,7 +809,8 @@ def q206_stream_lsh_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         def _admit(batch_df: DataFrame, batch_id: int) -> None:
             matches = lsh_cosine_lookup(
                 batch_df, corpus, threshold=_Q206_THRESHOLD,
-                n_planes=_Q206_PLANES, seed=42, index=warm,
+                n_planes=idx_meta["n_planes"], seed=idx_meta["seed"],
+                index=warm,
             )
             per = matches.groupBy("vec_id_new").agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_matches"),

@@ -146,22 +146,63 @@ def compact_ivf_postings(
 
 
 def save_lsh_index(
-    index: DataFrame, path: str, bucket_col: str = "__b"
+    index: DataFrame,
+    path: str,
+    bucket_col: str = "__b",
+    meta: dict[str, int] | None = None,
 ) -> None:
     """Persist a sign-LSH bucketed corpus (``lsh_bucket`` output)
     partitioned by the bucket id: a lookup against the reloaded index
-    prunes to the probe's buckets at the scan."""
+    prunes to the probe's buckets at the scan.
+
+    ``meta`` (recommended: ``{"n_planes": ..., "seed": ..., "dim":
+    ...}``) is written as a one-row manifest NEXT TO the index. A sign-
+    LSH index is only usable with the EXACT plane construction it was
+    built with — a probe hashed under different planes lands in
+    unrelated buckets and silently returns garbage — so the build
+    parameters belong to the artifact, not to whoever happens to
+    remember them next session. ``load_lsh_index(..., with_meta=True)``
+    returns them for the lookup call (this is how ``n_planes="auto"``
+    composes with persistence: resolve the count at BUILD time —
+    ``suggest_lsh_planes`` — save it in the manifest, reload it at
+    admission time)."""
     index.write.mode("overwrite").partitionBy(bucket_col).parquet(path)
+    if meta:
+        spark = index.sparkSession
+        keys = sorted(meta)
+        spark.createDataFrame(
+            [tuple(int(meta[k]) for k in keys)],
+            ", ".join(f"{k} int" for k in keys),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path + "_meta")
+        )
 
 
 def load_lsh_index(
-    spark: SparkSession, path: str, bucket_col: str = "__b"
-) -> DataFrame:
+    spark: SparkSession,
+    path: str,
+    bucket_col: str = "__b",
+    with_meta: bool = False,
+) -> DataFrame | tuple[DataFrame, dict[str, int]]:
     """Reload a persisted LSH index with the bucket column restored to
-    the build-time long type (partition-dir inference narrows it)."""
-    return spark.read.parquet(path).withColumn(
+    the build-time long type (partition-dir inference narrows it).
+    ``with_meta=True`` also returns the build manifest saved by
+    ``save_lsh_index(meta=...)`` (``{}`` when the index predates it) —
+    pass its ``n_planes``/``seed`` straight into
+    ``lsh_cosine_lookup``."""
+    df = spark.read.parquet(path).withColumn(
         bucket_col, F.col(bucket_col).cast("long")
     )
+    if not with_meta:
+        return df
+    meta: dict[str, int] = {}
+    try:
+        row = spark.read.parquet(os.path.join(path + "_meta")).first()
+        if row is not None:
+            meta = {k: int(v) for k, v in row.asDict().items()}
+    except Exception:
+        pass  # manifest absent: a pre-manifest artifact, not an error
+    return df, meta
 
 
 def save_minhash_index(

@@ -362,6 +362,55 @@ def test_lsh_lookup_auto_rejects_prebuilt_index(spark):
         )
 
 
+def test_lsh_index_manifest_round_trip(spark, tmp_path):
+    """Build parameters travel with the artifact: a persisted LSH index
+    saved with meta reloads (frame, manifest), and a lookup driven by
+    the manifest equals one driven by the remembered constants. An
+    index without a manifest reloads with meta == {} (back-compat)."""
+    from pyveb_spark.operators.similarity import (
+        lsh_bucket,
+        lsh_cosine_lookup,
+    )
+    from pyveb_spark.sinks.index_store import (
+        load_lsh_index,
+        save_lsh_index,
+    )
+
+    e = read_table(spark, SF, "embeddings")
+    corpus = e.where(F.col("vec_id") >= 20)
+    batch = e.where(F.col("vec_id") < 20)
+    dim = len(corpus.select("embedding").first()[0])
+    idx = lsh_bucket(corpus, dim, 7, seed=11, bucket_col="__b")
+    save_lsh_index(
+        idx, str(tmp_path / "lsh"),
+        meta={"n_planes": 7, "seed": 11, "dim": dim},
+    )
+    warm, meta = load_lsh_index(
+        spark, str(tmp_path / "lsh"), with_meta=True
+    )
+    assert meta == {"n_planes": 7, "seed": 11, "dim": dim}
+    from_meta = sorted(
+        (r.vec_id_new, r.vec_id_corpus, r.cosine_sim)
+        for r in lsh_cosine_lookup(
+            batch, corpus, threshold=0.3,
+            n_planes=meta["n_planes"], seed=meta["seed"], index=warm,
+        ).collect()
+    )
+    explicit = sorted(
+        (r.vec_id_new, r.vec_id_corpus, r.cosine_sim)
+        for r in lsh_cosine_lookup(
+            batch, corpus, threshold=0.3, n_planes=7, seed=11,
+        ).collect()
+    )
+    assert from_meta == explicit
+
+    save_lsh_index(idx, str(tmp_path / "bare"))
+    _, bare_meta = load_lsh_index(
+        spark, str(tmp_path / "bare"), with_meta=True
+    )
+    assert bare_meta == {}
+
+
 def test_lsh_lookup_rescores_against_index_vectors(spark):
     """A grown persisted index must stay the admission ground truth:
     candidates present only in the INDEX (not the caller's stale corpus
