@@ -60,13 +60,23 @@ ORDER BY window_start_us, event_type
 def q25_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization — cumulative-sum-of-gap-flags windowing (the
     streaming twin is ``streaming.session_window_agg``). One shuffle on
-    user_id drives both window passes."""
+    user_id drives both window passes.
+
+    The gap compares exact MICROSECONDS on both engines (found by the
+    seed-71 round-10 twin): the earlier second-granularity form — Spark
+    ``cast(ts as long)`` (truncates) vs DuckDB ``epoch()`` (fractional
+    DOUBLE) — disagreed on a pair whose true gap was 1800.97 s, i.e.
+    exactly the truncation window above the threshold. Integer micros
+    remove the class on both sides."""
     e = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
     flagged = e.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+        F.when(
+            gap.isNull() | (gap > 1800 * 1_000_000), F.lit(1)
+        ).otherwise(F.lit(0)),
     )
     sessioned = flagged.withColumn(
         "session_no",
@@ -88,8 +98,8 @@ def q25_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q25_SQL = """
 WITH flagged AS (
     SELECT user_id, event_id, ts,
-           CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
-                  OR epoch(ts) - LAG(epoch(ts)) OVER w > 1800
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
                 THEN 1 ELSE 0 END AS new_session
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
