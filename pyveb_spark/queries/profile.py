@@ -1110,7 +1110,13 @@ def q203_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbers. Determinism: rewards are 2-decimal money-like → DECIMAL
     sums are exact and order-free; mean/std/advantage are single double
     expressions over those exact sums, so both engines compare the
-    identical clip threshold bit-for-bit."""
+    identical clip threshold bit-for-bit — and the stats are emitted
+    UNROUNDED (the q01 averages contract): the doubles are already
+    engine-identical, while a round(4) re-introduced a grid-boundary
+    class — Spark rounds the exact binary expansion, DuckDB rounds
+    after a float multiply, and a 2-decimal reward mean CAN land
+    exactly on the x.xxxx5 grid (found by the 0.12× round-10 stress
+    twin: 191.10875 rounded 1088 vs 1087)."""
     e = read_table(spark, sf_dir, "events")
     dec = F.col("value").cast("decimal(14,2)")
     dec2 = (dec * dec).cast("decimal(28,4)")
@@ -1136,9 +1142,9 @@ def q203_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.max("__n").cast("bigint").alias("n_rollouts"),
-            F.round(F.max(mean), 4).alias("mean_reward"),
-            F.round(F.max(std), 4).alias("std_reward"),
-            F.round(F.max("__adv"), 4).alias("max_advantage"),
+            F.max(mean).alias("mean_reward"),
+            F.max(std).alias("std_reward"),
+            F.max("__adv").alias("max_advantage"),
             F.sum(
                 F.when(F.abs(F.col("__adv")) > 2.0, 1).otherwise(0)
             ).cast("bigint").alias("n_clipped"),
@@ -1170,9 +1176,9 @@ scored AS (
     FROM events e JOIN g USING (user_id))
 SELECT user_id,
        CAST(MAX(n) AS BIGINT) AS n_rollouts,
-       ROUND(MAX(mean), 4) AS mean_reward,
-       ROUND(MAX(std), 4) AS std_reward,
-       ROUND(MAX(adv), 4) AS max_advantage,
+       MAX(mean) AS mean_reward,
+       MAX(std) AS std_reward,
+       MAX(adv) AS max_advantage,
        SUM(CASE WHEN ABS(adv) > 2.0 THEN 1 ELSE 0 END)::BIGINT AS n_clipped
 FROM scored
 GROUP BY user_id
