@@ -11,7 +11,13 @@ Float determinism contract (so value-hashes match the oracle bit-for-bit):
   summing (exact, order-independent), then the FINAL result is cast back to
   DOUBLE (decimal→double is correctly rounded in both engines).
 - Averages are computed as ``CAST(exact_decimal_sum AS DOUBLE) / count`` so
-  both engines perform the identical single IEEE division.
+  both engines perform the identical single IEEE division — and emitted
+  UNROUNDED. Never round an already-engine-identical double: rounding
+  adds nothing and reintroduces a grid-boundary class (a 2-decimal money
+  mean CAN terminate exactly on the x.xxxx5 grid, where Spark rounds the
+  exact binary expansion via BigDecimal while DuckDB rounds after a
+  float multiply — the q203 seed-twin catch, round 10). ``round(d)`` is
+  for genuinely float-accumulated values only.
 - Genuinely float-accumulated results (cosine similarity) are rounded to 4
   decimals; ranking gaps in the synthetic data are far wider than the
   engines' accumulation-order differences.

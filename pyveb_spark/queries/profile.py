@@ -1237,17 +1237,19 @@ def q212_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "n_tokens",
-            F.round(
+            # UNROUNDED (the r10 float-contract rule): both engines
+            # perform the identical integer-to-double division, and a
+            # round() would reintroduce the grid-boundary class when
+            # n_docs is a 2^a·5^b count (terminating expansion)
+            (
                 F.col("n_tokens").cast("double")
-                / F.col("n_docs").cast("double"),
-                4,
+                / F.col("n_docs").cast("double")
             ).alias("mean_tokens"),
             "n_langs",
             "top_lang",
-            F.round(
+            (
                 F.col("n_pass").cast("double")
-                / F.col("n_docs").cast("double"),
-                6,
+                / F.col("n_docs").cast("double")
             ).alias("gopher_pass_rate"),
         )
         .orderBy("source")
@@ -1288,9 +1290,9 @@ top AS (SELECT source, lang AS top_lang FROM lc
         QUALIFY ROW_NUMBER() OVER (PARTITION BY source
                                    ORDER BY c DESC, lang NULLS LAST) = 1)
 SELECT per.source, n_docs, n_tokens,
-       ROUND(n_tokens / (n_docs * 1.0), 4) AS mean_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tokens,
        n_langs, top.top_lang,
-       ROUND(n_pass / (n_docs * 1.0), 6) AS gopher_pass_rate
+       CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE) AS gopher_pass_rate
 FROM per JOIN top ON top.source = per.source
 ORDER BY per.source
 """
