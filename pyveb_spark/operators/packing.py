@@ -114,8 +114,15 @@ def with_token_offsets(
     for r in totals:
         offsets.append((r["__wto_pid"], run))
         run += int(r["__t"] or 0)
-    off_df = spark.createDataFrame(
-        offsets or [(0, 0)], "__wto_pid int, __wto_off bigint"
+    # LocalRelation, not a Python-RDD frame: the offsets join-back runs
+    # once per caller, and the pickled-RDD form paid ~32 Python-worker
+    # roundtrips per scan on local[32] — most of the "fixed ~0.5-1 s
+    # per call" overhead the r9 BASELINE re-record attributed to this
+    # helper (session.local_df docstring has the measurement)
+    from pyveb_spark.session import local_df
+
+    off_df = local_df(
+        spark, offsets or [(0, 0)], "__wto_pid int, __wto_off bigint"
     )
     w = (
         Window.partitionBy("__wto_pid")

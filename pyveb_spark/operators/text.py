@@ -559,12 +559,13 @@ def bpe_train(
     finally:
         for p in persisted:
             p.unpersist()
-    return spark.createDataFrame(
+    from pyveb_spark.session import local_df
+
+    return local_df(
+        spark,
         merges,
-        schema=(
-            "merge_rank int, left_sym string, right_sym string, "
-            "merged string, pair_count bigint"
-        ),
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
     )
 
 

@@ -1013,8 +1013,11 @@ def q183_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         k=10, lam=0.7, mu=0.3,
     )
-    out = spark.createDataFrame(
-        picks, "rank int, vec_id long, label int, rel double, mmr double"
+    from pyveb_spark.session import local_df
+
+    out = local_df(
+        spark, picks,
+        "rank int, vec_id long, label int, rel double, mmr double",
     )
     return out.select(
         "rank", "vec_id", "label",

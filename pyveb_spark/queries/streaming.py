@@ -808,6 +808,17 @@ def q206_stream_lsh_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         warm, idx_meta = load_lsh_index(
             spark, os.path.join(tmp, "index"), with_meta=True
         )
+        # Pin the reloaded index for the stream's lifetime: every
+        # micro-batch joins it TWICE (bucket equijoin + the
+        # index-authoritative vector join-back, ADVICE r9), and
+        # re-scanning the bucket-partitioned small files per batch
+        # doubled the admission cost (measured 6.1 s → 13.5 s at
+        # sf0.1). One eager materialization serves all batches — the
+        # warm-index cache every production ANN server keeps; on a
+        # cluster this is persist(MEMORY_AND_DISK) over the same
+        # frame, and the DISK layout remains the restart/recovery
+        # source of truth.
+        warm = warm.localCheckpoint(eager=True)
 
         drops = os.path.join(tmp, "drops")
         arriving.repartition(3).write.mode("overwrite").parquet(drops)

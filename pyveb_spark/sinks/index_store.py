@@ -72,11 +72,14 @@ def save_ivf_index(
     Overwrites — an index rebuild replaces the artifact atomically per
     partition (dynamic overwrite is unnecessary: rebuilds re-cluster, so
     the whole artifact changes)."""
+    from pyveb_spark.session import local_df
+
     indexed.write.mode("overwrite").partitionBy(list_col).parquet(
         os.path.join(path, _IVF_POSTINGS)
     )
     spark = indexed.sparkSession
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(int(i), [float(x) for x in c]) for i, c in centroids],
         "list_id int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(
@@ -168,14 +171,14 @@ def save_lsh_index(
     admission time)."""
     index.write.mode("overwrite").partitionBy(bucket_col).parquet(path)
     if meta:
-        spark = index.sparkSession
+        from pyveb_spark.session import local_df
+
         keys = sorted(meta)
-        spark.createDataFrame(
+        local_df(
+            index.sparkSession,
             [tuple(int(meta[k]) for k in keys)],
             ", ".join(f"{k} int" for k in keys),
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(path + "_meta")
-        )
+        ).coalesce(1).write.mode("overwrite").parquet(path + "_meta")
 
 
 def load_lsh_index(
@@ -368,13 +371,15 @@ def save_pq_codebooks(
     is fully durable: coarse lists prune partitions, codes stream from
     the pruned scan, and the only session state is two model-sized
     reloads."""
+    from pyveb_spark.session import local_df
+
     rows = [
         (j, int(code), [float(x) for x in cent])
         for j, cb in enumerate(codebooks)
         for code, cent in cb
     ]
-    spark.createDataFrame(
-        rows, "subspace int, code int, centroid array<double>"
+    local_df(
+        spark, rows, "subspace int, code int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(path)
 
 
@@ -404,7 +409,10 @@ def save_sq8_stats(
     (``similarity.sq8_stats`` output) as a dim-row parquet table — the
     SQ8 "codebook". Exact double round trip: the reloaded stats encode
     and dequantize bit-identically (pinned by test)."""
-    spark.createDataFrame(
+    from pyveb_spark.session import local_df
+
+    local_df(
+        spark,
         [
             (i, float(lo), float(hi))
             for i, (lo, hi) in enumerate(stats)
