@@ -116,8 +116,9 @@ def q32_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         pipe.run(spark)
         pipe.run(spark)  # idempotent re-run: same keys upsert to same state
         out = sink.read().orderBy("order_year", "priority")
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # materialize before the temp dir is removed (eager checkpoint,
+        # not collect-and-rebuild — the q26 treatment)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

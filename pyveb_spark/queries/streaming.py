@@ -497,9 +497,11 @@ def q26_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "n_purchases")
             .orderBy("user_id")
         )
-        # materialize before the temp table directory is removed
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # materialize before the temp table directory is removed — an
+        # eager checkpoint, not collect-and-rebuild (the rebuilt frame
+        # was a Python RDD whose every scan paid 32 worker roundtrips;
+        # session.local_df docstring has the measurement)
+        return out.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
         shutil.rmtree(tmp, ignore_errors=True)
