@@ -362,6 +362,28 @@ def test_lsh_lookup_auto_rejects_prebuilt_index(spark):
         )
 
 
+def test_local_df_is_a_local_relation(spark):
+    """Regression pin for the r10 perf find: small driver-side tables
+    must be JVM LocalRelations (Arrow path), never Python-RDD frames
+    whose every scan pays a worker roundtrip per partition (measured
+    ~4 s for a one-row frame on local[32]). Types — including array
+    columns — must follow the DDL exactly."""
+    from pyveb_spark.session import local_df
+
+    df = local_df(
+        spark, [(1, [1.0, 2.5]), (2, [3.0, 4.0])],
+        "a int, v array<double>",
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" in plan, plan
+    assert "Scan ExistingRDD" not in plan, plan
+    assert df.schema.simpleString() == "struct<a:int,v:array<double>>"
+    assert df.orderBy("a").collect()[0].v == [1.0, 2.5]
+    empty = local_df(spark, [], "a int, b bigint")
+    assert empty.count() == 0
+    assert empty.schema.simpleString() == "struct<a:int,b:bigint>"
+
+
 def test_lsh_index_manifest_round_trip(spark, tmp_path):
     """Build parameters travel with the artifact: a persisted LSH index
     saved with meta reloads (frame, manifest), and a lookup driven by
