@@ -120,12 +120,33 @@ def local_df(spark, rows, ddl_schema: str):
     write, 20×), size stats are exact so broadcast decisions are sound.
 
     ``ddl_schema`` is the same DDL string ``createDataFrame`` accepts;
-    empty ``rows`` falls back to the classic path (already job-free)."""
+    empty ``rows`` falls back to the classic path (already job-free).
+
+    The LocalRelation property DEPENDS on the Arrow conversion conf
+    (``get_spark`` sets it): with Arrow disabled,
+    ``createDataFrame(pandas)`` silently degrades to exactly the
+    pickled-RDD path this helper exists to remove — so a disabled conf
+    raises here instead of quietly costing 20×. Semantics note: the
+    pandas route converts float NaN to NULL (the list route keeps NaN);
+    model tables (centroids, codebooks, manifests, offsets) contain no
+    NaN by construction, and callers that need literal NaN should use
+    ``createDataFrame`` directly."""
     import pandas as pd
     from pyspark.sql.types import StructType
 
     if not rows:
         return spark.createDataFrame([], ddl_schema)
+    if (
+        spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .lower()
+        != "true"
+    ):
+        raise ValueError(
+            "local_df requires spark.sql.execution.arrow.pyspark.enabled"
+            "=true (get_spark sets it): without Arrow, "
+            "createDataFrame(pandas) degrades to the pickled-RDD path "
+            "this helper exists to avoid"
+        )
     schema = StructType.fromDDL(ddl_schema)
     pdf = pd.DataFrame([tuple(r) for r in rows], columns=schema.names)
     return spark.createDataFrame(pdf, schema=schema)

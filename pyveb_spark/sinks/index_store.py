@@ -198,13 +198,19 @@ def load_lsh_index(
     )
     if not with_meta:
         return df
+    # Distinguish "pre-manifest artifact" (meta dir absent → {}) from a
+    # genuinely failed/corrupt manifest read (propagate): swallowing IO
+    # errors here would be indistinguishable from no-manifest and let a
+    # caller silently hash with the wrong plane constants.
     meta: dict[str, int] = {}
-    try:
-        row = spark.read.parquet(os.path.join(path + "_meta")).first()
+    meta_path = path + "_meta"
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(meta_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        row = spark.read.parquet(meta_path).first()
         if row is not None:
             meta = {k: int(v) for k, v in row.asDict().items()}
-    except Exception:
-        pass  # manifest absent: a pre-manifest artifact, not an error
     return df, meta
 
 
@@ -247,6 +253,17 @@ def load_minhash_index(
     hot-bucket blacklist — pass both straight into
     ``minhash_lsh_lookup(index=..., hot_buckets=...)`` (the q45
     production shape with zero per-batch index work)."""
+    stage = f"{table}__compact_stage"
+    if not spark.catalog.tableExists(table) and spark.catalog.tableExists(
+        stage
+    ):
+        raise RuntimeError(
+            f"MinHash index table {table!r} is missing but its "
+            f"compaction stage {stage!r} exists — a compaction crashed "
+            "inside the metadata swap; the compacted data is complete "
+            f"under the stage name. Recover with: ALTER TABLE {stage} "
+            f"RENAME TO {table}."
+        )
     return spark.table(table), spark.read.parquet(hot_path)
 
 
@@ -302,54 +319,100 @@ def compact_minhash_index(
     the step ``append_minhash_index``'s docstring defers to "compaction
     time". Each append's ``saveAsTable`` lands one file per (task ×
     bucket); after N ingest waves a lookup opens ~N files per bucket.
-    This rewrites the table through a staging copy with the rows
-    ``repartition(num_buckets, __band, __h)``-aligned to the bucket
-    hash (Spark's bucket id and HashPartitioning share the same
-    pmod-Murmur3, so every task holds exactly one bucket → ONE file per
-    bucket), preserving the catalog bucket spec — the zero-index-side-
-    shuffle join property survives, pinned by test — and refreshes the
-    ``minhash_hot_buckets`` skew blacklist from the compacted table in
-    the same pass when ``hot_path`` is given.
+    This rewrites the rows ``repartition(num_buckets, __band, __h)``-
+    aligned to the bucket hash (Spark's bucket id and HashPartitioning
+    share the same pmod-Murmur3, so every task holds exactly one bucket
+    → ONE file per bucket), preserving the catalog bucket spec — the
+    zero-index-side-shuffle join property survives, pinned by test —
+    and refreshes the ``minhash_hot_buckets`` skew blacklist from the
+    compacted table in the same pass when ``hot_path`` is given.
 
-    The bucket count and (managed vs external) location are read from
-    the catalog, so the compacted table is a drop-in replacement at the
-    same identity and path. The staging copy is a plain managed parquet
-    table (not a second read of the original during its own overwrite);
-    it is dropped on exit."""
+    Crash-safety (the ``compact_files`` commit-then-swap discipline):
+    the replacement is FULLY written as a bucketed staging table
+    ``{table}__compact_stage`` while the original stays live and
+    untouched — a failure anywhere in the expensive write leaves the
+    original index serving and the partial stage dropped. Only after
+    the stage commits does the metadata-only swap run: managed tables
+    DROP + ``ALTER TABLE ... RENAME``; external tables an atomic FS
+    directory swap at the original location (the table's path is part
+    of its identity — drop-in replacement, pinned by test) followed by
+    ``SET LOCATION`` + RENAME. If the process dies inside that
+    metadata window the compacted data still exists in full under the
+    stage name/location; the next ``compact_minhash_index`` call (or
+    ``load_minhash_index``) fails loudly with the one-line recovery
+    (rename the stage back) instead of silently rebuilding."""
     from pyveb_spark.operators.dedup import (
         DEFAULT_MAX_BUCKET_SIZE,
         minhash_hot_buckets,
     )
     from pyveb_spark.sinks.writers import write_bucketed_table
 
+    stage = f"{table}__compact_stage"
+    if not spark.catalog.tableExists(table):
+        if spark.catalog.tableExists(stage):
+            raise RuntimeError(
+                f"MinHash index table {table!r} is missing but its "
+                f"compaction stage {stage!r} exists — a previous "
+                "compaction crashed inside the metadata swap. The "
+                "compacted data is complete under the stage name; "
+                f"recover with: ALTER TABLE {stage} RENAME TO {table} "
+                "(external tables: point it at the index location "
+                "first with ALTER TABLE ... SET LOCATION)."
+            )
+        raise ValueError(f"MinHash index table {table!r} does not exist")
+    # a stage alongside a live original is leftover from a run that
+    # failed BEFORE the swap — the original is authoritative; redo.
+    spark.sql(f"DROP TABLE IF EXISTS {stage}")
+
     meta = _table_meta(spark, table)
-    num_buckets = int(meta.get("Num Buckets", "8"))
+    if "Num Buckets" not in meta:
+        # the bucket count is load-bearing: defaulting here would
+        # silently rebucket the table and break the zero-shuffle
+        # co-located-join property against its existing bucket spec.
+        raise ValueError(
+            f"table {table!r} has no 'Num Buckets' in its catalog "
+            "metadata — not a bucketed index table (or the DESCRIBE "
+            "FORMATTED layout changed); refusing to guess a count"
+        )
+    num_buckets = int(meta["Num Buckets"])
     loc = meta.get("Location") or None
     is_external = meta.get("Type", "").upper() == "EXTERNAL"
-    stage = f"{table}__compact_stage"
-    spark.table(table).write.mode("overwrite").format(
-        "parquet"
-    ).saveAsTable(stage)
+    stage_loc = (loc.rstrip("/") + "__compact_stage") if is_external else None
+
+    # 1) expensive part: write the complete replacement as a bucketed
+    #    stage table while the original keeps serving. Failure here
+    #    loses nothing — drop the partial stage and re-raise.
     try:
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
         write_bucketed_table(
-            spark.table(stage).repartition(num_buckets, "__band", "__h"),
-            table,
+            spark.table(table).repartition(num_buckets, "__band", "__h"),
+            stage,
             ["__band", "__h"],
             num_buckets=num_buckets,
-            path=(loc if is_external else None),
+            path=stage_loc,
         )
-        if hot_path is not None:
-            cap = (
-                DEFAULT_MAX_BUCKET_SIZE
-                if max_bucket_size is None
-                else int(max_bucket_size)
-            )
-            minhash_hot_buckets(spark.table(table), cap).coalesce(
-                1
-            ).write.mode("overwrite").parquet(hot_path)
-    finally:
+    except Exception:
         spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        raise
+    # 2) metadata-only swap; the compacted data is durable from here on.
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if is_external:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        HPath = jvm.org.apache.hadoop.fs.Path
+        fs = HPath(loc).getFileSystem(conf)
+        fs.delete(HPath(loc), True)
+        fs.rename(HPath(stage_loc), HPath(loc))
+        spark.sql(f"ALTER TABLE {stage} SET LOCATION '{loc}'")
+    spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+    if hot_path is not None:
+        cap = (
+            DEFAULT_MAX_BUCKET_SIZE
+            if max_bucket_size is None
+            else int(max_bucket_size)
+        )
+        minhash_hot_buckets(spark.table(table), cap).coalesce(
+            1
+        ).write.mode("overwrite").parquet(hot_path)
 
 
 # ---------------------------------------------------------------------------
