@@ -1146,6 +1146,39 @@ _R10_IN = [
     "q212_dataset_datasheet",
 ]
 
+# Round 11 takes never-certified back to ZERO: the only registered
+# queries without a hard CORRECTNESS row anywhere in r01–r10 are the
+# five round-10 heads q213–q217 (the durable-PQ/SQ8/compaction tranche,
+# soaked under selfcheck + FIVE seed/size/dup twins since round 10).
+# All five rotate in. The window keeps the eight ever-standing heads,
+# q117, q74, 14 of the 19 round-8 heads, q200–q205 (third consecutive),
+# the 8 TPC-H residue anchors, and q206–q212 (second consecutive — the
+# soak-then-anchor pattern). Displaced — every one has THREE
+# consecutive hard rows (r08/r09/r10) and keeps a family sibling
+# in-window:
+#   q186 dedup threshold sweep → q205 threshold_sweep_lsh stays (its
+#       certified production tier, same sweep semantics)
+#   q188 KMV set algebra       → q204 kmv_quantiles stays (KMV sketch)
+#   q189 bitext margin mining  → q200 bitext_lsh_mining stays (bitext)
+#   q191 compaction plan       → incoming q216/q217 EXECUTE the
+#       compaction lifecycle the plan query only recommends
+#   q197 batch kNN join        → q183 MMR + q198 prototype assignment
+#       stay; incoming q213/q215 are the ANN serving family
+_R11_OUT = [
+    "q186_dedup_threshold_sweep",
+    "q188_kmv_set_algebra",
+    "q189_bitext_margin_mining",
+    "q191_compaction_plan",
+    "q197_batch_knn_join",
+]
+_R11_IN = [
+    "q213_pq_persisted_search",
+    "q214_sq8_persisted_ann",
+    "q215_ivfpq_persisted_serving",
+    "q216_minhash_compacted_evolution",
+    "q217_ivf_compacted_search",
+]
+
 _ALL = list(QUERIES)
 # reconstruct the round-5 window exactly as shipped, then apply the
 # round-6 and round-7 waves on top of it
@@ -1159,7 +1192,8 @@ _WINDOW6C = [q for q in _WINDOW6B if q not in _R6C_OUT] + _R6C_IN
 _WINDOW7 = [q for q in _WINDOW6C if q not in _R7_OUT] + _R7_IN
 _WINDOW8 = [q for q in _WINDOW7 if q not in _R8_OUT] + _R8_IN
 _WINDOW9 = [q for q in _WINDOW8 if q not in _R9_OUT] + _R9_IN
-_WINDOW = [q for q in _WINDOW9 if q not in _R10_OUT] + _R10_IN
+_WINDOW10 = [q for q in _WINDOW9 if q not in _R10_OUT] + _R10_IN
+_WINDOW = [q for q in _WINDOW10 if q not in _R11_OUT] + _R11_IN
 GATE_ORDER = _WINDOW + [q for q in _ALL if q not in _WINDOW]
 assert len(GATE_ORDER) == len(_ALL) and set(GATE_ORDER) == set(_ALL)
 assert len(_WINDOW) == 50
