@@ -720,6 +720,7 @@ def minhash_lsh_lookup(
     threshold: float = 0.8,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     hot_buckets: DataFrame | None = None,
+    meta: dict | None = None,
 ) -> DataFrame:
     """Incremental near-dup check: candidate (new, corpus) pairs from a
     band-hash join of the new batch's postings against a
@@ -735,7 +736,26 @@ def minhash_lsh_lookup(
     production shape) — an explicit blacklist is ALWAYS applied,
     regardless of ``max_bucket_size`` or a legacy ``__m`` column;
     otherwise it is derived from ``index`` on the fly.
+
+    ``meta`` — the index's persisted build manifest
+    (``load_minhash_index(..., with_meta=True)``) — makes the probe hash
+    with the index's OWN ``n``/``num_hashes``/``bands``: a probe hashed
+    under different parameters joins into unrelated buckets and silently
+    returns nothing (or garbage). An explicit non-default argument that
+    CONFLICTS with the manifest raises instead of picking a side.
     """
+    if meta:
+        from pyveb_spark.sinks.index_store import check_index_meta
+
+        defaults = {"n": 2, "num_hashes": 32, "bands": 8}
+        explicit = {"n": n, "num_hashes": num_hashes, "bands": bands}
+        check_index_meta(
+            meta,
+            **{k: v for k, v in explicit.items() if v != defaults[k]},
+        )
+        n = int(meta.get("n", n))
+        num_hashes = int(meta.get("num_hashes", num_hashes))
+        bands = int(meta.get("bands", bands))
     a_id, b_id = f"{id_col}_new", f"{id_col}_corpus"
     probe = _banded_postings(new_df, id_col, text_col, n, num_hashes, bands)
     a = probe.select(

@@ -436,11 +436,21 @@ def ivf_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_ids: Sequence[int] | None = None,
+    meta: dict | None = None,
 ) -> DataFrame:
     """Probe the ``nprobe`` centroid lists nearest the query, brute-force
     exact cosine inside them. nprobe = n_lists degrades gracefully to the
     exact scan; with a list-partitioned table the filter is partition
-    pruning, reading ~nprobe/n_lists of the corpus."""
+    pruning, reading ~nprobe/n_lists of the corpus.
+
+    ``meta`` — a persisted build manifest
+    (``load_ivf_index(..., with_meta=True)``) — validates the probe
+    against the artifact's geometry: a query of the wrong ``dim`` or a
+    centroid set of the wrong ``n_lists`` scores garbage silently."""
+    if meta:
+        from pyveb_spark.sinks.index_store import check_index_meta
+
+        check_index_meta(meta, dim=len(query), n_lists=len(centroids))
     qd = [float(x) for x in query]
     by_dist = sorted(
         centroids,
@@ -810,10 +820,23 @@ def pq_encode(
     codebooks: list[list[tuple[int, list[float]]]],
     vec_col: str = "embedding",
     out_col: str = "pq_codes",
+    meta: dict | None = None,
 ) -> DataFrame:
     """Encode vectors to their per-subspace nearest-code ids — a stateless
     scan-stage argmin fold per subspace (no shuffle, no UDF), the
-    distributed form of the PQ compressor."""
+    distributed form of the PQ compressor. ``meta`` (the persisted
+    codebook manifest) validates the codebooks' m/k/dim against the
+    artifact's — codes written under mismatched geometry corrupt the
+    serving table silently."""
+    if meta:
+        from pyveb_spark.sinks.index_store import check_index_meta
+
+        check_index_meta(
+            meta,
+            m=len(codebooks),
+            k=len(codebooks[0]),
+            dim=len(codebooks) * len(codebooks[0][0][1]),
+        )
     m = len(codebooks)
     dsub = len(codebooks[0][0][1])
     v = _as_double(F.col(vec_col))
@@ -834,6 +857,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     codes_col: str = "pq_codes",
     exclude_ids: Sequence[int] | None = None,
+    meta: dict | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: precompute the m×k lookup
     table lut[j][c] = ‖query_sub_j − codebook_j[c]‖² on the driver (m·k·dsub
@@ -843,11 +867,21 @@ def pq_adc_topk(
     The plan is the PQ promise: a narrow scan of the codes column + a
     TakeOrdered heap — no shuffle, no join, no full-vector reads. Returns
     ``(id, adc_dist)`` ascending (approximate squared L2).
+
+    ``meta`` (the persisted codebook manifest,
+    ``load_pq_codebooks(..., with_meta=True)``) validates the reloaded
+    model and query geometry against the artifact's build parameters.
     """
     m = len(codebooks)
     dsub = len(codebooks[0][0][1])
     if len(query) != m * dsub:
         raise ValueError("query dim does not match codebooks")
+    if meta:
+        from pyveb_spark.sinks.index_store import check_index_meta
+
+        check_index_meta(
+            meta, m=m, k=len(codebooks[0]), dim=len(query)
+        )
     luts = []
     for j in range(m):
         qs = [float(x) for x in query[j * dsub : (j + 1) * dsub]]
@@ -881,6 +915,8 @@ def ivfpq_search(
     id_col: str = "vec_id",
     codes_col: str = "pq_codes",
     exclude_ids: Sequence[int] | None = None,
+    ivf_meta: dict | None = None,
+    pq_meta: dict | None = None,
 ) -> DataFrame:
     """IVF-PQ: the 100 TB ANN serving shape, composed from the verified
     parts — IVF's coarse probe prunes to ``nprobe`` lists (partition
@@ -893,8 +929,25 @@ def ivfpq_search(
 
     ``indexed_encoded`` must carry ``ivf_list`` (``ivf_index``) and
     ``codes_col`` (``pq_encode``). Returns ``(id, adc_dist)`` ascending,
-    ``shortlist`` rows.
+    ``shortlist`` rows. ``ivf_meta``/``pq_meta`` — the two artifacts'
+    persisted build manifests — validate the composition's geometry
+    (probe dim vs coarse quantizer, codebook m/k vs the codes table's
+    build) before any byte is scanned.
     """
+    if ivf_meta or pq_meta:
+        from pyveb_spark.sinks.index_store import check_index_meta
+
+        if ivf_meta:
+            check_index_meta(
+                ivf_meta, dim=len(query), n_lists=len(centroids)
+            )
+        if pq_meta:
+            check_index_meta(
+                pq_meta,
+                m=len(codebooks),
+                k=len(codebooks[0]),
+                dim=len(query),
+            )
     qd = [float(x) for x in query]
     by_dist = sorted(
         centroids,
@@ -1030,12 +1083,20 @@ def sq8_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     code_col: str = "code",
+    meta: dict | None = None,
 ) -> DataFrame:
     """Encode vectors to int8 codes (``array<int>`` holding 0..255) against
     driver-held per-dim stats — a stateless scan-stage map, 4× smaller at
     rest than float32 and SIMD-decodable. Returns ``(id, code)`` only:
     the codes table is the thing you SCAN at serving time; full vectors
-    are only fetched for the re-rank shortlist."""
+    are only fetched for the re-rank shortlist. ``meta`` (the persisted
+    stats manifest, ``load_sq8_stats(..., with_meta=True)``) validates
+    the reloaded stats' dim — codes written against the wrong stats
+    dequantize to garbage silently."""
+    if meta:
+        from pyveb_spark.sinks.index_store import check_index_meta
+
+        check_index_meta(meta, dim=len(stats))
     lo = F.array(*[F.lit(float(l)) for l, _ in stats])
     hi = F.array(*[F.lit(float(h)) for _, h in stats])
     v = _as_double(F.col(vec_col))
@@ -1054,6 +1115,7 @@ def sq8_ann(
     vec_col: str = "embedding",
     stats: Sequence[tuple[float, float]] | None = None,
     exclude_ids: Sequence[int] | None = None,
+    meta: dict | None = None,
 ) -> DataFrame:
     """ANN over scalar-quantized codes: score every code by cosine between
     the DEQUANTIZED vector (lo + code·(hi-lo)/255) and the query, heap a
@@ -1067,9 +1129,14 @@ def sq8_ann(
     the exact re-rank joins ``shortlist`` ids back to the vector store
     (broadcast the shortlist). Train/encode amortize across queries like
     the PQ tier; SQ8 trades PQ's 64× compression for zero codebook
-    lookups and a tighter approximation."""
+    lookups and a tighter approximation. ``meta`` (the persisted stats
+    manifest) validates reloaded ``stats`` against the artifact's dim."""
     if stats is None:
         stats = sq8_stats(df, vec_col)
+    if meta:
+        from pyveb_spark.sinks.index_store import check_index_meta
+
+        check_index_meta(meta, dim=len(stats))
     codes = sq8_encode(df, stats, id_col, vec_col)
     if exclude_ids:
         codes = codes.where(

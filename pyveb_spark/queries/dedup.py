@@ -1270,10 +1270,14 @@ def _q208_frame(
         table,
         f"{tmp}/hot",
         path=f"{tmp}/postings",
+        meta={"n": 2, "num_hashes": 32, "bands": 8},
     )
-    idx, hot = load_minhash_index(spark, table, f"{tmp}/hot")
+    idx, hot, idx_meta = load_minhash_index(
+        spark, table, f"{tmp}/hot", with_meta=True
+    )
     matches = minhash_lsh_lookup(
-        batch, idx, "doc_id", "text", threshold=0.8, hot_buckets=hot
+        batch, idx, "doc_id", "text", threshold=0.8, hot_buckets=hot,
+        meta=idx_meta,
     )
     per = matches.groupBy("doc_id_new").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_matches"),
@@ -1420,12 +1424,15 @@ def _q209_frame(
         table,
         f"{tmp}/hot",
         path=f"{tmp}/postings",
+        meta={"n": 2, "num_hashes": 32, "bands": 8},
     )
-    idx, hot = load_minhash_index(spark, table, f"{tmp}/hot")
+    idx, hot, idx_meta = load_minhash_index(
+        spark, table, f"{tmp}/hot", with_meta=True
+    )
     w1_matched = (
         minhash_lsh_lookup(
             wave1, idx, "doc_id", "text", threshold=0.8,
-            hot_buckets=hot,
+            hot_buckets=hot, meta=idx_meta,
         )
         .select(F.col("doc_id_new").alias("doc_id"))
         .distinct()
@@ -1440,10 +1447,15 @@ def _q209_frame(
         from pyveb_spark.sinks.index_store import compact_minhash_index
 
         compact_minhash_index(spark, table, hot_path=f"{tmp}/hot")
-    idx2, hot2 = load_minhash_index(spark, table, f"{tmp}/hot")
+    # second reload runs with_meta THROUGH the lifecycle: the manifest
+    # must survive the append (same table) and the q216 compaction swap
+    # (properties copied to the staged replacement, pinned by test).
+    idx2, hot2, meta2 = load_minhash_index(
+        spark, table, f"{tmp}/hot", with_meta=True
+    )
     matches2 = minhash_lsh_lookup(
         wave2, idx2, "doc_id", "text", threshold=0.8,
-        hot_buckets=hot2,
+        hot_buckets=hot2, meta=meta2,
     )
     per = matches2.groupBy("doc_id_new").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_matches"),

@@ -457,7 +457,8 @@ def q88_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pq_sql(m: int = 4, k: int = 16, iters: int = 2, dsub: int = 16,
             shortlist: int = 50, topk: int = 10,
-            sample_size: int = 4096, nprobe: int | None = None) -> str:
+            sample_size: int = 4096, nprobe: int | None = None,
+            train_where: str | None = None) -> str:
     """Unrolled PQ pipeline as DuckDB CTEs — per-subspace seeded Lloyd
     over the md5-ordered training sample (same recurrence as
     ``_kmeans_sql``), final-codebook encode of the FULL corpus, the ADC
@@ -468,7 +469,14 @@ def _pq_sql(m: int = 4, k: int = 16, iters: int = 2, dsub: int = 16,
     ``nprobe`` adds the IVF-PQ composition (q88): full-dim coarse
     centroids from the SAME k seed rows, every vector assigned to its
     nearest list, and the ADC shortlist restricted to the ``nprobe``
-    lists nearest the query — the oracle form of ``ivfpq_search``."""
+    lists nearest the query — the oracle form of ``ivfpq_search``.
+
+    ``train_where`` restricts the TRAINING population (seed rows +
+    Lloyd sample — i.e. the frozen quantizers) to a predicate while the
+    encode/assign/search still covers every vector — the oracle form of
+    the streaming admission lifecycle (q218): quantizers trained on the
+    initial corpus, arrivals encoded against them frozen."""
+    tw = f" WHERE {train_where}" if train_where else ""
     parts = [
         f"""
 vecd AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
@@ -476,7 +484,7 @@ vecd AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
          FROM embeddings),
 seedh AS (SELECT vec_id,
                  ('0x' || substr(md5('ivf|' || vec_id), 1, 12))::BIGINT AS h
-          FROM embeddings),
+          FROM embeddings{tw}),
 seedv AS (SELECT vec_id,
                  ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS list_id
           FROM seedh
@@ -1646,11 +1654,11 @@ def _q207_frame(spark: SparkSession, sf_dir: str, tmp: str) -> DataFrame:
     query_vec = _query_vec(e)
     indexed, centroids = ivf_index(e, n_lists=16)
     save_ivf_index(indexed, centroids, tmp)
-    postings, cents = load_ivf_index(spark, tmp)
+    postings, cents, idx_meta = load_ivf_index(spark, tmp, with_meta=True)
     return (
         ivf_search(
             postings, cents, query_vec, k=8, nprobe=3,
-            exclude_ids=[0],
+            exclude_ids=[0], meta=idx_meta,
         )
         .select(
             "vec_id", "label",
@@ -1778,11 +1786,11 @@ def _q210_frame(
         from pyveb_spark.sinks.index_store import compact_ivf_postings
 
         compact_ivf_postings(spark, tmp)
-    grown, cents2 = load_ivf_index(spark, tmp)
+    grown, cents2, idx_meta = load_ivf_index(spark, tmp, with_meta=True)
     return (
         ivf_search(
             grown, cents2, query_vec, k=10, nprobe=4,
-            exclude_ids=[0],
+            exclude_ids=[0], meta=idx_meta,
         )
         .select(
             "vec_id", "label",
@@ -2009,13 +2017,15 @@ def _q213_frame(spark: SparkSession, sf_dir: str, tmp: str) -> DataFrame:
     query_vec = _query_vec(e)
     save_pq_codebooks(spark, pq_train(e, m=4, k=16, iters=2),
                       os.path.join(tmp, "codebooks"))
-    codebooks = load_pq_codebooks(spark, os.path.join(tmp, "codebooks"))
-    pq_encode(e, codebooks).select("vec_id", "pq_codes").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(tmp, "codes"))
+    codebooks, cb_meta = load_pq_codebooks(
+        spark, os.path.join(tmp, "codebooks"), with_meta=True
+    )
+    pq_encode(e, codebooks, meta=cb_meta).select(
+        "vec_id", "pq_codes"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "codes"))
     codes = spark.read.parquet(os.path.join(tmp, "codes"))
     short = pq_adc_topk(
-        codes, codebooks, query_vec, k=40, exclude_ids=[0]
+        codes, codebooks, query_vec, k=40, exclude_ids=[0], meta=cb_meta
     )
     qarr = F.array(*[F.lit(float(x)) for x in query_vec])
     exact = F.aggregate(
@@ -2077,9 +2087,12 @@ def _q214_frame(spark: SparkSession, sf_dir: str, tmp: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     query_vec = _query_vec(e)
     save_sq8_stats(spark, sq8_stats(e), os.path.join(tmp, "stats"))
-    stats = load_sq8_stats(spark, os.path.join(tmp, "stats"))
+    stats, sq_meta = load_sq8_stats(
+        spark, os.path.join(tmp, "stats"), with_meta=True
+    )
     out = sq8_ann(
-        e, query_vec, k=8, shortlist=30, stats=stats, exclude_ids=[0]
+        e, query_vec, k=8, shortlist=30, stats=stats, exclude_ids=[0],
+        meta=sq_meta,
     )
     return out.select(
         "vec_id", F.round("cosine_sim", 4).alias("cosine_sim")
@@ -2140,20 +2153,23 @@ def _q215_frame(spark: SparkSession, sf_dir: str, tmp: str) -> DataFrame:
     indexed, cents = ivf_index(e, n_lists=16)
     save_pq_codebooks(spark, pq_train(e, m=4, k=16, iters=2),
                       os.path.join(tmp, "codebooks"))
-    codebooks = load_pq_codebooks(spark, os.path.join(tmp, "codebooks"))
+    codebooks, cb_meta = load_pq_codebooks(
+        spark, os.path.join(tmp, "codebooks"), with_meta=True
+    )
     save_ivf_index(
-        pq_encode(indexed, codebooks).select(
+        pq_encode(indexed, codebooks, meta=cb_meta).select(
             "vec_id", "pq_codes", "ivf_list"
         ),
         cents,
         os.path.join(tmp, "ivf"),
     )
-    postings, loaded_cents = load_ivf_index(
-        spark, os.path.join(tmp, "ivf")
+    postings, loaded_cents, ivf_meta = load_ivf_index(
+        spark, os.path.join(tmp, "ivf"), with_meta=True
     )
     short = ivfpq_search(
         postings, loaded_cents, codebooks, query_vec,
         nprobe=3, shortlist=40, exclude_ids=[0],
+        ivf_meta=ivf_meta, pq_meta=cb_meta,
     )
     qarr = F.array(*[F.lit(float(x)) for x in query_vec])
     exact = F.aggregate(

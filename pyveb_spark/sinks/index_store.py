@@ -44,6 +44,7 @@ __all__ = [
     "load_ivf_index",
     "append_ivf_postings",
     "compact_ivf_postings",
+    "maybe_compact_ivf_postings",
     "save_lsh_index",
     "load_lsh_index",
     "save_minhash_index",
@@ -54,11 +55,90 @@ __all__ = [
     "load_pq_codebooks",
     "save_sq8_stats",
     "load_sq8_stats",
+    "check_index_meta",
 ]
 
 _IVF_POSTINGS = "postings"
 _IVF_CENTROIDS = "centroids"
+_IVF_MANIFEST = "manifest"
 _MH_HOT = "hot_buckets"
+# catalog-property namespace for the MinHash table's build manifest
+_MH_PROP = "pyveb.index."
+
+
+# ---------------------------------------------------------------------------
+# Build manifests — the round-10 sign-LSH pattern, generalized (round 11).
+#
+# Every index artifact is only usable with the EXACT build parameters it
+# was constructed with: a MinHash lookup with mismatched n/num_hashes/
+# bands hashes probes into unrelated buckets, an IVF probe against the
+# wrong dim or list count scores garbage, PQ/SQ8 codes decode against the
+# wrong geometry. The parameters therefore belong to the ARTIFACT, not to
+# whoever happens to remember them next session: savers persist a typed
+# one-row manifest next to the data, loaders return it, and the search/
+# lookup helpers validate against it (mismatch = loud error, the exact
+# failure mode the LSH manifest docstring names).
+# ---------------------------------------------------------------------------
+
+
+def _meta_type(v) -> str:
+    if isinstance(v, bool):
+        raise TypeError("manifest values must be int/float/str, not bool")
+    if isinstance(v, int):
+        return "bigint"
+    if isinstance(v, float):
+        return "double"
+    if isinstance(v, str):
+        return "string"
+    raise TypeError(f"unsupported manifest value type: {type(v).__name__}")
+
+
+def _write_manifest(spark: SparkSession, path: str, meta: dict) -> None:
+    """One-row typed parquet manifest (int → bigint, float → double,
+    str → string) — values round-trip exactly."""
+    from pyveb_spark.session import local_df
+
+    keys = sorted(meta)
+    local_df(
+        spark,
+        [tuple(meta[k] for k in keys)],
+        ", ".join(f"{k} {_meta_type(meta[k])}" for k in keys),
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def _read_manifest(spark: SparkSession, path: str) -> dict:
+    """Manifest dict, ``{}`` when the path is ABSENT (a pre-manifest
+    artifact). A path that exists but fails to read propagates — see
+    ``load_lsh_index``."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return {}
+    row = spark.read.parquet(path).first()
+    return {} if row is None else dict(row.asDict())
+
+
+def check_index_meta(meta: dict, **expected) -> None:
+    """Raise when a persisted build manifest disagrees with the
+    parameters a caller is about to search/encode with — the loud-error
+    half of the manifest contract. Keys absent from ``meta`` are not
+    checked (pre-manifest artifacts validate vacuously)."""
+    bad = {
+        k: (meta[k], v)
+        for k, v in expected.items()
+        if k in meta and meta[k] != v
+    }
+    if bad:
+        detail = ", ".join(
+            f"{k}: artifact was built with {a!r}, caller uses {b!r}"
+            for k, (a, b) in sorted(bad.items())
+        )
+        raise ValueError(
+            f"index build-manifest mismatch — {detail}. Searching an "
+            "index with parameters other than its build parameters "
+            "returns silent garbage; reload the manifest "
+            "(load_*(..., with_meta=True)) and pass its values."
+        )
 
 
 def save_ivf_index(
@@ -66,12 +146,15 @@ def save_ivf_index(
     centroids: list[tuple[int, list[float]]],
     path: str,
     list_col: str = "ivf_list",
+    meta: dict | None = None,
 ) -> None:
     """Persist an ``ivf_index`` result: postings partitioned by the list
-    id (probe = partition pruning), centroids as a k×dim parquet table.
-    Overwrites — an index rebuild replaces the artifact atomically per
-    partition (dynamic overwrite is unnecessary: rebuilds re-cluster, so
-    the whole artifact changes)."""
+    id (probe = partition pruning), centroids as a k×dim parquet table,
+    plus a build manifest (``n_lists``/``dim`` derived from the
+    centroids, merged with caller extras like ``metric`` or the PQ
+    geometry of encoded postings). Overwrites — an index rebuild
+    replaces the artifact atomically per partition (dynamic overwrite is
+    unnecessary: rebuilds re-cluster, so the whole artifact changes)."""
     from pyveb_spark.session import local_df
 
     indexed.write.mode("overwrite").partitionBy(list_col).parquet(
@@ -85,15 +168,25 @@ def save_ivf_index(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, _IVF_CENTROIDS)
     )
+    manifest = {"n_lists": len(centroids)}
+    if centroids:
+        manifest["dim"] = len(centroids[0][1])
+    manifest.update(meta or {})
+    _write_manifest(spark, os.path.join(path, _IVF_MANIFEST), manifest)
 
 
 def load_ivf_index(
-    spark: SparkSession, path: str, list_col: str = "ivf_list"
-) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    spark: SparkSession,
+    path: str,
+    list_col: str = "ivf_list",
+    with_meta: bool = False,
+):
     """Reload a persisted IVF index: (postings frame with the partition
     column restored to its build-time int type, driver-side centroid
     list sorted by list id). The centroid collect is k×dim — model-sized
-    by construction."""
+    by construction. ``with_meta=True`` also returns the build manifest
+    (``{}`` for a pre-manifest artifact) — pass it to
+    ``ivf_search(meta=...)`` so a dim/list-count drift fails loudly."""
     postings = spark.read.parquet(os.path.join(path, _IVF_POSTINGS))
     postings = postings.withColumn(
         list_col, F.col(list_col).cast("int")
@@ -102,10 +195,15 @@ def load_ivf_index(
         spark.read.parquet(os.path.join(path, _IVF_CENTROIDS)).collect(),
         key=lambda r: r["list_id"],
     )
-    return postings, [
+    centroids = [
         (int(r["list_id"]), [float(x) for x in r["centroid"]])
         for r in cents
     ]
+    if not with_meta:
+        return postings, centroids
+    return postings, centroids, _read_manifest(
+        spark, os.path.join(path, _IVF_MANIFEST)
+    )
 
 
 def append_ivf_postings(
@@ -146,6 +244,44 @@ def compact_ivf_postings(
         target_mb=target_mb,
         partition_cols=[list_col],
     )
+
+
+def maybe_compact_ivf_postings(
+    spark: SparkSession,
+    path: str,
+    max_files_per_list: int = 8,
+    target_mb: int = 256,
+    list_col: str = "ivf_list",
+) -> bool:
+    """Threshold-triggered lifecycle compaction — the policy half of
+    ``compact_ivf_postings``, for callers that append continuously (the
+    streaming admission loop, q218): FS-list the postings directory,
+    count data files per list partition, and compact only when some
+    list exceeds ``max_files_per_list``. The check is a metadata
+    listing (no data scan); returns whether a compaction ran.
+
+    100 TB note: the trigger runs off the ingest path's critical
+    section — appends land first, the rewrite happens after the batch
+    commits — and the rewrite itself is per-partition with an atomic
+    directory swap (``compact_ivf_postings``), so probes never see a
+    half-compacted list."""
+    root = os.path.join(path, _IVF_POSTINGS)
+    HPath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = HPath(root).getFileSystem(spark._jsc.hadoopConfiguration())
+    counts: dict[str, int] = {}
+    it = fs.listFiles(HPath(root), True)
+    while it.hasNext():
+        f = it.next()
+        if not f.getPath().getName().endswith(".parquet"):
+            continue
+        part = f.getPath().getParent().getName()
+        counts[part] = counts.get(part, 0) + 1
+    if not counts or max(counts.values()) <= int(max_files_per_list):
+        return False
+    compact_ivf_postings(
+        spark, path, target_mb=target_mb, list_col=list_col
+    )
+    return True
 
 
 def save_lsh_index(
@@ -198,20 +334,41 @@ def load_lsh_index(
     )
     if not with_meta:
         return df
-    # Distinguish "pre-manifest artifact" (meta dir absent → {}) from a
-    # genuinely failed/corrupt manifest read (propagate): swallowing IO
-    # errors here would be indistinguishable from no-manifest and let a
-    # caller silently hash with the wrong plane constants.
-    meta: dict[str, int] = {}
-    meta_path = path + "_meta"
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(meta_path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(hpath):
-        row = spark.read.parquet(meta_path).first()
-        if row is not None:
-            meta = {k: int(v) for k, v in row.asDict().items()}
+    # _read_manifest distinguishes "pre-manifest artifact" (meta dir
+    # absent → {}) from a genuinely failed/corrupt manifest read
+    # (propagates): swallowing IO errors here would be indistinguishable
+    # from no-manifest and let a caller silently hash with the wrong
+    # plane constants.
+    meta = {k: int(v) for k, v in _read_manifest(spark, path + "_meta").items()}
     return df, meta
+
+
+def _set_table_meta(spark: SparkSession, table: str, meta: dict) -> None:
+    """Stamp a build manifest into the table's catalog properties under
+    the ``pyveb.index.`` namespace — the manifest travels with the table
+    identity (rename, compaction swap), no side file to drift."""
+    props = ", ".join(
+        f"'{_MH_PROP}{k}'='{meta[k]}'" for k in sorted(meta)
+    )
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({props})")
+
+
+def _get_table_meta(spark: SparkSession, table: str) -> dict:
+    """Read the ``pyveb.index.`` manifest back out of the catalog
+    properties, values re-typed (int, then float, else str)."""
+    meta: dict = {}
+    for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect():
+        if not r["key"].startswith(_MH_PROP):
+            continue
+        k, v = r["key"][len(_MH_PROP):], r["value"]
+        try:
+            meta[k] = int(v)
+        except ValueError:
+            try:
+                meta[k] = float(v)
+            except ValueError:
+                meta[k] = v
+    return meta
 
 
 def save_minhash_index(
@@ -221,12 +378,22 @@ def save_minhash_index(
     max_bucket_size: int | None = None,
     num_buckets: int = 8,
     path: str | None = None,
+    meta: dict | None = None,
 ) -> None:
     """Persist a ``minhash_lsh_index`` as a catalog table bucketed on
     ``(__band, __h)`` — the zero-index-side-shuffle lookup join — and
     write the ``minhash_hot_buckets`` skew blacklist next to it (tiny by
     definition; refresh at compaction time, staleness after appends only
-    loosens the skew guard, never correctness)."""
+    loosens the skew guard, never correctness).
+
+    ``meta`` (recommended: the ``minhash_lsh_index`` build parameters
+    ``{"n": ..., "num_hashes": ..., "bands": ...}``) is stamped into the
+    table's catalog properties: a lookup that hashes probes with
+    DIFFERENT parameters joins into unrelated buckets and silently
+    returns garbage, so the parameters belong to the artifact.
+    ``load_minhash_index(..., with_meta=True)`` returns them for
+    ``minhash_lsh_lookup(meta=...)``; they survive appends and the
+    compaction swap (pinned by test)."""
     from pyveb_spark.operators.dedup import (
         DEFAULT_MAX_BUCKET_SIZE,
         minhash_hot_buckets,
@@ -237,22 +404,32 @@ def save_minhash_index(
         index, table, ["__band", "__h"], num_buckets=num_buckets,
         path=path,
     )
+    spark = index.sparkSession
+    if meta:
+        _set_table_meta(spark, table, meta)
     cap = DEFAULT_MAX_BUCKET_SIZE if max_bucket_size is None else int(
         max_bucket_size
     )
-    persisted = index.sparkSession.table(table)
+    persisted = spark.table(table)
     minhash_hot_buckets(persisted, cap).coalesce(1).write.mode(
         "overwrite"
     ).parquet(hot_path)
 
 
 def load_minhash_index(
-    spark: SparkSession, table: str, hot_path: str
-) -> tuple[DataFrame, DataFrame]:
+    spark: SparkSession,
+    table: str,
+    hot_path: str,
+    with_meta: bool = False,
+):
     """Reload the bucketed MinHash postings table and its persisted
     hot-bucket blacklist — pass both straight into
     ``minhash_lsh_lookup(index=..., hot_buckets=...)`` (the q45
-    production shape with zero per-batch index work)."""
+    production shape with zero per-batch index work). ``with_meta=True``
+    also returns the build manifest stamped by
+    ``save_minhash_index(meta=...)`` (``{}`` for a pre-manifest table) —
+    pass it as ``minhash_lsh_lookup(meta=...)`` so the probe hashes
+    with the index's OWN n/num_hashes/bands."""
     stage = f"{table}__compact_stage"
     if not spark.catalog.tableExists(table) and spark.catalog.tableExists(
         stage
@@ -264,7 +441,10 @@ def load_minhash_index(
             f"under the stage name. Recover with: ALTER TABLE {stage} "
             f"RENAME TO {table}."
         )
-    return spark.table(table), spark.read.parquet(hot_path)
+    idx, hot = spark.table(table), spark.read.parquet(hot_path)
+    if not with_meta:
+        return idx, hot
+    return idx, hot, _get_table_meta(spark, table)
 
 
 def append_minhash_index(
@@ -378,6 +558,7 @@ def compact_minhash_index(
     loc = meta.get("Location") or None
     is_external = meta.get("Type", "").upper() == "EXTERNAL"
     stage_loc = (loc.rstrip("/") + "__compact_stage") if is_external else None
+    build_meta = _get_table_meta(spark, table)
 
     # 1) expensive part: write the complete replacement as a bucketed
     #    stage table while the original keeps serving. Failure here
@@ -393,6 +574,10 @@ def compact_minhash_index(
     except Exception:
         spark.sql(f"DROP TABLE IF EXISTS {stage}")
         raise
+    # the build manifest travels with the replacement (stamped BEFORE
+    # the swap so a crash inside the window loses no metadata either)
+    if build_meta:
+        _set_table_meta(spark, stage, build_meta)
     # 2) metadata-only swap; the compacted data is durable from here on.
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     if is_external:
@@ -424,6 +609,7 @@ def save_pq_codebooks(
     spark: SparkSession,
     codebooks: list[list[tuple[int, list[float]]]],
     path: str,
+    meta: dict | None = None,
 ) -> None:
     """Persist trained PQ codebooks (``similarity.pq_train`` output) as
     one tiny parquet table ``(subspace, code, centroid)`` — m×k rows of
@@ -444,34 +630,49 @@ def save_pq_codebooks(
     local_df(
         spark, rows, "subspace int, code int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(path)
+    manifest = {"m": len(codebooks)}
+    if codebooks and codebooks[0]:
+        manifest["k"] = len(codebooks[0])
+        manifest["dim"] = len(codebooks) * len(codebooks[0][0][1])
+    manifest.update(meta or {})
+    _write_manifest(spark, path + "_meta", manifest)
 
 
 def load_pq_codebooks(
-    spark: SparkSession, path: str
-) -> list[list[tuple[int, list[float]]]]:
+    spark: SparkSession, path: str, with_meta: bool = False
+):
     """Reload persisted PQ codebooks in ``pq_train``'s return shape
     (``codebooks[j] = [(code, sub_centroid), ...]`` sorted by code).
-    The collect is m×k rows — model-sized by construction."""
+    The collect is m×k rows — model-sized by construction.
+    ``with_meta=True`` also returns the build manifest (m/k/dim +
+    caller extras; ``{}`` for a pre-manifest artifact) — pass it to
+    ``pq_adc_topk(meta=...)`` / ``pq_encode(meta=...)``."""
     by: dict[int, dict[int, list[float]]] = {}
     for r in spark.read.parquet(path).collect():
         by.setdefault(int(r["subspace"]), {})[int(r["code"])] = [
             float(x) for x in r["centroid"]
         ]
-    return [
+    codebooks = [
         [(code, by[j][code]) for code in sorted(by[j])]
         for j in sorted(by)
     ]
+    if not with_meta:
+        return codebooks
+    return codebooks, _read_manifest(spark, path + "_meta")
 
 
 def save_sq8_stats(
     spark: SparkSession,
     stats: list[tuple[float, float]],
     path: str,
+    meta: dict | None = None,
 ) -> None:
     """Persist the scalar-quantizer per-dimension (lo, hi) stats
     (``similarity.sq8_stats`` output) as a dim-row parquet table — the
-    SQ8 "codebook". Exact double round trip: the reloaded stats encode
-    and dequantize bit-identically (pinned by test)."""
+    SQ8 "codebook" — plus a build manifest (``dim`` derived, merged
+    with caller extras like the source ``vec_col``). Exact double round
+    trip: the reloaded stats encode and dequantize bit-identically
+    (pinned by test)."""
     from pyveb_spark.session import local_df
 
     local_df(
@@ -482,14 +683,23 @@ def save_sq8_stats(
         ],
         "dim int, lo double, hi double",
     ).coalesce(1).write.mode("overwrite").parquet(path)
+    manifest = {"dim": len(stats)}
+    manifest.update(meta or {})
+    _write_manifest(spark, path + "_meta", manifest)
 
 
 def load_sq8_stats(
-    spark: SparkSession, path: str
-) -> list[tuple[float, float]]:
+    spark: SparkSession, path: str, with_meta: bool = False
+):
     """Reload persisted SQ8 stats in ``sq8_stats``'s return shape
-    (``[(lo_0, hi_0), ...]`` ordered by dimension)."""
+    (``[(lo_0, hi_0), ...]`` ordered by dimension). ``with_meta=True``
+    also returns the build manifest (``{}`` for a pre-manifest
+    artifact) — validate with ``check_index_meta(meta, dim=...)``
+    before encoding a batch against reloaded stats."""
     rows = sorted(
         spark.read.parquet(path).collect(), key=lambda r: r["dim"]
     )
-    return [(float(r["lo"]), float(r["hi"])) for r in rows]
+    stats = [(float(r["lo"]), float(r["hi"])) for r in rows]
+    if not with_meta:
+        return stats
+    return stats, _read_manifest(spark, path + "_meta")

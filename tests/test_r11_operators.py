@@ -190,3 +190,170 @@ def test_local_df_raises_without_arrow(spark):
     finally:
         spark.conf.set(key, old)
     assert local_df(spark, [(1,)], "x int").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Build manifests on every index artifact (the round-10 LSH pattern,
+# generalized): savers persist the build parameters next to the data,
+# loaders return them, search/lookup helpers fail loudly on mismatch.
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_manifest_round_trip_and_mismatch(spark, tmp_path):
+    from pyveb_spark.operators.similarity import ivf_index, ivf_search
+    from pyveb_spark.sinks.index_store import (
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    e = read_table(spark, SF, "embeddings")
+    indexed, cents = ivf_index(e, n_lists=8)
+    save_ivf_index(indexed, cents, str(tmp_path), meta={"metric": "cosine"})
+    postings, loaded, meta = load_ivf_index(
+        spark, str(tmp_path), with_meta=True
+    )
+    dim = len(loaded[0][1])
+    assert meta == {"n_lists": 8, "dim": dim, "metric": "cosine"}
+    q = loaded[0][1]  # a real vector: cosine needs a nonzero norm
+    assert ivf_search(postings, loaded, q, k=3, meta=meta).count() == 3
+    # wrong probe dim and wrong quantizer size both fail loudly
+    with pytest.raises(ValueError, match="build-manifest mismatch"):
+        ivf_search(postings, loaded, [0.0] * (dim + 1), k=3, meta=meta)
+    with pytest.raises(ValueError, match="build-manifest mismatch"):
+        ivf_search(postings, loaded[:4], q, k=3, meta=meta)
+
+
+def test_pq_manifest_round_trip_and_mismatch(spark, tmp_path):
+    from pyveb_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+    from pyveb_spark.sinks.index_store import (
+        load_pq_codebooks,
+        save_pq_codebooks,
+    )
+
+    e = read_table(spark, SF, "embeddings")
+    cb = pq_train(e, m=4, k=8, iters=1)
+    save_pq_codebooks(spark, cb, str(tmp_path / "cb"))
+    loaded, meta = load_pq_codebooks(
+        spark, str(tmp_path / "cb"), with_meta=True
+    )
+    dim = 4 * len(loaded[0][0][1])
+    assert meta == {"m": 4, "k": 8, "dim": dim}
+    codes = pq_encode(e, loaded, meta=meta)
+    assert pq_adc_topk(codes, loaded, [0.0] * dim, k=3, meta=meta).count() == 3
+    # a codebook of the wrong geometry against this artifact's manifest
+    with pytest.raises(ValueError, match="build-manifest mismatch"):
+        pq_encode(e, loaded[:2], meta=meta)
+    with pytest.raises(ValueError, match="build-manifest mismatch"):
+        pq_adc_topk(codes, loaded[:2], [0.0] * (dim // 2), k=3, meta=meta)
+
+
+def test_sq8_manifest_round_trip_and_mismatch(spark, tmp_path):
+    from pyveb_spark.operators.similarity import sq8_encode, sq8_stats
+    from pyveb_spark.sinks.index_store import (
+        load_sq8_stats,
+        save_sq8_stats,
+    )
+
+    e = read_table(spark, SF, "embeddings")
+    stats = sq8_stats(e)
+    save_sq8_stats(spark, stats, str(tmp_path / "st"), meta={"vec_col": "embedding"})
+    loaded, meta = load_sq8_stats(spark, str(tmp_path / "st"), with_meta=True)
+    assert meta == {"dim": len(stats), "vec_col": "embedding"}
+    assert sq8_encode(e, loaded, meta=meta).count() == e.count()
+    with pytest.raises(ValueError, match="build-manifest mismatch"):
+        sq8_encode(e, loaded[:3], meta=meta)
+
+
+def test_minhash_manifest_survives_append_and_compaction(spark, tmp_path):
+    """The MinHash manifest lives in TBLPROPERTIES so it travels with
+    the table identity: it must survive append_minhash_index AND the
+    compaction swap (the staged replacement is stamped BEFORE the swap),
+    and a lookup with a conflicting explicit parameter must raise."""
+    from pyveb_spark.operators.dedup import (
+        minhash_lsh_index,
+        minhash_lsh_lookup,
+    )
+    from pyveb_spark.sinks.index_store import (
+        append_minhash_index,
+        compact_minhash_index,
+        load_minhash_index,
+        save_minhash_index,
+    )
+
+    d = read_table(spark, SF, "documents")
+    build = {"n": 3, "num_hashes": 16, "bands": 4}
+    table = f"t_mhmeta_{uuid.uuid4().hex[:8]}"
+    try:
+        save_minhash_index(
+            minhash_lsh_index(d.where("doc_id >= 150"), "doc_id", "text",
+                              **build),
+            table,
+            str(tmp_path / "hot"),
+            meta=build,
+        )
+        idx, hot, meta = load_minhash_index(
+            spark, table, str(tmp_path / "hot"), with_meta=True
+        )
+        assert meta == build
+        batch = d.where(F.col("doc_id") < 50)
+        # meta-driven lookup == explicit-params lookup (same constants)
+        with_meta = sorted(
+            (r.doc_id_new, r.doc_id_corpus)
+            for r in minhash_lsh_lookup(
+                batch, idx, "doc_id", "text", threshold=0.8,
+                hot_buckets=hot, meta=meta,
+            ).collect()
+        )
+        explicit = sorted(
+            (r.doc_id_new, r.doc_id_corpus)
+            for r in minhash_lsh_lookup(
+                batch, idx, "doc_id", "text", threshold=0.8,
+                hot_buckets=hot, **build,
+            ).collect()
+        )
+        assert with_meta == explicit
+        # a conflicting explicit parameter fails loudly
+        with pytest.raises(ValueError, match="build-manifest mismatch"):
+            minhash_lsh_lookup(
+                batch, idx, "doc_id", "text", threshold=0.8,
+                hot_buckets=hot, meta=meta, num_hashes=64,
+            )
+        # manifest survives an append and a full compaction swap
+        append_minhash_index(
+            minhash_lsh_index(
+                d.where("doc_id >= 100 AND doc_id < 150"),
+                "doc_id", "text", **build,
+            ),
+            table,
+        )
+        compact_minhash_index(spark, table, hot_path=str(tmp_path / "hot"))
+        _, _, meta2 = load_minhash_index(
+            spark, table, str(tmp_path / "hot"), with_meta=True
+        )
+        assert meta2 == build
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compact_stage")
+
+
+def test_pre_manifest_artifacts_load_with_empty_meta(spark, tmp_path):
+    """Artifacts saved before the manifest pattern (or by hand) still
+    load: meta={} and validation is vacuous."""
+    from pyveb_spark.session import local_df
+    from pyveb_spark.sinks.index_store import load_ivf_index
+
+    local_df(
+        spark, [(1, [0.1], 0)],
+        "vec_id bigint, embedding array<double>, ivf_list int",
+    ).write.partitionBy("ivf_list").parquet(str(tmp_path / "postings"))
+    local_df(
+        spark, [(0, [0.1])], "list_id int, centroid array<double>"
+    ).write.parquet(str(tmp_path / "centroids"))
+    postings, cents, meta = load_ivf_index(
+        spark, str(tmp_path), with_meta=True
+    )
+    assert meta == {} and postings.count() == 1 and len(cents) == 1
