@@ -329,6 +329,12 @@ QUERIES = {
     # invisible; file-count/layout properties pinned in tests)
     "q216_minhash_compacted_evolution": q216_minhash_compacted_evolution,
     "q217_ivf_compacted_search": q217_ivf_compacted_search,
+    # round-12 head (built round 11), soaking OUTSIDE the window: the
+    # streaming×durable-index composition q206 proved for sign-LSH,
+    # extended to the ANN serving stack — frozen-quantizer encode +
+    # idempotent append + threshold-triggered compaction INSIDE the
+    # stream lifecycle, then q215's serve from reloaded artifacts
+    "q218_stream_ivfpq_admission": q218_stream_ivfpq_admission,
 }
 
 ORACLE_SQL = {
@@ -549,6 +555,7 @@ ORACLE_SQL = {
     "q215_ivfpq_persisted_serving": _Q215_SQL,
     "q216_minhash_compacted_evolution": _Q216_SQL,
     "q217_ivf_compacted_search": _Q217_SQL,
+    "q218_stream_ivfpq_admission": _Q218_SQL,
 }
 
 # ---------------------------------------------------------------------------

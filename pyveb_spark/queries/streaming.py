@@ -905,3 +905,180 @@ LEFT JOIN per ON per.vec_id_new = e.vec_id
 WHERE e.vec_id % 17 = 0
 ORDER BY e.vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming admission over the DURABLE IVF-PQ tier (round-11 head):
+# frozen-quantizer encode + append + threshold-triggered compaction,
+# then serving from the reloaded artifacts only
+# ---------------------------------------------------------------------------
+
+
+def q218_stream_ivfpq_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING ingest into the durable IVF-PQ serving stack — the
+    composition q215 (fully durable IVF-PQ) and q206 (streaming
+    admission against a persisted index) both stopped short of: the
+    corpus (vec_id % 17 != 0) trains the quantizers ONCE (PQ codebooks
+    + coarse centroids, both persisted with build manifests) and seeds
+    the encoded postings; arrivals (vec_id % 17 == 0) replay as a file
+    stream (``maxFilesPerTrigger=1`` → real multi-batch execution) and
+    each micro-batch is (a) admitted idempotently — an anti-join
+    against the postings' id column makes a replayed batch a no-op,
+    the restart contract — (b) assigned to its coarse list and
+    PQ-encoded against the FROZEN reloaded quantizers (the standard
+    IVF serving contract: re-clustering is the rebuild path), (c)
+    appended into the list-partitioned postings, and (d) followed by
+    ``maybe_compact_ivf_postings`` — the threshold-triggered lifecycle
+    compaction (file-count listing per list, rewrite only past the
+    cap), exercising ``compact_ivf_postings`` INSIDE a lifecycle
+    rather than before a search. The final search reloads everything
+    from disk (zero session state) and runs q215's serve: nprobe-3
+    partition-pruned scan of code bytes, ADC shortlist 40, exact
+    re-rank to top 8.
+
+    Correctness claim: with frozen quantizers the final index contents
+    are batch-order-independent, appends are disjoint, and compaction
+    is semantically invisible — so the served result equals the batch
+    replay where ALL vectors are encoded against corpus-trained
+    quantizers: ``_pq_sql(train_where=...)``, the q215 oracle with the
+    training population restricted to the corpus.
+
+    100 TB design: per-batch cost is |batch| × (m argmin folds + one
+    coarse argmin) + an append into its lists' partitions — the corpus
+    is never rescanned and never re-encoded; the anti-join reads ONLY
+    the narrow id column of the codes table (at real scale: a Bloom
+    filter or the checkpoint's state store); compaction amortizes to
+    one rewrite per ~cap batches per list, off the query path (atomic
+    directory swap — probes see old or new layout, never half).
+    Pre-checkpoint plan gated via :func:`_q218_frame`."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="q218_")
+    try:
+        return _q218_frame(spark, sf_dir, tmp).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q218_frame(spark: SparkSession, sf_dir: str, tmp: str) -> DataFrame:
+    """q218's pre-checkpoint frame over a caller-owned artifact dir."""
+    import os
+
+    from pyveb_spark.operators.similarity import (
+        ivf_index,
+        ivfpq_search,
+        nearest_centroid,
+        pq_encode,
+        pq_train,
+    )
+    from pyveb_spark.sinks.index_store import (
+        append_ivf_postings,
+        load_ivf_index,
+        load_pq_codebooks,
+        maybe_compact_ivf_postings,
+        save_ivf_index,
+        save_pq_codebooks,
+    )
+    from pyveb_spark.streaming.stream import (
+        read_file_stream,
+        run_available_now,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    arriving = e.where(F.col("vec_id") % 17 == 0)
+    corpus = e.where(F.col("vec_id") % 17 != 0)
+    query_vec = _query_vec(e)
+    ivf_dir = os.path.join(tmp, "ivf")
+
+    # ---- build once: quantizers trained on the corpus, persisted ----
+    save_pq_codebooks(spark, pq_train(corpus, m=4, k=16, iters=2),
+                      os.path.join(tmp, "codebooks"))
+    codebooks, cb_meta = load_pq_codebooks(
+        spark, os.path.join(tmp, "codebooks"), with_meta=True
+    )
+    indexed0, cents = ivf_index(corpus, n_lists=16)
+    save_ivf_index(
+        pq_encode(indexed0, codebooks, meta=cb_meta).select(
+            "vec_id", "pq_codes", "ivf_list"
+        ),
+        cents,
+        ivf_dir,
+    )
+    _, frozen_cents, ivf_meta = load_ivf_index(
+        spark, ivf_dir, with_meta=True
+    )
+
+    # ---- stream: admit → frozen-quantizer encode → append → compact ----
+    drops = os.path.join(tmp, "drops")
+    arriving.repartition(3).write.mode("overwrite").parquet(drops)
+    stream = read_file_stream(
+        spark, drops, arriving.schema, max_files_per_trigger=1
+    )
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        current_ids = spark.read.parquet(
+            os.path.join(ivf_dir, "postings")
+        ).select("vec_id")
+        fresh = batch_df.join(current_ids, "vec_id", "left_anti")
+        encoded = pq_encode(
+            fresh.withColumn(
+                "ivf_list",
+                nearest_centroid(F.col("embedding"), frozen_cents)[
+                    "list_id"
+                ],
+            ),
+            codebooks,
+            meta=cb_meta,
+        ).select("vec_id", "pq_codes", "ivf_list")
+        append_ivf_postings(encoded, ivf_dir)
+        maybe_compact_ivf_postings(spark, ivf_dir, max_files_per_list=4)
+
+    q = run_available_now(
+        stream, os.path.join(tmp, "ck"), foreach_batch=_admit
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q218 streaming admission did not finish")
+
+    # ---- serve from the RELOADED grown artifacts only ----
+    grown, cents2, meta2 = load_ivf_index(spark, ivf_dir, with_meta=True)
+    short = ivfpq_search(
+        grown, cents2, codebooks, query_vec,
+        nprobe=3, shortlist=40, exclude_ids=[0],
+        ivf_meta=meta2, pq_meta=cb_meta,
+    )
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    exact = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            qarr,
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        short.join(F.broadcast(e.select("vec_id", "label", "embedding")),
+                   "vec_id")
+        .withColumn("l2_dist", exact)
+        .select("vec_id", "label", F.round("l2_dist", 4).alias("l2_dist"))
+        .orderBy("l2_dist", "vec_id")
+        .limit(8)
+    )
+
+
+def _q218_sql() -> str:
+    from pyveb_spark.queries.similarity import _pq_sql
+
+    # q215's composed IVF-PQ oracle with the TRAINING population (seed
+    # rows + Lloyd sample → the frozen quantizers) restricted to the
+    # corpus; encode/assign/search still cover every vector — exactly
+    # the final state of the streamed lifecycle above.
+    return _pq_sql(4, 16, 2, 16, 40, 8, nprobe=3,
+                   train_where="vec_id % 17 <> 0")
+
+
+_Q218_SQL = _q218_sql()

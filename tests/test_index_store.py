@@ -351,6 +351,7 @@ def test_lifecycle_pre_checkpoint_plans(spark, tmp_path):
         _q214_frame,
         _q215_frame,
     )
+    from pyveb_spark.queries.streaming import _q218_frame
 
     frames = {}
     t208 = f"t_gate208_{uuid.uuid4().hex[:8]}"
@@ -370,6 +371,7 @@ def test_lifecycle_pre_checkpoint_plans(spark, tmp_path):
         frames["q213"] = _q213_frame(spark, SF, str(tmp_path / "i213"))
         frames["q214"] = _q214_frame(spark, SF, str(tmp_path / "i214"))
         frames["q215"] = _q215_frame(spark, SF, str(tmp_path / "i215"))
+        frames["q218"] = _q218_frame(spark, SF, str(tmp_path / "i218"))
 
         window_offenders, py_offenders = {}, []
         for name, frame in frames.items():

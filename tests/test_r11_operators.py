@@ -357,3 +357,110 @@ def test_pre_manifest_artifacts_load_with_empty_meta(spark, tmp_path):
         spark, str(tmp_path), with_meta=True
     )
     assert meta == {} and postings.count() == 1 and len(cents) == 1
+
+
+# ---------------------------------------------------------------------------
+# q218: streaming admission over the durable IVF-PQ tier
+# ---------------------------------------------------------------------------
+
+
+def test_maybe_compact_ivf_postings_threshold(spark, tmp_path):
+    """The trigger fires only past the per-list file-count cap, and the
+    compaction it runs drops the count back to ~1 per list."""
+    import os
+
+    from pyveb_spark.operators.similarity import ivf_index
+    from pyveb_spark.sinks.index_store import (
+        append_ivf_postings,
+        maybe_compact_ivf_postings,
+        save_ivf_index,
+    )
+
+    e = read_table(spark, SF, "embeddings")
+    indexed, cents = ivf_index(e, n_lists=4)
+    root = str(tmp_path / "ivf")
+    save_ivf_index(indexed.coalesce(1), cents, root)
+
+    def files_per_list():
+        counts = {}
+        postings = os.path.join(root, "postings")
+        for d in os.listdir(postings):
+            if not d.startswith("ivf_list="):
+                continue
+            counts[d] = len(
+                [f for f in os.listdir(os.path.join(postings, d))
+                 if f.endswith(".parquet")]
+            )
+        return counts
+
+    assert maybe_compact_ivf_postings(spark, root, max_files_per_list=8) \
+        is False  # one file per list: under the cap, no rewrite
+    for _ in range(3):
+        append_ivf_postings(indexed.coalesce(1), root)
+    assert max(files_per_list().values()) >= 4
+    assert maybe_compact_ivf_postings(spark, root, max_files_per_list=3) \
+        is True
+    assert max(files_per_list().values()) == 1
+
+
+def test_q218_stream_equals_batch(spark, tmp_path):
+    """The q218 correctness claim, pinned directly: the streamed
+    lifecycle (frozen-quantizer encode, idempotent append, threshold
+    compaction) serves EXACTLY what a single-pass batch composition
+    serves — encode everything against corpus-trained quantizers and
+    search. Micro-batch boundaries, append order, and compaction must
+    all be invisible."""
+    from pyveb_spark.operators.similarity import (
+        ivf_index,
+        ivfpq_search,
+        nearest_centroid,
+        pq_encode,
+        pq_train,
+    )
+    from pyveb_spark.queries._helpers import _query_vec
+    from pyveb_spark.queries.streaming import _q218_frame
+
+    streamed = [
+        (r.vec_id, r.label, r.l2_dist)
+        for r in _q218_frame(spark, SF, str(tmp_path / "s")).collect()
+    ]
+
+    e = read_table(spark, SF, "embeddings")
+    corpus = e.where(F.col("vec_id") % 17 != 0)
+    arriving = e.where(F.col("vec_id") % 17 == 0)
+    qv = _query_vec(e)
+    cb = pq_train(corpus, m=4, k=16, iters=2)
+    indexed0, cents = ivf_index(corpus, n_lists=16)
+    all_assigned = indexed0.select(
+        "vec_id", "embedding", "ivf_list"
+    ).unionByName(
+        arriving.withColumn(
+            "ivf_list", nearest_centroid(F.col("embedding"), cents)["list_id"]
+        ).select("vec_id", "embedding", "ivf_list")
+    )
+    short = ivfpq_search(
+        pq_encode(all_assigned, cb), cents, cb, qv,
+        nprobe=3, shortlist=40, exclude_ids=[0],
+    )
+    qarr = F.array(*[F.lit(float(x)) for x in qv])
+    exact = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            qarr,
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    batch = [
+        (r.vec_id, r.label, r.l2_dist)
+        for r in short.join(
+            F.broadcast(e.select("vec_id", "label", "embedding")), "vec_id"
+        )
+        .withColumn("l2_dist", exact)
+        .select("vec_id", "label", F.round("l2_dist", 4).alias("l2_dist"))
+        .orderBy("l2_dist", "vec_id")
+        .limit(8)
+        .collect()
+    ]
+    assert streamed == batch
