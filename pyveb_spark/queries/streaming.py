@@ -1034,7 +1034,10 @@ def _q218_frame(spark: SparkSession, sf_dir: str, tmp: str) -> DataFrame:
             meta=cb_meta,
         ).select("vec_id", "pq_codes", "ivf_list")
         append_ivf_postings(encoded, ivf_dir)
-        maybe_compact_ivf_postings(spark, ivf_dir, max_files_per_list=4)
+        # cap 3 with 3 micro-batches over a 1-file-per-list seed index:
+        # the threshold trips on the LAST batch, so every run exercises
+        # both the cheap no-op checks and one real in-lifecycle rewrite
+        maybe_compact_ivf_postings(spark, ivf_dir, max_files_per_list=3)
 
     q = run_available_now(
         stream, os.path.join(tmp, "ck"), foreach_batch=_admit
