@@ -464,3 +464,65 @@ def test_q218_stream_equals_batch(spark, tmp_path):
         .collect()
     ]
     assert streamed == batch
+
+
+@pytest.mark.parametrize("external", [False, True])
+def test_append_after_compaction_swap(spark, tmp_path, external):
+    """The rename-based swap must hand back a table appends still work
+    against (bucket spec + pyveb.index.* manifest + external location
+    all preserved through the stage RENAME), with the zero-Exchange
+    join property intact."""
+    from pyveb_spark.operators.dedup import (
+        minhash_lsh_index,
+        minhash_lsh_lookup,
+    )
+    from pyveb_spark.sinks.index_store import (
+        append_minhash_index,
+        compact_minhash_index,
+        load_minhash_index,
+        save_minhash_index,
+    )
+
+    d = read_table(spark, SF, "documents")
+    table = f"t_aac_{uuid.uuid4().hex[:8]}"
+    try:
+        save_minhash_index(
+            minhash_lsh_index(d.where("doc_id >= 200"), "doc_id", "text"),
+            table,
+            str(tmp_path / "hot"),
+            path=(str(tmp_path / "postings") if external else None),
+            meta={"n": 2, "num_hashes": 32, "bands": 8},
+        )
+        compact_minhash_index(spark, table, hot_path=str(tmp_path / "hot"))
+        append_minhash_index(
+            minhash_lsh_index(
+                d.where("doc_id >= 100 AND doc_id < 200"),
+                "doc_id", "text",
+            ),
+            table,
+            hot_path=str(tmp_path / "hot"),
+        )
+        idx, hot, meta = load_minhash_index(
+            spark, table, str(tmp_path / "hot"), with_meta=True
+        )
+        assert meta == {"n": 2, "num_hashes": 32, "bands": 8}
+        assert minhash_lsh_lookup(
+            d.where("doc_id < 50"), idx, "doc_id", "text",
+            threshold=0.8, hot_buckets=hot, meta=meta,
+        ).count() > 0
+        plan = (
+            idx.groupBy("__band", "__h").count()
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        if external:
+            import os
+
+            assert any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(str(tmp_path / "postings"))
+                for f in fs
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compact_stage")
