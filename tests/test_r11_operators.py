@@ -420,10 +420,15 @@ def test_q218_stream_equals_batch(spark, tmp_path):
     from pyveb_spark.queries._helpers import _query_vec
     from pyveb_spark.queries.streaming import _q218_frame
 
-    streamed = [
-        (r.vec_id, r.label, r.l2_dist)
-        for r in _q218_frame(spark, SF, str(tmp_path / "s")).collect()
-    ]
+    frame = _q218_frame(spark, SF, str(tmp_path / "s"))
+    # the serve must prune the RELOADED grown postings at the scan
+    # (q215's PartitionFilters property, inherited through the stream)
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "PartitionFilters" in ln and "ivf_list" in ln
+        for ln in plan.splitlines()
+    ), plan
+    streamed = [(r.vec_id, r.label, r.l2_dist) for r in frame.collect()]
 
     e = read_table(spark, SF, "embeddings")
     corpus = e.where(F.col("vec_id") % 17 != 0)
