@@ -42,6 +42,10 @@ _SLOW_FILES = {
     # own markers; both are integration surfaces, not the edit loop)
     "test_streaming.py",
     "test_jdbc.py",
+    # index-lifecycle integration: full save/append/compact/stream
+    # cycles with real table swaps and a multi-batch stream (q218) —
+    # certification-grade, not the edit loop
+    "test_r11_operators.py",
 }
 _SLOW_TESTS = {
     # whole-registry physical-plan sweeps (build every query's plan)
