@@ -39,6 +39,8 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "simhash_pairs",
+    "simhash_index",
+    "simhash_lookup",
     "hamming_pairs",
     "duplicate_clusters",
     "chunk_stats",
@@ -1042,6 +1044,112 @@ def hamming_pairs(
         )
         .where(F.col("hamming") <= F.lit(int(max_hamming)))
         .select(a, b_, "hamming")
+    )
+
+
+def simhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: int = 4,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Banded SimHash postings for a PERSISTENT near-dup index — the
+    serving form of ``simhash_pairs``' pigeonhole blocking: one row per
+    (doc, band) carrying ``(<id>, simhash, __band, __h)`` where ``__h``
+    is the band's ``bits/bands``-wide fingerprint chunk. Persist it
+    bucketed on ``(__band, __h)`` (``index_store.save_simhash_index`` —
+    the same zero-index-side-shuffle join layout as the MinHash index;
+    the column convention is shared deliberately so the bucketed-table
+    lifecycle machinery, including ``compact_minhash_index``, applies
+    verbatim). Pure scan-stage: fingerprint fold + one posexplode, no
+    shuffle at build.
+
+    Unlike MinHash banding, this blocking is LOSSLESS for
+    ``max_hamming < bands`` (any pair within that many bit flips agrees
+    on at least one full chunk), so the index has no recall-losing skew
+    blacklist: a hot band value fans candidates out, but each verify is
+    one 64-bit xor on values already carried by the postings — O(1) per
+    candidate, not O(|doc|). At 100 TB the principled skew lever is
+    more/wider bands, never dropping buckets."""
+    if bits % bands != 0:
+        raise ValueError(f"bands must divide {bits} (got bands={bands})")
+    width = bits // bands
+    fp = simhash(df, id_col, text_col)
+    band_arr = F.array(
+        *[
+            F.expr(
+                f"(CAST(simhash AS BIGINT) >> {i * width})"
+                f" & {(1 << width) - 1}"
+            )
+            for i in range(bands)
+        ]
+    )
+    return fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(band_arr).alias("__band", "__h"),
+    )
+
+
+def simhash_lookup(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = SIMHASH_BITS,
+    meta: dict | None = None,
+) -> DataFrame:
+    """Incremental SimHash near-dup check: the new batch's banded
+    postings equi-join a ``simhash_index`` on ``(__band, __h)``,
+    candidates verify exactly with ``bit_count(xor)`` — identical
+    fingerprint pipeline (and the same lossless pigeonhole guarantee
+    for ``max_hamming < bands``) as ``simhash_pairs``, but the cost
+    scales with the BATCH, not the corpus. Returns
+    ``(<id>_new, <id>_corpus, hamming)``.
+
+    ``meta`` — the index's persisted build manifest
+    (``load_simhash_index(..., with_meta=True)``) — makes the probe
+    band with the index's OWN ``bands``/``bits``: chunks cut at
+    different widths join into unrelated buckets and silently return
+    nothing. A conflicting explicit argument raises."""
+    if meta:
+        from pyveb_spark.sinks.index_store import check_index_meta
+
+        defaults = {"bands": 4, "bits": SIMHASH_BITS}
+        explicit = {"bands": bands, "bits": bits}
+        check_index_meta(
+            meta,
+            **{k: v for k, v in explicit.items() if v != defaults[k]},
+        )
+        bands = int(meta.get("bands", bands))
+        bits = int(meta.get("bits", bits))
+    if max_hamming >= bands:
+        raise ValueError(
+            "pigeonhole blocking needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    a_id, b_id = f"{id_col}_new", f"{id_col}_corpus"
+    probe = simhash_index(new_df, id_col, text_col, bands, bits)
+    a = probe.select(
+        F.col(id_col).alias(a_id), F.col("simhash").alias("__fa"),
+        "__band", "__h",
+    )
+    b = index.select(
+        F.col(id_col).alias(b_id), F.col("simhash").alias("__fb"),
+        "__band", "__h",
+    )
+    return (
+        a.join(b, ["__band", "__h"])
+        .dropDuplicates([a_id, b_id])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))),
+        )
+        .where(F.col("hamming") <= F.lit(int(max_hamming)))
+        .select(a_id, b_id, "hamming")
     )
 
 

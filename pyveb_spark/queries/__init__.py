@@ -335,6 +335,11 @@ QUERIES = {
     # idempotent append + threshold-triggered compaction INSIDE the
     # stream lifecycle, then q215's serve from reloaded artifacts
     "q218_stream_ivfpq_admission": q218_stream_ivfpq_admission,
+    # the fingerprint family joins the durable-index program: persisted
+    # banded SimHash postings (lossless pigeonhole blocking, no skew
+    # blacklist needed), full admit→append→compact→probe lifecycle
+    # through the shared bucketed-table machinery + manifest pattern
+    "q219_simhash_persisted_admission": q219_simhash_persisted_admission,
 }
 
 ORACLE_SQL = {
@@ -556,6 +561,7 @@ ORACLE_SQL = {
     "q216_minhash_compacted_evolution": _Q216_SQL,
     "q217_ivf_compacted_search": _Q217_SQL,
     "q218_stream_ivfpq_admission": _Q218_SQL,
+    "q219_simhash_persisted_admission": _Q219_SQL,
 }
 
 # ---------------------------------------------------------------------------

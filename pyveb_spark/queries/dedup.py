@@ -1601,3 +1601,160 @@ def q216_minhash_compacted_evolution(
 
 
 _Q216_SQL = _Q209_SQL
+
+
+# ---------------------------------------------------------------------------
+# Durable SimHash index lifecycle (round-12 head, built round 11): the
+# fingerprint family joins the persisted-index program
+# ---------------------------------------------------------------------------
+
+
+def q219_simhash_persisted_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SimHash tier of the durable-index program — the fingerprint
+    family (q29/q64) gets what MinHash got in q208/q209/q216: the
+    corpus's banded postings persist as a catalog table bucketed on
+    ``(__band, __h)`` with the band geometry stamped as a
+    ``pyveb.index.*`` manifest, and admission runs the FULL lifecycle
+    against it — wave-1 (doc_id 100-199) is checked via
+    ``simhash_lookup`` (probe postings equi-join the bucketed index,
+    zero index-side shuffle; exact ``bit_count(xor)`` verify), its
+    non-matches append into the index, ``compact_minhash_index``
+    rewrites the grown table band-hash-aligned (nothing in it is
+    MinHash-specific — shared column convention, crash-safe staged
+    swap, manifest preserved), and wave-2 (doc_id < 100) probes the
+    compacted result through the reloaded manifest. Unlike MinHash
+    banding, SimHash's pigeonhole blocking is LOSSLESS at
+    max_hamming < bands, so this index needs no skew blacklist: the
+    verify is one 64-bit xor per candidate on values the postings
+    already carry.
+
+    Returns per wave-2 doc: match count, matches against wave-1
+    admissions (proving appended postings serve), best Hamming
+    distance, and the admission decision. Oracle: the q64 fingerprint/
+    banding construction with the two-wave admission replayed in SQL —
+    compaction and persistence must both be invisible.
+
+    100 TB design: lookup cost scales with the batch (scan-stage
+    fingerprint fold + one bucketed equijoin); appends are batch-sized;
+    compaction is the shared crash-safe aligned rewrite, off the ingest
+    path. Pre-checkpoint plan gated via :func:`_q219_frame`."""
+    import shutil
+    import tempfile
+    import uuid
+
+    table = f"q219_simhash_idx_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="q219_")
+    try:
+        return _q219_frame(spark, sf_dir, tmp, table).localCheckpoint(
+            eager=True
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compact_stage")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q219_frame(
+    spark: SparkSession, sf_dir: str, tmp: str, table: str
+) -> DataFrame:
+    """q219's pre-checkpoint frame over a caller-owned table + dir."""
+    from pyveb_spark.operators.dedup import simhash_index, simhash_lookup
+    from pyveb_spark.sinks.index_store import (
+        append_simhash_index,
+        compact_minhash_index,
+        load_simhash_index,
+        save_simhash_index,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    corpus0 = d.where(F.col("doc_id") >= 200)
+    wave1 = d.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    wave2 = d.where(F.col("doc_id") < 100)
+
+    save_simhash_index(
+        simhash_index(corpus0, "doc_id", "text"),
+        table,
+        path=f"{tmp}/postings",
+        meta={"bands": 4, "bits": 60},
+    )
+    idx, idx_meta = load_simhash_index(spark, table, with_meta=True)
+    w1_matched = (
+        simhash_lookup(
+            wave1, idx, "doc_id", "text", max_hamming=3, meta=idx_meta
+        )
+        .select(F.col("doc_id_new").alias("doc_id"))
+        .distinct()
+    )
+    admitted1 = wave1.join(w1_matched, "doc_id", "left_anti")
+    append_simhash_index(simhash_index(admitted1, "doc_id", "text"), table)
+    compact_minhash_index(spark, table)
+    idx2, meta2 = load_simhash_index(spark, table, with_meta=True)
+    matches2 = simhash_lookup(
+        wave2, idx2, "doc_id", "text", max_hamming=3, meta=meta2
+    )
+    per = matches2.groupBy("doc_id_new").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.sum(
+            (
+                (F.col("doc_id_corpus") >= 100)
+                & (F.col("doc_id_corpus") < 200)
+            ).cast("bigint")
+        ).alias("n_vs_admitted"),
+        F.min("hamming").cast("int").alias("best_hamming"),
+    )
+    return (
+        wave2.select("doc_id")
+        .join(per, F.col("doc_id") == F.col("doc_id_new"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_matches", F.lit(0).cast("bigint"))
+            .alias("n_matches"),
+            F.coalesce("n_vs_admitted", F.lit(0).cast("bigint"))
+            .alias("n_vs_admitted"),
+            "best_hamming",
+            F.col("doc_id_new").isNull().cast("int").alias("admitted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q219_SQL = f"""
+WITH {_SIMHASH_FP_SQL},
+banded AS (SELECT doc_id, simhash, band,
+                  (simhash >> (band * 15)) & 32767 AS v
+           FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+w1m AS (SELECT DISTINCT a.doc_id
+        FROM banded a JOIN banded b ON a.band = b.band AND a.v = b.v
+        WHERE a.doc_id >= 100 AND a.doc_id < 200 AND b.doc_id >= 200
+          AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+idx AS (SELECT doc_id FROM documents WHERE doc_id >= 200
+        UNION ALL
+        SELECT doc_id FROM documents
+        WHERE doc_id >= 100 AND doc_id < 200
+          AND doc_id NOT IN (SELECT doc_id FROM w1m)),
+cand AS (SELECT DISTINCT a.doc_id AS idn, b.doc_id AS idc,
+                         a.simhash AS fa, b.simhash AS fb
+         FROM banded a
+         JOIN banded b ON a.band = b.band AND a.v = b.v
+         JOIN idx i ON i.doc_id = b.doc_id
+         WHERE a.doc_id < 100),
+hits AS (SELECT idn, idc, bit_count(xor(fa, fb)) AS hamming
+         FROM cand WHERE bit_count(xor(fa, fb)) <= 3),
+per AS (SELECT idn,
+               COUNT(*)::BIGINT AS n_matches,
+               SUM(CASE WHEN idc >= 100 AND idc < 200
+                        THEN 1 ELSE 0 END)::BIGINT AS n_vs_admitted,
+               MIN(hamming)::INT AS best_hamming
+        FROM hits GROUP BY idn)
+SELECT d.doc_id,
+       COALESCE(per.n_matches, 0)::BIGINT AS n_matches,
+       COALESCE(per.n_vs_admitted, 0)::BIGINT AS n_vs_admitted,
+       per.best_hamming,
+       CASE WHEN per.idn IS NULL THEN 1 ELSE 0 END::INT AS admitted
+FROM documents d
+LEFT JOIN per ON per.idn = d.doc_id
+WHERE d.doc_id < 100
+ORDER BY d.doc_id
+"""

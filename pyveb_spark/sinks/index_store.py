@@ -51,6 +51,9 @@ __all__ = [
     "load_minhash_index",
     "append_minhash_index",
     "compact_minhash_index",
+    "save_simhash_index",
+    "load_simhash_index",
+    "append_simhash_index",
     "save_pq_codebooks",
     "load_pq_codebooks",
     "save_sq8_stats",
@@ -598,6 +601,72 @@ def compact_minhash_index(
         minhash_hot_buckets(spark.table(table), cap).coalesce(
             1
         ).write.mode("overwrite").parquet(hot_path)
+
+
+def save_simhash_index(
+    index: DataFrame,
+    table: str,
+    num_buckets: int = 8,
+    path: str | None = None,
+    meta: dict | None = None,
+) -> None:
+    """Persist a ``simhash_index`` as a catalog table bucketed on
+    ``(__band, __h)`` — the same zero-index-side-shuffle lookup layout
+    (and the same column convention, deliberately) as the MinHash
+    index, so the whole bucketed-table lifecycle applies verbatim:
+    append with ``append_simhash_index``, compact with
+    ``compact_minhash_index`` (band-hash-aligned rewrite, crash-safe
+    swap — nothing in it is MinHash-specific; pass ``hot_path=None``,
+    SimHash carries no skew blacklist because its blocking is lossless
+    and its verify is O(1) per candidate).
+
+    ``meta`` (recommended: ``{"bands": ..., "bits": ...}``) is stamped
+    as ``pyveb.index.*`` TBLPROPERTIES — a probe banding at a different
+    chunk width joins into unrelated buckets and silently returns
+    nothing, so the band geometry belongs to the artifact."""
+    from pyveb_spark.sinks.writers import write_bucketed_table
+
+    write_bucketed_table(
+        index, table, ["__band", "__h"], num_buckets=num_buckets,
+        path=path,
+    )
+    if meta:
+        _set_table_meta(index.sparkSession, table, meta)
+
+
+def load_simhash_index(
+    spark: SparkSession, table: str, with_meta: bool = False
+):
+    """Reload the bucketed SimHash postings table; ``with_meta=True``
+    also returns the build manifest (``{}`` for a pre-manifest table) —
+    pass it as ``simhash_lookup(meta=...)``. Detects the crashed-
+    compaction state the same way ``load_minhash_index`` does."""
+    stage = f"{table}__compact_stage"
+    if not spark.catalog.tableExists(table) and spark.catalog.tableExists(
+        stage
+    ):
+        raise RuntimeError(
+            f"SimHash index table {table!r} is missing but its "
+            f"compaction stage {stage!r} exists — a compaction crashed "
+            "inside the metadata swap; the compacted data is complete "
+            f"under the stage name. Recover with: ALTER TABLE {stage} "
+            f"RENAME TO {table}."
+        )
+    idx = spark.table(table)
+    if not with_meta:
+        return idx
+    return idx, _get_table_meta(spark, table)
+
+
+def append_simhash_index(
+    postings: DataFrame, table: str, num_buckets: int = 8
+) -> None:
+    """Append an admitted batch's banded postings into the persisted
+    SimHash index (same bucket spec — the zero-shuffle join property
+    survives appends, as with the MinHash table)."""
+    postings.write.format("parquet").mode("append").bucketBy(
+        num_buckets, "__band", "__h"
+    ).saveAsTable(table)
 
 
 # ---------------------------------------------------------------------------

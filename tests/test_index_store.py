@@ -342,7 +342,11 @@ def test_lifecycle_pre_checkpoint_plans(spark, tmp_path):
     import re
     import uuid
 
-    from pyveb_spark.queries.dedup import _q208_frame, _q209_frame
+    from pyveb_spark.queries.dedup import (
+        _q208_frame,
+        _q209_frame,
+        _q219_frame,
+    )
     from pyveb_spark.queries.similarity import (
         _q207_frame,
         _q210_frame,
@@ -356,6 +360,7 @@ def test_lifecycle_pre_checkpoint_plans(spark, tmp_path):
     frames = {}
     t208 = f"t_gate208_{uuid.uuid4().hex[:8]}"
     t209 = f"t_gate209_{uuid.uuid4().hex[:8]}"
+    t219 = f"t_gate219_{uuid.uuid4().hex[:8]}"
     try:
         frames["q207"] = _q207_frame(spark, SF, str(tmp_path / "i207"))
         frames["q208"] = _q208_frame(
@@ -372,6 +377,9 @@ def test_lifecycle_pre_checkpoint_plans(spark, tmp_path):
         frames["q214"] = _q214_frame(spark, SF, str(tmp_path / "i214"))
         frames["q215"] = _q215_frame(spark, SF, str(tmp_path / "i215"))
         frames["q218"] = _q218_frame(spark, SF, str(tmp_path / "i218"))
+        frames["q219"] = _q219_frame(
+            spark, SF, str(tmp_path / "i219"), t219
+        )
 
         window_offenders, py_offenders = {}, []
         for name, frame in frames.items():
@@ -401,6 +409,8 @@ def test_lifecycle_pre_checkpoint_plans(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t208}")
         spark.sql(f"DROP TABLE IF EXISTS {t209}")
+        spark.sql(f"DROP TABLE IF EXISTS {t219}")
+        spark.sql(f"DROP TABLE IF EXISTS {t219}__compact_stage")
 
 
 def test_ivf_empty_corpus_split_degenerates_to_empty(spark, tmp_path):

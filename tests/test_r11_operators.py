@@ -531,3 +531,100 @@ def test_append_after_compaction_swap(spark, tmp_path, external):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {table}__compact_stage")
+
+
+# ---------------------------------------------------------------------------
+# Durable SimHash index tier (q219)
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_lookup_matches_pairs_kernel(spark):
+    """The lookup must have the identical fingerprint pipeline and
+    pigeonhole recall as simhash_pairs: restricting the all-pairs
+    result to (batch x corpus) pairs equals the index lookup."""
+    from pyveb_spark.operators.dedup import (
+        simhash_index,
+        simhash_lookup,
+        simhash_pairs,
+    )
+
+    d = read_table(spark, SF, "documents")
+    corpus = d.where(F.col("doc_id") >= 100)
+    batch = d.where(F.col("doc_id") < 100)
+    via_index = sorted(
+        (r.doc_id_new, r.doc_id_corpus, r.hamming)
+        for r in simhash_lookup(
+            batch, simhash_index(corpus, "doc_id", "text"),
+            "doc_id", "text", max_hamming=3,
+        ).collect()
+    )
+    allp = simhash_pairs(d, "doc_id", "text", max_hamming=3).collect()
+    want = sorted(
+        (min(r.doc_id_a, r.doc_id_b), max(r.doc_id_a, r.doc_id_b),
+         r.hamming)
+        for r in allp
+        if (r.doc_id_a < 100) != (r.doc_id_b < 100)
+    )
+    assert via_index == want
+
+
+def test_simhash_persisted_lifecycle(spark, tmp_path):
+    """Persisted lookup == fresh lookup; the manifest round-trips and a
+    conflicting explicit band count raises; append + the shared
+    compaction keep the lookup identical with zero-Exchange intact."""
+    from pyveb_spark.operators.dedup import simhash_index, simhash_lookup
+    from pyveb_spark.sinks.index_store import (
+        append_simhash_index,
+        compact_minhash_index,
+        load_simhash_index,
+        save_simhash_index,
+    )
+
+    d = read_table(spark, SF, "documents")
+    corpus = d.where(F.col("doc_id") >= 150)
+    extra = d.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+    batch = d.where(F.col("doc_id") < 100)
+    table = f"t_sim_{uuid.uuid4().hex[:8]}"
+    try:
+        fresh_idx = simhash_index(corpus, "doc_id", "text")
+        save_simhash_index(
+            fresh_idx, table, path=str(tmp_path / "postings"),
+            meta={"bands": 4, "bits": 60},
+        )
+        idx, meta = load_simhash_index(spark, table, with_meta=True)
+        assert meta == {"bands": 4, "bits": 60}
+
+        def rows(frame):
+            return sorted(
+                (r.doc_id_new, r.doc_id_corpus, r.hamming)
+                for r in frame.collect()
+            )
+
+        persisted = rows(simhash_lookup(
+            batch, idx, "doc_id", "text", meta=meta))
+        assert persisted == rows(simhash_lookup(
+            batch, fresh_idx, "doc_id", "text"))
+        with pytest.raises(ValueError, match="build-manifest mismatch"):
+            simhash_lookup(
+                batch, idx, "doc_id", "text", meta=meta, bands=6
+            )
+        # append + shared crash-safe compaction: manifest survives,
+        # grown lookup identical before/after the rewrite
+        append_simhash_index(
+            simhash_index(extra, "doc_id", "text"), table
+        )
+        before = rows(simhash_lookup(
+            batch, spark.table(table), "doc_id", "text", meta=meta))
+        compact_minhash_index(spark, table)
+        idx2, meta2 = load_simhash_index(spark, table, with_meta=True)
+        assert meta2 == meta
+        assert rows(simhash_lookup(
+            batch, idx2, "doc_id", "text", meta=meta2)) == before
+        plan = (
+            idx2.groupBy("__band", "__h").count()
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compact_stage")
