@@ -926,7 +926,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     |tokens|×60 rows through two groupBy shuffles; this one shuffles
     nothing. No UDF, and the whole construction replays in ANSI SQL.
     """
-    masks = F.array(*[F.lit(m) for m in _BIT_MASKS])
+    # one ArrayType Literal node instead of 60 child Literals (the
+    # similarity._lit_arr convention — less plan-compile per call;
+    # int64 here, values identical)
+    import numpy as np
+
+    masks = F.lit(np.asarray(_BIT_MASKS, dtype=np.int64))
     toks_h = F.transform(
         F.split(F.col(text_col), " "),
         lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10)
