@@ -1192,6 +1192,26 @@ _R11_IN = [
     "q217_ivf_compacted_search",
 ]
 
+# Round 12 takes never-certified back to ZERO again: the only registered
+# queries without a hard CORRECTNESS row anywhere in r01–r11 are the two
+# round-11 heads q218 (streaming IVF-PQ admission lifecycle) and q219
+# (durable SimHash tier lifecycle), soaked under selfcheck + SIX
+# seed/size/dup twins since round 11. Both rotate in. Displaced — each
+# has FOUR consecutive hard rows (r08–r11) and keeps a family sibling
+# in-window:
+#   q192 embedding drift   → q193 embedding_ood stays (same
+#       embedding-distribution-audit family, same KL/centroid machinery)
+#   q196 JL distortion audit → q214 sq8_persisted_ann stays (the
+#       quantization/compression-distortion-audit family)
+_R12_OUT = [
+    "q192_embedding_drift",
+    "q196_jl_distortion_audit",
+]
+_R12_IN = [
+    "q218_stream_ivfpq_admission",
+    "q219_simhash_persisted_admission",
+]
+
 _ALL = list(QUERIES)
 # reconstruct the round-5 window exactly as shipped, then apply the
 # round-6 and round-7 waves on top of it
@@ -1206,7 +1226,8 @@ _WINDOW7 = [q for q in _WINDOW6C if q not in _R7_OUT] + _R7_IN
 _WINDOW8 = [q for q in _WINDOW7 if q not in _R8_OUT] + _R8_IN
 _WINDOW9 = [q for q in _WINDOW8 if q not in _R9_OUT] + _R9_IN
 _WINDOW10 = [q for q in _WINDOW9 if q not in _R10_OUT] + _R10_IN
-_WINDOW = [q for q in _WINDOW10 if q not in _R11_OUT] + _R11_IN
+_WINDOW11 = [q for q in _WINDOW10 if q not in _R11_OUT] + _R11_IN
+_WINDOW = [q for q in _WINDOW11 if q not in _R12_OUT] + _R12_IN
 GATE_ORDER = _WINDOW + [q for q in _ALL if q not in _WINDOW]
 assert len(GATE_ORDER) == len(_ALL) and set(GATE_ORDER) == set(_ALL)
 assert len(_WINDOW) == 50

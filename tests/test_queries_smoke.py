@@ -48,14 +48,14 @@ def test_every_query_has_an_oracle():
 def test_gate_window_composition():
     """The driver certifies only the first 50 registry entries; the
     rotation contract (gate-window comment in
-    pyveb_spark/queries/__init__.py). Round 11 takes never-certified
+    pyveb_spark/queries/__init__.py). Round 12 takes never-certified
     back to ZERO: the window keeps the eight ever-standing heads, q117,
-    q74, 14 of the 19 round-8 heads, the six round-9 heads q200–q205
-    (third consecutive), the 8 TPC-H residue anchors, and q206–q212
-    (second consecutive); the five incoming slots are the round-10
-    heads q213–q217 — the only queries without a hard CORRECTNESS row.
-    Every displaced query must still exist (selfcheck covers it outside
-    the window)."""
+    q74, 12 of the 19 round-8 heads, q200–q205 (fourth consecutive),
+    the 8 TPC-H residue anchors, q206–q212 (third consecutive), and
+    q213–q217 (second consecutive — the soak-then-anchor pattern); the
+    two incoming slots are the round-11 heads q218–q219 — the only
+    queries without a hard CORRECTNESS row. Every displaced query must
+    still exist (selfcheck covers it outside the window)."""
     from pyveb_spark.queries import (
         _R8_IN,
         _R9_IN,
@@ -63,6 +63,8 @@ def test_gate_window_composition():
         _R10_OUT,
         _R11_IN,
         _R11_OUT,
+        _R12_IN,
+        _R12_OUT,
     )
 
     window = list(QUERIES)[:50]
@@ -77,16 +79,18 @@ def test_gate_window_composition():
          "q197", "q198", "q199"))]
     must_be_in = (
         standing + ["q117_vocab_encode", "q74_market_share"]
-        + [q for q in r8_heads if q not in _R11_OUT]
+        + [q for q in r8_heads
+           if q not in _R11_OUT and q not in _R12_OUT]
         + [q for q in _R9_IN if q not in _R10_OUT]
         + list(_R10_IN)
         + list(_R11_IN)
+        + list(_R12_IN)
     )
     missing = [q for q in must_be_in if q not in window]
     assert missing == [], f"expected in the gate window: {missing}"
-    assert len(_R11_IN) == 5 and len(_R11_OUT) == 5
+    assert len(_R12_IN) == 2 and len(_R12_OUT) == 2
     assert set(window) == set(must_be_in)
     # every displaced query is still registered (soaks under selfcheck)
-    for q in _R10_OUT + _R11_OUT:
+    for q in _R10_OUT + _R11_OUT + _R12_OUT:
         assert q in QUERIES and q not in window, q
     assert len(window) == 50
