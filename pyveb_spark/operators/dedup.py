@@ -622,6 +622,17 @@ def minhash_lsh_pairs(
 SIMHASH_BITS = 60
 _BIT_MASKS = [1 << b for b in range(SIMHASH_BITS)]
 
+# Signature defaults shared by the index builders and their
+# manifest-validated lookups. The lookups treat an argument as
+# "explicit" — and conflict-check it against the artifact's persisted
+# build manifest — only when it differs from the default, so the
+# defaults must live in ONE place: a hardcoded copy inside the lookup
+# would silently drift if a signature default ever changed (a genuinely
+# explicit value equal to the stale copy skips validation; a new
+# default spuriously raises against older manifests).
+MINHASH_DEFAULTS: dict[str, int] = {"n": 2, "num_hashes": 32, "bands": 8}
+SIMHASH_DEFAULTS: dict[str, int] = {"bands": 4, "bits": SIMHASH_BITS}
+
 
 def _check_banding(num_hashes: int, bands: int) -> int:
     """bands must divide num_hashes exactly: r=0 crashes with an opaque
@@ -716,9 +727,9 @@ def minhash_lsh_lookup(
     index: DataFrame,
     id_col: str,
     text_col: str,
-    n: int = 2,
-    num_hashes: int = 32,
-    bands: int = 8,
+    n: int = MINHASH_DEFAULTS["n"],
+    num_hashes: int = MINHASH_DEFAULTS["num_hashes"],
+    bands: int = MINHASH_DEFAULTS["bands"],
     threshold: float = 0.8,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     hot_buckets: DataFrame | None = None,
@@ -749,7 +760,7 @@ def minhash_lsh_lookup(
     if meta:
         from pyveb_spark.sinks.index_store import check_index_meta
 
-        defaults = {"n": 2, "num_hashes": 32, "bands": 8}
+        defaults = MINHASH_DEFAULTS
         explicit = {"n": n, "num_hashes": num_hashes, "bands": bands}
         check_index_meta(
             meta,
@@ -1103,8 +1114,8 @@ def simhash_lookup(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
-    bands: int = 4,
-    bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_DEFAULTS["bands"],
+    bits: int = SIMHASH_DEFAULTS["bits"],
     meta: dict | None = None,
 ) -> DataFrame:
     """Incremental SimHash near-dup check: the new batch's banded
@@ -1123,7 +1134,7 @@ def simhash_lookup(
     if meta:
         from pyveb_spark.sinks.index_store import check_index_meta
 
-        defaults = {"bands": 4, "bits": SIMHASH_BITS}
+        defaults = SIMHASH_DEFAULTS
         explicit = {"bands": bands, "bits": bits}
         check_index_meta(
             meta,

@@ -271,6 +271,14 @@ def maybe_compact_ivf_postings(
     root = os.path.join(path, _IVF_POSTINGS)
     HPath = spark._jvm.org.apache.hadoop.fs.Path
     fs = HPath(root).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(HPath(root)):
+        # a raw Py4J FileNotFoundException here is the module's one
+        # non-actionable failure mode — name the missing path instead
+        raise ValueError(
+            f"IVF postings directory {root!r} does not exist — nothing "
+            "to compact; seed the index with save_ivf_index (or check "
+            "the index path) before running the compaction trigger"
+        )
     counts: dict[str, int] = {}
     it = fs.listFiles(HPath(root), True)
     while it.hasNext():
@@ -349,28 +357,46 @@ def load_lsh_index(
 def _set_table_meta(spark: SparkSession, table: str, meta: dict) -> None:
     """Stamp a build manifest into the table's catalog properties under
     the ``pyveb.index.`` namespace — the manifest travels with the table
-    identity (rename, compaction swap), no side file to drift."""
+    identity (rename, compaction swap), no side file to drift. Each
+    value carries a type tag (``bigint:4`` / ``double:0.8`` /
+    ``string:007``) matching ``_write_manifest``'s typed-parquet
+    discipline: TBLPROPERTIES are strings, and blind int/float
+    re-parsing on read would round-trip a string value that happens to
+    parse numerically (a version tag ``'007'``, ``'1e3'``) as a number
+    — making ``check_index_meta`` raise a spurious mismatch against the
+    original string."""
     props = ", ".join(
-        f"'{_MH_PROP}{k}'='{meta[k]}'" for k in sorted(meta)
+        f"'{_MH_PROP}{k}'='{_meta_type(meta[k])}:{meta[k]}'"
+        for k in sorted(meta)
     )
     spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({props})")
 
 
 def _get_table_meta(spark: SparkSession, table: str) -> dict:
     """Read the ``pyveb.index.`` manifest back out of the catalog
-    properties, values re-typed (int, then float, else str)."""
+    properties. Tagged values (``_set_table_meta``) re-type exactly;
+    untagged values from pre-round-12 artifacts fall back to the legacy
+    heuristic (int, then float, else str)."""
     meta: dict = {}
     for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect():
         if not r["key"].startswith(_MH_PROP):
             continue
         k, v = r["key"][len(_MH_PROP):], r["value"]
-        try:
-            meta[k] = int(v)
-        except ValueError:
+        tag, _, rest = v.partition(":")
+        if tag == "bigint":
+            meta[k] = int(rest)
+        elif tag == "double":
+            meta[k] = float(rest)
+        elif tag == "string":
+            meta[k] = rest
+        else:
             try:
-                meta[k] = float(v)
+                meta[k] = int(v)
             except ValueError:
-                meta[k] = v
+                try:
+                    meta[k] = float(v)
+                except ValueError:
+                    meta[k] = v
     return meta
 
 
@@ -440,9 +466,14 @@ def load_minhash_index(
         raise RuntimeError(
             f"MinHash index table {table!r} is missing but its "
             f"compaction stage {stage!r} exists — a compaction crashed "
-            "inside the metadata swap; the compacted data is complete "
-            f"under the stage name. Recover with: ALTER TABLE {stage} "
-            f"RENAME TO {table}."
+            "inside the metadata swap; the compacted data is complete. "
+            f"Recover with: ALTER TABLE {stage} RENAME TO {table}. "
+            "External tables: first check which location actually holds "
+            "the data — if the crash happened after the directory swap, "
+            "the stage table points at a now-moved path and needs "
+            f"ALTER TABLE {stage} SET LOCATION '<index location>' "
+            "BEFORE the rename (re-attaching it unchanged would serve "
+            "an empty/nonexistent directory)."
         )
     idx, hot = spark.table(table), spark.read.parquet(hot_path)
     if not with_meta:
@@ -516,14 +547,20 @@ def compact_minhash_index(
     untouched — a failure anywhere in the expensive write leaves the
     original index serving and the partial stage dropped. Only after
     the stage commits does the metadata-only swap run: managed tables
-    DROP + ``ALTER TABLE ... RENAME``; external tables an atomic FS
-    directory swap at the original location (the table's path is part
-    of its identity — drop-in replacement, pinned by test) followed by
-    ``SET LOCATION`` + RENAME. If the process dies inside that
-    metadata window the compacted data still exists in full under the
-    stage name/location; the next ``compact_minhash_index`` call (or
-    ``load_minhash_index``) fails loudly with the one-line recovery
-    (rename the stage back) instead of silently rebuilding."""
+    DROP + ``ALTER TABLE ... RENAME``; external tables a RENAME-ASIDE
+    directory swap at the original location (original →
+    ``<loc>__compact_old``, stage → ``<loc>``, ``SET LOCATION`` +
+    RENAME, then delete the aside copy — the table's path is part of
+    its identity, so the replacement is a drop-in, pinned by test).
+    If the process dies inside that metadata window BOTH datasets
+    still exist in full — the compacted data under the stage
+    name/location, the original under the aside dir — and the next
+    ``compact_minhash_index`` call (or ``load_minhash_index``) fails
+    loudly with the recovery steps (rename the stage back; external
+    tables may need ``SET LOCATION`` first) instead of silently
+    rebuilding. The directory renames are metadata-only on HDFS/local
+    filesystems; object stores copy on rename — use managed tables
+    there."""
     from pyveb_spark.operators.dedup import (
         DEFAULT_MAX_BUCKET_SIZE,
         minhash_hot_buckets,
@@ -582,16 +619,33 @@ def compact_minhash_index(
     if build_meta:
         _set_table_meta(spark, stage, build_meta)
     # 2) metadata-only swap; the compacted data is durable from here on.
+    #    External tables swap by RENAME-ASIDE, never delete-then-rename:
+    #    the original moves to <loc>__compact_old, the stage moves into
+    #    <loc>, and only after the catalog swap completes is the aside
+    #    copy deleted — so the pre-compaction data survives EVERY crash
+    #    window (a delete-first swap destroys it before the replacement
+    #    is in place). Renames are metadata-only on HDFS/local
+    #    filesystems; on object stores a "rename" is a long copy —
+    #    prefer managed tables (catalog RENAME, no directory moves)
+    #    there.
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    old_loc = None
     if is_external:
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
         HPath = jvm.org.apache.hadoop.fs.Path
         fs = HPath(loc).getFileSystem(conf)
-        fs.delete(HPath(loc), True)
+        old_loc = loc.rstrip("/") + "__compact_old"
+        # leftover aside dir from a prior swap that crashed before its
+        # final cleanup — the live table has served from loc since, so
+        # the aside copy is stale and safe to drop
+        fs.delete(HPath(old_loc), True)
+        fs.rename(HPath(loc), HPath(old_loc))
         fs.rename(HPath(stage_loc), HPath(loc))
         spark.sql(f"ALTER TABLE {stage} SET LOCATION '{loc}'")
     spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+    if old_loc is not None:
+        fs.delete(HPath(old_loc), True)
     if hot_path is not None:
         cap = (
             DEFAULT_MAX_BUCKET_SIZE
@@ -648,9 +702,14 @@ def load_simhash_index(
         raise RuntimeError(
             f"SimHash index table {table!r} is missing but its "
             f"compaction stage {stage!r} exists — a compaction crashed "
-            "inside the metadata swap; the compacted data is complete "
-            f"under the stage name. Recover with: ALTER TABLE {stage} "
-            f"RENAME TO {table}."
+            "inside the metadata swap; the compacted data is complete. "
+            f"Recover with: ALTER TABLE {stage} RENAME TO {table}. "
+            "External tables: first check which location actually holds "
+            "the data — if the crash happened after the directory swap, "
+            "the stage table points at a now-moved path and needs "
+            f"ALTER TABLE {stage} SET LOCATION '<index location>' "
+            "BEFORE the rename (re-attaching it unchanged would serve "
+            "an empty/nonexistent directory)."
         )
     idx = spark.table(table)
     if not with_meta:

@@ -46,6 +46,7 @@ _SLOW_FILES = {
     # cycles with real table swaps and a multi-batch stream (q218) —
     # certification-grade, not the edit loop
     "test_r11_operators.py",
+    "test_r12_operators.py",
 }
 _SLOW_TESTS = {
     # whole-registry physical-plan sweeps (build every query's plan)

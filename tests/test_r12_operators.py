@@ -1,0 +1,220 @@
+"""Round-12 tranche part 1: the ADVICE-r11 hardening items — rename-aside
+external compaction swap (the original survives every crash window),
+actionable external recovery messages, typed TBLPROPERTIES manifests
+(string values that parse numerically round-trip as strings),
+single-source lookup defaults, and the maybe-compact existence guard."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyveb_spark.sources.readers import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _mini_index(spark):
+    from pyveb_spark.operators.dedup import minhash_lsh_index
+
+    d = read_table(spark, SF, "documents")
+    return minhash_lsh_index(d.where("doc_id >= 200"), "doc_id", "text")
+
+
+def test_external_compaction_swap_is_rename_aside(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11: the external-table swap previously DELETED the
+    original directory before renaming the stage in — a crash between
+    the delete and the rename destroyed the pre-compaction copy. The
+    rename-aside swap must keep BOTH datasets on disk through every
+    window: inject a failure at the SET LOCATION step (after the
+    directory renames) and assert the compacted data serves from the
+    index location while the original survives under the aside dir."""
+    import os
+
+    from pyveb_spark.sinks.index_store import compact_minhash_index
+
+    table = f"t_aside_{uuid.uuid4().hex[:8]}"
+    loc = str(tmp_path / "postings")
+    try:
+        from pyveb_spark.sinks.index_store import save_minhash_index
+
+        save_minhash_index(
+            _mini_index(spark), table, str(tmp_path / "hot"), path=loc
+        )
+        n_before = spark.table(table).count()
+        assert n_before > 0
+
+        real_sql = spark.sql
+
+        def sabotaged_sql(q, *a, **kw):
+            if "SET LOCATION" in q:
+                raise RuntimeError("injected SET LOCATION failure")
+            return real_sql(q, *a, **kw)
+
+        monkeypatch.setattr(spark, "sql", sabotaged_sql)
+        with pytest.raises(RuntimeError, match="injected"):
+            compact_minhash_index(spark, table)
+        monkeypatch.setattr(spark, "sql", real_sql)
+
+        # compacted data fully in place at the index location...
+        assert spark.read.parquet(loc).count() == n_before
+        # ...AND the original survives aside — nothing was destroyed
+        old_loc = loc.rstrip("/") + "__compact_old"
+        assert os.path.isdir(old_loc)
+        assert spark.read.parquet(old_loc).count() == n_before
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compact_stage")
+
+
+def test_external_compaction_completes_and_cleans_aside(spark, tmp_path):
+    """The happy path of the rename-aside swap: the aside dir is gone
+    after the swap commits, the table serves the same rows from the
+    ORIGINAL location (path is part of the external table's identity),
+    and the build manifest survived the swap."""
+    import os
+
+    from pyveb_spark.sinks.index_store import (
+        compact_minhash_index,
+        load_minhash_index,
+        save_minhash_index,
+    )
+
+    table = f"t_asideok_{uuid.uuid4().hex[:8]}"
+    loc = str(tmp_path / "postings")
+    try:
+        save_minhash_index(
+            _mini_index(spark),
+            table,
+            str(tmp_path / "hot"),
+            path=loc,
+            meta={"n": 2, "num_hashes": 32, "bands": 8},
+        )
+        n_before = spark.table(table).count()
+        compact_minhash_index(spark, table, hot_path=str(tmp_path / "hot"))
+        assert not os.path.isdir(loc.rstrip("/") + "__compact_old")
+        _, _, meta = load_minhash_index(
+            spark, table, str(tmp_path / "hot"), with_meta=True
+        )
+        assert meta == {"n": 2, "num_hashes": 32, "bands": 8}
+        assert spark.table(table).count() == n_before
+        described = {
+            r.col_name.strip(): (r.data_type or "").strip()
+            for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+            if r.col_name
+        }
+        assert described["Location"].endswith(loc.lstrip("/"))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compact_stage")
+
+
+def test_load_errors_name_external_set_location_recovery(spark):
+    """ADVICE r11: the load-time crashed-swap messages previously gave
+    only the plain-RENAME recovery, which for an external table that
+    crashed AFTER the directory swap re-attaches the stage to a
+    now-missing path. Both loaders must name the SET LOCATION step."""
+    from pyveb_spark.session import local_df
+    from pyveb_spark.sinks.index_store import (
+        load_minhash_index,
+        load_simhash_index,
+    )
+    from pyveb_spark.sinks.writers import write_bucketed_table
+
+    table = f"t_recmsg_{uuid.uuid4().hex[:8]}"
+    stage = f"{table}__compact_stage"
+    try:
+        write_bucketed_table(
+            local_df(
+                spark,
+                [(0, 7, "a")],
+                "__band int, __h bigint, doc_id string",
+            ),
+            stage,
+            ["__band", "__h"],
+            num_buckets=4,
+        )
+        with pytest.raises(RuntimeError, match="SET LOCATION"):
+            load_minhash_index(spark, table, "/nonexistent")
+        with pytest.raises(RuntimeError, match="SET LOCATION"):
+            load_simhash_index(spark, table)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {stage}")
+
+
+def test_table_meta_type_tags_round_trip(spark):
+    """ADVICE r11: TBLPROPERTIES manifest values are strings, and the
+    blind int/float re-parse on read turned a string value that parses
+    numerically ('007', '1e3') into a number — making check_index_meta
+    spuriously mismatch the original. Typed tags must round-trip every
+    manifest type exactly; untagged legacy values keep the heuristic."""
+    from pyveb_spark.session import local_df
+    from pyveb_spark.sinks.index_store import (
+        _get_table_meta,
+        _set_table_meta,
+        check_index_meta,
+    )
+
+    table = f"t_meta_{uuid.uuid4().hex[:8]}"
+    try:
+        local_df(spark, [(1,)], "x int").write.saveAsTable(table)
+        meta = {
+            "n": 2,
+            "threshold": 0.8,
+            "version": "007",
+            "note": "1e3",
+            "metric": "l2",
+        }
+        _set_table_meta(spark, table, meta)
+        got = _get_table_meta(spark, table)
+        assert got == meta
+        assert isinstance(got["version"], str)
+        assert isinstance(got["note"], str)
+        assert isinstance(got["n"], int)
+        assert isinstance(got["threshold"], float)
+        # the exact failure mode the fix closes: comparing the original
+        # string against the round-tripped value must NOT raise
+        check_index_meta(got, version="007", note="1e3", n=2)
+        # legacy untagged property still re-types heuristically
+        spark.sql(
+            f"ALTER TABLE {table} SET TBLPROPERTIES "
+            "('pyveb.index.legacy'='42')"
+        )
+        assert _get_table_meta(spark, table)["legacy"] == 42
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_lookup_defaults_are_single_source():
+    """ADVICE r11: the lookups' manifest conflict-detection compares
+    explicit arguments against the signature defaults — a hardcoded
+    copy drifts silently if a default changes. The signatures must BE
+    the module constants."""
+    import inspect
+
+    from pyveb_spark.operators.dedup import (
+        MINHASH_DEFAULTS,
+        SIMHASH_DEFAULTS,
+        minhash_lsh_lookup,
+        simhash_lookup,
+    )
+
+    mh = inspect.signature(minhash_lsh_lookup).parameters
+    assert {k: mh[k].default for k in MINHASH_DEFAULTS} == MINHASH_DEFAULTS
+    sh = inspect.signature(simhash_lookup).parameters
+    assert {k: sh[k].default for k in SIMHASH_DEFAULTS} == SIMHASH_DEFAULTS
+
+
+def test_maybe_compact_missing_postings_raises_actionably(spark, tmp_path):
+    """ADVICE r11: a never-seeded index path must produce the module's
+    loud ValueError naming the missing postings dir, not a raw Py4J
+    FileNotFoundException from fs.listFiles."""
+    from pyveb_spark.sinks.index_store import maybe_compact_ivf_postings
+
+    with pytest.raises(ValueError, match="postings"):
+        maybe_compact_ivf_postings(spark, str(tmp_path / "no_such_index"))
