@@ -32,7 +32,9 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "build_inverted_index",
+    "build_bm25_postings",
     "bm25_search",
+    "bm25_search_indexed",
     "tfidf_doc_norms",
     "tfidf_search",
     "build_ngram_index",
@@ -82,24 +84,43 @@ def build_inverted_index(
     return postings, docstats
 
 
-def bm25_search(
-    postings: DataFrame,
-    docstats: DataFrame,
-    query_tokens: Sequence[str],
-    k: int = 10,
+def build_bm25_postings(
+    df: DataFrame,
     id_col: str = "doc_id",
-    k1: float = BM25_K1,
-    b: float = BM25_B,
-) -> DataFrame:
-    """Top-k documents for a bag-of-tokens query. Duplicate query tokens
-    are deduplicated (standard bag-of-words BM25). Scores are rounded to 6
-    decimals with a doc-id tie-break, making the ranking reproducible
-    across engines and partitionings (raw float sums are association-order
-    sensitive; the rounding absorbs that)."""
-    qtoks = sorted(set(query_tokens))
-    hits = postings.where(F.col("token").isin(qtoks)).join(
-        docstats, id_col
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """The DURABLE form of :func:`build_inverted_index`:
+    ``(postings, doclens)`` with NO corpus-global columns — postings =
+    ``(token, <id>, tf)``, doclens = ``(<id>, dl)``. Document frequency
+    and the collection constants are deliberately NOT materialized per
+    row: ``df`` is recomputed exactly from the matched postings at
+    search time (every posting of a query token is in the probe's
+    buckets anyway, so the count IS the global document frequency — it
+    stays exact after any number of appends with zero maintenance), and
+    ``N``/``Σdl`` live in the index manifest, updated incrementally per
+    batch (``index_store.append_bm25_index``). That is what makes the
+    persisted index APPENDABLE: a new-document wave adds purely
+    additive rows, never a corpus-scale stats rewrite — the property a
+    df-per-posting layout (``build_inverted_index``) cannot have."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
     )
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    return tf, dl
+
+
+def _bm25_topk(
+    hits: DataFrame, id_col: str, k1: float, b: float, k: int
+) -> DataFrame:
+    """Shared BM25 scoring tail over a hits frame carrying
+    ``tf/df/dl/n_docs/avgdl`` — ONE definition of the arithmetic so the
+    in-session and durable-index paths cannot drift (their certified
+    equality, q220 vs the q44 oracle, is an identity of this expression
+    tree over identical inputs)."""
     idf = F.log(
         (F.col("n_docs") - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
@@ -119,6 +140,70 @@ def bm25_search(
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
     )
+
+
+def bm25_search(
+    postings: DataFrame,
+    docstats: DataFrame,
+    query_tokens: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k documents for a bag-of-tokens query. Duplicate query tokens
+    are deduplicated (standard bag-of-words BM25). Scores are rounded to 6
+    decimals with a doc-id tie-break, making the ranking reproducible
+    across engines and partitionings (raw float sums are association-order
+    sensitive; the rounding absorbs that)."""
+    qtoks = sorted(set(query_tokens))
+    hits = postings.where(F.col("token").isin(qtoks)).join(
+        docstats, id_col
+    )
+    return _bm25_topk(hits, id_col, k1, b, k)
+
+
+def bm25_search_indexed(
+    postings: DataFrame,
+    doclens: DataFrame,
+    n_docs: int,
+    sum_dl: int,
+    query_tokens: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k BM25 against a DURABLE inverted index
+    (``index_store.save_bm25_index`` / ``load_bm25_index``): postings
+    carry only ``(token, <id>, tf)``, so document frequency is derived
+    from the matched rows themselves — one tiny aggregation over the
+    ≤ |q|·df postings the query-token filter already selected (every
+    posting of a matched token is present, so the count equals the
+    global df exactly, no matter how many appends the index absorbed).
+    ``n_docs``/``sum_dl`` come from the index manifest; ``avgdl`` is
+    their exact IEEE double quotient — identical to ``avg(dl)`` over
+    the full doclens table. Scoring/rounding/tie-break are byte-shared
+    with :func:`bm25_search` (``_bm25_topk``), so persisted == fresh is
+    certified at the query level (q220 vs the q44 oracle).
+
+    Scale shape: the query-token IN-filter bucket-prunes the
+    token-bucketed postings table at the scan; the doclens join touches
+    only matched docs; nothing downstream is corpus-sized."""
+    qtoks = sorted(set(query_tokens))
+    matched = postings.where(F.col("token").isin(qtoks))
+    df_t = matched.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    hits = (
+        matched.join(df_t, "token")
+        .join(doclens, id_col)
+        .withColumn("n_docs", F.lit(int(n_docs)).cast("long"))
+        .withColumn(
+            "avgdl", F.lit(float(int(sum_dl) / int(n_docs)))
+        )
+    )
+    return _bm25_topk(hits, id_col, k1, b, k)
 
 
 def tfidf_doc_norms(
@@ -233,11 +318,12 @@ def build_ngram_index(
 
 
 def phrase_search(
-    df: DataFrame,
+    df: DataFrame | None,
     phrase: str,
     id_col: str = "doc_id",
     text_col: str = "text",
     index: DataFrame | None = None,
+    meta: dict | None = None,
 ) -> DataFrame:
     """Exact token-sequence (phrase) search through the n-gram index: the
     phrase's own window hash is computed DRIVER-side as a literal and
@@ -250,13 +336,27 @@ def phrase_search(
     certified-equivalence discipline: an index is only trustworthy if
     the query proves it returns exactly what the scan it replaces would.
 
-    Pass a prebuilt (persisted/bucketed) ``index`` in production; the
-    default builds one from ``df`` for self-contained use.
+    Pass a prebuilt (persisted/bucketed) ``index`` in production (``df``
+    may then be ``None``); the default builds one from ``df`` for
+    self-contained use. ``meta`` — the persisted index's build manifest
+    (``index_store.load_ngram_index(..., with_meta=True)``) — validates
+    that the phrase's token count equals the index's window width ``n``:
+    a 3-token probe against a 2-gram index hashes to a key that cannot
+    exist, silently returning nothing, so the mismatch raises instead.
     """
     from pyveb_spark.operators.dedup import portable_hash48
 
     n = len(phrase.split(" "))
+    if meta:
+        from pyveb_spark.sinks.index_store import check_index_meta
+
+        check_index_meta(meta, n=n)
     if index is None:
+        if df is None:
+            raise ValueError(
+                "phrase_search needs either a corpus df or a prebuilt "
+                "index"
+            )
         index = build_ngram_index(df, n, id_col, text_col)
     probe = portable_hash48(F.lit(phrase))
     return index.where(F.col("__h") == probe).select(id_col, "n_occurrences")

@@ -340,6 +340,14 @@ QUERIES = {
     # blacklist needed), full admit→append→compact→probe lifecycle
     # through the shared bucketed-table machinery + manifest pattern
     "q219_simhash_persisted_admission": q219_simhash_persisted_admission,
+    # round-13 heads (built round 12), soaking OUTSIDE the window: the
+    # LEXICAL retrieval family joins the durable-index program — BM25
+    # token postings bucketed by token with manifest collection stats
+    # (df derived exactly from matched postings, so appends are purely
+    # additive), and the positional n-gram phrase index, both through
+    # the SHARED crash-safe compact_bucketed_index lifecycle
+    "q220_bm25_persisted_lifecycle": q220_bm25_persisted_lifecycle,
+    "q221_phrase_persisted_lifecycle": q221_phrase_persisted_lifecycle,
 }
 
 ORACLE_SQL = {
@@ -562,6 +570,8 @@ ORACLE_SQL = {
     "q217_ivf_compacted_search": _Q217_SQL,
     "q218_stream_ivfpq_admission": _Q218_SQL,
     "q219_simhash_persisted_admission": _Q219_SQL,
+    "q220_bm25_persisted_lifecycle": _Q220_SQL,
+    "q221_phrase_persisted_lifecycle": _Q221_SQL,
 }
 
 # ---------------------------------------------------------------------------

@@ -2172,3 +2172,175 @@ FROM matches
 GROUP BY lang
 ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Durable LEXICAL index lifecycle (round-12 tranche): BM25 + phrase join
+# the persisted-index program — the last retrieval family without one
+# ---------------------------------------------------------------------------
+
+
+def q220_bm25_persisted_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The lexical tier of the durable-index program — BM25 gets what
+    the vector/dedup families got in q206–q219: the corpus's token
+    postings persist as a catalog table BUCKETED on ``token`` with the
+    collection statistics (``n_docs``/``sum_dl``) stamped as a
+    ``pyveb.index.*`` manifest, and the full lifecycle runs against
+    it — save (doc_id >= 100), admit the doc_id < 100 wave
+    (``append_bm25_index``: purely additive postings + doclens, a
+    two-integer incremental manifest bump, no corpus rescan),
+    ``compact_bucketed_index`` (the SHARED crash-safe staged-swap
+    rewrite — nothing in it is banded-tier-specific) +
+    ``refresh_bm25_stats`` (the compaction-time exact recompute), then
+    q44's query served by ``bm25_search_indexed`` from the RELOADED
+    artifacts only. Document frequency is derived from the matched
+    postings themselves (exact at any append count — every posting of
+    a query token is in the probe's buckets), so the durable layout
+    carries no per-row global state to go stale.
+
+    Correctness claim: persistence, append, compaction and the
+    df-at-search-time derivation are all semantically invisible — the
+    served top-10 equals the in-session ``bm25_search`` over the full
+    corpus, i.e. exactly the certified q44 oracle (shared scoring tail
+    ``_bm25_topk``; same rounding/tie-break contract).
+
+    100 TB design: admission cost scales with the batch; the search
+    reads only the query tokens' buckets (bucket pruning on the
+    token-bucketed table) plus matched doclens; compaction amortizes
+    off the ingest path with the crash-safe rename-aside swap.
+    Pre-checkpoint plan gated via :func:`_q220_frame`."""
+    import shutil
+    import tempfile
+    import uuid
+
+    table = f"q220_bm25_idx_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="q220_")
+    try:
+        return _q220_frame(spark, sf_dir, tmp, table).localCheckpoint(
+            eager=True
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compact_stage")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q220_frame(
+    spark: SparkSession, sf_dir: str, tmp: str, table: str
+) -> DataFrame:
+    """q220's pre-checkpoint frame over a caller-owned table + dir."""
+    from pyveb_spark.operators.retrieval import bm25_search_indexed
+    from pyveb_spark.sinks.index_store import (
+        append_bm25_index,
+        compact_bucketed_index,
+        load_bm25_index,
+        refresh_bm25_stats,
+        save_bm25_index,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") >= 100)
+    wave = d.where(F.col("doc_id") < 100)
+    dl_path = f"{tmp}/doclens"
+
+    save_bm25_index(corpus, table, dl_path, path=f"{tmp}/postings")
+    append_bm25_index(wave, table, dl_path)
+    compact_bucketed_index(spark, table)
+    refresh_bm25_stats(spark, table, dl_path)
+    postings, doclens, meta = load_bm25_index(
+        spark, table, dl_path, with_meta=True
+    )
+    return bm25_search_indexed(
+        postings,
+        doclens,
+        meta["n_docs"],
+        meta["sum_dl"],
+        ["hash", "merge", "scan", "window"],
+        k=10,
+    )
+
+
+_Q220_SQL = _Q44_SQL
+
+
+def q221_phrase_persisted_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q220's sibling for EXACT-PHRASE retrieval: the positional n-gram
+    index persists bucketed on the window hash with the window width
+    ``n`` in its manifest, absorbs the doc_id < 100 wave via
+    ``append_ngram_index``, is rewritten by the shared crash-safe
+    ``compact_bucketed_index``, and then serves q158's probe through
+    ``phrase_search(index=..., meta=...)`` — the manifest validating
+    that the phrase's token count equals the index's window width (a
+    mismatched probe hashes to a key that cannot exist and would
+    silently return nothing). The q158 certified-equivalence discipline
+    is kept END TO END: the reloaded-index hits full-outer-join the
+    naive whitespace-boundary substring scan, so any document the
+    persisted/appended/compacted index misses (or invents) materializes
+    as a row difference and fails the oracle hash.
+
+    100 TB design: the probe is one literal pushed into a bucket-pruned
+    scan of the hash-bucketed postings; appends are batch-sized;
+    compaction is the shared staged swap. Pre-checkpoint plan gated via
+    :func:`_q221_frame`."""
+    import shutil
+    import tempfile
+    import uuid
+
+    table = f"q221_ngram_idx_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="q221_")
+    try:
+        return _q221_frame(spark, sf_dir, tmp, table).localCheckpoint(
+            eager=True
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compact_stage")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q221_frame(
+    spark: SparkSession, sf_dir: str, tmp: str, table: str
+) -> DataFrame:
+    """q221's pre-checkpoint frame over a caller-owned table + dir."""
+    from pyveb_spark.operators.retrieval import phrase_search
+    from pyveb_spark.sinks.index_store import (
+        append_ngram_index,
+        compact_bucketed_index,
+        load_ngram_index,
+        save_ngram_index,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    row = d.where(F.col("doc_id") == 0).select("text").first()
+    phrase = " ".join(row["text"].split(" ")[:3])
+    n = len(phrase.split(" "))
+
+    save_ngram_index(
+        d.where(F.col("doc_id") >= 100), table, n, path=f"{tmp}/ngrams"
+    )
+    append_ngram_index(d.where(F.col("doc_id") < 100), table, n)
+    compact_bucketed_index(spark, table)
+    idx, meta = load_ngram_index(spark, table, with_meta=True)
+    idx_hits = phrase_search(None, phrase, index=idx, meta=meta)
+    scan_hits = d.where(
+        F.contains(
+            F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+            F.lit(f" {phrase} "),
+        )
+    ).select("doc_id", F.lit(1).alias("in_scan"))
+    return (
+        idx_hits.join(scan_hits, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("n_occurrences", F.lit(0)).alias("n_occurrences"),
+            F.coalesce("in_scan", F.lit(0)).alias("in_scan"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q221_SQL = _Q158_SQL

@@ -35,6 +35,7 @@ the index, and reading it back costs a metadata listing, not a rebuild.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,10 +51,18 @@ __all__ = [
     "save_minhash_index",
     "load_minhash_index",
     "append_minhash_index",
+    "compact_bucketed_index",
     "compact_minhash_index",
     "save_simhash_index",
     "load_simhash_index",
     "append_simhash_index",
+    "save_bm25_index",
+    "load_bm25_index",
+    "append_bm25_index",
+    "refresh_bm25_stats",
+    "save_ngram_index",
+    "load_ngram_index",
+    "append_ngram_index",
     "save_pq_codebooks",
     "load_pq_codebooks",
     "save_sq8_stats",
@@ -400,6 +409,31 @@ def _get_table_meta(spark: SparkSession, table: str) -> dict:
     return meta
 
 
+def _raise_if_crashed_swap(spark: SparkSession, table: str, kind: str) -> None:
+    """Shared crashed-compaction detection for every bucketed catalog
+    index tier (MinHash / SimHash / BM25 / n-gram): the table is missing
+    but its committed compaction stage exists — a compaction died inside
+    the metadata swap. Refuse to proceed with the full recovery steps
+    (including the external-table SET LOCATION case, where a plain
+    RENAME would re-attach the stage to a now-moved path)."""
+    stage = f"{table}__compact_stage"
+    if not spark.catalog.tableExists(table) and spark.catalog.tableExists(
+        stage
+    ):
+        raise RuntimeError(
+            f"{kind} index table {table!r} is missing but its "
+            f"compaction stage {stage!r} exists — a compaction crashed "
+            "inside the metadata swap; the compacted data is complete. "
+            f"Recover with: ALTER TABLE {stage} RENAME TO {table}. "
+            "External tables: first check which location actually holds "
+            "the data — if the crash happened after the directory swap, "
+            "the stage table points at a now-moved path and needs "
+            f"ALTER TABLE {stage} SET LOCATION '<index location>' "
+            "BEFORE the rename (re-attaching it unchanged would serve "
+            "an empty/nonexistent directory)."
+        )
+
+
 def save_minhash_index(
     index: DataFrame,
     table: str,
@@ -459,22 +493,7 @@ def load_minhash_index(
     ``save_minhash_index(meta=...)`` (``{}`` for a pre-manifest table) —
     pass it as ``minhash_lsh_lookup(meta=...)`` so the probe hashes
     with the index's OWN n/num_hashes/bands."""
-    stage = f"{table}__compact_stage"
-    if not spark.catalog.tableExists(table) and spark.catalog.tableExists(
-        stage
-    ):
-        raise RuntimeError(
-            f"MinHash index table {table!r} is missing but its "
-            f"compaction stage {stage!r} exists — a compaction crashed "
-            "inside the metadata swap; the compacted data is complete. "
-            f"Recover with: ALTER TABLE {stage} RENAME TO {table}. "
-            "External tables: first check which location actually holds "
-            "the data — if the crash happened after the directory swap, "
-            "the stage table points at a now-moved path and needs "
-            f"ALTER TABLE {stage} SET LOCATION '<index location>' "
-            "BEFORE the rename (re-attaching it unchanged would serve "
-            "an empty/nonexistent directory)."
-        )
+    _raise_if_crashed_swap(spark, table, "MinHash")
     idx, hot = spark.table(table), spark.read.parquet(hot_path)
     if not with_meta:
         return idx, hot
@@ -523,23 +542,19 @@ def _table_meta(spark: SparkSession, table: str) -> dict[str, str]:
     }
 
 
-def compact_minhash_index(
-    spark: SparkSession,
-    table: str,
-    hot_path: str | None = None,
-    max_bucket_size: int | None = None,
-) -> None:
-    """Index-lifecycle compaction for the bucketed MinHash postings —
-    the step ``append_minhash_index``'s docstring defers to "compaction
-    time". Each append's ``saveAsTable`` lands one file per (task ×
-    bucket); after N ingest waves a lookup opens ~N files per bucket.
-    This rewrites the rows ``repartition(num_buckets, __band, __h)``-
-    aligned to the bucket hash (Spark's bucket id and HashPartitioning
-    share the same pmod-Murmur3, so every task holds exactly one bucket
-    → ONE file per bucket), preserving the catalog bucket spec — the
-    zero-index-side-shuffle join property survives, pinned by test —
-    and refreshes the ``minhash_hot_buckets`` skew blacklist from the
-    compacted table in the same pass when ``hot_path`` is given.
+def compact_bucketed_index(spark: SparkSession, table: str) -> None:
+    """Crash-safe lifecycle compaction for ANY bucketed catalog index
+    table — MinHash/SimHash banded postings, BM25 token postings, n-gram
+    phrase postings all share it. Each append's ``saveAsTable`` lands
+    one file per (task × bucket); after N ingest waves a lookup opens
+    ~N files per bucket. This rewrites the rows
+    ``repartition(num_buckets, *bucket_cols)``-aligned to the bucket
+    hash (Spark's bucket id and HashPartitioning share the same
+    pmod-Murmur3, so every task holds exactly one bucket → ONE file per
+    bucket), with the bucket spec — count AND columns — read from the
+    table's own catalog metadata, so the zero-index-side-shuffle join
+    property survives by construction (pinned by test) and nothing in
+    the rewrite is tier-specific.
 
     Crash-safety (the ``compact_files`` commit-then-swap discipline):
     the replacement is FULLY written as a bucketed staging table
@@ -555,31 +570,17 @@ def compact_minhash_index(
     If the process dies inside that metadata window BOTH datasets
     still exist in full — the compacted data under the stage
     name/location, the original under the aside dir — and the next
-    ``compact_minhash_index`` call (or ``load_minhash_index``) fails
-    loudly with the recovery steps (rename the stage back; external
-    tables may need ``SET LOCATION`` first) instead of silently
-    rebuilding. The directory renames are metadata-only on HDFS/local
-    filesystems; object stores copy on rename — use managed tables
-    there."""
-    from pyveb_spark.operators.dedup import (
-        DEFAULT_MAX_BUCKET_SIZE,
-        minhash_hot_buckets,
-    )
+    compaction call (or any tier's loader) fails loudly with the
+    recovery steps (rename the stage back; external tables may need
+    ``SET LOCATION`` first) instead of silently rebuilding. The
+    directory renames are metadata-only on HDFS/local filesystems;
+    object stores copy on rename — use managed tables there."""
     from pyveb_spark.sinks.writers import write_bucketed_table
 
     stage = f"{table}__compact_stage"
     if not spark.catalog.tableExists(table):
-        if spark.catalog.tableExists(stage):
-            raise RuntimeError(
-                f"MinHash index table {table!r} is missing but its "
-                f"compaction stage {stage!r} exists — a previous "
-                "compaction crashed inside the metadata swap. The "
-                "compacted data is complete under the stage name; "
-                f"recover with: ALTER TABLE {stage} RENAME TO {table} "
-                "(external tables: point it at the index location "
-                "first with ALTER TABLE ... SET LOCATION)."
-            )
-        raise ValueError(f"MinHash index table {table!r} does not exist")
+        _raise_if_crashed_swap(spark, table, "bucketed")
+        raise ValueError(f"index table {table!r} does not exist")
     # a stage alongside a live original is leftover from a run that
     # failed BEFORE the swap — the original is authoritative; redo.
     spark.sql(f"DROP TABLE IF EXISTS {stage}")
@@ -595,6 +596,13 @@ def compact_minhash_index(
             "FORMATTED layout changed); refusing to guess a count"
         )
     num_buckets = int(meta["Num Buckets"])
+    bucket_cols = re.findall(r"`([^`]+)`", meta.get("Bucket Columns", ""))
+    if not bucket_cols:
+        raise ValueError(
+            f"table {table!r} has no parseable 'Bucket Columns' in its "
+            "catalog metadata — refusing to guess the bucket key "
+            f"(got: {meta.get('Bucket Columns')!r})"
+        )
     loc = meta.get("Location") or None
     is_external = meta.get("Type", "").upper() == "EXTERNAL"
     stage_loc = (loc.rstrip("/") + "__compact_stage") if is_external else None
@@ -605,9 +613,9 @@ def compact_minhash_index(
     #    loses nothing — drop the partial stage and re-raise.
     try:
         write_bucketed_table(
-            spark.table(table).repartition(num_buckets, "__band", "__h"),
+            spark.table(table).repartition(num_buckets, *bucket_cols),
             stage,
-            ["__band", "__h"],
+            bucket_cols,
             num_buckets=num_buckets,
             path=stage_loc,
         )
@@ -646,6 +654,26 @@ def compact_minhash_index(
     spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
     if old_loc is not None:
         fs.delete(HPath(old_loc), True)
+
+
+def compact_minhash_index(
+    spark: SparkSession,
+    table: str,
+    hot_path: str | None = None,
+    max_bucket_size: int | None = None,
+) -> None:
+    """MinHash/SimHash entry point for :func:`compact_bucketed_index`
+    (the shared crash-safe rewrite — see its docstring for the staged
+    swap contract), plus the one banded-tier-specific step: when
+    ``hot_path`` is given, the ``minhash_hot_buckets`` skew blacklist
+    is refreshed from the compacted table in the same pass (the
+    compaction-time refresh ``append_minhash_index`` defers to)."""
+    from pyveb_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET_SIZE,
+        minhash_hot_buckets,
+    )
+
+    compact_bucketed_index(spark, table)
     if hot_path is not None:
         cap = (
             DEFAULT_MAX_BUCKET_SIZE
@@ -695,22 +723,7 @@ def load_simhash_index(
     also returns the build manifest (``{}`` for a pre-manifest table) —
     pass it as ``simhash_lookup(meta=...)``. Detects the crashed-
     compaction state the same way ``load_minhash_index`` does."""
-    stage = f"{table}__compact_stage"
-    if not spark.catalog.tableExists(table) and spark.catalog.tableExists(
-        stage
-    ):
-        raise RuntimeError(
-            f"SimHash index table {table!r} is missing but its "
-            f"compaction stage {stage!r} exists — a compaction crashed "
-            "inside the metadata swap; the compacted data is complete. "
-            f"Recover with: ALTER TABLE {stage} RENAME TO {table}. "
-            "External tables: first check which location actually holds "
-            "the data — if the crash happened after the directory swap, "
-            "the stage table points at a now-moved path and needs "
-            f"ALTER TABLE {stage} SET LOCATION '<index location>' "
-            "BEFORE the rename (re-attaching it unchanged would serve "
-            "an empty/nonexistent directory)."
-        )
+    _raise_if_crashed_swap(spark, table, "SimHash")
     idx = spark.table(table)
     if not with_meta:
         return idx
@@ -726,6 +739,217 @@ def append_simhash_index(
     postings.write.format("parquet").mode("append").bucketBy(
         num_buckets, "__band", "__h"
     ).saveAsTable(table)
+
+
+# ---------------------------------------------------------------------------
+# Durable LEXICAL retrieval tier (round 12): BM25 inverted index + n-gram
+# phrase index — the last index family without persistence joins the
+# shared bucketed-catalog lifecycle convention. Reference analogue: the
+# staged-artifact pattern of ``src/pyveb/s3_client.py:188-231`` (persist
+# once, serve many); design follows the standard Lucene/ES split of
+# per-posting data vs collection statistics.
+# ---------------------------------------------------------------------------
+
+
+def save_bm25_index(
+    df: DataFrame,
+    table: str,
+    doclen_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 8,
+    path: str | None = None,
+    meta: dict | None = None,
+) -> None:
+    """Persist a corpus's inverted index for BM25/phrase-era lexical
+    serving: token postings ``(token, <id>, tf)`` as a catalog table
+    BUCKETED on ``token`` — a query's IN-filter bucket-prunes the scan,
+    the same serving shape as the banded dedup tiers — plus the per-doc
+    length table at ``doclen_path`` and the collection statistics
+    (``n_docs``, ``sum_dl``) stamped as ``pyveb.index.*``
+    TBLPROPERTIES, surviving appends and the compaction swap.
+
+    The layout deliberately carries NO corpus-global columns per
+    posting (contrast ``build_inverted_index``'s df-annotated form):
+    document frequency is derived exactly from the matched postings at
+    search time and the collection constants live in the manifest — so
+    ``append_bm25_index`` is purely additive (batch-sized writes + a
+    two-integer manifest bump), never a corpus-scale stats rewrite.
+    That is the property that makes a 100 TB lexical index operable:
+    admission cost scales with the batch, compaction
+    (``compact_bucketed_index`` + ``refresh_bm25_stats``) amortizes off
+    the ingest path, and the artifact serves across sessions with zero
+    rebuild."""
+    from pyveb_spark.operators.retrieval import build_bm25_postings
+    from pyveb_spark.sinks.writers import write_bucketed_table
+
+    postings, doclens = build_bm25_postings(df, id_col, text_col)
+    write_bucketed_table(
+        postings, table, ["token"], num_buckets=num_buckets, path=path
+    )
+    doclens.write.mode("overwrite").parquet(doclen_path)
+    spark = df.sparkSession
+    row = (
+        spark.read.parquet(doclen_path)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dl").alias("s"),
+        )
+        .first()
+    )
+    manifest = {
+        "n_docs": int(row["n"]),
+        "sum_dl": int(row["s"] or 0),
+        "tokenizer": "whitespace",
+    }
+    manifest.update(meta or {})
+    _set_table_meta(spark, table, manifest)
+
+
+def load_bm25_index(
+    spark: SparkSession,
+    table: str,
+    doclen_path: str,
+    with_meta: bool = False,
+):
+    """Reload the persisted BM25 tier: (token-bucketed postings frame,
+    doclens frame[, manifest]). Pass the manifest's ``n_docs``/
+    ``sum_dl`` straight into ``bm25_search_indexed`` — the search needs
+    no other session state and no corpus scan. Detects the
+    crashed-compaction state like every bucketed tier."""
+    _raise_if_crashed_swap(spark, table, "BM25")
+    postings = spark.table(table)
+    doclens = spark.read.parquet(doclen_path)
+    if not with_meta:
+        return postings, doclens
+    return postings, doclens, _get_table_meta(spark, table)
+
+
+def append_bm25_index(
+    batch_df: DataFrame,
+    table: str,
+    doclen_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 8,
+) -> None:
+    """Admit a NEW-document wave into the persisted BM25 tier: the
+    batch's postings append into the token-bucketed table (same bucket
+    spec — the pruning property survives), its doclens append at
+    ``doclen_path``, and the manifest's collection statistics bump
+    incrementally (one batch-sized aggregation — n_docs += |batch|,
+    sum_dl += Σ batch dl; the corpus is never rescanned). Documents
+    must be new ids (admission dedup is the caller's anti-join, as in
+    every other tier); re-appending an id would double-count its tf
+    rows. A crash between the data append and the manifest bump leaves
+    the stats slightly stale — which only perturbs the avgdl length
+    normalization, never membership — and ``refresh_bm25_stats``
+    (run at compaction time) recomputes them exactly from the doclens
+    table, so the tier is self-healing."""
+    from pyveb_spark.operators.retrieval import build_bm25_postings
+
+    postings, doclens = build_bm25_postings(batch_df, id_col, text_col)
+    postings.write.format("parquet").mode("append").bucketBy(
+        num_buckets, "token"
+    ).saveAsTable(table)
+    doclens.write.mode("append").parquet(doclen_path)
+    spark = batch_df.sparkSession
+    row = doclens.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).first()
+    meta = _get_table_meta(spark, table)
+    if "n_docs" in meta and "sum_dl" in meta:
+        _set_table_meta(
+            spark,
+            table,
+            {
+                "n_docs": int(meta["n_docs"]) + int(row["n"]),
+                "sum_dl": int(meta["sum_dl"]) + int(row["s"] or 0),
+            },
+        )
+
+
+def refresh_bm25_stats(
+    spark: SparkSession, table: str, doclen_path: str
+) -> dict:
+    """Recompute the manifest's collection statistics exactly from the
+    persisted doclens table and re-stamp them — the compaction-time
+    self-heal for any drift the incremental bumps accumulated (a crash
+    between an append's data and manifest writes). One narrow two-column
+    scan; returns the fresh ``{"n_docs", "sum_dl"}``."""
+    row = (
+        spark.read.parquet(doclen_path)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+        .first()
+    )
+    fresh = {"n_docs": int(row["n"]), "sum_dl": int(row["s"] or 0)}
+    _set_table_meta(spark, table, fresh)
+    return fresh
+
+
+def save_ngram_index(
+    df: DataFrame,
+    table: str,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 8,
+    path: str | None = None,
+    meta: dict | None = None,
+) -> None:
+    """Persist a positional n-gram (phrase) index
+    (``retrieval.build_ngram_index``) as a catalog table bucketed on
+    the window hash ``__h`` — a phrase probe is one literal equality,
+    bucket-pruned at the scan. The window width ``n`` is stamped into
+    the manifest: a probe phrase of any other token count hashes to a
+    key that cannot exist and silently returns nothing, so
+    ``phrase_search(meta=...)`` validates it loudly instead."""
+    from pyveb_spark.operators.retrieval import build_ngram_index
+    from pyveb_spark.sinks.writers import write_bucketed_table
+
+    write_bucketed_table(
+        build_ngram_index(df, n, id_col, text_col),
+        table,
+        ["__h"],
+        num_buckets=num_buckets,
+        path=path,
+    )
+    manifest = {"n": int(n)}
+    manifest.update(meta or {})
+    _set_table_meta(df.sparkSession, table, manifest)
+
+
+def load_ngram_index(
+    spark: SparkSession, table: str, with_meta: bool = False
+):
+    """Reload the bucketed n-gram phrase index; ``with_meta=True`` also
+    returns the build manifest — pass it as ``phrase_search(meta=...)``
+    so a phrase/window-width mismatch raises. Detects the
+    crashed-compaction state like every bucketed tier."""
+    _raise_if_crashed_swap(spark, table, "n-gram")
+    idx = spark.table(table)
+    if not with_meta:
+        return idx
+    return idx, _get_table_meta(spark, table)
+
+
+def append_ngram_index(
+    batch_df: DataFrame,
+    table: str,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 8,
+) -> None:
+    """Append a new-document wave's n-gram postings (same bucket spec;
+    documents must be new ids — a re-appended doc would split its
+    per-window occurrence counts across rows). Validate ``n`` against
+    the manifest first when loading via ``with_meta``."""
+    from pyveb_spark.operators.retrieval import build_ngram_index
+
+    build_ngram_index(batch_df, n, id_col, text_col).write.format(
+        "parquet"
+    ).mode("append").bucketBy(num_buckets, "__h").saveAsTable(table)
 
 
 # ---------------------------------------------------------------------------

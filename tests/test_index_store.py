@@ -356,11 +356,14 @@ def test_lifecycle_pre_checkpoint_plans(spark, tmp_path):
         _q215_frame,
     )
     from pyveb_spark.queries.streaming import _q218_frame
+    from pyveb_spark.queries.text import _q220_frame, _q221_frame
 
     frames = {}
     t208 = f"t_gate208_{uuid.uuid4().hex[:8]}"
     t209 = f"t_gate209_{uuid.uuid4().hex[:8]}"
     t219 = f"t_gate219_{uuid.uuid4().hex[:8]}"
+    t220 = f"t_gate220_{uuid.uuid4().hex[:8]}"
+    t221 = f"t_gate221_{uuid.uuid4().hex[:8]}"
     try:
         frames["q207"] = _q207_frame(spark, SF, str(tmp_path / "i207"))
         frames["q208"] = _q208_frame(
@@ -379,6 +382,12 @@ def test_lifecycle_pre_checkpoint_plans(spark, tmp_path):
         frames["q218"] = _q218_frame(spark, SF, str(tmp_path / "i218"))
         frames["q219"] = _q219_frame(
             spark, SF, str(tmp_path / "i219"), t219
+        )
+        frames["q220"] = _q220_frame(
+            spark, SF, str(tmp_path / "i220"), t220
+        )
+        frames["q221"] = _q221_frame(
+            spark, SF, str(tmp_path / "i221"), t221
         )
 
         window_offenders, py_offenders = {}, []
@@ -411,6 +420,10 @@ def test_lifecycle_pre_checkpoint_plans(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {t209}")
         spark.sql(f"DROP TABLE IF EXISTS {t219}")
         spark.sql(f"DROP TABLE IF EXISTS {t219}__compact_stage")
+        spark.sql(f"DROP TABLE IF EXISTS {t220}")
+        spark.sql(f"DROP TABLE IF EXISTS {t220}__compact_stage")
+        spark.sql(f"DROP TABLE IF EXISTS {t221}")
+        spark.sql(f"DROP TABLE IF EXISTS {t221}__compact_stage")
 
 
 def test_ivf_empty_corpus_split_degenerates_to_empty(spark, tmp_path):

@@ -218,3 +218,234 @@ def test_maybe_compact_missing_postings_raises_actionably(spark, tmp_path):
 
     with pytest.raises(ValueError, match="postings"):
         maybe_compact_ivf_postings(spark, str(tmp_path / "no_such_index"))
+
+
+# ---------------------------------------------------------------------------
+# Round-12 tranche part 2: the durable LEXICAL (BM25 + n-gram phrase)
+# index tier — round-trip, append stats, shared compaction, manifest
+# validation, bucket pruning
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark):
+    return read_table(spark, SF, "documents")
+
+
+QTOKS = ["hash", "merge", "scan", "window"]
+
+
+def _bm25_rows(df):
+    return [
+        (r[0], round(r[1], 9), r[2])
+        for r in df.collect()
+    ]
+
+
+def test_bm25_persisted_equals_fresh_through_lifecycle(spark, tmp_path):
+    """save → append → compact → refresh → reload → search must equal
+    the in-session bm25_search over the full corpus — persistence,
+    appends, the shared compaction, and the df-from-matched-postings
+    derivation are all semantically invisible (the q220 claim, as a
+    unit invariant)."""
+    from pyveb_spark.operators.retrieval import (
+        bm25_search,
+        bm25_search_indexed,
+        build_inverted_index,
+    )
+    from pyveb_spark.sinks.index_store import (
+        append_bm25_index,
+        compact_bucketed_index,
+        load_bm25_index,
+        refresh_bm25_stats,
+        save_bm25_index,
+    )
+
+    d = _docs(spark)
+    table = f"t_bm25_{uuid.uuid4().hex[:8]}"
+    dl = str(tmp_path / "doclens")
+    try:
+        save_bm25_index(
+            d.where("doc_id >= 100"), table, dl,
+            path=str(tmp_path / "postings"),
+        )
+        append_bm25_index(d.where("doc_id < 100"), table, dl)
+        # incremental stats must already equal the exact recompute —
+        # the refresh is a self-heal, not a correction of normal flow
+        from pyveb_spark.sinks.index_store import _get_table_meta
+
+        incremental = _get_table_meta(spark, table)
+        fresh_stats = refresh_bm25_stats(spark, table, dl)
+        assert incremental["n_docs"] == fresh_stats["n_docs"]
+        assert incremental["sum_dl"] == fresh_stats["sum_dl"]
+
+        compact_bucketed_index(spark, table)
+        p, dls, meta = load_bm25_index(spark, table, dl, with_meta=True)
+        got = bm25_search_indexed(
+            p, dls, meta["n_docs"], meta["sum_dl"], QTOKS, k=10
+        )
+        postings, docstats = build_inverted_index(d, "doc_id", "text")
+        want = bm25_search(postings, docstats, QTOKS, k=10)
+        assert _bm25_rows(got) == _bm25_rows(want)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compact_stage")
+
+
+def test_bm25_indexed_search_bucket_prunes_and_stays_jvm(spark, tmp_path):
+    """The serving promise of the token-bucketed layout: the query
+    tokens' IN-filter must prune buckets at the scan
+    (SelectedBucketsCount < total), and the whole search plan must be
+    Python-free."""
+    import re
+
+    from pyveb_spark.operators.retrieval import bm25_search_indexed
+    from pyveb_spark.sinks.index_store import (
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    table = f"t_bm25p_{uuid.uuid4().hex[:8]}"
+    dl = str(tmp_path / "doclens")
+    try:
+        save_bm25_index(_docs(spark), table, dl)
+        p, dls, meta = load_bm25_index(spark, table, dl, with_meta=True)
+        res = bm25_search_indexed(
+            p, dls, meta["n_docs"], meta["sum_dl"], ["hash", "merge"], k=5
+        )
+        phys = res._jdf.queryExecution().executedPlan().toString()
+        m = re.search(
+            r"SelectedBucketsCount: (\d+) out of (\d+)", phys
+        )
+        assert m, "no bucket pruning in the indexed BM25 search plan"
+        assert int(m.group(1)) < int(m.group(2))
+        assert "BatchEvalPython" not in phys
+        assert "EvalPython" not in phys
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_bm25_compaction_reduces_files_keeps_bucket_spec(spark, tmp_path):
+    """compact_bucketed_index on a token-bucketed table (bucket columns
+    READ from the catalog, not hardcoded): file count drops after
+    multi-wave appends, 'Num Buckets' and bucket columns survive, and
+    the manifest travels through the swap."""
+    import os
+
+    from pyveb_spark.sinks.index_store import (
+        append_bm25_index,
+        compact_bucketed_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    d = _docs(spark)
+    table = f"t_bm25c_{uuid.uuid4().hex[:8]}"
+    dl = str(tmp_path / "doclens")
+    loc = str(tmp_path / "postings")
+    try:
+        save_bm25_index(d.where("doc_id >= 300"), table, dl, path=loc)
+        for lo, hi in ((200, 300), (100, 200), (0, 100)):
+            append_bm25_index(
+                d.where(f"doc_id >= {lo} AND doc_id < {hi}"), table, dl
+            )
+
+        def nfiles():
+            return sum(
+                1
+                for f in os.listdir(loc)
+                if f.endswith(".parquet")
+            )
+
+        before = nfiles()
+        compact_bucketed_index(spark, table)
+        after = nfiles()
+        assert after < before
+        meta_rows = {
+            r.col_name.strip(): (r.data_type or "").strip()
+            for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+            if r.col_name
+        }
+        assert int(meta_rows["Num Buckets"]) == 8
+        assert "token" in meta_rows["Bucket Columns"]
+        _, _, manifest = load_bm25_index(spark, table, dl, with_meta=True)
+        assert manifest["n_docs"] == d.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compact_stage")
+
+
+def test_phrase_index_lifecycle_and_width_mismatch(spark, tmp_path):
+    """n-gram tier: persisted+appended+compacted index serves the same
+    phrase hits as the fresh in-session index; a probe whose token
+    count differs from the manifest's window width raises loudly
+    (silent-empty is the failure mode the manifest closes)."""
+    from pyveb_spark.operators.retrieval import phrase_search
+    from pyveb_spark.sinks.index_store import (
+        append_ngram_index,
+        compact_bucketed_index,
+        load_ngram_index,
+        save_ngram_index,
+    )
+
+    d = _docs(spark)
+    row = d.where(F.col("doc_id") == 0).select("text").first()
+    phrase = " ".join(row["text"].split(" ")[:3])
+    table = f"t_ng_{uuid.uuid4().hex[:8]}"
+    try:
+        save_ngram_index(
+            d.where("doc_id >= 100"), table, 3,
+            path=str(tmp_path / "ngrams"),
+        )
+        append_ngram_index(d.where("doc_id < 100"), table, 3)
+        compact_bucketed_index(spark, table)
+        idx, meta = load_ngram_index(spark, table, with_meta=True)
+        assert meta["n"] == 3
+        got = sorted(
+            tuple(r)
+            for r in phrase_search(
+                None, phrase, index=idx, meta=meta
+            ).collect()
+        )
+        want = sorted(
+            tuple(r) for r in phrase_search(d, phrase).collect()
+        )
+        assert got == want and len(got) > 0
+        with pytest.raises(ValueError, match="built with"):
+            phrase_search(None, "two tokens", index=idx, meta=meta)
+        with pytest.raises(ValueError, match="corpus df"):
+            phrase_search(None, phrase)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compact_stage")
+
+
+def test_bm25_loader_detects_crashed_swap(spark, tmp_path):
+    """The shared crashed-swap state is detected by the lexical loaders
+    too (they joined the same convention)."""
+    from pyveb_spark.session import local_df
+    from pyveb_spark.sinks.index_store import (
+        load_bm25_index,
+        load_ngram_index,
+    )
+    from pyveb_spark.sinks.writers import write_bucketed_table
+
+    table = f"t_bmcrash_{uuid.uuid4().hex[:8]}"
+    stage = f"{table}__compact_stage"
+    try:
+        write_bucketed_table(
+            local_df(
+                spark,
+                [("hash", 1, 2)],
+                "token string, doc_id int, tf bigint",
+            ),
+            stage,
+            ["token"],
+            num_buckets=4,
+        )
+        with pytest.raises(RuntimeError, match="SET LOCATION"):
+            load_bm25_index(spark, table, str(tmp_path / "dl"))
+        with pytest.raises(RuntimeError, match="SET LOCATION"):
+            load_ngram_index(spark, table)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {stage}")
