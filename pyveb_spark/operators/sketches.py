@@ -38,6 +38,7 @@ __all__ = [
     "bloom_positions",
     "bloom_build",
     "bloom_probe",
+    "bloom_gated_anti_join",
     "kmv_sketch",
     "KMV_M",
 ]
@@ -357,6 +358,48 @@ def bloom_probe(
     return df.join(
         hit.withColumnRenamed("__key", key_col), key_col, "left"
     ).withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0)))
+
+
+def bloom_gated_anti_join(
+    df: DataFrame,
+    bloom: DataFrame,
+    exact_ids,
+    key_col: str,
+    num_bits: int = 2048,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Anti-join with a Bloom prefilter — the streaming-admission
+    idempotence check at corpus scale: rows whose keys the filter
+    definitely hasn't seen (Bloom has NO false negatives) are new by
+    construction and skip the exact side entirely; only possible-hits
+    (true members + the designed false-positive rate) pay the exact
+    anti-join. ``exact_ids`` is the seen-keys frame OR a zero-arg
+    callable returning it — the callable is invoked ONLY when the
+    filter reports possible hits, so a no-overlap batch (the common
+    case in append-mostly ingest) never constructs the corpus-id scan
+    at all. That flips the per-batch cost from O(corpus ids) to
+    O(batch × filter), with the filter a fixed-size broadcast word
+    table.
+
+    Semantics are EXACTLY ``df.join(seen, key, "left_anti")``
+    (equivalence pinned by test): over-approximation by the filter only
+    routes more rows through the exact check, never changes the result.
+    The possible-hit emptiness probe and the union branches each
+    re-evaluate the batch-sized bloom_probe plan — batch-scale work by
+    definition, the price of never touching corpus-scale state."""
+    probed = bloom_probe(
+        df, bloom, key_col, num_bits, num_hashes, out_col="__bloom_hit"
+    )
+    maybe = probed.where(F.col("__bloom_hit") == 1).drop("__bloom_hit")
+    definite_new = probed.where(F.col("__bloom_hit") == 0).drop(
+        "__bloom_hit"
+    )
+    if maybe.isEmpty():
+        return definite_new
+    ids = exact_ids() if callable(exact_ids) else exact_ids
+    return definite_new.unionByName(
+        maybe.join(ids, key_col, "left_anti")
+    )
 
 
 # ---------------------------------------------------------------------------

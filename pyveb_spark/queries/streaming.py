@@ -924,9 +924,14 @@ def q218_stream_ivfpq_admission(
     + coarse centroids, both persisted with build manifests) and seeds
     the encoded postings; arrivals (vec_id % 17 == 0) replay as a file
     stream (``maxFilesPerTrigger=1`` → real multi-batch execution) and
-    each micro-batch is (a) admitted idempotently — an anti-join
-    against the postings' id column makes a replayed batch a no-op,
-    the restart contract — (b) assigned to its coarse list and
+    each micro-batch is (a) admitted idempotently through the
+    PERSISTED id-Bloom screen (``bloom_gated_anti_join``: keys the
+    filter has never seen are new by construction — no false
+    negatives; only possible-hits pay the exact anti-join against the
+    postings' id column, so a replayed batch is a no-op and a fresh
+    batch never touches corpus-scale state; filter updated BEFORE the
+    append so a crash between the two only over-approximates, which
+    the exact check absorbs) — (b) assigned to its coarse list and
     PQ-encoded against the FROZEN reloaded quantizers (the standard
     IVF serving contract: re-clustering is the rebuild path), (c)
     appended into the list-partitioned postings, and (d) followed by
@@ -946,13 +951,15 @@ def q218_stream_ivfpq_admission(
     training population restricted to the corpus.
 
     100 TB design: per-batch cost is |batch| × (m argmin folds + one
-    coarse argmin) + an append into its lists' partitions — the corpus
-    is never rescanned and never re-encoded; the anti-join reads ONLY
-    the narrow id column of the codes table (at real scale: a Bloom
-    filter or the checkpoint's state store); compaction amortizes to
-    one rewrite per ~cap batches per list, off the query path (atomic
-    directory swap — probes see old or new layout, never half).
-    Pre-checkpoint plan gated via :func:`_q218_frame`."""
+    coarse argmin + the fixed-size Bloom probe) + an append into its
+    lists' partitions — the corpus is never rescanned, never
+    re-encoded, and (since round 12) its id column is never re-listed
+    either: the admission screen is a broadcast word table whose size
+    is fixed by the filter geometry, refreshed exactly at compaction
+    time. Compaction amortizes to one rewrite per ~cap batches per
+    list, off the query path (staged swap — probes see old or new
+    layout, never half). Pre-checkpoint plan gated via
+    :func:`_q218_frame`."""
     import shutil
     import tempfile
 
@@ -974,13 +981,17 @@ def _q218_frame(spark: SparkSession, sf_dir: str, tmp: str) -> DataFrame:
         pq_encode,
         pq_train,
     )
+    from pyveb_spark.operators.sketches import bloom_gated_anti_join
     from pyveb_spark.sinks.index_store import (
         append_ivf_postings,
+        load_id_bloom,
         load_ivf_index,
         load_pq_codebooks,
         maybe_compact_ivf_postings,
+        save_id_bloom,
         save_ivf_index,
         save_pq_codebooks,
+        update_id_bloom,
     )
     from pyveb_spark.streaming.stream import (
         read_file_stream,
@@ -1010,6 +1021,16 @@ def _q218_frame(spark: SparkSession, sf_dir: str, tmp: str) -> DataFrame:
     _, frozen_cents, ivf_meta = load_ivf_index(
         spark, ivf_dir, with_meta=True
     )
+    # the admission screen: a persisted Bloom filter over the postings'
+    # id column, so per-batch idempotence checking is O(batch × filter)
+    # instead of a corpus-id scan per micro-batch (the round-11 scale
+    # watch). The exact anti-join still backs the possible-hit rows —
+    # semantics identical, pinned by test.
+    postings_dir = os.path.join(ivf_dir, "postings")
+    bloom_path = os.path.join(ivf_dir, "idbloom")
+    save_id_bloom(
+        spark.read.parquet(postings_dir).select("vec_id"), bloom_path
+    )
 
     # ---- stream: admit → frozen-quantizer encode → append → compact ----
     drops = os.path.join(tmp, "drops")
@@ -1019,10 +1040,26 @@ def _q218_frame(spark: SparkSession, sf_dir: str, tmp: str) -> DataFrame:
     )
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
-        current_ids = spark.read.parquet(
-            os.path.join(ivf_dir, "postings")
-        ).select("vec_id")
-        fresh = batch_df.join(current_ids, "vec_id", "left_anti")
+        bloom, bmeta = load_id_bloom(spark, bloom_path)
+        fresh = bloom_gated_anti_join(
+            batch_df,
+            bloom,
+            # constructed ONLY when the filter reports possible hits —
+            # replayed batches take this path; fresh batches never
+            # touch corpus-scale state
+            lambda: spark.read.parquet(postings_dir).select("vec_id"),
+            "vec_id",
+            int(bmeta["num_bits"]),
+            int(bmeta["num_hashes"]),
+        )
+        # pin the admitted set: the filter update below overwrites the
+        # word table the lazy plan reads, so both the update and the
+        # postings append must see the SAME materialized rows
+        fresh = fresh.localCheckpoint(eager=True)
+        # filter BEFORE postings (update_id_bloom's ordering contract):
+        # a crash between the two over-approximates — replayed keys
+        # fall back to the exact check — never double-admits
+        update_id_bloom(fresh.select("vec_id"), bloom_path)
         encoded = pq_encode(
             fresh.withColumn(
                 "ivf_list",
@@ -1037,7 +1074,16 @@ def _q218_frame(spark: SparkSession, sf_dir: str, tmp: str) -> DataFrame:
         # cap 3 with 3 micro-batches over a 1-file-per-list seed index:
         # the threshold trips on the LAST batch, so every run exercises
         # both the cheap no-op checks and one real in-lifecycle rewrite
-        maybe_compact_ivf_postings(spark, ivf_dir, max_files_per_list=3)
+        if maybe_compact_ivf_postings(spark, ivf_dir, max_files_per_list=3):
+            # compaction-time refresh: exact rebuild from the postings
+            # ids sheds any crash-window over-approximation, same
+            # geometry (the artifact's manifest stays authoritative)
+            save_id_bloom(
+                spark.read.parquet(postings_dir).select("vec_id"),
+                bloom_path,
+                num_bits=int(bmeta["num_bits"]),
+                num_hashes=int(bmeta["num_hashes"]),
+            )
 
     q = run_available_now(
         stream, os.path.join(tmp, "ck"), foreach_batch=_admit

@@ -56,6 +56,9 @@ __all__ = [
     "save_simhash_index",
     "load_simhash_index",
     "append_simhash_index",
+    "save_id_bloom",
+    "load_id_bloom",
+    "update_id_bloom",
     "save_bm25_index",
     "load_bm25_index",
     "append_bm25_index",
@@ -739,6 +742,102 @@ def append_simhash_index(
     postings.write.format("parquet").mode("append").bucketBy(
         num_buckets, "__band", "__h"
     ).saveAsTable(table)
+
+
+# ---------------------------------------------------------------------------
+# Persisted membership Bloom filter (round 12): the admission-screen
+# sidecar for streaming ingest against a durable index — replaces the
+# per-batch corpus-id scan the q218 lifecycle was flagged for.
+# ---------------------------------------------------------------------------
+
+
+def save_id_bloom(
+    ids: DataFrame,
+    path: str,
+    key_col: str = "vec_id",
+    num_bits: int | None = None,
+    num_hashes: int = 3,
+) -> None:
+    """Build and persist a Bloom filter over an index's id column — the
+    fixed-size membership sidecar that makes streaming admission's
+    idempotence check O(batch) instead of O(corpus ids) per micro-batch
+    (``sketches.bloom_gated_anti_join``). ``num_bits=None`` auto-sizes
+    to ~10 bits per member (~1% FP at 3 hashes) from a count of the ids
+    frame — one narrow scan, paid once at build/refresh time. The
+    geometry is persisted as a typed manifest next to the word table: a
+    probe hashed with different bits/hashes tests garbage positions, so
+    the parameters belong to the artifact (the ``check_index_meta``
+    contract). Refresh by calling this again on the index's id column —
+    the compaction-time step that also sheds any conservative
+    over-approximation accumulated by ``update_id_bloom``'s
+    merge-before-append ordering."""
+    from pyveb_spark.operators.sketches import bloom_build
+
+    if num_bits is None:
+        n = ids.count()
+        num_bits = max(2048, 10 * int(n))
+    bloom = bloom_build(ids, key_col, num_bits, num_hashes)
+    bloom.coalesce(1).write.mode("overwrite").parquet(path)
+    _write_manifest(
+        ids.sparkSession,
+        path + "_meta",
+        {
+            "num_bits": int(num_bits),
+            "num_hashes": int(num_hashes),
+            "key_col": key_col,
+        },
+    )
+
+
+def load_id_bloom(spark: SparkSession, path: str):
+    """(word-table frame, geometry manifest) — pass both straight into
+    ``bloom_probe``/``bloom_gated_anti_join``. The word table is
+    ≤ num_bits/63 rows — broadcast-sized by construction."""
+    return spark.read.parquet(path), _read_manifest(spark, path + "_meta")
+
+
+def update_id_bloom(batch_ids: DataFrame, path: str) -> None:
+    """OR an admitted batch's keys into the persisted filter. Bloom
+    words merge exactly (bit_or is the union), so the incremental
+    filter equals a from-scratch rebuild over the grown corpus — no
+    false-negative drift, ever. The merged table is collected
+    (≤ num_bits/63 rows — model-sized) and rewritten through the Arrow
+    LocalRelation path, so the overwrite never reads its own input.
+
+    Ordering contract for crash-safe idempotent admission: update the
+    filter BEFORE appending the batch to the index. A crash between
+    the two leaves the filter OVER-approximating (keys marked present
+    that never landed) — those keys just take the exact-anti-join path
+    on replay and are admitted correctly. The reverse order would
+    under-approximate — a replayed batch would skip the exact check
+    and double-admit. Over-approximation is healed at compaction time
+    by re-running ``save_id_bloom`` on the index's id column."""
+    from pyveb_spark.operators.sketches import bloom_build
+    from pyveb_spark.session import local_df
+
+    spark = batch_ids.sparkSession
+    meta = _read_manifest(spark, path + "_meta")
+    if not meta:
+        raise ValueError(
+            f"no Bloom manifest at {path + '_meta'!r} — build the "
+            "filter with save_id_bloom before updating it"
+        )
+    delta = bloom_build(
+        batch_ids,
+        meta["key_col"],
+        int(meta["num_bits"]),
+        int(meta["num_hashes"]),
+    )
+    merged = (
+        spark.read.parquet(path)
+        .unionByName(delta)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    rows = [(int(r["word_idx"]), int(r["word"])) for r in merged.collect()]
+    local_df(spark, rows, "word_idx bigint, word bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
 
 
 # ---------------------------------------------------------------------------

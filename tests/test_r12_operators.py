@@ -449,3 +449,144 @@ def test_bm25_loader_detects_crashed_swap(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {stage}")
+
+
+# ---------------------------------------------------------------------------
+# Round-12 tranche part 3: Bloom-gated streaming admission (the q218
+# per-batch corpus-id-scan fix) — equivalence, laziness, crash ordering
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_gated_anti_join_equals_exact(spark, tmp_path):
+    """The prefilter must be semantically invisible: for batches with
+    and without overlap, bloom_gated_anti_join == plain left_anti. The
+    exact-ids side must be constructed ONLY when the filter reports
+    possible hits (the whole point — a fresh batch never touches
+    corpus-scale state)."""
+    from pyveb_spark.operators.sketches import bloom_gated_anti_join
+    from pyveb_spark.sinks.index_store import load_id_bloom, save_id_bloom
+
+    e = read_table(spark, SF, "embeddings")
+    corpus = e.where("vec_id % 17 != 0").select("vec_id")
+    path = str(tmp_path / "bloom")
+    save_id_bloom(corpus, path)
+    bloom, meta = load_id_bloom(spark, path)
+    calls = []
+
+    def exact_ids():
+        calls.append(1)
+        return corpus
+
+    # overlap batch: half seen, half new
+    batch = e.where("vec_id % 2 = 0").select("vec_id", "label")
+    got = sorted(
+        r.vec_id
+        for r in bloom_gated_anti_join(
+            batch, bloom, exact_ids, "vec_id",
+            int(meta["num_bits"]), int(meta["num_hashes"]),
+        ).collect()
+    )
+    want = sorted(
+        r.vec_id
+        for r in batch.join(corpus, "vec_id", "left_anti").collect()
+    )
+    assert got == want and len(calls) == 1
+
+    # fresh batch (ids far outside the corpus): the exact side must
+    # never be constructed...
+    from pyveb_spark.session import local_df
+
+    fresh_only = local_df(
+        spark,
+        [(10_000_019,), (10_000_037,)],
+        "vec_id bigint",
+    )
+    calls.clear()
+    got2 = sorted(
+        r.vec_id
+        for r in bloom_gated_anti_join(
+            fresh_only, bloom, exact_ids, "vec_id",
+            int(meta["num_bits"]), int(meta["num_hashes"]),
+        ).collect()
+    )
+    # ...unless one of them happens to be a Bloom false positive, in
+    # which case constructing it is exactly the designed behavior
+    assert got2 == [10_000_019, 10_000_037]
+    assert len(calls) in (0, 1)
+
+
+def test_id_bloom_update_then_replay_is_noop(spark, tmp_path):
+    """The streaming restart contract through the filter: after a batch
+    is admitted (filter updated + ids appended), replaying the same
+    batch admits nothing — and the incremental filter equals a
+    from-scratch rebuild (bit_or merge is exact union)."""
+    from pyveb_spark.operators.sketches import bloom_gated_anti_join
+    from pyveb_spark.sinks.index_store import (
+        load_id_bloom,
+        save_id_bloom,
+        update_id_bloom,
+    )
+
+    e = read_table(spark, SF, "embeddings")
+    corpus = e.where("vec_id < 200").select("vec_id")
+    batch = e.where(
+        "vec_id >= 200 AND vec_id < 260"
+    ).select("vec_id")
+    path = str(tmp_path / "bloom")
+    save_id_bloom(corpus, path, num_bits=8192)
+    update_id_bloom(batch, path)
+    grown = corpus.unionByName(batch)
+    bloom, meta = load_id_bloom(spark, path)
+    replayed = bloom_gated_anti_join(
+        batch.withColumn("label", F.lit("x")), bloom, grown, "vec_id",
+        int(meta["num_bits"]), int(meta["num_hashes"]),
+    )
+    assert replayed.count() == 0
+    # incremental == rebuild, word for word
+    save_id_bloom(grown, str(tmp_path / "rebuilt"), num_bits=8192)
+    a = sorted(tuple(r) for r in bloom.collect())
+    b = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "rebuilt")).collect()
+    )
+    assert a == b
+
+
+def test_id_bloom_over_approximation_is_safe(spark, tmp_path):
+    """The crash-window ordering contract: keys ORed into the filter
+    whose append never landed (filter-before-postings, then crash) must
+    still be admitted on replay — they bloom-hit, fall to the exact
+    check, and come through. Nothing is ever lost to the filter."""
+    from pyveb_spark.operators.sketches import bloom_gated_anti_join
+    from pyveb_spark.sinks.index_store import (
+        load_id_bloom,
+        save_id_bloom,
+        update_id_bloom,
+    )
+
+    e = read_table(spark, SF, "embeddings")
+    corpus = e.where("vec_id < 100").select("vec_id")
+    lost_batch = e.where(
+        "vec_id >= 100 AND vec_id < 130"
+    ).select("vec_id")
+    path = str(tmp_path / "bloom")
+    save_id_bloom(corpus, path, num_bits=8192)
+    # simulate the crash: filter updated, postings never appended
+    update_id_bloom(lost_batch, path)
+    bloom, meta = load_id_bloom(spark, path)
+    readmitted = bloom_gated_anti_join(
+        lost_batch, bloom, corpus, "vec_id",
+        int(meta["num_bits"]), int(meta["num_hashes"]),
+    )
+    assert readmitted.count() == lost_batch.count()
+
+
+def test_update_id_bloom_without_manifest_raises(spark, tmp_path):
+    from pyveb_spark.session import local_df
+    from pyveb_spark.sinks.index_store import update_id_bloom
+
+    with pytest.raises(ValueError, match="save_id_bloom"):
+        update_id_bloom(
+            local_df(spark, [(1,)], "vec_id bigint"),
+            str(tmp_path / "nope"),
+        )
