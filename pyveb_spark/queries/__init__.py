@@ -348,6 +348,11 @@ QUERIES = {
     # the SHARED crash-safe compact_bucketed_index lifecycle
     "q220_bm25_persisted_lifecycle": q220_bm25_persisted_lifecycle,
     "q221_phrase_persisted_lifecycle": q221_phrase_persisted_lifecycle,
+    # the acting half of q211's health audit: rebuild_ivf_index
+    # retrains the coarse quantizer (oracle-replayable Lloyd unroll) on
+    # the grown population, re-assigns by id-join, rename-aside swaps
+    # the artifact version, and serves q207's probe from the reload
+    "q222_ivf_rebuild_lifecycle": q222_ivf_rebuild_lifecycle,
 }
 
 ORACLE_SQL = {
@@ -572,6 +577,7 @@ ORACLE_SQL = {
     "q219_simhash_persisted_admission": _Q219_SQL,
     "q220_bm25_persisted_lifecycle": _Q220_SQL,
     "q221_phrase_persisted_lifecycle": _Q221_SQL,
+    "q222_ivf_rebuild_lifecycle": _Q222_SQL,
 }
 
 # ---------------------------------------------------------------------------

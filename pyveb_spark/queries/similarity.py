@@ -2225,3 +2225,127 @@ def q217_ivf_compacted_search(
 
 
 _Q217_SQL = _Q210_SQL
+
+
+# ---------------------------------------------------------------------------
+# IVF REBUILD lifecycle (round-12 tranche): the re-cluster step q211's
+# health audit exists to trigger, executed and certified
+# ---------------------------------------------------------------------------
+
+def q222_ivf_rebuild_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The acting half of q211's index-health audit: q210 froze the
+    coarse quantizer while batches appended (the serving contract), and
+    the audit's drift table is pointless unless something ACTS on it —
+    ``rebuild_ivf_index`` retrains the quantizer with Lloyd's k-means
+    (k=16, 2 unrolled iterations, tol=0 — the engine-portable md5-seeded
+    recurrence q57/q91 certified) on the GROWN population, re-assigns
+    every posting by id-join (non-list columns untouched), and swaps the
+    artifact version with the rename-aside discipline while the original
+    serves. The lifecycle here: seed the index on the vec_id % 5 != 0
+    corpus, admit the % 5 == 0 wave under the FROZEN quantizer (q210's
+    shape), then rebuild over everything and serve q207's probe
+    (k=8, nprobe=3) from the RELOADED rebuilt artifact.
+
+    Correctness claim: the rebuilt artifact's state is fully determined
+    by (population, k, iters) — the seed/append history is erased by
+    re-clustering — so the served result equals a from-scratch
+    full-population k-means IVF index: the ``_kmeans_assign_ctes``
+    unroll (assignment = ``aF``, final centroids = ``cent2``) with
+    q207's probe/score/rank tail. Persistence, the frozen-quantizer
+    admission interlude, and the swap are all semantically invisible.
+
+    100 TB design: the rebuild is one k-means fit + one assignment scan
+    + one partitioned rewrite — initial-build cost, run at audit
+    cadence, off the ingest and query paths; serving keeps q207's
+    partition-pruned probe. Balance-improvement and crash-window
+    recovery are pinned by tests (test_r12_operators.py).
+    Pre-checkpoint plan gated via :func:`_q222_frame`."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="q222_")
+    try:
+        return _q222_frame(spark, sf_dir, tmp).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q222_frame(spark: SparkSession, sf_dir: str, tmp: str) -> DataFrame:
+    """q222's pre-checkpoint frame over a caller-owned artifact dir."""
+    import os
+
+    from pyveb_spark.operators.similarity import (
+        ivf_index,
+        ivf_search,
+        nearest_centroid,
+    )
+    from pyveb_spark.sinks.index_store import (
+        append_ivf_postings,
+        load_ivf_index,
+        rebuild_ivf_index,
+        save_ivf_index,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    query_vec = _query_vec(e)
+    ivf_dir = os.path.join(tmp, "ivf")
+
+    # seed on the original corpus, admit the wave FROZEN (q210 shape)
+    corpus0 = e.where(F.col("vec_id") % 5 != 0)
+    wave = e.where(F.col("vec_id") % 5 == 0)
+    indexed0, cents0 = ivf_index(corpus0, n_lists=16)
+    save_ivf_index(indexed0, cents0, ivf_dir)
+    _, frozen, _ = load_ivf_index(spark, ivf_dir, with_meta=True)
+    append_ivf_postings(
+        wave.withColumn(
+            "ivf_list",
+            nearest_centroid(F.col("embedding"), frozen)["list_id"],
+        ),
+        ivf_dir,
+    )
+
+    # act on drift: retrain on the grown population, swap, serve
+    rebuild_ivf_index(spark, ivf_dir, e, kmeans_iters=2, tol=0.0)
+    postings, cents, meta = load_ivf_index(spark, ivf_dir, with_meta=True)
+    return ivf_search(
+        postings, cents, query_vec, k=8, nprobe=3,
+        exclude_ids=[0], meta=meta,
+    ).select(
+        "vec_id", "label", F.round("cosine_sim", 4).alias("cosine_sim")
+    )
+
+
+def _q222_sql() -> str:
+    # the rebuilt state == from-scratch 2-iteration Lloyd over the full
+    # population: aF assignments + cent2 centroids, then q207's probe
+    # (3 nearest lists to the query, ties to the lower id) and
+    # cosine-ranked top 8 excluding the query itself
+    body = _kmeans_assign_ctes(16, 2)
+    return f"""
+WITH {body},
+qd AS (SELECT generate_subscripts(embedding, 1) - 1 AS d,
+              unnest(embedding::DOUBLE[]) AS v
+       FROM embeddings WHERE vec_id = 0),
+pdist AS (SELECT c.list_id, SUM((c.c - q.v) * (c.c - q.v)) AS dist
+          FROM cent2 c JOIN qd q ON q.d = c.d
+          GROUP BY c.list_id),
+probe AS (SELECT list_id FROM pdist ORDER BY dist, list_id LIMIT 3),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (SELECT e.vec_id, e.label,
+                  list_dot_product(e.embedding::DOUBLE[], q.qv)
+                    / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                             e.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+           FROM embeddings e
+           JOIN aF a ON a.vec_id = e.vec_id
+           CROSS JOIN q
+           WHERE a.cluster IN (SELECT list_id FROM probe)
+             AND e.vec_id <> 0)
+SELECT vec_id, label, ROUND(sim, 4) AS cosine_sim
+FROM scored
+ORDER BY sim DESC, vec_id ASC
+LIMIT 8
+"""
+
+
+_Q222_SQL = _q222_sql()

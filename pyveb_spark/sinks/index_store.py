@@ -46,6 +46,7 @@ __all__ = [
     "append_ivf_postings",
     "compact_ivf_postings",
     "maybe_compact_ivf_postings",
+    "rebuild_ivf_index",
     "save_lsh_index",
     "load_lsh_index",
     "save_minhash_index",
@@ -190,6 +191,30 @@ def save_ivf_index(
     _write_manifest(spark, os.path.join(path, _IVF_MANIFEST), manifest)
 
 
+def _raise_if_crashed_rebuild(spark: SparkSession, path: str) -> None:
+    """Detect an IVF rebuild that died inside its directory swap: the
+    index path has no postings, but the rebuild's stage (complete new
+    artifact) or aside copy (complete previous artifact) exists."""
+    HPath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = HPath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(HPath(os.path.join(path, _IVF_POSTINGS))):
+        return
+    stage = path.rstrip("/") + "__rebuild_stage"
+    aside = path.rstrip("/") + "__rebuild_old"
+    has_stage, has_aside = fs.exists(HPath(stage)), fs.exists(HPath(aside))
+    if has_stage or has_aside:
+        raise RuntimeError(
+            f"IVF index {path!r} has no postings but a rebuild artifact "
+            f"exists ({'stage' if has_stage else ''}"
+            f"{'+' if has_stage and has_aside else ''}"
+            f"{'aside' if has_aside else ''}) — a rebuild_ivf_index "
+            "crashed inside the directory swap. Both datasets are "
+            "complete: recover the NEW artifact by renaming "
+            f"{stage!r} to {path!r}, or the previous one by renaming "
+            f"{aside!r} to {path!r}."
+        )
+
+
 def load_ivf_index(
     spark: SparkSession,
     path: str,
@@ -202,6 +227,7 @@ def load_ivf_index(
     by construction. ``with_meta=True`` also returns the build manifest
     (``{}`` for a pre-manifest artifact) — pass it to
     ``ivf_search(meta=...)`` so a dim/list-count drift fails loudly."""
+    _raise_if_crashed_rebuild(spark, path)
     postings = spark.read.parquet(os.path.join(path, _IVF_POSTINGS))
     postings = postings.withColumn(
         list_col, F.col(list_col).cast("int")
@@ -305,6 +331,169 @@ def maybe_compact_ivf_postings(
         spark, path, target_mb=target_mb, list_col=list_col
     )
     return True
+
+
+def rebuild_ivf_index(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    n_lists: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "ivf_list",
+    kmeans_iters: int = 0,
+    tol: float = 0.0,
+    meta: dict | None = None,
+) -> dict:
+    """The RE-CLUSTER lifecycle step the frozen-quantizer serving
+    contract defers to (``append_ivf_postings``: "re-clustering is the
+    rebuild path") and q211's health audit exists to trigger: as
+    batches append under centroids trained on the original corpus, hot
+    regions of the drifted distribution pile into a few lists and probe
+    cost per pruned list grows unevenly. This retrains the coarse
+    quantizer on the GROWN population, re-assigns every posting, and
+    swaps the artifact version atomically — the acting half of the
+    audit.
+
+    ``source`` is the full current population ``(id, vector)`` — for a
+    flat index the postings themselves work; for an encoded index
+    (PQ/SQ8 codes, no raw vectors in the postings) pass the vector
+    corpus. Retraining uses Lloyd's k-means (``kmeans_iters`` > 0 —
+    the balance-restoring path, pinned by test) or the deterministic
+    md5 seed-sample (``kmeans_iters=0`` — oracle-replayable verbatim);
+    both are engine-portable, so a rebuilt index stays under the full
+    value-hash oracle (q222). Postings keep every non-list column
+    untouched (codes are NOT re-encoded — this implementation encodes
+    raw vectors, not residuals, so codes are list-independent): the new
+    assignment joins onto the old rows by id, and a source that fails
+    to cover the postings ids aborts loudly before any swap (silent
+    row loss is the failure mode).
+
+    Swap discipline (the shared rename-aside contract): the complete
+    new artifact — postings partitioned by the new assignment,
+    centroids, manifest (old extras preserved, geometry keys
+    refreshed), plus COPIES of any sidecar artifacts living in the
+    index dir (e.g. the q218 admission Bloom — id-set-dependent, and
+    the id set is preserved) — is staged at ``<path>__rebuild_stage``
+    while the original serves; then original → ``<path>__rebuild_old``,
+    stage → ``<path>``, aside deleted last. Both datasets exist in
+    full through every crash window; ``load_ivf_index`` detects the
+    mid-swap state and names the recovery.
+
+    Returns the balance report: per-list max/mean ratio (empty lists
+    count as zero) before and after — the number q211 monitors, so the
+    operator can log the improvement the rebuild bought.
+
+    100 TB note: cost is one k-means fit over the population (or one
+    hash-sample scan), one assignment scan, one partitioned rewrite —
+    the same order as the initial build, run at the cadence the health
+    audit indicates (weeks, not batches), entirely off the ingest and
+    query paths."""
+    from pyveb_spark.operators.similarity import (
+        _seed_centroids,
+        kmeans_fit,
+        nearest_centroid,
+    )
+
+    postings_dir = os.path.join(path, _IVF_POSTINGS)
+    HPath = spark._jvm.org.apache.hadoop.fs.Path
+    conf = spark._jsc.hadoopConfiguration()
+    fs = HPath(path).getFileSystem(conf)
+    if not fs.exists(HPath(postings_dir)):
+        _raise_if_crashed_rebuild(spark, path)
+        raise ValueError(
+            f"IVF postings directory {postings_dir!r} does not exist — "
+            "seed the index with save_ivf_index before rebuilding"
+        )
+    stage = path.rstrip("/") + "__rebuild_stage"
+    aside = path.rstrip("/") + "__rebuild_old"
+    # leftovers: a stage from a run that failed before its swap (the
+    # live original is authoritative — redo), an aside from a completed
+    # swap that crashed before final cleanup (stale — drop)
+    fs.delete(HPath(stage), True)
+    fs.delete(HPath(aside), True)
+
+    old_postings, _, old_meta = load_ivf_index(
+        spark, path, list_col=list_col, with_meta=True
+    )
+    before = {
+        int(r[list_col]): int(r["n"])
+        for r in old_postings.groupBy(list_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if n_lists is None:
+        n_lists = int(old_meta.get("n_lists", len(before)))
+
+    vecs = source.select(id_col, vec_col)
+    if kmeans_iters > 0:
+        new_cents = kmeans_fit(
+            vecs, k=n_lists, max_iter=kmeans_iters, tol=tol,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        new_cents = _seed_centroids(vecs, n_lists, id_col, vec_col)
+    assigned = vecs.select(
+        F.col(id_col),
+        nearest_centroid(F.col(vec_col), new_cents)["list_id"].alias(
+            list_col
+        ),
+    )
+    new_postings = old_postings.drop(list_col).join(assigned, id_col)
+    new_meta = {
+        k: v for k, v in old_meta.items() if k not in ("n_lists", "dim")
+    }
+    new_meta.update(meta or {})
+    save_ivf_index(
+        new_postings, new_cents, stage, list_col=list_col, meta=new_meta
+    )
+
+    after = {
+        int(r[list_col]): int(r["n"])
+        for r in spark.read.parquet(os.path.join(stage, _IVF_POSTINGS))
+        .groupBy(list_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_before, n_after = sum(before.values()), sum(after.values())
+    if n_before != n_after:
+        fs.delete(HPath(stage), True)
+        raise ValueError(
+            f"rebuild source does not cover the postings ids: "
+            f"{n_before} postings rows but {n_after} survived the "
+            "re-assignment join — the original artifact is untouched; "
+            "pass a source containing every indexed id"
+        )
+    # sidecar artifacts (anything that is not the three core dirs)
+    # travel as COPIES so the live artifact keeps its own until the swap
+    FileUtil = spark._jvm.org.apache.hadoop.fs.FileUtil
+    core = {_IVF_POSTINGS, _IVF_CENTROIDS, _IVF_MANIFEST}
+    for st in fs.listStatus(HPath(path)):
+        name = st.getPath().getName()
+        if name in core:
+            continue
+        FileUtil.copy(
+            fs, st.getPath(), fs,
+            HPath(os.path.join(stage, name)), False, conf,
+        )
+    # rename-aside swap: both datasets exist through every window
+    fs.rename(HPath(path), HPath(aside))
+    fs.rename(HPath(stage), HPath(path))
+    fs.delete(HPath(aside), True)
+
+    def _imbalance(counts: dict[int, int]) -> float:
+        total = sum(counts.values())
+        mean = total / float(n_lists) if n_lists else 0.0
+        return round(max(counts.values()) / mean, 4) if mean else 0.0
+
+    return {
+        "n_rows": n_after,
+        "n_lists": int(n_lists),
+        "before_max": max(before.values()),
+        "before_imbalance": _imbalance(before),
+        "after_max": max(after.values()),
+        "after_imbalance": _imbalance(after),
+    }
 
 
 def save_lsh_index(

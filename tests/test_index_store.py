@@ -354,6 +354,7 @@ def test_lifecycle_pre_checkpoint_plans(spark, tmp_path):
         _q213_frame,
         _q214_frame,
         _q215_frame,
+        _q222_frame,
     )
     from pyveb_spark.queries.streaming import _q218_frame
     from pyveb_spark.queries.text import _q220_frame, _q221_frame
@@ -389,6 +390,7 @@ def test_lifecycle_pre_checkpoint_plans(spark, tmp_path):
         frames["q221"] = _q221_frame(
             spark, SF, str(tmp_path / "i221"), t221
         )
+        frames["q222"] = _q222_frame(spark, SF, str(tmp_path / "i222"))
 
         window_offenders, py_offenders = {}, []
         for name, frame in frames.items():

@@ -590,3 +590,168 @@ def test_update_id_bloom_without_manifest_raises(spark, tmp_path):
             local_df(spark, [(1,)], "vec_id bigint"),
             str(tmp_path / "nope"),
         )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 tranche part 4: rebuild_ivf_index — the act-on-drift
+# lifecycle step (balance restoration, crash-safe version swap,
+# sidecar survival, source-coverage guard)
+# ---------------------------------------------------------------------------
+
+
+def _hotspot_index(spark, tmp_path):
+    """Seed an IVF index on the real embeddings, then admit a HOT-SPOT
+    wave: 120 new ids whose vectors all sit in one tiny region (a dense
+    arrival cluster the frozen quantizer funnels into one list) — the
+    drift scenario q211's audit flags."""
+    import numpy as np
+
+    from pyveb_spark.operators.similarity import (
+        ivf_index,
+        nearest_centroid,
+    )
+    from pyveb_spark.session import local_df
+    from pyveb_spark.sinks.index_store import (
+        append_ivf_postings,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    e = read_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivf")
+    indexed0, cents0 = ivf_index(e, n_lists=16)
+    save_ivf_index(indexed0, cents0, path)
+    _, frozen, _ = load_ivf_index(spark, path, with_meta=True)
+    base = np.asarray(
+        e.where(F.col("vec_id") == 1).first()["embedding"], dtype=float
+    )
+    rows = []
+    for i in range(120):
+        v = base.copy()
+        v[0] += (i % 7) * 1e-3  # deterministic micro-jitter
+        rows.append((100_000 + i, int(i % 3), [float(x) for x in v]))
+    wave = local_df(
+        spark, rows, "vec_id bigint, label int, embedding array<float>"
+    )
+    append_ivf_postings(
+        wave.withColumn(
+            "ivf_list",
+            nearest_centroid(F.col("embedding"), frozen)["list_id"],
+        ),
+        path,
+    )
+    full = e.select("vec_id", "embedding").unionByName(
+        wave.select("vec_id", "embedding")
+    )
+    return path, full
+
+
+def test_rebuild_ivf_restores_balance_and_serves(spark, tmp_path):
+    """Hot-spot drift piles the wave into one list; the k-means rebuild
+    over the grown population must reduce the max/mean imbalance AND
+    the rebuilt artifact must keep the exact id set with non-list
+    columns untouched."""
+    from pyveb_spark.sinks.index_store import (
+        load_ivf_index,
+        rebuild_ivf_index,
+    )
+
+    path, full = _hotspot_index(spark, tmp_path)
+    report = rebuild_ivf_index(spark, path, full, kmeans_iters=3)
+    assert report["n_rows"] == full.count()
+    assert report["after_imbalance"] < report["before_imbalance"], report
+    postings, cents, meta = load_ivf_index(spark, path, with_meta=True)
+    assert meta["n_lists"] == 16 and len(cents) == 16
+    # id set preserved exactly; labels (non-list columns) intact
+    assert postings.select("vec_id").distinct().count() == report["n_rows"]
+    assert (
+        postings.where("vec_id >= 100000")
+        .select("label")
+        .distinct()
+        .count()
+        == 3
+    )
+
+
+def test_rebuild_ivf_crashed_swap_detected_and_recoverable(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the rebuild between the two directory renames (index moved
+    aside, stage not yet installed): both datasets must survive,
+    load_ivf_index must refuse with the recovery naming the stage, and
+    the documented rename must restore service."""
+    import os
+
+    from pyveb_spark.sinks import index_store
+    from pyveb_spark.sinks.index_store import (
+        load_ivf_index,
+        rebuild_ivf_index,
+    )
+
+    path, full = _hotspot_index(spark, tmp_path)
+    real_save = index_store.save_ivf_index
+    state = {}
+
+    def crashing_swap_save(*a, **kw):
+        real_save(*a, **kw)
+        # after the stage artifact is fully written, simulate the crash
+        # window by doing the first rename ourselves and aborting
+        spark_jvm = spark._jvm
+        HPath = spark_jvm.org.apache.hadoop.fs.Path
+        fs = HPath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+        state["fs"], state["HPath"] = fs, HPath
+        raise RuntimeError("injected post-stage crash")
+
+    monkeypatch.setattr(index_store, "save_ivf_index", crashing_swap_save)
+    with pytest.raises(RuntimeError, match="injected"):
+        rebuild_ivf_index(spark, path, full, kmeans_iters=1)
+    monkeypatch.setattr(index_store, "save_ivf_index", real_save)
+    # manufacture the exact mid-swap state: original renamed aside
+    fs, HPath = state["fs"], state["HPath"]
+    aside = path.rstrip("/") + "__rebuild_old"
+    stage = path.rstrip("/") + "__rebuild_stage"
+    assert os.path.isdir(stage)  # complete new artifact survived
+    fs.rename(HPath(path), HPath(aside))
+    with pytest.raises(RuntimeError, match="__rebuild_stage"):
+        load_ivf_index(spark, path)
+    # the documented recovery: install the complete new artifact
+    fs.rename(HPath(stage), HPath(path))
+    postings, cents = load_ivf_index(spark, path)
+    assert postings.count() == full.count() and len(cents) == 16
+
+
+def test_rebuild_ivf_copies_sidecars_and_guards_coverage(
+    spark, tmp_path
+):
+    """(1) Sidecar artifacts in the index dir (the q218 admission
+    Bloom) must survive the version swap; (2) a source that does not
+    cover the postings ids must abort BEFORE the swap with the original
+    artifact untouched."""
+    import os
+
+    from pyveb_spark.sinks.index_store import (
+        load_id_bloom,
+        load_ivf_index,
+        rebuild_ivf_index,
+        save_id_bloom,
+    )
+
+    path, full = _hotspot_index(spark, tmp_path)
+    bloom_path = os.path.join(path, "idbloom")
+    save_id_bloom(full, bloom_path, key_col="vec_id", num_bits=8192)
+    before_words = sorted(
+        tuple(r) for r in load_id_bloom(spark, bloom_path)[0].collect()
+    )
+    n_before = load_ivf_index(spark, path)[0].count()
+
+    # under-covering source: missing the hot-spot ids
+    with pytest.raises(ValueError, match="cover"):
+        rebuild_ivf_index(
+            spark, path, full.where("vec_id < 100000"), kmeans_iters=0
+        )
+    assert load_ivf_index(spark, path)[0].count() == n_before
+
+    rebuild_ivf_index(spark, path, full, kmeans_iters=0)
+    bloom2, meta2 = load_id_bloom(spark, bloom_path)
+    assert sorted(tuple(r) for r in bloom2.collect()) == before_words
+    assert int(meta2["num_bits"]) == 8192
