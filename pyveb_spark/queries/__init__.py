@@ -353,6 +353,10 @@ QUERIES = {
     # the grown population, re-assigns by id-join, rename-aside swaps
     # the artifact version, and serves q207's probe from the reload
     "q222_ivf_rebuild_lifecycle": q222_ivf_rebuild_lifecycle,
+    # q169's hybrid production shape with BOTH legs served from durable
+    # artifacts (persisted BM25 tier + persisted IVF tier, RRF-fused) —
+    # zero session state beyond two model-sized reloads
+    "q223_hybrid_persisted_serving": q223_hybrid_persisted_serving,
 }
 
 ORACLE_SQL = {
@@ -578,6 +582,7 @@ ORACLE_SQL = {
     "q220_bm25_persisted_lifecycle": _Q220_SQL,
     "q221_phrase_persisted_lifecycle": _Q221_SQL,
     "q222_ivf_rebuild_lifecycle": _Q222_SQL,
+    "q223_hybrid_persisted_serving": _Q223_SQL,
 }
 
 # ---------------------------------------------------------------------------

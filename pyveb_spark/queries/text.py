@@ -2344,3 +2344,157 @@ def _q221_frame(
 
 
 _Q221_SQL = _Q158_SQL
+
+
+def q223_hybrid_persisted_serving(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q169's hybrid production shape with BOTH legs served from DURABLE
+    index artifacts — the composition the round-12 lexical tier exists
+    for: the BM25 top-10 comes from the persisted token-bucketed
+    postings + manifest collection stats (``bm25_search_indexed``, df
+    derived from the matched buckets), and the dense top-10 from the
+    persisted list-partitioned IVF index (``ivf_search`` k=10 nprobe=3
+    — the real approximate serving point, partition-pruned at the
+    scan), fused with reciprocal-rank fusion. Zero session state at
+    query time beyond two model-sized reloads (collection stats,
+    centroids): a restarted serving process reproduces this ranking
+    from artifacts alone.
+
+    Oracle: q44's BM25 pipeline + q207's IVF probe replay (seeded
+    centroids, argmin assignment, 3-list probe) + the RRF arithmetic,
+    end-to-end in SQL. Ranks are assigned on (rounded score, id) — the
+    q169 determinism contract. Pre-checkpoint plan gated via
+    :func:`_q223_frame`."""
+    import shutil
+    import tempfile
+    import uuid
+
+    table = f"q223_bm25_idx_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="q223_")
+    try:
+        return _q223_frame(spark, sf_dir, tmp, table).localCheckpoint(
+            eager=True
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q223_frame(
+    spark: SparkSession, sf_dir: str, tmp: str, table: str
+) -> DataFrame:
+    """q223's pre-checkpoint frame over a caller-owned table + dir."""
+    from pyveb_spark.operators.retrieval import (
+        bm25_search_indexed,
+        rrf_fuse,
+    )
+    from pyveb_spark.operators.similarity import ivf_index, ivf_search
+    from pyveb_spark.queries._helpers import _query_vec
+    from pyveb_spark.sinks.index_store import (
+        load_bm25_index,
+        load_ivf_index,
+        save_bm25_index,
+        save_ivf_index,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    e = read_table(spark, sf_dir, "embeddings")
+
+    # ---- persist both index artifacts, then serve from reloads only ----
+    save_bm25_index(d, table, f"{tmp}/doclens", path=f"{tmp}/postings")
+    indexed, cents = ivf_index(e, n_lists=16)
+    save_ivf_index(indexed, cents, f"{tmp}/ivf")
+
+    postings, doclens, bm_meta = load_bm25_index(
+        spark, table, f"{tmp}/doclens", with_meta=True
+    )
+    bm = bm25_search_indexed(
+        postings, doclens, bm_meta["n_docs"], bm_meta["sum_dl"],
+        ["hash", "merge", "scan", "window"], k=10,
+    )
+    bm_ranked = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+
+    ivf_postings, ivf_cents, ivf_meta = load_ivf_index(
+        spark, f"{tmp}/ivf", with_meta=True
+    )
+    qv = _query_vec(e)
+    knn = ivf_search(
+        ivf_postings, ivf_cents, qv, k=10, nprobe=3,
+        exclude_ids=[0], meta=ivf_meta,
+    ).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round("cosine_sim", 4).alias("sim"),
+    )
+    knn_ranked = knn.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("sim"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    return rrf_fuse([bm_ranked, knn_ranked], id_col="doc_id", k=10)
+
+
+_Q223_SQL = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+bm AS (SELECT t.doc_id,
+              ROUND(SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                        * t.tf * 2.2
+                        / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))), 6)
+                  AS bm25
+       FROM tf t JOIN dfq d USING (token) JOIN dl l USING (doc_id)
+       CROSS JOIN stats s
+       WHERE t.token IN ('hash', 'merge', 'scan', 'window')
+       GROUP BY t.doc_id
+       ORDER BY bm25 DESC, t.doc_id LIMIT 10),
+bmr AS (SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM bm),
+ch AS (SELECT vec_id, embedding,
+              ('0x' || substr(md5('ivf|' || vec_id), 1, 12))::BIGINT AS h
+       FROM embeddings),
+cent AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS list_id,
+                embedding::DOUBLE[] AS cv
+         FROM ch
+         QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 16),
+assign AS (SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.embedding::DOUBLE[], c.cv),
+                                       c.list_id) AS rk
+    FROM embeddings e CROSS JOIN cent c) t
+  WHERE rk = 1),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (SELECT c.list_id FROM cent c, q
+          ORDER BY list_distance(c.cv, q.qv), c.list_id
+          LIMIT 3),
+scored AS (SELECT e.vec_id, 
+                  list_dot_product(e.embedding::DOUBLE[], q.qv)
+                    / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+           FROM embeddings e
+           JOIN assign a ON a.vec_id = e.vec_id
+           CROSS JOIN q
+           WHERE a.list_id IN (SELECT list_id FROM probe) AND e.vec_id <> 0),
+knn AS (SELECT vec_id AS doc_id, ROUND(sim, 4) AS simr
+        FROM scored ORDER BY sim DESC, vec_id LIMIT 10),
+knnr AS (SELECT doc_id,
+                ROW_NUMBER() OVER (ORDER BY simr DESC, doc_id) AS rank
+         FROM knn),
+u AS (SELECT doc_id, 1.0 / (60 + rank) AS c FROM bmr
+      UNION ALL
+      SELECT doc_id, 1.0 / (60 + rank) AS c FROM knnr)
+SELECT doc_id, ROUND(SUM(c), 6) AS rrf_score, COUNT(*)::BIGINT AS n_lists
+FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT 10
+"""

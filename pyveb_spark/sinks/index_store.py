@@ -945,26 +945,40 @@ def save_id_bloom(
     path: str,
     key_col: str = "vec_id",
     num_bits: int | None = None,
-    num_hashes: int = 3,
+    num_hashes: int = 7,
+    bits_per_key: int = 32,
 ) -> None:
     """Build and persist a Bloom filter over an index's id column — the
     fixed-size membership sidecar that makes streaming admission's
     idempotence check O(batch) instead of O(corpus ids) per micro-batch
-    (``sketches.bloom_gated_anti_join``). ``num_bits=None`` auto-sizes
-    to ~10 bits per member (~1% FP at 3 hashes) from a count of the ids
-    frame — one narrow scan, paid once at build/refresh time. The
-    geometry is persisted as a typed manifest next to the word table: a
-    probe hashed with different bits/hashes tests garbage positions, so
-    the parameters belong to the artifact (the ``check_index_meta``
-    contract). Refresh by calling this again on the index's id column —
-    the compaction-time step that also sheds any conservative
-    over-approximation accumulated by ``update_id_bloom``'s
-    merge-before-append ordering."""
+    (``sketches.bloom_gated_anti_join``).
+
+    SIZING IS THE WHOLE GAME for the admission use-case: the screen
+    only skips the corpus-id scan when the ENTIRE batch reports zero
+    possible hits, so the per-batch false-positive budget is
+    ``batch_size × FP`` and must sit well under 1 — a "1% FP" filter
+    (the classic join-pruning sizing) false-hits on virtually every
+    1000-row batch and degenerates to exact-plus-overhead. The
+    defaults — 32 bits/key, 7 hashes → FP ≈ 9·10⁻⁶,
+    ``(1-e^{-k·n/m})^k`` — keep batches up to ~10⁴ rows hit-free >90%
+    of the time at 4 bytes/member of filter (100 M ids ≈ 400 MB: about
+    the ceiling for the broadcast form; beyond that the streaming
+    checkpoint state store is the right tool).
+
+    ``num_bits=None`` auto-sizes to ``bits_per_key`` per member from a
+    count of the ids frame — one narrow scan, paid once at
+    build/refresh time. The geometry is persisted as a typed manifest
+    next to the word table: a probe hashed with different bits/hashes
+    tests garbage positions, so the parameters belong to the artifact
+    (the ``check_index_meta`` contract). Refresh by calling this again
+    on the index's id column — the compaction-time step that also
+    sheds any conservative over-approximation accumulated by
+    ``update_id_bloom``'s merge-before-append ordering."""
     from pyveb_spark.operators.sketches import bloom_build
 
     if num_bits is None:
         n = ids.count()
-        num_bits = max(2048, 10 * int(n))
+        num_bits = max(2048, int(bits_per_key) * int(n))
     bloom = bloom_build(ids, key_col, num_bits, num_hashes)
     bloom.coalesce(1).write.mode("overwrite").parquet(path)
     _write_manifest(
@@ -978,20 +992,40 @@ def save_id_bloom(
     )
 
 
-def load_id_bloom(spark: SparkSession, path: str):
+def load_id_bloom(spark: SparkSession, path: str, localize: bool = True):
     """(word-table frame, geometry manifest) — pass both straight into
     ``bloom_probe``/``bloom_gated_anti_join``. The word table is
-    ≤ num_bits/63 rows — broadcast-sized by construction."""
-    return spark.read.parquet(path), _read_manifest(spark, path + "_meta")
+    ≤ num_bits/63 rows — broadcast-sized by construction.
+
+    ``localize=True`` (default) collects the words and returns them as
+    an Arrow LocalRelation: probe plans then embed the filter state and
+    are IMMUNE to a concurrent ``update_id_bloom`` overwriting the
+    parquet (the per-batch admission loop needs no defensive
+    checkpoint), and the broadcast ships from driver memory with exact
+    size stats. Pass ``localize=False`` for filters sized beyond
+    comfortable driver memory (≳10⁹ members) — then re-load after any
+    update before building new probe plans."""
+    meta = _read_manifest(spark, path + "_meta")
+    words = spark.read.parquet(path)
+    if localize:
+        from pyveb_spark.session import local_df
+
+        rows = [
+            (int(r["word_idx"]), int(r["word"])) for r in words.collect()
+        ]
+        words = local_df(spark, rows, "word_idx bigint, word bigint")
+    return words, meta
 
 
 def update_id_bloom(batch_ids: DataFrame, path: str) -> None:
     """OR an admitted batch's keys into the persisted filter. Bloom
     words merge exactly (bit_or is the union), so the incremental
     filter equals a from-scratch rebuild over the grown corpus — no
-    false-negative drift, ever. The merged table is collected
-    (≤ num_bits/63 rows — model-sized) and rewritten through the Arrow
-    LocalRelation path, so the overwrite never reads its own input.
+    false-negative drift, ever. The batch's delta words come from one
+    batch-sized aggregation; the merge happens driver-side over the
+    (model-sized) word dict and rewrites through the Arrow
+    LocalRelation path, so the overwrite never reads its own input and
+    costs two small jobs per batch.
 
     Ordering contract for crash-safe idempotent admission: update the
     filter BEFORE appending the batch to the index. A crash between
@@ -1017,16 +1051,20 @@ def update_id_bloom(batch_ids: DataFrame, path: str) -> None:
         int(meta["num_bits"]),
         int(meta["num_hashes"]),
     )
-    merged = (
-        spark.read.parquet(path)
-        .unionByName(delta)
-        .groupBy("word_idx")
-        .agg(F.bit_or("word").alias("word"))
-    )
-    rows = [(int(r["word_idx"]), int(r["word"])) for r in merged.collect()]
-    local_df(spark, rows, "word_idx bigint, word bigint").coalesce(
-        1
-    ).write.mode("overwrite").parquet(path)
+    words: dict[int, int] = {
+        int(r["word_idx"]): int(r["word"])
+        for r in spark.read.parquet(path).collect()
+    }
+    for r in delta.collect():
+        i = int(r["word_idx"])
+        words[i] = words.get(i, 0) | int(r["word"])
+    if not words:
+        return  # empty batch over an empty filter — nothing to write
+    local_df(
+        spark,
+        sorted(words.items()),
+        "word_idx bigint, word bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
 
 
 # ---------------------------------------------------------------------------

@@ -357,7 +357,11 @@ def test_lifecycle_pre_checkpoint_plans(spark, tmp_path):
         _q222_frame,
     )
     from pyveb_spark.queries.streaming import _q218_frame
-    from pyveb_spark.queries.text import _q220_frame, _q221_frame
+    from pyveb_spark.queries.text import (
+        _q220_frame,
+        _q221_frame,
+        _q223_frame,
+    )
 
     frames = {}
     t208 = f"t_gate208_{uuid.uuid4().hex[:8]}"
@@ -365,6 +369,7 @@ def test_lifecycle_pre_checkpoint_plans(spark, tmp_path):
     t219 = f"t_gate219_{uuid.uuid4().hex[:8]}"
     t220 = f"t_gate220_{uuid.uuid4().hex[:8]}"
     t221 = f"t_gate221_{uuid.uuid4().hex[:8]}"
+    t223 = f"t_gate223_{uuid.uuid4().hex[:8]}"
     try:
         frames["q207"] = _q207_frame(spark, SF, str(tmp_path / "i207"))
         frames["q208"] = _q208_frame(
@@ -391,7 +396,15 @@ def test_lifecycle_pre_checkpoint_plans(spark, tmp_path):
             spark, SF, str(tmp_path / "i221"), t221
         )
         frames["q222"] = _q222_frame(spark, SF, str(tmp_path / "i222"))
+        frames["q223"] = _q223_frame(
+            spark, SF, str(tmp_path / "i223"), t223
+        )
 
+        # bounded-window exemptions, mirroring test_plan_quality.py's
+        # _GLOBAL_WINDOW_BOUNDED_OK: q223's two rank windows run over
+        # k<=10 retrieval shortlists (post-limit), the q169 RRF class —
+        # provably bounded input, not a corpus sort
+        window_bounded_ok = {"q223"}
         window_offenders, py_offenders = {}, []
         for name, frame in frames.items():
             opt = (
@@ -402,7 +415,7 @@ def test_lifecycle_pre_checkpoint_plans(spark, tmp_path):
                 first = opt[m.end():m.end() + 200].split(",")[0]
                 if " ASC" in first or " DESC" in first:
                     hits.append(first.strip()[:60])
-            if hits:
+            if hits and name not in window_bounded_ok:
                 window_offenders[name] = hits
             phys = (
                 frame._jdf.queryExecution().executedPlan().toString()
@@ -426,6 +439,7 @@ def test_lifecycle_pre_checkpoint_plans(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {t220}__compact_stage")
         spark.sql(f"DROP TABLE IF EXISTS {t221}")
         spark.sql(f"DROP TABLE IF EXISTS {t221}__compact_stage")
+        spark.sql(f"DROP TABLE IF EXISTS {t223}")
 
 
 def test_ivf_empty_corpus_split_degenerates_to_empty(spark, tmp_path):
