@@ -402,11 +402,20 @@ def nearest_centroid(
     scan stage (no shuffle, no UDF). Ties break to the first (lowest
     index) centroid, matching ``numpy.argmin``.
 
-    Form note (measured, not guessed): the HOF fold below beats a "flat"
-    per-dimension ``element_at`` + add-chain + ``least`` rewrite by 3-5×
-    at k×dim ≥ 640 — the flat expression tree explodes codegen while the
-    array fold stays one tight interpreted loop over contiguous array
-    data. Keep the fold."""
+    Form note (measured twice, r11 then r12): the r11 per-candidate fold
+    (``reduce`` over ``F.array`` of k ``(aggregate-fold, id)`` structs)
+    already beat a "flat" per-dimension ``element_at`` add-chain 3-5× —
+    but it still carried k independent ``aggregate``/``zip_with`` lambda
+    trees, and on the plan-compile-bound paths (per-micro-batch encode in
+    q218/q206, per-iteration re-plan in ``kmeans_fit``) Catalyst
+    analysis of those k trees dominated wall-clock. The r12 form builds
+    ONE ``transform`` over an array-of-literal-arrays (k Literal nodes,
+    one distance lambda) and takes ``array_min`` +
+    ``array_position`` — measured 3.8× on q218's per-batch encode
+    (3.5-4.1 s → 0.94-1.11 s at sf0.1) with bit-identical output on the
+    full corpus. ``array_position`` returns the FIRST index holding the
+    min (the min is by construction an element of the array, compared on
+    the exact same double), so tie behavior is unchanged."""
     if not centroids:
         # empty quantizer (empty training corpus): the argmin identity —
         # no list is nearest. F.array() with zero structs is VOID-typed
@@ -415,30 +424,23 @@ def nearest_centroid(
             F.lit(float("inf")).alias("dist"),
             F.lit(-1).alias("list_id"),
         )
+    import numpy as np
+
     v = _as_double(vec_col)
-    cands = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        v,
-                        _lit_arr(c),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("dist"),
-                F.lit(i).alias("list_id"),
-            )
-            for i, c in centroids
-        ]
-    )
-    return F.reduce(
-        cands,
-        F.struct(
-            F.lit(float("inf")).alias("dist"), F.lit(-1).alias("list_id")
+    mat = F.array(*[_lit_arr(c) for _, c in centroids])
+    dists = F.transform(
+        mat,
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         ),
-        lambda acc, x: F.when(x["dist"] < acc["dist"], x).otherwise(acc),
+    )
+    mn = F.array_min(dists)
+    pos = F.array_position(dists, mn).cast("int")
+    ids = F.lit(np.asarray([i for i, _ in centroids], dtype=np.int32))
+    return F.struct(
+        mn.alias("dist"), F.element_at(ids, pos).alias("list_id")
     )
 
 
