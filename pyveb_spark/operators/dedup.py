@@ -336,7 +336,19 @@ def ngram_jaccard_pairs(
     so float noise can only *lengthen* a prefix (keeps pruning lossless).
     """
     a, b = f"{id_col}_a", f"{id_col}_b"
-    docs = _doc_shingle_sets(df, id_col, text_col, n)
+    # Persist the hashed shingle sets: this frame is read THREE times per
+    # call (the prefix-postings pipeline below + both sides of the verify
+    # join), and without a cache each read re-runs the md5 over every
+    # shingle of every document — the single most CPU-expensive scan
+    # expression in the operator (guide §5: cache when reused and
+    # recompute is more expensive). Same bounded-slot discipline as the
+    # prefix table (_PERSISTED_PREFIXES, evicted together below); size is
+    # Σ|shingle set| longs — MEMORY_AND_DISK-spillable at any SF, and the
+    # same frame the lookup path already persists (_PERSISTED_LOOKUP_*).
+    while _PERSISTED_PREFIXES:
+        _PERSISTED_PREFIXES.pop().unpersist(blocking=False)
+    docs = _doc_shingle_sets(df, id_col, text_col, n).persist()
+    _PERSISTED_PREFIXES.append(docs)
     postings = docs.select(id_col, "__n", F.explode("__grams").alias("__g"))
     gfreq = postings.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
     # canonical order: ascending (df, gram); prefix = rarest shingles.
@@ -362,12 +374,11 @@ def ngram_jaccard_pairs(
     # The previous call's cache entry is released (the returned plan is
     # lazy, so the caller can't unpersist) — at most one prefix table stays
     # cached per process.
-    # unpersist BEFORE persist: cache entries are keyed by plan equality,
-    # so on a repeated identical call persist() no-ops against the old
-    # entry and a popped unpersist afterwards would drop the shared entry,
-    # leaving the new call uncached (see text.py::winnow_pairs).
-    while _PERSISTED_PREFIXES:
-        _PERSISTED_PREFIXES.pop().unpersist(blocking=False)
+    # unpersist BEFORE persist (done above, together with the docs
+    # frame): cache entries are keyed by plan equality, so on a repeated
+    # identical call persist() no-ops against the old entry and a popped
+    # unpersist afterwards would drop the shared entry, leaving the new
+    # call uncached (see text.py::winnow_pairs).
     pref = (
         postings.join(gfreq, "__g")
         .withColumn("__p", F.row_number().over(w) - 1)
@@ -562,7 +573,19 @@ def minhash_lsh_pairs(
     """
     r = _check_banding(num_hashes, bands)
     a, b_ = f"{id_col}_a", f"{id_col}_b"
-    sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
+    # Same three-read pattern as ngram_jaccard_pairs: the hashed shingle
+    # sets feed the signature pipeline AND both verify sides — persist
+    # once per call (bounded slot shared with the prefix table).
+    while _PERSISTED_PREFIXES:
+        _PERSISTED_PREFIXES.pop().unpersist(blocking=False)
+    docs = _doc_shingle_sets(df, id_col, text_col, n).persist()
+    _PERSISTED_PREFIXES.append(docs)
+    sets = docs.where(F.size("__grams") > 0)
+    cols = [
+        _minhash_expr(F.col("__grams"), s).alias(f"mh_{s}")
+        for s in range(num_hashes)
+    ]
+    sig = sets.select(F.col(id_col), *cols)
     # one (band_idx, band_hash) row per band → a single self-join keyed on
     # both, instead of `bands` separate joins + union (fewer stages, one
     # shuffle). band_idx disambiguates hashes across bands. Band key =
@@ -611,7 +634,7 @@ def minhash_lsh_pairs(
     )
     # exact verification of *candidates only* (never the full corpus):
     # precision 1.0; recall is governed by the banding collision curve.
-    docs = _doc_shingle_sets(df, id_col, text_col, n)
+    # `docs` is the persisted shingle-set frame from above.
     return _verify_jaccard(cand, docs, id_col, threshold)
 
 
