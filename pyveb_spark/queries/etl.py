@@ -15,6 +15,10 @@ from pyveb_spark.operators.joins import asof_join
 from pyveb_spark.queries._helpers import _dec, _query_vec
 from pyveb_spark.sources.readers import read_table
 
+# at most one pinned (dup_ids, contam_ids) pair per process — the q180
+# intra-plan subtree pins; evicted at the next q180 call (see below)
+_Q180_PINNED: list[DataFrame] = []
+
 
 
 # ---------------------------------------------------------------------------
@@ -596,19 +600,31 @@ def q180_ingest_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_index(corpus, "doc_id", "text"), "q180_index"
     )
     hot = cached_once(minhash_hot_buckets(index), "q180_hot_buckets")
+    # Pin the two id-lists for the duration of this plan: Spark shares no
+    # common subtrees across union branches, so without these persists the
+    # LSH admission lookup executes once per leg that references
+    # dup_ids/pass2 (4 legs + the packing subquery) and the
+    # decontamination pipeline three times (guide §5 caching rule). Both
+    # frames are batch-sized id lists; previous call's pins are evicted
+    # here (bounded memory, fresh compute per invocation).
+    while _Q180_PINNED:
+        _Q180_PINNED.pop().unpersist(blocking=False)
     dup_ids = (
         minhash_lsh_lookup(
             pass1, index, "doc_id", "text", threshold=0.8, hot_buckets=hot
         )
         .select(F.col("doc_id_new").alias("doc_id"))
         .distinct()
+        .persist()
     )
+    _Q180_PINNED.append(dup_ids)
     duplicate = pass1.join(dup_ids, "doc_id", "left_semi")
     pass2 = pass1.join(dup_ids, "doc_id", "left_anti")
 
     contam_ids = fuzzy_decontaminate(
         pass2, eval_docs, "doc_id", "text", threshold=0.7
-    ).select("doc_id")
+    ).select("doc_id").persist()
+    _Q180_PINNED.append(contam_ids)
     contaminated = pass2.join(contam_ids, "doc_id", "left_semi")
     admitted = pass2.join(contam_ids, "doc_id", "left_anti")
 
