@@ -1345,6 +1345,7 @@ def lsh_cosine_lookup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Incremental EMBEDDING near-dup admission — the vector twin of
     ``dedup.minhash_lsh_lookup``: check a new batch against the corpus
@@ -1387,19 +1388,27 @@ def lsh_cosine_lookup(
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     a_id, b_id = f"{id_col}_new", f"{id_col}_corpus"
-    dim_row = (
-        batch.where(F.col(vec_col).isNotNull())
-        .select(F.size(vec_col).alias("d"))
-        .first()
-    )
-    if dim_row is None or dim_row["d"] is None:
-        # empty batch -> no candidates, not a crash; schema follows the
-        # actual id type (the lsh_cosine_cross_pairs empty-path rule)
-        id_type = batch.schema[id_col].dataType.simpleString()
-        return batch.sparkSession.createDataFrame(
-            [], f"{a_id} {id_type}, {b_id} {id_type}, cosine_sim double"
+    if dim is None:
+        # probe the batch for the vector dimension — one tiny job. The
+        # per-micro-batch admission loop should pass ``dim`` from the
+        # index's build manifest instead (q206 does): the probe costs a
+        # full scheduler round-trip per batch for a constant the
+        # artifact already records.
+        dim_row = (
+            batch.where(F.col(vec_col).isNotNull())
+            .select(F.size(vec_col).alias("d"))
+            .first()
         )
-    dim = int(dim_row["d"])
+        if dim_row is None or dim_row["d"] is None:
+            # empty batch -> no candidates, not a crash; schema follows
+            # the actual id type (the lsh_cosine_cross_pairs empty-path
+            # rule)
+            id_type = batch.schema[id_col].dataType.simpleString()
+            return batch.sparkSession.createDataFrame(
+                [], f"{a_id} {id_type}, {b_id} {id_type}, cosine_sim double"
+            )
+        dim = int(dim_row["d"])
+    dim = int(dim)
     if n_planes == "auto":
         # the production resolution knob: pick the plane count from the
         # measured candidate-volume model on the CORPUS size, so bucket

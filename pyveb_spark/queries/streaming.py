@@ -834,6 +834,9 @@ def q206_stream_lsh_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
                 batch_df, corpus, threshold=_Q206_THRESHOLD,
                 n_planes=idx_meta["n_planes"], seed=idx_meta["seed"],
                 index=warm,
+                # geometry from the build manifest — skips one probe job
+                # per micro-batch (the dim is an artifact constant)
+                dim=int(idx_meta["dim"]),
             )
             per = matches.groupBy("vec_id_new").agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_matches"),
