@@ -724,7 +724,12 @@ def minhash_lsh_index(
     (Earlier rounds attached a per-posting ``__m`` size column via a
     window count, which shuffled every posting WITH its shingle array
     just to carry 8 bytes of skew metadata — the blacklist shuffles
-    (band, hash) pairs only, map-side combined.)"""
+    (band, hash) pairs only, map-side combined.)
+
+    (A widen_scan of the input was measured here in r12 and REVERTED:
+    parallelizing the hash build also multiplies the bucketed save's
+    file count — parts × buckets — and the extra opens on every
+    downstream bucket scan cost more than the build saved at sf0.1.)"""
     return _banded_postings(df, id_col, text_col, n, num_hashes, bands)
 
 
@@ -1009,7 +1014,9 @@ def simhash_pairs(
     ``max_hamming < bands`` (the pigeonhole guarantee — unlike MinHash
     banding, this blocking is lossless). One band-bucket self-join is the
     only shuffle."""
-    fp = simhash(df, id_col, text_col)
+    from pyveb_spark.operators.layout import widen_scan
+
+    fp = simhash(widen_scan(df), id_col, text_col)
     return hamming_pairs(
         fp, id_col, "simhash", max_hamming=max_hamming, bands=bands,
         bits=SIMHASH_BITS,
@@ -1371,8 +1378,10 @@ def exact_substring_pairs(
     Result is EXACT up to the cap (and 48-bit collisions): a pair sharing
     a w-token run must share a window, so blocking loses nothing.
     """
+    from pyveb_spark.operators.layout import widen_scan
+
     grouped = (
-        df.select(
+        widen_scan(df).select(
             F.col(id_col),
             F.explode(_window_hash_array(F.col(text_col), window)).alias("__h"),
         )
@@ -1424,7 +1433,9 @@ def substring_duplication(
     this is the production admission metric while ``exact_substring_pairs``
     is the forensic/pair view.
     """
-    wins = df.select(
+    from pyveb_spark.operators.layout import widen_scan
+
+    wins = widen_scan(df).select(
         F.col(id_col),
         F.explode(_window_hash_array(F.col(text_col), window)).alias("__h"),
     )
@@ -1467,10 +1478,12 @@ def cross_source_overlap(
     the chunk hash, so fan-out per hash is (groups containing that
     chunk)² — bounded by |groups|², not documents. One distinct shuffle,
     one hash-keyed join, one pair aggregation; fixed-width md5 keys."""
+    from pyveb_spark.operators.layout import widen_scan
+
     toks = F.split(F.coalesce(F.col(text_col), F.lit("")), delimiter)
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
     chunks = (
-        df.select(
+        widen_scan(df).select(
             F.col(group_col).alias("__g"),
             F.explode(
                 F.transform(

@@ -36,7 +36,33 @@ __all__ = [
     "compact_files",
     "compaction_plan",
     "pin_width",
+    "widen_scan",
 ]
+
+
+def widen_scan(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Scale-adaptive scan-parallelism floor (guide §2.5 "one huge
+    unsplittable file": repartition immediately after the read): when the
+    input yields fewer splits than half the cluster's cores — a single
+    Parquet row group, one gzip member, a small dimension dump — the
+    expensive scan-stage expressions downstream (md5-per-shingle MinHash
+    pipelines, SimHash token folds, window hashing) serialize onto those
+    few cores while the rest idle. A round-robin ``repartition`` of the
+    RAW input rows (cheap: the text/ids move once, before any fan-out)
+    restores parallelism.
+
+    No-op whenever the scan already has ≥ max(2, target/2) splits — at
+    production scale inputs arrive with thousands of splits and this
+    never fires, so no corpus-sized shuffle is ever added. Apply ONLY to
+    integer-exact pipelines (hashes, counts, set intersections): a
+    round-robin redistribution changes per-partition double-sum order,
+    which the float-determinism contract does not allow on the
+    float-accumulating paths."""
+    sc = df.sparkSession.sparkContext
+    n = int(target or sc.defaultParallelism)
+    if df.rdd.getNumPartitions() >= max(2, n // 2):
+        return df
+    return df.repartition(n)
 
 
 def pin_width(df: DataFrame, *keys: str, n: int | None = None) -> DataFrame:

@@ -648,8 +648,10 @@ def ngram_count_table(
                 ),
             ),
         ).otherwise(F.array().cast("array<string>"))
+    from pyveb_spark.operators.layout import widen_scan
+
     out = (
-        df.select(F.explode(grams).alias("gram"))
+        widen_scan(df).select(F.explode(grams).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
