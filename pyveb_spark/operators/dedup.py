@@ -911,6 +911,7 @@ def fuzzy_decontaminate(
     bands: int = 8,
     threshold: float = 0.7,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    widen: bool = True,
 ) -> DataFrame:
     """FUZZY benchmark decontamination: flag every training document
     whose n-gram Jaccard similarity to ANY eval/benchmark document
@@ -928,12 +929,20 @@ def fuzzy_decontaminate(
     recall curve to ``minhash_lsh_pairs`` at the same banding. Candidate
     pairs are exact-Jaccard verified, so precision is 1.0 and the
     flag threshold is a real similarity, not an LSH artifact."""
+    from pyveb_spark.operators.layout import widen_scan
+
     a_id, b_id = f"{id_col}_new", f"{id_col}_corpus"
     index = minhash_lsh_index(
         eval_docs, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
     )
+    # the corpus side is corpus-scale by the operator's contract (one
+    # full pass) — widen_scan keeps its shingle hashing parallel when
+    # the input arrives as fewer splits than cores (no-op otherwise).
+    # Callers decontaminating a BATCH-sized frame (q180's admission
+    # wave) pass widen=False: repartitioning a few dozen rows costs a
+    # shuffle round-trip and parallelizes nothing.
     hits = minhash_lsh_lookup(
-        corpus,
+        widen_scan(corpus) if widen else corpus,
         index,
         id_col,
         text_col,

@@ -622,7 +622,7 @@ def q180_ingest_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass2 = pass1.join(dup_ids, "doc_id", "left_anti")
 
     contam_ids = fuzzy_decontaminate(
-        pass2, eval_docs, "doc_id", "text", threshold=0.7
+        pass2, eval_docs, "doc_id", "text", threshold=0.7, widen=False
     ).select("doc_id").persist()
     _Q180_PINNED.append(contam_ids)
     contaminated = pass2.join(contam_ids, "doc_id", "left_semi")
