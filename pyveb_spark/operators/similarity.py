@@ -354,7 +354,16 @@ def ivf_index(
 
     The centroid table is O(n_lists × dim) — driver-resident by design
     (like every IVF implementation's coarse quantizer).
+
+    The input is routed through ``layout.widen_scan`` (r12): the corpus
+    is corpus-scale by this operator's contract, the assignment is a
+    pure per-row expression (partitioning cannot change any value), and
+    a single-split input would otherwise serialize the argmin encode
+    onto one core. No-op at production split counts.
     """
+    from pyveb_spark.operators.layout import widen_scan
+
+    df = widen_scan(df)
     centroids = _seed_centroids(df, n_lists, id_col, vec_col)
     best = nearest_centroid(F.col(vec_col), centroids)
     return df.withColumn("ivf_list", best["list_id"]), centroids

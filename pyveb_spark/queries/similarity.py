@@ -2020,7 +2020,9 @@ def _q213_frame(spark: SparkSession, sf_dir: str, tmp: str) -> DataFrame:
     codebooks, cb_meta = load_pq_codebooks(
         spark, os.path.join(tmp, "codebooks"), with_meta=True
     )
-    pq_encode(e, codebooks, meta=cb_meta).select(
+    from pyveb_spark.operators.layout import widen_scan
+
+    pq_encode(widen_scan(e), codebooks, meta=cb_meta).select(
         "vec_id", "pq_codes"
     ).write.mode("overwrite").parquet(os.path.join(tmp, "codes"))
     codes = spark.read.parquet(os.path.join(tmp, "codes"))
@@ -2090,9 +2092,11 @@ def _q214_frame(spark: SparkSession, sf_dir: str, tmp: str) -> DataFrame:
     stats, sq_meta = load_sq8_stats(
         spark, os.path.join(tmp, "stats"), with_meta=True
     )
+    from pyveb_spark.operators.layout import widen_scan
+
     out = sq8_ann(
-        e, query_vec, k=8, shortlist=30, stats=stats, exclude_ids=[0],
-        meta=sq_meta,
+        widen_scan(e), query_vec, k=8, shortlist=30, stats=stats,
+        exclude_ids=[0], meta=sq_meta,
     )
     return out.select(
         "vec_id", F.round("cosine_sim", 4).alias("cosine_sim")

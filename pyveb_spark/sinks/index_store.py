@@ -173,9 +173,15 @@ def save_ivf_index(
     unnecessary: rebuilds re-cluster, so the whole artifact changes)."""
     from pyveb_spark.session import local_df
 
-    indexed.write.mode("overwrite").partitionBy(list_col).parquet(
-        os.path.join(path, _IVF_POSTINGS)
-    )
+    # Align the write to the partition column (guide §8: decide with
+    # small rows, move narrow bytes once): the upstream encode runs at
+    # scan parallelism, then only the NARROW encoded rows (id + m code
+    # bytes + list) shuffle into one task per list — one right-sized
+    # file per partition instead of (input partitions × lists) small
+    # files, and the probe's pruned scan opens nprobe files.
+    indexed.repartition(F.col(list_col)).write.mode(
+        "overwrite"
+    ).partitionBy(list_col).parquet(os.path.join(path, _IVF_POSTINGS))
     spark = indexed.sparkSession
     local_df(
         spark,
