@@ -1239,8 +1239,10 @@ def save_ngram_index(
     from pyveb_spark.operators.retrieval import build_ngram_index
     from pyveb_spark.sinks.writers import write_bucketed_table
 
+    from pyveb_spark.operators.layout import widen_scan
+
     write_bucketed_table(
-        build_ngram_index(df, n, id_col, text_col),
+        build_ngram_index(widen_scan(df), n, id_col, text_col),
         table,
         ["__h"],
         num_buckets=num_buckets,
