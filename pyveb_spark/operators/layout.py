@@ -22,6 +22,7 @@ never rescans history).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 from functools import reduce
 
@@ -38,6 +39,21 @@ __all__ = [
     "pin_width",
     "widen_scan",
 ]
+
+
+def _local_fs_path(path: str) -> str | None:
+    """The local-filesystem path behind ``path``, or None when it names
+    a remote store. Hadoop FS metadata calls from Python pay several
+    Py4J roundtrips PER FILE; callers use this to route listing-only
+    work (file counts, byte totals) through ``os`` when the data
+    actually lives on local disk (every test/bench artifact dir), and
+    through the Hadoop FS API otherwise (HDFS, s3a, ...)."""
+    from urllib.parse import urlparse
+
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file"):
+        return parsed.path or path
+    return None
 
 
 def widen_scan(df: DataFrame, target: int | None = None) -> DataFrame:
@@ -285,11 +301,20 @@ def compact_files(
     Path = jvm.org.apache.hadoop.fs.Path
     fs = Path(path).getFileSystem(conf)
     total = 0
-    it = fs.listFiles(Path(path), True)
-    while it.hasNext():
-        f = it.next()
-        if f.getPath().getName().endswith(".parquet"):
-            total += f.getLen()
+    local = _local_fs_path(path)
+    if local is not None:
+        # listing-only sizing via os.walk — the Hadoop iterator costs
+        # several Py4J roundtrips per file (see _local_fs_path)
+        for dirpath, _dirs, files in os.walk(local):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(dirpath, f))
+    else:
+        it = fs.listFiles(Path(path), True)
+        while it.hasNext():
+            f = it.next()
+            if f.getPath().getName().endswith(".parquet"):
+                total += f.getLen()
     n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".__compact__"

@@ -1042,10 +1042,22 @@ def _q218_frame(spark: SparkSession, sf_dir: str, tmp: str) -> DataFrame:
         spark, drops, arriving.schema, max_files_per_trigger=1
     )
 
+    # Bloom driver state threaded ACROSS batches (r12): the filter is
+    # only ever mutated by this loop's own update/refresh calls, so the
+    # (words, meta) pair returned by each call seeds the next batch's
+    # probe frame — batches after the first pay zero filter-load jobs
+    # (previously: manifest read + word-table collect per batch, plus
+    # the same pair again inside update_id_bloom). The parquet stays
+    # authoritative: a restarted loop reloads identical state from disk.
+    bloom0, bmeta, bwords = load_id_bloom(
+        spark, bloom_path, with_rows=True
+    )
+    bstate = {"words": bwords, "frame": bloom0}
+
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
-        # localized load (LocalRelation words): probe plans embed the
-        # filter state, so the update below cannot race its own read
-        bloom, bmeta = load_id_bloom(spark, bloom_path)
+        # localized words (LocalRelation): probe plans embed the filter
+        # state, so the update below cannot race its own read
+        bloom = bstate["frame"]
         fresh = bloom_gated_anti_join(
             batch_df,
             bloom,

@@ -60,6 +60,7 @@ __all__ = [
     "save_id_bloom",
     "load_id_bloom",
     "update_id_bloom",
+    "bloom_words_frame",
     "save_bm25_index",
     "load_bm25_index",
     "append_bm25_index",
@@ -312,25 +313,48 @@ def maybe_compact_ivf_postings(
     commits — and the rewrite itself is per-partition with an atomic
     directory swap (``compact_ivf_postings``), so probes never see a
     half-compacted list."""
+    from pyveb_spark.operators.layout import _local_fs_path
+
     root = os.path.join(path, _IVF_POSTINGS)
-    HPath = spark._jvm.org.apache.hadoop.fs.Path
-    fs = HPath(root).getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(HPath(root)):
-        # a raw Py4J FileNotFoundException here is the module's one
-        # non-actionable failure mode — name the missing path instead
-        raise ValueError(
-            f"IVF postings directory {root!r} does not exist — nothing "
-            "to compact; seed the index with save_ivf_index (or check "
-            "the index path) before running the compaction trigger"
-        )
     counts: dict[str, int] = {}
-    it = fs.listFiles(HPath(root), True)
-    while it.hasNext():
-        f = it.next()
-        if not f.getPath().getName().endswith(".parquet"):
-            continue
-        part = f.getPath().getParent().getName()
-        counts[part] = counts.get(part, 0) + 1
+    local_root = _local_fs_path(root)
+    if local_root is not None:
+        # local-FS fast path (r12): the Py4J listing below costs ~4 JVM
+        # roundtrips PER FILE (~0.5-1 s per check on a few dozen files)
+        # while the check itself runs once per micro-batch; os.walk is
+        # sub-millisecond. Production object-store/HDFS paths take the
+        # Hadoop listing branch unchanged.
+        if not os.path.isdir(local_root):
+            raise ValueError(
+                f"IVF postings directory {root!r} does not exist — "
+                "nothing to compact; seed the index with save_ivf_index "
+                "(or check the index path) before running the "
+                "compaction trigger"
+            )
+        for dirpath, _dirs, files in os.walk(local_root):
+            n = sum(1 for f in files if f.endswith(".parquet"))
+            if n:
+                part = os.path.basename(dirpath)
+                counts[part] = counts.get(part, 0) + n
+    else:
+        HPath = spark._jvm.org.apache.hadoop.fs.Path
+        fs = HPath(root).getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(HPath(root)):
+            # a raw Py4J FileNotFoundException here is the module's one
+            # non-actionable failure mode — name the missing path instead
+            raise ValueError(
+                f"IVF postings directory {root!r} does not exist — "
+                "nothing to compact; seed the index with save_ivf_index "
+                "(or check the index path) before running the "
+                "compaction trigger"
+            )
+        it = fs.listFiles(HPath(root), True)
+        while it.hasNext():
+            f = it.next()
+            if not f.getPath().getName().endswith(".parquet"):
+                continue
+            part = f.getPath().getParent().getName()
+            counts[part] = counts.get(part, 0) + 1
     if not counts or max(counts.values()) <= int(max_files_per_list):
         return False
     compact_ivf_postings(
@@ -998,7 +1022,12 @@ def save_id_bloom(
     )
 
 
-def load_id_bloom(spark: SparkSession, path: str, localize: bool = True):
+def load_id_bloom(
+    spark: SparkSession,
+    path: str,
+    localize: bool = True,
+    with_rows: bool = False,
+):
     """(word-table frame, geometry manifest) — pass both straight into
     ``bloom_probe``/``bloom_gated_anti_join``. The word table is
     ≤ num_bits/63 rows — broadcast-sized by construction.
@@ -1010,28 +1039,59 @@ def load_id_bloom(spark: SparkSession, path: str, localize: bool = True):
     checkpoint), and the broadcast ships from driver memory with exact
     size stats. Pass ``localize=False`` for filters sized beyond
     comfortable driver memory (≳10⁹ members) — then re-load after any
-    update before building new probe plans."""
+    update before building new probe plans.
+
+    ``with_rows=True`` (implies localize) additionally returns the raw
+    ``(word_idx, word)`` list as a third element — the driver-side
+    state a per-batch admission loop threads into
+    ``update_id_bloom(words=...)`` and ``bloom_words_frame`` so later
+    batches never re-read the filter from parquet (r12)."""
     meta = _read_manifest(spark, path + "_meta")
     words = spark.read.parquet(path)
-    if localize:
-        from pyveb_spark.session import local_df
-
+    if localize or with_rows:
         rows = [
             (int(r["word_idx"]), int(r["word"])) for r in words.collect()
         ]
-        words = local_df(spark, rows, "word_idx bigint, word bigint")
+        words = bloom_words_frame(spark, rows)
+        if with_rows:
+            return words, meta, rows
     return words, meta
 
 
-def update_id_bloom(batch_ids: DataFrame, path: str) -> None:
+def bloom_words_frame(
+    spark: SparkSession, rows: list[tuple[int, int]]
+) -> DataFrame:
+    """Driver-held Bloom words → the Arrow LocalRelation probe frame
+    (job-free; the form every probe path consumes)."""
+    from pyveb_spark.session import local_df
+
+    return local_df(spark, rows, "word_idx bigint, word bigint")
+
+
+def update_id_bloom(
+    batch_ids: DataFrame,
+    path: str,
+    words: list[tuple[int, int]] | None = None,
+    meta: dict | None = None,
+) -> list[tuple[int, int]]:
     """OR an admitted batch's keys into the persisted filter. Bloom
     words merge exactly (bit_or is the union), so the incremental
     filter equals a from-scratch rebuild over the grown corpus — no
     false-negative drift, ever. The batch's delta words come from one
     batch-sized aggregation; the merge happens driver-side over the
     (model-sized) word dict and rewrites through the Arrow
-    LocalRelation path, so the overwrite never reads its own input and
-    costs two small jobs per batch.
+    LocalRelation path, so the overwrite never reads its own input.
+
+    Returns the merged ``(word_idx, word)`` list — exactly what the
+    parquet now holds. A per-batch caller (the q218 admission loop)
+    passes it back as ``words`` on the next call, together with the
+    load-time manifest as ``meta``: the update then costs ONE
+    batch-sized aggregation job plus the overwrite, instead of
+    re-reading the manifest and the word table from parquet every
+    micro-batch (r12: two driver-roundtrip jobs per batch removed; the
+    driver-side state is a pure cache of what this function itself
+    wrote, so a restarted loop that reloads from disk sees identical
+    state). With ``words=None`` the current parquet is read as before.
 
     Ordering contract for crash-safe idempotent admission: update the
     filter BEFORE appending the batch to the index. A crash between
@@ -1045,7 +1105,8 @@ def update_id_bloom(batch_ids: DataFrame, path: str) -> None:
     from pyveb_spark.session import local_df
 
     spark = batch_ids.sparkSession
-    meta = _read_manifest(spark, path + "_meta")
+    if meta is None:
+        meta = _read_manifest(spark, path + "_meta")
     if not meta:
         raise ValueError(
             f"no Bloom manifest at {path + '_meta'!r} — build the "
@@ -1057,20 +1118,26 @@ def update_id_bloom(batch_ids: DataFrame, path: str) -> None:
         int(meta["num_bits"]),
         int(meta["num_hashes"]),
     )
-    words: dict[int, int] = {
-        int(r["word_idx"]): int(r["word"])
-        for r in spark.read.parquet(path).collect()
-    }
+    merged: dict[int, int] = (
+        dict(words)
+        if words is not None
+        else {
+            int(r["word_idx"]): int(r["word"])
+            for r in spark.read.parquet(path).collect()
+        }
+    )
     for r in delta.collect():
         i = int(r["word_idx"])
-        words[i] = words.get(i, 0) | int(r["word"])
-    if not words:
-        return  # empty batch over an empty filter — nothing to write
+        merged[i] = merged.get(i, 0) | int(r["word"])
+    out = sorted(merged.items())
+    if not merged:
+        return out  # empty batch over an empty filter — nothing to write
     local_df(
         spark,
-        sorted(words.items()),
+        out,
         "word_idx bigint, word bigint",
     ).coalesce(1).write.mode("overwrite").parquet(path)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -39,9 +39,14 @@ def main() -> int:
                     help="time df.count() (bench action) instead of noop")
     ap.add_argument("--explain", default=None,
                     help="write explain('formatted') of the LAST query here")
+    ap.add_argument("--conf", action="append", default=[],
+                    help="runtime SQL conf k=v to set before profiling")
     args = ap.parse_args()
 
     spark = get_spark("pyveb-profile")
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        spark.conf.set(k, v)
     spark.sparkContext.setLogLevel("ERROR")
 
     selected = []
