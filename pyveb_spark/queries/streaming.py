@@ -987,6 +987,7 @@ def _q218_frame(spark: SparkSession, sf_dir: str, tmp: str) -> DataFrame:
     from pyveb_spark.operators.sketches import bloom_gated_anti_join
     from pyveb_spark.sinks.index_store import (
         append_ivf_postings,
+        bloom_words_frame,
         load_id_bloom,
         load_ivf_index,
         load_pq_codebooks,
@@ -1076,8 +1077,15 @@ def _q218_frame(spark: SparkSession, sf_dir: str, tmp: str) -> DataFrame:
         fresh = fresh.localCheckpoint(eager=True)
         # filter BEFORE postings (update_id_bloom's ordering contract):
         # a crash between the two over-approximates — replayed keys
-        # fall back to the exact check — never double-admits
-        update_id_bloom(fresh.select("vec_id"), bloom_path)
+        # fall back to the exact check — never double-admits. The
+        # merged words come back as this loop's driver state: the next
+        # batch probes a frame that already includes THIS batch's ids
+        # without re-reading the filter from parquet.
+        bstate["words"] = update_id_bloom(
+            fresh.select("vec_id"), bloom_path,
+            words=bstate["words"], meta=bmeta,
+        )
+        bstate["frame"] = bloom_words_frame(spark, bstate["words"])
         encoded = pq_encode(
             fresh.withColumn(
                 "ivf_list",
@@ -1101,6 +1109,11 @@ def _q218_frame(spark: SparkSession, sf_dir: str, tmp: str) -> DataFrame:
                 bloom_path,
                 num_bits=int(bmeta["num_bits"]),
                 num_hashes=int(bmeta["num_hashes"]),
+            )
+            # the rebuild replaced the parquet wholesale — re-seed the
+            # driver state from disk so the next batch probes it
+            bstate["frame"], _, bstate["words"] = load_id_bloom(
+                spark, bloom_path, with_rows=True
             )
 
     q = run_available_now(

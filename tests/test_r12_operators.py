@@ -581,6 +581,57 @@ def test_id_bloom_over_approximation_is_safe(spark, tmp_path):
     assert readmitted.count() == lost_batch.count()
 
 
+def test_id_bloom_threaded_state_equals_parquet(spark, tmp_path):
+    """The r12 per-batch state threading: update_id_bloom returns the
+    merged (word_idx, word) list, and passing it back as ``words`` on
+    the next call (with the load-time manifest as ``meta``) produces
+    the same filter — word for word — as the slow path that re-reads
+    the parquet every batch. The returned state always equals what the
+    parquet holds, so a restarted loop reloading from disk sees
+    identical state."""
+    from pyveb_spark.sinks.index_store import (
+        bloom_words_frame,
+        load_id_bloom,
+        save_id_bloom,
+        update_id_bloom,
+    )
+
+    e = read_table(spark, SF, "embeddings")
+    corpus = e.where("vec_id < 150").select("vec_id")
+    b1 = e.where("vec_id >= 150 AND vec_id < 180").select("vec_id")
+    b2 = e.where("vec_id >= 180 AND vec_id < 210").select("vec_id")
+
+    fast = str(tmp_path / "fast")
+    slow = str(tmp_path / "slow")
+    save_id_bloom(corpus, fast, num_bits=8192)
+    save_id_bloom(corpus, slow, num_bits=8192)
+
+    _, meta, words = load_id_bloom(spark, fast, with_rows=True)
+    words = update_id_bloom(b1, fast, words=words, meta=meta)
+    words = update_id_bloom(b2, fast, words=words, meta=meta)
+    update_id_bloom(b1, slow)
+    update_id_bloom(b2, slow)
+
+    on_disk = sorted(
+        (int(r["word_idx"]), int(r["word"]))
+        for r in spark.read.parquet(fast).collect()
+    )
+    slow_disk = sorted(
+        (int(r["word_idx"]), int(r["word"]))
+        for r in spark.read.parquet(slow).collect()
+    )
+    assert words == on_disk  # returned state IS the parquet
+    assert on_disk == slow_disk  # threaded == re-read-per-batch
+    # and the probe frame built from driver state matches a fresh load
+    frame_rows = sorted(
+        tuple(r) for r in bloom_words_frame(spark, words).collect()
+    )
+    load_rows = sorted(
+        tuple(r) for r in load_id_bloom(spark, fast)[0].collect()
+    )
+    assert frame_rows == load_rows
+
+
 def test_update_id_bloom_without_manifest_raises(spark, tmp_path):
     from pyveb_spark.session import local_df
     from pyveb_spark.sinks.index_store import update_id_bloom
