@@ -966,6 +966,15 @@ def _sweep_pair_thresholds(d: DataFrame, pairs: DataFrame) -> DataFrame:
     array over a verified ``(doc_id_a, doc_id_b, jaccard)`` pair set and
     report per-threshold pair/doc/token impact (keep-first convention:
     the higher id of each pair is the flagged copy)."""
+    # The tail fans ``pairs`` into TWO aggregation branches (pair counts
+    # + flagged-doc impact); Spark shares no subtrees across branches,
+    # so without a pin the whole candidate/verify pipeline — the
+    # dominant cost at the loosest threshold — executes twice per
+    # action (guide §5; measured 11.8 → ~6 s at sf0.1 for q186).
+    # The verified pair set itself is rows of (id, id, double) — tiny
+    # at any corpus size — so an eager batch-sized materialization is
+    # the right cut point.
+    pairs = pairs.localCheckpoint(eager=True)
     thresholds = F.array(*[F.lit(t) for t in (0.6, 0.7, 0.8, 0.9)])
     swept = pairs.select(
         "doc_id_a", "doc_id_b", "jaccard",
