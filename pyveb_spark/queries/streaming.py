@@ -988,7 +988,6 @@ def _q218_frame(spark: SparkSession, sf_dir: str, tmp: str) -> DataFrame:
     from pyveb_spark.sinks.index_store import (
         append_ivf_postings,
         bloom_words_frame,
-        load_id_bloom,
         load_ivf_index,
         load_pq_codebooks,
         maybe_compact_ivf_postings,
@@ -1032,8 +1031,9 @@ def _q218_frame(spark: SparkSession, sf_dir: str, tmp: str) -> DataFrame:
     # semantics identical, pinned by test.
     postings_dir = os.path.join(ivf_dir, "postings")
     bloom_path = os.path.join(ivf_dir, "idbloom")
-    save_id_bloom(
-        spark.read.parquet(postings_dir).select("vec_id"), bloom_path
+    bloom0, bmeta, bwords = save_id_bloom(
+        spark.read.parquet(postings_dir).select("vec_id"), bloom_path,
+        with_state=True,
     )
 
     # ---- stream: admit → frozen-quantizer encode → append → compact ----
@@ -1044,15 +1044,13 @@ def _q218_frame(spark: SparkSession, sf_dir: str, tmp: str) -> DataFrame:
     )
 
     # Bloom driver state threaded ACROSS batches (r12): the filter is
-    # only ever mutated by this loop's own update/refresh calls, so the
-    # (words, meta) pair returned by each call seeds the next batch's
-    # probe frame — batches after the first pay zero filter-load jobs
-    # (previously: manifest read + word-table collect per batch, plus
-    # the same pair again inside update_id_bloom). The parquet stays
-    # authoritative: a restarted loop reloads identical state from disk.
-    bloom0, bmeta, bwords = load_id_bloom(
-        spark, bloom_path, with_rows=True
-    )
+    # only ever mutated by this loop's own build/update/refresh calls,
+    # so the (frame, meta, words) triple returned by save_id_bloom
+    # (with_state=True — no save→load round trip) seeds the loop, and
+    # each update's merged words seed the next batch's probe frame —
+    # batches pay zero filter-load jobs. The parquet stays
+    # authoritative: a restarted loop reloads identical state from disk
+    # (load_id_bloom(with_rows=True) — the recovery path).
     bstate = {"words": bwords, "frame": bloom0}
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
@@ -1104,16 +1102,14 @@ def _q218_frame(spark: SparkSession, sf_dir: str, tmp: str) -> DataFrame:
             # compaction-time refresh: exact rebuild from the postings
             # ids sheds any crash-window over-approximation, same
             # geometry (the artifact's manifest stays authoritative)
-            save_id_bloom(
+            # the rebuild replaces the parquet wholesale and hands the
+            # new state straight back — no post-rebuild reload jobs
+            bstate["frame"], _, bstate["words"] = save_id_bloom(
                 spark.read.parquet(postings_dir).select("vec_id"),
                 bloom_path,
                 num_bits=int(bmeta["num_bits"]),
                 num_hashes=int(bmeta["num_hashes"]),
-            )
-            # the rebuild replaced the parquet wholesale — re-seed the
-            # driver state from disk so the next batch probes it
-            bstate["frame"], _, bstate["words"] = load_id_bloom(
-                spark, bloom_path, with_rows=True
+                with_state=True,
             )
 
     q = run_available_now(

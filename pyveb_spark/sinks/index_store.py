@@ -977,7 +977,8 @@ def save_id_bloom(
     num_bits: int | None = None,
     num_hashes: int = 7,
     bits_per_key: int = 32,
-) -> None:
+    with_state: bool = False,
+):
     """Build and persist a Bloom filter over an index's id column — the
     fixed-size membership sidecar that makes streaming admission's
     idempotence check O(batch) instead of O(corpus ids) per micro-batch
@@ -995,6 +996,15 @@ def save_id_bloom(
     the ceiling for the broadcast form; beyond that the streaming
     checkpoint state store is the right tool).
 
+    ``with_state=True`` returns ``(probe_frame, meta, words)`` — the
+    exact triple ``load_id_bloom(..., with_rows=True)`` would return —
+    by collecting the (model-sized, ≤ num_bits/63 rows) word table once
+    and writing it back through the Arrow LocalRelation path, so a
+    build-then-serve caller (the q218 seed and its compaction-time
+    refresh) skips the save→load round trip: no manifest re-read, no
+    word-table re-read — the state it just wrote IS the state it
+    serves (r12).
+
     ``num_bits=None`` auto-sizes to ``bits_per_key`` per member from a
     count of the ids frame — one narrow scan, paid once at
     build/refresh time. The geometry is persisted as a typed manifest
@@ -1010,16 +1020,23 @@ def save_id_bloom(
         n = ids.count()
         num_bits = max(2048, int(bits_per_key) * int(n))
     bloom = bloom_build(ids, key_col, num_bits, num_hashes)
+    meta = {
+        "num_bits": int(num_bits),
+        "num_hashes": int(num_hashes),
+        "key_col": key_col,
+    }
+    spark = ids.sparkSession
+    if with_state:
+        words = sorted(
+            (int(r["word_idx"]), int(r["word"])) for r in bloom.collect()
+        )
+        frame = bloom_words_frame(spark, words)
+        frame.coalesce(1).write.mode("overwrite").parquet(path)
+        _write_manifest(spark, path + "_meta", meta)
+        return frame, meta, words
     bloom.coalesce(1).write.mode("overwrite").parquet(path)
-    _write_manifest(
-        ids.sparkSession,
-        path + "_meta",
-        {
-            "num_bits": int(num_bits),
-            "num_hashes": int(num_hashes),
-            "key_col": key_col,
-        },
-    )
+    _write_manifest(spark, path + "_meta", meta)
+    return None
 
 
 def load_id_bloom(

@@ -632,6 +632,35 @@ def test_id_bloom_threaded_state_equals_parquet(spark, tmp_path):
     assert frame_rows == load_rows
 
 
+def test_save_id_bloom_with_state_equals_load(spark, tmp_path):
+    """save_id_bloom(with_state=True) must return exactly the triple a
+    fresh load_id_bloom(with_rows=True) would — same manifest geometry,
+    same words, same probe-frame rows — and the parquet it writes must
+    equal the plain save path's, word for word."""
+    from pyveb_spark.sinks.index_store import load_id_bloom, save_id_bloom
+
+    ids = read_table(spark, SF, "embeddings").where(
+        "vec_id < 150"
+    ).select("vec_id")
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    frame, meta, words = save_id_bloom(ids, a, with_state=True)
+    save_id_bloom(ids, b)
+
+    lframe, lmeta, lwords = load_id_bloom(spark, a, with_rows=True)
+    assert {k: int(v) for k, v in lmeta.items() if k != "key_col"} == {
+        k: int(v) for k, v in meta.items() if k != "key_col"
+    }
+    assert words == lwords
+    assert sorted(tuple(r) for r in frame.collect()) == sorted(
+        tuple(r) for r in lframe.collect()
+    )
+    plain = sorted(
+        (int(r["word_idx"]), int(r["word"]))
+        for r in spark.read.parquet(b).collect()
+    )
+    assert words == plain
+
+
 def test_update_id_bloom_without_manifest_raises(spark, tmp_path):
     from pyveb_spark.session import local_df
     from pyveb_spark.sinks.index_store import update_id_bloom
