@@ -853,22 +853,26 @@ def q185_quality_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
     )
     m = clustered.join(scored, "doc_id")
+    # kept_tokens is the n_tokens of the SAME argmax row max_by already
+    # selects for kept_id ((s, -doc_id) is unique per cluster since
+    # doc_id is), so a second max_by on the identical key replaces the
+    # old join-back through a fresh `scored` subtree — which re-ran the
+    # whole quality_score scan (split + regex over every doc) a second
+    # time per action, Spark sharing no subtrees across join branches
+    # (guide §5 / §2.4). One aggregation, zero join-backs, same rows.
     grp = m.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.max_by(
             "doc_id", F.struct(F.col("s"), (-F.col("doc_id")).alias("neg"))
         ).alias("kept_id"),
+        F.max_by(
+            "n_tokens", F.struct(F.col("s"), (-F.col("doc_id")).alias("neg"))
+        ).alias("kept_tokens"),
         F.max("s").alias("s_max"),
         F.sum("n_tokens").alias("tok_all"),
     )
     return (
-        grp.join(
-            scored.select(
-                F.col("doc_id").alias("kept_id"),
-                F.col("n_tokens").alias("kept_tokens"),
-            ),
-            "kept_id",
-        )
+        grp
         .select(
             "cluster_id",
             "n_members",
