@@ -698,13 +698,30 @@ def lsh_bucket(
     """
     planes = _rademacher_planes(dim, n_planes, seed)
     v = _as_double(F.col(vec_col))
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = _lit_arr(plane)
-        bit = F.when(_dot(v, p) >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        bucket = bucket + F.shiftleft(bit, i)
+    # One plane-matrix array of n_planes Literal nodes + a single
+    # indexed transform fold (the nearest_centroid/_lit_arr shape, r12
+    # change #1) instead of a Python loop emitting n_planes separate
+    # when/shiftleft/add subtrees: Column construction and Catalyst
+    # analysis stop scaling with the plane count — measured ~0.3 s of
+    # pure per-call construction at n_planes=6, paid once per STREAMING
+    # MICRO-BATCH on the q206 admission path. Same _dot fold per plane
+    # in the same element order, and the bit sum is exact integer math
+    # in the same plane order ⇒ bit-identical buckets (oracles
+    # unchanged).
+    mat = F.array(*[_lit_arr(p) for p in planes])
+    bits = F.transform(
+        mat,
+        lambda p, i: F.call_function(
+            "shiftleft",
+            F.when(_dot(v, p) >= 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+            i,
+        ),
+    )
+    bucket = F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
     return df.withColumn(bucket_col, bucket)
 
 
