@@ -871,6 +871,20 @@ def pq_encode(
     codebook manifest) validates the codebooks' m/k/dim against the
     artifact's — codes written under mismatched geometry corrupt the
     serving table silently."""
+    return df.withColumn(out_col, pq_code_expr(codebooks, vec_col, meta))
+
+
+def pq_code_expr(
+    codebooks: list[list[tuple[int, list[float]]]],
+    vec_col: str = "embedding",
+    meta: dict | None = None,
+) -> Column:
+    """The ``pq_encode`` codes Column on its own — it depends only on the
+    codebooks and the vector column NAME, never on a DataFrame, so a
+    per-micro-batch admission loop (q218) can build it ONCE and reuse the
+    immutable expression tree across batches: Column construction here is
+    m × nearest_centroid trees (~0.7 s at m=4, k=16), a per-batch tax
+    when rebuilt inside ``foreachBatch``."""
     if meta:
         from pyveb_spark.sinks.index_store import check_index_meta
 
@@ -889,7 +903,7 @@ def pq_encode(
         ]
         for j in range(m)
     ]
-    return df.withColumn(out_col, F.array(*codes))
+    return F.array(*codes)
 
 
 def pq_adc_topk(
