@@ -87,7 +87,18 @@ def main() -> None:
         "runs": run_totals,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(payload))
+    line = json.dumps(payload)
+    print(line)
+    # the EXACT stdout line, mirrored to a file (r13, additive): the
+    # driver archives only a bounded stdout tail, and the one-line JSON
+    # outgrew it at 223 queries (~9 kB) — BENCH_r11.json came back
+    # `parsed: null`, costing round 12 its automated per-query
+    # comparison. The stdout contract and the $SPARK_GRAFT_* handling
+    # are unchanged. (BENCH_LAST_OUT=path overrides; empty disables.)
+    last = os.environ.get("BENCH_LAST_OUT", "bench_last.json")
+    if last:
+        with open(last, "w") as fh:
+            fh.write(line + "\n")
     # full per-query artifact, diffable round-over-round without parsing
     # the driver's truncated tail (BENCH_FULL_OUT=path overrides; empty
     # string disables)

@@ -31,6 +31,7 @@ __all__ = [
     "cosine_pairs",
     "knn_join",
     "lsh_bucket",
+    "lsh_bucket_expr",
     "cosine_topk_lsh",
     "ivf_index",
     "ivf_search",
@@ -696,7 +697,30 @@ def lsh_bucket(
     (1 - θ/π)^n_planes. Multi-probe/multi-table variants stack extra
     ``lsh_bucket`` columns with different seeds.
     """
+    return df.withColumn(
+        bucket_col, lsh_bucket_expr(dim, n_planes, vec_col, seed)
+    )
+
+
+def lsh_bucket_expr(
+    dim: int,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> Column:
+    """The df-independent bucket-id Column behind :func:`lsh_bucket` —
+    the ``pq_code_expr`` shape (r12 change #15): a Column is an immutable
+    expression tree, so a per-micro-batch admission loop builds it ONCE
+    before the stream and evaluates the same object against every batch
+    frame, instead of re-running the plane-literal construction per
+    trigger (``lsh_cosine_lookup(probe_bucket=...)`` threads it)."""
     planes = _rademacher_planes(dim, n_planes, seed)
+    if not planes:
+        # n_planes=0 degenerate case (ADVICE r12): F.array() with no
+        # elements is void-typed and the transform/aggregate below fails
+        # analysis — mirror nearest_centroid's empty-centroids guard and
+        # return the constant single-bucket id the pre-fold loop produced.
+        return F.lit(0).cast("long")
     v = _as_double(F.col(vec_col))
     # One plane-matrix array of n_planes Literal nodes + a single
     # indexed transform fold (the nearest_centroid/_lit_arr shape, r12
@@ -719,10 +743,9 @@ def lsh_bucket(
             i,
         ),
     )
-    bucket = F.aggregate(
+    return F.aggregate(
         bits, F.lit(0).cast("long"), lambda acc, x: acc + x
     )
-    return df.withColumn(bucket_col, bucket)
 
 
 def cosine_topk_lsh(
@@ -1386,6 +1409,7 @@ def lsh_cosine_lookup(
     vec_col: str = "embedding",
     index: DataFrame | None = None,
     dim: int | None = None,
+    probe_bucket: Column | None = None,
 ) -> DataFrame:
     """Incremental EMBEDDING near-dup admission — the vector twin of
     ``dedup.minhash_lsh_lookup``: check a new batch against the corpus
@@ -1469,8 +1493,18 @@ def lsh_cosine_lookup(
         )
     elif "__b" not in index.columns:
         raise ValueError("index must carry the '__b' bucket column")
-    qb = lsh_bucket(
-        batch, dim, n_planes, vec_col=vec_col, seed=seed, bucket_col="__b"
+    # probe_bucket: the caller-prebuilt lsh_bucket_expr Column (r13 — the
+    # q218 change-#15 shape on the q206 path). The expression is a pure
+    # function of (dim, n_planes, seed, vec_col) — constants for a given
+    # index — so a per-micro-batch admission loop builds it once before
+    # the stream instead of re-constructing the plane literals per
+    # trigger. The caller owns geometry agreement with the index (same
+    # manifest the integer n_planes/seed come from).
+    qb = batch.withColumn(
+        "__b",
+        probe_bucket
+        if probe_bucket is not None
+        else lsh_bucket_expr(dim, n_planes, vec_col, seed),
     )
     a = qb.select(F.col(id_col).alias(a_id), "__b")
     b = index.select(F.col(id_col).alias(b_id), "__b")

@@ -624,13 +624,20 @@ def ngram_count_table(
     text_col: str = "text",
     n: int = 2,
     min_count: int = 1,
+    widen: bool = True,
 ) -> DataFrame:
     """Corpus n-gram count table ``(gram, n_occurrences)`` with a prune
     threshold — the backbone of count-based LM quality filters (the CCNet
     recipe scores documents against exactly such tables). Gram extraction
     is a scan-stage HOF (no explode until the counting groupBy, which
     partial-aggregates map-side); pruning keeps the table broadcastable
-    for downstream scoring joins."""
+    for downstream scoring joins.
+
+    ``widen`` (default True) floors the scan parallelism for CORPUS-sized
+    training inputs (guide §2.5 — the q102 3× win). Callers training on a
+    reference SUBSET should pass ``widen=False``: repartitioning a
+    subset-sized table costs more than the count aggregation it feeds
+    (measured r12: q175 ×0.73 with the widen on, 8 cores beating 32)."""
     if n < 1:
         raise ValueError("n must be >= 1")
     toks = F.split(F.col(text_col), " ")
@@ -648,10 +655,12 @@ def ngram_count_table(
                 ),
             ),
         ).otherwise(F.array().cast("array<string>"))
-    from pyveb_spark.operators.layout import widen_scan
+    if widen:
+        from pyveb_spark.operators.layout import widen_scan
 
+        df = widen_scan(df)
     out = (
-        widen_scan(df).select(F.explode(grams).alias("gram"))
+        df.select(F.explode(grams).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )

@@ -778,7 +778,11 @@ def q206_stream_lsh_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from pyveb_spark.operators.similarity import lsh_bucket, lsh_cosine_lookup
+    from pyveb_spark.operators.similarity import (
+        lsh_bucket,
+        lsh_bucket_expr,
+        lsh_cosine_lookup,
+    )
     from pyveb_spark.sinks.index_store import load_lsh_index, save_lsh_index
     from pyveb_spark.sinks.merge import ParquetMergeSink
     from pyveb_spark.streaming.stream import (
@@ -828,6 +832,13 @@ def q206_stream_lsh_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, drops, arriving.schema, max_files_per_trigger=1
         )
         sink = ParquetMergeSink(spark, os.path.join(tmp, "admitted"))
+        # the probe bucket expression is frozen for the stream's lifetime
+        # (pure function of the manifest geometry) — build the Column
+        # ONCE here, not per micro-batch (r13; the q218 change-#15 shape)
+        probe = lsh_bucket_expr(
+            int(idx_meta["dim"]), idx_meta["n_planes"], "embedding",
+            idx_meta["seed"],
+        )
 
         def _admit(batch_df: DataFrame, batch_id: int) -> None:
             matches = lsh_cosine_lookup(
@@ -837,6 +848,7 @@ def q206_stream_lsh_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # geometry from the build manifest — skips one probe job
                 # per micro-batch (the dim is an artifact constant)
                 dim=int(idx_meta["dim"]),
+                probe_bucket=probe,
             )
             per = matches.groupBy("vec_id_new").agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_matches"),

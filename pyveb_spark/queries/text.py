@@ -1354,8 +1354,11 @@ def q175_ccnet_perplexity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     ref = d.where(F.col("source") == "src0")
-    c2 = ngram_count_table(ref, "text", n=2, min_count=2)
-    c1 = ngram_count_table(ref, "text", n=1)
+    # widen=False: the reference slice is subset-sized — the round-robin
+    # shuffle costs more than the two count aggregations it would feed
+    # (r12's q175 ×0.73 regression; guide §2.5 applies to corpus scans)
+    c2 = ngram_count_table(ref, "text", n=2, min_count=2, widen=False)
+    c1 = ngram_count_table(ref, "text", n=1, widen=False)
     scored = bigram_lm_score(
         d, "doc_id", "text", alpha=0.1, bigram_counts=c2, unigram_counts=c1
     ).select("doc_id", F.round("avg_logp", 4).alias("s"))
