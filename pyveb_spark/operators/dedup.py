@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Sequence
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -510,6 +511,75 @@ def _minhash_expr(grams_col, seed: int) -> Column:
     )
 
 
+# --------------------------------------------------------------------------
+# Memoized signature Columns (r13, guide §1.2 per-call work): every index
+# build, lookup probe and pairs kernel re-built the IDENTICAL num_hashes
+# seeded min-hash expression trees over the canonical ``__grams`` column —
+# measured ~0.57 s of pure Py4J Column construction per call at
+# num_hashes=32 (plus ~0.2 s for the band array), paid 4× per q209/q216
+# lifecycle run and once per pairs call. Columns are immutable
+# df-independent expression trees (the r12 change-#15 rule, pinned by
+# test_lsh_bucket_expr_matches_lsh_bucket's reuse-across-frames shape), so
+# process-lifetime memoization is semantics-free. The cached objects are
+# unresolved JVM expression trees: they hold no session state (analysis
+# happens per plan), so they stay valid across getOrCreate sessions within
+# one driver process — the same lifetime pq_code_expr/lsh_bucket_expr
+# callers already rely on.
+# --------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=32)
+def _minhash_exprs_cached(num_hashes: int) -> tuple[Column, ...]:
+    """The ``num_hashes`` seeded min-hash Columns over ``__grams``."""
+    return tuple(
+        _minhash_expr(F.col("__grams"), s) for s in range(num_hashes)
+    )
+
+
+@lru_cache(maxsize=32)
+def _band_arr_inline(num_hashes: int, bands: int) -> Column:
+    """The banded-postings band-hash array with the min-hash expressions
+    INLINED (the ``_banded_postings`` shape)."""
+    r = _check_banding(num_hashes, bands)
+    mh = _minhash_exprs_cached(num_hashes)
+    return F.array(
+        *[
+            portable_hash48(
+                F.concat_ws("|", *[mh[b * r + i] for i in range(r)])
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+@lru_cache(maxsize=32)
+def _band_arr_named(num_hashes: int, bands: int) -> Column:
+    """The band-hash array over ALIASED ``mh_<s>`` signature columns (the
+    ``minhash_lsh_pairs`` shape, where the signature frame is built
+    first)."""
+    r = _check_banding(num_hashes, bands)
+    return F.array(
+        *[
+            portable_hash48(
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{b * r + i}") for i in range(r)]
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+@lru_cache(maxsize=32)
+def _minhash_cols_aliased(num_hashes: int) -> tuple[Column, ...]:
+    """``_minhash_exprs_cached`` aliased ``mh_<s>`` (the signature-frame
+    select list)."""
+    return tuple(
+        e.alias(f"mh_{s}")
+        for s, e in enumerate(_minhash_exprs_cached(num_hashes))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -529,11 +599,7 @@ def minhash_signatures(
     sets = _doc_shingle_sets(df, id_col, text_col, n).where(
         F.size("__grams") > 0
     )
-    cols = [
-        _minhash_expr(F.col("__grams"), s).alias(f"mh_{s}")
-        for s in range(num_hashes)
-    ]
-    return sets.select(F.col(id_col), *cols)
+    return sets.select(F.col(id_col), *_minhash_cols_aliased(num_hashes))
 
 
 def minhash_lsh_pairs(
@@ -571,7 +637,7 @@ def minhash_lsh_pairs(
     mirrored in the DuckDB oracles, so capped semantics stay
     value-hash-checked.
     """
-    r = _check_banding(num_hashes, bands)
+    _check_banding(num_hashes, bands)
     a, b_ = f"{id_col}_a", f"{id_col}_b"
     # Same three-read pattern as ngram_jaccard_pairs: the hashed shingle
     # sets feed the signature pipeline AND both verify sides — persist
@@ -581,27 +647,16 @@ def minhash_lsh_pairs(
     docs = _doc_shingle_sets(df, id_col, text_col, n).persist()
     _PERSISTED_PREFIXES.append(docs)
     sets = docs.where(F.size("__grams") > 0)
-    cols = [
-        _minhash_expr(F.col("__grams"), s).alias(f"mh_{s}")
-        for s in range(num_hashes)
-    ]
-    sig = sets.select(F.col(id_col), *cols)
+    sig = sets.select(F.col(id_col), *_minhash_cols_aliased(num_hashes))
     # one (band_idx, band_hash) row per band → a single self-join keyed on
     # both, instead of `bands` separate joins + union (fewer stages, one
     # shuffle). band_idx disambiguates hashes across bands. Band key =
     # portable 48-bit hash of the '|'-joined minhash tuple (oracle-replayable).
-    band_arr = F.array(
-        *[
-            portable_hash48(
-                F.concat_ws(
-                    "|", *[F.col(f"mh_{b * r + i}") for i in range(r)]
-                )
-            )
-            for b in range(bands)
-        ]
-    )
     banded = sig.select(
-        F.col(id_col), F.posexplode(band_arr).alias("__band", "__h")
+        F.col(id_col),
+        F.posexplode(_band_arr_named(num_hashes, bands)).alias(
+            "__band", "__h"
+        ),
     )
     if max_bucket_size is not None:
         # window count, not groupBy+join-back: one shuffle on (band, hash)
@@ -677,26 +732,17 @@ def _banded_postings(
     """(id, __grams, __n, __band, __h) posting rows: the doc's shingle set
     plus one row per LSH band hash — the joinable form of a MinHash
     signature."""
-    r = _check_banding(num_hashes, bands)
+    _check_banding(num_hashes, bands)
     sets = _doc_shingle_sets(df, id_col, text_col, n).where(
         F.size("__grams") > 0
-    )
-    mh = [
-        _minhash_expr(F.col("__grams"), s) for s in range(num_hashes)
-    ]
-    band_arr = F.array(
-        *[
-            portable_hash48(
-                F.concat_ws("|", *[mh[b * r + i] for i in range(r)])
-            )
-            for b in range(bands)
-        ]
     )
     return sets.select(
         F.col(id_col),
         "__grams",
         "__n",
-        F.posexplode(band_arr).alias("__band", "__h"),
+        F.posexplode(_band_arr_inline(num_hashes, bands)).alias(
+            "__band", "__h"
+        ),
     )
 
 

@@ -97,6 +97,48 @@ def test_lsh_cosine_lookup_probe_bucket_value_identity(spark):
     assert plain == threaded and len(plain) > 0
 
 
+def test_minhash_memoized_columns_value_identity(spark):
+    """The memoized signature Columns (_minhash_exprs_cached /
+    _band_arr_inline / _band_arr_named / _minhash_cols_aliased) must
+    produce the same values as freshly-constructed trees, including when
+    the SAME cached Column objects are reused against different frames
+    (the lifecycle queries call the builders 4x per run)."""
+    from pyspark.sql import functions as F
+
+    from pyveb_spark.operators.dedup import (
+        _band_arr_inline,
+        _minhash_expr,
+        _minhash_exprs_cached,
+        minhash_lsh_index,
+        minhash_signatures,
+    )
+
+    import re
+
+    d = read_table(spark, SF, "documents")
+    # cached vs fresh expression trees are identical up to the lambda
+    # variable gensym counter (x_<n>, a process-global name counter)
+    norm = lambda c: re.sub(r"x_\d+", "x", str(c))  # noqa: E731
+    fresh = [norm(_minhash_expr(F.col("__grams"), s)) for s in range(8)]
+    cached = [norm(c) for c in _minhash_exprs_cached(8)]
+    assert fresh == cached
+    # same cached band array reused across two different frames
+    assert _band_arr_inline(32, 8) is _band_arr_inline(32, 8)
+    idx_a = _rows(minhash_lsh_index(d.where("doc_id >= 200"), "doc_id",
+                                    "text").select("doc_id", "__band",
+                                                   "__h"))
+    idx_b = _rows(minhash_lsh_index(d.where("doc_id < 200"), "doc_id",
+                                    "text").select("doc_id", "__band",
+                                                   "__h"))
+    assert len(idx_a) > 0 and len(idx_b) > 0
+    assert not ({r[0] for r in idx_a} & {r[0] for r in idx_b})
+    sig = minhash_signatures(d.limit(20), "doc_id", "text", num_hashes=16)
+    assert [c for c in sig.columns if c.startswith("mh_")] == [
+        f"mh_{s}" for s in range(16)
+    ]
+    assert sig.count() > 0
+
+
 def test_lsh_bucket_zero_planes_constant_bucket(spark):
     """ADVICE r12: n_planes=0 used to build F.array() (void-typed) and
     fail analysis inside the transform fold; the guard restores the
