@@ -1020,6 +1020,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     |tokens|×60 rows through two groupBy shuffles; this one shuffles
     nothing. No UDF, and the whole construction replays in ANSI SQL.
     """
+    return df.select(F.col(id_col), _simhash_fp_expr(text_col))
+
+
+@lru_cache(maxsize=8)
+def _simhash_fp_expr(text_col: str) -> Column:
+    """The df-independent fingerprint Column behind :func:`simhash`,
+    memoized per text column name (the _minhash_exprs_cached rule —
+    ~0.15 s of fold construction per call, rebuilt 1-4× per
+    fingerprint-family query)."""
     # one ArrayType Literal node instead of 60 child Literals (the
     # similarity._lit_arr convention — less plan-compile per call;
     # int64 here, values identical)
@@ -1050,7 +1059,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda a, x: a.bitwiseOR(x),
     )
-    return df.select(F.col(id_col), fp.alias("simhash"))
+    return fp.alias("simhash")
 
 
 def simhash_pairs(

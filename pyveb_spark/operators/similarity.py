@@ -19,6 +19,7 @@ from __future__ import annotations
 import hashlib
 import math
 import random
+from functools import lru_cache
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -702,6 +703,7 @@ def lsh_bucket(
     )
 
 
+@lru_cache(maxsize=64)
 def lsh_bucket_expr(
     dim: int,
     n_planes: int = 12,
@@ -713,7 +715,11 @@ def lsh_bucket_expr(
     expression tree, so a per-micro-batch admission loop builds it ONCE
     before the stream and evaluates the same object against every batch
     frame, instead of re-running the plane-literal construction per
-    trigger (``lsh_cosine_lookup(probe_bucket=...)`` threads it)."""
+    trigger (``lsh_cosine_lookup(probe_bucket=...)`` threads it).
+    Memoized (r13, the dedup._minhash_exprs_cached rule): the expression
+    is a pure function of its four scalar arguments, and the LSH mining/
+    recall-audit queries rebuild the identical plane construction per
+    call."""
     planes = _rademacher_planes(dim, n_planes, seed)
     if not planes:
         # n_planes=0 degenerate case (ADVICE r12): F.array() with no

@@ -139,6 +139,24 @@ def test_minhash_memoized_columns_value_identity(spark):
     assert sig.count() > 0
 
 
+def test_simhash_memoized_expr_value_identity(spark):
+    """_simhash_fp_expr is memoized per text column name; the same cached
+    Column must serve different frames and reproduce the pre-memo
+    fingerprints (q29's oracle pins the absolute values — here we pin
+    reuse-across-frames consistency)."""
+    from pyveb_spark.operators.dedup import _simhash_fp_expr, simhash
+
+    assert _simhash_fp_expr("text") is _simhash_fp_expr("text")
+    d = read_table(spark, SF, "documents")
+    full = {r.doc_id: r.simhash
+            for r in simhash(d, "doc_id", "text").collect()}
+    half = {r.doc_id: r.simhash
+            for r in simhash(d.where("doc_id % 2 = 0"), "doc_id",
+                             "text").collect()}
+    assert len(full) > len(half) > 0
+    assert all(full[k] == v for k, v in half.items())
+
+
 def test_lsh_bucket_zero_planes_constant_bucket(spark):
     """ADVICE r12: n_planes=0 used to build F.array() (void-typed) and
     fail analysis inside the transform fold; the guard restores the
